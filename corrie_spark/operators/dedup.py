@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. Designed for 100 TB corpora:
+
+  - signatures are computed per-row inside one projection (no shuffle,
+    no Python; md5-family hashing is a JVM intrinsic);
+  - candidate generation is a band-bucket equi-join (shuffle keyed on
+    (band_idx, band_hash) — the classic MinHash-LSH join), never an
+    all-pairs cross join;
+  - exact dedup is groupBy(fingerprint) + co-partitioned semi-join,
+    deterministic keep-min-id policy (dropDuplicates keeps an
+    arbitrary row — unacceptable for reproducible corpus builds).
+
+Hashes use md5 (stable across engines/versions) truncated to 60 bits
+so the DuckDB oracle can reproduce signatures bit-for-bit. xxhash64
+would be ~2x faster but is Spark-only; swap via HASH_FN for pure-Spark
+deployments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from corrie_spark.operators.text import fingerprint, normalize_text, tokens
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 8
+DEFAULT_SHINGLE_K = 3
+
+
+def hash60(c: Column, salt: int | str = "") -> Column:
+    """Deterministic 60-bit positive int hash of a string column:
+    first 15 hex digits of md5('<salt>:<value>'). Reproducible in
+    DuckDB as ('0x' || substr(md5(...), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def shingles(text: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Word k-gram shingles as an array column; rows with < k tokens get
+    a single shingle of all tokens (so short docs still have a
+    signature)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    # n < k (incl. empty text) -> single shingle of the whole token
+    # list; also keeps element_at in-bounds under ANSI mode
+    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(
+    grams: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """MinHash signature: array of per-hash-function minima over the
+    shingle set. One pass per hash function over a row-local array —
+    no shuffle, embarrassingly parallel.
+
+    NB: the per-i lambda must be built by a factory — `lambda g, i=i`
+    would be seen by PySpark as a 2-arg (value, index) lambda and the
+    salt would silently become the array index."""
+
+    def hash_with(i: int):
+        return lambda g: hash60(g, i)
+
+    return F.array(
+        *[F.array_min(F.transform(grams, hash_with(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_bands(
+    sig: Column, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+) -> Column:
+    """Split a signature into `bands` buckets; band hash = md5 of
+    ':'-joined slot values (a format trivially reproducible in SQL).
+    Docs sharing ANY band hash become candidate pairs."""
+    rows = num_hashes // bands
+    out = []
+    for b in range(bands):
+        parts = [F.lit(str(b))] + [
+            F.element_at(sig, b * rows + 1 + j).cast("string") for j in range(rows)
+        ]
+        out.append(F.md5(F.concat_ws(":", *parts)))
+    return F.array(*out)
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Append `grams`, `sig` columns (single projection, no shuffle)."""
+    return df.withColumn("grams", shingles(text_col, k)).withColumn(
+        "sig", minhash_signature(F.col("grams"), num_hashes)
+    )
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b) with estimated
+    Jaccard = fraction of matching signature slots.
+
+    Scale shape: explode to (band_idx, band_hash, id, sig) — the join
+    key (band_idx, band_hash) shuffles both sides identically, so the
+    pair join is co-partitioned; a hot bucket (all-identical docs) is
+    handled by AQE skew splitting. Signature travels with the row to
+    avoid a second join back to the corpus.
+    """
+    sigs = with_minhash(df, text_col, num_hashes).select(id_col, "sig")
+    exploded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(lsh_bands(F.col("sig"), num_hashes, bands)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (matches.cast("double") / F.lit(num_hashes)).alias("jaccard_est"),
+    )
+
+
+def deduplicate_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint, keep-min-id.
+
+    Two-shuffle plan: groupBy(fp) computes keeper ids (partial agg
+    map-side), then an inner join on (fp, id) keeps exactly those
+    rows. Both shuffles key on fp -> co-partitioned, no broadcast of
+    the big side."""
+    with_fp = df.withColumn("_fp", fingerprint(text_col))
+    keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keepers, ["_fp", id_col], "inner").drop("_fp")
+
+
+def duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-fingerprint group stats: (fingerprint, keep_id, n_copies)."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def simhash(text: Column | str, bits: int = 48) -> Column:
+    """SimHash over word tokens: per-bit vote of token hashes, packed
+    into a BIGINT (<= 62 bits). Row-local, no shuffle."""
+    toks = tokens(text)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(
+                    F.shiftright(hash60(t), b.cast("int")).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a_, v: a_ + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), b.cast("int"))).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Exact n-gram Jaccard between two text columns (pair-level
+    verifier applied AFTER LSH candidate generation, never all-pairs)."""
+    ga = F.array_distinct(shingles(text_a, k))
+    gb = F.array_distinct(shingles(text_b, k))
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(F.array_union(ga, gb))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)

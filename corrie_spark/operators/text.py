@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure Column expressions (JVM-side, whole-stage
+codegen; no Python UDFs) so they run at full scan speed over 100 TB:
+a document passes through tokenize/quality/langid/fingerprint in one
+projection, no shuffle at all.
+
+Determinism contract: each operator has an exact ANSI-SQL equivalent
+(used by the DuckDB oracle in queries/text_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# shared with the oracle SQL — keep both lists in sync
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-romanized markers
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: word pieces and single non-space
+    punctuation, the usual `\\w+|[^\\w\\s]` regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), 0)
+
+
+def stopword_count(text: Column | str, words: list[str] | None = None) -> Column:
+    ws = words or STOPWORDS
+    lit_ws = F.array(*[F.lit(w) for w in ws])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(lit_ws, F.lower(t))))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+
+
+def quality_features(text: Column | str) -> Column:
+    """Quality-scoring feature struct: n_chars, n_tokens,
+    mean_token_len, stopword_ratio, punct_ratio, alpha_ratio.
+    Ratios are double divisions of exact ints -> deterministic."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_token_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_token_chars.cast("double") / safe_tokens).alias("mean_token_len"),
+        (stopword_count(c).cast("double") / safe_tokens).alias("stopword_ratio"),
+        (punct_count(c).cast("double") / safe_chars).alias("punct_ratio"),
+        (n_alpha.cast("double") / safe_chars).alias("alpha_ratio"),
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1]-ish quality score: rewards stopword presence and
+    sane token lengths, penalizes punctuation soup. Weights are fixed
+    constants shared with the oracle."""
+    f = quality_features(text)
+    length_ok = F.when(
+        (f["n_tokens"] >= 5) & (f["mean_token_len"] >= 2) & (f["mean_token_len"] <= 12),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * length_ok
+        + F.lit(0.3) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+    )
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Per-language marker-hit counts as a struct of ints."""
+    toks = tokens(text)
+    fields = []
+    for lang, markers in LANG_MARKERS.items():
+        lit_ws = F.array(*[F.lit(w) for w in markers])
+        fields.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(lit_ws, F.lower(t)))).alias(lang)
+        )
+    return F.struct(*fields)
+
+
+def detect_lang(text: Column | str, min_hits: int = 1) -> Column:
+    """argmax over lang_scores with deterministic tie-break (first in
+    LANG_MARKERS order); below min_hits -> 'und'."""
+    s = lang_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(min_hits - 1)
+    # forward fold with strict '>' -> first language in LANG_MARKERS
+    # order wins ties (matches the oracle's CASE chain)
+    for lang in LANG_MARKERS:
+        score = s[lang]
+        best = F.when(score > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(score, best_score)
+    return best
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum
+    (keeping spaces), collapse runs of whitespace, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text. Stable across
+    engines (md5 is md5); used as the exact-dedup key."""
+    return F.md5(normalize_text(text))

@@ -1,0 +1,131 @@
+"""Oracle-checked dedup queries over `documents`.
+
+The MinHash oracle reproduces signatures bit-for-bit in DuckDB (same
+md5-derived 60-bit hash family), so the check is full-fidelity even
+when the corpus happens to contain no duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import dedup as D
+from corrie_spark.queries.registry import register
+from corrie_spark.tables import load
+from corrie_spark.queries.text_queries import _NORM, _TOKS
+
+_EXACT_ORACLE = f"""
+SELECT
+  md5({_NORM}) AS fp,
+  MIN(doc_id) AS keep_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5({_NORM})
+"""
+
+
+@register("q_dedup_exact", oracle=_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized-text fingerprint with
+    deterministic keep-min-id policy (hash-groupBy; scales as a single
+    co-partitioned shuffle on the fingerprint)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.duplicate_groups(docs)
+
+
+def _sig_sql(i: int) -> str:
+    return (
+        f"CAST(list_min(list_transform(grams, g -> "
+        f"('0x' || substr(md5('{i}:' || g), 1, 15))::BIGINT)) AS BIGINT) AS sig_{i}"
+    )
+
+
+_MINHASH_ORACLE_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {toks} END AS t
+  FROM documents
+),
+grams_t AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [array_to_string(t, ' ')] END AS grams
+  FROM toks
+)
+SELECT doc_id, len(grams) AS n_grams, {sigs}
+FROM grams_t
+"""
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=_MINHASH_ORACLE_TEMPLATE.format(
+        toks=_TOKS, sigs=", ".join(_sig_sql(i) for i in range(D.DEFAULT_NUM_HASHES))
+    ),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-fidelity MinHash signatures (16 hash functions over word
+    3-gram shingles), one column per slot. Row-local computation: at
+    100 TB this is a pure map stage."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.with_minhash(docs)
+    return sigs.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        *[F.element_at("sig", i + 1).alias(f"sig_{i}") for i in range(D.DEFAULT_NUM_HASHES)],
+    )
+
+
+_PAIRS_ORACLE_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {toks} END AS t
+  FROM documents
+),
+grams_t AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [array_to_string(t, ' ')] END AS grams
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id, [{sig_list}] AS sig FROM grams_t
+),
+bands AS (
+  SELECT doc_id, sig, b AS band_idx,
+         md5(CAST(b AS VARCHAR) || ':' ||
+             CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR))
+           AS band_hash
+  FROM sigs, range(0, 8) r(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16 AS jaccard_est
+FROM pairs
+"""
+
+
+@register(
+    "q_dedup_minhash_pairs",
+    oracle=_PAIRS_ORACLE_TEMPLATE.format(
+        toks=_TOKS,
+        sig_list=", ".join(
+            f"CAST(list_min(list_transform(grams, g -> "
+            f"('0x' || substr(md5('{i}:' || g), 1, 15))::BIGINT)) AS BIGINT)"
+            for i in range(D.DEFAULT_NUM_HASHES)
+        ),
+    ),
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 bands x 2 rows) with estimated
+    Jaccard — the scale path for near-dedup: band-bucket equi-join,
+    never an all-pairs product."""
+    docs = load(spark, sf_dir, "documents")
+    return D.candidate_pairs(docs)

@@ -1,0 +1,211 @@
+"""Oracle-checked queries exercising the envelope decode stage
+(SURVEY §2.2 M1-M4) on driver testdata.
+
+The streaming pipeline is tested in tests/; these queries run the same
+expression-level operators in batch form so the DuckDB oracle can
+verify them: envelopes are deterministically synthesized from the
+`events` table, corrupted for a known subset, parsed with the real
+M1/M2/M3 operators, and aggregated. The oracle computes the expected
+outcome directly from the source rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark import envelope
+from corrie_spark.queries.analytics import dsum
+from corrie_spark.queries.registry import register
+from corrie_spark.tables import load
+
+# every 97th event becomes a poison message (truncated JSON)
+_POISON_MOD = 97
+
+
+def _bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an envelope stream from `events`: one INSERT per row,
+    routed per event_type, with a deterministic poison subset."""
+    ev = load(spark, sf_dir, "events")
+    query = F.concat(
+        F.lit("INSERT INTO db.events_"),
+        F.col("event_type"),
+        F.lit(" (event_id, value, props) VALUES (?, ?, ?)"),
+    )
+    body = envelope.encode_envelope(
+        query, [F.col("event_id"), F.col("value"), F.col("props")]
+    )
+    poison = (F.col("event_id") % _POISON_MOD) == 0
+    return ev.select(
+        F.col("event_id"),
+        F.when(poison, F.substring(body, 1, 10)).otherwise(body).alias("body"),
+    )
+
+
+_ROUNDTRIP_ORACLE = f"""
+SELECT
+  'db.events_' || event_type AS table_name,
+  COUNT(*) AS n_rows,
+  SUM(event_id) AS sum_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_id % {_POISON_MOD} <> 0
+GROUP BY 'db.events_' || event_type
+"""
+
+
+@register("q_envelope_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M3+M4 end-to-end in batch: encode -> parse -> coerce -> route.
+
+    The coercion goes through the positional string array exactly as
+    the streaming path does (UseNumber semantics: event_id re-parses
+    via the int64 branch, value via the float64 fallback).
+    """
+    parsed = envelope.parse_envelopes(_bodies(spark, sf_dir))
+    ok, _dlq = envelope.split_dlq(parsed)
+    id_c = envelope.coerce_numeric(F.element_at("data", 1))
+    val_c = envelope.coerce_numeric(F.element_at("data", 2))
+    return (
+        ok.select(
+            envelope.table_name("query").alias("table_name"),
+            id_c["i"].alias("event_id"),
+            val_c["f"].alias("value"),
+        )
+        .groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+_DLQ_ORACLE = f"""
+SELECT
+  COUNT(*) FILTER (WHERE event_id % {_POISON_MOD} = 0) AS n_dlq,
+  COUNT(*) FILTER (WHERE event_id % {_POISON_MOD} <> 0) AS n_ok,
+  COUNT(*) AS n_total
+FROM events
+"""
+
+
+@register("q_envelope_dlq", oracle=_DLQ_ORACLE)
+def q_envelope_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 invariant (FIXTURES.md F4): every message lands in exactly
+    one of (ok, DLQ); nothing is dropped. Poison = truncated JSON."""
+    parsed = envelope.parse_envelopes(_bodies(spark, sf_dir))
+    ok, dlq = envelope.split_dlq(parsed)
+    return (
+        ok.select(F.lit(1).alias("is_ok"))
+        .unionAll(dlq.select(F.lit(0).alias("is_ok")))
+        .agg(
+            F.sum(F.when(F.col("is_ok") == 0, 1).otherwise(0)).alias("n_dlq"),
+            F.sum(F.col("is_ok")).cast("bigint").alias("n_ok"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+_COERCE_ORACLE = """
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(*) AS n_int,
+  SUM(event_id) AS sum_int,
+  COUNT(*) AS n_float,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_float,
+  COUNT(*) AS n_string
+FROM events
+"""
+
+
+@register("q_numeric_coercion", oracle=_COERCE_ORACLE)
+def q_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 branch accounting (writer.go:250-277): event_id strings take
+    the int64 branch, value strings (always 'x.yz' form) the float64
+    fallback, props (JSON object) the raw-string branch. The oracle
+    knows the branch outcome per source column a priori."""
+    ev = load(spark, sf_dir, "events")
+    rows = ev.select(
+        envelope.coerce_numeric(F.col("event_id").cast("string")).alias("c_id"),
+        envelope.coerce_numeric(F.col("value").cast("string")).alias("c_val"),
+        envelope.coerce_numeric(F.col("props")).alias("c_props"),
+    )
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_id.i").alias("n_int"),
+        F.sum("c_id.i").alias("sum_int"),
+        F.count("c_val.f").alias("n_float"),
+        dsum("c_val.f", "sum_float"),
+        F.count("c_props.s").alias("n_string"),
+    )
+
+
+_TYPE_MATRIX_ORACLE = """
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(*) FILTER (WHERE l_linenumber BETWEEN -128 AND 127) AS n_valid_int8,
+  COUNT(*) FILTER (WHERE l_quantity >= 0) AS n_valid_float,
+  SUM(CAST(l_linenumber AS BIGINT)) AS sum_int8,
+  COUNT(*) FILTER (WHERE l_returnflag IN ('A','N','R')) AS n_valid_enum,
+  0 AS n_valid_enum_bad,
+  COUNT(DISTINCT substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) || '-' ||
+        substr(md5(CAST(l_orderkey AS VARCHAR)), 9, 4) || '-' ||
+        substr(md5(CAST(l_orderkey AS VARCHAR)), 13, 4) || '-' ||
+        substr(md5(CAST(l_orderkey AS VARCHAR)), 17, 4) || '-' ||
+        substr(md5(CAST(l_orderkey AS VARCHAR)), 21, 12)) AS n_uuid,
+  COUNT(*) AS n_valid_uuid
+FROM lineitem
+"""
+
+
+@register("q_type_matrix", oracle=_TYPE_MATRIX_ORACLE)
+def q_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3 type-matrix coercion driven through chtypes.coerce on
+    string-form values from lineitem: Int8 range check, Float64 parse,
+    Enum8 ident validation (valid idents A/N/R; l_linestatus 'O'/'F'
+    against the same enum is the invalid-ident case -> 0 valid except
+    F which IS invalid here since enum is A/N/R), and synthesized
+    UUIDs through the canonical-form validator."""
+    from corrie_spark import chtypes
+
+    li = load(spark, sf_dir, "lineitem")
+    t_int8 = chtypes.parse_ch_type("Int8")
+    t_f64 = chtypes.parse_ch_type("Float64")
+    t_enum = chtypes.parse_ch_type("Enum8('A'=1,'N'=2,'R'=3)")
+    t_uuid = chtypes.parse_ch_type("UUID")
+
+    md5k = F.md5(F.col("l_orderkey").cast("string"))
+    uuid_str = F.concat_ws(
+        "-",
+        F.substring(md5k, 1, 8),
+        F.substring(md5k, 9, 4),
+        F.substring(md5k, 13, 4),
+        F.substring(md5k, 17, 4),
+        F.substring(md5k, 21, 12),
+    )
+    int8_v, int8_ok = chtypes.coerce(F.col("l_linenumber").cast("string"), t_int8)
+    f64_v, f64_ok = chtypes.coerce(F.col("l_quantity").cast("string"), t_f64)
+    _e_v, enum_ok = chtypes.coerce(F.col("l_returnflag"), t_enum)
+    _b_v, enum_bad_ok = chtypes.coerce(F.lit("ZZZ"), t_enum)
+    uuid_v, uuid_ok = chtypes.coerce(uuid_str, t_uuid)
+
+    rows = li.select(
+        int8_v.alias("v_int8"),
+        int8_ok.alias("ok_int8"),
+        f64_ok.alias("ok_f64"),
+        enum_ok.alias("ok_enum"),
+        enum_bad_ok.alias("ok_enum_bad"),
+        uuid_v.alias("v_uuid"),
+        uuid_ok.alias("ok_uuid"),
+    )
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("ok_int8").cast("bigint")).alias("n_valid_int8"),
+        F.sum(F.col("ok_f64").cast("bigint")).alias("n_valid_float"),
+        F.sum(F.col("v_int8").cast("bigint")).alias("sum_int8"),
+        F.sum(F.col("ok_enum").cast("bigint")).alias("n_valid_enum"),
+        F.sum(F.col("ok_enum_bad").cast("bigint")).alias("n_valid_enum_bad"),
+        F.countDistinct("v_uuid").alias("n_uuid"),
+        F.sum(F.col("ok_uuid").cast("bigint")).alias("n_valid_uuid"),
+    )

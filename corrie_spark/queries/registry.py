@@ -1,0 +1,80 @@
+"""Query registry: every implemented operator exposes
+  - a Spark callable  (spark, sf_dir) -> DataFrame
+  - optionally an equivalent ANSI-SQL oracle string (DuckDB-runnable)
+
+`__spark_entry__.py` re-exports this registry to the driver; the
+driver compares Spark vs DuckDB per query (row count + schema +
+order-insensitive value hash). Column names are part of the contract:
+alias every computed column identically in both forms.
+
+Oracle determinism rules used throughout the query modules:
+  - sums of doubles go through DECIMAL(18,6) (exact, order-independent)
+    and are cast back to DOUBLE so schemas match;
+  - averages are expressed as CAST(sum_dec AS DOUBLE)/COUNT so both
+    engines do the same double division;
+  - hash-derived ints use md5 (identical in both engines) with the
+    first 15 hex digits parsed as a 60-bit int.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register a Spark query fn under `name`."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def get(name: str) -> Query:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    _ensure_loaded()
+    return {name: q.spark for name, q in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import all query modules so their @register decorators run."""
+    global _loaded
+    if _loaded:
+        return
+    # imports deferred to avoid circular import at package import time
+    import corrie_spark.queries.analytics  # noqa: F401
+    import corrie_spark.queries.envelope_queries  # noqa: F401
+    import corrie_spark.queries.dedup_queries  # noqa: F401
+    import corrie_spark.queries.text_queries  # noqa: F401
+    import corrie_spark.queries.similarity_queries  # noqa: F401
+
+    _loaded = True

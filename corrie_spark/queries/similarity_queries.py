@@ -1,0 +1,129 @@
+"""Oracle-checked similarity-search queries over `embeddings`.
+
+All scores are exact integers (quantized dot products), so ranking
+and values are bit-identical between Spark and DuckDB — see
+corrie_spark.operators.similarity for the quantization argument.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import similarity as S
+from corrie_spark.queries.registry import register
+from corrie_spark.tables import load
+
+_QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 32768) AS BIGINT))"
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_QUANT} AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS neighbor_id, {_QUANT} AS cv
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS BIGINT) AS dot
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, rnk, dot FROM r WHERE rnk <= 10
+"""
+
+
+@register("q_sim_cosine_topk", oracle=_TOPK_ORACLE)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 neighbors by (quantized) cosine for 5 query
+    vectors: broadcast queries x corpus scan, window top-k. The
+    brute-force baseline the ANN path is measured against."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(q, emb, k=10).select(
+        "query_id", "neighbor_id", "rnk", "dot"
+    )
+
+
+def _plane_w(p: str, d: str) -> str:
+    """DuckDB expr for the integer hyperplane weight of plane p, dim d."""
+    return (
+        f"(('0x' || substr(md5('plane' || {p} || ':' || CAST({d} AS VARCHAR)), 1, 8))::BIGINT"
+        f" - 2147483648)"
+    )
+
+
+_BUCKET = (
+    "CAST(list_sum(list_transform(range(0, 8), p -> "
+    "CASE WHEN CAST(list_sum(list_transform(range(0, 64), d -> "
+    f"qv[d + 1] * {_plane_w('p', 'd')}"
+    ")) AS BIGINT) >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END"
+    ")) AS INT)"
+)
+
+_ANN_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, qv, {_BUCKET} AS bucket FROM base
+),
+q AS (SELECT vec_id AS query_id, qv AS q_vec, bucket FROM sigs WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, qv AS c_vec, bucket FROM sigs),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i])) AS BIGINT) AS dot
+  FROM c JOIN q USING (bucket)
+  WHERE neighbor_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, rnk, dot FROM r WHERE rnk <= 10
+"""
+
+
+@register("q_sim_ann_lsh", oracle=_ANN_ORACLE)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (8 planes)
+    + exact re-rank inside buckets — the 100 TB path: cost per bucket,
+    not all-pairs. Bucket bits are exact integer projections, so the
+    oracle reproduces them bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.ann_lsh_topk(q, emb, k=10).select("query_id", "neighbor_id", "rnk", "dot")
+
+
+_BUCKET_STATS_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, {_BUCKET} AS bucket FROM base
+)
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM sigs GROUP BY bucket
+"""
+
+
+@register("q_sim_bucket_stats", oracle=_BUCKET_STATS_ORACLE)
+def q_sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket histogram — the skew diagnostic you'd run before
+    trusting the ANN join at scale (hot buckets -> add planes or
+    multi-probe)."""
+    emb = load(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id", S.quantize(F.col("embedding")).alias("q")
+    ).withColumn("bucket", S.hyperplane_signature(F.col("q")))
+    return sigs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )

@@ -1,0 +1,150 @@
+"""Oracle-checked text-analysis queries over `documents`.
+
+Each query drives the Column-expression operators in
+corrie_spark.operators.text; the oracle re-states the identical
+formula in DuckDB SQL. Ratios/scores are exact double arithmetic on
+integers (no rounding needed — bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import text as T
+from corrie_spark.queries.registry import register
+from corrie_spark.tables import load
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+# DuckDB fragments mirroring the operators ('g' = replace-all, which
+# Spark's regexp_replace does by default)
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END"
+_NSTOP = (
+    f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+    f"len(list_filter({_TOKS}, t -> lower(t) IN ({_STOP_SQL}))) END"
+)
+_NPUNCT = "length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))"
+_NALPHA = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+_NTOKCHARS = (
+    f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+    f"CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS BIGINT) END"
+)
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_STATS_ORACLE = f"""
+SELECT
+  doc_id,
+  length(text) AS n_chars,
+  {_NTOK} AS n_tokens,
+  {_NSTOP} AS n_stopwords,
+  {_NPUNCT} AS n_punct,
+  md5({_NORM}) AS fp
+FROM documents
+"""
+
+
+@register("q_text_stats", oracle=_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/stopword/punct counts + fingerprint — the
+    scan-speed profiling pass of a corpus pipeline (one projection,
+    zero shuffle at any scale)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_count("text").alias("n_stopwords"),
+        T.punct_count("text").alias("n_punct"),
+        T.fingerprint("text").alias("fp"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH feat AS (
+  SELECT
+    doc_id,
+    length(text) AS n_chars,
+    {_NTOK} AS n_tokens,
+    {_NTOKCHARS} AS n_token_chars,
+    {_NSTOP} AS n_stop,
+    {_NPUNCT} AS n_punct
+  FROM documents
+)
+SELECT
+  doc_id,
+  n_tokens,
+  CAST(n_token_chars AS DOUBLE) / greatest(n_tokens, 1) AS mean_token_len,
+  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+  CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+  0.4 * (CASE WHEN n_tokens >= 5
+              AND CAST(n_token_chars AS DOUBLE) / greatest(n_tokens, 1) >= 2
+              AND CAST(n_token_chars AS DOUBLE) / greatest(n_tokens, 1) <= 12
+         THEN 1.0 ELSE 0.0 END)
+  + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 4, 1.0)
+  + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5, 1.0))
+    AS quality_score
+FROM feat
+"""
+
+
+@register("q_text_quality", oracle=_QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for corpus filtering (length/stopword/punct
+    heuristics — the usual pre-training data quality gate)."""
+    docs = load(spark, sf_dir, "documents")
+    f = T.quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["mean_token_len"].alias("mean_token_len"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+        T.quality_score("text").alias("quality_score"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+    return (
+        f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len(list_filter({_TOKS}, t -> lower(t) IN ({markers}))) END"
+    )
+
+
+_LANG_CASE = " ".join(
+    f"WHEN {lang}_hits = best THEN '{lang}'" for lang in T.LANG_MARKERS
+)
+_LANGID_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id, lang AS lang_labeled,
+    {", ".join(f"{_lang_hits_sql(lang)} AS {lang}_hits" for lang in T.LANG_MARKERS)}
+  FROM documents
+),
+best AS (
+  SELECT *, greatest({", ".join(f"{lang}_hits" for lang in T.LANG_MARKERS)}) AS best
+  FROM scores
+)
+SELECT doc_id, lang_labeled,
+  CASE WHEN best < 1 THEN 'und' {_LANG_CASE} END AS lang_detected,
+  en_hits
+FROM best
+"""
+
+
+@register("q_text_langid", oracle=_LANGID_ORACLE)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (n-gram heuristic): deterministic
+    argmax with first-wins tie-break; emits the labeled lang alongside
+    for downstream accuracy eval."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        T.detect_lang("text").alias("lang_detected"),
+        T.lang_scores("text")["en"].alias("en_hits"),
+    )
