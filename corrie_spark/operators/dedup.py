@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from corrie_spark.functions import bind
 from corrie_spark.operators.text import fingerprint, normalize_text, tokens
 
 DEFAULT_NUM_HASHES = 16
@@ -37,40 +38,79 @@ def hash60(c: Column, salt: int | str = "") -> Column:
     )
 
 
+# MinHash universal-hash family: h_i(x) = (a_i * h32(x) + b_i) mod P.
+# One md5 per shingle (h32 = first 8 hex digits) instead of one md5
+# per shingle per hash function — 16x fewer md5 calls; the affine
+# family over a Mersenne prime scrambles order so slots stay
+# (approximately) min-wise independent. Constants are md5-derived so
+# the DuckDB oracle can reproduce them.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def affine_constants(num_hashes: int = DEFAULT_NUM_HASHES) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a:{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"minhash-b:{i}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return out
+
+
+def hash32(c: Column) -> Column:
+    """32-bit md5 prefix hash: ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
 def shingles(text: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
     """Word k-gram shingles as an array column; rows with < k tokens get
     a single shingle of all tokens (so short docs still have a
     signature)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
-    # n < k (incl. empty text) -> single shingle of the whole token
-    # list; also keeps element_at in-bounds under ANSI mode
-    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    def build(toks: Column) -> Column:
+        # toks is a bound lambda variable: the tokenizer runs ONCE per
+        # row, not once per gram element (see functions.bind)
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+            ),
+        )
+        # n < k (incl. empty text) -> single shingle of the whole token
+        # list; also keeps element_at in-bounds under ANSI mode
+        return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return bind(tokens(text), build)
 
 
 def minhash_signature(
     grams: Column, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> Column:
     """MinHash signature: array of per-hash-function minima over the
-    shingle set. One pass per hash function over a row-local array —
-    no shuffle, embarrassingly parallel.
+    shingle set. Single fold over the row-local shingle array — no
+    shuffle, one md5 per shingle.
 
-    NB: the per-i lambda must be built by a factory — `lambda g, i=i`
-    would be seen by PySpark as a 2-arg (value, index) lambda and the
-    salt would silently become the array index."""
+    Implementation notes: the md5 value is bound once per shingle by
+    transforming a single-element array (a lambda variable is the only
+    way to force single evaluation inside one expression tree); the
+    accumulator is the running 16-slot minimum."""
+    consts = affine_constants(num_hashes)
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("bigint")] * num_hashes)
 
-    def hash_with(i: int):
-        return lambda g: hash60(g, i)
+    def step(acc: Column, g: Column) -> Column:
+        vals = F.element_at(
+            F.transform(
+                F.array(hash32(g)),
+                lambda h: F.array(
+                    *[(h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME) for a, b in consts]
+                ),
+            ),
+            1,
+        )
+        return F.zip_with(acc, vals, lambda x, y: F.least(x, y))
 
-    return F.array(
-        *[F.array_min(F.transform(grams, hash_with(i))) for i in range(num_hashes)]
-    )
+    return F.aggregate(grams, init, step)
 
 
 def lsh_bands(
@@ -95,9 +135,26 @@ def with_minhash(
     num_hashes: int = DEFAULT_NUM_HASHES,
     k: int = DEFAULT_SHINGLE_K,
 ) -> DataFrame:
-    """Append `grams`, `sig` columns (single projection, no shuffle)."""
-    return df.withColumn("grams", shingles(text_col, k)).withColumn(
-        "sig", minhash_signature(F.col("grams"), num_hashes)
+    """Append `grams`, `sig` columns (no shuffle).
+
+    The struct is routed through explode(array(...)) — a Generate
+    node — as an optimizer barrier: CollapseProject would otherwise
+    inline the whole signature fold into EVERY downstream reference
+    (e.g. 16 element_at(sig, i) projections -> 16 re-evaluations of
+    the MinHash aggregate). After the barrier, downstream references
+    are plain attribute reads."""
+    grams = shingles(F.col(text_col), k)
+    packed = F.explode(
+        F.array(
+            F.struct(
+                grams.alias("grams"),
+                minhash_signature(grams, num_hashes).alias("sig"),
+            )
+        )
+    )
+    cols = [F.col(c) for c in df.columns]
+    return df.select(*cols, packed.alias("_mh")).select(
+        *cols, F.col("_mh.grams").alias("grams"), F.col("_mh.sig").alias("sig")
     )
 
 

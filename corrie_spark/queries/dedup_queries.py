@@ -34,11 +34,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_groups(docs)
 
 
-def _sig_sql(i: int) -> str:
+_CONSTS = D.affine_constants(D.DEFAULT_NUM_HASHES)
+
+
+def _sig_expr(i: int) -> str:
+    a, b = _CONSTS[i]
     return (
         f"CAST(list_min(list_transform(grams, g -> "
-        f"('0x' || substr(md5('{i}:' || g), 1, 15))::BIGINT)) AS BIGINT) AS sig_{i}"
+        f"(('0x' || substr(md5(g), 1, 8))::BIGINT * {a} + {b}) % {D.MINHASH_PRIME}"
+        f")) AS BIGINT)"
     )
+
+
+def _sig_sql(i: int) -> str:
+    return f"{_sig_expr(i)} AS sig_{i}"
 
 
 _MINHASH_ORACLE_TEMPLATE = """
@@ -116,11 +125,7 @@ FROM pairs
     "q_dedup_minhash_pairs",
     oracle=_PAIRS_ORACLE_TEMPLATE.format(
         toks=_TOKS,
-        sig_list=", ".join(
-            f"CAST(list_min(list_transform(grams, g -> "
-            f"('0x' || substr(md5('{i}:' || g), 1, 15))::BIGINT)) AS BIGINT)"
-            for i in range(D.DEFAULT_NUM_HASHES)
-        ),
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
     ),
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
