@@ -179,12 +179,14 @@ def coerce(c: Column, t: CHType) -> tuple[Column, Column]:
         lo, hi = _SIGNED_RANGE[t.base]
         as_big = c.try_cast("bigint")
         in_range = as_big.isNotNull() & (as_big >= lo) & (as_big <= hi)
-        return as_big.cast(t.spark_ddl), not_null & in_range
+        # try_cast on the value too: ANSI mode would raise CAST_OVERFLOW
+        # on out-of-range rows even though `valid` is false for them
+        return as_big.try_cast(t.spark_ddl), not_null & in_range
     if t.base in _UNSIGNED_RANGE:
         hi = _UNSIGNED_RANGE[t.base]
         as_big = c.try_cast("bigint")
         in_range = as_big.isNotNull() & (as_big >= 0) & (as_big <= hi)
-        return as_big.cast(t.spark_ddl), not_null & in_range
+        return as_big.try_cast(t.spark_ddl), not_null & in_range
     if t.base == "UInt64":
         as_dec = c.try_cast("decimal(20,0)")
         ok = as_dec.isNotNull() & (as_dec >= 0) & (as_dec <= F.lit(str(2**64 - 1)).cast("decimal(20,0)"))

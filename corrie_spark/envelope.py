@@ -13,7 +13,11 @@ decode stage as pure DataFrame transformations:
 Everything is expression-level (JVM-side, whole-stage codegen); no
 Python UDFs. The `Data` array is parsed as ARRAY<STRING> so numerics
 survive as exact decimal strings until coercion — the Spark analog of
-jsoniter's UseNumber (message/message.go:5).
+jsoniter's UseNumber (message/message.go:5). One deviation: Jackson
+canonicalizes float literals ("1.50" -> "1.5", exact int literals of
+any size are preserved verbatim), which keeps the two properties the
+coercion chain depends on (int-ness and numeric value) while dropping
+trailing-zero formatting.
 """
 
 from __future__ import annotations

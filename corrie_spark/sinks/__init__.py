@@ -1,0 +1,11 @@
+from corrie_spark.sinks.base import DLQSink, ParquetDirSink, Sink
+from corrie_spark.sinks.writer import SchemaRegistry, WriterConfig, process_batch
+
+__all__ = [
+    "Sink",
+    "ParquetDirSink",
+    "DLQSink",
+    "SchemaRegistry",
+    "WriterConfig",
+    "process_batch",
+]

@@ -1,0 +1,48 @@
+"""Sink abstractions for the micro-batch writer.
+
+The reference writes columnar blocks to ClickHouse over native TCP
+(lib/data/block.go:95-179); here a Sink is anything that can append a
+DataFrame to a named table. ParquetDirSink is the local/test
+implementation; jdbc.py builds the ClickHouse JDBC equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+
+
+class Sink(Protocol):
+    def write(self, table: str, df: DataFrame) -> None:
+        """Append df to `table`; raise on failure (caller handles
+        retry/DLQ semantics)."""
+        ...
+
+
+class ParquetDirSink:
+    """Appends to <base>/<table>/ as parquet. The test stand-in for a
+    warehouse sink; append-mode parquet is atomic enough per task for
+    at-least-once semantics (same contract as the reference's
+    ack-after-write, writer/writer.go:177-186)."""
+
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+
+    def write(self, table: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(os.path.join(self.base_path, table))
+
+
+class DLQSink:
+    """Dead-letter sink (FIXTURES.md F4): stores the RAW original body
+    plus a reason, mirroring the reference's failed-queue forward of
+    the untouched message (reader/reader.go:167-179)."""
+
+    SCHEMA = "raw_body string, reason string"
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write_dlq(self, df: DataFrame) -> None:
+        df.select("raw_body", "reason").write.mode("append").parquet(self.path)

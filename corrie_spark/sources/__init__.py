@@ -1,0 +1,13 @@
+from corrie_spark.sources.envelopes import (
+    ENVELOPE_STREAM_SCHEMA,
+    file_envelope_source,
+    kafka_reader_options,
+    kafka_envelope_source,
+)
+
+__all__ = [
+    "ENVELOPE_STREAM_SCHEMA",
+    "file_envelope_source",
+    "kafka_reader_options",
+    "kafka_envelope_source",
+]

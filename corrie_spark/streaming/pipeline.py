@@ -1,0 +1,106 @@
+"""End-to-end streaming pipeline (SURVEY §3.1, §7 minimum slice):
+
+  source (sharded stream) -> foreachBatch[ parse (M1) -> DLQ split
+  (M2) -> coerce (M3) -> group-by-query (M4) -> batched typed writes
+  with error isolation (B1, K6-K9) -> DLQ (K8, K11) ] -> checkpoint
+  commit (K10).
+
+Trigger parity (B2): the reference flushes all groups every `period`
+seconds (ticker, writer/writer.go:93-105; default 60 s,
+etc/corrie.yml:18) -> processingTime trigger. Count-trigger (B1) is
+honored inside the batch via partition-capped writes. Drain parity
+(B3): availableNow trigger processes the backlog then stops —
+the Spark analog of close-channel-then-flush (writer.go:107-111).
+
+Delivery: the reference is at-least-once with manual acks; Spark's
+checkpointed foreachBatch is at-least-once with REPLAY (offsets commit
+after the batch function returns) — a superset: every message lands
+in the table or the DLQ, duplicates only on crash-replay, same as a
+redelivered un-acked message.
+
+Health (K14): the reference pings the DB 10x1s for /status
+(writer.go:149-161) and serves a static /healthcheck; HealthListener
+tracks query progress/failure for the same signals.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
+
+from corrie_spark.sinks.base import DLQSink, Sink
+from corrie_spark.sinks.writer import SchemaRegistry, WriterConfig, process_batch
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class PipelineConfig:
+    checkpoint_dir: str
+    trigger_seconds: int = 60  # writer.period default (etc/corrie.yml:18)
+    available_now: bool = False  # drain mode (B3)
+    writer: WriterConfig = field(default_factory=WriterConfig)
+
+
+def start_pipeline(
+    source: DataFrame,
+    sink: Sink,
+    dlq: DLQSink,
+    registry: SchemaRegistry,
+    cfg: PipelineConfig,
+) -> StreamingQuery:
+    """Wire the envelope stream into the micro-batch writer and start
+    the checkpointed StreamingQuery."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        process_batch(batch_df, sink, dlq, registry, cfg.writer)
+
+    writer = (
+        source.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .queryName("corrie-spark-pipeline")
+    )
+    if cfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+    return writer.start()
+
+
+class HealthListener(StreamingQueryListener):
+    """K14 parity: liveness/progress signals for /status-style checks.
+
+    `healthy` mirrors the reference's semantics: true while the query
+    makes progress and has not terminated with an exception."""
+
+    def __init__(self) -> None:
+        self.started: set[str] = set()
+        self.progress_count = 0
+        self.last_progress: dict | None = None
+        self.terminated: dict[str, str | None] = {}
+
+    # StreamingQueryListener API
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        self.started.add(event.id)
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        self.progress_count += 1
+        p = event.progress
+        self.last_progress = {
+            "id": p.id,
+            "batchId": p.batchId,
+            "numInputRows": p.numInputRows,
+            "timestamp": p.timestamp,
+        }
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        self.terminated[event.id] = event.exception
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def healthy(self) -> bool:
+        return all(exc is None for exc in self.terminated.values())

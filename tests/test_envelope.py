@@ -1,0 +1,88 @@
+"""Unit tests: envelope parse/coercion (M1/M3) per FIXTURES.md F1 and
+the reference's UseNumber int-first semantics (writer.go:261-273)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from corrie_spark import envelope
+
+
+def _parse_one(spark, body: str):
+    df = spark.createDataFrame([(body,)], "body string")
+    return envelope.parse_envelopes(df).first()
+
+
+def test_parse_valid(spark):
+    body = json.dumps({"Query": "INSERT INTO db.t (a) VALUES (?);", "Data": ["1"]})
+    r = _parse_one(spark, body)
+    assert r["parse_ok"] and r["query"].startswith("INSERT") and r["data"] == ["1"]
+
+
+def test_parse_number_kept_exact(spark):
+    # UseNumber semantics: int64 (and beyond-uint64) literals survive
+    # exactly; floats are canonicalized ("1.50" -> "1.5") which keeps
+    # both int-ness and value — the two properties coercion relies on
+    body = (
+        '{"Query": "INSERT INTO db.t (a) VALUES (?)",'
+        ' "Data": [9223372036854775807, 1.50, 18446744073709551616]}'
+    )
+    r = _parse_one(spark, body)
+    assert r["data"] == ["9223372036854775807", "1.5", "18446744073709551616"]
+
+
+def test_parse_poison_variants(spark):
+    for body in ["{not json", "null", "[]", '{"Query": "x"}', '{"Data": []}', ""]:
+        r = _parse_one(spark, body)
+        assert not r["parse_ok"], body
+
+
+def test_split_dlq_raw_body(spark):
+    df = spark.createDataFrame([("{bad",), ('{"Query":"INSERT INTO t (a) VALUES (?)","Data":["1"]}',)], "body string")
+    ok, dlq = envelope.split_dlq(envelope.parse_envelopes(df))
+    assert ok.count() == 1
+    row = dlq.first()
+    assert row["raw_body"] == "{bad" and row["reason"] == "parse_error"
+
+
+def test_coerce_numeric_branches(spark):
+    cases = [
+        ("1", 1, None, None),  # int branch
+        ("-42", -42, None, None),
+        ("9223372036854775807", 9223372036854775807, None, None),
+        ("1.0", None, 1.0, None),  # Go ParseInt rejects "1.0" -> float
+        ("1.5", None, 1.5, None),
+        ("1e3", None, 1000.0, None),
+        ("9223372036854775808", None, 9.223372036854776e18, None),  # overflow -> float
+        ("abc", None, None, "abc"),  # raw string branch
+        ("", None, None, ""),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "v string")
+    out = df.select(envelope.coerce_numeric(F.col("v")).alias("c")).collect()
+    got = [(r["c"]["i"], r["c"]["f"], r["c"]["s"]) for r in out]
+    assert got == [(i, f, s) for _, i, f, s in cases]
+
+
+def test_table_name_and_prefix(spark):
+    df = spark.createDataFrame(
+        [("INSERT INTO db.tbl (a, b) VALUES (?, ?);",), ("insert into plain VALUES (?)",), ("SELECT 1",)],
+        "q string",
+    )
+    rows = df.select(
+        envelope.table_name("q").alias("t"), envelope.insert_prefix("q").alias("p")
+    ).collect()
+    assert rows[0]["t"] == "db.tbl" and rows[0]["p"] == "INSERT INTO db.tbl (a, b)"
+    assert rows[1]["t"] == "plain"
+    assert rows[2]["t"] == ""  # non-INSERT -> no routing key
+
+
+def test_encode_parse_roundtrip(spark):
+    df = spark.createDataFrame([(7, 2.5, "x")], "a int, b double, c string")
+    body = df.select(
+        envelope.encode_envelope("INSERT INTO db.t (a,b,c) VALUES (?,?,?)",
+                                 [F.col("a"), F.col("b"), F.col("c")]).alias("body")
+    )
+    r = envelope.parse_envelopes(body).first()
+    assert r["parse_ok"] and r["data"] == ["7", "2.5", "x"]
