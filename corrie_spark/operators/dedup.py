@@ -239,33 +239,40 @@ def duplicate_groups(
 
 def simhash(text: Column | str, bits: int = 48) -> Column:
     """SimHash over word tokens: per-bit vote of token hashes, packed
-    into a BIGINT (<= 62 bits). Row-local, no shuffle."""
-    toks = tokens(text)
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(
-                    F.shiftright(hash60(t), b.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
+    into a BIGINT (<= 62 bits). Row-local, no shuffle; one md5 per
+    token (bind, or the 48 bit-tests would each re-hash)."""
+
+    def step(acc: Column, t: Column) -> Column:
+        # bit positions are python ints (shiftright requires literal
+        # shift amounts); h is bound once per token
+        return bind(
+            hash60(t),
+            lambda h: F.zip_with(
+                acc,
+                F.array(
+                    *[
+                        F.when(
+                            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                        ).otherwise(F.lit(-1))
+                        for b in range(bits)
+                    ]
+                ),
+                lambda a_, v: a_ + v,
             ),
-            lambda a_, v: a_ + v,
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), b.cast("int"))).otherwise(
-                F.lit(0).cast("bigint")
+        )
+
+    votes = F.aggregate(tokens(text), F.array_repeat(F.lit(0), bits), step)
+    return bind(
+        votes,
+        lambda v: sum(
+            (
+                F.when(F.element_at(v, b + 1) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+                for b in range(bits)
             ),
+            F.lit(0).cast("bigint"),
         ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
     )
 
 

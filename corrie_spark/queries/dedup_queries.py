@@ -134,3 +134,129 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an all-pairs product."""
     docs = load(spark, sf_dir, "documents")
     return D.candidate_pairs(docs)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_SIMHASH_BITS = 48
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                             ELSE {_TOKS} END) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(':' || t), 1, 15))::BIGINT AS hv FROM tok
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+),
+packed AS (
+  SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
+)
+SELECT d.doc_id, COALESCE(p.simhash, 0) AS simhash
+FROM documents d LEFT JOIN packed p USING (doc_id)
+"""
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document (per-bit token votes). Near-dup
+    candidates at scale come from hamming-band blocking over this
+    value; here the checked surface is the signature itself."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash("text", _SIMHASH_BITS).alias("simhash")
+    )
+
+
+# --- n-gram Jaccard verify stage -------------------------------------------
+
+_NGRAM_PAIRS_ORACLE = _PAIRS_ORACLE_TEMPLATE.format(
+    toks=_TOKS,
+    sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+).replace(
+    """SELECT id_a, id_b,
+  CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16 AS jaccard_est
+FROM pairs""",
+    """SELECT p.id_a, p.id_b,
+  CASE WHEN len(list_distinct(ga.grams)) + len(list_distinct(gb.grams))
+            - len(list_filter(list_distinct(ga.grams), g -> list_contains(gb.grams, g))) = 0
+       THEN 0.0
+       ELSE CAST(len(list_filter(list_distinct(ga.grams), g -> list_contains(gb.grams, g))) AS DOUBLE)
+            / (len(list_distinct(ga.grams)) + len(list_distinct(gb.grams))
+               - len(list_filter(list_distinct(ga.grams), g -> list_contains(gb.grams, g))))
+  END AS jaccard
+FROM pairs p
+JOIN grams_t ga ON p.id_a = ga.doc_id
+JOIN grams_t gb ON p.id_b = gb.doc_id""",
+)
+
+
+@register("q_dedup_ngram_pairs", oracle=_NGRAM_PAIRS_ORACLE)
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify stage of near-dedup: LSH candidate pairs re-scored
+    with EXACT n-gram Jaccard (pair-level only — the expensive exact
+    measure never runs all-pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.candidate_pairs(docs).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            D.ngram_jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"),
+        )
+    )
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+from corrie_spark.queries.similarity_queries import _BUCKET, _QUANT  # noqa: E402
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, qv, {_BUCKET} AS bucket FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS BIGINT) AS na,
+         CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS BIGINT) AS nb
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+"""
+
+
+@register("q_dedup_embedding", oracle=_EMB_NEARDUP_ORACLE)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates via hyperplane-LSH buckets +
+    exact (quantized-integer) cosine — per-bucket pair generation, not
+    all-pairs. Threshold 0.35 tuned to this corpus's cosine range."""
+    from corrie_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(emb, threshold=0.35)
