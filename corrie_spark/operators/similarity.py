@@ -215,3 +215,85 @@ def embedding_near_dups(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF coarse quantizer: one centroid per cell (floor of the
+    per-dimension mean of quantized vectors — exact integers, so every
+    engine computes identical centroids).
+
+    The per-dim mean is 64 parallel SUM aggregates (pure map-side
+    combine, shuffle of #cells x 64 longs — trivially small at any
+    scale). Cells here come from a label column; in production the
+    cell id is whatever coarse partitioner you train offline (k-means
+    assignments stored alongside the vectors).
+    """
+    q = corpus.select(F.col(cell_col).alias("cell"), quantize(F.col(vec_col)).alias("qv"))
+    sums = q.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    centroid = F.array(
+        *[F.floor(F.col(f"s{i}") / F.col("n")).cast("bigint") for i in range(dim)]
+    )
+    return sums.select("cell", centroid.alias("centroid"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style ANN: rank cells by dot(query, centroid), search only
+    the top-`nprobe` cells exactly, window top-k.
+
+    The 100 TB shape: the centroid table is tiny (#cells rows) and
+    broadcast twice (probe selection, then candidate pruning); the
+    corpus is scanned once with a broadcast semi-filter on (cell), so
+    only ~nprobe/#cells of the data is ever scored. No all-pairs
+    product, no corpus shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(corpus, cell_col, vec_col, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cell_dot").desc(), F.col("cell")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cell_dot", int_dot(F.col("q_vec"), F.col("centroid")))
+        .withColumn("cell_rnk", F.row_number().over(probe_w))
+        .filter(F.col("cell_rnk") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        quantize(F.col(vec_col)).alias("c_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", int_dot(F.col("q_vec"), F.col("c_vec")).alias("dot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "dot")
+    )

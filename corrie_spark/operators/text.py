@@ -137,3 +137,38 @@ def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text. Stable across
     engines (md5 is md5); used as the exact-dedup key."""
     return F.md5(normalize_text(text))
+
+
+# Rolling-hash parameters. MOD = 2^31-1 keeps acc*BASE + h < 2^39,
+# far inside int64 — no overflow in either engine.
+ROLLING_MOD = 2_147_483_647
+ROLLING_BASE = 131
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+    fold acc -> (acc*BASE + h(tok)) mod MOD, h = 60-bit md5 prefix
+    mod MOD. Unlike `fingerprint` (order-insensitive after normalize,
+    md5 of the whole text) this is incremental — the building block
+    for windowed / streaming fingerprints. Pure fold over the
+    row-local token array: map-stage only at any scale."""
+    from corrie_spark.operators.dedup import hash60
+
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * ROLLING_BASE + hash60(t) % ROLLING_MOD) % ROLLING_MOD,
+    )
+
+
+def winnow_fingerprint(text: Column | str, k: int = 5) -> Column:
+    """Winnowing-style robust fingerprint: minimum hash over word
+    k-gram shingles (the MOSS min-selection idea collapsed to window =
+    whole doc). Stable under small edits anywhere outside the minimal
+    shingle; docs with < k tokens fall back to one whole-text shingle
+    (see dedup.shingles)."""
+    from corrie_spark.operators.dedup import hash60, shingles
+
+    return F.array_min(
+        F.transform(shingles(text, k), lambda s: hash60(s) % ROLLING_MOD)
+    )

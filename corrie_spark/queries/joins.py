@@ -1,0 +1,480 @@
+"""Join-strategy analytics: semi/anti/broadcast/window-argmin/as-of.
+
+The reference has no join operators at all (SURVEY §2.6 — "No joins");
+these queries define the beyond-parity read surface a user of the sink
+tables needs, each one exercising a distinct Spark join strategy the
+optimizer must get right at 100 TB:
+
+  - q_semi_join_late_orders   EXISTS       -> left-semi (no fact dup)
+  - q_anti_join_quiet_customers NOT EXISTS -> left-anti + scalar agg
+  - q_nation_volume           Q7-style     -> two broadcast dim chains
+  - q_promo_revenue_share     Q14-style    -> broadcast + conditional agg
+  - q_disjunctive_part_filter Q19-style    -> OR-of-ANDs pushed to join
+  - q_big_orders              Q18-style    -> agg-filter then join back
+  - q_cheapest_supplier_per_part           -> two-level agg + window argmin
+  - q_asof_join_order_context              -> union+window as-of join
+
+Scale notes (100 TB): semi/anti joins never materialize the probe side
+twice; every dim-side input is `broadcast()` so the lineitem scan joins
+map-side with zero shuffle of the fact table; the as-of join is the
+union+last_value(IGNORE NULLS) formulation — one shuffle on the join
+key, no range-join row explosion, no skew amplification.
+
+Determinism: double sums via DECIMAL(18,6) (see analytics.dsum);
+every LIMIT carries a total ORDER BY; as-of tie-break is
+(ts, side, orderkey) with NULL orderkey coalesced below all real keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from corrie_spark.queries.analytics import dsum
+from corrie_spark.queries.registry import register
+from corrie_spark.tables import load
+
+_SEMI_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q_semi_join_late_orders", oracle=_SEMI_ORACLE)
+def q_semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders (1997) having >=1 lineitem shipped after
+    the order date, counted per priority.
+
+    Plan shape: left-semi join orders<-lineitem on orderkey with the
+    non-equi shipdate>orderdate as a join residual. Semi-join keeps
+    output at most |orders| (no fact-side duplication), and the
+    orderdate range filter is pushed to the orders parquet scan.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS num_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                          / COUNT(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q_anti_join_quiet_customers", oracle=_ANTI_ORACLE)
+def q_anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers with no RECENT
+    (2000+) orders — churn-risk accounts.
+
+    Plan shape: scalar aggregate (avg positive balance) broadcast as a
+    1-row cross join (stays in the plan — no driver collect), then
+    left-anti join against orders o_custkey. Anti-join output is
+    bounded by |customer|; orders side is reduced to its join column
+    before the shuffle.
+    """
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+             / F.count("c_acctbal")).alias("avg_bal")
+        )
+    )
+    orders_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_NATION_VOLUME_ORACLE = """
+SELECT
+  sn.n_name AS supp_nation,
+  cn.n_name AS cust_nation,
+  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER)
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+@register("q_nation_volume", oracle=_NATION_VOLUME_ORACLE)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations by year.
+
+    Plan shape: supplier+nation and customer+nation dim chains are both
+    broadcast (each pre-filtered to the two nations, so they shrink
+    before broadcast); lineitem and orders join on orderkey — the only
+    real shuffle. The nation-pair predicate lands on the broadcast
+    hash-join build sides, so fact rows from other nations are dropped
+    at the map stage.
+    """
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_PROMO_ORACLE = """
+SELECT
+  CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY CAST(date_trunc('month', l_shipdate) AS DATE)
+ORDER BY ship_month
+"""
+
+
+@register("q_promo_revenue_share", oracle=_PROMO_ORACLE)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: monthly promo vs total revenue.
+
+    Plan shape: part is broadcast (only partkey+type columns read),
+    lineitem scans with the shipdate range pushed down, conditional
+    aggregation is a single pass — no second join or self-union for
+    the promo subset.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), "promo_revenue"),
+            dsum(rev, "total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_DISJ_ORACLE = """
+SELECT
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)
+"""
+
+
+@register("q_disjunctive_part_filter", oracle=_DISJ_ORACLE)
+def q_disjunctive_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: OR-of-ANDs predicate spanning both join sides.
+
+    Plan shape: part is broadcast; the disjunction splits into a
+    part-only pre-filter (brand IN (...) — Catalyst derives it from the
+    OR) on the build side plus the mixed residual on the joined rows.
+    Single aggregate output row — zero-shuffle final stage.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#11")
+         & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#22")
+           & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 15))
+        | ((F.col("p_brand") == "Brand#33")
+           & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 25))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+_BIG_ORDERS_ORACLE = """
+SELECT
+  c_name,
+  o_orderkey,
+  CAST(o_orderdate AS DATE) AS orderdate,
+  o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+)
+GROUP BY c_name, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("q_big_orders", oracle=_BIG_ORDERS_ORACLE)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: largest-volume orders (sum qty > 150), top 20.
+
+    Plan shape: aggregate lineitem by orderkey first (map-side partial
+    combine collapses ~4 rows/key before the shuffle), HAVING filter
+    shrinks the key set, then semi-join back — the second lineitem
+    scan joins only surviving keys; customer is broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big_keys = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big_keys, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+_CHEAPEST_ORACLE = """
+WITH per_supp AS (
+  SELECT
+    l_partkey,
+    l_suppkey,
+    CAST(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+      / COUNT(*) AS avg_unit_price
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY avg_unit_price, l_suppkey) AS rn
+  FROM per_supp
+)
+SELECT
+  l_partkey AS partkey,
+  l_suppkey AS best_suppkey,
+  avg_unit_price
+FROM ranked
+WHERE rn = 1
+ORDER BY partkey
+LIMIT 100
+"""
+
+
+@register("q_cheapest_supplier_per_part", oracle=_CHEAPEST_ORACLE)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-flavored argmin: cheapest supplier per part by observed
+    avg unit price (this schema has no partsupp; unit price is derived
+    from lineitem).
+
+    Plan shape: two-level aggregation — groupBy(part,supp) with partial
+    combine, then a window argmin partitioned by partkey. Both stages
+    hash-partition on l_partkey, so AQE coalesces them into ONE
+    exchange reused across agg and window (no second shuffle).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    per_supp = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum((F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)"))
+                .cast("double") / F.count(F.lit(1))
+            ).alias("avg_unit_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("avg_unit_price", "l_suppkey")
+    return (
+        per_supp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("best_suppkey"),
+            "avg_unit_price",
+        )
+        .orderBy("partkey")
+        .limit(100)
+    )
+
+
+# As-of join: for every event, attach the most recent order (by
+# o_orderdate <= event ts) of the same customer. Formulated as
+# union + last_value(IGNORE NULLS) over (user, time) — the classic
+# scalable as-of: one shuffle on the key, zero row explosion,
+# instead of an inequality join (O(n*m) per key) that dies on skew.
+# Tie-break: orders sort before events at equal ts (side 0 < 1), and
+# among same-ts orders the highest orderkey wins; NULL orderkeys
+# (event rows) are coalesced to -1 so both engines order identically.
+_ASOF_ORACLE = """
+WITH unioned AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ts, 0 AS side,
+         o_orderkey, o_totalprice,
+         NULL::BIGINT AS event_id, NULL::VARCHAR AS event_type
+  FROM orders
+  UNION ALL
+  SELECT user_id, ts, 1 AS side,
+         NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice,
+         event_id, event_type
+  FROM events
+),
+filled AS (
+  SELECT *,
+    last_value(o_orderkey IGNORE NULLS) OVER w AS last_orderkey,
+    last_value(o_totalprice IGNORE NULLS) OVER w AS last_totalprice
+  FROM unioned
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, side, COALESCE(o_orderkey, -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, event_type, last_orderkey, last_totalprice
+FROM filled
+WHERE side = 1
+"""
+
+
+@register("q_asof_join_order_context", oracle=_ASOF_ORACLE)
+def q_asof_join_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (events x orders): latest order at-or-before each
+    event for the same customer, via union + last(IGNORE NULLS).
+
+    Plan shape: one shuffle (hash by user_id), one sort per partition
+    — identical cost profile to a single window function at any scale.
+    The naive range-join alternative explodes to |events|x|orders| per
+    key before aggregation; this stays linear.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("side"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_id",
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce(F.col("o_orderkey"), F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.unionByName(events)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("last_totalprice", F.last("o_totalprice", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "last_orderkey", "last_totalprice")
+    )

@@ -76,5 +76,6 @@ def _ensure_loaded() -> None:
     import corrie_spark.queries.dedup_queries  # noqa: F401
     import corrie_spark.queries.text_queries  # noqa: F401
     import corrie_spark.queries.similarity_queries  # noqa: F401
+    import corrie_spark.queries.joins  # noqa: F401
 
     _loaded = True

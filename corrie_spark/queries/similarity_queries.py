@@ -103,6 +103,60 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(q, emb, k=10).select("query_id", "neighbor_id", "rnk", "dot")
 
 
+_DIM = 64
+_NPROBE = 2
+_CENT_SUMS = ", ".join(f"SUM(qv[{i + 1}]) AS s{i}" for i in range(_DIM))
+_CENT_LIST = ", ".join(
+    f"CAST(floor(CAST(s{i} AS DOUBLE) / n) AS BIGINT)" for i in range(_DIM)
+)
+
+_IVF_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, label AS cell, {_QUANT} AS qv FROM embeddings
+),
+cent AS (
+  SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM base GROUP BY cell
+),
+centv AS (
+  SELECT cell, [{_CENT_LIST}] AS centroid FROM cent
+),
+q AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id < 5),
+probe AS (
+  SELECT query_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                i -> q_vec[i] * centroid[i])) AS BIGINT) DESC, cell) AS cell_rnk
+  FROM q CROSS JOIN centv
+),
+s AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+              i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM probe
+  JOIN base USING (cell)
+  JOIN q USING (query_id)
+  WHERE cell_rnk <= {_NPROBE} AND vec_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, rnk, dot FROM r WHERE rnk <= 10
+"""
+
+
+@register("q_sim_ivf", oracle=_IVF_ORACLE)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-cell integer centroids (floor-mean), probe
+    the top-2 cells per query by centroid dot product, exact re-rank
+    inside probed cells only. The inverted-file scale path: ~nprobe/
+    #cells of the corpus scored per query, centroids broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(q, emb, k=10, nprobe=_NPROBE)
+
+
 _BUCKET_STATS_ORACLE = f"""
 WITH base AS (
   SELECT vec_id, {_QUANT} AS qv FROM embeddings

@@ -136,6 +136,77 @@ FROM best
 """
 
 
+_BPE_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+_TOKENS_ORACLE = f"""
+SELECT
+  doc_id,
+  {_NTOK} AS ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
+  CAST(length(text) AS DOUBLE)
+    / greatest(len(regexp_extract_all(text, '{_BPE_RE}')), 1) AS chars_per_token
+FROM documents
+"""
+
+
+@register("q_text_tokens", oracle=_TOKENS_ORACLE)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace tokens and BPE-ish
+    pre-tokenization (`\\w+|[^\\w\\s]` pieces) — plus chars/token, the
+    standard compression-ratio proxy for corpus sizing. Pure
+    projection: a 100 TB token census is one map stage."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.size(T.word_tokens("text"))
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (F.length("text").cast("double") / F.greatest(bpe, F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# DuckDB mirrors of operators/text.py rolling_hash + winnow_fingerprint
+_H60_MOD = f"CAST('0x' || substr(md5(':' || {{v}}), 1, 15) AS BIGINT) % {T.ROLLING_MOD}"
+_ROLL = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(t, tok -> {_H60_MOD.format(v='tok')})), "
+    f"(acc, h) -> (acc * {T.ROLLING_BASE} + h) % {T.ROLLING_MOD})"
+)
+_GRAMS5 = (
+    "CASE WHEN len(t) >= 5 THEN list_transform(range(1, len(t) - 3), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+_FPRINT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS t
+  FROM documents
+)
+SELECT
+  doc_id,
+  {_ROLL} AS roll_hash,
+  CAST(list_min(list_transform({_GRAMS5}, g -> {_H60_MOD.format(v='g')})) AS BIGINT)
+    AS winnow_fp
+FROM toks
+"""
+
+
+@register("q_text_fingerprint", oracle=_FPRINT_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-sensitive polynomial rolling hash
+    + winnowing-style min-shingle hash (edit-robust). Both are folds
+    over the row-local token array — map-stage only at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.rolling_hash("text").alias("roll_hash"),
+        T.winnow_fingerprint("text", k=5).alias("winnow_fp"),
+    )
+
+
 @register("q_text_langid", oracle=_LANGID_ORACLE)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID (n-gram heuristic): deterministic
