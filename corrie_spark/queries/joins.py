@@ -312,8 +312,9 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: aggregate lineitem by orderkey first (map-side partial
     combine collapses ~4 rows/key before the shuffle), HAVING filter
-    shrinks the key set, then semi-join back — the second lineitem
-    scan joins only surviving keys; customer is broadcast.
+    shrinks the key set to a handful of orders, then join orders to
+    the surviving keys (AQE broadcasts the tiny filtered side) —
+    one shuffle total; customer is broadcast.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big_keys = (
@@ -373,9 +374,10 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lineitem).
 
     Plan shape: two-level aggregation — groupBy(part,supp) with partial
-    combine, then a window argmin partitioned by partkey. Both stages
-    hash-partition on l_partkey, so AQE coalesces them into ONE
-    exchange reused across agg and window (no second shuffle).
+    combine (collapses the fact table to |part x supp| before any
+    shuffle), then a window argmin partitioned by partkey; final
+    ORDER BY+LIMIT folds to TakeOrderedAndProject (no global sort
+    exchange). Two shuffles total, both on already-aggregated data.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"

@@ -61,3 +61,79 @@ def test_events_scan_prunes_columns(spark):
     df = all_queries()["q_json_props"](spark, SF_CORRECT)
     [schema] = read_schemas(df)
     assert "props" in schema and "user_id" not in schema and "value" not in schema
+
+
+def test_semi_anti_join_strategies(spark):
+    """EXISTS/NOT EXISTS must plan as semi/anti joins (bounded output,
+    no fact-side duplication), never as inner join + dedup."""
+    from corrie_spark.plans.inspect import explain_str
+
+    semi = all_queries()["q_semi_join_late_orders"](spark, SF_CORRECT)
+    assert "LeftSemi" in explain_str(semi)
+    anti = all_queries()["q_anti_join_quiet_customers"](spark, SF_CORRECT)
+    s = explain_str(anti)
+    assert "LeftAnti" in s
+    # the scalar avg subquery must stay in the plan as a broadcast,
+    # not a driver-side collect
+    assert "BroadcastNestedLoopJoin" in s
+
+
+def test_nation_volume_broadcasts_all_dims(spark):
+    """Q7-style: both dim chains broadcast; only the lineitem-orders
+    join + final agg shuffle (<=3 exchanges incl. the output sort)."""
+    df = all_queries()["q_nation_volume"](spark, SF_CORRECT)
+    assert has_broadcast_join(df)
+    assert count_shuffles(df) <= 3
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # range filter reaches the fact scan
+
+
+def test_promo_share_single_pass(spark):
+    """Q14-style conditional agg: no self-union — part broadcast, one
+    agg shuffle (+1 for the month sort)."""
+    df = all_queries()["q_promo_revenue_share"](spark, SF_CORRECT)
+    assert has_broadcast_join(df)
+    assert count_shuffles(df) <= 2
+
+
+def test_disjunctive_filter_pushes_quantity(spark):
+    """Q19-style: the OR-of-ANDs must contribute a lineitem-only
+    residual (quantity bounds) pushed to the fact scan."""
+    df = all_queries()["q_disjunctive_part_filter"](spark, SF_CORRECT)
+    assert has_broadcast_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
+    assert count_shuffles(df) <= 1  # single-row agg only
+
+
+def test_big_orders_one_shuffle(spark):
+    """Q18-style: the only exchange is the lineitem groupBy; the
+    agg-filtered key set joins back via AQE broadcast."""
+    df = all_queries()["q_big_orders"](spark, SF_CORRECT)
+    assert has_broadcast_join(df)
+    assert count_shuffles(df) == 1
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The as-of join is union+window: exactly ONE hash exchange on
+    user_id and NO join operator at all — the whole point vs the
+    exploding range-join formulation."""
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q_asof_join_order_context"](spark, SF_CORRECT)
+    assert count_shuffles(df) == 1
+    assert "Join" not in explain_str(df)
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark):
+    """IVF: centroid build shuffles #cells rows; probe + candidate
+    joins broadcast; window re-rank shuffles candidates only."""
+    df = all_queries()["q_sim_ivf"](spark, SF_CORRECT)
+    assert has_broadcast_join(df)
+    assert count_shuffles(df) <= 3
+
+
+def test_new_text_ops_shuffle_free(spark):
+    for name in ("q_text_tokens", "q_text_fingerprint"):
+        df = all_queries()[name](spark, SF_CORRECT)
+        assert count_shuffles(df) == 0, name
