@@ -77,5 +77,7 @@ def _ensure_loaded() -> None:
     import corrie_spark.queries.text_queries  # noqa: F401
     import corrie_spark.queries.similarity_queries  # noqa: F401
     import corrie_spark.queries.joins  # noqa: F401
+    import corrie_spark.queries.window_queries  # noqa: F401
+    import corrie_spark.queries.multimodal_queries  # noqa: F401
 
     _loaded = True

@@ -1,0 +1,86 @@
+"""Batch twins of the event-time streaming operators (stream/batch
+unification: the same corrie_spark.streaming.events functions run
+here on a batch DataFrame and inside a StreamingQuery in the
+streaming tests — one definition, two execution modes).
+
+Timestamp rendering: window/session boundaries are rendered as
+strings at second precision so Spark/DuckDB timestamp-type plumbing
+can't diverge (same convention as q_events_hourly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.queries.registry import register
+from corrie_spark.streaming.events import session_event_stats, windowed_event_counts
+from corrie_spark.tables import load
+
+_WINDOWED_ORACLE = """
+SELECT
+  strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL '15 minutes', ts), event_type
+"""
+
+
+@register("q_events_windowed", oracle=_WINDOWED_ORACLE)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-min event-time windows (batch mode of the streaming
+    windowed agg — identical operator, no watermark). One shuffle on
+    (window, event_type); 15-min buckets align between Spark's epoch
+    origin and DuckDB's time_bucket because 900 s divides both."""
+    ev = load(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, watermark=None)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT
+  user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+  COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, session_no
+"""
+
+
+@register("q_session_windows", oracle=_SESSION_WINDOW_ORACLE)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats via the native session_window operator (batch
+    mode of the streaming sessionizer). The oracle is the equivalent
+    gaps-and-islands SQL: session_window merges events with gaps
+    <= 30 min (boundary-inclusive: an event exactly 30 min after the
+    last one extends the session), end = last event + gap."""
+    ev = load(spark, sf_dir, "events")
+    out = session_event_stats(ev, watermark=None)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )

@@ -1,0 +1,193 @@
+"""Event-time streaming operators: watermarked windows, streaming
+dedup, and the reference's count-trigger as a stateful operator.
+
+The reference is processing-time only (ticker flush,
+/root/reference/writer/writer.go:93-105) and explicitly has no
+watermarks or event-time semantics (SURVEY §2.6); this module is the
+beyond-parity event-time layer, plus TRUE count-trigger parity (B1,
+writer/writer.go:140-142 — flush a query-group the moment it reaches
+`Batch` rows) which Spark's time-based triggers can't express without
+state.
+
+Design for scale:
+  - windowed aggregations carry a watermark so state is bounded and
+    late data beyond the horizon is dropped deterministically;
+  - dedup uses dropDuplicatesWithinWatermark: state per key expires
+    at the watermark instead of growing forever (the unbounded
+    dropDuplicates is a leak at 100 TB/day);
+  - the count-batcher keys state by query string — the same hash-map
+    shape as the reference's per-query buffers (writer/types.go:24-25)
+    but sharded across executors by the groupBy, with per-group row
+    buffers in the state store, count-flush on threshold and
+    processing-time timeout as the period flush (B2).
+
+Every operator here is stream/batch unified where Spark allows it:
+the windowed and session aggregations run identically on a batch
+DataFrame (tests assert stream == batch on the same files).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WINDOW = "15 minutes"
+DEFAULT_GAP = "30 minutes"
+DEFAULT_WATERMARK = "30 minutes"
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = DEFAULT_WINDOW,
+    watermark: str | None = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time aggregation: count + exact value sum per
+    (window, key). With a watermark (streaming) state closes once the
+    watermark passes window end; without (batch) it's a plain groupBy
+    — same results either way on the same data."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_event_stats(
+    events: DataFrame,
+    gap: str = DEFAULT_GAP,
+    watermark: str | None = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session-window aggregation (native session_window operator —
+    the streaming-capable form of gaps-and-islands sessionization).
+    Session end is last event + gap by definition of session_window."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("s"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """At-least-once -> effectively-once repair: drop redelivered
+    events by key, with dedup state that EXPIRES at the watermark
+    (bounded memory; the reference has no dedup at all — SURVEY §2.6
+    documents its duplicate-on-redelivery behavior)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+# --- Count-trigger batcher (B1 parity) --------------------------------
+
+BATCHER_OUTPUT_DDL = (
+    "query string, data string, batch_seq bigint, batch_size int, flush_reason string"
+)
+BATCHER_STATE_DDL = "pending array<string>, seq bigint"
+
+
+def count_trigger_batches(
+    envelopes: DataFrame,
+    batch_size: int = 1000,
+    period_ms: int = 60_000,
+) -> DataFrame:
+    """The reference's flush contract as a streaming operator: a
+    query-group flushes the moment it holds `batch_size` rows
+    (writer/writer.go:140-142), or when the period timer fires with a
+    partial buffer (writer/writer.go:102-105, default 60 s).
+
+    applyInPandasWithState keyed by query: state = (pending rows,
+    flush counter). Count flushes happen inside the micro-batch as
+    soon as the threshold crosses; the processing-time timeout emits
+    the remainder with flush_reason='timer'. State is per-query-group
+    and bounded by batch_size rows — at 100 TB the groups shard across
+    executors on the groupBy hash, exactly like every other keyed
+    state here.
+
+    Input schema: (query string, data string); output adds
+    (batch_seq, batch_size, flush_reason) so the sink can account
+    per-flush like the reference's log line (writer/writer.go:189).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def batcher(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (query,) = key
+        pending: list[str]
+        seq: int
+        if state.exists:
+            pending_raw, seq = state.get
+            pending = list(pending_raw)
+        else:
+            pending, seq = [], 0
+
+        flushes: list[tuple[list[str], str]] = []
+        if state.hasTimedOut:
+            # period flush (B2): emit the partial buffer
+            if pending:
+                flushes.append((pending, "timer"))
+                pending = []
+        else:
+            for pdf in pdfs:
+                pending.extend(pdf["data"].astype(str).tolist())
+                while len(pending) >= batch_size:
+                    flushes.append((pending[:batch_size], "count"))
+                    pending = pending[batch_size:]
+            state.setTimeoutDuration(period_ms)
+
+        state.update((pending, seq + len(flushes)))
+        for i, (rows, reason) in enumerate(flushes):
+            yield pd.DataFrame(
+                {
+                    "query": query,
+                    "data": rows,
+                    "batch_seq": seq + i,
+                    "batch_size": len(rows),
+                    "flush_reason": reason,
+                }
+            )
+
+    return (
+        envelopes.groupBy("query")
+        .applyInPandasWithState(
+            batcher,
+            outputStructType=BATCHER_OUTPUT_DDL,
+            stateStructType=BATCHER_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,154 @@
+"""Event-time streaming: stream/batch unification, watermarked dedup,
+and the count-trigger stateful batcher (B1 parity).
+
+All tests drive real StreamingQueries over file sources with
+availableNow/maxFilesPerTrigger to force multi-micro-batch execution,
+then assert against the batch form of the same operator — the
+unification contract is the correctness oracle here.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from corrie_spark.streaming.events import (
+    count_trigger_batches,
+    dedup_within_watermark,
+    windowed_event_counts,
+)
+
+EVENTS_DDL = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(rows, EVENTS_DDL)
+
+
+def _ev(i, minute, etype="click", user=1, value=1.0):
+    return (i, dt.datetime(2021, 3, 1, 10 + minute // 60, minute % 60, 0), user, etype, value)
+
+
+@pytest.fixture()
+def event_files(spark, tmp_path):
+    """Two parquet files -> two micro-batches under maxFilesPerTrigger=1."""
+    d = tmp_path / "events_in"
+    batch1 = [_ev(1, 0), _ev(2, 5, "view"), _ev(3, 20), _ev(4, 31)]
+    batch2 = [_ev(5, 40), _ev(6, 47, "view"), _ev(7, 62), _ev(8, 75)]
+    _mk_events(spark, batch1).coalesce(1).write.parquet(str(d / "f1"))
+    _mk_events(spark, batch2).coalesce(1).write.parquet(str(d / "f2"))
+    return d, batch1 + batch2
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/*")
+    )
+
+
+def _run_to_memory(df, name, tmp_path, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_stream_equals_batch(spark, tmp_path, event_files):
+    d, rows = event_files
+    stream_out = windowed_event_counts(_stream(spark, d))
+    _run_to_memory(stream_out, "win_stream", tmp_path, "complete")
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_stream").collect()
+    }
+    batch_out = windowed_event_counts(_mk_events(spark, rows), watermark=None)
+    want = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in batch_out.collect()
+    }
+    assert got == want and len(want) > 2
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
+    """At-least-once redelivery (same event_id in a later batch) is
+    dropped while the key is inside the watermark horizon."""
+    d = tmp_path / "dup_in"
+    batch1 = [_ev(1, 0), _ev(2, 5)]
+    batch2 = [_ev(1, 0), _ev(2, 5), _ev(3, 10)]  # 1, 2 redelivered
+    _mk_events(spark, batch1).coalesce(1).write.parquet(str(d / "f1"))
+    _mk_events(spark, batch2).coalesce(1).write.parquet(str(d / "f2"))
+    deduped = dedup_within_watermark(_stream(spark, d))
+    _run_to_memory(deduped, "dedup_stream", tmp_path, "append")
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_count_trigger_batcher_flushes_on_threshold(spark, tmp_path):
+    """B1 parity: a query-group flushes the moment it reaches
+    batch_size rows — including a flush assembled from rows BUFFERED
+    ACROSS micro-batches (7 rows then 3 rows, batch_size 5 -> two
+    full count-flushes)."""
+    d = tmp_path / "env_in"
+    q1 = "INSERT INTO metrics VALUES (?)"
+    rows1 = [(q1, f"r{i}") for i in range(7)]
+    rows2 = [(q1, f"r{i}") for i in range(7, 10)]
+    spark.createDataFrame(rows1, "query string, data string").coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    spark.createDataFrame(rows2, "query string, data string").coalesce(1).write.parquet(
+        str(d / "f2")
+    )
+    env = (
+        spark.readStream.schema("query string, data string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    batched = count_trigger_batches(env, batch_size=5, period_ms=60_000)
+    _run_to_memory(batched, "batcher", tmp_path, "append")
+    out = spark.sql("SELECT * FROM batcher").collect()
+    flushes = {}
+    for r in out:
+        flushes.setdefault(r.batch_seq, []).append(r)
+    # two complete count-flushes of exactly 5 rows each
+    assert sorted(flushes) == [0, 1]
+    for seq, rs in flushes.items():
+        assert len(rs) == 5
+        assert {r.flush_reason for r in rs} == {"count"}
+        assert all(r.batch_size == 5 for r in rs)
+    # every emitted row belongs to the one query group
+    assert {r.query for r in out} == {q1}
+    # 10 rows in, two flushes of 5 out -> nothing lost, nothing extra
+    assert len(out) == 10
+
+
+def test_windowed_append_mode_emits_closed_windows(spark, tmp_path, event_files):
+    """Append mode + watermark: only windows sealed by the final
+    watermark are emitted — the bounded-state contract. The emitted
+    set must be a prefix (by window start) of the batch result."""
+    d, rows = event_files
+    stream_out = windowed_event_counts(_stream(spark, d), watermark="10 minutes")
+    _run_to_memory(stream_out, "win_append", tmp_path, "append")
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_append").collect()
+    }
+    batch_out = windowed_event_counts(_mk_events(spark, rows), watermark=None)
+    want = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in batch_out.collect()
+    }
+    assert got.issubset(want)
+    emitted_starts = {g[0] for g in got}
+    unemitted_starts = {w[0] for w in want} - emitted_starts
+    assert all(u > max(emitted_starts) for u in unemitted_starts) or not emitted_starts
