@@ -84,3 +84,32 @@ def kafka_envelope_source(
         F.col("value").cast("string").alias("body"),
         F.concat_ws("-", "topic", "partition", "offset").alias("delivery_id"),
     )
+
+
+DEFAULT_NUM_SHARDS = 3  # maxShard: 2 hardcoded (etc/corrie.yml:25, README.md:70)
+
+
+def assign_shard(
+    df: DataFrame,
+    num_shards: int = DEFAULT_NUM_SHARDS,
+    sticky_key: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Produce-side shard assignment (M5, producer.go:143-163): a
+    `shard` column in [0, num_shards) — uniform random per message by
+    default, or sticky by key hash (the x-shard header contract:
+    same key -> same shard, preserving per-key FIFO like the
+    reference's per-queue ordering).
+
+    The column IS the Kafka partition when publishing (write the
+    shard as the message key or partition id); downstream
+    repartition(num_shards, 'shard') co-locates without a second
+    shuffle at the sink.
+    """
+    from pyspark.sql import functions as F
+
+    if sticky_key is None:
+        shard = F.floor(F.rand(seed) * num_shards).cast("int")
+    else:
+        shard = F.pmod(F.xxhash64(F.col(sticky_key)), F.lit(num_shards)).cast("int")
+    return df.withColumn("shard", shard)

@@ -86,3 +86,32 @@ def test_encode_parse_roundtrip(spark):
     )
     r = envelope.parse_envelopes(body).first()
     assert r["parse_ok"] and r["data"] == ["7", "2.5", "x"]
+
+
+def test_assign_shard_uniform_and_sticky(spark):
+    """M5 parity: random shard is in-range and spreads; sticky shard
+    is a pure function of the key (same key -> same shard, the
+    x-shard header contract)."""
+    from corrie_spark.sources.envelopes import assign_shard
+
+    df = spark.range(300).withColumnRenamed("id", "k")
+    rand = assign_shard(df, num_shards=3)
+    shards = [r.shard for r in rand.collect()]
+    assert set(shards) <= {0, 1, 2} and len(set(shards)) == 3
+
+    sticky = assign_shard(df, num_shards=3, sticky_key="k")
+    a = {r.k: r.shard for r in sticky.collect()}
+    b = {r.k: r.shard for r in sticky.collect()}
+    assert a == b and set(a.values()) <= {0, 1, 2}
+
+
+def test_parameterized_sql_binding(spark):
+    """K3 parity (placeholder binding, stmt.go:104-155): Spark-native
+    parameterized SQL — named and positional markers bind server-side
+    with proper quoting, no string interpolation."""
+    df = spark.createDataFrame([(1, "a'b"), (2, "plain")], "id int, s string")
+    df.createOrReplaceTempView("k3_t")
+    named = spark.sql("SELECT id FROM k3_t WHERE s = :v", args={"v": "a'b"}).collect()
+    assert [r.id for r in named] == [1]
+    positional = spark.sql("SELECT id FROM k3_t WHERE id > ?", args=[1]).collect()
+    assert [r.id for r in positional] == [2]
