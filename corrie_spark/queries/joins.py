@@ -480,3 +480,43 @@ def q_asof_join_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "event_type", "last_orderkey", "last_totalprice")
     )
+
+
+_SALTED_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q_salted_join", oracle=_SALTED_ORACLE)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact-dim join: events salted over 8 sub-keys, the
+    customer side exploded 8-fold, so a pathologically hot user_id
+    spreads across 8 partitions instead of pinning one executor.
+    Row-identical to the plain join (the oracle IS the plain join) —
+    the salt is pure partitioning, no semantic effect.
+
+    Use when AQE skew splitting isn't enough (single-key hotspots);
+    see operators/skew.py for the cost model.
+    """
+    from corrie_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(ev, cust, on="c_custkey", num_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

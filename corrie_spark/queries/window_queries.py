@@ -84,3 +84,39 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+_HYPER_ORACLE = """
+SELECT
+  COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+  COALESCE(EXTRACT(HOUR FROM ts), -1) AS hr,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), EXTRACT(HOUR FROM ts))
+"""
+
+
+@register("q_hypertable_rollup", oracle=_HYPER_ORACLE)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: hour -> day -> total
+    subtotals in ONE pass (rollup = grouping sets), instead of three
+    separate aggregations over the fact table. At 100 TB this is the
+    continuous-aggregate pattern: one scan, partial aggs map-side,
+    subtotal rows materialize at the final stage."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("hr", F.hour("ts").cast("bigint"))
+        .rollup("day", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hr", F.lit(-1)).alias("hr"),
+            "n_events",
+            "sum_value",
+        )
+    )
