@@ -1,0 +1,91 @@
+"""Oracle-checked sketch queries: the HLL distinct-count estimate is
+reproduced bit-for-bit by DuckDB (integer registers, exact scaled
+harmonic sum, one final double op — see operators/sketch.py).
+The exact COUNT(DISTINCT) rides along so the estimate's error is
+visible in the result itself."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import sketch as SK
+from corrie_spark.operators.sketch import ALPHA_EXPR, HLL_M, hll_rank_sql
+from corrie_spark.queries.registry import register
+from corrie_spark.tables import load
+
+_H = "CAST('0x' || substr(md5(':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+_HLL_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type, {_H} AS h FROM events
+),
+regs AS (
+  SELECT event_type,
+         h & {HLL_M - 1} AS bucket,
+         MAX({hll_rank_sql('h')}) AS max_rank
+  FROM hashed
+  GROUP BY event_type, h & {HLL_M - 1}
+),
+agg AS (
+  SELECT event_type,
+         SUM((1::BIGINT << (52 - max_rank))) AS s_hit,
+         COUNT(*) AS n_hit
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT
+  a.event_type,
+  CAST(n_hit AS INT) AS registers_hit,
+  ({ALPHA_EXPR}) * {HLL_M * HLL_M}.0e0 * {1 << 52}.0e0
+    / CAST(s_hit + ({HLL_M} - n_hit) * (1::BIGINT << 52) AS DOUBLE) AS hll_estimate,
+  exact_distinct
+FROM agg a JOIN exact e ON a.event_type = e.event_type
+"""
+
+
+@register("q_sketch_hll_distinct", oracle=_HLL_ORACLE)
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event type, next to the exact count.
+
+    Scale story: the register table (|event_types| x 256 ints) is the
+    shuffle payload — constant per group regardless of row count, and
+    mergeable (MAX) across partitions, days, or pre-aggregated
+    rollups; COUNT(DISTINCT) shuffles every distinct key instead.
+    """
+    ev = load(spark, sf_dir, "events")
+    est = SK.hll_distinct(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "registers_hit", "hll_estimate", "exact_distinct"
+    )
+
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5e0) AS p50_qty,
+  quantile_cont(l_quantity, 0.95e0) AS p95_qty,
+  quantile_cont(l_extendedprice, 0.99e0) AS p99_price,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q_percentiles", oracle=_PCT_ORACLE)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (sort-based
+    aggregate). At 100 TB the exact form needs a per-group sort — the
+    scale path swaps in approx_percentile (t-digest) with the same
+    call shape; the exact one is the oracle-checkable baseline."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5e0)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.95e0)").alias("p95_qty"),
+        F.expr("percentile(l_extendedprice, 0.99e0)").alias("p99_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

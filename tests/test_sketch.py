@@ -1,0 +1,42 @@
+"""HLL sketch: accuracy envelope and the mergeability contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators.sketch import hll_distinct, hll_estimate, hll_registers
+
+
+def test_hll_accuracy_at_known_cardinalities(spark):
+    """Raw HLL with m=256 has sigma ~ 1.04/sqrt(256) = 6.5%; allow
+    3 sigma at n=5000 (no small-range correction, so low cardinality
+    is biased — tested separately)."""
+    df = spark.range(5000).select(F.lit("k").alias("g"), F.col("id").alias("v"))
+    [row] = hll_distinct(df, "g", "v").collect()
+    assert abs(row.hll_estimate - 5000) / 5000 < 0.20
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """Register tables merge with MAX — the pre-aggregation property
+    that makes the sketch reusable across partitions/days."""
+    df = spark.range(2000).select(F.lit("k").alias("g"), F.col("id").alias("v"))
+    half1 = df.filter(F.col("v") < 1200)   # overlapping halves
+    half2 = df.filter(F.col("v") >= 800)
+    merged_regs = (
+        hll_registers(half1, "g", "v")
+        .unionByName(hll_registers(half2, "g", "v"))
+        .groupBy("g", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    [merged] = hll_estimate(merged_regs, "g").collect()
+    [single] = hll_distinct(df, "g", "v").collect()
+    assert merged.hll_estimate == single.hll_estimate
+
+
+def test_hll_registers_bounded(spark):
+    """State size: at most 256 registers per key regardless of rows."""
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    counts = hll_registers(df, "g", "v").groupBy("g").count().collect()
+    assert all(r["count"] <= 256 for r in counts)
