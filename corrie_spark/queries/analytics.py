@@ -406,3 +406,81 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_SET_OPS_ORACLE = """
+WITH big_spenders AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+),
+urgent_buyers AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+both_sets AS (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM urgent_buyers),
+only_big AS (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM urgent_buyers)
+SELECT 'intersect' AS set_op, COUNT(*) AS n_customers,
+       COALESCE(MIN(custkey), -1) AS min_custkey FROM both_sets
+UNION ALL
+SELECT 'except' AS set_op, COUNT(*) AS n_customers,
+       COALESCE(MIN(custkey), -1) AS min_custkey FROM only_big
+"""
+
+
+@register("q_set_ops", oracle=_SET_OPS_ORACLE)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT) over customer key sets.
+
+    Plan shape: both inputs pre-distinct and reduced to the key column
+    before the set op, so the shuffles carry keys only; INTERSECT and
+    EXCEPT plan as semi/anti joins respectively under the hood —
+    bounded output, no row duplication.
+    """
+    orders = load(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.coalesce(F.min("custkey"), F.lit(-1)).alias("min_custkey"),
+        ).select(F.lit(label).alias("set_op"), "n_customers", "min_custkey")
+
+    return summarize(big.intersect(urgent), "intersect").unionByName(
+        summarize(big.exceptAll(urgent).distinct(), "except")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("q_cube_status_priority", oracle=_CUBE_ORACLE)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority): all 4 grouping sets in one
+    pass — the OLAP cross-tab the reference's TOTALS surface only
+    approximates. Grouping-set expansion happens before the exchange,
+    so it's still a single shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )

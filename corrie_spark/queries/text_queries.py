@@ -219,3 +219,51 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.detect_lang("text").alias("lang_detected"),
         T.lang_scores("text")["en"].alias("en_hits"),
     )
+
+
+_SHINGLE_TOPK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [array_to_string(t, ' ')] END
+  ) AS gram
+  FROM toks
+)
+SELECT gram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM grams
+GROUP BY gram
+ORDER BY n_occurrences DESC, gram
+LIMIT 20
+"""
+
+
+@register("q_shingle_topk", oracle=_SHINGLE_TOPK_ORACLE)
+def q_shingle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word 3-grams (the n-gram frequency census
+    behind contamination checks and boilerplate detection).
+
+    Plan shape: explode(shingles) -> two-level agg. The explode is
+    map-side (no shuffle); the count shuffles (gram) pairs with
+    map-side partial aggregation, so the wire carries one row per
+    distinct gram per partition, not one per occurrence. Final top-k
+    is TakeOrdered — no global sort.
+    """
+    from corrie_spark.operators.dedup import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(shingles("text", 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(20)
+    )
