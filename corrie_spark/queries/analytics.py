@@ -449,7 +449,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("set_op"), "n_customers", "min_custkey")
 
     return summarize(big.intersect(urgent), "intersect").unionByName(
-        summarize(big.exceptAll(urgent).distinct(), "except")
+        summarize(big.subtract(urgent), "except")
     )
 
 

@@ -137,3 +137,37 @@ def test_new_text_ops_shuffle_free(spark):
     for name in ("q_text_tokens", "q_text_fingerprint"):
         df = all_queries()[name](spark, SF_CORRECT)
         assert count_shuffles(df) == 0, name
+
+
+def test_set_ops_plan_as_semi_anti(spark):
+    """INTERSECT/EXCEPT must lower to semi/anti joins on key-only
+    inputs — bounded output, key-width shuffles."""
+    from corrie_spark.plans.inspect import explain_str
+
+    s = explain_str(all_queries()["q_set_ops"](spark, SF_CORRECT))
+    assert "LeftSemi" in s and "LeftAnti" in s
+
+
+def test_cube_single_shuffle(spark):
+    """CUBE expands grouping sets before the exchange: one shuffle for
+    all four groupings."""
+    df = all_queries()["q_cube_status_priority"](spark, SF_CORRECT)
+    assert count_shuffles(df) == 1
+
+
+def test_shingle_census_partial_agg(spark):
+    """Explode is map-side; the only exchange carries (gram, partial
+    counts); top-k is TakeOrdered (no global sort exchange)."""
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q_shingle_topk"](spark, SF_CORRECT)
+    s = explain_str(df)
+    assert "TakeOrderedAndProject" in s
+    assert count_shuffles(df) <= 2  # two-level agg (gram, gram+doc distinct)
+
+
+def test_hll_register_shuffle_only(spark):
+    """The sketch's shuffles carry register-table rows (key, bucket,
+    rank ints), plus the exact-count comparison branch."""
+    df = all_queries()["q_sketch_hll_distinct"](spark, SF_CORRECT)
+    assert count_shuffles(df) <= 4
