@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
-from corrie_spark.sinks.base import DLQSink, Sink
+from corrie_spark.sinks.base import BatchCommitLog, DLQSink, Sink
 from corrie_spark.sinks.writer import SchemaRegistry, WriterConfig, process_batch
 
 log = logging.getLogger(__name__)
@@ -42,6 +42,7 @@ class PipelineConfig:
     checkpoint_dir: str
     trigger_seconds: int = 60  # writer.period default (etc/corrie.yml:18)
     available_now: bool = False  # drain mode (B3)
+    commit_log_dir: str | None = None  # effectively-once replay skip
     writer: WriterConfig = field(default_factory=WriterConfig)
 
 
@@ -55,8 +56,15 @@ def start_pipeline(
     """Wire the envelope stream into the micro-batch writer and start
     the checkpointed StreamingQuery."""
 
+    commit_log = BatchCommitLog(cfg.commit_log_dir) if cfg.commit_log_dir else None
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if commit_log is not None and commit_log.committed(batch_id):
+            log.info("skipping replayed batch %d (already committed)", batch_id)
+            return
         process_batch(batch_df, sink, dlq, registry, cfg.writer)
+        if commit_log is not None:
+            commit_log.commit(batch_id)
 
     writer = (
         source.writeStream.foreachBatch(handle)

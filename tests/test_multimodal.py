@@ -110,3 +110,39 @@ def test_metadata_only_query_skips_payload(media):
     [schema] = read_schemas(meta_only)
     assert "text" not in schema
     assert q.count() > 0
+
+
+def test_resize_images_payload_roundtrip(media):
+    """Resize rewrites the payload in the same wire format; decode of
+    the output gives the new dims and pixels sampled from the input."""
+    out = M.resize_images(media, new_width=4, new_height=2).collect()
+    assert out, "no image rows resized"
+    for r in out:
+        d = M.decode_payload(r.media_type, bytes(r.payload))
+        assert d["kind"] == "image"
+        assert (d["width"], d["height"]) == (4, 2) == (r.width, r.height)
+        assert len(d["data"]) == 8
+        # nearest-neighbor: every output pixel exists in the source
+        src = M.decode_payload("fake/image",
+                               bytes([p for row in media.collect()
+                                      if row.media_id == r.media_id
+                                      for p in row.payload]))
+        assert set(d["data"]) <= set(src["data"])
+
+
+def test_sample_frames_every_k(media):
+    """Every k-th frame, one row per frame, frame bytes sliced at
+    frame_size boundaries."""
+    frames = M.sample_frames(media, every_k=2).collect()
+    assert frames, "no video rows sampled"
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_id.items():
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs == [0, 2]  # synth videos have 4 frames
+        [src] = [m for m in media.collect() if m.media_id == mid]
+        d = M.decode_payload(src.media_type, bytes(src.payload))
+        fs = d["frame_size"]
+        for r in rows:
+            assert bytes(r.frame) == d["data"][r.frame_idx * fs : (r.frame_idx + 1) * fs]

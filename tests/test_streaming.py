@@ -231,3 +231,27 @@ def test_batch_size_partition_cap(spark, tmp_path):
     sizes = [s for batch in captured for s in batch if s > 0]
     assert max(sizes) <= 10
     assert sum(sizes) == 25
+
+
+def test_commit_log_skips_replayed_batch(spark, tmp_path):
+    """Effectively-once: a batch replayed after its commit marker
+    exists must not append again; an uncommitted batch must."""
+    from corrie_spark.sinks.base import BatchCommitLog, DLQSink, ParquetDirSink
+    from corrie_spark.sinks.writer import process_batch
+
+    sink = ParquetDirSink(str(tmp_path / "out"))
+    dlq = DLQSink(str(tmp_path / "dlq"))
+    log_ = BatchCommitLog(str(tmp_path / "commits"))
+    batch = _metrics_batch(spark, [1, 2, 3])
+
+    def handle(batch_df, batch_id):
+        if log_.committed(batch_id):
+            return
+        process_batch(batch_df, sink, dlq, REGISTRY)
+        log_.commit(batch_id)
+
+    handle(batch, 0)
+    handle(batch, 0)  # crash-replay of the same epoch
+    assert spark.read.parquet(str(tmp_path / "out" / "db.metrics")).count() == 3
+    handle(batch, 1)  # a genuinely new epoch still lands
+    assert spark.read.parquet(str(tmp_path / "out" / "db.metrics")).count() == 6
