@@ -484,3 +484,43 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+_RANKS_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend,
+  RANK()         OVER w AS rnk,
+  DENSE_RANK()   OVER w AS dense_rnk,
+  NTILE(4)       OVER w AS quartile,
+  CUME_DIST()    OVER w AS cume,
+  PERCENT_RANK() OVER w AS pct_rank
+FROM spend
+WINDOW w AS (ORDER BY total_spend DESC, o_custkey)
+"""
+
+
+@register("q_customer_spend_ranks", oracle=_RANKS_ORACLE)
+def q_customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over per-customer spend:
+    rank / dense_rank / ntile / cume_dist / percent_rank in one
+    window. Single global sort — fine for a post-aggregation result
+    bounded by |customers|; never run an unpartitioned window over a
+    raw fact table."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "total_spend"))
+    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )

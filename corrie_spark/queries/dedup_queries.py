@@ -260,3 +260,74 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return S.embedding_near_dups(emb, threshold=0.35)
+
+
+_EDIT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS t
+  FROM documents
+),
+grams_t AS (
+  SELECT doc_id, text,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [array_to_string(t, ' ')] END AS grams
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id, text, [{{sig_list}}] AS sig FROM grams_t
+),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(CAST(b AS VARCHAR) || ':' ||
+             CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR))
+           AS band_hash
+  FROM sigs, range(0, 8) r(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+  levenshtein(sa.text, sb.text) AS edit_distance,
+  CASE WHEN greatest(length(sa.text), length(sb.text)) = 0 THEN 0.0e0
+       ELSE CAST(levenshtein(sa.text, sb.text) AS DOUBLE)
+            / greatest(length(sa.text), length(sb.text)) END AS edit_ratio
+FROM pairs p
+JOIN sigs sa ON p.id_a = sa.doc_id
+JOIN sigs sb ON p.id_b = sb.doc_id
+"""
+
+
+@register(
+    "q_dedup_edit_distance",
+    oracle=_EDIT_ORACLE.format(
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES))
+    ),
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage: LSH candidate pairs re-scored with
+    exact Levenshtein (integer DP — bit-identical across engines) and
+    the length-normalized ratio. Like the n-gram verifier, the O(n*m)
+    measure runs ONLY on candidate pairs, never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.candidate_pairs(docs).select("id_a", "id_b")
+    texts = docs.select("doc_id", "text")
+    a = texts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a")
+    b = texts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b")
+    dist = F.levenshtein("text_a", "text_b")
+    longest = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_distance"),
+            F.when(longest == 0, F.lit(0.0))
+            .otherwise(dist.cast("double") / longest)
+            .alias("edit_ratio"),
+        )
+    )

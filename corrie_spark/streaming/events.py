@@ -191,3 +191,34 @@ def count_trigger_batches(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: left rows match right
+    rows with the same key whose timestamp falls in
+    [left_ts - within, left_ts]  (right event happened at or before
+    the left one, within the window).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance, so each side's buffered state expires once
+    the other side's watermark passes — bounded state, the only way a
+    stream-stream join survives at 100 TB/day. Batch mode: the same
+    function on batch frames is a plain range join (tests assert
+    stream == batch)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[on])

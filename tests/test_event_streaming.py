@@ -152,3 +152,54 @@ def test_windowed_append_mode_emits_closed_windows(spark, tmp_path, event_files)
     emitted_starts = {g[0] for g in got}
     unemitted_starts = {w[0] for w in want} - emitted_starts
     assert all(u > max(emitted_starts) for u in unemitted_starts) or not emitted_starts
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream join with watermarks on both sides: events match
+    orders of the same user placed at most 30 min earlier. The
+    streamed result (multi-micro-batch) must equal the batch range
+    join on the same data."""
+    from corrie_spark.streaming.events import stream_interval_join
+
+    ORDERS_DDL = "o_orderkey long, o_ts timestamp, user_id long"
+
+    def _o(k, minute, user=1):
+        return (k, dt.datetime(2021, 3, 1, 10 + minute // 60, minute % 60, 0), user)
+
+    d_ev = tmp_path / "ev_in"
+    d_or = tmp_path / "or_in"
+    ev1 = [_ev(1, 10), _ev(2, 40)]
+    ev2 = [_ev(3, 70), _ev(4, 95, user=2)]
+    or1 = [_o(100, 0), _o(101, 35)]
+    or2 = [_o(102, 80), _o(103, 90, user=2)]
+    _mk_events(spark, ev1).coalesce(1).write.parquet(str(d_ev / "f1"))
+    _mk_events(spark, ev2).coalesce(1).write.parquet(str(d_ev / "f2"))
+    spark.createDataFrame(or1, ORDERS_DDL).coalesce(1).write.parquet(str(d_or / "f1"))
+    spark.createDataFrame(or2, ORDERS_DDL).coalesce(1).write.parquet(str(d_or / "f2"))
+
+    ev_stream = _stream(spark, d_ev)
+    or_stream = (
+        spark.readStream.schema(ORDERS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_or}/*")
+    )
+    joined = stream_interval_join(
+        ev_stream, or_stream, on="user_id", left_ts="ts", right_ts="o_ts"
+    ).select("event_id", "user_id", "o_orderkey")
+    _run_to_memory(joined, "ss_join", tmp_path, "append")
+    got = {
+        (r.event_id, r.user_id, r.o_orderkey)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    ev_batch = _mk_events(spark, ev1 + ev2)
+    or_batch = spark.createDataFrame(or1 + or2, ORDERS_DDL)
+    want = {
+        (r.event_id, r.user_id, r.o_orderkey)
+        for r in stream_interval_join(
+            ev_batch, or_batch, on="user_id", left_ts="ts", right_ts="o_ts"
+        )
+        .select("event_id", "user_id", "o_orderkey")
+        .collect()
+    }
+    assert got == want and len(want) >= 3
