@@ -166,7 +166,10 @@ def process_batch(
     ok = ok.withColumn("_table", envelope.table_name("query"))
     # M4: distinct INSERT shapes — bounded, reference holds the same
     # set as map keys in memory (writer/types.go:24-25)
-    groups = [r["query"] for r in ok.select("query").distinct().collect()]
+    # sorted -> deterministic processing order, so an epoch replays
+    # identically (required by exactly-once sinks keyed on
+    # (batch_id, per-table sequence), e.g. TxnSink)
+    groups = sorted(r["query"] for r in ok.select("query").distinct().collect())
     for query in groups:
         group_df = ok.filter(F.col("query") == query)
         table = group_df.select("_table").first()["_table"]

@@ -62,6 +62,10 @@ def start_pipeline(
         if commit_log is not None and commit_log.committed(batch_id):
             log.info("skipping replayed batch %d (already committed)", batch_id)
             return
+        if hasattr(sink, "start_epoch"):
+            # transactional sinks (TxnSink) key appends on
+            # (epoch, per-table seq) for exactly-once replay
+            sink.start_epoch(batch_id)
         process_batch(batch_df, sink, dlq, registry, cfg.writer)
         if commit_log is not None:
             commit_log.commit(batch_id)
