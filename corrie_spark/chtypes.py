@@ -75,6 +75,7 @@ class CHType:
     fixed_len: int | None = None
     enum_map: dict[str, int] = field(default_factory=dict, hash=False)
     element: "CHType | None" = None
+    key: "CHType | None" = None  # Map key type
 
 
 class UnsupportedTypeError(ValueError):
@@ -87,6 +88,7 @@ _ENUM_ITEM_RE = re.compile(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)")
 _FIXED_RE = re.compile(r"^FixedString\s*\((\d+)\)$")
 _DECIMAL_RE = re.compile(r"^Decimal\s*\((\d+)\s*,\s*(\d+)\)$")
 _ARRAY_RE = re.compile(r"^Array\s*\((.*)\)$", re.S)
+_MAP_RE = re.compile(r"^Map\s*\((.*)\)$", re.S)
 _NULLABLE_RE = re.compile(r"^Nullable\s*\((.*)\)$", re.S)
 _DT_TZ_RE = re.compile(r"^DateTime\s*\(\s*'[^']*'\s*\)$")
 
@@ -143,6 +145,30 @@ def parse_ch_type(s: str) -> CHType:
     if m:
         p, sc = int(m.group(1)), int(m.group(2))
         return CHType(name=f"Decimal({p},{sc})", base="Decimal", spark_ddl=f"decimal({p},{sc})")
+    m = _MAP_RE.match(s)
+    if m:
+        # split key/value at the top-level comma (keys are scalar CH
+        # types, so the first comma outside parens is the separator)
+        body, depth, split = m.group(1), 0, -1
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                split = i
+                break
+        if split < 0:
+            raise UnsupportedTypeError(f"malformed Map type: {s!r}")
+        kt = parse_ch_type(body[:split])
+        vt = parse_ch_type(body[split + 1:])
+        return CHType(
+            name=f"Map({kt.name}, {vt.name})",
+            base="Map",
+            spark_ddl=f"map<{kt.spark_ddl},{vt.spark_ddl}>",
+            element=vt,
+            key=kt,
+        )
     raise UnsupportedTypeError(f"unsupported ClickHouse type: {s!r}")
 
 
@@ -252,6 +278,28 @@ def coerce(c: Column, t: CHType) -> tuple[Column, Column]:
             lambda b: b,
         )
         return val, not_null & parsed.isNotNull() & ok_all
+    if t.base == "Map":
+        # beyond-parity (reference rejects Map, column.go:141): envelope
+        # maps arrive as JSON object strings; parse string->string then
+        # coerce the values (JSON object keys are strings already)
+        assert t.element is not None and t.key is not None
+        parsed = F.from_json(c, "map<string,string>")
+        elem_t = t.element
+        val = F.transform_values(parsed, lambda _k, v: coerce(v, elem_t)[0])
+        ok_vals = F.forall(
+            F.zip_with(
+                F.map_values(parsed),
+                F.map_values(val),
+                lambda s, v: s.isNull() | v.isNotNull(),
+            ),
+            lambda b: b,
+        )
+        key_t = t.key
+        keys_ok = F.forall(
+            F.transform(F.map_keys(parsed), lambda k: coerce(k, key_t)[1]),
+            lambda b: b,
+        )
+        return val, not_null & parsed.isNotNull() & ok_vals & keys_ok
     raise UnsupportedTypeError(f"no coercion for {t.name}")
 
 

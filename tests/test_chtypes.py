@@ -47,7 +47,7 @@ def test_parse_nullable_flag_and_enum_map():
     assert e.enum_map == {"x y": 10, "z": -3}
 
 
-@pytest.mark.parametrize("bad", ["Map(String,String)", "Tuple(Int8)", "Nullable(Array(Int8))", "Frob"])
+@pytest.mark.parametrize("bad", ["Tuple(Int8)", "Nullable(Array(Int8))", "Frob", "Map(String)"])
 def test_parse_unsupported(bad):
     with pytest.raises(chtypes.UnsupportedTypeError):
         chtypes.parse_ch_type(bad)
@@ -131,3 +131,25 @@ def test_array_offsets_model(spark):
     assert got[1] == ([], True)
     assert got[2][1] is False  # bad element -> invalid
     assert got[3][1] is False
+
+
+def test_map_type_parse_and_coerce(spark):
+    """Beyond-parity Map(K,V) (reference rejects Map, column.go:141):
+    JSON-object envelope values coerce to map<k,v>; a value failing
+    the inner coercion or malformed JSON invalidates the row."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.chtypes import coerce, parse_ch_type
+
+    t = parse_ch_type("Map(String, Int64)")
+    assert t.spark_ddl == "map<string,bigint>"
+    df = spark.createDataFrame(
+        [('{"a":"1","b":"2"}',), ('{"a":"x"}',), (None,), ("not json",)], "c string"
+    )
+    v, ok = coerce(F.col("c"), t)
+    rows = df.select(v.alias("v"), ok.alias("ok")).collect()
+    assert rows[0].ok and rows[0].v == {"a": 1, "b": 2}
+    assert not rows[1].ok and not rows[2].ok and not rows[3].ok
+
+    nested = parse_ch_type("Map(String, Array(Int32))")
+    assert nested.spark_ddl == "map<string,array<int>>"
