@@ -76,6 +76,7 @@ class CHType:
     enum_map: dict[str, int] = field(default_factory=dict, hash=False)
     element: "CHType | None" = None
     key: "CHType | None" = None  # Map key type
+    elements: "tuple[CHType, ...] | None" = None  # Tuple member types
 
 
 class UnsupportedTypeError(ValueError):
@@ -89,6 +90,7 @@ _FIXED_RE = re.compile(r"^FixedString\s*\((\d+)\)$")
 _DECIMAL_RE = re.compile(r"^Decimal\s*\((\d+)\s*,\s*(\d+)\)$")
 _ARRAY_RE = re.compile(r"^Array\s*\((.*)\)$", re.S)
 _MAP_RE = re.compile(r"^Map\s*\((.*)\)$", re.S)
+_TUPLE_RE = re.compile(r"^Tuple\s*\((.*)\)$", re.S)
 _NULLABLE_RE = re.compile(r"^Nullable\s*\((.*)\)$", re.S)
 _DT_TZ_RE = re.compile(r"^DateTime\s*\(\s*'[^']*'\s*\)$")
 
@@ -147,21 +149,11 @@ def parse_ch_type(s: str) -> CHType:
         return CHType(name=f"Decimal({p},{sc})", base="Decimal", spark_ddl=f"decimal({p},{sc})")
     m = _MAP_RE.match(s)
     if m:
-        # split key/value at the top-level comma (keys are scalar CH
-        # types, so the first comma outside parens is the separator)
-        body, depth, split = m.group(1), 0, -1
-        for i, ch in enumerate(body):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                split = i
-                break
-        if split < 0:
+        parts = _split_top_level(m.group(1))
+        if len(parts) != 2:
             raise UnsupportedTypeError(f"malformed Map type: {s!r}")
-        kt = parse_ch_type(body[:split])
-        vt = parse_ch_type(body[split + 1:])
+        kt = parse_ch_type(parts[0])
+        vt = parse_ch_type(parts[1])
         return CHType(
             name=f"Map({kt.name}, {vt.name})",
             base="Map",
@@ -169,7 +161,37 @@ def parse_ch_type(s: str) -> CHType:
             element=vt,
             key=kt,
         )
+    m = _TUPLE_RE.match(s)
+    if m:
+        parts = _split_top_level(m.group(1))
+        if not parts:
+            raise UnsupportedTypeError(f"empty Tuple: {s!r}")
+        ts = tuple(parse_ch_type(p) for p in parts)
+        ddl = ",".join(f"_{i + 1}:{t.spark_ddl}" for i, t in enumerate(ts))
+        return CHType(
+            name=f"Tuple({', '.join(t.name for t in ts)})",
+            base="Tuple",
+            spark_ddl=f"struct<{ddl}>",
+            elements=ts,
+        )
     raise UnsupportedTypeError(f"unsupported ClickHouse type: {s!r}")
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas outside parentheses (nested type args)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i].strip())
+            start = i + 1
+    tail = body[start:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +322,21 @@ def coerce(c: Column, t: CHType) -> tuple[Column, Column]:
             lambda b: b,
         )
         return val, not_null & parsed.isNotNull() & ok_vals & keys_ok
+    if t.base == "Tuple":
+        # beyond-parity (reference rejects Tuple): envelope tuples
+        # arrive as JSON array strings; positional coercion, exact
+        # arity (same contract as the row-level Data array)
+        assert t.elements is not None
+        parsed = F.from_json(c, "array<string>")
+        vs, oks = [], []
+        for i, et in enumerate(t.elements):
+            v_i, ok_i = coerce(F.try_element_at(parsed, F.lit(i + 1)), et)
+            vs.append(v_i.alias(f"_{i + 1}"))
+            oks.append(ok_i)
+        valid = not_null & parsed.isNotNull() & (F.size(parsed) == len(t.elements))
+        for ok_i in oks:
+            valid = valid & ok_i
+        return F.struct(*vs), valid
     raise UnsupportedTypeError(f"no coercion for {t.name}")
 
 

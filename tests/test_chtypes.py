@@ -47,7 +47,7 @@ def test_parse_nullable_flag_and_enum_map():
     assert e.enum_map == {"x y": 10, "z": -3}
 
 
-@pytest.mark.parametrize("bad", ["Tuple(Int8)", "Nullable(Array(Int8))", "Frob", "Map(String)"])
+@pytest.mark.parametrize("bad", ["Nullable(Array(Int8))", "Frob", "Map(String)", "Tuple()"])
 def test_parse_unsupported(bad):
     with pytest.raises(chtypes.UnsupportedTypeError):
         chtypes.parse_ch_type(bad)
@@ -153,3 +153,25 @@ def test_map_type_parse_and_coerce(spark):
 
     nested = parse_ch_type("Map(String, Array(Int32))")
     assert nested.spark_ddl == "map<string,array<int>>"
+
+
+def test_tuple_type_parse_and_coerce(spark):
+    """Beyond-parity Tuple(...) (reference rejects Tuple): JSON-array
+    envelope values coerce positionally to struct<_1,...>; wrong arity
+    or a failing element invalidates the row."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.chtypes import coerce, parse_ch_type
+
+    t = parse_ch_type("Tuple(Int64, String, Float64)")
+    assert t.spark_ddl == "struct<_1:bigint,_2:string,_3:double>"
+    df = spark.createDataFrame(
+        [('["1","a","2.5"]',), ('["x","a","2.5"]',), ('["1","a"]',), (None,)],
+        "c string",
+    )
+    v, ok = coerce(F.col("c"), t)
+    rows = df.select(v.alias("v"), ok.alias("ok")).collect()
+    assert rows[0].ok and rows[0].v.asDict() == {"_1": 1, "_2": "a", "_3": 2.5}
+    assert not any(r.ok for r in rows[1:])
+    nested = parse_ch_type("Tuple(Array(Int32), Map(String, Int64))")
+    assert nested.spark_ddl == "struct<_1:array<int>,_2:map<string,bigint>>"
