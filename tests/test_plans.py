@@ -171,3 +171,22 @@ def test_hll_register_shuffle_only(spark):
     rank ints), plus the exact-count comparison branch."""
     df = all_queries()["q_sketch_hll_distinct"](spark, SF_CORRECT)
     assert count_shuffles(df) <= 4
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6-style: shipdate range, discount band, and quantity bound all
+    reach the parquet scan; no join in the plan."""
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q6_forecast_revenue"](spark, SF_CORRECT)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "Join" not in explain_str(df)
+    assert count_shuffles(df) <= 1  # single-row final agg
+
+
+def test_q10_returnflag_pushed_and_dims_broadcast(spark):
+    df = all_queries()["q10_returned_items"](spark, SF_CORRECT)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed and "o_orderdate" in pushed
+    assert has_broadcast_join(df)
