@@ -1,0 +1,114 @@
+"""CLI: `python -m corrie_spark <command>`.
+
+Commands:
+  list                      list registered queries (* = has oracle)
+  run <name> [--sf-dir D]   run one query, print rows (truncated)
+  bench [--sf-dir D]        run the benchmark (same as bench.py)
+  pipeline --spool P --out O --checkpoint C [--drain]
+                            start the streaming ETL over a sharded
+                            spool dir (demo wiring: parquet sink +
+                            DLQ + commit log)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="corrie_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    run = sub.add_parser("run", help="run one registered query")
+    run.add_argument("name")
+    run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    run.add_argument("--limit", type=int, default=20)
+
+    bench = sub.add_parser("bench", help="run the benchmark")
+    bench.add_argument("--sf-dir", default=None)
+
+    pipe = sub.add_parser("pipeline", help="start the streaming ETL")
+    pipe.add_argument("--spool", required=True)
+    pipe.add_argument("--out", required=True)
+    pipe.add_argument("--checkpoint", required=True)
+    pipe.add_argument("--drain", action="store_true", help="availableNow then exit")
+    pipe.add_argument("--trigger-seconds", type=int, default=60)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "list":
+        from corrie_spark.queries.registry import all_oracles, all_queries
+
+        oracles = all_oracles()
+        for name in sorted(all_queries()):
+            print(f"{'*' if name in oracles else ' '} {name}")
+        return 0
+
+    if args.cmd == "run":
+        from corrie_spark.queries.registry import all_queries
+        from corrie_spark.session import get_spark
+
+        qs = all_queries()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; try: python -m corrie_spark list",
+                  file=sys.stderr)
+            return 2
+        spark = get_spark("corrie-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        qs[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "bench":
+        import os
+
+        if args.sf_dir:
+            os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import bench
+
+        bench.main()
+        return 0
+
+    if args.cmd == "pipeline":
+        from corrie_spark.session import get_spark
+        from corrie_spark.sinks import DLQSink, ParquetDirSink, SchemaRegistry
+        from corrie_spark.sources.sharded_queue import register_sharded_queue
+        from corrie_spark.streaming import PipelineConfig, start_pipeline
+
+        spark = get_spark("corrie-spark-pipeline")
+        spark.sparkContext.setLogLevel("WARN")
+        register_sharded_queue(spark)
+        src = (
+            spark.readStream.format("sharded_queue")
+            .option("path", args.spool)
+            .load()
+        )
+        # demo registry: real deployments construct this from their
+        # table DDLs (SchemaRegistry.register per table)
+        registry = SchemaRegistry()
+        q = start_pipeline(
+            src,
+            ParquetDirSink(args.out),
+            DLQSink(f"{args.out}/_dlq"),
+            registry,
+            PipelineConfig(
+                checkpoint_dir=args.checkpoint,
+                commit_log_dir=f"{args.checkpoint}/_commits",
+                trigger_seconds=args.trigger_seconds,
+                available_now=args.drain,
+            ),
+        )
+        q.awaitTermination()
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
