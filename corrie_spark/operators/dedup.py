@@ -284,3 +284,56 @@ def ngram_jaccard(text_a: Column, text_b: Column, k: int = DEFAULT_SHINGLE_K) ->
     inter = F.size(F.array_intersect(ga, gb))
     union = F.size(F.array_union(ga, gb))
     return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    node gets cluster_id = the minimum node id reachable from it (the
+    canonical representative). The dedup KEEP policy is then "keep the
+    representative, drop the rest".
+
+    Algorithm: iterative min-label propagation (large-star/small-star
+    simplified to symmetric neighbor-min), the standard Spark-side CC:
+      label(v) <- min(label(v), min over neighbors u of label(u))
+    repeated until fixpoint. Converges in O(log diameter) rounds on
+    typical dedup graphs (most components are tiny); each round is one
+    shuffle keyed on the node id. The driver loop carries only the
+    changed-row COUNT, never data.
+
+    edges: (id_a, id_b) undirected pairs. nodes: one row per id_col —
+    nodes without edges become singleton clusters of themselves.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+                F.col("label"),
+            )
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+        # cut the growing lineage so each round's plan stays O(1)
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -331,3 +331,64 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("edit_ratio"),
         )
     )
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {{toks}} END AS t
+  FROM documents
+),
+grams_t AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [array_to_string(t, ' ')] END AS grams
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id, [{{sig_list}}] AS sig FROM grams_t
+),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(CAST(b AS VARCHAR) || ':' ||
+             CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR))
+           AS band_hash
+  FROM sigs, range(0, 8) r(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT reach.node, edges.dst AS r
+  FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE.format(
+        toks=_TOKS,
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    ),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: LSH candidate pairs -> connected
+    components -> cluster_id = min doc id in the component (the keep
+    representative). The oracle computes the same components via a
+    recursive transitive closure — exact match proves the iterative
+    Spark propagation reaches the true fixpoint."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.candidate_pairs(docs).select("id_a", "id_b")
+    return D.connected_components(pairs, docs.select("doc_id"))

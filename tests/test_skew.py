@@ -49,3 +49,18 @@ def test_skew_stats_shares(spark):
     rows = skew_stats(df, "k", top=2).collect()
     assert rows[0].key == 1 and abs(rows[0].share - 0.8) < 1e-12
     assert rows[1].key == 2 and abs(rows[1].share - 0.2) < 1e-12
+
+
+def test_connected_components_known_graph(spark):
+    """Chain, triangle, and singleton: every node labels to the min id
+    of its component; chain convergence needs multiple propagation
+    rounds (diameter > 1)."""
+    from corrie_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
