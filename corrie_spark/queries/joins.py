@@ -520,3 +520,58 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_MARKET_SHARE_ORACLE = """
+SELECT
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+  CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS market_share,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS total_revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+ORDER BY order_year
+"""
+
+
+@register("q_market_share", oracle=_MARKET_SHARE_ORACLE)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one nation's share of total supplier revenue per
+    order year — the ratio-of-conditional-aggregates pattern computed
+    in a SINGLE pass (no self-join, no second scan for the
+    denominator). supplier+nation broadcast; lineitem-orders is the
+    one shuffle."""
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("n_name") == "NATION_3", rev).otherwise(0.0)
+    dec = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (dec(nation_rev) / dec(rev)).alias("market_share"),
+            dec(rev).alias("total_revenue"),
+        )
+        .orderBy("order_year")
+    )
