@@ -1,0 +1,46 @@
+"""Driver-contract meta-tests: the __spark_entry__ surface the
+external driver consumes must stay stable."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_flagship_six_rows(spark):
+    mod = _entry_module()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert df.columns[0:2] == ["l_returnflag", "l_linestatus"]
+
+
+def test_registry_contract():
+    """Every query: unique name, callable, oracle is a non-empty SQL
+    string mentioning a registered table."""
+    mod = _entry_module()
+    qs, os_ = mod.queries(), mod.oracle_sql()
+    assert len(qs) >= 54
+    assert set(os_) <= set(qs)
+    from corrie_spark.tables import TABLE_NAMES
+
+    for name, sql in os_.items():
+        assert isinstance(sql, str) and sql.strip(), name
+        assert any(t in sql for t in TABLE_NAMES), f"{name}: oracle references no table"
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_all_queries_have_oracles():
+    """Current surface: 100% oracle coverage (no rows-only checks).
+    If a genuinely non-SQL-expressible op is added later, relax this
+    deliberately rather than by accident."""
+    mod = _entry_module()
+    assert set(mod.queries()) == set(mod.oracle_sql())
