@@ -392,3 +392,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.candidate_pairs(docs).select("id_a", "id_b")
     return D.connected_components(pairs, docs.select("doc_id"))
+
+
+_SURVIVORS_ORACLE = _CLUSTERS_ORACLE.replace(
+    """SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node
+""",
+    """, clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT
+  d.source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM documents d JOIN clusters c USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+
+
+@register(
+    "q_dedup_survivors",
+    oracle=_SURVIVORS_ORACLE.format(
+        toks=_TOKS,
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    ),
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's bottom line, per source: docs kept (cluster
+    representatives — doc_id == cluster_id) vs dropped as near-dups.
+    This is the LSH -> components -> keep-policy chain in one query,
+    i.e. what a corpus curation run actually reports."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.candidate_pairs(docs).select("id_a", "id_b")
+    clusters = D.connected_components(pairs, docs.select("doc_id"))
+    kept = F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+    return (
+        docs.select("doc_id", "source")
+        .join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(1 - kept).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

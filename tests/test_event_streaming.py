@@ -203,3 +203,30 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) >= 3
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_path):
+    """An event arriving after its window's state was EVICTED must be
+    dropped (bounded-state contract). Nuance pinned here: a late row
+    that lands while the window state is still live is merged —
+    Spark's guarantee is drop-after-eviction, not drop-at-watermark.
+    So the watermark advances in batch 2, the window is emitted and
+    evicted during batch 3, and the late row arrives in batch 4."""
+    d = tmp_path / "late_in"
+    _mk_events(spark, [_ev(1, 0), _ev(2, 5)]).coalesce(1).write.parquet(str(d / "f1"))
+    # watermark after this batch: 12:00 - 10 min = 11:50 > window end
+    _mk_events(spark, [_ev(3, 120)]).coalesce(1).write.parquet(str(d / "f2"))
+    # this batch runs with watermark 11:50 -> [10:00,10:15) emits + evicts
+    _mk_events(spark, [_ev(5, 125)]).coalesce(1).write.parquet(str(d / "f3"))
+    # state gone: the late row for the sealed window must be dropped
+    _mk_events(spark, [_ev(4, 2)]).coalesce(1).write.parquet(str(d / "f4"))
+
+    out = windowed_event_counts(_stream(spark, d), watermark="10 minutes")
+    _run_to_memory(out, "late_win", tmp_path, "append")
+    got = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM late_win").collect()
+    }
+    assert ("2021-03-01T10:00:00", 2) in got, got
+    # the late event re-opened nothing: no other window covers 10:02
+    assert not any(ws == "2021-03-01T10:00:00" and n != 2 for ws, n in got)
