@@ -181,3 +181,85 @@ def q_sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+_RECALL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, label AS cell, {_QUANT} AS qv FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id < 5),
+exact_s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN q WHERE b.vec_id <> query_id
+),
+exact_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM exact_s
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_r WHERE rnk <= 10),
+cent AS (
+  SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM base GROUP BY cell
+),
+centv AS (SELECT cell, [{_CENT_LIST}] AS centroid FROM cent),
+probe AS (
+  SELECT query_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                i -> q_vec[i] * centroid[i])) AS BIGINT) DESC, cell) AS cell_rnk
+  FROM q CROSS JOIN centv
+),
+ivf_s AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+              i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM probe JOIN base USING (cell) JOIN q USING (query_id)
+  WHERE cell_rnk <= {_NPROBE} AND vec_id <> query_id
+),
+ivf_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM ivf_s
+),
+approx AS (SELECT query_id, neighbor_id FROM ivf_r WHERE rnk <= 10)
+SELECT t.query_id,
+       COUNT(*) AS k_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_10
+FROM truth t
+LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@register("q_sim_ivf_recall", oracle=_RECALL_ORACLE)
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF path against brute-force ground truth, per
+    query — the metric you tune nprobe against before trusting ANN at
+    scale. Both sides computed in-engine; exact integer ranking makes
+    the recall itself deterministic and oracle-checkable."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = S.brute_force_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(q, emb, k=10, nprobe=_NPROBE).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_truth"),
+            F.sum(hit).cast("bigint").alias("k_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

@@ -71,19 +71,27 @@ class TxnTable:
         return {m["batch_id"] for m in self._read_log() if m.get("batch_id") is not None}
 
     def live_files(self) -> list[str]:
-        return [
-            os.path.join(self.files_dir, f)
-            for m in self._read_log()
-            for f in m["files"]
-        ]
+        live: list[str] = []
+        for m in self._read_log():
+            if m.get("replaces"):
+                live = list(m["files"])  # compaction snapshot resets
+            else:
+                live.extend(m["files"])
+        return [os.path.join(self.files_dir, f) for f in live]
 
     # --- write --------------------------------------------------------
 
     def append(
-        self, df: DataFrame, batch_id: int | str | None = None, max_attempts: int = 20
+        self,
+        df: DataFrame,
+        batch_id: int | str | None = None,
+        max_attempts: int = 20,
+        replaces: bool = False,
     ) -> bool:
         """Atomically append df. Returns False (no-op) if batch_id was
-        already committed — the exactly-once replay path."""
+        already committed — the exactly-once replay path. With
+        replaces=True the manifest supersedes all earlier data files
+        (compaction snapshot)."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return False
 
@@ -101,6 +109,8 @@ class TxnTable:
                 for src, dst in zip(staged, names):
                     shutil.copy(os.path.join(stage, "d", src), os.path.join(self.files_dir, dst))
                 manifest = {"version": v, "batch_id": batch_id, "files": names}
+                if replaces:
+                    manifest["replaces"] = True
                 tmp = os.path.join(self.log_dir, f".tmp-{v:012d}-{os.getpid()}")
                 with open(tmp, "w") as f:
                     json.dump(manifest, f)
@@ -127,6 +137,15 @@ class TxnTable:
         if not files:
             raise FileNotFoundError(f"TxnTable {self.root} has no committed data")
         return spark.read.parquet(*files)
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> None:
+        """Rewrite all live data as `target_files` files and publish a
+        replacing snapshot manifest — the small-file fix for
+        high-frequency micro-batch appends. Old files become orphans
+        (readers already switched atomically); reap with vacuum().
+        Earlier manifests stay in the log, so batch_id idempotence
+        survives compaction."""
+        self.append(self.read(spark).coalesce(target_files), replaces=True)
 
     # --- maintenance --------------------------------------------------
 

@@ -87,3 +87,20 @@ def test_partial_epoch_resume(spark, tmp_path):
     sink.write("m", _df(spark, [1]))   # dup of landed append -> skipped
     sink.write("m", _df(spark, [2]))   # the missing one -> lands
     assert sorted(r.id for r in sink.table("m").read(spark).collect()) == [1, 2]
+
+
+def test_compact_preserves_data_and_idempotence(spark, tmp_path):
+    """Compaction: one replacing snapshot, same rows, old files become
+    vacuum-able orphans, and pre-compaction batch_ids still dedupe."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [1]), batch_id="e0")
+    t.append(_df(spark, [2]), batch_id="e1")
+    t.append(_df(spark, [3]), batch_id="e2")
+    n_before = len(t.live_files())
+    t.compact(spark, target_files=1)
+    assert len(t.live_files()) == 1 < n_before
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    assert t.vacuum() == n_before  # old files orphaned
+    # replay of a pre-compaction epoch is still a no-op
+    assert t.append(_df(spark, [2]), batch_id="e1") is False
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
