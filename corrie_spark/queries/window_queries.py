@@ -120,3 +120,110 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH steps AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT user_id,
+    CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+    CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+    CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+         THEN 1 ELSE 0 END AS s3
+  FROM steps
+)
+SELECT
+  CAST(SUM(s1) AS BIGINT) AS n_viewed,
+  CAST(SUM(s2) AS BIGINT) AS n_clicked_after,
+  CAST(SUM(s3) AS BIGINT) AS n_purchased_after,
+  CAST(SUM(s3) AS DOUBLE) / greatest(SUM(s1), 1) AS view_to_purchase
+FROM flags
+"""
+
+
+@register("q_event_funnel", oracle=_FUNNEL_ORACLE)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): users counted at a
+    step only if the step's FIRST occurrence is strictly after the
+    previous step's first occurrence. One conditional-min aggregation
+    per user — a single shuffle regardless of event volume (never a
+    per-step self-join, which would be k shuffles and k scans)."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(etype: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    return steps.agg(
+        F.sum(s1).cast("bigint").alias("n_viewed"),
+        F.sum(s2).cast("bigint").alias("n_clicked_after"),
+        F.sum(s3).cast("bigint").alias("n_purchased_after"),
+        (F.sum(s3).cast("double") / F.greatest(F.sum(s1), F.lit(1))).alias(
+            "view_to_purchase"
+        ),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(d) AS first_day FROM user_days GROUP BY user_id
+)
+SELECT
+  strftime(c.first_day, '%Y-%m-%d') AS cohort_day,
+  COUNT(DISTINCT c.user_id) AS cohort_size,
+  COUNT(DISTINCT CASE WHEN u.d = c.first_day + 1 THEN c.user_id END) AS retained_d1,
+  COUNT(DISTINCT CASE WHEN u.d = c.first_day + 7 THEN c.user_id END) AS retained_d7
+FROM cohort c
+JOIN user_days u USING (user_id)
+GROUP BY c.first_day
+ORDER BY cohort_day
+"""
+
+
+@register("q_cohort_retention", oracle=_RETENTION_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (d1/d7): cohort = first active day per
+    user. distinct(user, day) first — the join and both distinct
+    counts run on user-days (bounded by users x days), never raw
+    events; both stages shuffle on user_id so the partitioning is
+    reused."""
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    cohort = user_days.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    joined = user_days.join(cohort, "user_id")
+    ret = lambda days: F.countDistinct(  # noqa: E731
+        F.when(F.col("d") == F.date_add(F.col("first_day"), days), F.col("user_id"))
+    )
+    return (
+        joined.groupBy(F.date_format("first_day", "yyyy-MM-dd").alias("cohort_day"))
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            ret(1).alias("retained_d1"),
+            ret(7).alias("retained_d7"),
+        )
+        .orderBy("cohort_day")
+    )
