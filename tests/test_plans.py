@@ -190,3 +190,20 @@ def test_q10_returnflag_pushed_and_dims_broadcast(spark):
     pushed = " ".join(pushed_filters(df))
     assert "l_returnflag" in pushed and "o_orderdate" in pushed
     assert has_broadcast_join(df)
+
+
+def test_funnel_single_agg_no_self_join(spark):
+    """The funnel is one conditional-min agg + final rollup: no Join
+    operator anywhere, at most 2 exchanges."""
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q_event_funnel"](spark, SF_CORRECT)
+    assert "Join" not in explain_str(df)
+    assert count_shuffles(df) <= 2
+
+
+def test_retention_operates_on_user_days(spark):
+    """Retention shuffles bounded user-day rows, reusing the user_id
+    partitioning across distinct/cohort/join stages."""
+    df = all_queries()["q_cohort_retention"](spark, SF_CORRECT)
+    assert count_shuffles(df) <= 5
