@@ -227,3 +227,47 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT e.event_type, e.value,
+         time_bucket(INTERVAL '15 minutes', e.ts) - o.off * INTERVAL '15 minutes'
+           AS w_start
+  FROM events e
+  CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+)
+SELECT
+  strftime(w_start, '%Y-%m-%d %H:%M') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM expanded
+GROUP BY w_start, event_type
+"""
+
+
+@register("q_events_sliding", oracle=_SLIDING_ORACLE)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30-min windows every 15 min: each event lands in
+    duration/slide = 2 overlapping windows. Spark's window() expands
+    the assignment map-side (one output row per event per window)
+    before the single aggregation shuffle — the oracle mirrors that
+    expansion with an explicit 2-offset cross join. Streaming twin:
+    same call with a watermark."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
