@@ -267,3 +267,45 @@ def q_shingle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "gram")
         .limit(20)
     )
+
+
+# Deterministic hash-split: md5-derived 60-bit hash mod 1000 buckets.
+# Unlike rand()-based sampling this is reproducible across runs,
+# engines, and cluster sizes, and a document keeps its split forever
+# (the property train/val/test contamination control depends on).
+_SPLIT_BUCKET = "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000"
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT source,
+    CASE WHEN {_SPLIT_BUCKET} < 900 THEN 'train'
+         WHEN {_SPLIT_BUCKET} < 950 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@register("q_train_test_split", oracle=_SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5 bucket of
+    doc_id — reproducible across runs/engines/cluster sizes, stable
+    per document (contamination control). Assignment is a pure
+    projection; only the count rolls up."""
+    from corrie_spark.operators.dedup import hash60
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = hash60(F.col("doc_id").cast("string"), salt="split") % 1000
+    split = (
+        F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
