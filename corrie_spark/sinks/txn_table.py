@@ -29,6 +29,7 @@ between 2 and 3) are invisible and reaped by vacuum().
 
 from __future__ import annotations
 
+import binascii
 import json
 import os
 import shutil
@@ -103,9 +104,14 @@ class TxnTable:
                 for f in os.listdir(os.path.join(stage, "d"))
                 if f.endswith(".parquet")
             ]
+            # writer-unique token in data-file names: two concurrent
+            # committers must NEVER collide on a name — otherwise the
+            # race loser's retraction would delete files the winner's
+            # manifest already references
+            token = f"{os.getpid()}-{binascii.hexlify(os.urandom(4)).decode()}"
             for attempt in range(max_attempts):
                 v = self.version() + 1
-                names = [f"{v:012d}-{i}.parquet" for i in range(len(staged))]
+                names = [f"{v:012d}-{i}-{token}.parquet" for i in range(len(staged))]
                 for src, dst in zip(staged, names):
                     shutil.copy(os.path.join(stage, "d", src), os.path.join(self.files_dir, dst))
                 manifest = {"version": v, "batch_id": batch_id, "files": names}

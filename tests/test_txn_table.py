@@ -53,6 +53,10 @@ def test_commit_race_retries_next_version(spark, tmp_path):
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
     # no orphans left behind by the lost race
     assert t.vacuum() == 0
+    # every manifest-referenced file exists (the retraction deleted
+    # only the loser's own writer-unique files)
+    import os as _os
+    assert all(_os.path.exists(p) for p in t.live_files())
 
 
 def test_exactly_once_epoch_replay(spark, tmp_path):
