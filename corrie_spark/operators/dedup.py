@@ -297,13 +297,15 @@ def connected_components(
     canonical representative). The dedup KEEP policy is then "keep the
     representative, drop the rest".
 
-    Algorithm: iterative min-label propagation (large-star/small-star
-    simplified to symmetric neighbor-min), the standard Spark-side CC:
+    Algorithm: iterative min-label propagation (symmetric
+    neighbor-min), the standard Spark-side CC:
       label(v) <- min(label(v), min over neighbors u of label(u))
-    repeated until fixpoint. Converges in O(log diameter) rounds on
-    typical dedup graphs (most components are tiny); each round is one
-    shuffle keyed on the node id. The driver loop carries only the
-    changed-row COUNT, never data.
+    repeated until fixpoint. Worst case O(component diameter) rounds —
+    near-dup graphs are clique-ish with tiny diameters, so typically
+    2-3; raises if max_iters is hit without convergence (silent
+    truncation would return WRONG labels). Each round is one shuffle
+    keyed on node id; the driver loop carries only a changed-row
+    COUNT, never data.
 
     edges: (id_a, id_b) undirected pairs. nodes: one row per id_col —
     nodes without edges become singleton clusters of themselves.
@@ -342,4 +344,9 @@ def connected_components(
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters; raise max_iters)"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
