@@ -295,8 +295,11 @@ def coerce(c: Column, t: CHType) -> tuple[Column, Column]:
         parsed = F.from_json(c, "array<string>")
         elem_t = t.element
         val = F.transform(parsed, lambda x: coerce(x, elem_t)[0])
+        # per-element validity via the element coercer itself (array.go
+        # recursion): catches range/format errors whose coerced value is
+        # non-null, and rejects null elements unless elem_t is Nullable
         ok_all = F.forall(
-            F.zip_with(parsed, val, lambda s, v: s.isNull() | v.isNotNull()),
+            F.transform(parsed, lambda x: coerce(x, elem_t)[1]),
             lambda b: b,
         )
         return val, not_null & parsed.isNotNull() & ok_all
@@ -309,11 +312,7 @@ def coerce(c: Column, t: CHType) -> tuple[Column, Column]:
         elem_t = t.element
         val = F.transform_values(parsed, lambda _k, v: coerce(v, elem_t)[0])
         ok_vals = F.forall(
-            F.zip_with(
-                F.map_values(parsed),
-                F.map_values(val),
-                lambda s, v: s.isNull() | v.isNotNull(),
-            ),
+            F.transform(F.map_values(parsed), lambda v: coerce(v, elem_t)[1]),
             lambda b: b,
         )
         key_t = t.key

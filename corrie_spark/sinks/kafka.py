@@ -50,6 +50,19 @@ def to_kafka_records(
     return df.select(F.col(key_col).cast("string").alias("key"), value)
 
 
+def dlq_to_kafka_records(dlq_df: DataFrame) -> DataFrame:
+    """Project a DLQ frame to the Kafka record schema. DLQ frames
+    carry (raw_body, reason) — the contract shared by
+    envelope.split_dlq, the writer's dlq batches, and DLQSink.SCHEMA."""
+    return to_kafka_records(
+        dlq_df.withColumn(
+            "body",
+            F.to_json(F.struct(F.col("raw_body").alias("raw"), F.col("reason"))),
+        ),
+        key_col=None,
+    )
+
+
 def write_dlq_to_kafka(
     dlq_df: DataFrame,
     bootstrap_servers: str,
@@ -58,13 +71,7 @@ def write_dlq_to_kafka(
     """Batch-append DLQ rows (raw body + reason) to the failed topic —
     the K11 forward. Called from inside foreachBatch, so offsets
     commit only after this returns (ack-after-forward, K10)."""
-    records = to_kafka_records(
-        dlq_df.withColumn(
-            "body",
-            F.to_json(F.struct(F.col("body").alias("raw"), F.col("reason"))),
-        ),
-        key_col=None,
-    )
+    records = dlq_to_kafka_records(dlq_df)
     writer = records.write.format("kafka")
     for k, v in kafka_writer_options(bootstrap_servers, topic).items():
         writer = writer.option(k, v)

@@ -88,13 +88,24 @@ class TxnTable:
         batch_id: int | str | None = None,
         max_attempts: int = 20,
         replaces: bool = False,
+        expected_version: int | None = None,
     ) -> bool:
         """Atomically append df. Returns False (no-op) if batch_id was
         already committed — the exactly-once replay path. With
         replaces=True the manifest supersedes all earlier data files
-        (compaction snapshot)."""
+        (compaction snapshot).
+
+        The retry-on-lost-race loop is only safe for plain appends
+        (order-independent). A read-modify-write commit (compaction)
+        must pass expected_version: the manifest is published at
+        exactly that version or the call raises CommitConflict — a
+        compare-and-swap, so a concurrent append landing first forces
+        the caller to restart from a fresh read instead of silently
+        republishing a stale snapshot over the new rows."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return False
+        if replaces and expected_version is None:
+            raise ValueError("replaces=True requires expected_version (CAS commit)")
 
         stage = tempfile.mkdtemp(prefix="stage-", dir=self.root)
         try:
@@ -109,8 +120,9 @@ class TxnTable:
             # race loser's retraction would delete files the winner's
             # manifest already references
             token = f"{os.getpid()}-{binascii.hexlify(os.urandom(4)).decode()}"
-            for attempt in range(max_attempts):
-                v = self.version() + 1
+            attempts = 1 if expected_version is not None else max_attempts
+            for attempt in range(attempts):
+                v = expected_version if expected_version is not None else self.version() + 1
                 names = [f"{v:012d}-{i}-{token}.parquet" for i in range(len(staged))]
                 for src, dst in zip(staged, names):
                     shutil.copy(os.path.join(stage, "d", src), os.path.join(self.files_dir, dst))
@@ -132,7 +144,10 @@ class TxnTable:
                     os.unlink(tmp)
                     for n in names:  # lost the race: retract our files
                         os.unlink(os.path.join(self.files_dir, n))
-            raise CommitConflict(f"lost {max_attempts} commit races on {self.root}")
+            raise CommitConflict(
+                f"lost commit race on {self.root}"
+                + ("" if expected_version is not None else f" after {max_attempts} attempts")
+            )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -144,26 +159,72 @@ class TxnTable:
             raise FileNotFoundError(f"TxnTable {self.root} has no committed data")
         return spark.read.parquet(*files)
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> None:
+    def compact(self, spark: SparkSession, target_files: int = 1, max_attempts: int = 5) -> None:
         """Rewrite all live data as `target_files` files and publish a
         replacing snapshot manifest — the small-file fix for
         high-frequency micro-batch appends. Old files become orphans
         (readers already switched atomically); reap with vacuum().
         Earlier manifests stay in the log, so batch_id idempotence
-        survives compaction."""
-        self.append(self.read(spark).coalesce(target_files), replaces=True)
+        survives compaction.
+
+        Concurrency: read-modify-write under optimistic CAS. The file
+        list is pinned at read() time against the version observed
+        just before; if any commit (append or compaction) lands in
+        between, the CAS publish fails and we restart from a fresh
+        read of the NEW live set — a concurrent append's rows can
+        never be dropped by a stale snapshot."""
+        for _ in range(max_attempts):
+            base = self.version()
+            df = self.read(spark).coalesce(target_files)
+            try:
+                self.append(df, replaces=True, expected_version=base + 1)
+                return
+            except CommitConflict:
+                continue  # log advanced under us — re-read and retry
+        raise CommitConflict(f"compact lost {max_attempts} CAS races on {self.root}")
 
     # --- maintenance --------------------------------------------------
 
-    def vacuum(self) -> int:
-        """Delete orphaned data files (staged by a crashed writer,
-        never referenced by a manifest). Returns the number removed."""
-        live = {os.path.basename(p) for p in self.live_files()}
+    def vacuum(self, retain_last_n: int = 1, grace_seconds: float = 3600.0) -> int:
+        """Delete data files not referenced by any of the last
+        `retain_last_n` committed snapshots (pre-compaction files,
+        crashed-writer orphans). Returns the number removed.
+
+        Safety with concurrent writers: an in-flight append copies
+        data files (step 2) BEFORE publishing its manifest (step 3) —
+        those files are unreferenced but must not be reaped, so any
+        file younger than `grace_seconds` is skipped (mtime-based
+        retention, as Delta's VACUUM does). Keep the grace period
+        above the longest plausible stage->publish window; pass 0 only
+        when no writer is active. Manifests are never deleted, so
+        batch_id idempotence (exactly-once replay) survives vacuum."""
+        import time
+
+        log = self._read_log()
+        live: list[str] = []
+        snapshots: list[list[str]] = []
+        for m in log:
+            if m.get("replaces"):
+                live = list(m["files"])
+            else:
+                live.extend(m["files"])
+            snapshots.append(list(live))
+        keep: set[str] = set()
+        for snap in snapshots[-max(1, retain_last_n):]:
+            keep.update(snap)
+        now = time.time()
         n = 0
         for f in os.listdir(self.files_dir):
-            if f not in live:
-                os.unlink(os.path.join(self.files_dir, f))
+            if f in keep:
+                continue
+            path = os.path.join(self.files_dir, f)
+            try:
+                if now - os.path.getmtime(path) < grace_seconds:
+                    continue  # possibly an in-flight writer's staged copy
+                os.unlink(path)
                 n += 1
+            except FileNotFoundError:
+                continue  # concurrent vacuum / writer retraction
         return n
 
 

@@ -133,6 +133,37 @@ def test_array_offsets_model(spark):
     assert got[3][1] is False
 
 
+def test_array_element_validity_uses_coercer(spark):
+    """Element validity comes from the element coercer's `valid` flag,
+    not value non-nullness (array.go recursion): catches range/format
+    errors whose coerced value is non-null, and null elements inside
+    non-Nullable element types."""
+    # UInt8 range error: "-5"/"256" try_cast to non-null but are invalid
+    got = _coerce(spark, ['["1","-5"]', '["255","256"]', '["0","255"]'], "Array(UInt8)")
+    assert [o for _, o in got] == [False, False, True]
+    # FixedString overflow coerces to a non-null value but is invalid
+    got = _coerce(spark, ['["abc","123456789"]'], "Array(FixedString(8))")
+    assert got[0][1] is False
+    # malformed UUID / IPv4 pass through as non-null strings
+    got = _coerce(spark, ['["not-a-uuid"]'], "Array(UUID)")
+    assert got[0][1] is False
+    got = _coerce(spark, ['["256.1.1.1"]'], "Array(IPv4)")
+    assert got[0][1] is False
+    # null element: invalid inside Array(T) (CH arrays hold no NULLs),
+    # valid inside Array(Nullable(T))
+    got = _coerce(spark, ['[null,"1"]'], "Array(Int64)")
+    assert got[0][1] is False
+    got = _coerce(spark, ['[null,"1"]'], "Array(Nullable(Int64))")
+    assert got[0] == ([None, 1], True)
+
+
+def test_map_value_validity_uses_coercer(spark):
+    """Same recursion for Map values: a range-invalid value whose
+    coerced form is non-null must invalidate the row."""
+    got = _coerce(spark, ['{"a":"300"}', '{"a":"200"}'], "Map(String, UInt8)")
+    assert [o for _, o in got] == [False, True]
+
+
 def test_map_type_parse_and_coerce(spark):
     """Beyond-parity Map(K,V) (reference rejects Map, column.go:141):
     JSON-object envelope values coerce to map<k,v>; a value failing

@@ -9,7 +9,7 @@ import shutil
 
 import pytest
 
-from corrie_spark.sinks.txn_table import TxnSink, TxnTable
+from corrie_spark.sinks.txn_table import CommitConflict, TxnSink, TxnTable
 
 
 def _df(spark, ids):
@@ -35,7 +35,7 @@ def test_orphan_files_invisible_and_vacuumed(spark, tmp_path):
     src = t.live_files()[0]
     shutil.copy(src, os.path.join(t.files_dir, "999999999999-0.parquet"))
     assert sorted(r.id for r in t.read(spark).collect()) == committed
-    assert t.vacuum() == 1
+    assert t.vacuum(grace_seconds=0) == 1
     assert sorted(r.id for r in t.read(spark).collect()) == committed
 
 
@@ -52,7 +52,7 @@ def test_commit_race_retries_next_version(spark, tmp_path):
     assert t.version() == 2
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
     # no orphans left behind by the lost race
-    assert t.vacuum() == 0
+    assert t.vacuum(grace_seconds=0) == 0
     # every manifest-referenced file exists (the retraction deleted
     # only the loser's own writer-unique files)
     import os as _os
@@ -104,7 +104,78 @@ def test_compact_preserves_data_and_idempotence(spark, tmp_path):
     t.compact(spark, target_files=1)
     assert len(t.live_files()) == 1 < n_before
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
-    assert t.vacuum() == n_before  # old files orphaned
+    assert t.vacuum(grace_seconds=0) == n_before  # old files orphaned
     # replay of a pre-compaction epoch is still a no-op
     assert t.append(_df(spark, [2]), batch_id="e1") is False
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+def test_compact_cas_raises_on_stale_base(spark, tmp_path):
+    """A replacing commit is a compare-and-swap: if any commit lands
+    after the compaction's source read, publishing the stale snapshot
+    must raise instead of silently dropping the concurrent rows
+    (the retry loop is only safe for order-independent appends)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    base = t.version()
+    snapshot = t.read(spark).coalesce(1)  # file list pinned here
+    t.append(_df(spark, [2]))  # concurrent append wins the version
+    with pytest.raises(CommitConflict):
+        t.append(snapshot, replaces=True, expected_version=base + 1)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # replaces without a CAS version is an API misuse, not a retry loop
+    with pytest.raises(ValueError):
+        t.append(snapshot, replaces=True)
+
+
+def test_compact_retry_includes_concurrent_append(spark, tmp_path, monkeypatch):
+    """compact() restarts from a fresh read after a lost CAS — the
+    concurrent append's rows end up in the compacted snapshot."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    real_read = TxnTable.read
+    injected = {"done": False}
+
+    def racy_read(self, spark_):
+        df = real_read(self, spark_)
+        if not injected["done"]:
+            injected["done"] = True
+            TxnTable(self.root).append(_df(spark_, [99]))  # lands after our read
+        return df
+
+    monkeypatch.setattr(TxnTable, "read", racy_read)
+    t.compact(spark, target_files=1)
+    assert len(t.live_files()) == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 99]
+
+
+def test_vacuum_grace_protects_inflight_writer(spark, tmp_path):
+    """An unreferenced data file younger than the grace period is an
+    in-flight writer's staged copy (append step 2, manifest not yet
+    published) — vacuum must not reap it."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    shutil.copy(t.live_files()[0], os.path.join(t.files_dir, "999999999999-0-x.parquet"))
+    assert t.vacuum() == 0  # default grace: young orphan kept
+    assert os.path.exists(os.path.join(t.files_dir, "999999999999-0-x.parquet"))
+    assert t.vacuum(grace_seconds=0) == 1  # no active writers: reap
+
+
+def test_vacuum_retain_last_n_snapshots(spark, tmp_path):
+    """retain_last_n keeps every file referenced by the last N
+    snapshots (time-travel window); manifests are never deleted so
+    epoch idempotence survives vacuum."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [1]), batch_id="e0")
+    t.append(_df(spark, [2]), batch_id="e1")
+    t.append(_df(spark, [3]), batch_id="e2")
+    n_pre = len(t.live_files())
+    t.compact(spark, target_files=1)
+    # keep the pre-compaction snapshot too: nothing reapable
+    assert t.vacuum(retain_last_n=2, grace_seconds=0) == 0
+    # shrink the window to the current snapshot: pre-compaction files go
+    assert t.vacuum(retain_last_n=1, grace_seconds=0) == n_pre
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    # exactly-once replay still holds after vacuum
+    assert t.append(_df(spark, [9]), batch_id="e1") is False
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]

@@ -69,3 +69,26 @@ def test_kafka_record_projection_preserves_shard_key(spark):
     assert rec.columns == ["key", "value"]
     rows = {r.key: r.value for r in rec.collect()}
     assert rows["0"].startswith('{"Query"') and rows["2"] == "body2"
+
+
+def test_dlq_kafka_projection_accepts_split_dlq_frame(spark):
+    """The K11 forward must consume the real DLQ contract
+    (raw_body, reason) produced by envelope.split_dlq — not a
+    hypothetical `body` column."""
+    import json
+
+    from corrie_spark import envelope
+    from corrie_spark.sinks.kafka import dlq_to_kafka_records
+
+    bodies = spark.createDataFrame(
+        [('{"Query":"INSERT INTO t (a) VALUES (?)","Data":["1"]}',), ('{"truncated',)],
+        "body string",
+    )
+    _ok, dlq = envelope.split_dlq(envelope.parse_envelopes(bodies))
+    assert set(dlq.columns) >= {"raw_body", "reason"}
+    rec = dlq_to_kafka_records(dlq)
+    assert rec.columns == ["value"]
+    rows = [json.loads(r.value) for r in rec.collect()]
+    assert len(rows) == 1
+    assert rows[0]["raw"] == '{"truncated'
+    assert rows[0]["reason"]
