@@ -260,3 +260,15 @@ class TxnSink:
             else f"{self.current_batch_id}.{seq}"
         )
         self.table(table).append(df, batch_id=key)
+
+    def write_keyed(self, table: str, df: DataFrame, content_key: str) -> None:
+        """Failure-path append keyed by chunk CONTENT (writer
+        bisection): the idempotence key does not depend on how many
+        sink calls preceded it, so a crash replay whose bisection tree
+        differs still skips chunks that already landed."""
+        key = (
+            None
+            if self.current_batch_id is None
+            else f"{self.current_batch_id}.c{content_key}"
+        )
+        self.table(table).append(df, batch_id=key)

@@ -211,26 +211,107 @@ def test_bisect_isolates_poison_rows(spark, tmp_path):
     assert {r["reason"] for r in dlq_df.collect()} == {"exec_failed"}
 
 
-def test_batch_size_partition_cap(spark, tmp_path):
-    """B1: a group larger than batch_size is written in partition
-    slices no bigger than batch_size rows."""
-    captured = []
+def test_batch_size_flush_cap_without_shuffle(spark, tmp_path):
+    """B1: the flush cap is a file-writer property
+    (spark.sql.files.maxRecordsPerFile), NOT a repartition shuffle —
+    even a single input partition larger than batch_size lands as
+    files of at most batch_size rows, and the session conf is
+    restored afterwards."""
+    import glob
 
-    class CapturingSink(ParquetDirSink):
-        def write(self, table, df):
-            captured.append([len(p) for p in df.rdd.glom().collect()])
-            super().write(table, df)
-
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
     process_batch(
-        _metrics_batch(spark, range(25)),
-        CapturingSink(str(tmp_path / "out")),
+        _metrics_batch(spark, range(25)).coalesce(1),
+        ParquetDirSink(str(tmp_path / "out")),
         DLQSink(str(tmp_path / "dlq")),
         REGISTRY,
         WriterConfig(batch_size=10, max_retries=0),
     )
-    sizes = [s for batch in captured for s in batch if s > 0]
+    files = glob.glob(str(tmp_path / "out/db.metrics/*.parquet"))
+    sizes = [spark.read.parquet(f).count() for f in files]
     assert max(sizes) <= 10
     assert sum(sizes) == 25
+    assert spark.conf.get("spark.sql.files.maxRecordsPerFile", "0") == prev
+
+
+def test_constant_driver_jobs_per_group(spark, tmp_path):
+    """r1 verdict fix: process_batch runs a CONSTANT number of driver
+    jobs plus exactly one distributed append per INSERT shape — the
+    marginal cost of an extra shape is 1 job, not 4 re-scans of the
+    micro-batch."""
+
+    def jobs_for(n_groups: int) -> int:
+        rows = []
+        for g in range(n_groups):
+            q = f"INSERT INTO db.g{g} (m_id, m_value, m_tag) VALUES (?, ?, ?)"
+            rows += [_rows(g * 10 + i, q, [i, 1.0, "x"]) for i in range(5)]
+        df = spark.createDataFrame(
+            [(r["shard"], r["offset"], r["body"], r["delivery_id"]) for r in rows],
+            "shard int, offset long, body string, delivery_id string",
+        )
+        reg = SchemaRegistry(
+            {
+                f"db.g{g}": [("m_id", "Int64"), ("m_value", "Float64"), ("m_tag", "String")]
+                for g in range(n_groups)
+            }
+        )
+        sc = spark.sparkContext
+        group = f"job-count-{n_groups}"
+        sc.setJobGroup(group, "pin")
+        try:
+            process_batch(
+                df,
+                ParquetDirSink(str(tmp_path / f"out{n_groups}")),
+                DLQSink(str(tmp_path / f"dlq{n_groups}")),
+                reg,
+                WriterConfig(max_retries=0),
+            )
+        finally:
+            sc.setJobGroup("", "")
+        return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+
+    j1, j2, j4 = jobs_for(1), jobs_for(2), jobs_for(4)
+    assert j2 - j1 == 1  # one extra shape = exactly one extra append job
+    assert j4 - j2 == 2
+    # constant overhead: census + validity censuses (AQE may split
+    # each into ~2 jobs) + the single append
+    assert j1 <= 6
+
+
+def test_bisection_replay_is_idempotent_with_txn_sink(spark, tmp_path):
+    """ADVICE r1: failure-path appends are keyed by chunk CONTENT, so
+    a crash replay of an epoch whose group write was bisected does not
+    double-append the chunks that already landed."""
+    from corrie_spark.sinks.txn_table import TxnSink
+
+    class PoisonTxnSink(TxnSink):
+        """Rejects any flush containing a negative m_id."""
+
+        def _check(self, df):
+            if df.filter(F.col("m_id") < 0).limit(1).count() > 0:
+                raise RuntimeError("poison row")
+
+        def write(self, table, df):
+            self._check(df)
+            super().write(table, df)
+
+        def write_keyed(self, table, df, content_key):
+            self._check(df)
+            super().write_keyed(table, df, content_key)
+
+    sink = PoisonTxnSink(str(tmp_path / "wh"))
+    dlq = DLQSink(str(tmp_path / "dlq"))
+    ids = [0, 1, 2, -3, 4, 5, 6, -7, 8, 9]
+    cfg = WriterConfig(retry_interval_s=0.0, max_retries=0, batch_size=4)
+
+    sink.start_epoch(0)
+    process_batch(_metrics_batch(spark, ids), sink, dlq, REGISTRY, cfg)
+    sink.start_epoch(0)  # crash replay of the same epoch
+    process_batch(_metrics_batch(spark, ids), sink, dlq, REGISTRY, cfg)
+
+    table = sink.table("db.metrics").read(spark)
+    got = sorted(r["m_id"] for r in table.collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]  # no duplicates, no loss
 
 
 def test_commit_log_skips_replayed_batch(spark, tmp_path):
