@@ -37,11 +37,15 @@ SHARD_PREFIX = "shard-"
 
 
 class ShardSlice(InputPartition):
-    def __init__(self, shard: int, start: int, end: int, path: str):
+    def __init__(self, shard: int, start: int, end: int, path: str, index: list[tuple[str, int]] | None = None):
         self.shard = shard
         self.start = start
         self.end = end
         self.path = path
+        # [(file path, line count)] in FIFO order, captured at planning
+        # time: the executor seeks straight to the overlapping files and
+        # never re-reads the already-consumed prefix of the spool
+        self.index = index or []
 
 
 def _shard_dirs(path: str) -> dict[int, str]:
@@ -53,16 +57,12 @@ def _shard_dirs(path: str) -> dict[int, str]:
     return out
 
 
-def _shard_lines(shard_dir: str) -> Iterator[str]:
-    """All lines of a shard in seq order (file name order = FIFO)."""
-    for fname in sorted(os.listdir(shard_dir)):
-        if not fname.endswith(".jsonl"):
-            continue
-        with open(os.path.join(shard_dir, fname)) as f:
-            for line in f:
-                line = line.rstrip("\n")
-                if line:
-                    yield line
+def _file_lines(path: str) -> Iterator[str]:
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line:
+                yield line
 
 
 class ShardedQueueStreamReader(DataSourceStreamReader):
@@ -72,6 +72,29 @@ class ShardedQueueStreamReader(DataSourceStreamReader):
             raise ValueError("sharded_queue requires option 'path'")
         self.max_lines = int(options.get("maxLinesPerTrigger", 0)) or None
         self._last: dict | None = None  # last offset this reader emitted
+        # per-file line-count cache keyed by byte size: spool files are
+        # append-only, so an unchanged size means an unchanged count —
+        # the offset probe re-reads only files that grew since the last
+        # trigger, O(new data) instead of O(total spool)
+        self._counts: dict[str, tuple[int, int]] = {}
+
+    def _shard_index(self, shard_dir: str) -> list[tuple[str, int]]:
+        """[(file path, non-empty line count)] in seq order (file name
+        order = FIFO), recounting only new/grown files."""
+        out = []
+        for fname in sorted(os.listdir(shard_dir)):
+            if not fname.endswith(".jsonl"):
+                continue
+            p = os.path.join(shard_dir, fname)
+            size = os.path.getsize(p)
+            cached = self._counts.get(p)
+            if cached is not None and cached[0] == size:
+                n = cached[1]
+            else:
+                n = sum(1 for _ in _file_lines(p))
+                self._counts[p] = (size, n)
+            out.append((p, n))
+        return out
 
     def initialOffset(self) -> dict:
         return {str(s): 0 for s in _shard_dirs(self.path)}
@@ -82,7 +105,7 @@ class ShardedQueueStreamReader(DataSourceStreamReader):
         (re)start is uncapped — we don't know the checkpointed start
         yet, and an offset below it would move the stream backward."""
         totals = {
-            str(shard): sum(1 for _ in _shard_lines(d))
+            str(shard): sum(n for _, n in self._shard_index(d))
             for shard, d in sorted(_shard_dirs(self.path).items())
         }
         if self.max_lines is None or self._last is None:
@@ -102,19 +125,39 @@ class ShardedQueueStreamReader(DataSourceStreamReader):
             shard = int(shard_str)
             start_off = int(start.get(shard_str, 0))
             if end_off > start_off and shard in dirs:
-                parts.append(ShardSlice(shard, start_off, int(end_off), dirs[shard]))
+                parts.append(
+                    ShardSlice(
+                        shard, start_off, int(end_off), dirs[shard],
+                        index=self._shard_index(dirs[shard]),
+                    )
+                )
         # Spark requires at least one partition per batch
         return parts or [ShardSlice(-1, 0, 0, self.path)]
 
     def read(self, partition: ShardSlice) -> Iterator[tuple]:
+        """Executor-side: seek via the planning-time file index — only
+        files overlapping [start, end) are opened. The index's counts
+        are authoritative (a file growing mid-batch cannot shift later
+        files' global offsets)."""
         if partition.shard < 0:
             return
-        for i, line in enumerate(_shard_lines(partition.path)):
-            if i < partition.start:
-                continue
-            if i >= partition.end:
+        cum = 0
+        for fpath, n in partition.index:
+            lo, hi = cum, cum + n
+            cum = hi
+            if hi <= partition.start:
+                continue  # fully consumed — never opened
+            if lo >= partition.end:
                 break
-            yield (partition.shard, i, line, f"{partition.shard}-{i}")
+            for j, line in enumerate(_file_lines(fpath)):
+                if j >= n:
+                    break  # grew mid-batch: excess belongs to the next trigger
+                i = lo + j
+                if i < partition.start:
+                    continue
+                if i >= partition.end:
+                    break
+                yield (partition.shard, i, line, f"{partition.shard}-{i}")
 
     def commit(self, end: dict) -> None:
         # at-least-once: nothing to ack upstream in the spool layout;

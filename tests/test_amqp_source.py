@@ -1,0 +1,161 @@
+"""Broker-backed sharded-queue source (no spool directory anywhere):
+ack-after-commit, nack/reconnect redelivery, offset monotonicity —
+the live-consume contract of the reference (vendor nanachi
+consumer.go:81-116 reconnect, reader/reader.go:98-104 ack-after-commit)
+against the in-process FakeAmqpBroker."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from corrie_spark.sources.amqp import (
+    AmqpShardedQueueReader,
+    FakeAmqpBroker,
+    register_amqp_sharded_queue,
+)
+
+
+def test_broker_fifo_ack_nack_reconnect(tmp_path):
+    b = FakeAmqpBroker(str(tmp_path))
+    for i in range(4):
+        b.publish("q.0", f"m{i}")
+    got = b.consume("q.0", 2)
+    assert [g[1] for g in got] == ["m0", "m1"]
+    assert not any(g[2] for g in got)
+    b.ack("q.0", got[0][0])
+    b.nack("q.0", got[1][0])  # back to the head, marked redelivered
+    got2 = b.consume("q.0", 10)
+    assert [(g[1], g[2]) for g in got2] == [("m1", True), ("m2", False), ("m3", False)]
+    assert b.unacked_count("q.0") == 3
+    b.drop_connection()  # unacked window returns to the queue in order
+    assert b.unacked_count("q.0") == 0
+    got3 = b.consume("q.0", 10)
+    assert [(g[1], g[2]) for g in got3] == [("m1", True), ("m2", True), ("m3", True)]
+
+
+def _opts(tmp_path, **extra):
+    o = {
+        "broker": str(tmp_path / "broker"),
+        "queue": "corrie",
+        "shards": "1",
+        "stateDir": str(tmp_path / "state"),
+    }
+    o.update(extra)
+    return o
+
+
+def test_reader_ack_after_commit_and_crash_redelivery(tmp_path):
+    b = FakeAmqpBroker(str(tmp_path / "broker"))
+    for i in range(5):
+        b.publish("corrie.0", f"m{i}")
+
+    r = AmqpShardedQueueReader(_opts(tmp_path))
+    assert r.initialOffset() == {"0": 0}
+    it, end = r.read({"0": 0})
+    rows = list(it)
+    assert end == {"0": 5}
+    assert [x[2] for x in rows] == [f"m{i}" for i in range(5)]  # FIFO
+    # nothing acked before commit: the whole batch is the unacked window
+    assert b.unacked_count("corrie.0") == 5
+    r.commit({"0": 3})  # checkpoint committed through offset 3
+    assert b.unacked_count("corrie.0") == 2
+
+    # crash: reader lost with 2 unacked; connection drops
+    b.drop_connection()
+    r2 = AmqpShardedQueueReader(_opts(tmp_path))
+    # persisted high-water: offsets are never reused after restart
+    assert r2.initialOffset() == {"0": 5}
+    it2, end2 = r2.read({"0": 5})
+    rows2 = list(it2)
+    assert end2 == {"0": 7}
+    assert [x[2] for x in rows2] == ["m3", "m4"]  # redelivered tail, order kept
+    assert all(x[3].endswith("-r") for x in rows2)  # marked redelivered
+    r2.commit(end2)
+    assert b.unacked_count("corrie.0") == 0
+    assert b.pending_count("corrie.0") == 0
+
+
+def test_replay_of_lost_batch_is_empty_not_lost(tmp_path):
+    """Spark replaying a checkpointed-but-lost batch range against a
+    fresh reader yields no rows (the prefetched data died with the old
+    driver) — the messages themselves come back via broker redelivery
+    at fresh offsets, so nothing is lost and nothing crashes."""
+    b = FakeAmqpBroker(str(tmp_path / "broker"))
+    for i in range(3):
+        b.publish("corrie.0", f"m{i}")
+    r = AmqpShardedQueueReader(_opts(tmp_path))
+    _it, end = r.read({"0": 0})
+    assert end == {"0": 3}
+    # crash before commit; new reader asked to replay [0, 3)
+    b.drop_connection()
+    r2 = AmqpShardedQueueReader(_opts(tmp_path))
+    assert list(r2.readBetweenOffsets({"0": 0}, {"0": 3})) == []
+    it2, end2 = r2.read({"0": 3})
+    rows = list(it2)
+    assert sorted(x[2] for x in rows) == ["m0", "m1", "m2"]  # redelivered
+    assert end2 == {"0": 6}  # fresh offsets — never reused
+
+
+@pytest.mark.usefixtures("spark")
+def test_stream_end_to_end_without_spool(spark, tmp_path):
+    """S1/S4 live-consume: a streaming query drains two broker shards
+    with no spool directory; after termination every delivery is acked
+    (ack-after-checkpoint) and per-shard FIFO held."""
+    broker_root = str(tmp_path / "broker")
+    b = FakeAmqpBroker(broker_root)
+    for s in range(2):
+        for i in range(10):
+            b.publish(f"corrie.{s}", json.dumps({"Query": "q", "Data": [str(s), str(i)]}))
+
+    register_amqp_sharded_queue(spark)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        df = (
+            spark.readStream.format("amqp_sharded_queue")
+            .option("broker", broker_root)
+            .option("queue", "corrie")
+            .option("shards", "2")
+            .option("stateDir", str(tmp_path / "state"))
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    rows = drain()
+    assert len(rows) == 20
+    by_shard: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.offset)):
+        by_shard.setdefault(r.shard, []).append(json.loads(r.body)["Data"][1])
+    assert by_shard == {0: [str(i) for i in range(10)], 1: [str(i) for i in range(10)]}
+    # acks lag one trigger: Spark calls source.commit(batch N) when
+    # batch N+1 executes, so the first batch is still unacked here
+    assert b.unacked_count("corrie.0") == 10
+    # new messages arrive; the next batch commits batch 0 -> the
+    # engine acks the first 20 through the real commit path, and
+    # nothing is re-emitted (no duplicates, K10)
+    b.publish("corrie.0", json.dumps({"Query": "q", "Data": ["0", "10"]}))
+    b.publish("corrie.1", json.dumps({"Query": "q", "Data": ["1", "10"]}))
+    rows2 = drain()
+    assert len(rows2) == 22
+    assert b.unacked_count("corrie.0") == 1  # only the new message
+    assert b.unacked_count("corrie.1") == 1
+    # operational drain of the tail window: ack through the reader's
+    # commit() on the shared stateDir (what the next trigger would do)
+    tail = AmqpShardedQueueReader(
+        _opts(tmp_path, shards="2", broker=broker_root)
+    )
+    tail.commit(tail.initialOffset())
+    assert b.unacked_count("corrie.0") == 0
+    assert b.unacked_count("corrie.1") == 0
+    assert b.pending_count("corrie.0") == 0

@@ -128,3 +128,54 @@ def test_pipeline_over_sharded_queue(spark, tmp_path, queue_dir):
     assert spark.read.parquet(str(tmp_path / "out" / "db.metrics")).count() == 4
     [dead] = spark.read.parquet(str(tmp_path / "dlq")).collect()
     assert dead.raw_body == "not json at all"
+
+
+def test_offset_probe_incremental(tmp_path):
+    """The latestOffset probe is O(new data): files whose byte size is
+    unchanged since the last trigger are never re-opened (their line
+    count is cached), and read() only opens files overlapping the
+    slice — not the consumed prefix."""
+    import builtins
+
+    from corrie_spark.sources.sharded_queue import ShardedQueueStreamReader, ShardSlice
+
+    d = tmp_path / "q" / "shard-0"
+    os.makedirs(d)
+    for seq in range(5):
+        with open(d / f"{seq:03d}.jsonl", "w") as f:
+            f.write("\n".join(f"m{seq}-{i}" for i in range(100)) + "\n")
+
+    reader = ShardedQueueStreamReader({"path": str(tmp_path / "q")})
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def counting_open(path, *a, **kw):
+        if str(path).endswith(".jsonl"):
+            opened.append(os.path.basename(str(path)))
+        return real_open(path, *a, **kw)
+
+    builtins.open = counting_open
+    try:
+        assert reader.latestOffset() == {"0": 500}
+        assert len(opened) == 5  # first probe counts everything
+        opened.clear()
+        assert reader.latestOffset() == {"0": 500}
+        assert opened == []  # steady state: zero re-reads
+        # append a new file + grow an existing one
+        with real_open(d / "005.jsonl", "w") as f:
+            f.write("new0\nnew1\n")
+        with real_open(d / "004.jsonl", "a") as f:
+            f.write("grown\n")
+        opened.clear()
+        assert reader.latestOffset() == {"0": 503}
+        assert sorted(opened) == ["004.jsonl", "005.jsonl"]  # only changed files
+        # read() seeks via the planning-time index: consuming the tail
+        # slice [499, 503) opens only the files that overlap it
+        [part] = reader.partitions({"0": 499}, {"0": 503})
+        opened.clear()
+        rows = list(reader.read(part))
+        assert [r[2] for r in rows] == ["m4-99", "grown", "new0", "new1"]
+        assert [r[1] for r in rows] == [499, 500, 501, 502]
+        assert sorted(set(opened)) == ["004.jsonl", "005.jsonl"]
+    finally:
+        builtins.open = real_open
