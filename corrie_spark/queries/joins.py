@@ -575,3 +575,108 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+_Q17_ORACLE = """
+SELECT
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0e0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.5e0 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from below-half-average-quantity orders
+    of one brand — the scalar CORRELATED subquery family (avg quantity
+    per part referenced from the outer predicate).
+
+    Expressed as SQL so Catalyst's decorrelation does the planning:
+    the correlated aggregate becomes a per-part aggregation joined
+    back on l_partkey — two co-partitioned shuffles on partkey plus a
+    broadcast of the filtered `part` dim. At 100 TB the failure mode
+    this guards against is decorrelation falling back to a
+    BroadcastNestedLoopJoin re-executing the subquery per row;
+    tests/test_plans.py pins that no NestedLoop appears.
+
+    Determinism: the threshold is computed identically in both engines
+    (exact DECIMAL(18,6) sum -> one double division -> one double
+    multiply), so boundary rows cannot flip.
+    """
+    return spark.sql(
+        """
+        SELECT
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0e0 AS DOUBLE) AS avg_yearly
+        FROM {lineitem} li
+        JOIN {part} ON p_partkey = li.l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND li.l_quantity < (
+            SELECT 0.5e0 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+            FROM {lineitem} l2 WHERE l2.l_partkey = p_partkey
+          )
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        part=load(spark, sf_dir, "part"),
+    )
+
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT pl.l_suppkey FROM (
+    SELECT l_suppkey, l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS part_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey, l_partkey
+  ) pl
+  WHERE CAST(pl.part_qty AS DOUBLE) > 0.3e0 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+    FROM lineitem l2 WHERE l2.l_partkey = pl.l_partkey
+  )
+)
+"""
+
+
+@register("q20_dominant_suppliers", oracle=_Q20_ORACLE)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested-EXISTS chain: suppliers who moved more
+    than 30% of total volume of some 'small%' part — an IN-semi-join
+    whose inner block is itself an aggregation over an IN-semi-join
+    with a CORRELATED scalar subquery.
+
+    Plan shape after decorrelation: part-name filter broadcast-semi
+    into lineitem, per-(supp,part) partial agg, per-part total agg
+    joined back on partkey (co-partitioned shuffle), then a left-semi
+    into the 100-row supplier dim. No nested-loop anywhere
+    (tests/test_plans.py), no fact-side duplication — the shape that
+    survives 100 TB.
+    """
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM {supplier}
+        WHERE s_suppkey IN (
+          SELECT pl.l_suppkey FROM (
+            SELECT l_suppkey, l_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,6))) AS part_qty
+            FROM {lineitem}
+            WHERE l_partkey IN (SELECT p_partkey FROM {part} WHERE p_name LIKE 'small%')
+            GROUP BY l_suppkey, l_partkey
+          ) pl
+          WHERE CAST(pl.part_qty AS DOUBLE) > 0.3e0 * (
+            SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            FROM {lineitem} l2 WHERE l2.l_partkey = pl.l_partkey
+          )
+        )
+        """,
+        supplier=load(spark, sf_dir, "supplier"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+        part=load(spark, sf_dir, "part"),
+    )

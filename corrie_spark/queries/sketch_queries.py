@@ -89,3 +89,73 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.99e0)").alias("p99_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+_PCT_APPROX_ORACLE = """
+SELECT l_returnflag,
+  COUNT(*) AS n_rows,
+  TRUE AS p50_qty_in_bound,
+  TRUE AS p95_qty_in_bound,
+  TRUE AS p99_price_in_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q_percentiles_approx", oracle=_PCT_APPROX_ORACLE)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path q_percentiles promises: approx_percentile
+    (t-digest-style sketch, mergeable partials, no per-group sort)
+    with its rank-error contract VERIFIED IN-ENGINE.
+
+    approx_percentile(x, q, acc) guarantees the returned value's rank
+    r satisfies |r - q*N| <= N/acc. The digest itself is
+    engine-specific, so the cross-engine row carries the measured
+    INVARIANT, not the estimate: for each group we re-rank the
+    estimate against the data (count of values </<= it — one extra
+    broadcast join + aggregate, no sort) and emit whether the rank
+    window [cnt_lt+1, cnt_le] intersects [q*N - N/acc, q*N + N/acc]
+    (±1 slack for interpolation at the boundary). The DuckDB oracle
+    computes the bound's expected outcome (TRUE) and N — if Spark's
+    sketch ever violated its error contract, the row would mismatch.
+    """
+    acc = 1000
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_quantity, array(0.5e0, 0.95e0), {acc})").alias("aq"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.99e0, {acc})").alias("ap99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    j = li.join(F.broadcast(approx), "l_returnflag")
+
+    def ranks(value_col, est):
+        return (
+            F.sum(F.when(F.col(value_col) < est, 1).otherwise(0)),
+            F.sum(F.when(F.col(value_col) <= est, 1).otherwise(0)),
+        )
+
+    lt50, le50 = ranks("l_quantity", F.col("aq")[0])
+    lt95, le95 = ranks("l_quantity", F.col("aq")[1])
+    lt99, le99 = ranks("l_extendedprice", F.col("ap99"))
+    ranked = j.groupBy("l_returnflag").agg(
+        F.first("n_rows").alias("n_rows"),
+        lt50.alias("lt50"), le50.alias("le50"),
+        lt95.alias("lt95"), le95.alias("le95"),
+        lt99.alias("lt99"), le99.alias("le99"),
+    )
+
+    def in_bound(lt, le, q):
+        n = F.col("n_rows")
+        lo = q * n - n / acc - F.lit(1.0)
+        hi = q * n + n / acc + F.lit(1.0)
+        return (F.col(le) >= lo) & (F.col(lt) + 1 <= hi)
+
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        in_bound("lt50", "le50", F.lit(0.5)).alias("p50_qty_in_bound"),
+        in_bound("lt95", "le95", F.lit(0.95)).alias("p95_qty_in_bound"),
+        in_bound("lt99", "le99", F.lit(0.99)).alias("p99_price_in_bound"),
+    )

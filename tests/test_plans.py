@@ -207,3 +207,25 @@ def test_retention_operates_on_user_days(spark):
     partitioning across distinct/cohort/join stages."""
     df = all_queries()["q_cohort_retention"](spark, SF_CORRECT)
     assert count_shuffles(df) <= 5
+
+
+def test_correlated_subqueries_decorrelate_no_nested_loop(spark):
+    """Q17/Q20: Catalyst must DECORRELATE the scalar subqueries into
+    per-part aggregate joins — a BroadcastNestedLoopJoin or cartesian
+    re-executing the subquery per outer row is the 100 TB killer."""
+    from corrie_spark.plans.inspect import explain_str
+
+    q17 = all_queries()["q17_small_quantity_revenue"](spark, SF_CORRECT)
+    s17 = explain_str(q17)
+    assert "BroadcastNestedLoopJoin" not in s17
+    assert "CartesianProduct" not in s17
+    # the correlated avg becomes a per-partkey aggregate joined back
+    assert "l_partkey" in s17 and "HashAggregate" in s17
+    # the part dim is broadcast, the fact side is not
+    assert has_broadcast_join(q17)
+
+    q20 = all_queries()["q20_dominant_suppliers"](spark, SF_CORRECT)
+    s20 = explain_str(q20)
+    assert "BroadcastNestedLoopJoin" not in s20
+    assert "CartesianProduct" not in s20
+    assert "LeftSemi" in s20  # IN-chains plan as semi joins, no dup
