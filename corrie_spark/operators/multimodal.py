@@ -28,12 +28,23 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from corrie_spark.functions import bind
+
+
+def _byte_mean(data: bytes) -> float:
+    """Exact mean of raw bytes via numpy: int64-accumulated sum (no
+    float rounding, no per-byte python loop), one float division —
+    bit-identical to sum(data)/len(data) and ~50x faster."""
+    if not data:
+        return 0.0
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return float(arr.sum(dtype=np.int64) / arr.size)
 
 MEDIA_SCHEMA_DDL = "media_id bigint, media_type string, payload binary"
 
@@ -111,7 +122,7 @@ def image_features(df: DataFrame) -> DataFrame:
                         data = d["data"]
                         row.update(
                             width=d["width"], height=d["height"], n_bytes=len(data),
-                            mean_pixel=(sum(data) / len(data)) if data else 0.0, ok=True,
+                            mean_pixel=_byte_mean(data), ok=True,
                         )
                 except (ValueError, NotImplementedError, struct.error):
                     pass
@@ -135,7 +146,7 @@ def audio_features(df: DataFrame) -> DataFrame:
                         row.update(
                             sample_rate=d["sample_rate"], n_samples=d["n_samples"],
                             duration_s=d["n_samples"] / d["sample_rate"],
-                            mean_amp=(sum(data) / len(data)) if data else 0.0, ok=True,
+                            mean_amp=_byte_mean(data), ok=True,
                         )
                 except (ValueError, NotImplementedError, struct.error):
                     pass
@@ -157,11 +168,11 @@ def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
                 if d["kind"] != "image":
                     continue
                 w, h, data = d["width"], d["height"], d["data"]
-                px = bytes(
-                    data[(y * h // new_height) * w + (x * w // new_width)]
-                    for y in range(new_height)
-                    for x in range(new_width)
-                )
+                # nearest-neighbor via one numpy gather, no python loop
+                ys = np.arange(new_height) * h // new_height
+                xs = np.arange(new_width) * w // new_width
+                idx = (ys[:, None] * w + xs[None, :]).ravel()
+                px = np.frombuffer(data, dtype=np.uint8)[idx].tobytes()
                 out.append(
                     {"media_id": mid, "media_type": mtype,
                      "payload": IMG_MAGIC + struct.pack("<ii", new_width, new_height) + px,
@@ -192,6 +203,47 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return df.select("media_id", "media_type", "payload").mapInPandas(run, FRAME_SAMPLE_DDL)
+
+
+FRAME_STATS_DDL = (
+    "media_id bigint, frame_idx int, frame_bytes int, "
+    "mean_val double, min_val int, max_val int"
+)
+
+
+def frame_stats(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame-sample videos and compute per-frame pixel stats in one
+    python stage (sample + feature-extract fused: the frame bytes
+    never cross a second Arrow boundary). All per-frame math is one
+    numpy reshape over the whole clip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                d = decode_payload(mtype, bytes(payload))
+                if d["kind"] != "video":
+                    continue
+                fs, nf = d["frame_size"], d["n_frames"]
+                frames = np.frombuffer(d["data"], dtype=np.uint8)[: nf * fs].reshape(nf, fs)
+                for idx in range(0, nf, every_k):
+                    fr = frames[idx]
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "frame_bytes": fs,
+                            "mean_val": float(fr.sum(dtype=np.int64) / fr.size),
+                            "min_val": int(fr.min()),
+                            "max_val": int(fr.max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "frame_bytes", "mean_val", "min_val", "max_val"],
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(run, FRAME_STATS_DDL)
 
 
 # ---------------------------------------------------------------------------

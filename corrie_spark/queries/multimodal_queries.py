@@ -75,3 +75,29 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same corpus; image/video rows -> ok=false."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return M.audio_features(M.synth_media(docs))
+
+
+_FRAME_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  f.frame_idx,
+  CAST({_W} * {_H} AS INT) AS frame_bytes,
+  CAST(list_sum(list_transform(range(f.frame_idx * {_W} * {_H}, (f.frame_idx + 1) * {_W} * {_H}),
+       i -> ((doc_id + i) * 13 + 11) % 256)) AS DOUBLE) / ({_W} * {_H}) AS mean_val,
+  CAST(list_min(list_transform(range(f.frame_idx * {_W} * {_H}, (f.frame_idx + 1) * {_W} * {_H}),
+       i -> ((doc_id + i) * 13 + 11) % 256)) AS INT) AS min_val,
+  CAST(list_max(list_transform(range(f.frame_idx * {_W} * {_H}, (f.frame_idx + 1) * {_W} * {_H}),
+       i -> ((doc_id + i) * 13 + 11) % 256)) AS INT) AS max_val
+FROM documents, (SELECT unnest([0, 2]) AS frame_idx) f
+WHERE doc_id % 3 = 2
+"""
+
+
+@register("q_multimodal_frame_stats", oracle=_FRAME_ORACLE)
+def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sample (every 2nd of 4 frames) fused with per-frame
+    pixel stats — the explode-then-featurize stage of a video
+    pipeline, checked in closed form against the fake codec's
+    arithmetic. Shuffle-free map pipeline like the other media ops."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return M.frame_stats(M.synth_media(docs), every_k=2)
