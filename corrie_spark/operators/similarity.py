@@ -217,24 +217,12 @@ def embedding_near_dups(
     )
 
 
-def ivf_centroids(
-    corpus: DataFrame,
-    cell_col: str = "label",
-    vec_col: str = "embedding",
-    dim: int = 64,
-) -> DataFrame:
-    """IVF coarse quantizer: one centroid per cell (floor of the
-    per-dimension mean of quantized vectors — exact integers, so every
-    engine computes identical centroids).
-
-    The per-dim mean is 64 parallel SUM aggregates (pure map-side
-    combine, shuffle of #cells x 64 longs — trivially small at any
-    scale). Cells here come from a label column; in production the
-    cell id is whatever coarse partitioner you train offline (k-means
-    assignments stored alongside the vectors).
-    """
-    q = corpus.select(F.col(cell_col).alias("cell"), quantize(F.col(vec_col)).alias("qv"))
-    sums = q.groupBy("cell").agg(
+def _centroids_of(assigned: DataFrame, dim: int = 64) -> DataFrame:
+    """(cell, qv) rows -> (cell, centroid): floor of the per-dimension
+    mean of quantized vectors — exact integers, so every engine
+    computes identical centroids. 64 parallel SUMs, pure map-side
+    combine, shuffle payload #cells x 64 longs."""
+    sums = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
     )
@@ -242,6 +230,68 @@ def ivf_centroids(
         *[F.floor(F.col(f"s{i}") / F.col("n")).cast("bigint") for i in range(dim)]
     )
     return sums.select("cell", centroid.alias("centroid"))
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF coarse quantizer from a pre-assigned cell column (a label,
+    or kmeans_cells output joined back). See _centroids_of for the
+    exact-integer argument."""
+    q = corpus.select(F.col(cell_col).alias("cell"), quantize(F.col(vec_col)).alias("qv"))
+    return _centroids_of(q, dim)
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each (vid, qv) row to its nearest centroid by exact
+    integer squared euclidean distance: argmin_c ||c||^2 - 2 v.c
+    (||v||^2 is constant per vector), ties to the lowest cell id —
+    fully deterministic. Centroids are broadcast (#cells rows); the
+    vector side never shuffles."""
+    from pyspark.sql.window import Window
+
+    cost = int_norm_sq(F.col("centroid")) - 2 * int_dot(F.col("qv"), F.col("centroid"))
+    w = Window.partitionBy("vid").orderBy(F.col("cost").asc(), F.col("cell").asc())
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("cost", cost)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vid", "qv", "cell")
+    )
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Train IVF cells with Lloyd iterations in pure DataFrame ops:
+    deterministic md5-bucket init (the classic random-partition init,
+    but reproducible across engines and cluster sizes), then n_iters
+    rounds of (integer floor-mean centroids -> nearest-centroid
+    reassignment). Everything is exact BIGINT arithmetic, so the
+    trained assignment is bit-identical in any engine — the DuckDB
+    oracle replays the same iterations.
+
+    Scale shape per round: one tiny groupBy shuffle (#cells x dim
+    longs) + one broadcast join over the vector scan. Returns
+    (vid, qv, cell). A cell that loses all members simply disappears
+    (deterministic in both engines)."""
+    q = corpus.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
+    md5i = F.conv(
+        F.substring(F.md5(F.col("vid").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    assigned = q.withColumn("cell", (md5i % n_cells).cast("int"))
+    for _ in range(n_iters):
+        assigned = kmeans_assign(q, _centroids_of(assigned, dim))
+    return assigned
 
 
 def ivf_topk(
@@ -296,4 +346,27 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "dot")
+    )
+
+
+def ivf_topk_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN over TRAINED cells: kmeans_cells replaces the label
+    column — the full in-engine pipeline (train coarse quantizer ->
+    build inverted file -> probe). Same probe shape as ivf_topk."""
+    cells = kmeans_cells(corpus, n_cells, n_iters, id_col, vec_col, dim).select(
+        F.col("vid").alias(id_col), F.col("cell").alias("trained_cell")
+    )
+    corpus2 = corpus.join(cells, id_col)
+    return ivf_topk(
+        queries, corpus2, k, nprobe, id_col, vec_col, cell_col="trained_cell", dim=dim
     )

@@ -263,3 +263,141 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- k-means-trained IVF (Lloyd in DataFrame ops; oracle replays it) ------
+
+_KM_CELLS = 8
+_KM_ITERS = 2
+
+
+def _km_ctes(n_iters: int) -> str:
+    """CTE chain a0..a{n}: the DuckDB replay of kmeans_cells — same
+    md5-bucket init, same exact-integer floor-mean centroids, same
+    argmin(||c||^2 - 2 v.c) assignment with ties to the lowest cell."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, 65), i -> c.centroid[i] * c.centroid[i])) AS BIGINT)"
+        " - 2 * CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * c.centroid[i])) AS BIGINT)"
+    )
+    parts = [
+        "a0 AS (SELECT vec_id, qv, CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {_KM_CELLS} AS INT) AS cell FROM base)"
+    ]
+    for t in range(n_iters):
+        parts.append(
+            f"kcent{t} AS (SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM a{t} GROUP BY cell)"
+        )
+        parts.append(f"kcentv{t} AS (SELECT cell, [{_CENT_LIST}] AS centroid FROM kcent{t})")
+        parts.append(
+            f"a{t + 1} AS (SELECT vec_id, qv, cell FROM ("
+            "SELECT b.vec_id, b.qv, c.cell, ROW_NUMBER() OVER ("
+            f"PARTITION BY b.vec_id ORDER BY {dist} ASC, c.cell ASC) AS r "
+            f"FROM base b CROSS JOIN kcentv{t} c) t WHERE r = 1)"
+        )
+    return ",\n".join(parts)
+
+
+_KM_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+{_km_ctes(_KM_ITERS)}
+SELECT vec_id, cell FROM a{_KM_ITERS}
+"""
+
+
+@register("q_sim_kmeans_cells", oracle=_KM_ORACLE)
+def q_sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-trained IVF cell assignment (2 iterations, 8 cells) —
+    the coarse-quantizer trainer run IN-ENGINE instead of relying on a
+    label column. Exact integer arithmetic end to end, so the full
+    training trajectory (not just the final metric) is oracle-checked
+    bit-for-bit. Per round: one #cells x dim shuffle + one broadcast
+    assign over the vector scan — no all-pairs, no vector shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.kmeans_cells(emb, n_cells=_KM_CELLS, n_iters=_KM_ITERS).select(
+        F.col("vid").alias("vec_id"), "cell"
+    )
+
+
+_TRAINED_RECALL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+{_km_ctes(_KM_ITERS)},
+q AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id < 5),
+exact_s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN q WHERE b.vec_id <> query_id
+),
+exact_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM exact_s
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_r WHERE rnk <= 10),
+fcent AS (
+  SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM a{_KM_ITERS} GROUP BY cell
+),
+fcentv AS (SELECT cell, [{_CENT_LIST}] AS centroid FROM fcent),
+probe AS (
+  SELECT query_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                i -> q_vec[i] * centroid[i])) AS BIGINT) DESC, cell) AS cell_rnk
+  FROM q CROSS JOIN fcentv
+),
+ivf_s AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+              i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM probe JOIN a{_KM_ITERS} USING (cell) JOIN q USING (query_id)
+  WHERE cell_rnk <= {_NPROBE} AND vec_id <> query_id
+),
+ivf_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM ivf_s
+),
+approx AS (SELECT query_id, neighbor_id FROM ivf_r WHERE rnk <= 10)
+SELECT t.query_id,
+       COUNT(*) AS k_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_10
+FROM truth t
+LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@register("q_sim_ivf_trained_recall", oracle=_TRAINED_RECALL_ORACLE)
+def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of IVF over Lloyd-TRAINED cells vs brute-force truth
+    — the end-to-end gate for the in-engine trainer
+    (tests/test_kmeans.py additionally pins trained-recall >= the
+    label-cell recall of q_sim_ivf_recall)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = S.brute_force_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    approx = S.ivf_topk_trained(
+        q, emb, k=10, nprobe=_NPROBE, n_cells=_KM_CELLS, n_iters=_KM_ITERS
+    ).select("query_id", F.col("neighbor_id").alias("hit_id"))
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_truth"),
+            F.sum(hit).cast("bigint").alias("k_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

@@ -1,0 +1,83 @@
+"""Lloyd-trained IVF cells: determinism, convergence quality (trained
+recall must not lose to the label-column cells it replaces), and plan
+shape (broadcast assignment, no vector shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import similarity as S
+from corrie_spark.queries.registry import all_queries
+from corrie_spark.tables import load
+from tests.conftest import SF_CORRECT
+
+
+def _avg_recall(df) -> float:
+    rows = df.collect()
+    return sum(r["recall_at_10"] for r in rows) / len(rows)
+
+
+def test_trained_recall_at_least_label_recall(spark):
+    """The r1 gap: IVF cells came from a label column, not a trainer.
+    The trained coarse quantizer must match or beat it on recall@10
+    (Lloyd tightens cells around the actual vector geometry)."""
+    qs = all_queries()
+    label = _avg_recall(qs["q_sim_ivf_recall"](spark, SF_CORRECT))
+    trained = _avg_recall(qs["q_sim_ivf_trained_recall"](spark, SF_CORRECT))
+    assert trained >= label, f"trained {trained} < label {label}"
+
+
+def test_kmeans_deterministic_and_total(spark):
+    """Same input -> identical assignment (md5 init, integer floor-mean
+    centroids, tie-break on cell id), and every vector gets exactly one
+    cell."""
+    emb = load(spark, SF_CORRECT, "embeddings")
+    a = {r["vid"]: r["cell"] for r in S.kmeans_cells(emb).collect()}
+    b = {r["vid"]: r["cell"] for r in S.kmeans_cells(emb).collect()}
+    assert a == b
+    assert len(a) == emb.count()
+    assert len(set(a.values())) > 1  # it actually partitions
+
+
+def test_kmeans_iteration_reduces_cost(spark):
+    """Lloyd invariant: total squared distance to the assigned
+    centroid is non-increasing across iterations (here: strictly
+    improves from the random md5 init)."""
+    emb = load(spark, SF_CORRECT, "embeddings")
+
+    def cost_of(assigned):
+        cents = S._centroids_of(assigned)
+        j = assigned.join(F.broadcast(cents), "cell")
+        c = (
+            S.int_norm_sq(F.col("qv"))
+            + S.int_norm_sq(F.col("centroid"))
+            - 2 * S.int_dot(F.col("qv"), F.col("centroid"))
+        )
+        return j.agg(F.sum(c)).first()[0]
+
+    init = S.kmeans_cells(emb, n_iters=0)
+    one = S.kmeans_cells(emb, n_iters=1)
+    two = S.kmeans_cells(emb, n_iters=2)
+    c0, c1, c2 = cost_of(init), cost_of(one), cost_of(two)
+    assert c1 < c0
+    assert c2 <= c1
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The assign step must broadcast the centroid side; the vector
+    scan must not shuffle (scale contract of the trainer)."""
+    from corrie_spark.plans import count_shuffles, has_broadcast_join
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q_sim_kmeans_cells"](spark, SF_CORRECT)
+    s = explain_str(df)
+    # the deliberate keyless assign join broadcasts the #cells-row
+    # centroid side (BroadcastNestedLoopJoin over a BroadcastExchange
+    # is the correct plan for a tiny-side cross join); the vector side
+    # is never the build side and never exchanges on a non-vid key
+    assert "BroadcastExchange" in s
+    assert "BuildRight" in s
+    # per round: one #cells-row centroid shuffle + the per-vid
+    # assignment window exchange; bounded regardless of corpus size
+    assert count_shuffles(df) <= 2 * 2 + 1
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in s
