@@ -77,6 +77,7 @@ class CHType:
     element: "CHType | None" = None
     key: "CHType | None" = None  # Map key type
     elements: "tuple[CHType, ...] | None" = None  # Tuple member types
+    tz: str | None = None  # DateTime('tz') column/server timezone
 
 
 class UnsupportedTypeError(ValueError):
@@ -92,7 +93,7 @@ _ARRAY_RE = re.compile(r"^Array\s*\((.*)\)$", re.S)
 _MAP_RE = re.compile(r"^Map\s*\((.*)\)$", re.S)
 _TUPLE_RE = re.compile(r"^Tuple\s*\((.*)\)$", re.S)
 _NULLABLE_RE = re.compile(r"^Nullable\s*\((.*)\)$", re.S)
-_DT_TZ_RE = re.compile(r"^DateTime\s*\(\s*'[^']*'\s*\)$")
+_DT_TZ_RE = re.compile(r"^DateTime\s*\(\s*'([^']*)'\s*\)$")
 
 
 def parse_ch_type(s: str) -> CHType:
@@ -101,8 +102,9 @@ def parse_ch_type(s: str) -> CHType:
     s = s.strip()
     if s in _SIMPLE_TO_SPARK:
         return CHType(name=s, base=s, spark_ddl=_SIMPLE_TO_SPARK[s])
-    if _DT_TZ_RE.match(s):
-        return CHType(name=s, base="DateTime", spark_ddl="timestamp")
+    m = _DT_TZ_RE.match(s)
+    if m:
+        return CHType(name=s, base="DateTime", spark_ddl="timestamp", tz=m.group(1))
     m = _NULLABLE_RE.match(s)
     if m:
         inner = parse_ch_type(m.group(1))
@@ -256,8 +258,17 @@ def coerce(c: Column, t: CHType) -> tuple[Column, Column]:
         return v, not_null & v.isNotNull()
     if t.base == "DateTime":
         # driver accepts '2006-01-02' and '2006-01-02 15:04:05'
-        # (datetime.go:41-68) plus epoch seconds
-        v = F.coalesce(c.try_cast("timestamp"), c.try_cast("bigint").cast("timestamp"))
+        # (datetime.go:41-68) plus epoch seconds. A bare integer is
+        # ALWAYS epoch seconds (never a year): absolute instant. A
+        # DateTime('tz') column applies the column/server timezone to
+        # TEXT forms only (datetime.go:21 reads through the server
+        # TZ): the wall-clock string is reinterpreted in t.tz and
+        # stored as the UTC instant.
+        is_epoch = c.rlike(r"^[+-]?[0-9]+$")
+        txt = F.when(~is_epoch, c).otherwise(F.lit(None)).try_cast("timestamp")
+        if t.tz:
+            txt = F.to_utc_timestamp(txt, t.tz)
+        v = F.coalesce(txt, c.try_cast("bigint").cast("timestamp"))
         return v, not_null & v.isNotNull()
     if t.base in ("Enum8", "Enum16"):
         mapping = F.create_map(
@@ -337,6 +348,15 @@ def coerce(c: Column, t: CHType) -> tuple[Column, Column]:
             valid = valid & ok_i
         return F.struct(*vs), valid
     raise UnsupportedTypeError(f"no coercion for {t.name}")
+
+
+def datetime_in_column_tz(c: Column, t: CHType) -> Column:
+    """Read-side twin of the DateTime('tz') coercion: render a stored
+    UTC instant as wall-clock in the column/server timezone — the
+    reference driver applies the server TZ on every read
+    (lib/column/datetime.go:21). No-op for tz-less DateTime (UTC
+    sessions everywhere in this engine)."""
+    return F.from_utc_timestamp(c, t.tz) if t.tz else c
 
 
 def bool_to_wire(c: Column) -> Column:

@@ -206,3 +206,28 @@ def test_tuple_type_parse_and_coerce(spark):
     assert not any(r.ok for r in rows[1:])
     nested = parse_ch_type("Tuple(Array(Int32), Map(String, Int64))")
     assert nested.spark_ddl == "struct<_1:array<int>,_2:map<string,bigint>>"
+
+
+def test_datetime_column_timezone(spark):
+    """DateTime('tz') applies the column/server timezone to TEXT input
+    (reinterpret wall-clock in tz -> UTC instant) and on read
+    (datetime.go:21); epoch-seconds input is already absolute and must
+    NOT be shifted."""
+    t = chtypes.parse_ch_type("DateTime('Asia/Tokyo')")
+    assert t.tz == "Asia/Tokyo"
+    got = _coerce(spark, ["2026-01-15 09:00:00", "3600", "nope"], "DateTime('Asia/Tokyo')")
+    # 09:00 Tokyo == 00:00 UTC (UTC session renders the instant directly)
+    assert got[0][1] is True and got[0][0].isoformat().startswith("2026-01-15T00:00:00")
+    # epoch seconds: absolute instant, no tz shift
+    assert got[1][1] is True and got[1][0].isoformat().startswith("1970-01-01T01:00:00")
+    assert got[2][1] is False
+
+    # read-side: render the stored instant back in the column tz
+    df = spark.createDataFrame([("2026-01-15 09:00:00",)], "v string")
+    val, _ok = chtypes.coerce(F.col("v"), t)
+    back = df.select(chtypes.datetime_in_column_tz(val, t).alias("w")).first()["w"]
+    assert back.isoformat().startswith("2026-01-15T09:00:00")
+
+    # tz-less DateTime unchanged (session tz = UTC)
+    plain = _coerce(spark, ["2026-01-15 09:00:00"], "DateTime")
+    assert plain[0][0].isoformat().startswith("2026-01-15T09:00:00")

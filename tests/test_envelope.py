@@ -115,3 +115,68 @@ def test_parameterized_sql_binding(spark):
     assert [r.id for r in named] == [1]
     positional = spark.sql("SELECT id FROM k3_t WHERE id > ?", args=[1]).collect()
     assert [r.id for r in positional] == [2]
+
+
+def test_placeholder_binding_matrix(spark):
+    """K3 edge-case matrix (reference textual substitution with
+    quoting, stmt.go:104-155 + quote(), helpers.go:119-135): the
+    quirky inputs that break naive string interpolation must bind
+    correctly through Spark parameterized SQL — escaped quotes,
+    backslashes, newlines, placeholder-looking strings, unicode,
+    NULLs, and named-marker reuse."""
+    tricky = [
+        (1, "a'b"),            # single quote
+        (2, "a''b"),           # doubled quote
+        (3, "a\\'b"),          # backslash-quote (the classic injection shape)
+        (4, 'he said "hi"'),   # double quotes
+        (5, "line1\nline2"),   # newline
+        (6, "tab\tend"),       # tab
+        (7, "?"),              # looks like a positional marker
+        (8, ":v"),             # looks like a named marker
+        (9, "100% legit_"),    # LIKE metacharacters stay literal under =
+        (10, "héllo⊕wörld"),   # unicode
+        (11, None),            # NULL
+    ]
+    df = spark.createDataFrame(tricky, "id int, s string")
+    df.createOrReplaceTempView("k3_matrix")
+
+    # every tricky value round-trips through a bound equality
+    for id_, s in tricky:
+        if s is None:
+            continue
+        got = spark.sql(
+            "SELECT id FROM k3_matrix WHERE s = :v", args={"v": s}
+        ).collect()
+        assert [r.id for r in got] == [id_], f"binding failed for {s!r}"
+
+    # positional markers bind in order, values never re-parsed as SQL
+    got = spark.sql(
+        "SELECT id FROM k3_matrix WHERE s = ? OR s = ?", args=["?", ":v"]
+    ).collect()
+    assert sorted(r.id for r in got) == [7, 8]
+
+    # named-marker REUSE: one arg referenced twice (stmt.go binds by
+    # name, not position — so must Spark)
+    got = spark.sql(
+        "SELECT id FROM k3_matrix WHERE length(s) = length(:v) AND s = :v",
+        args={"v": "a'b"},
+    ).collect()
+    assert [r.id for r in got] == [1]
+
+    # NULL binds as SQL NULL (IS NULL matches, = does not)
+    got = spark.sql(
+        "SELECT count(*) AS n FROM k3_matrix WHERE s = :v OR (:v IS NULL AND s IS NULL)",
+        args={"v": None},
+    ).collect()
+    assert got[0].n == 1
+
+    # typed binding: int64, double, decimal, date survive with types
+    from datetime import date
+    from decimal import Decimal
+
+    row = spark.sql(
+        "SELECT :i AS i, :f AS f, :d AS d, :dt AS dt",
+        args={"i": 2**60, "f": 1.5, "d": Decimal("12.34"), "dt": date(2026, 8, 13)},
+    ).collect()[0]
+    assert row.i == 2**60 and row.f == 1.5
+    assert row.d == Decimal("12.34") and row.dt == date(2026, 8, 13)
