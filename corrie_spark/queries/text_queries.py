@@ -309,3 +309,226 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+# --- training-data pipeline composites ------------------------------------
+
+# 5-gram contamination shingles: long enough that chance collisions in
+# a small vocabulary vanish and only genuine shared passages match
+_CONTAM_K = 5
+_GRAMS_SQL = f"""
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {_CONTAM_K} THEN
+      list_transform(range(1, len(t) - {_CONTAM_K - 2}),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+    ELSE [array_to_string(t, ' ')] END
+  ) AS gram
+  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS t
+        FROM documents)
+"""
+
+_CONTAM_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+    CASE WHEN {_SPLIT_BUCKET} < 900 THEN 'train'
+         WHEN {_SPLIT_BUCKET} < 950 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+),
+grams AS ({_GRAMS_SQL}),
+train_grams AS (
+  SELECT DISTINCT gram FROM grams JOIN assigned USING (doc_id) WHERE split = 'train'
+),
+test_docs AS (
+  SELECT doc_id, source FROM assigned WHERE split = 'test'
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g
+  JOIN test_docs td USING (doc_id)
+  WHERE g.gram IN (SELECT gram FROM train_grams)
+)
+SELECT td.source,
+       COUNT(*) AS n_test_docs,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS contamination_rate
+FROM test_docs td LEFT JOIN contaminated c USING (doc_id)
+GROUP BY td.source
+ORDER BY td.source
+"""
+
+
+@register("q_split_contamination", oracle=_CONTAM_ORACLE)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: which held-out documents share
+    a word 5-gram with ANY training document — the pre-training
+    hygiene check run before a data mix ships (5-grams: chance
+    collisions vanish, genuine shared passages remain).
+
+    Plan shape: the split is the deterministic md5 bucket (pure
+    projection), grams explode map-side, and the contamination test
+    is a LEFT-SEMI join of test-side (doc, gram) pairs against
+    distinct train grams — co-partitioned shuffle on gram, no
+    all-pairs doc comparison, output bounded by |test docs|. At
+    100 TB the train-gram side stays a distinct-gram table (partial
+    agg before the exchange) and hot boilerplate grams are exactly
+    the AQE skew-join case."""
+    from corrie_spark.operators.dedup import hash60, shingles
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = hash60(F.col("doc_id").cast("string"), salt="split") % 1000
+    split = F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    assigned = docs.select("doc_id", "source", split.alias("split"))
+    grams = docs.select("doc_id", F.explode(shingles("text", _CONTAM_K)).alias("gram"))
+
+    train_grams = (
+        grams.join(assigned.filter(F.col("split") == "train"), "doc_id")
+        .select("gram")
+        .distinct()
+    )
+    test_docs = assigned.filter(F.col("split") == "test").select("doc_id", "source")
+    contaminated = (
+        grams.join(test_docs.select("doc_id"), "doc_id")
+        .join(train_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        test_docs.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_contaminated"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# Gopher-style corpus filter rules (Rae et al. 2021, §A1.1 shapes):
+# token-count window, mean token length window, minimum stopword
+# evidence, bounded symbol ratio. Thresholds tuned to the synthetic
+# corpus so both retained and rejected classes are non-empty.
+_F_NTOK_MIN, _F_NTOK_MAX = 10, 500
+_F_MTL_MIN, _F_MTL_MAX = 2.0, 10.0
+_F_STOP_MIN = 0.03
+_F_PUNCT_MAX = 0.2
+
+_FILTER_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         {_NTOK} AS n_tokens, {_NTOKCHARS} AS n_token_chars,
+         {_NSTOP} AS n_stop, {_NPUNCT} AS n_punct
+  FROM documents
+),
+rules AS (
+  SELECT source,
+    (n_tokens BETWEEN {_F_NTOK_MIN} AND {_F_NTOK_MAX}) AS ok_tokens,
+    (CAST(n_token_chars AS DOUBLE) / greatest(n_tokens, 1)
+       BETWEEN {_F_MTL_MIN} AND {_F_MTL_MAX}) AS ok_token_len,
+    (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= {_F_STOP_MIN}) AS ok_stopwords,
+    (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= {_F_PUNCT_MAX}) AS ok_punct
+  FROM feat
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN ok_tokens AND ok_token_len AND ok_stopwords AND ok_punct
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+  CAST(SUM(CASE WHEN NOT ok_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_tokens,
+  CAST(SUM(CASE WHEN NOT ok_token_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_token_len,
+  CAST(SUM(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords,
+  CAST(SUM(CASE WHEN NOT ok_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct,
+  CAST(SUM(CASE WHEN ok_tokens AND ok_token_len AND ok_stopwords AND ok_punct
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS retention_rate
+FROM rules
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q_corpus_filter", oracle=_FILTER_ORACLE)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filtering with per-rule accounting: how
+    many documents each rule rejects and what survives all of them —
+    the go/no-go dashboard for a training-data mix. One projection +
+    one aggregation; zero extra scans however many rules compose."""
+    docs = load(spark, sf_dir, "documents")
+    f = T.quality_features("text")
+    feat = docs.select(
+        "source",
+        f["n_tokens"].between(_F_NTOK_MIN, _F_NTOK_MAX).alias("ok_tokens"),
+        f["mean_token_len"].between(_F_MTL_MIN, _F_MTL_MAX).alias("ok_token_len"),
+        (f["stopword_ratio"] >= _F_STOP_MIN).alias("ok_stopwords"),
+        (f["punct_ratio"] <= _F_PUNCT_MAX).alias("ok_punct"),
+    )
+    retained = (
+        F.col("ok_tokens") & F.col("ok_token_len") & F.col("ok_stopwords") & F.col("ok_punct")
+    )
+
+    def fails(c: str):
+        return F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("bigint")
+
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(retained, 1).otherwise(0)).cast("bigint").alias("n_retained"),
+            fails("ok_tokens").alias("n_fail_tokens"),
+            fails("ok_token_len").alias("n_fail_token_len"),
+            fails("ok_stopwords").alias("n_fail_stopwords"),
+            fails("ok_punct").alias("n_fail_punct"),
+            (
+                F.sum(F.when(retained, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
+            ).alias("retention_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_HIST_ORACLE = f"""
+WITH feat AS (
+  SELECT lang, {_NTOK} AS n_tokens FROM documents
+),
+bucketed AS (
+  SELECT lang, n_tokens,
+         CAST(floor(log2(greatest(n_tokens, 1))) AS BIGINT) AS bucket
+  FROM feat
+)
+SELECT lang, bucket,
+       CAST(2 ** bucket AS BIGINT) AS bucket_min_tokens,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@register("q_token_histogram", oracle=_HIST_ORACLE)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in power-of-2 buckets per language —
+    the sequence-length histogram behind packing/truncation decisions
+    in a training mix. Exact integer log2 bucketing (floor of exact
+    double log2 on integers <= 2^53: identical in both engines)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = T.token_count("text")
+    bucket = F.floor(F.log2(F.greatest(n_tokens, F.lit(1)))).cast("bigint")
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("bucket_min_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )
