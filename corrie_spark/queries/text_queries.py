@@ -486,7 +486,6 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(retained, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
             ).alias("retention_rate"),
         )
-        .orderBy("source")
     )
 
 
@@ -530,5 +529,77 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
         )
-        .orderBy("lang", "bucket")
+    )
+
+
+_BIGRAMS = (
+    "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), "
+    "i -> t[i] || ' ' || t[i+1]) ELSE [] END"
+)
+
+_REP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, t, {_BIGRAMS} AS b FROM toks
+)
+SELECT doc_id,
+  len(t) AS n_tokens,
+  CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) AS distinct_token_ratio,
+  CAST(COALESCE(list_max(list_transform(list_distinct(t),
+       w -> len(list_filter(t, x -> x = w)))), 0) AS DOUBLE)
+    / greatest(len(t), 1) AS top_token_fraction,
+  CAST(COALESCE(list_max(list_transform(list_distinct(b),
+       w -> len(list_filter(b, x -> x = w)))), 0) AS DOUBLE)
+    / greatest(len(b), 1) AS top_bigram_fraction,
+  1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / greatest(len(b), 1)
+    AS dup_bigram_fraction
+FROM feat
+"""
+
+
+@register("q_text_repetition", oracle=_REP_ORACLE)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1: most-common-word fraction, duplicate n-gram fractions) —
+    the filter family that catches boilerplate and degenerate
+    generations. All row-local higher-order-function folds over the
+    token array (O(distinct x n) per row on ~100-token docs): a pure
+    map stage, zero shuffle at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    bigrams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+    def top_fraction(arr):
+        counts = F.transform(
+            F.array_distinct(arr),
+            lambda w: F.size(F.filter(arr, lambda x: x == w)),
+        )
+        return (
+            F.coalesce(F.array_max(counts), F.lit(0)).cast("double")
+            / F.greatest(F.size(arr), F.lit(1))
+        )
+
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("distinct_token_ratio"),
+        top_fraction(toks).alias("top_token_fraction"),
+        top_fraction(bigrams).alias("top_bigram_fraction"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / F.greatest(F.size(bigrams), F.lit(1))
+        ).alias("dup_bigram_fraction"),
     )

@@ -229,3 +229,20 @@ def test_correlated_subqueries_decorrelate_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in s20
     assert "CartesianProduct" not in s20
     assert "LeftSemi" in s20  # IN-chains plan as semi joins, no dup
+
+
+def test_training_mix_queries_plan_shape(spark):
+    """New corpus composites keep the scale shapes: repetition signals
+    are a pure map stage (zero shuffles); filter and histogram pay
+    exactly their one aggregation exchange; contamination never builds
+    an all-pairs doc product (joins only on gram/doc_id keys)."""
+    qs = all_queries()
+    assert count_shuffles(qs["q_text_repetition"](spark, SF_CORRECT)) == 0
+    assert count_shuffles(qs["q_corpus_filter"](spark, SF_CORRECT)) == 1
+    assert count_shuffles(qs["q_token_histogram"](spark, SF_CORRECT)) == 1
+    from corrie_spark.plans.inspect import explain_str
+
+    s = explain_str(qs["q_split_contamination"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "LeftSemi" in s
