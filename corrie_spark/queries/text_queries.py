@@ -537,6 +537,24 @@ _BIGRAMS = (
     "i -> t[i] || ' ' || t[i+1]) ELSE [] END"
 )
 
+# max sorted-run length / n: O(n log n) per row in BOTH engines —
+# sort, find run-boundary positions, diff consecutive boundaries.
+# (A count-per-distinct-element formulation is O(n^2) best case, and
+# naive lambda nesting re-evaluates the tokenizer per element for
+# O(n^3): this shape is the one that survives long documents.)
+def _top_frac_sql(arr: str) -> str:
+    return f"""(
+  SELECT CAST(COALESCE(list_max(
+           list_transform(bpos, (b, i) -> COALESCE(bpos[i + 1], len(s) + 1) - b)
+         ), 0) AS DOUBLE) / greatest(len(s), 1)
+  FROM (
+    SELECT s, list_filter(range(1, len(s) + 1),
+                          i -> i = 1 OR s[i] <> s[greatest(i - 1, 1)]) AS bpos
+    FROM (SELECT list_sort({arr}) AS s)
+  )
+)"""
+
+
 _REP_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -549,12 +567,8 @@ feat AS (
 SELECT doc_id,
   len(t) AS n_tokens,
   CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) AS distinct_token_ratio,
-  CAST(COALESCE(list_max(list_transform(list_distinct(t),
-       w -> len(list_filter(t, x -> x = w)))), 0) AS DOUBLE)
-    / greatest(len(t), 1) AS top_token_fraction,
-  CAST(COALESCE(list_max(list_transform(list_distinct(b),
-       w -> len(list_filter(b, x -> x = w)))), 0) AS DOUBLE)
-    / greatest(len(b), 1) AS top_bigram_fraction,
+  {_top_frac_sql('t')} AS top_token_fraction,
+  {_top_frac_sql('b')} AS top_bigram_fraction,
   1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / greatest(len(b), 1)
     AS dup_bigram_fraction
 FROM feat
@@ -566,40 +580,82 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021
     §A1.1: most-common-word fraction, duplicate n-gram fractions) —
     the filter family that catches boilerplate and degenerate
-    generations. All row-local higher-order-function folds over the
-    token array (O(distinct x n) per row on ~100-token docs): a pure
-    map stage, zero shuffle at any corpus size."""
+    generations. Row-local and shuffle-free at any corpus size; the
+    most-common-element count is max-sorted-run-length (O(n log n)),
+    with every array bound ONCE via functions.bind — Catalyst inlines
+    subexpressions into higher-order lambdas on every reference, so
+    the naive nesting is O(n^3) per row and 200x slower on 100-token
+    documents."""
+    from corrie_spark.functions import bind
+
     docs = load(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    bigrams = F.when(F.size(toks) >= 2, F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
-        ),
-    )).otherwise(F.array().cast("array<string>"))
 
-    def top_fraction(arr):
-        counts = F.transform(
-            F.array_distinct(arr),
-            lambda w: F.size(F.filter(arr, lambda x: x == w)),
-        )
-        return (
-            F.coalesce(F.array_max(counts), F.lit(0)).cast("double")
-            / F.greatest(F.size(arr), F.lit(1))
+    def top_fraction(arr: F.Column) -> F.Column:
+        def of_sorted(s: F.Column) -> F.Column:
+            n = F.size(s)
+            bpos = F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == 1)
+                | (
+                    F.try_element_at(s, i.cast("int"))
+                    != F.try_element_at(s, F.greatest(i - 1, F.lit(1)).cast("int"))
+                ),
+            )
+            runs = bind(
+                bpos,
+                lambda bp: F.transform(
+                    bp,
+                    lambda b, i: F.coalesce(
+                        F.try_element_at(bp, (i + F.lit(2)).cast("int")), n + 1
+                    )
+                    - b,
+                ),
+            )
+            return F.coalesce(F.array_max(runs), F.lit(0)).cast("double") / F.greatest(
+                n, F.lit(1)
+            )
+
+        return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+            bind(F.array_sort(arr), of_sorted)
         )
 
-    return docs.select(
+    def signals(t: F.Column) -> F.Column:
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at(t, i.cast("int")),
+                    F.try_element_at(t, (i + 1).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def with_bigrams(b: F.Column) -> F.Column:
+            return F.struct(
+                F.size(t).alias("n_tokens"),
+                (
+                    F.size(F.array_distinct(t)).cast("double")
+                    / F.greatest(F.size(t), F.lit(1))
+                ).alias("distinct_token_ratio"),
+                top_fraction(t).alias("top_token_fraction"),
+                top_fraction(b).alias("top_bigram_fraction"),
+                (
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(b)).cast("double")
+                    / F.greatest(F.size(b), F.lit(1))
+                ).alias("dup_bigram_fraction"),
+            )
+
+        return bind(bigrams, with_bigrams)
+
+    sig = bind(T.tokens("text"), signals)
+    return docs.withColumn("_sig", sig).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        (
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.greatest(F.size(toks), F.lit(1))
-        ).alias("distinct_token_ratio"),
-        top_fraction(toks).alias("top_token_fraction"),
-        top_fraction(bigrams).alias("top_bigram_fraction"),
-        (
-            F.lit(1.0)
-            - F.size(F.array_distinct(bigrams)).cast("double")
-            / F.greatest(F.size(bigrams), F.lit(1))
-        ).alias("dup_bigram_fraction"),
+        F.col("_sig.n_tokens").alias("n_tokens"),
+        F.col("_sig.distinct_token_ratio").alias("distinct_token_ratio"),
+        F.col("_sig.top_token_fraction").alias("top_token_fraction"),
+        F.col("_sig.top_bigram_fraction").alias("top_bigram_fraction"),
+        F.col("_sig.dup_bigram_fraction").alias("dup_bigram_fraction"),
     )
