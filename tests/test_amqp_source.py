@@ -159,3 +159,79 @@ def test_stream_end_to_end_without_spool(spark, tmp_path):
     assert b.unacked_count("corrie.0") == 0
     assert b.unacked_count("corrie.1") == 0
     assert b.pending_count("corrie.0") == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_amqp_to_txn_pipeline_exactly_once(spark, tmp_path):
+    """The full reference pipeline shape in live-consume mode: AMQP
+    broker -> sharded source -> micro-batch writer -> transactional
+    table, with a poison message to the DLQ. A second drain on the
+    same checkpoint re-emits nothing (exactly-once via TxnSink epoch
+    keys) and acks the broker's unacked window."""
+    from corrie_spark.sinks import DLQSink, SchemaRegistry, WriterConfig
+    from corrie_spark.sinks.base import DLQSink as _DLQ
+    from corrie_spark.sinks.txn_table import TxnSink
+    from corrie_spark.streaming import PipelineConfig, start_pipeline
+
+    registry = SchemaRegistry(
+        {"db.metrics": [("m_id", "Int64"), ("m_value", "Float64"), ("m_tag", "String")]}
+    )
+    broker_root = str(tmp_path / "broker")
+    b = FakeAmqpBroker(broker_root)
+    q_sql = "INSERT INTO db.metrics (m_id, m_value, m_tag) VALUES (?, ?, ?)"
+    for i in range(20):
+        b.publish(
+            f"corrie.{i % 2}",
+            json.dumps({"Query": q_sql, "Data": [str(i), "1.5", f"t{i % 3}"]}),
+        )
+    b.publish("corrie.0", "{poison")
+
+    register_amqp_sharded_queue(spark)
+    sink = TxnSink(str(tmp_path / "wh"))
+    dlq = DLQSink(str(tmp_path / "dlq"))
+
+    def drain():
+        src = (
+            spark.readStream.format("amqp_sharded_queue")
+            .option("broker", broker_root)
+            .option("queue", "corrie")
+            .option("shards", "2")
+            .option("stateDir", str(tmp_path / "state"))
+            .load()
+        )
+        q = start_pipeline(
+            src,
+            sink,
+            dlq,
+            registry,
+            PipelineConfig(
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                available_now=True,
+                writer=WriterConfig(retry_interval_s=0.01, max_retries=1),
+            ),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    table = sink.table("db.metrics").read(spark)
+    ids = sorted(r.m_id for r in table.collect())
+    assert ids == list(range(20))
+    dlq_df = spark.read.schema(_DLQ.SCHEMA).parquet(str(tmp_path / "dlq"))
+    assert [r.reason for r in dlq_df.collect()] == ["parse_error"]
+
+    # replay on the same checkpoint: nothing re-lands (exactly-once)
+    drain()
+    assert sorted(r.m_id for r in sink.table("db.metrics").read(spark).collect()) == ids
+    # acks lag one trigger (commit(N) fires when batch N+1 runs, and an
+    # empty drain runs no batch): drain the tail window operationally
+    tail = AmqpShardedQueueReader(
+        {
+            "broker": broker_root,
+            "queue": "corrie",
+            "shards": "2",
+            "stateDir": str(tmp_path / "state"),
+        }
+    )
+    tail.commit(tail.initialOffset())
+    assert b.unacked_count("corrie.0") == 0
+    assert b.unacked_count("corrie.1") == 0
