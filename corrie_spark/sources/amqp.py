@@ -77,6 +77,26 @@ class FakeAmqpBroker:
         q["pending"].append([body, False])
         self._save(queue, q)
 
+    def inject_nacks(self, queue: str, n: int) -> None:
+        """Test hook: the next n confirmed publishes to `queue` are
+        nacked (message NOT enqueued) — the publisher-confirm failure
+        mode a reliable producer must survive."""
+        q = self._load(queue)
+        q["nacks"] = q.get("nacks", 0) + n
+        self._save(queue, q)
+
+    def publish_confirmed(self, queue: str, body: str) -> bool:
+        """Publish with a broker confirm: returns False (nack, message
+        dropped) while injected nacks remain, else enqueues and acks."""
+        q = self._load(queue)
+        if q.get("nacks", 0) > 0:
+            q["nacks"] -= 1
+            self._save(queue, q)
+            return False
+        q["pending"].append([body, False])
+        self._save(queue, q)
+        return True
+
     def consume(self, queue: str, max_n: int) -> list[tuple[int, str, bool]]:
         """Deliver up to max_n messages: [(delivery_tag, body,
         redelivered)]. Delivered messages sit in the unacked window
@@ -265,3 +285,54 @@ class AmqpShardedQueueDataSource(DataSource):
 
 def register_amqp_sharded_queue(spark) -> None:
     spark.dataSource.register(AmqpShardedQueueDataSource)
+
+
+# --- producer side (smart_producer.go contract) ------------------------
+
+
+class PublishFailed(RuntimeError):
+    pass
+
+
+class ConfirmedProducer:
+    """Reliable publisher: broker confirms with automatic re-send on
+    nack (reference vendor nanachi smart_producer.go:61-150 — re-send
+    on nack :96-98, on return :99-122), plus the shard-assignment
+    contract of the client library (producer.go:159): random shard by
+    default, sticky md5 shard for a provided key (the x-shard header
+    behavior, mirroring sources/envelopes.assign_shard).
+
+    The fake broker nacks when a test injects failures; a real AMQP
+    adapter maps this onto publisher-confirm channels."""
+
+    def __init__(
+        self,
+        broker: FakeAmqpBroker,
+        queue: str = "corrie",
+        n_shards: int = 1,
+        max_attempts: int = 5,
+    ):
+        self.broker = broker
+        self.queue = queue
+        self.n_shards = n_shards
+        self.max_attempts = max_attempts
+
+    def _shard_for(self, key: str | None, body: str) -> int:
+        import hashlib
+
+        if key is None:
+            # "random" but deterministic per body (reproducible tests;
+            # uniform like producer.go's rand shard)
+            key = body
+        h = int(hashlib.md5(f"shard:{key}".encode()).hexdigest()[:15], 16)
+        return h % self.n_shards
+
+    def publish(self, body: str, key: str | None = None) -> int:
+        """Publish with confirm; re-send until acked. Returns the
+        shard. Raises PublishFailed after max_attempts nacks."""
+        shard = self._shard_for(key, body)
+        q = f"{self.queue}.{shard}"
+        for _ in range(self.max_attempts):
+            if self.broker.publish_confirmed(q, body):
+                return shard
+        raise PublishFailed(f"{q}: {self.max_attempts} nacks")

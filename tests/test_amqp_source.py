@@ -235,3 +235,30 @@ def test_amqp_to_txn_pipeline_exactly_once(spark, tmp_path):
     tail.commit(tail.initialOffset())
     assert b.unacked_count("corrie.0") == 0
     assert b.unacked_count("corrie.1") == 0
+
+
+def test_confirmed_producer_resends_on_nack(tmp_path):
+    """K13/producer parity (smart_producer.go:61-150): a nacked publish
+    is re-sent until confirmed — no loss, no duplicate; sticky keys
+    always land on the same shard; exhausted retries raise."""
+    from corrie_spark.sources.amqp import ConfirmedProducer, PublishFailed
+
+    b = FakeAmqpBroker(str(tmp_path / "broker"))
+    p = ConfirmedProducer(b, queue="corrie", n_shards=3, max_attempts=4)
+
+    s1 = p.publish("m-a", key="user1")
+    assert p.publish("m-b", key="user1") == s1  # sticky: same key, same shard
+    assert b.pending_count(f"corrie.{s1}") == 2
+
+    # nack the next 2 publishes on that shard: producer re-sends
+    b.inject_nacks(f"corrie.{s1}", 2)
+    assert p.publish("m-c", key="user1") == s1
+    assert b.pending_count(f"corrie.{s1}") == 3  # exactly one copy landed
+    got = b.consume(f"corrie.{s1}", 10)
+    assert [g[1] for g in got] == ["m-a", "m-b", "m-c"]  # FIFO kept
+
+    # more nacks than attempts -> PublishFailed, nothing enqueued
+    b.inject_nacks(f"corrie.{s1}", 99)
+    with pytest.raises(PublishFailed):
+        p.publish("m-d", key="user1")
+    assert b.pending_count(f"corrie.{s1}") == 0  # all consumed above, none landed
