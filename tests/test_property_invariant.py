@@ -92,3 +92,68 @@ def test_every_row_lands_exactly_once(spark, tmp_path_factory, bodies):
     assert landed == len(bodies), (
         f"{len(bodies)} in, {landed} accounted for — rows dropped or duplicated"
     )
+
+
+# --- chtypes recursion property (r2: element validity via coercer) -----
+
+import re
+
+from pyspark.sql import functions as F
+
+from corrie_spark.chtypes import coerce, parse_ch_type
+
+_ELEM = st.one_of(
+    st.none(),
+    st.integers(-300, 600).map(str),
+    st.sampled_from(["abc", "1.5", "", "+7", "007", "255", "256", "-1"]),
+)
+
+
+def _uint8_ok(e: str | None) -> bool:
+    return (
+        e is not None
+        and re.fullmatch(r"[+-]?[0-9]+", e) is not None
+        and 0 <= int(e) <= 255
+    )
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(elems=st.lists(_ELEM, max_size=6))
+def test_array_uint8_validity_matches_model(spark, elems):
+    """Array(UInt8) row validity == every element passes the UInt8
+    coercer — for ANY element mix (nulls, range errors, non-numerics).
+    The pure-python model is the spec; the Column expression must
+    agree exactly (array.go recursion semantics)."""
+    body = json.dumps(elems)
+    df = spark.createDataFrame([(body,)], "v string")
+    val, ok = coerce(F.col("v"), parse_ch_type("Array(UInt8)"))
+    row = df.select(val.alias("val"), ok.alias("ok")).first()
+    assert row["ok"] == all(_uint8_ok(e) for e in elems)
+    if row["ok"]:
+        assert row["val"] == [int(e) for e in elems]
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    kv=st.dictionaries(
+        st.text(alphabet="abcxyz", min_size=1, max_size=3),
+        st.one_of(st.integers(-10, 300).map(str), st.just("zz")),
+        max_size=4,
+    )
+)
+def test_map_uint8_value_validity_matches_model(spark, kv):
+    """Map(String, UInt8): row validity == every VALUE passes the
+    UInt8 coercer (keys are strings, always valid here)."""
+    body = json.dumps(kv)
+    df = spark.createDataFrame([(body,)], "v string")
+    val, ok = coerce(F.col("v"), parse_ch_type("Map(String, UInt8)"))
+    row = df.select(val.alias("val"), ok.alias("ok")).first()
+    assert row["ok"] == all(_uint8_ok(e) for e in kv.values())
+    if row["ok"]:
+        assert dict(row["val"]) == {k: int(v) for k, v in kv.items()}
