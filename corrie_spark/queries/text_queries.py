@@ -659,3 +659,51 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_sig.top_bigram_fraction").alias("top_bigram_fraction"),
         F.col("_sig.dup_bigram_fraction").alias("dup_bigram_fraction"),
     )
+
+
+_SAMPLE_BUCKET = "CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+_SAMPLE_ORACLE = f"""
+WITH tagged AS (
+  SELECT source, n_chars, ({_SAMPLE_BUCKET} < 20) AS sampled
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS sample_rate,
+  CAST(SUM(CASE WHEN sampled THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM tagged
+GROUP BY source
+"""
+
+
+@register("q_stratified_sample", oracle=_SAMPLE_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% stratified sample per source via an md5
+    bucket — the subsampling primitive for data-mix ablations. Unlike
+    df.sample()/rand(), membership is a pure function of doc_id:
+    reproducible across runs, engines, and cluster sizes, stable as
+    the corpus grows (a doc never flips in or out), and disjoint from
+    the train/val/test salt. Pure projection + one aggregation."""
+    from corrie_spark.operators.dedup import hash60
+
+    docs = load(spark, sf_dir, "documents")
+    sampled = (hash60(F.col("doc_id").cast("string"), salt="sample") % 100) < 20
+    return (
+        docs.select("source", "n_chars", sampled.alias("sampled"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+            (
+                F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("sample_rate"),
+            F.sum(F.when(F.col("sampled"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
