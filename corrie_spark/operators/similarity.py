@@ -281,16 +281,32 @@ def kmeans_cells(
     oracle replays the same iterations.
 
     Scale shape per round: one tiny groupBy shuffle (#cells x dim
-    longs) + one broadcast join over the vector scan. Returns
+    longs) + one broadcast join over the vector scan. The centroid
+    table is COLLECTED each round (#cells x dim ints — metadata-sized,
+    like the CC loop's changed-count) and re-broadcast as a literal
+    frame, so every round's plan is flat: scan -> broadcast assign,
+    never a nested re-execution of the previous round. The quantized
+    vectors are cached for the duration of training. Returns
     (vid, qv, cell). A cell that loses all members simply disappears
     (deterministic in both engines)."""
+    from pyspark import StorageLevel
+
+    spark = corpus.sparkSession
     q = corpus.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
     md5i = F.conv(
         F.substring(F.md5(F.col("vid").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
     assigned = q.withColumn("cell", (md5i % n_cells).cast("int"))
-    for _ in range(n_iters):
-        assigned = kmeans_assign(q, _centroids_of(assigned, dim))
+    if n_iters > 0:
+        q = q.persist(StorageLevel.MEMORY_AND_DISK)
+        assigned = q.withColumn("cell", (md5i % n_cells).cast("int"))
+        for _ in range(n_iters):
+            cent_rows = _centroids_of(assigned, dim).collect()  # #cells rows
+            cents = spark.createDataFrame(
+                [(r["cell"], r["centroid"]) for r in cent_rows],
+                "cell int, centroid array<bigint>",
+            )
+            assigned = kmeans_assign(q, cents)
     return assigned
 
 
