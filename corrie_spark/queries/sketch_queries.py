@@ -159,3 +159,69 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_bound("lt95", "le95", F.lit(0.95)).alias("p95_qty_in_bound"),
         in_bound("lt99", "le99", F.lit(0.99)).alias("p99_price_in_bound"),
     )
+
+
+_HLL_MERGED_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type, {_H} AS h FROM events
+),
+regs AS (
+  SELECT event_type,
+         h & {HLL_M - 1} AS bucket,
+         MAX({hll_rank_sql('h')}) AS max_rank
+  FROM hashed
+  GROUP BY event_type, h & {HLL_M - 1}
+),
+merged AS (
+  SELECT bucket, MAX(max_rank) AS max_rank FROM regs GROUP BY bucket
+),
+agg AS (
+  SELECT SUM((1::BIGINT << (52 - max_rank))) AS s_hit, COUNT(*) AS n_hit
+  FROM merged
+)
+SELECT
+  'global' AS scope,
+  CAST((SELECT COUNT(DISTINCT event_type) FROM events) AS BIGINT) AS n_partials,
+  CAST(n_hit AS INT) AS registers_hit,
+  ({ALPHA_EXPR}) * {HLL_M * HLL_M}.0e0 * {1 << 52}.0e0
+    / CAST(s_hit + ({HLL_M} - n_hit) * (1::BIGINT << 52) AS DOUBLE) AS hll_estimate,
+  CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS exact_distinct
+FROM agg
+"""
+
+
+@register("q_sketch_hll_merged", oracle=_HLL_MERGED_ORACLE)
+def q_sketch_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL MERGE law on the query surface: per-event-type register
+    tables (the pre-aggregated state a daily rollup would store) are
+    combined with one MAX per bucket into a single global sketch, and
+    the merged estimate sits next to the exact global distinct.
+
+    This is the operation that makes sketches the 100 TB answer:
+    merging |types| x 256 ints replaces a re-scan of raw events, and
+    the merged registers are bit-identical to sketching the raw union
+    (MAX is associative/commutative/idempotent).
+
+    Estimator note: the emitted value is the RAW HLL formula. At this
+    toy cardinality (~150 distinct vs m=256 registers) that is the
+    documented small-range regime where HLL overestimates; production
+    HLL switches to LinearCounting (m * ln(m / empty_registers)) below
+    2.5m. The correction is deliberately NOT in the oracle-checked
+    columns — ln() is libm-dependent and can differ by 1 ulp across
+    engines, breaking the exact-equality gate — but registers_hit
+    carries the exact integer state needed to apply it downstream."""
+    ev = load(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, "event_type", "user_id")
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .withColumn("scope", F.lit("global"))
+    )
+    est = SK.hll_estimate(merged, "scope")
+    stats = ev.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_partials"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct"),
+    )
+    return est.crossJoin(F.broadcast(stats)).select(
+        "scope", "n_partials", "registers_hit", "hll_estimate", "exact_distinct"
+    )

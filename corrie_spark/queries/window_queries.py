@@ -271,3 +271,64 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+span AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM span
+),
+filled AS (
+  SELECT g.event_type, g.h, COALESCE(hourly.n, 0) AS n
+  FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
+)
+SELECT event_type,
+  COUNT(*) AS n_hours_span,
+  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hours_present,
+  CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hours_filled,
+  CAST(SUM(n) AS BIGINT) AS total_events
+FROM filled GROUP BY event_type
+"""
+
+
+@register("q_time_gapfill", oracle=_GAPFILL_ORACLE)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling (the time_bucket_gapfill shape of
+    hypertable engines): per event type, generate the full hourly grid
+    over that type's observed span, left-join the real hourly counts,
+    and account for present vs zero-filled buckets.
+
+    Scale shape: the grid is built from per-type (min, max) — a
+    #types-row frame exploded by sequence(), never a cross join over
+    raw events; the fill join is broadcast (grid side is tiny), and
+    the hourly agg shuffles once with map-side combine."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours_span"),
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).cast("bigint").alias("n_hours_present"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).cast("bigint").alias("n_hours_filled"),
+        F.sum("n").cast("bigint").alias("total_events"),
+    )
