@@ -345,8 +345,8 @@ WITH per_supp AS (
   SELECT
     l_partkey,
     l_suppkey,
-    CAST(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-      / COUNT(*) AS avg_unit_price
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS avg_unit_price
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
 ),
@@ -370,8 +370,15 @@ LIMIT 100
 @register("q_cheapest_supplier_per_part", oracle=_CHEAPEST_ORACLE)
 def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-flavored argmin: cheapest supplier per part by observed
-    avg unit price (this schema has no partsupp; unit price is derived
-    from lineitem).
+    quantity-weighted unit price, SUM(price)/SUM(qty) (this schema has
+    no partsupp; unit price is derived from lineitem).
+
+    Determinism: the ratio of two EXACT decimal sums (prices have 2
+    decimals, quantities are integers — both cast to DECIMAL(18,6)
+    without rounding). A per-row price/qty division can land exactly
+    on a 5e-7 decimal tie (e.g. qty=32), where Spark's HALF_UP and
+    DuckDB's half-even double->decimal conversions disagree — found
+    by the sf0.001 sweep, invisible at sf0.01.
 
     Plan shape: two-level aggregation — groupBy(part,supp) with partial
     combine (collapses the fact table to |part x supp| before any
@@ -386,8 +393,8 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
             (
-                F.sum((F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)"))
-                .cast("double") / F.count(F.lit(1))
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
             ).alias("avg_unit_price")
         )
     )
