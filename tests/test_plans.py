@@ -246,3 +246,17 @@ def test_training_mix_queries_plan_shape(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "LeftSemi" in s
+
+
+def test_gapfill_and_hll_merge_plan_shape(spark):
+    """Gap filling must never cross-join raw events (grid comes from
+    the #types-row span frame); the HLL merge must not re-scan events
+    beyond the two stat aggregations (registers merge on their own)."""
+    from corrie_spark.plans.inspect import explain_str
+
+    qs = all_queries()
+    s = explain_str(qs["q_time_gapfill"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    s = explain_str(qs["q_sketch_hll_merged"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in s  # the stats join is broadcast
