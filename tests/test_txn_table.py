@@ -179,3 +179,35 @@ def test_vacuum_retain_last_n_snapshots(spark, tmp_path):
     # exactly-once replay still holds after vacuum
     assert t.append(_df(spark, [9]), batch_id="e1") is False
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+def test_random_op_sequences_preserve_committed_rows(spark, tmp_path):
+    """Stateful property: for random sequences of append / replayed
+    append / compact / vacuum, the table's visible rows always equal
+    the model (set union of committed batches), and batch-id replays
+    are always no-ops — regardless of interleaving."""
+    import random
+
+    rng = random.Random(7)
+    for case in range(3):
+        t = TxnTable(str(tmp_path / f"t{case}"))
+        model: dict[str, list[int]] = {}
+        next_vals = iter(range(1000))
+        ops = [rng.choice(["append", "replay", "compact", "vacuum"]) for _ in range(8)]
+        ops[0] = "append"
+        for op in ops:
+            if op == "append":
+                bid = f"b{len(model)}"
+                vals = [next(next_vals) for _ in range(rng.randint(1, 3))]
+                assert t.append(_df(spark, vals), batch_id=bid) is True
+                model[bid] = vals
+            elif op == "replay" and model:
+                bid = rng.choice(list(model))
+                assert t.append(_df(spark, [999]), batch_id=bid) is False
+            elif op == "compact":
+                t.compact(spark, target_files=1)
+            elif op == "vacuum":
+                t.vacuum(grace_seconds=0)
+            expect = sorted(v for vs in model.values() for v in vs)
+            got = sorted(r.id for r in t.read(spark).collect())
+            assert got == expect, f"case {case}, after {op}: {got} != {expect}"
