@@ -441,3 +441,79 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_IMPACT_ORACLE = _CLUSTERS_ORACLE.replace(
+    """SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node
+""",
+    """, clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id
+  FROM reach GROUP BY node
+),
+fps AS (
+  SELECT doc_id, md5({norm}) AS fp FROM documents
+),
+keepers AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM fps GROUP BY fp
+)
+SELECT
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN f.doc_id <> k.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+  CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped,
+  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+  CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+  CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN d.n_chars ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(d.n_chars) AS DOUBLE) AS keep_ratio
+FROM documents d
+JOIN clusters c USING (doc_id)
+JOIN fps f USING (doc_id)
+JOIN keepers k USING (fp)
+""",
+)
+
+
+@register(
+    "q_dedup_impact",
+    oracle=_IMPACT_ORACLE.format(
+        toks=_TOKS,
+        norm=_NORM,
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    ),
+)
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus curation dashboard in one row: how much the EXACT
+    pipeline (normalized-fingerprint groups) and the NEAR-DUP pipeline
+    (LSH -> connected components -> keep-min-id) each remove, and the
+    byte-level keep ratio after near-dedup — what a 100 TB dedup run
+    reports to decide whether thresholds are right. Composes the full
+    chains; every number is oracle-checked against the recursive
+    closure + fingerprint grouping."""
+    from corrie_spark.operators.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.candidate_pairs(docs).select("id_a", "id_b")
+    clusters = D.connected_components(pairs, docs.select("doc_id"))
+    fps = docs.select("doc_id", fingerprint("text").alias("fp"))
+    keepers = fps.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    joined = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters, "doc_id")
+        .join(fps, "doc_id")
+        .join(keepers, "fp")
+    )
+    near_kept = F.col("doc_id") == F.col("cluster_id")
+    chars_kept = F.sum(F.when(near_kept, F.col("n_chars")).otherwise(0)).cast("bigint")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.sum(F.when(~near_kept, 1).otherwise(0)).cast("bigint").alias("n_near_dropped"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        chars_kept.alias("chars_kept"),
+        (
+            F.sum(F.when(near_kept, F.col("n_chars")).otherwise(0)).cast("double")
+            / F.sum("n_chars").cast("double")
+        ).alias("keep_ratio"),
+    )
