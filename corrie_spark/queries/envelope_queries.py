@@ -46,7 +46,7 @@ _ROUNDTRIP_ORACLE = f"""
 SELECT
   'db.events_' || event_type AS table_name,
   COUNT(*) AS n_rows,
-  SUM(event_id) AS sum_id,
+  CAST(SUM(event_id) AS BIGINT) AS sum_id,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
 WHERE event_id % {_POISON_MOD} <> 0
@@ -111,7 +111,7 @@ _COERCE_ORACLE = """
 SELECT
   COUNT(*) AS n_rows,
   COUNT(*) AS n_int,
-  SUM(event_id) AS sum_int,
+  CAST(SUM(event_id) AS BIGINT) AS sum_int,
   COUNT(*) AS n_float,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_float,
   COUNT(*) AS n_string
@@ -146,9 +146,9 @@ SELECT
   COUNT(*) AS n_rows,
   COUNT(*) FILTER (WHERE l_linenumber BETWEEN -128 AND 127) AS n_valid_int8,
   COUNT(*) FILTER (WHERE l_quantity >= 0) AS n_valid_float,
-  SUM(CAST(l_linenumber AS BIGINT)) AS sum_int8,
+  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_int8,
   COUNT(*) FILTER (WHERE l_returnflag IN ('A','N','R')) AS n_valid_enum,
-  0 AS n_valid_enum_bad,
+  CAST(0 AS BIGINT) AS n_valid_enum_bad,
   COUNT(DISTINCT substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) || '-' ||
         substr(md5(CAST(l_orderkey AS VARCHAR)), 9, 4) || '-' ||
         substr(md5(CAST(l_orderkey AS VARCHAR)), 13, 4) || '-' ||

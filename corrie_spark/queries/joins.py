@@ -136,7 +136,7 @@ _NATION_VOLUME_ORACLE = """
 SELECT
   sn.n_name AS supp_nation,
   cn.n_name AS cust_nation,
-  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier ON s_suppkey = l_suppkey
@@ -148,7 +148,7 @@ WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
   AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER)
+GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)
 ORDER BY supp_nation, cust_nation, ship_year
 """
 
@@ -531,7 +531,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MARKET_SHARE_ORACLE = """
 SELECT
-  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
   CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
                 AS DECIMAL(18,6))) AS DOUBLE)
@@ -545,7 +545,7 @@ JOIN nation sn ON sn.n_nationkey = s_nationkey
 JOIN orders ON o_orderkey = l_orderkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
-GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
 ORDER BY order_year
 """
 

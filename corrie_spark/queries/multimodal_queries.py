@@ -31,9 +31,9 @@ SELECT
   doc_id AS media_id,
   CASE doc_id % 3 WHEN 0 THEN 'fake/image' WHEN 1 THEN 'fake/audio'
        ELSE 'fake/video' END AS media_type,
-  CASE WHEN doc_id % 3 = 0 THEN CAST({_W} AS INT) END AS width,
-  CASE WHEN doc_id % 3 = 0 THEN CAST({_H} AS INT) END AS height,
-  CASE WHEN doc_id % 3 = 0 THEN CAST({_W} * {_H} AS INT) END AS n_bytes,
+  CASE WHEN doc_id % 3 = 0 THEN CAST({_W} AS BIGINT) END AS width,
+  CASE WHEN doc_id % 3 = 0 THEN CAST({_H} AS BIGINT) END AS height,
+  CASE WHEN doc_id % 3 = 0 THEN CAST({_W} * {_H} AS BIGINT) END AS n_bytes,
   CASE WHEN doc_id % 3 = 0 THEN
     CAST(list_sum(list_transform(range(0, {_W} * {_H}),
          i -> ((doc_id + i) * 31 + 7) % 256)) AS DOUBLE) / ({_W} * {_H})
@@ -57,8 +57,8 @@ SELECT
   doc_id AS media_id,
   CASE doc_id % 3 WHEN 0 THEN 'fake/image' WHEN 1 THEN 'fake/audio'
        ELSE 'fake/video' END AS media_type,
-  CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate,
-  CASE WHEN doc_id % 3 = 1 THEN CAST({_W} * 100 AS INT) END AS n_samples,
+  CASE WHEN doc_id % 3 = 1 THEN CAST(16000 AS BIGINT) END AS sample_rate,
+  CASE WHEN doc_id % 3 = 1 THEN CAST({_W} * 100 AS BIGINT) END AS n_samples,
   CASE WHEN doc_id % 3 = 1 THEN CAST({_W} * 100 AS DOUBLE) / 16000 END AS duration_s,
   CASE WHEN doc_id % 3 = 1 THEN
     CAST(list_sum(list_transform(range(0, {_W} * 100),
@@ -81,14 +81,14 @@ _FRAME_ORACLE = f"""
 SELECT
   doc_id AS media_id,
   f.frame_idx,
-  CAST({_W} * {_H} AS INT) AS frame_bytes,
+  CAST({_W} * {_H} AS BIGINT) AS frame_bytes,
   CAST(list_sum(list_transform(range(f.frame_idx * {_W} * {_H}, (f.frame_idx + 1) * {_W} * {_H}),
        i -> ((doc_id + i) * 13 + 11) % 256)) AS DOUBLE) / ({_W} * {_H}) AS mean_val,
   CAST(list_min(list_transform(range(f.frame_idx * {_W} * {_H}, (f.frame_idx + 1) * {_W} * {_H}),
-       i -> ((doc_id + i) * 13 + 11) % 256)) AS INT) AS min_val,
+       i -> ((doc_id + i) * 13 + 11) % 256)) AS BIGINT) AS min_val,
   CAST(list_max(list_transform(range(f.frame_idx * {_W} * {_H}, (f.frame_idx + 1) * {_W} * {_H}),
-       i -> ((doc_id + i) * 13 + 11) % 256)) AS INT) AS max_val
-FROM documents, (SELECT unnest([0, 2]) AS frame_idx) f
+       i -> ((doc_id + i) * 13 + 11) % 256)) AS BIGINT) AS max_val
+FROM documents, (SELECT CAST(unnest([0, 2]) AS BIGINT) AS frame_idx) f
 WHERE doc_id % 3 = 2
 """
 

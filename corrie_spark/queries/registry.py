@@ -37,11 +37,38 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 
+def _widen_ints(df: DataFrame) -> DataFrame:
+    """Cast byte/short/int output columns to bigint.
+
+    The driver hashes Arrow-level values; DuckDB promotes freely between
+    integer widths (SUM -> HUGEINT, COUNT -> BIGINT, literals -> INT32),
+    so the only width-stable contract is: every integer column a query
+    returns is int64 on both engines.  Applied uniformly at the registry
+    boundary so individual queries never have to remember it.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    narrow = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType))
+    ]
+    if not narrow:
+        return df
+    return df.withColumns({c: F.col(c).cast("long") for c in narrow})
+
+
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: register a Spark query fn under `name`."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        _REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        def widened(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _widen_ints(fn(spark, sf_dir))
+
+        widened.__name__ = fn.__name__
+        widened.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name=name, spark=widened, oracle=oracle, doc=doc or (fn.__doc__ or ""))
         return fn
 
     return deco

@@ -65,7 +65,7 @@ _BUCKET = (
     "CASE WHEN CAST(list_sum(list_transform(range(0, 64), d -> "
     f"qv[d + 1] * {_plane_w('p', 'd')}"
     ")) AS BIGINT) >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END"
-    ")) AS INT)"
+    ")) AS BIGINT)"
 )
 
 _ANN_ORACLE = f"""
@@ -112,7 +112,7 @@ _CENT_LIST = ", ".join(
 
 _IVF_ORACLE = f"""
 WITH base AS (
-  SELECT vec_id, label AS cell, {_QUANT} AS qv FROM embeddings
+  SELECT vec_id, CAST(label AS BIGINT) AS cell, {_QUANT} AS qv FROM embeddings
 ),
 cent AS (
   SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM base GROUP BY cell
@@ -185,7 +185,7 @@ def q_sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECALL_ORACLE = f"""
 WITH base AS (
-  SELECT vec_id, label AS cell, {_QUANT} AS qv FROM embeddings
+  SELECT vec_id, CAST(label AS BIGINT) AS cell, {_QUANT} AS qv FROM embeddings
 ),
 q AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id < 5),
 exact_s AS (
@@ -281,7 +281,7 @@ def _km_ctes(n_iters: int) -> str:
     )
     parts = [
         "a0 AS (SELECT vec_id, qv, CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
-        f" % {_KM_CELLS} AS INT) AS cell FROM base)"
+        f" % {_KM_CELLS} AS BIGINT) AS cell FROM base)"
     ]
     for t in range(n_iters):
         parts.append(

@@ -39,7 +39,7 @@ exact AS (
 )
 SELECT
   a.event_type,
-  CAST(n_hit AS INT) AS registers_hit,
+  CAST(n_hit AS BIGINT) AS registers_hit,
   ({ALPHA_EXPR}) * {HLL_M * HLL_M}.0e0 * {1 << 52}.0e0
     / CAST(s_hit + ({HLL_M} - n_hit) * (1::BIGINT << 52) AS DOUBLE) AS hll_estimate,
   exact_distinct
@@ -182,7 +182,7 @@ agg AS (
 SELECT
   'global' AS scope,
   CAST((SELECT COUNT(DISTINCT event_type) FROM events) AS BIGINT) AS n_partials,
-  CAST(n_hit AS INT) AS registers_hit,
+  CAST(n_hit AS BIGINT) AS registers_hit,
   ({ALPHA_EXPR}) * {HLL_M * HLL_M}.0e0 * {1 << 52}.0e0
     / CAST(s_hit + ({HLL_M} - n_hit) * (1::BIGINT << 52) AS DOUBLE) AS hll_estimate,
   CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS exact_distinct

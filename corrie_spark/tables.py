@@ -38,15 +38,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
-        # reader rejects; read nanos as long and floor-convert to the
-        # engine's microsecond timestamps (exact integer arithmetic —
-        # double division would lose precision at 2^60 nanos).
+        # events.parquet has shipped with several physical types for `ts`
+        # across testdata generations: TIMESTAMP(NANOS) (which the Spark
+        # parquet reader only accepts as long via the legacy conf),
+        # TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as
+        # TIMESTAMP_NTZ), and plain TIMESTAMP.  Normalize all of them to
+        # the engine's session-timestamp type so every downstream query
+        # (and the DuckDB oracle, which reads the same parquet) sees one
+        # stable ts type regardless of the generator version.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # legacy nanos-as-long: floor-convert with exact integer
+            # arithmetic — double division would lose precision at 2^60.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            # wall-clock-preserving cast (session tz applied then removed
+            # symmetrically on collect, so rendered values are identical).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

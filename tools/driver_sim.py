@@ -54,6 +54,44 @@ def canon(cols, rows):
     return [c.lower() for c in sorted(cols, key=str.lower)], out
 
 
+# Spark simpleString -> acceptable DuckDB/Arrow type strings.  The real
+# driver hashes Arrow-level values, so a DuckDB HUGEINT (decimal128) or
+# INT32 column against a Spark BIGINT hashes differently even when the
+# values are numerically equal — catch that here, not in the driver run.
+_TYPE_COMPAT = {
+    "bigint": {"int64"},
+    "int": {"int32"},
+    "double": {"double", "float64"},
+    "float": {"float", "float32"},
+    "string": {"string", "large_string"},
+    "boolean": {"bool"},
+    "date": {"date32", "date32[day]"},
+}
+
+
+def type_flags(sdf, arrow_schema):
+    """Per-column [spark_type, oracle_arrow_type] pairs that would hash
+    differently at the driver, plus any oracle type outside the safe set."""
+    stypes = {f.name.lower(): f.dataType.simpleString() for f in sdf.schema.fields}
+    flags = {}
+    for field in arrow_schema:
+        at = str(field.type)
+        st = stypes.get(field.name.lower())
+        if st is None:
+            continue
+        if st.startswith("timestamp") and at.startswith("timestamp"):
+            continue
+        ok = _TYPE_COMPAT.get(st)
+        if ok is None or at not in ok:
+            flags[field.name.lower()] = [st, at]
+        # int32 on BOTH sides hashes green today but is one DuckDB
+        # promotion away from red; flag non-{int64,double,string,bool,
+        # ts,date} oracle output types as a warning either way.
+        elif at in ("int32", "float", "float32"):
+            flags[field.name.lower()] = [st, at + " (narrow)"]
+    return flags
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])  # optional query-name filter
@@ -90,9 +128,12 @@ def main() -> int:
                 rec["spark_rows"] = len(srows)
                 results[name] = rec
                 continue
-            ores = con.execute(osql[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            otab = con.execute(osql[name]).arrow()
+            ocols = otab.schema.names
+            orows = con.execute(osql[name]).fetchall()
+            tf = type_flags(sdf, otab.schema)
+            if tf:
+                rec["type_flags"] = tf
             sc, sr = canon(scols, srows)
             oc, orr = canon(ocols, orows)
             rec["rows_match"] = len(sr) == len(orr)
@@ -109,7 +150,10 @@ def main() -> int:
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
         results[name] = rec
         ok = rec["err"] is None and rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
-        print(f"{'ok ' if ok else 'BAD'} {name}", flush=True)
+        tag = "ok " if ok else "BAD"
+        if ok and rec.get("type_flags"):
+            tag = "TYP"  # values equal, but Arrow types differ -> driver red
+        print(f"{tag} {name}" + (f" {rec.get('type_flags')}" if rec.get("type_flags") else ""), flush=True)
 
     out = os.path.join(REPO, "CORRECTNESS_local.json")
     with open(out, "w") as f:
@@ -119,10 +163,13 @@ def main() -> int:
         for k, v in results.items()
         if v["err"] or not (v["rows_match"] and v["schema_match"] and v["hash_match"])
     }
-    print(f"TOTAL {len(results)} BAD {len(bad)}")
+    typed = {k: v["type_flags"] for k, v in results.items() if v.get("type_flags") and k not in bad}
+    print(f"TOTAL {len(results)} BAD {len(bad)} TYPE-FLAGGED {len(typed)}")
     if bad:
         print(json.dumps(bad, indent=1, default=str))
-    return 1 if bad else 0
+    if typed:
+        print("type flags (driver-red risk):", json.dumps(typed, default=str))
+    return 1 if (bad or typed) else 0
 
 
 if __name__ == "__main__":
