@@ -101,7 +101,32 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(qvec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def planes_for_corpus(
+    n_rows: int,
+    target_bucket_size: int = 256,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Scale-derived hyperplane count: enough planes that the EXPECTED
+    bucket size n / 2^planes stays near `target_bucket_size`.
+
+    A fixed plane count is a scale-killer: per-bucket candidate
+    generation is quadratic in bucket size, so 8 planes (256 buckets)
+    that are fine at 10^5 vectors mean 10^9-row buckets at 100 TB.
+    planes = ceil(log2(n / target)) keeps per-bucket cost constant as
+    the corpus grows; the cap bounds signature cost (each plane is one
+    64-dim integer projection per row).
+    """
+    import math
+
+    if n_rows <= target_bucket_size:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
+def hyperplane_signature(
+    qvec: Column, n_planes: int = 8, dim: int = 64, table: int = 0
+) -> Column:
     """Random-hyperplane LSH signature (SimHash for vectors) over a
     QUANTIZED vector, packed into an int. Plane p's component d is a
     deterministic pseudo-random 32-bit int derived from md5(p:d) —
@@ -109,11 +134,18 @@ def hyperplane_signature(qvec: Column, n_planes: int = 8, dim: int = 64) -> Colu
 
     The projection is an exact BIGINT sum (|q| <= 2^19, |w| <= 2^31,
     dim <= 64 -> |proj| < 2^57): bucket assignment is bit-identical
-    across engines, immune to float summation order."""
+    across engines, immune to float summation order.
+
+    `table` selects an independent hash table (OR-amplification, the
+    MinHash-band construction applied to hyperplanes): table 0 keeps
+    the historical salt `plane{p}:` so existing oracles reproduce;
+    table t>0 salts with `plane{t}:{p}:` (the ':' separators make the
+    families collision-free across tables)."""
 
     def plane_component(p: int, d: Column) -> Column:
+        salt = f"plane{p}:" if table == 0 else f"plane{table}:{p}:"
         h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"plane{p}:"), d.cast("string"))), 1, 8),
+            F.substring(F.md5(F.concat(F.lit(salt), d.cast("string"))), 1, 8),
             16,
             10,
         ).cast("bigint")
@@ -135,7 +167,26 @@ def hyperplane_signature(qvec: Column, n_planes: int = 8, dim: int = 64) -> Colu
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out.cast("int")
+    return out.cast("long")
+
+
+def _multi_table_sig(df: DataFrame, vec: str, n_planes: int, dim: int, n_tables: int) -> DataFrame:
+    """Attach (tbl, bucket) per row, one row per hash table. n_tables=1
+    stays a pure projection; n_tables>1 explodes to t rows per vector —
+    OR-amplification: a pair is a candidate if it collides in ANY
+    table, recovering the recall lost to a higher plane count."""
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(F.col(vec), n_planes, dim, table=t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select("*", F.explode(sigs).alias("_s")).select(
+        *df.columns, F.col("_s.tbl").alias("tbl"), F.col("_s.bucket").alias("bucket")
+    )
 
 
 def ann_lsh_topk(
@@ -144,32 +195,55 @@ def ann_lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucket equi-join, exact re-rank
-    inside buckets. Recall grows with fewer planes / multi-probe;
-    cost is per-bucket instead of all-pairs."""
+    inside buckets. Cost is per-bucket instead of all-pairs.
+
+    n_planes=None derives the plane count from the corpus size
+    (planes_for_corpus) so expected bucket size — and therefore
+    per-bucket quadratic candidate cost — stays constant as the corpus
+    grows; n_tables>1 adds independent hash tables (OR-amplification)
+    to recover recall at high plane counts. The count() used for
+    auto-derivation is metadata-cheap next to the join it sizes."""
     from pyspark.sql.window import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        quantize(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("bucket", hyperplane_signature(F.col("q_vec"), n_planes, dim))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("bucket", hyperplane_signature(F.col("c_vec"), n_planes, dim))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    if n_planes is None:
+        n_planes = planes_for_corpus(corpus.count())
+    q = _multi_table_sig(
+        queries.select(
+            F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
+        ),
+        "q_vec",
+        n_planes,
+        dim,
+        n_tables,
+    )
+    c = _multi_table_sig(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("c_vec")
+        ),
+        "c_vec",
+        n_planes,
+        dim,
+        n_tables,
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            int_dot(F.col("q_vec"), F.col("c_vec")).alias("dot"),
-            int_norm_sq(F.col("q_vec")).alias("qn"),
-            int_norm_sq(F.col("c_vec")).alias("cn"),
-        )
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+    )
+    if n_tables > 1:
+        # a pair colliding in several tables must score once
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        int_dot(F.col("q_vec"), F.col("c_vec")).alias("dot"),
+        int_norm_sq(F.col("q_vec")).alias("qn"),
+        int_norm_sq(F.col("c_vec")).alias("cn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
     return (
@@ -190,28 +264,42 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (near-dup
-    vectors collide with high probability when planes are few)."""
-    sigs = df.select(
-        F.col(id_col),
-        quantize(F.col(vec_col)).alias("q"),
-    ).withColumn("bucket", hyperplane_signature(F.col("q"), n_planes, dim))
+    vectors collide with high probability). n_planes=None scales the
+    plane count with the corpus (constant expected bucket size);
+    n_tables>1 OR-amplifies recall — see ann_lsh_topk."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(df.count())
+    sigs = _multi_table_sig(
+        df.select(F.col(id_col), quantize(F.col(vec_col)).alias("q")),
+        "q",
+        n_planes,
+        dim,
+        n_tables,
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket"))
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        int_dot(F.col("a.q"), F.col("b.q")).alias("dot"),
-        int_norm_sq(F.col("a.q")).alias("na"),
-        int_norm_sq(F.col("b.q")).alias("nb"),
+        F.col("a.q").alias("qa"),
+        F.col("b.q").alias("qb"),
     )
-    cos = cosine_from_int(F.col("dot"), F.col("na"), F.col("nb"))
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    cos = cosine_from_int(
+        int_dot(F.col("qa"), F.col("qb")),
+        int_norm_sq(F.col("qa")),
+        int_norm_sq(F.col("qb")),
+    )
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

@@ -643,7 +643,7 @@ WHERE s_suppkey IN (
     WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
     GROUP BY l_suppkey, l_partkey
   ) pl
-  WHERE CAST(pl.part_qty AS DOUBLE) > 0.3e0 * (
+  WHERE CAST(pl.part_qty AS DOUBLE) > 0.1e0 * (
     SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
     FROM lineitem l2 WHERE l2.l_partkey = pl.l_partkey
   )
@@ -654,7 +654,9 @@ WHERE s_suppkey IN (
 @register("q20_dominant_suppliers", oracle=_Q20_ORACLE)
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-style nested-EXISTS chain: suppliers who moved more
-    than 30% of total volume of some 'small%' part — an IN-semi-join
+    than 10% of total volume of some 'small%' part (threshold chosen so
+    the result is non-empty at every shipped sf: 10/76/250 suppliers
+    at sf0.001/0.01/0.1 - a vacuous 0-row pass checks nothing) — an IN-semi-join
     whose inner block is itself an aggregation over an IN-semi-join
     with a CORRELATED scalar subquery.
 
@@ -677,7 +679,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l_partkey IN (SELECT p_partkey FROM {part} WHERE p_name LIKE 'small%')
             GROUP BY l_suppkey, l_partkey
           ) pl
-          WHERE CAST(pl.part_qty AS DOUBLE) > 0.3e0 * (
+          WHERE CAST(pl.part_qty AS DOUBLE) > 0.1e0 * (
             SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
             FROM {lineitem} l2 WHERE l2.l_partkey = pl.l_partkey
           )

@@ -52,21 +52,29 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_w(p: str, d: str) -> str:
-    """DuckDB expr for the integer hyperplane weight of plane p, dim d."""
+def _plane_w(p: str, d: str, table: int = 0) -> str:
+    """DuckDB expr for the integer hyperplane weight of plane p, dim d
+    in hash table `table` (salt mirrors similarity.hyperplane_signature:
+    table 0 = 'plane{p}:', table t>0 = 'plane{t}:{p}:')."""
+    prefix = "'plane'" if table == 0 else f"'plane{table}:'"
     return (
-        f"(('0x' || substr(md5('plane' || {p} || ':' || CAST({d} AS VARCHAR)), 1, 8))::BIGINT"
+        f"(('0x' || substr(md5({prefix} || {p} || ':' || CAST({d} AS VARCHAR)), 1, 8))::BIGINT"
         f" - 2147483648)"
     )
 
 
-_BUCKET = (
-    "CAST(list_sum(list_transform(range(0, 8), p -> "
-    "CASE WHEN CAST(list_sum(list_transform(range(0, 64), d -> "
-    f"qv[d + 1] * {_plane_w('p', 'd')}"
-    ")) AS BIGINT) >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END"
-    ")) AS BIGINT)"
-)
+def _bucket_sql(n_planes: int = 8, table: int = 0, vec: str = "qv") -> str:
+    """DuckDB replay of hyperplane_signature(vec, n_planes, table)."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, {n_planes}), p -> "
+        "CASE WHEN CAST(list_sum(list_transform(range(0, 64), d -> "
+        f"{vec}[d + 1] * {_plane_w('p', 'd', table)}"
+        ")) AS BIGINT) >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END"
+        ")) AS BIGINT)"
+    )
+
+
+_BUCKET = _bucket_sql(8, 0)
 
 _ANN_ORACLE = f"""
 WITH base AS (
@@ -101,6 +109,58 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return S.ann_lsh_topk(q, emb, k=10).select("query_id", "neighbor_id", "rnk", "dot")
+
+
+_MP_PLANES = 10
+_MP_B0 = _bucket_sql(_MP_PLANES, 0)
+_MP_B1 = _bucket_sql(_MP_PLANES, 1)
+
+_MULTIPROBE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, {_MP_B0} AS bucket0, {_MP_B1} AS bucket1 FROM base
+),
+q AS (SELECT vec_id AS query_id, bucket0, bucket1 FROM sigs WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, bucket0, bucket1 FROM sigs),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM c JOIN q ON (c.bucket0 = q.bucket0 OR c.bucket1 = q.bucket1)
+  WHERE neighbor_id <> query_id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> qb.qv[i] * cb.qv[i])) AS BIGINT) AS dot
+  FROM cand
+  JOIN base qb ON qb.vec_id = cand.query_id
+  JOIN base cb ON cb.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, rnk, dot FROM r WHERE rnk <= 10
+"""
+
+
+@register("q_sim_ann_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified ANN: 2 independent 10-plane hash tables, candidate
+    = collision in ANY table, exact re-rank once per distinct pair.
+
+    This is the 100 TB shape for vector LSH: plane count scales with
+    corpus size (planes_for_corpus keeps expected bucket size — and so
+    per-bucket quadratic cost — constant), and the recall lost to
+    smaller buckets is bought back with extra tables instead of bigger
+    buckets. The oracle replays both salted plane families bit-for-bit
+    and the OR-of-collisions candidate set."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.ann_lsh_topk(
+        q, emb, k=10, n_planes=_MP_PLANES, n_tables=2
+    ).select("query_id", "neighbor_id", "rnk", "dot")
 
 
 _DIM = 64

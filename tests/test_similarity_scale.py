@@ -1,0 +1,66 @@
+"""Scale behavior of the vector-LSH family: plane count must grow with
+the corpus so per-bucket quadratic candidate cost stays bounded, and
+multi-table OR-amplification must be a candidate-superset of a single
+table at the same plane count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import similarity as S
+from corrie_spark.tables import load
+from tests.conftest import SF_SMOKE
+
+
+def test_planes_scale_with_corpus():
+    # expected bucket size n / 2^planes stays within 2x of target
+    for n in [10_000, 1_000_000, 100_000_000, 10_000_000_000]:
+        p = S.planes_for_corpus(n, target_bucket_size=256)
+        if p < 24:  # below the cap the bound must hold
+            assert n / 2**p <= 256, (n, p)
+    # monotone growth across 6 orders of magnitude
+    planes = [S.planes_for_corpus(10**e) for e in range(3, 12)]
+    assert planes == sorted(planes)
+    assert planes[-1] > planes[0]
+    # tiny corpora never go below the floor (degenerate 1-bucket LSH)
+    assert S.planes_for_corpus(10) >= 4
+    # the cap bounds signature cost
+    assert S.planes_for_corpus(10**15) <= 24
+
+
+def test_bucket_count_grows_with_planes(spark):
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", S.quantize(F.col("embedding")).alias("qv")
+    )
+    counts = {}
+    for n_planes in (4, 8, 12):
+        counts[n_planes] = (
+            emb.select(S.hyperplane_signature(F.col("qv"), n_planes).alias("b"))
+            .distinct()
+            .count()
+        )
+    assert counts[4] < counts[8] < counts[12]
+
+
+def test_multitable_candidates_superset(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    one = S.ann_lsh_topk(q, emb, k=1000, n_planes=10, n_tables=1).select(
+        "query_id", "neighbor_id"
+    )
+    two = S.ann_lsh_topk(q, emb, k=1000, n_planes=10, n_tables=2).select(
+        "query_id", "neighbor_id"
+    )
+    # every single-table candidate pair survives OR-amplification
+    assert one.exceptAll(two).count() == 0
+    # and table 1 is a genuinely different hash family (adds candidates)
+    assert two.count() >= one.count()
+
+
+def test_auto_planes_runs_end_to_end(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    # 500 vectors, target 256 -> ceil(log2(500/256)) = 1 -> floor 4
+    out = S.ann_lsh_topk(q, emb, k=5, n_planes=None).collect()
+    assert 0 < len(out) <= 10
+    assert {r.query_id for r in out} <= {0, 1}
