@@ -168,12 +168,16 @@ class AmqpShardedQueueReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.broker_root = options.get("broker")
+        self.broker_url = options.get("brokerUrl")
         self.queue = options.get("queue", "corrie")
         self.n_shards = int(options.get("shards", 1))
         self.prefetch = int(options.get("prefetch", 1000))
         self.state_dir = options.get("stateDir")
-        if not self.broker_root:
-            raise ValueError("amqp_sharded_queue requires option 'broker' (broker root path)")
+        if not self.broker_root and not self.broker_url:
+            raise ValueError(
+                "amqp_sharded_queue requires option 'broker' (file-broker root)"
+                " or 'brokerUrl' (amqp:// URL for the pika adapter)"
+            )
         if not self.state_dir:
             raise ValueError("amqp_sharded_queue requires option 'stateDir'")
         st = self._load_state()
@@ -185,8 +189,10 @@ class AmqpShardedQueueReader(SimpleDataSourceStreamReader):
     # --- persistence ---------------------------------------------------
 
     @property
-    def _broker(self) -> FakeAmqpBroker:
-        return FakeAmqpBroker(self.broker_root)
+    def _broker(self):
+        from corrie_spark.sources.amqp_client import connect_broker
+
+        return connect_broker({"broker": self.broker_root, "brokerUrl": self.broker_url})
 
     def _shard_queue(self, shard: int) -> str:
         return f"{self.queue}.{shard}"  # reference naming, consumer.go:223
