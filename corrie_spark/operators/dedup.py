@@ -276,6 +276,67 @@ def simhash(text: Column | str, bits: int = 48) -> Column:
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs via hamming-band blocking:
+    split the signature into `bands` equal bit-bands; a pair is a
+    candidate iff ANY band matches exactly (pigeonhole: every pair
+    within hamming distance < `bands` is guaranteed caught), then the
+    exact hamming distance filters candidates to <= max_hamming.
+
+    Scale shape — same as the MinHash-LSH path: signature is a
+    row-local map stage, blocking is a band-value equi-join (shuffle
+    keyed on (band_idx, band_val), never all-pairs), the XOR popcount
+    verify runs on candidates only."""
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+    exploded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band_idx", "bb.band_val")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # multi-band collisions score once
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard(text_a: Column, text_b: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
     """Exact n-gram Jaccard between two text columns (pair-level
     verifier applied AFTER LSH candidate generation, never all-pairs)."""

@@ -220,6 +220,45 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_HD = 6
+
+_SIMHASH_PAIRS_ORACLE = _simhash_oracle().replace(
+    """SELECT d.doc_id, COALESCE(p.simhash, 0) AS simhash
+FROM documents d LEFT JOIN packed p USING (doc_id)""",
+    f""", sh AS (
+  SELECT d.doc_id, COALESCE(p.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN packed p USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, simhash, b AS band_idx, (simhash >> (b*12)) & 4095 AS band_val
+  FROM sh, range(0, 4) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {_SIMHASH_HD}""",
+)
+
+
+@register("q_dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4 x 12-bit hamming-band blocking (any
+    band match -> candidate; pigeonhole guarantees recall for pairs
+    within hamming distance < 4) + exact XOR-popcount verify at
+    hamming <= 6. The second independent near-dedup family next to
+    MinHash-LSH: same band-join scale shape, signature is one bigint
+    per doc instead of 16 minima."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(
+        docs, bits=_SIMHASH_BITS, bands=4, max_hamming=_SIMHASH_HD
+    )
+
+
 # --- n-gram Jaccard verify stage -------------------------------------------
 
 _NGRAM_PAIRS_ORACLE = _PAIRS_ORACLE_TEMPLATE.format(
