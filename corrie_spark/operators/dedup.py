@@ -352,21 +352,29 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 50,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every
     node gets cluster_id = the minimum node id reachable from it (the
     canonical representative). The dedup KEEP policy is then "keep the
     representative, drop the rest".
 
-    Algorithm: iterative min-label propagation (symmetric
-    neighbor-min), the standard Spark-side CC:
-      label(v) <- min(label(v), min over neighbors u of label(u))
-    repeated until fixpoint. Worst case O(component diameter) rounds —
-    near-dup graphs are clique-ish with tiny diameters, so typically
-    2-3; raises if max_iters is hit without convergence (silent
-    truncation would return WRONG labels). Each round is one shuffle
-    keyed on node id; the driver loop carries only a changed-row
-    COUNT, never data.
+    Algorithm: min-label propagation with POINTER JUMPING. Each round:
+      1. neighbor-min:  label(v) <- min(label(v), min_{u~v} label(u))
+      2. shortcut:      label(v) <- min(label(v), label(label(v)))
+    Step 2 (path halving) turns worst-case O(component diameter)
+    rounds into O(log diameter) — a 10^6-node chain converges in ~20
+    rounds instead of 10^6. The invariant both steps preserve is
+    "label(v) is the id of some node in v's component and never
+    increases", so the fixpoint is exactly the component minimum —
+    same output as plain propagation, proven by the recursive-closure
+    DuckDB oracle on q_dedup_clusters.
+
+    Each round is two shuffles keyed on node id (neighbor join +
+    shortcut self-join); the driver loop carries only a changed-row
+    COUNT, never data; per-round localCheckpoint keeps the plan O(1).
+    Raises if max_iters is hit without convergence (silent truncation
+    would return WRONG labels).
 
     edges: (id_a, id_b) undirected pairs. nodes: one row per id_col —
     nodes without edges become singleton clusters of themselves.
@@ -381,20 +389,37 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("old_label"),
+        )
+        # pointer jumping: follow one hop through the label graph
+        # (label(v) -> label(label(v))); labels only shrink, so the
+        # left join + least keeps the invariant
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            stepped.join(parent, stepped.label == parent.p_node, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("new_label"),
-                F.col("label"),
+                F.col("old_label").alias("label"),
             )
             # one materialization per round: the changed-count probe and
             # the next round's labels both read this, and the lineage is
@@ -410,4 +435,5 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds "
             "(component diameter exceeds max_iters; raise max_iters)"
         )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return (out, rounds) if return_rounds else out

@@ -172,3 +172,31 @@ def winnow_fingerprint(text: Column | str, k: int = 5) -> Column:
     return F.array_min(
         F.transform(shingles(text, k), lambda s: hash60(s) % ROLLING_MOD)
     )
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded quantifiers, \b only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(n_emails, n_phones) found in the text — the audit pass a
+    corpus scrub reports before/after. Row-local, zero shuffle."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+    )
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails then phone numbers with fixed tags — the standard
+    pre-training scrub step. regexp_replace replaces every occurrence;
+    email runs first so a phone inside a local-part cannot resurface."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )

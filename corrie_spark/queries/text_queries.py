@@ -707,3 +707,89 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# --- PII scrub audit --------------------------------------------------------
+
+_PII_BODY_SQL = """
+  text ||
+  CASE WHEN doc_id % 3 = 0
+       THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@corp'
+            || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0
+       THEN ' call 201-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+"""
+
+_PII_ORACLE = f"""
+WITH bodies AS (
+  SELECT doc_id, source, {_PII_BODY_SQL} AS body FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source, body,
+         len(regexp_extract_all(body, '{T.EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(body, '{T.PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(body, '{T.EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{T.PHONE_RE}', '[PHONE]', 'g') AS clean
+  FROM bodies
+)
+SELECT
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+  CAST(SUM(length(body)) AS BIGINT) AS chars_before,
+  CAST(SUM(length(clean)) AS BIGINT) AS chars_after
+FROM scrubbed
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q_text_pii", oracle=_PII_ORACLE)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit per source: emails/phones found and the char
+    delta after redaction. PII is deterministically synthesized onto
+    the corpus (every 3rd doc an email, every 4th a phone) so the
+    scrub surface is non-vacuous at every sf and the oracle replays
+    byte-identical bodies. Operators are row-local regex map stages —
+    zero shuffle before the final per-source aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@corp"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" call 201-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rows = docs.select(
+        "source",
+        body.alias("body"),
+        T.pii_counts(body).alias("pii"),
+        T.scrub_pii(body).alias("clean"),
+    )
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pii.n_emails").alias("n_emails"),
+            F.sum("pii.n_phones").alias("n_phones"),
+            F.sum(F.length("body")).cast("bigint").alias("chars_before"),
+            F.sum(F.length("clean")).cast("bigint").alias("chars_after"),
+        )
+        .orderBy("source")
+    )

@@ -64,3 +64,21 @@ def test_connected_components_known_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long")
     got = {r.doc_id: r.cluster_id for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 200-node path has diameter 199: plain min-propagation needs
+    ~199 rounds (and would blow the max_iters=50 guard); pointer
+    jumping must converge in O(log n) — well under 20 — with the same
+    all-nodes-label-to-min result."""
+    from corrie_spark.operators.dedup import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    labels, rounds = connected_components(edges, nodes, return_rounds=True)
+    assert rounds <= 20, rounds
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
