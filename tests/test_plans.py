@@ -260,3 +260,28 @@ def test_gapfill_and_hll_merge_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in s
     s = explain_str(qs["q_sketch_hll_merged"](spark, SF_CORRECT))
     assert "CartesianProduct" not in s  # the stats join is broadcast
+
+
+def test_pii_scrub_is_map_only_before_agg(spark):
+    """Regex scrub + counts are row-local: the only shuffle is the
+    per-source aggregation."""
+    df = all_queries()["q_text_pii"](spark, SF_CORRECT)
+    assert count_shuffles(df) <= 2  # partial/final agg (+orderBy range)
+
+
+def test_simhash_pairs_band_join_not_all_pairs(spark):
+    """Hamming-band blocking must plan as an equi-join on the band
+    keys (SortMergeJoin/ShuffledHashJoin), never a nested-loop cross
+    product — the difference between O(candidates) and O(N^2)."""
+    df = all_queries()["q_dedup_simhash_pairs"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_multiprobe_broadcasts_query_side(spark):
+    """OR-amplified ANN: the 5-query side must broadcast so the corpus
+    never shuffles for the candidate join."""
+    df = all_queries()["q_sim_ann_multiprobe"](spark, SF_CORRECT)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
