@@ -1,0 +1,57 @@
+"""Bucketed range join: fact-timestamp x interval containment at scale.
+
+Spark plans a bare `l.ts >= r.start AND l.ts < r.end` join as a
+BroadcastNestedLoopJoin — O(|facts| x |intervals|) comparisons, the
+classic scale-killer for point-in-interval joins (maintenance windows,
+ad campaigns, experiment cohorts against an event stream).
+
+The bucketed formulation makes it an EQUI-join Catalyst can hash:
+  1. bin the time axis at `bin_micros`;
+  2. each interval explodes to every bin it overlaps (intervals of
+     width ~bin emit 1-2 rows — bounded blowup, chosen by the caller);
+  3. facts compute one bin each; join on the bin key; the original
+     range predicate stays as the residual filter.
+Correctness: an (event, interval) pair matches iff the event's bin is
+one of the interval's covered bins AND the residual holds — the bin
+join loses nothing (the event's bin is covered whenever the event lies
+inside the interval) and the residual removes same-bin non-overlaps.
+
+At 100 TB: facts shuffle (or broadcast-join if the exploded interval
+side is small) on an equi-key with ordinary AQE skew handling; cost is
+O(|facts| + |intervals x bins_per_interval| + |candidate pairs|),
+never the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_micros: int,
+    broadcast_intervals: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact rows to the intervals containing their timestamp
+    (half-open [start, end)). Output = fact columns + interval columns
+    (minus the internal bin key)."""
+    binned_facts = facts.withColumn(
+        "_rj_bin", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bin_micros))
+    )
+    covered = F.sequence(
+        F.floor(F.unix_micros(F.col(start_col)) / F.lit(bin_micros)),
+        F.floor((F.unix_micros(F.col(end_col)) - 1) / F.lit(bin_micros)),
+    )
+    binned_ivals = intervals.withColumn("_rj_bin", F.explode(covered))
+    if broadcast_intervals:
+        binned_ivals = F.broadcast(binned_ivals)
+    residual: Column = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) < F.col(end_col)
+    )
+    return binned_facts.join(binned_ivals, "_rj_bin", how).filter(residual).drop("_rj_bin")

@@ -689,3 +689,57 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem=load(spark, sf_dir, "lineitem"),
         part=load(spark, sf_dir, "part"),
     )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH intervals AS (
+  SELECT i AS interval_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 30 HOUR AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 30 HOUR
+           + INTERVAL 12 HOUR AS w_end
+  FROM range(0, 24) r(i)
+)
+SELECT
+  interval_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM intervals JOIN events e ON e.ts >= w_start AND e.ts < w_end
+GROUP BY interval_id
+ORDER BY interval_id
+"""
+
+
+@register("q_range_join_windows", oracle=_RANGE_JOIN_ORACLE)
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: events against 24 deterministic
+    12-hour maintenance windows (30 h stride over the Jan-2024 span).
+
+    Plan shape: operators/range_join.bucketed_range_join — intervals
+    explode to their covered 12 h bins and BROADCAST; events compute
+    one bin each and hash-join on it with the range predicate as the
+    residual. Never a BroadcastNestedLoopJoin (pinned in
+    tests/test_plans.py) — the difference between O(N x 24) theta
+    comparisons and an O(N) map-side equi-join at 100 TB. The oracle
+    runs the plain theta join in DuckDB over identical timestamps.
+    """
+    from corrie_spark.operators.range_join import bucketed_range_join
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+    stride_us = 30 * 3600 * 1_000_000
+    width_us = 12 * 3600 * 1_000_000
+    intervals = spark.range(24).select(
+        F.col("id").alias("interval_id"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * F.lit(stride_us)).alias("w_start"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * F.lit(stride_us) + F.lit(width_us)
+        ).alias("w_end"),
+    )
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    joined = bucketed_range_join(
+        ev, intervals, "ts", "w_start", "w_end", bin_micros=width_us
+    )
+    return (
+        joined.groupBy("interval_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("interval_id")
+    )

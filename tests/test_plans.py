@@ -285,3 +285,12 @@ def test_multiprobe_broadcasts_query_side(spark):
     assert has_broadcast_join(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed range join must hash-join on the bin key; a bare
+    theta join would plan as BroadcastNestedLoopJoin."""
+    df = all_queries()["q_range_join_windows"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
