@@ -117,3 +117,73 @@ def hll_estimate(registers: DataFrame, key_col: str) -> DataFrame:
 def hll_distinct(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Per-key approximate distinct count via the full HLL pipeline."""
     return hll_estimate(hll_registers(df, key_col, value_col), key_col)
+
+
+# --- Count-Min Sketch + heavy hitters --------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256  # counters per row; error ~ 2N/width with prob 1-2^-depth
+
+
+def cms_cell(item: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Counter index of `item` in CMS row `row`: md5-derived 60-bit
+    hash mod width — reproducible symbolically in DuckDB."""
+    from corrie_spark.operators.dedup import hash60
+
+    return hash60(item, salt=f"cms{row}") % width
+
+
+def cms_counters(
+    df: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch: (row, cell, cnt) counter table.
+
+    Scale shape: each input row emits `depth` (row, cell) keys — a
+    pure map stage — then ONE partial-aggregated shuffle of at most
+    depth x width groups (1024 longs by default) regardless of input
+    size. Counters are sums, so sketches merge across partitions,
+    days, or corpora by adding cell-wise — the pre-aggregation
+    pattern that replaces a full groupBy(item) at 100 TB."""
+    item = F.col(item_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("row"),
+                cms_cell(item, r, width).alias("cell"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-query the sketch for each key: min over rows of the
+    key's counter — never underestimates the true count. The counter
+    table (<= depth x width rows) broadcasts; keys never shuffle."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("row"),
+                        cms_cell(F.col(key_col), r).alias("cell"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select(key_col, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(counters), ["row", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from corrie_spark.operators import sketch as SK
 from corrie_spark.operators.sketch import ALPHA_EXPR, HLL_M, hll_rank_sql
 from corrie_spark.queries.registry import register
+from corrie_spark.queries.text_queries import _TOKS
 from corrie_spark.tables import load
 
 _H = "CAST('0x' || substr(md5(':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
@@ -224,4 +225,67 @@ def q_sketch_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.crossJoin(F.broadcast(stats)).select(
         "scope", "n_partials", "registers_hit", "hll_estimate", "exact_distinct"
+    )
+
+
+# --- Count-Min Sketch heavy hitters ----------------------------------------
+
+_CMS_CELL_SQL = (
+    "(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || {item}), 1, 15))::BIGINT) % 256"
+)
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                     ELSE {{toks}} END) AS t
+  FROM documents
+),
+counters AS (
+  SELECT r, {_CMS_CELL_SQL.format(item='t')} AS cell, COUNT(*) AS cnt
+  FROM tok, range(0, 4) rr(r)
+  GROUP BY r, {_CMS_CELL_SQL.format(item='t')}
+),
+exact AS (
+  SELECT t AS token, COUNT(*) AS exact_count FROM tok GROUP BY t
+  ORDER BY exact_count DESC, token LIMIT 20
+),
+probes AS (
+  SELECT token, exact_count, r, {_CMS_CELL_SQL.format(item='token')} AS cell
+  FROM exact, range(0, 4) rr(r)
+)
+SELECT token, exact_count, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_count
+FROM probes LEFT JOIN counters USING (r, cell)
+GROUP BY token, exact_count
+ORDER BY exact_count DESC, token
+"""
+
+
+@register("q_sketch_cms_heavy_hitters", oracle=_CMS_ORACLE.format(toks=_TOKS))
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point queries for the exact top-20 tokens:
+    exact count next to the sketch estimate (the CMS invariant
+    estimate >= exact is oracle-checked value-for-value, since the
+    md5-derived cells make both engines build identical counters).
+
+    Why it matters at 100 TB: the counter table is depth x width longs
+    (1024 cells) REGARDLESS of corpus size and merges by cell-wise
+    sum — heavy-hitter candidates come from one bounded-size shuffle
+    instead of a full token groupBy."""
+    from corrie_spark.operators import sketch as SK
+    from corrie_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens("text")).alias("t"))
+    counters = SK.cms_counters(tok, "t")
+    exact = (
+        tok.groupBy(F.col("t").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token"))
+        .limit(20)
+    )
+    est = SK.cms_estimate(counters, exact.select("token"), "token")
+    return (
+        exact.join(est, "token")
+        .select("token", "exact_count", F.col("cms_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token"))
     )

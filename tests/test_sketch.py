@@ -40,3 +40,36 @@ def test_hll_registers_bounded(spark):
     )
     counts = hll_registers(df, "g", "v").groupBy("g").count().collect()
     assert all(r["count"] <= 256 for r in counts)
+
+
+def test_cms_merge_law_and_upper_bound(spark):
+    """CMS counters built on two disjoint halves sum cell-wise to the
+    counters of the union (the merge law that lets sketches pre-
+    aggregate per day/partition), and point estimates never
+    underestimate the true count."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.sketch import cms_counters, cms_estimate
+
+    rows = [(f"tok{i % 7}",) for i in range(200)] + [("rare",)]
+    df = spark.createDataFrame(rows, "t string")
+    first = spark.createDataFrame(rows[:100], "t string")
+    rest = spark.createDataFrame(rows[100:], "t string")
+
+    whole = cms_counters(df, "t")
+    merged = (
+        cms_counters(first, "t")
+        .unionByName(cms_counters(rest, "t"))
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = {(r.row, r.cell): r.cnt for r in whole.collect()}
+    m = {(r.row, r.cell): r.cnt for r in merged.collect()}
+    assert w == m
+    assert sum(w.values()) == 201 * 4
+
+    keys = df.select("t").distinct()
+    est = {r.t: r.cms_count for r in cms_estimate(whole, keys, "t").collect()}
+    true = {r.t: r.cnt for r in df.groupBy("t").agg(F.count("*").alias("cnt")).collect()}
+    for k, n in true.items():
+        assert est[k] >= n, (k, est[k], n)
