@@ -1,0 +1,146 @@
+"""Training-data packing operators: document chunking and token-budget
+shard assignment.
+
+Both are deterministic (hash-ordered, no rand()) so corpus builds are
+reproducible across runs, engines, and cluster sizes — the same
+property as the train/test splits in queries/text_queries.py.
+
+`distributed_cumsum` is the scale-critical piece: a naive
+`SUM(x) OVER (ORDER BY k)` collapses to ONE partition in Spark (a
+global sort window), the classic 100 TB faceplant. The two-phase
+prefix sum — range-partition by key, per-partition window, then add
+broadcast per-partition offsets — keeps every stage parallel; the
+driver only ever sees #partitions partial sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks with
+    stable (doc_id, chunk_idx) identity — the standard pre-training /
+    RAG chunking step.
+
+    stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens); the last chunk is the one
+    whose start first reaches the tail (docs of <= chunk_tokens tokens
+    yield exactly one chunk). Row-local: tokenization, the chunk-index
+    sequence, and the slice all happen inside one projection — a pure
+    map stage at any scale, no shuffle, no UDF.
+    """
+    from corrie_spark.functions import bind
+    from corrie_spark.operators.text import tokens
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.slice(toks, i * stride + 1, chunk_tokens).alias("chunk"),
+            ),
+        )
+
+    chunks = df.select(
+        F.col(id_col), F.explode(bind(tokens(F.col(text_col)), build)).alias("c")
+    )
+    chunk_text = F.concat_ws(" ", F.col("c.chunk"))
+    return chunks.select(
+        F.col(id_col),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.chunk").cast("long").alias("n_tokens"),
+        F.md5(chunk_text).alias("chunk_fp"),
+    )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of `value_col` in `order_col` order,
+    without a single-partition global window.
+
+    Phase 1: range-partition on order_col (so partition p holds a
+    contiguous key range and partitions are mutually ordered), local
+    running sum via a window PARTITIONED by the physical partition id.
+    Phase 2: per-partition totals (#partitions rows) come to the
+    driver, their exclusive prefix is broadcast back as a join on the
+    partition id. Result: cumsum BEFORE each row — every stage
+    parallel, driver traffic O(#partitions).
+
+    order_col must be globally unique (it is a hash in every caller
+    here); ties would make "before" ambiguous.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local_before", F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+    )
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).cast("long").alias("_tot"))
+        .collect()
+    )  # #partitions rows — metadata-sized at any data scale
+    offset_of: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r._pid):
+        offset_of[r._pid] = acc
+        acc += r._tot or 0
+    offsets = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in offset_of.items()], "_pid int, _offset long"
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local_before") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_before", "_offset")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign rows to training shards of ~`budget` tokens each:
+    deterministic hash order, exclusive running token count, shard =
+    cumsum_before // budget (a row straddling a boundary goes to the
+    shard its first token lands in). Reproducible bin packing without
+    a coordinator — the step that turns a deduped corpus into
+    fixed-size training shards."""
+    from corrie_spark.operators.dedup import hash60
+
+    keyed = df.withColumn("_h", hash60(F.col(id_col).cast("string"), salt=salt))
+    summed = distributed_cumsum(keyed, "_h", tokens_col, out_col="_before")
+    return summed.withColumn(
+        "shard", F.floor(F.col("_before") / F.lit(budget)).cast("long")
+    ).drop("_before", "_h")

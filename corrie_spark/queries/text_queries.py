@@ -793,3 +793,100 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- chunking + shard packing ----------------------------------------------
+
+_CHUNK, _OVERLAP = 64, 16
+_STRIDE = _CHUNK - _OVERLAP
+
+_CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS t
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= {_CHUNK} THEN 1
+              ELSE CAST(ceil((len(t) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, n_chunks),
+                i -> {{'idx': i,
+                      'chunk': t[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}]}})) AS c
+  FROM meta
+)
+SELECT doc_id,
+       CAST(c.idx AS BIGINT) AS chunk_idx,
+       CAST(len(c.chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(c.chunk, ' ')) AS chunk_fp
+FROM chunks
+"""
+
+
+@register("q_doc_chunks", oracle=_CHUNKS_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap) with stable (doc_id, chunk_idx) identity and a chunk
+    fingerprint — the pre-training/RAG chunking step. Pure map stage
+    (tokenize + sequence + slice in one projection, plan-pinned
+    shuffle-free); the oracle rebuilds every chunk and its md5."""
+    from corrie_spark.operators.packing import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+
+
+_PACK_BUDGET = 2000
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_NTOK} AS n_tokens,
+         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT CAST(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM c
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+@register("q_pack_shards", oracle=_PACK_ORACLE)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: docs in deterministic hash order,
+    exclusive running token count, shard = floor(cum_before / 2000) —
+    reproducible bin packing into ~2000-token training shards.
+
+    The scale story is the prefix sum: a naive SUM() OVER (ORDER BY)
+    is a single-partition global window in Spark; packing.
+    distributed_cumsum range-partitions the hash axis, runs local
+    windows, and broadcasts #partitions offsets — every stage
+    parallel. The oracle IS the naive global window (DuckDB), proving
+    the two-phase sum equals it exactly."""
+    from corrie_spark.operators.packing import pack_shards
+    from corrie_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    packed = pack_shards(sized, "doc_id", "n_tokens", budget=_PACK_BUDGET)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )

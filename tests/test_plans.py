@@ -294,3 +294,10 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert has_broadcast_join(df)
+
+
+def test_doc_chunks_map_only(spark):
+    """Chunking must be a pure projection — tokenize + sequence +
+    slice in one map stage, zero shuffles."""
+    df = all_queries()["q_doc_chunks"](spark, SF_CORRECT)
+    assert count_shuffles(df) == 0
