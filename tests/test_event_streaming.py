@@ -251,3 +251,47 @@ def test_transform_with_state_migration_tripwire():
         "transformWithStateInPandas migration for count_trigger_batches "
         "(corrie_spark/streaming/events.py)"
     )
+
+
+def test_streaming_hll_registers_merge_across_microbatches(spark, tmp_path, event_files):
+    """Sketches compose with streaming: per-micro-batch HLL register
+    tables (what foreachBatch would persist per epoch) merged by MAX
+    per bucket are BIT-IDENTICAL to sketching the whole stream in one
+    batch — so a streaming rollup can serve distinct-count estimates
+    without ever reprocessing history."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.sketch import hll_estimate, hll_registers
+
+    d, rows = event_files
+    epochs = []
+
+    def per_batch(df, epoch_id):
+        epochs.append(hll_registers(df, "event_type", "user_id").collect())
+
+    q = (
+        _stream(spark, d)
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(epochs) >= 2  # maxFilesPerTrigger=1 -> one epoch per file
+
+    merged_rows = [r for ep in epochs for r in ep]
+    merged = (
+        spark.createDataFrame(merged_rows)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    got = {
+        (r.event_type, round(r.hll_estimate, 9))
+        for r in hll_estimate(merged, "event_type").collect()
+    }
+    whole = hll_registers(_mk_events(spark, rows), "event_type", "user_id")
+    want = {
+        (r.event_type, round(r.hll_estimate, 9))
+        for r in hll_estimate(whole, "event_type").collect()
+    }
+    assert got == want and len(want) >= 2
