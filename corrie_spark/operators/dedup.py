@@ -283,6 +283,7 @@ def simhash_pairs(
     bits: int = 48,
     bands: int = 4,
     max_hamming: int = 6,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs via hamming-band blocking:
     split the signature into `bands` equal bit-bands; a pair is a
@@ -296,7 +297,13 @@ def simhash_pairs(
     verify runs on candidates only."""
     band_width = bits // bands
     mask = (1 << band_width) - 1
-    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+    # signatures may be precomputed/persisted by the caller (queries
+    # sharing one signature pass); expected columns (id_col, simhash)
+    sh = (
+        signatures
+        if signatures is not None
+        else df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+    )
     exploded = sh.select(
         id_col,
         "simhash",

@@ -41,6 +41,20 @@ def _shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, simhash) frame shared by the signature query
+    and the band-pairs query — one signature pass per session."""
+    docs = load(spark, sf_dir, "documents")
+    return _memo(
+        spark,
+        sf_dir,
+        "simhash",
+        lambda: docs.select(
+            "doc_id", D.simhash("text", _SIMHASH_BITS).alias("simhash")
+        ).persist(),
+    )
+
+
 def _shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return _memo(
@@ -214,10 +228,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (per-bit token votes). Near-dup
     candidates at scale come from hamming-band blocking over this
     value; here the checked surface is the signature itself."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", D.simhash("text", _SIMHASH_BITS).alias("simhash")
-    )
+    return _shared_simhash(spark, sf_dir)
 
 
 _SIMHASH_HD = 6
@@ -255,7 +266,11 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc instead of 16 minima."""
     docs = load(spark, sf_dir, "documents")
     return D.simhash_pairs(
-        docs, bits=_SIMHASH_BITS, bands=4, max_hamming=_SIMHASH_HD
+        docs,
+        bits=_SIMHASH_BITS,
+        bands=4,
+        max_hamming=_SIMHASH_HD,
+        signatures=_shared_simhash(spark, sf_dir),
     )
 
 

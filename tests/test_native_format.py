@@ -162,3 +162,60 @@ def test_write_native_blocks_distributed(spark, tmp_path):
     assert len(rows) == 1000
     assert sorted(r[0] for r in rows) == list(range(1000))
     assert all(r[1] == str(r[0]) and r[2] == r[0] % 5 for r in rows)
+
+
+# --- property-based roundtrip (hypothesis) ---------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _scalar_cases = st.sampled_from(
+        [
+            ("Int64", st.integers(-(2**63), 2**63 - 1)),
+            ("Int32", st.integers(-(2**31), 2**31 - 1)),
+            ("UInt64", st.integers(0, 2**64 - 1)),
+            ("Float64", st.floats(allow_nan=False, width=64)),
+            ("String", st.text(max_size=50)),
+            (
+                "Date",
+                st.dates(dt.date(1970, 1, 1), dt.date(2100, 1, 1)),
+            ),
+        ]
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(case=_scalar_cases, data=st.data())
+    def test_property_roundtrip_scalars(case, data):
+        ch_type, strat = case
+        values = data.draw(st.lists(strat, min_size=0, max_size=25))
+        [(_, _, got)] = decode_block(encode_block([("c", ch_type, values)]))
+        assert got == values
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        values=st.lists(
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            max_size=25,
+        )
+    )
+    def test_property_roundtrip_nullable(values):
+        [(_, _, got)] = decode_block(
+            encode_block([("c", "Nullable(Int32)", values)])
+        )
+        assert got == values
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        values=st.lists(
+            st.lists(st.integers(-(2**63), 2**63 - 1), max_size=8), max_size=15
+        )
+    )
+    def test_property_roundtrip_arrays(values):
+        [(_, _, got)] = decode_block(encode_block([("c", "Array(Int64)", values)]))
+        assert got == values
