@@ -604,3 +604,48 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+_GSETS_ORACLE = """
+SELECT
+  COALESCE(o_orderstatus, '-') AS status,
+  COALESCE(c_mktsegment, '-') AS segment,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY GROUPING SETS ((o_orderstatus, c_mktsegment), (o_orderstatus), (c_mktsegment))
+"""
+
+
+@register("q_grouping_sets", oracle=_GSETS_ORACLE)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form CUBE/ROLLUP
+    specialize: (status x segment), (status), (segment) in ONE pass
+    with GROUPING() disambiguating real NULLs from subtotal rows.
+    Spark expands grouping sets before the exchange, so this is the
+    broadcast customer join plus a single shuffle, not three queries
+    over the fact table."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("c_mktsegment")).cast("long")
+    return (
+        joined.groupingSets(
+            [["o_orderstatus", "c_mktsegment"], ["o_orderstatus"], ["c_mktsegment"]],
+            "o_orderstatus",
+            "c_mktsegment",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("-")).alias("status"),
+            F.coalesce("c_mktsegment", F.lit("-")).alias("segment"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
