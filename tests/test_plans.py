@@ -301,3 +301,13 @@ def test_doc_chunks_map_only(spark):
     slice in one map stage, zero shuffles."""
     df = all_queries()["q_doc_chunks"](spark, SF_CORRECT)
     assert count_shuffles(df) == 0
+
+
+def test_grouping_sets_single_pass(spark):
+    """Grouping-set expansion must happen before the exchange: one
+    fact pass, broadcast dim join, no repeated scans."""
+    df = all_queries()["q_grouping_sets"](spark, SF_CORRECT)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2  # orders once, customer once
+    assert count_shuffles(df) <= 2
