@@ -174,6 +174,19 @@ def _encode_body(buf: io.BytesIO, t: CHType, values: list) -> None:
             raw = u.bytes
             buf.write(raw[7::-1] + raw[:7:-1])  # both halves byte-reversed
         return
+    if base == "IPv4":
+        import ipaddress
+
+        # stored little-endian uint32 (column_ipv4 in the driver family)
+        for v in values:
+            buf.write(struct.pack("<I", int(ipaddress.IPv4Address(v))))
+        return
+    if base == "IPv6":
+        import ipaddress
+
+        for v in values:
+            buf.write(ipaddress.IPv6Address(v).packed)  # 16 network-order bytes
+        return
     if base == "Decimal":
         import decimal as _dec
 
@@ -260,6 +273,17 @@ def _decode_body(buf: io.BytesIO, t: CHType, n: int) -> list:
             raw = buf.read(16)
             out.append(str(_uuid.UUID(bytes=raw[7::-1] + raw[:7:-1])))
         return out
+    if base == "IPv4":
+        import ipaddress
+
+        return [
+            str(ipaddress.IPv4Address(struct.unpack("<I", buf.read(4))[0]))
+            for _ in range(n)
+        ]
+    if base == "IPv6":
+        import ipaddress
+
+        return [str(ipaddress.IPv6Address(buf.read(16))) for _ in range(n)]
     if base == "Decimal":
         import decimal as _dec
 

@@ -81,6 +81,9 @@ MATRIX = [
     ),
     ("Decimal(9,2)", [decimal.Decimal("1.25"), decimal.Decimal("-3.10"), decimal.Decimal("0.00")]),
     ("Decimal(18,6)", [decimal.Decimal("123456.654321"), decimal.Decimal("-1.000001"), decimal.Decimal("0.000000")]),
+    ("IPv4", ["0.0.0.0", "192.168.1.255", "255.255.255.255"]),
+    ("IPv6", ["::", "2001:db8::1", "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff"]),
+    ("Nullable(IPv4)", ["10.0.0.1", None, "127.0.0.1"]),
     ("Nullable(Int32)", [1, None, -5]),
     ("Nullable(String)", [None, "x", None]),
     ("Nullable(DateTime)", [None, dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc), None]),
