@@ -604,3 +604,53 @@ def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_chars").cast("double")
         ).alias("keep_ratio"),
     )
+
+
+_EMB_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, qv, {_BUCKET} AS bucket FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS BIGINT) AS na,
+         CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS BIGINT) AS nb
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+kept AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM kept
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM kept
+),
+reach AS (
+  SELECT vec_id AS node, vec_id AS r FROM embeddings
+  UNION
+  SELECT reach.node, edges.dst AS r
+  FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node AS vec_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("q_dedup_embedding_clusters", oracle=_EMB_CLUSTERS_ORACLE)
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: cosine>=0.35 LSH pairs -> pointer-
+    jumping connected components -> cluster_id = min vec_id (the keep
+    representative) — the full semantic-dedup chain a corpus build
+    runs over embeddings, mirroring the text-side q_dedup_clusters.
+    The recursive-closure oracle proves the fixpoint on this second
+    graph shape too (vector buckets produce denser, blobbier
+    components than MinHash bands)."""
+    from corrie_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dups(emb, threshold=0.35).select("id_a", "id_b")
+    return D.connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
