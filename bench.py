@@ -56,19 +56,24 @@ def main() -> None:
     t_all = time.perf_counter()
     for name in sorted(queries):
         times: list[float] = []
+        flaked = False
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
                 queries[name](spark, sf_dir).collect()
             except Exception as e:  # one broken query must not sink the run
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+                flaked = True
                 break
             times.append(time.perf_counter() - t0)
             if sum(times) > PER_QUERY_BUDGET_S:
                 break
+        if flaked:
+            # a later-rep failure must surface in the JSON, not just
+            # stderr — record the query as failed even if rep 1 timed
+            failed.append(name)
         if not times:
             medians[name] = -1.0
-            failed.append(name)
         else:
             medians[name] = round(statistics.median(times), 3)
             spreads[name] = [round(min(times), 3), round(max(times), 3)]

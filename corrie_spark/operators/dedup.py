@@ -404,14 +404,19 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
-            F.col("label").alias("old_label"),
+        stepped = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+            # referenced twice below (as base and as `parent`); Spark
+            # shares no common subplans, so without this checkpoint the
+            # neighbor-min join subtree would execute twice per round
+            .localCheckpoint(eager=True)
         )
         # pointer jumping: follow one hop through the label graph
         # (label(v) -> label(label(v))); labels only shrink, so the

@@ -103,7 +103,11 @@ def distributed_cumsum(
     )
     local = ranged.withColumn(
         "_local_before", F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
-    )
+    # materialize once: both the totals collect below and the returned
+    # join read this — without it the repartitionByRange + window
+    # pipeline would execute twice (the exact 2x the operator exists
+    # to avoid)
+    ).localCheckpoint(eager=True)
     totals = (
         local.groupBy("_pid")
         .agg(F.sum(value_col).cast("long").alias("_tot"))

@@ -48,7 +48,12 @@ def bucketed_range_join(
         F.floor(F.unix_micros(F.col(start_col)) / F.lit(bin_micros)),
         F.floor((F.unix_micros(F.col(end_col)) - 1) / F.lit(bin_micros)),
     )
-    binned_ivals = intervals.withColumn("_rj_bin", F.explode(covered))
+    binned_ivals = intervals.filter(
+        # empty/reversed intervals match nothing; without the guard
+        # sequence(hi, lo) would emit a DESCENDING bin range — spurious
+        # exploded rows, and a job-killing length for a large reversal
+        F.col(end_col) > F.col(start_col)
+    ).withColumn("_rj_bin", F.explode(covered))
     if broadcast_intervals:
         binned_ivals = F.broadcast(binned_ivals)
     residual: Column = (F.col(ts_col) >= F.col(start_col)) & (

@@ -164,10 +164,19 @@ def cms_counters(
     )
 
 
-def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
     """Point-query the sketch for each key: min over rows of the
     key's counter — never underestimates the true count. The counter
-    table (<= depth x width rows) broadcasts; keys never shuffle."""
+    table (<= depth x width rows) broadcasts; keys never shuffle.
+    depth/width MUST match the cms_counters call that built
+    `counters` — probing with a different geometry would miss cells
+    and return 0s."""
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -175,9 +184,9 @@ def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str) -> DataFram
                 *[
                     F.struct(
                         F.lit(r).cast("long").alias("row"),
-                        cms_cell(F.col(key_col), r).alias("cell"),
+                        cms_cell(F.col(key_col), r, width).alias("cell"),
                     )
-                    for r in range(CMS_DEPTH)
+                    for r in range(depth)
                 ]
             )
         ).alias("rc"),

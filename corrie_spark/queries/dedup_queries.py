@@ -28,7 +28,13 @@ _MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    # evict frames from previous (stopped) sessions: their JVM-side
+    # persisted blocks are gone with the session, and the dict would
+    # otherwise grow without bound across pytest sessions
+    for stale in [k for k in _MEMO if k[0] != app]:
+        del _MEMO[stale]
+    k = (app, sf_dir, key)
     if k not in _MEMO:
         _MEMO[k] = build()
     return _MEMO[k]
@@ -52,6 +58,20 @@ def _shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: docs.select(
             "doc_id", D.simhash("text", _SIMHASH_BITS).alias("simhash")
         ).persist(),
+    )
+
+
+def _shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted cosine>=0.35 LSH pair frame shared by the embedding
+    near-dup query and its cluster assignment."""
+    from corrie_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    return _memo(
+        spark,
+        sf_dir,
+        "emb_pairs",
+        lambda: S.embedding_near_dups(emb, threshold=0.35).persist(),
     )
 
 
@@ -347,10 +367,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates via hyperplane-LSH buckets +
     exact (quantized-integer) cosine — per-bucket pair generation, not
     all-pairs. Threshold 0.35 tuned to this corpus's cosine range."""
-    from corrie_spark.operators import similarity as S
-
-    emb = load(spark, sf_dir, "embeddings")
-    return S.embedding_near_dups(emb, threshold=0.35)
+    return _shared_embedding_pairs(spark, sf_dir)
 
 
 _EDIT_ORACLE = f"""
@@ -649,8 +666,6 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recursive-closure oracle proves the fixpoint on this second
     graph shape too (vector buckets produce denser, blobbier
     components than MinHash bands)."""
-    from corrie_spark.operators import similarity as S
-
     emb = load(spark, sf_dir, "embeddings")
-    pairs = S.embedding_near_dups(emb, threshold=0.35).select("id_a", "id_b")
+    pairs = _shared_embedding_pairs(spark, sf_dir).select("id_a", "id_b")
     return D.connected_components(pairs, emb.select("vec_id"), id_col="vec_id")

@@ -222,7 +222,14 @@ def _decimal_ps(t: CHType) -> tuple[int, int]:
     m = _re.match(r"^Decimal\((\d+),\s*(\d+)\)$", t.name)
     if not m:
         raise UnsupportedTypeError(f"malformed Decimal: {t.name}")
-    return int(m.group(1)), int(m.group(2))
+    p, s = int(m.group(1)), int(m.group(2))
+    if p > 18:
+        # p in (18, 38] is Decimal128 on the wire (16-byte int128);
+        # silently writing 8 bytes would corrupt the whole block
+        raise UnsupportedTypeError(
+            f"native Decimal({p},{s}): precision > 18 needs int128 encoding"
+        )
+    return p, s
 
 
 def _decode_body(buf: io.BytesIO, t: CHType, n: int) -> list:

@@ -190,9 +190,22 @@ class AmqpShardedQueueReader(SimpleDataSourceStreamReader):
 
     @property
     def _broker(self):
-        from corrie_spark.sources.amqp_client import connect_broker
+        # ONE broker client per reader instance: AMQP delivery tags are
+        # channel-scoped, so the ack in commit() must go to the same
+        # connection/channel that consumed in read() — a per-access
+        # client would ack into a fresh channel (PRECONDITION_FAILED on
+        # a real broker) and drop the consume connection, requeueing
+        # the whole unacked window every batch. (If Spark ever commits
+        # on a NEW reader instance — crash recovery — the tags are gone
+        # with the old channel and the broker redelivers: the documented
+        # at-least-once path, not an ack bug.)
+        if getattr(self, "_broker_inst", None) is None:
+            from corrie_spark.sources.amqp_client import connect_broker
 
-        return connect_broker({"broker": self.broker_root, "brokerUrl": self.broker_url})
+            self._broker_inst = connect_broker(
+                {"broker": self.broker_root, "brokerUrl": self.broker_url}
+            )
+        return self._broker_inst
 
     def _shard_queue(self, shard: int) -> str:
         return f"{self.queue}.{shard}"  # reference naming, consumer.go:223

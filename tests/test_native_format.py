@@ -141,6 +141,15 @@ def test_fixed_string_overflow_rejected():
         encode_block([("f", "FixedString(2)", ["abc"])])
 
 
+def test_decimal128_rejected_not_corrupted():
+    """Decimal(p>18) needs int128 on the wire; silently writing 8
+    bytes would corrupt the block, so the encoder must refuse."""
+    from corrie_spark.chtypes import UnsupportedTypeError
+
+    with pytest.raises(UnsupportedTypeError):
+        encode_block([("d", "Decimal(38,10)", [decimal.Decimal("1.5")])])
+
+
 def test_write_native_blocks_distributed(spark, tmp_path):
     df = spark.range(0, 1000, 1, 4).selectExpr(
         "id",

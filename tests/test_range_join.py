@@ -63,3 +63,16 @@ def test_overlapping_intervals_duplicate_facts(spark):
     out = bucketed_range_join(facts, intervals, "ts", "w_start", "w_end", 1000)
     # fact 2 (ts=1000) is inside intervals 0, 1 and 2 -> three rows
     assert out.filter(F.col("fid") == 2).count() == 3
+
+
+def test_reversed_and_zero_width_intervals_match_nothing(spark):
+    facts = _facts(spark)
+    bad = spark.createDataFrame(
+        [(0, 5000, 5000), (1, 9000, 1000)], "iid long, s_us long, e_us long"
+    ).select(
+        "iid",
+        F.timestamp_micros(F.col("s_us")).alias("w_start"),
+        F.timestamp_micros(F.col("e_us")).alias("w_end"),
+    )
+    out = bucketed_range_join(facts, bad, "ts", "w_start", "w_end", 1000)
+    assert out.count() == 0

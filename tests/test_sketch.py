@@ -73,3 +73,24 @@ def test_cms_merge_law_and_upper_bound(spark):
     true = {r.t: r.cnt for r in df.groupBy("t").agg(F.count("*").alias("cnt")).collect()}
     for k, n in true.items():
         assert est[k] >= n, (k, est[k], n)
+
+
+def test_cms_nondefault_geometry_roundtrips(spark):
+    """cms_estimate probed with the SAME nondefault depth/width as the
+    counters were built with must preserve the upper-bound invariant
+    (a geometry mismatch would return zeros)."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.sketch import cms_counters, cms_estimate
+
+    df = spark.createDataFrame([(f"k{i % 5}",) for i in range(100)], "t string")
+    counters = cms_counters(df, "t", depth=2, width=64)
+    est = {
+        r.t: r.cms_count
+        for r in cms_estimate(
+            counters, df.select("t").distinct(), "t", depth=2, width=64
+        ).collect()
+    }
+    true = {r.t: r.cnt for r in df.groupBy("t").agg(F.count("*").alias("cnt")).collect()}
+    for k, n in true.items():
+        assert est[k] >= n

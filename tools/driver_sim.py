@@ -128,9 +128,14 @@ def main() -> int:
                 rec["spark_rows"] = len(srows)
                 results[name] = rec
                 continue
+            # ONE execution per oracle: the arrow table carries both the
+            # schema (for the type check) and the rows — re-running the
+            # SQL for fetchall() doubled oracle time on the recursive-
+            # closure / k-means-replay queries
             otab = con.execute(osql[name]).arrow()
             ocols = otab.schema.names
-            orows = con.execute(osql[name]).fetchall()
+            ocols_py = [otab.column(i).to_pylist() for i in range(otab.num_columns)]
+            orows = [tuple(vals) for vals in zip(*ocols_py)] if ocols_py else []
             tf = type_flags(sdf, otab.schema)
             if tf:
                 rec["type_flags"] = tf
