@@ -70,9 +70,12 @@ def main() -> None:
                 break
         if flaked:
             # a later-rep failure must surface in the JSON, not just
-            # stderr — record the query as failed even if rep 1 timed
+            # stderr — and a query counted as failed must not also
+            # contribute its successful reps to the summed `value`
+            # (a flaky query would otherwise be double-reported)
             failed.append(name)
-        if not times:
+            medians[name] = -1.0
+        elif not times:
             medians[name] = -1.0
         else:
             medians[name] = round(statistics.median(times), 3)

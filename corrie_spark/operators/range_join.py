@@ -41,12 +41,21 @@ def bucketed_range_join(
     """Join fact rows to the intervals containing their timestamp
     (half-open [start, end)). Output = fact columns + interval columns
     (minus the internal bin key)."""
+    # Exact integer binning via `div` (not floor of a double quotient:
+    # beyond ~2^53 micros the double rounds, and a bin key off by one
+    # silently loses an equi-match the residual can't recover). `div`
+    # truncates toward zero rather than flooring, but any MONOTONE
+    # non-decreasing bin function is correct here: binf(ts) always lies
+    # in [binf(start), binf(end-1)] for ts in [start, end), so the
+    # covered-bin sequence still catches every match and the residual
+    # removes the rest.
+    bf = int(bin_micros)
     binned_facts = facts.withColumn(
-        "_rj_bin", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bin_micros))
+        "_rj_bin", F.expr(f"unix_micros(`{ts_col}`) div {bf}")
     )
     covered = F.sequence(
-        F.floor(F.unix_micros(F.col(start_col)) / F.lit(bin_micros)),
-        F.floor((F.unix_micros(F.col(end_col)) - 1) / F.lit(bin_micros)),
+        F.expr(f"unix_micros(`{start_col}`) div {bf}"),
+        F.expr(f"(unix_micros(`{end_col}`) - 1) div {bf}"),
     )
     binned_ivals = intervals.filter(
         # empty/reversed intervals match nothing; without the guard

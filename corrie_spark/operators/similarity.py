@@ -348,23 +348,50 @@ def ivf_centroids(
     return _centroids_of(q, dim)
 
 
-def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def kmeans_assign(vectors: DataFrame, centroids) -> DataFrame:
     """Assign each (vid, qv) row to its nearest centroid by exact
     integer squared euclidean distance: argmin_c ||c||^2 - 2 v.c
     (||v||^2 is constant per vector), ties to the lowest cell id —
-    fully deterministic. Centroids are broadcast (#cells rows); the
-    vector side never shuffles."""
-    from pyspark.sql.window import Window
+    fully deterministic.
 
-    cost = int_norm_sq(F.col("centroid")) - 2 * int_dot(F.col("qv"), F.col("centroid"))
-    w = Window.partitionBy("vid").orderBy(F.col("cost").asc(), F.col("cell").asc())
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("cost", cost)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vid", "qv", "cell")
+    MAP-ONLY: the centroid set is metadata-sized (#cells x dim longs,
+    and already driver-resident in the Lloyd loop), so it enters the
+    plan as a foldable literal array of (cnorm, cell, centroid)
+    structs; each vector row computes its per-cell cost inside one
+    projection and takes array_min over (cost, cell) — struct
+    comparison is lexicographic, so the min is lowest cost then lowest
+    cell id, the same tie-break the old window gave. Zero joins, zero
+    exchanges: the earlier crossJoin + row_number-over-(vid) version
+    shuffled #vectors x #cells rows — at IVF scale (10^10 vectors,
+    10^4 cells) a 10^14-row exchange for what is arithmetically a
+    per-row argmin. ||c||^2 is precomputed driver-side (exact Python
+    ints) so the hot loop is one integer dot product per cell.
+
+    `centroids` is a list of (cell, centroid) pairs or a #cells-row
+    DataFrame (collected here — bounded by construction)."""
+    if isinstance(centroids, DataFrame):
+        rows = [(r["cell"], list(r["centroid"])) for r in centroids.collect()]
+    else:
+        rows = [(c, list(v)) for c, v in centroids]
+    rows.sort()
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(sum(x * x for x in v)).cast("bigint").alias("cnorm"),
+                F.lit(int(c)).cast("int").alias("cell"),
+                F.lit([int(x) for x in v]).cast("array<bigint>").alias("centroid"),
+            )
+            for c, v in rows
+        ]
     )
+    costs = F.transform(
+        cents,
+        lambda s: F.struct(
+            (s["cnorm"] - 2 * int_dot(F.col("qv"), s["centroid"])).alias("cost"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    return vectors.select("vid", "qv", F.array_min(costs)["cell"].alias("cell"))
 
 
 def kmeans_cells(
@@ -384,17 +411,17 @@ def kmeans_cells(
     oracle replays the same iterations.
 
     Scale shape per round: one tiny groupBy shuffle (#cells x dim
-    longs) + one broadcast join over the vector scan. The centroid
-    table is COLLECTED each round (#cells x dim ints — metadata-sized,
-    like the CC loop's changed-count) and re-broadcast as a literal
-    frame, so every round's plan is flat: scan -> broadcast assign,
-    never a nested re-execution of the previous round. The quantized
+    longs) + a MAP-ONLY reassignment. The centroid table is COLLECTED
+    each round (#cells x dim ints — metadata-sized, like the CC loop's
+    changed-count) and folded into the next round's projection as a
+    literal array (kmeans_assign), so every round's plan is flat:
+    scan -> literal-argmin projection, no join, no exchange, never a
+    nested re-execution of the previous round. The quantized
     vectors are cached for the duration of training. Returns
     (vid, qv, cell). A cell that loses all members simply disappears
     (deterministic in both engines)."""
     from pyspark import StorageLevel
 
-    spark = corpus.sparkSession
     q = corpus.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
     md5i = F.conv(
         F.substring(F.md5(F.col("vid").cast("string")), 1, 15), 16, 10
@@ -405,11 +432,7 @@ def kmeans_cells(
         assigned = q.withColumn("cell", (md5i % n_cells).cast("int"))
         for _ in range(n_iters):
             cent_rows = _centroids_of(assigned, dim).collect()  # #cells rows
-            cents = spark.createDataFrame(
-                [(r["cell"], r["centroid"]) for r in cent_rows],
-                "cell int, centroid array<bigint>",
-            )
-            assigned = kmeans_assign(q, cents)
+            assigned = kmeans_assign(q, [(r["cell"], r["centroid"]) for r in cent_rows])
     return assigned
 
 
@@ -478,11 +501,19 @@ def ivf_topk_trained(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN over TRAINED cells: kmeans_cells replaces the label
     column — the full in-engine pipeline (train coarse quantizer ->
-    build inverted file -> probe). Same probe shape as ivf_topk."""
-    cells = kmeans_cells(corpus, n_cells, n_iters, id_col, vec_col, dim).select(
+    build inverted file -> probe). Same probe shape as ivf_topk.
+
+    `cells` injects a pre-trained (vid, qv, cell) frame so callers
+    that also materialize the trainer output (e.g. a bench run that
+    executes both the cells query and this recall query in one
+    session) train once instead of twice."""
+    if cells is None:
+        cells = kmeans_cells(corpus, n_cells, n_iters, id_col, vec_col, dim)
+    cells = cells.select(
         F.col("vid").alias(id_col), F.col("cell").alias("trained_cell")
     )
     corpus2 = corpus.join(cells, id_col)

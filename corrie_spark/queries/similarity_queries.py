@@ -331,6 +331,26 @@ _KM_CELLS = 8
 _KM_ITERS = 2
 
 
+def _trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped memo of the Lloyd training output (vid, qv,
+    cell), shared by q_sim_kmeans_cells and q_sim_ivf_trained_recall —
+    the training trajectory (2 rounds of collect + reassign) was the
+    single most expensive thing in the bench and was computed twice
+    per run. Same memo discipline as the dedup pair-graph
+    (dedup_queries._memo): keyed on (applicationId, sf_dir),
+    persisted because both queries re-scan it."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        "kmeans_cells",
+        lambda: S.kmeans_cells(
+            load(spark, sf_dir, "embeddings"), n_cells=_KM_CELLS, n_iters=_KM_ITERS
+        ).persist(),
+    )
+
+
 def _km_ctes(n_iters: int) -> str:
     """CTE chain a0..a{n}: the DuckDB replay of kmeans_cells — same
     md5-bucket init, same exact-integer floor-mean centroids, same
@@ -372,12 +392,9 @@ def q_sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coarse-quantizer trainer run IN-ENGINE instead of relying on a
     label column. Exact integer arithmetic end to end, so the full
     training trajectory (not just the final metric) is oracle-checked
-    bit-for-bit. Per round: one #cells x dim shuffle + one broadcast
-    assign over the vector scan — no all-pairs, no vector shuffle."""
-    emb = load(spark, sf_dir, "embeddings")
-    return S.kmeans_cells(emb, n_cells=_KM_CELLS, n_iters=_KM_ITERS).select(
-        F.col("vid").alias("vec_id"), "cell"
-    )
+    bit-for-bit. Per round: one #cells x dim shuffle + a MAP-ONLY
+    literal-centroid reassignment — no join, no vector shuffle."""
+    return _trained_cells(spark, sf_dir).select(F.col("vid").alias("vec_id"), "cell")
 
 
 _TRAINED_RECALL_ORACLE = f"""
@@ -443,7 +460,13 @@ def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5)
     truth = S.brute_force_topk(q, emb, k=10).select("query_id", "neighbor_id")
     approx = S.ivf_topk_trained(
-        q, emb, k=10, nprobe=_NPROBE, n_cells=_KM_CELLS, n_iters=_KM_ITERS
+        q,
+        emb,
+        k=10,
+        nprobe=_NPROBE,
+        n_cells=_KM_CELLS,
+        n_iters=_KM_ITERS,
+        cells=_trained_cells(spark, sf_dir),
     ).select("query_id", F.col("neighbor_id").alias("hit_id"))
     hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
     return (

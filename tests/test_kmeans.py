@@ -63,21 +63,18 @@ def test_kmeans_iteration_reduces_cost(spark):
     assert c2 <= c1
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark):
-    """The assign step must broadcast the centroid side; the vector
-    scan must not shuffle (scale contract of the trainer)."""
-    from corrie_spark.plans import count_shuffles, has_broadcast_join
+def test_kmeans_assignment_is_map_only(spark):
+    """Scale contract of the trainer: the assign step folds the
+    driver-resident centroid set into a literal-array projection, so
+    the final assignment plan is scan -> project with ZERO exchanges
+    and no join at all. (The r4 version crossJoined broadcast
+    centroids and took row_number over vid — a #vectors x #cells
+    shuffle, 10^14 rows at realistic IVF scale.)"""
+    from corrie_spark.plans import count_shuffles
     from corrie_spark.plans.inspect import explain_str
 
     df = all_queries()["q_sim_kmeans_cells"](spark, SF_CORRECT)
     s = explain_str(df)
-    # the deliberate keyless assign join broadcasts the #cells-row
-    # centroid side (BroadcastNestedLoopJoin over a BroadcastExchange
-    # is the correct plan for a tiny-side cross join); the vector side
-    # is never the build side and never exchanges on a non-vid key
-    assert "BroadcastExchange" in s
-    assert "BuildRight" in s
-    # per round: one #cells-row centroid shuffle + the per-vid
-    # assignment window exchange; bounded regardless of corpus size
-    assert count_shuffles(df) <= 2 * 2 + 1
-    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in s
+    assert count_shuffles(df) == 0
+    assert "Join" not in s
+    assert "Window" not in s
