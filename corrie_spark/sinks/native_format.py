@@ -257,8 +257,12 @@ def _decode_body(buf: io.BytesIO, t: CHType, n: int) -> list:
     if base == "String":
         return [_read_str(buf) for _ in range(n)]
     if base == "FixedString":
+        # return the raw n bytes unmodified (the reference driver's
+        # behavior): stripping trailing NULs would corrupt values whose
+        # real content ends in \x00 — padding is indistinguishable from
+        # data at this layer, so callers trim if they know the encoding
         w = t.fixed_len or 0
-        return [buf.read(w).rstrip(b"\x00").decode("utf-8") for _ in range(n)]
+        return [buf.read(w) for _ in range(n)]
     if base == "Date":
         return [
             _EPOCH_DATE + _dt.timedelta(days=struct.unpack("<H", buf.read(2))[0])
@@ -347,9 +351,33 @@ def encode_block(columns: list[tuple[str, str | CHType, list]]) -> bytes:
     return buf.getvalue()
 
 
+def encode_empty_block() -> bytes:
+    """The zero-column zero-row block: the INSERT end-of-data marker
+    and the tail of every query packet (clickhouse.go:140-146 'Send
+    empty block as marker of end of data', sendQuery's trailing
+    writeBlock(&data.Block{}))."""
+    buf = io.BytesIO()
+    _write_uvarint(buf, 1)
+    buf.write(b"\x00")
+    _write_uvarint(buf, 2)
+    buf.write(struct.pack("<i", -1))
+    _write_uvarint(buf, 0)
+    _write_uvarint(buf, 0)  # columns
+    _write_uvarint(buf, 0)  # rows
+    return buf.getvalue()
+
+
 def decode_block(raw: bytes) -> list[tuple[str, str, list]]:
     """Inverse of encode_block: [(name, ch_type_name, values), ...]."""
-    buf = io.BytesIO(raw)
+    return read_block(io.BytesIO(raw))
+
+
+def read_block(buf) -> list[tuple[str, str, list]]:
+    """Decode one Native block from any reader exposing read(n) — an
+    io.BytesIO for file/test use, a socket reader for the live TCP
+    transport (native_tcp.py). The format is self-describing, so no
+    length prefix is needed; the stream position ends exactly at the
+    block boundary."""
     if _read_uvarint(buf) != 1:
         raise ValueError("bad block info (field 1)")
     buf.read(1)  # is_overflows

@@ -140,6 +140,18 @@ class PikaBroker:
         self._channel(queue).basic_nack(delivery_tag=tag, requeue=requeue)
 
     def drop_connection(self, queue: str | None = None) -> None:
+        # Scope matches FakeAmqpBroker: with a queue named, only that
+        # queue's channel closes (AMQP scopes delivery tags per
+        # channel, so the broker requeues exactly that channel's
+        # unacked window); queue=None drops the whole connection and
+        # every queue's window — multi-shard readers sharing one
+        # client must not see sibling shards redelivered.
+        if queue is not None:
+            ch = self._channels.pop(queue, None)
+            self._confirming.discard(queue)
+            if ch is not None and getattr(ch, "is_open", True):
+                ch.close()  # broker redelivers this channel's window
+            return
         if self._conn is not None and getattr(self._conn, "is_open", True):
             self._conn.close()  # broker redelivers the unacked window
         self._conn = None

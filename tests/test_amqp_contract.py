@@ -33,13 +33,18 @@ class _FakeRabbit:
 
     def __init__(self):
         self.queues: dict[str, list[tuple[str, bool]]] = {}
-        self.unacked: dict[int, tuple[str, str, bool]] = {}  # tag -> (q, body, red)
+        # tag -> (q, body, red, delivering_channel): RabbitMQ scopes
+        # the unacked window per channel, so channel close requeues
+        # only that channel's deliveries
+        self.unacked: dict[int, tuple[str, str, bool, object]] = {}
         self.next_tag = 1
         self.nacks_to_inject = 0
 
-    def requeue_all_unacked(self):
+    def requeue_unacked(self, channel=None):
         for tag in sorted(self.unacked, reverse=True):
-            q, body, _ = self.unacked.pop(tag)
+            if channel is not None and self.unacked[tag][3] is not channel:
+                continue
+            q, body, _, _ = self.unacked.pop(tag)
             self.queues.setdefault(q, []).insert(0, (body, True))
 
 
@@ -70,7 +75,7 @@ class _FakeChannel:
         body, redelivered = q.pop(0)
         tag = self.server.next_tag
         self.server.next_tag += 1
-        self.server.unacked[tag] = (queue, body, redelivered)
+        self.server.unacked[tag] = (queue, body, redelivered, self)
         return _Method(tag, redelivered), None, body.encode()
 
     def basic_ack(self, delivery_tag: int):
@@ -79,8 +84,12 @@ class _FakeChannel:
     def basic_nack(self, delivery_tag: int, requeue: bool = True):
         item = self.server.unacked.pop(delivery_tag, None)
         if item is not None and requeue:
-            q, body, _ = item
+            q, body, _, _ = item
             self.server.queues.setdefault(q, []).insert(0, (body, True))
+
+    def close(self):
+        self.is_open = False
+        self.server.requeue_unacked(channel=self)
 
 
 class _FakeConnection:
@@ -93,7 +102,7 @@ class _FakeConnection:
 
     def close(self):
         self.is_open = False
-        self.server.requeue_all_unacked()
+        self.server.requeue_unacked()
 
 
 def _pika_broker() -> PikaBroker:
@@ -169,6 +178,21 @@ def test_drop_connection_redelivers_in_order(broker):
     got = broker.consume("q.0", 10)
     assert [b for _, b, _ in got] == ["m0", "m1", "m2"]
     assert all(r for _, _, r in got)
+
+
+def test_drop_connection_scoped_to_queue(broker):
+    """With a queue named, only THAT queue's unacked window redelivers
+    — a multi-shard reader sharing one client must not see sibling
+    shards requeued (AMQP scopes delivery tags per channel; the
+    adapter closes only the named queue's channel)."""
+    broker.publish("q.0", "a")
+    broker.publish("q.1", "b")
+    broker.consume("q.0", 1)
+    broker.consume("q.1", 1)
+    broker.drop_connection("q.0")
+    assert [(b, r) for _, b, r in broker.consume("q.0", 10)] == [("a", True)]
+    # the sibling queue's window stays held by the broker
+    assert broker.consume("q.1", 10) == []
 
 
 def test_confirmed_publish_nack_then_ok(broker):

@@ -59,7 +59,9 @@ MATRIX = [
     ("Float32", [0.0, 0.5, -2.25]),
     ("Float64", [0.0, 1e300, -0.125]),
     ("String", ["", "héllo", "a" * 300]),
-    ("FixedString(4)", ["ab", "abcd", ""]),
+    # last value ends in a REAL \x00: decode must return the raw
+    # padded bytes, not rstrip (padding is indistinguishable from data)
+    ("FixedString(4)", ["ab", "abcd", "", "a\x00"]),
     ("Date", [dt.date(1970, 1, 1), dt.date(2026, 8, 13), dt.date(1999, 12, 31)]),
     (
         "DateTime",
@@ -104,6 +106,12 @@ def test_roundtrip_type_matrix(ch_type, values):
     assert name == "c"
     if ch_type == "Date":
         assert got == values
+    elif ch_type.startswith("FixedString"):
+        n = int(ch_type[len("FixedString("):-1])
+        assert got == [
+            (v.encode() if isinstance(v, str) else bytes(v)).ljust(n, b"\x00")
+            for v in values
+        ]
     elif ch_type.startswith("DateTime") or ch_type == "Nullable(DateTime)":
         assert [None if v is None else v.timestamp() for v in values] == [
             None if g is None else g.timestamp() for g in got
