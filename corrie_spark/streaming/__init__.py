@@ -1,3 +1,4 @@
+from corrie_spark.streaming.health_http import HealthServer, ping_gate
 from corrie_spark.streaming.pipeline import HealthListener, PipelineConfig, start_pipeline
 
-__all__ = ["start_pipeline", "PipelineConfig", "HealthListener"]
+__all__ = ["start_pipeline", "PipelineConfig", "HealthListener", "HealthServer", "ping_gate"]
