@@ -51,6 +51,66 @@ def cosine_from_int(dot: Column, n1: Column, n2: Column) -> Column:
     )
 
 
+def _local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-PARTITION per-query top-k — the bounded partial aggregate
+    Spark's built-ins cannot express: a row_number window exchanges
+    every scored row, and collect_list's map-side partial buffers also
+    ship every row (slice() applies only after the final merge). This
+    Arrow-batched map stage caps each partition's output at
+    #queries x k rows BEFORE any exchange, which is what makes the
+    follow-up groupBy shuffle ~Q x k x P instead of |scored|.
+
+    Runs a streaming fold over the partition's record batches: the
+    carry is at most #queries x k rows, so memory stays bounded on
+    arbitrarily large partitions. Ordering (dot desc, neighbor_id asc)
+    matches the global merge exactly; keeping a superset locally can
+    never drop a global top-k row (top-k is a semilattice)."""
+    import pandas as pd
+
+    def take(batches):
+        run: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if run is None else pd.concat([run, pdf], ignore_index=True)
+            cur = cur.sort_values(
+                ["dot", "neighbor_id"], ascending=[False, True], kind="mergesort"
+            )
+            run = cur.groupby("query_id", sort=False).head(k)
+        if run is not None and len(run):
+            yield run
+
+    return scored.mapInPandas(take, scored.schema)
+
+
+def _grouped_topk(scored: DataFrame, k: int, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Exact global top-k per query over a scored candidate set:
+    local (per-partition) top-k, then ONE hash aggregation on
+    query_id whose input is already bounded — slice(sort_array(
+    collect_list(...)), 1, k) + posexplode replaces the full-sort
+    row_number window. The sort key struct((-dot), neighbor_id) makes
+    sort_array's lexicographic ascending order = dot desc with ties
+    to the lowest neighbor id — bit-identical ranking to the window
+    formulation (dot is an exact integer, |dot| < 2^45, so negation
+    is safe). `carry` columns ride along inside the struct."""
+    entry = F.struct(
+        (-F.col("dot")).alias("negdot"),
+        F.col("neighbor_id").alias("nid"),
+        *[F.col(c).alias(c) for c in carry],
+    )
+    agg = (
+        _local_topk(scored, k)
+        .groupBy("query_id")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("top"))
+    )
+    ex = agg.select("query_id", F.posexplode("top").alias("pos", "e"))
+    return ex.select(
+        "query_id",
+        F.col("e.nid").alias("neighbor_id"),
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+        (-F.col("e.negdot")).alias("dot"),
+        *[F.col(f"e.{c}").alias(c) for c in carry],
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -61,13 +121,13 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Plan: broadcast the (small) query set against the corpus scan —
-    one pass over the corpus, no corpus shuffle — then a window top-k
-    on (query_id). At 100 TB the corpus side streams; only
-    #queries x #corpus_partitions duplicate rows of the query set
-    exist. Rank ties break on neighbor id -> fully deterministic.
+    one pass over the corpus, no corpus shuffle — then PARTIAL top-k:
+    a per-partition bounded top-k (map stage) feeds one hash agg on
+    query_id, so the only exchange carries ~#queries x k rows per
+    partition instead of the full scored set (the old window top-k
+    shuffled and sorted every scored row). Rank ties break on
+    neighbor id -> fully deterministic.
     """
-    from pyspark.sql.window import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
     )
@@ -85,19 +145,12 @@ def brute_force_topk(
             int_norm_sq(F.col("c_vec")).alias("cn"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rnk",
-            "dot",
-            cosine_from_int(F.col("dot"), F.col("qn"), F.col("cn")).alias("cosine"),
-        )
+    return _grouped_topk(scored, k, carry=("qn", "cn")).select(
+        "query_id",
+        "neighbor_id",
+        "rnk",
+        "dot",
+        cosine_from_int(F.col("dot"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
 
 
@@ -222,9 +275,10 @@ def ann_lsh_topk(
     per-bucket quadratic candidate cost — stays constant as the corpus
     grows; n_tables>1 adds independent hash tables (OR-amplification)
     to recover recall at high plane counts. The count() used for
-    auto-derivation is metadata-cheap next to the join it sizes."""
-    from pyspark.sql.window import Window
-
+    auto-derivation is metadata-cheap next to the join it sizes.
+    Re-rank uses the partial top-k (see _grouped_topk), not a global
+    window: the exchange after scoring carries ~Q x k rows per
+    partition, not every bucket candidate."""
     if n_planes is None:
         n_planes = planes_for_corpus(corpus.count())
     q = _multi_table_sig(
@@ -260,17 +314,12 @@ def ann_lsh_topk(
         int_norm_sq(F.col("q_vec")).alias("qn"),
         int_norm_sq(F.col("c_vec")).alias("cn"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rnk",
-            "dot",
-            cosine_from_int(F.col("dot"), F.col("qn"), F.col("cn")).alias("cosine"),
-        )
+    return _grouped_topk(scored, k, carry=("qn", "cn")).select(
+        "query_id",
+        "neighbor_id",
+        "rnk",
+        "dot",
+        cosine_from_int(F.col("dot"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
 
 
@@ -447,7 +496,7 @@ def ivf_topk(
     dim: int = 64,
 ) -> DataFrame:
     """IVF-style ANN: rank cells by dot(query, centroid), search only
-    the top-`nprobe` cells exactly, window top-k.
+    the top-`nprobe` cells exactly, partial top-k re-rank.
 
     The 100 TB shape: the centroid table is tiny (#cells rows) and
     broadcast twice (probe selection, then candidate pruning); the
@@ -483,12 +532,7 @@ def ivf_topk(
             "query_id", "neighbor_id", int_dot(F.col("q_vec"), F.col("c_vec")).alias("dot")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "dot")
-    )
+    return _grouped_topk(scored, k).select("query_id", "neighbor_id", "rnk", "dot")
 
 
 def ivf_topk_trained(

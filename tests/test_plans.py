@@ -57,6 +57,19 @@ def test_similarity_broadcasts_queries(spark):
     assert has_broadcast_join(df)
 
 
+def test_topk_is_partial_aggregation_not_window(spark):
+    """Exact top-k re-rank: per-partition bounded top-k (map) + ONE
+    hash agg on query_id — never a row_number window, whose exchange
+    and sort carry every scored row (r4's plan). The single remaining
+    shuffle moves ~Q x k rows per partition."""
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q_sim_cosine_topk"](spark, SF_CORRECT)
+    s = explain_str(df)
+    assert "Window" not in s
+    assert count_shuffles(df) == 1  # the bounded grouped merge only
+
+
 def test_events_scan_prunes_columns(spark):
     df = all_queries()["q_json_props"](spark, SF_CORRECT)
     [schema] = read_schemas(df)
