@@ -4,10 +4,10 @@ The reference writes inserts as columnar Native-protocol blocks
 (vendor kshvakov/clickhouse lib/data/block.go:158-180 Write — block
 info, uvarint column/row counts, then per column: name string, type
 string, column body; per-type bodies in lib/data/block_write_column.go).
-No ClickHouse server exists in this sandbox, so the live TCP handshake
-stays behind the JDBC seam (jdbc.py) — but the BLOCK ENCODING itself
-is pure computation, so it is implemented here for real, from the
-public Native-format layout:
+The live TCP transport over this codec is native_tcp.py (exercised
+against the socket-level server in clickhouse_server.py); the BLOCK
+ENCODING itself is pure computation, implemented here for real from
+the public Native-format layout:
 
   block_info: uvarint 1, uint8 is_overflows, uvarint 2,
               int32 bucket_num (-1), uvarint 0

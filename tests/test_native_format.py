@@ -47,6 +47,77 @@ def test_golden_string_and_int64():
     assert struct.unpack("<q", tail[16:24])[0] == 3
 
 
+def _body_after_type(raw: bytes, tname: str) -> bytes:
+    """Column body bytes immediately after the type-name string."""
+    return raw[raw.index(tname.encode()) + len(tname) :]
+
+
+def test_golden_uint64_beyond_int63():
+    """UInt64 >= 2^63 must hit the wire as the raw unsigned LE qword
+    (block_write_column.go WriteUInt64 -> binary little-endian), not a
+    sign-wrapped int64 from a signed pack path."""
+    raw = encode_block([("u", "UInt64", [2**64 - 1, 2**63, 0])])
+    body = _body_after_type(raw, "UInt64")
+    assert body[0:8] == b"\xff" * 8
+    assert body[8:16] == b"\x00" * 7 + b"\x80"  # 2^63 little-endian
+    assert body[16:24] == b"\x00" * 8
+
+
+def test_golden_enum16_negative():
+    """Enum16 with a negative mapped value: int16 little-endian two's
+    complement (column enum16 write path)."""
+    raw = encode_block([("e", "Enum16('x'=-7,'y'=300)", ["x", "y"])])
+    body = _body_after_type(raw, "Enum16('x'=-7,'y'=300)")
+    assert body[0:2] == struct.pack("<h", -7) == b"\xf9\xff"
+    assert body[2:4] == struct.pack("<h", 300) == b"\x2c\x01"
+
+
+def test_golden_ipv4_little_endian_uint32():
+    """IPv4 is stored as a little-endian uint32 of the address value:
+    1.2.3.4 = 0x01020304 -> bytes 04 03 02 01."""
+    raw = encode_block([("ip", "IPv4", ["1.2.3.4", "255.255.255.255"])])
+    body = _body_after_type(raw, "IPv4")
+    assert body[0:4] == b"\x04\x03\x02\x01"
+    assert body[4:8] == b"\xff\xff\xff\xff"
+
+
+def test_golden_ipv6_network_order_and_mapped_ipv4():
+    """IPv6 is the 16 network-order bytes; an IPv4-mapped address
+    (::ffff:1.2.3.4) keeps the ::ffff: prefix layout the reference's
+    IP.MarshalBinary produces for 4-byte inputs (ip.go:28-45:
+    right-aligned, bytes 10-11 = 0xff)."""
+    raw = encode_block([("ip", "IPv6", ["2001:db8::1", "::ffff:1.2.3.4"])])
+    body = _body_after_type(raw, "IPv6")
+    assert body[0:16] == bytes.fromhex("20010db8000000000000000000000001")
+    mapped = body[16:32]
+    assert mapped[:10] == b"\x00" * 10
+    assert mapped[10:12] == b"\xff\xff"
+    assert mapped[12:16] == b"\x01\x02\x03\x04"
+
+
+def test_golden_array_nullable_masks():
+    """Array(Nullable(T)) layout (ClickHouse disallows
+    Nullable(Array), and chtypes refuses it like the driver's
+    factory): per-row cumulative uint64 offsets first, then the
+    FLATTENED Nullable body — all mask bytes, then the values with
+    zero-defaults in null slots. Mask precedes values, never
+    interleaved."""
+    raw = encode_block([("a", "Array(Nullable(Int32))", [[1, None], [3]])])
+    body = _body_after_type(raw, "Array(Nullable(Int32))")
+    offs = struct.unpack("<2Q", body[0:16])
+    assert offs == (2, 3)
+    assert body[16:19] == b"\x00\x01\x00"  # flat mask: element 1 null
+    flat = struct.unpack("<3i", body[19 : 19 + 12])
+    assert flat == (1, 0, 3)  # zero default in the null slot
+
+
+def test_nullable_array_is_rejected_like_the_driver():
+    from corrie_spark.chtypes import UnsupportedTypeError, parse_ch_type
+
+    with pytest.raises(UnsupportedTypeError):
+        parse_ch_type("Nullable(Array(Int32))")
+
+
 MATRIX = [
     ("Int8", [-128, 0, 127]),
     ("Int16", [-32768, 1, 32767]),
