@@ -237,6 +237,54 @@ def duplicate_groups(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_fn=None,
+) -> DataFrame:
+    """Classify an INCOMING batch against an existing corpus — the
+    snapshot-over-snapshot dedup step of a continuously-crawled
+    training corpus (every new crawl screens against everything
+    already kept, never corpus x corpus again):
+
+      dup_of_corpus  the fingerprint already exists in the corpus
+                     (takes precedence: every batch copy is dropped)
+      dup_in_batch   new fingerprint, but an earlier (lower-id) batch
+                     row claims it — keep-min-id within the batch
+      fresh          first sighting anywhere
+
+    Scale shape: the corpus contributes ONLY its fingerprint column
+    (a single-column scan — or, in a real deployment, the stored fp
+    index of prior snapshots), distinct-ed into |unique fps| rows.
+    Every stage is keyed on fp: one groupBy for the batch keep-min,
+    then two co-partitioned joins reusing that partitioning; the
+    batch never joins the corpus' text. `fp_fn` picks the key
+    (default exact `fingerprint`; `prefix_fingerprint` for
+    template/boilerplate screening)."""
+    fp_fn = fp_fn or fingerprint
+    nf = batch.select(F.col(id_col), fp_fn(text_col).alias("fp"))
+    seen = (
+        corpus.select(fp_fn(text_col).alias("fp"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    firsts = nf.groupBy("fp").agg(F.min(id_col).alias("_first"))
+    return (
+        nf.join(firsts, "fp")
+        .join(seen, "fp", "left")
+        .select(
+            F.col(id_col),
+            "fp",
+            F.when(F.col("_seen").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col(id_col) > F.col("_first"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("fresh"))
+            .alias("status"),
+        )
+    )
+
+
 def simhash(text: Column | str, bits: int = 48) -> Column:
     """SimHash over word tokens: per-bit vote of token hashes, packed
     into a BIGINT (<= 62 bits). Row-local, no shuffle; one md5 per

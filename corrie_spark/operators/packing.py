@@ -148,3 +148,56 @@ def pack_shards(
     return summed.withColumn(
         "shard", F.floor(F.col("_before") / F.lit(budget)).cast("long")
     ).drop("_before", "_h")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic token-budget mixture sampling: per source, take
+    documents in hash-shuffled order until the source's running token
+    count reaches `budget` — the step that turns per-source sampling
+    weights into an actual training mix ("200B tokens of web, 50B of
+    code") reproducibly, with no coordinator and no rand().
+
+    A row is kept iff its EXCLUSIVE per-source running count is below
+    the budget, so each source overshoots by at most one document and
+    selection of any row is independent of how the cluster is
+    partitioned.
+
+    Scale shape: ONE global two-phase prefix sum (distributed_cumsum
+    over the composite key source \\x01 hash — range partition, local
+    windows, #partitions broadcast offsets; never a single-partition
+    global window). Per-source exclusive counts derive from the
+    global ones by subtracting each source's first global value — a
+    #sources-row aggregate, broadcast back. Sources are contiguous in
+    the composite order because \\x01 sorts below every printable
+    character (source names must not contain \\x01).
+
+    Returns (source, doc_id, n_tokens, before_tokens) for the kept
+    rows; `before_tokens` is the per-source exclusive running count,
+    i.e. how far into the budget this document starts."""
+    from corrie_spark.operators.dedup import hash60
+
+    okey = F.concat(
+        F.col(source_col),
+        F.lit("\x01"),
+        F.lpad(hash60(F.col(id_col).cast("string"), salt=salt).cast("string"), 20, "0"),
+        F.lit("\x01"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),  # tie-break: unique order key
+    )
+    keyed = df.withColumn("_k", okey)
+    summed = distributed_cumsum(keyed, "_k", tokens_col, out_col="_gbefore")
+    # each source's global-cumsum value at its first row IS its offset
+    # (contiguity argument above); #sources rows, broadcast back
+    offsets = summed.groupBy(source_col).agg(F.min("_gbefore").alias("_off"))
+    return (
+        summed.join(F.broadcast(offsets), source_col)
+        .withColumn("before_tokens", (F.col("_gbefore") - F.col("_off")).cast("long"))
+        .filter(F.col("before_tokens") < budget)
+        .select(source_col, id_col, tokens_col, "before_tokens")
+    )

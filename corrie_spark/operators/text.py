@@ -139,6 +139,18 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
+def prefix_fingerprint(text: Column | str, k: int = 8) -> Column:
+    """md5 of the first `k` whitespace tokens — the boilerplate/
+    header-prefix dedup key (crawled pages sharing a template open
+    identically long before their bodies diverge). Deliberately
+    coarser than `fingerprint`: collides for documents that merely
+    START alike, which is the point for incremental near-dedup
+    screening. Empty/blank text hashes the empty string in both
+    engines (tokens() -> [] -> concat_ws '' here; trim-then-split
+    joins back to '' in the oracle)."""
+    return F.md5(F.concat_ws(" ", F.slice(tokens(text), 1, k)))
+
+
 # Rolling-hash parameters. MOD = 2^31-1 keeps acc*BASE + h < 2^39,
 # far inside int64 — no overflow in either engine.
 ROLLING_MOD = 2_147_483_647

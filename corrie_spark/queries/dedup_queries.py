@@ -669,3 +669,41 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     pairs = _shared_embedding_pairs(spark, sf_dir).select("id_a", "id_b")
     return D.connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+
+
+_PREFIX_FP = f"md5(array_to_string(list_slice({_TOKS}, 1, 8), ' '))"
+
+_INCREMENTAL_ORACLE = f"""
+WITH fp_t AS (
+  SELECT doc_id, {_PREFIX_FP} AS fp FROM documents
+),
+newb AS (SELECT doc_id, fp FROM fp_t WHERE doc_id % 4 = 3),
+seen AS (SELECT DISTINCT fp FROM fp_t WHERE doc_id % 4 <> 3),
+firsts AS (SELECT fp, MIN(doc_id) AS first_id FROM newb GROUP BY fp)
+SELECT n.doc_id, n.fp,
+  CASE WHEN s.fp IS NOT NULL THEN 'dup_of_corpus'
+       WHEN n.doc_id > f.first_id THEN 'dup_in_batch'
+       ELSE 'fresh' END AS status
+FROM newb n
+JOIN firsts f ON n.fp = f.fp
+LEFT JOIN seen s ON n.fp = s.fp
+"""
+
+
+@register("q_dedup_incremental", oracle=_INCREMENTAL_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-over-snapshot) dedup: an incoming crawl
+    batch (doc_id % 4 = 3) screens against the already-kept corpus on
+    a PREFIX fingerprint (first 8 tokens — template/boilerplate
+    collisions), classifying every batch row as dup_of_corpus /
+    dup_in_batch / fresh. The corpus contributes only its fingerprint
+    column; all stages are co-partitioned on fp — new-crawl cost never
+    returns to corpus x corpus (operators/dedup.incremental_dedup)."""
+    from corrie_spark.operators.text import prefix_fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    corpus = docs.filter(F.col("doc_id") % 4 != 3)
+    return D.incremental_dedup(
+        batch, corpus, fp_fn=lambda t: prefix_fingerprint(t, 8)
+    )

@@ -890,3 +890,43 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_MIX_BUDGET = 500
+
+_MIX_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_tokens
+  FROM t
+)
+SELECT source, doc_id, n_tokens, CAST(before_tokens AS BIGINT) AS before_tokens
+FROM c
+WHERE before_tokens < {_MIX_BUDGET}
+"""
+
+
+@register("q_mix_budget_sample", oracle=_MIX_ORACLE)
+def q_mix_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: per source, documents in
+    deterministic hash-shuffled order fill a 500-token budget (kept
+    iff the exclusive running count is still under budget) — the
+    reproducible "N tokens per source" training-mix draw. One global
+    two-phase prefix sum over the (source, hash) composite key plus a
+    #sources-row offset broadcast; the oracle is the naive per-source
+    window, proving the distributed sum equals it exactly
+    (operators/packing.token_budget_sample)."""
+    from corrie_spark.operators.packing import token_budget_sample
+    from corrie_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return token_budget_sample(sized, budget=_MIX_BUDGET)

@@ -1,0 +1,125 @@
+"""Incremental (snapshot-over-snapshot) dedup and token-budget
+mixture sampling: classification invariants, budget-overshoot bound,
+determinism, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators.dedup import incremental_dedup
+from corrie_spark.operators.packing import token_budget_sample
+from corrie_spark.operators.text import prefix_fingerprint
+from corrie_spark.queries.registry import all_queries
+from corrie_spark.tables import load
+from tests.conftest import SF_CORRECT
+
+
+def _split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 4 == 3), docs.filter(F.col("doc_id") % 4 != 3)
+
+
+def test_incremental_statuses_partition_the_batch(spark):
+    """Every batch row gets exactly one status, and all three
+    statuses occur on the test corpus (prefix fp collides by
+    construction)."""
+    batch, corpus = _split(spark, SF_CORRECT)
+    out = incremental_dedup(batch, corpus, fp_fn=lambda t: prefix_fingerprint(t, 8))
+    rows = out.collect()
+    assert len(rows) == batch.count()
+    statuses = {r["status"] for r in rows}
+    assert statuses == {"fresh", "dup_in_batch", "dup_of_corpus"}
+
+
+def test_incremental_corpus_precedence_and_keep_min(spark):
+    """A fp present in the corpus marks EVERY batch copy
+    dup_of_corpus; otherwise exactly the lowest batch id per fp is
+    fresh and the rest are dup_in_batch."""
+    batch, corpus = _split(spark, SF_CORRECT)
+    rows = incremental_dedup(
+        batch, corpus, fp_fn=lambda t: prefix_fingerprint(t, 8)
+    ).collect()
+    corpus_fps = {
+        r["fp"]
+        for r in corpus.select(prefix_fingerprint("text", 8).alias("fp")).collect()
+    }
+    by_fp: dict[str, list] = {}
+    for r in rows:
+        by_fp.setdefault(r["fp"], []).append(r)
+    for fp, grp in by_fp.items():
+        if fp in corpus_fps:
+            assert all(g["status"] == "dup_of_corpus" for g in grp)
+        else:
+            fresh = [g for g in grp if g["status"] == "fresh"]
+            assert len(fresh) == 1
+            assert fresh[0]["doc_id"] == min(g["doc_id"] for g in grp)
+            assert all(
+                g["status"] == "dup_in_batch" for g in grp if g is not fresh[0]
+            )
+
+
+def test_incremental_screens_batch_not_corpus(spark):
+    """Output rows come from the batch only — the corpus is a
+    fingerprint set, never re-emitted."""
+    batch, corpus = _split(spark, SF_CORRECT)
+    out = incremental_dedup(batch, corpus, fp_fn=lambda t: prefix_fingerprint(t, 8))
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert {r["doc_id"] for r in out.collect()} <= batch_ids
+
+
+def _sized(spark):
+    from corrie_spark.operators.text import token_count
+
+    docs = load(spark, SF_CORRECT, "documents")
+    return docs.select(
+        "source", "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+
+
+def test_budget_sample_exclusive_bound_and_overshoot(spark):
+    """Kept rows have before_tokens < budget (exclusive-count rule),
+    so each source's total overshoots the budget by at most its last
+    document."""
+    budget = 500
+    kept = token_budget_sample(_sized(spark), budget=budget).collect()
+    by_src: dict[str, list] = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, grp in by_src.items():
+        assert all(r["before_tokens"] < budget for r in grp), src
+        total = sum(r["n_tokens"] for r in grp)
+        assert total - max(r["n_tokens"] for r in grp) < budget, src
+
+
+def test_budget_sample_covers_every_source_and_is_deterministic(spark):
+    sized = _sized(spark)
+    a = {(r["source"], r["doc_id"]) for r in token_budget_sample(sized, 500).collect()}
+    b = {(r["source"], r["doc_id"]) for r in token_budget_sample(sized, 500).collect()}
+    assert a == b
+    n_sources = sized.select("source").distinct().count()
+    assert len({s for s, _ in a}) == n_sources  # budget>0 keeps >=1 doc each
+
+
+def test_budget_sample_scales_with_budget(spark):
+    """A bigger budget keeps a superset (the order is fixed; only the
+    cut moves)."""
+    sized = _sized(spark)
+    small = {(r["source"], r["doc_id"]) for r in token_budget_sample(sized, 300).collect()}
+    big = {(r["source"], r["doc_id"]) for r in token_budget_sample(sized, 900).collect()}
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_plan_shapes(spark):
+    """Incremental dedup stays on the fp key (bounded exchanges, no
+    cross product); the mix sampler's offset join broadcasts."""
+    from corrie_spark.plans import count_shuffles, has_broadcast_join
+    from corrie_spark.plans.inspect import explain_str
+
+    qs = all_queries()
+    inc = qs["q_dedup_incremental"](spark, SF_CORRECT)
+    s = explain_str(inc)
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+    assert count_shuffles(inc) <= 4  # batch fp agg + corpus distinct + co-keyed joins
+    mix = qs["q_mix_budget_sample"](spark, SF_CORRECT)
+    assert has_broadcast_join(mix)
