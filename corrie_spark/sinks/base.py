@@ -80,3 +80,41 @@ class BatchCommitLog:
         with open(tmp, "w"):
             pass
         os.replace(tmp, self._marker(batch_id))  # atomic publish
+
+
+def sink_from_options(options: dict) -> Sink:
+    """Config-driven sink selection (S5's write half): the reference
+    picks its transport from etc/corrie.yml; here one option dict
+    selects the Sink implementation, so deployments switch transports
+    without touching pipeline code (exactly like connect_broker on
+    the source side):
+
+      nativeHosts: "h1:9000,h2:9000"  -> NativeTcpSink (native TCP,
+          per-partition host round-robin; nativeDatabase/nativeUser/
+          nativePassword/blockRows optional)
+      jdbcUrl: "jdbc:clickhouse://…"  -> JdbcSink (needs the driver
+          jar on the classpath; batchSize optional)
+      parquetDir: "/path"             -> ParquetDirSink
+    """
+    hosts = options.get("nativeHosts")
+    if hosts:
+        from corrie_spark.sinks.native_tcp import NativeTcpSink
+
+        return NativeTcpSink(
+            [h.strip() for h in hosts.split(",") if h.strip()],
+            database=options.get("nativeDatabase", "default"),
+            username=options.get("nativeUser", "default"),
+            password=options.get("nativePassword", ""),
+            block_rows=int(options.get("blockRows", 65_536)),
+        )
+    url = options.get("jdbcUrl")
+    if url:
+        from corrie_spark.sinks.jdbc import JdbcSink
+
+        return JdbcSink(url, batch_size=int(options.get("batchSize", 100_000)))
+    pdir = options.get("parquetDir")
+    if pdir:
+        return ParquetDirSink(pdir)
+    raise ValueError(
+        "need option 'nativeHosts' (native TCP), 'jdbcUrl' (JDBC) or 'parquetDir'"
+    )

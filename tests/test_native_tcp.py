@@ -268,3 +268,19 @@ def test_sink_datetime_and_date_columns(spark, server):
     assert got[0][0] == dt.date(2026, 8, 13)
     assert got[0][1].replace(tzinfo=None) == dt.datetime(2026, 8, 13, 12, 0, 0)
     assert [r[2] for r in got] == [1, 2]
+
+
+def test_sink_from_options_selects_transport():
+    """S5's write half: one option dict picks the transport, like the
+    reference's yml config — native TCP / JDBC / parquet."""
+    from corrie_spark.sinks.base import ParquetDirSink, sink_from_options
+    from corrie_spark.sinks.jdbc import JdbcSink
+
+    s = sink_from_options({"nativeHosts": "h1:9000,h2:9000", "nativeDatabase": "db"})
+    assert isinstance(s, NativeTcpSink)
+    assert s.hosts == [("h1", 9000), ("h2", 9000)]
+    assert s.database == "db"
+    assert isinstance(sink_from_options({"jdbcUrl": "jdbc:clickhouse://h/d"}), JdbcSink)
+    assert isinstance(sink_from_options({"parquetDir": "/tmp/t"}), ParquetDirSink)
+    with pytest.raises(ValueError):
+        sink_from_options({})
