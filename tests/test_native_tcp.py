@@ -284,3 +284,19 @@ def test_sink_from_options_selects_transport():
     assert isinstance(sink_from_options({"parquetDir": "/tmp/t"}), ParquetDirSink)
     with pytest.raises(ValueError):
         sink_from_options({})
+
+
+def test_sink_round_robins_hosts(spark):
+    """K12 load balancing on the native path: partitions alternate
+    across the host list (alt_hosts, bootstrap.go:109-121) — with two
+    servers up, both receive INSERT traffic and nothing is lost."""
+    with FakeClickHouseServer() as s1, FakeClickHouseServer() as s2:
+        for s in (s1, s2):
+            s.register_table("t", [("x", "Int64")])
+        df = spark.createDataFrame([(i,) for i in range(8)], "x long").repartition(4)
+        NativeTcpSink(
+            [f"127.0.0.1:{s1.port}", f"127.0.0.1:{s2.port}"]
+        ).write("t", df)
+        a, b = s1.rows("t"), s2.rows("t")
+        assert sorted(r[0] for r in a + b) == list(range(8))
+        assert a and b  # both hosts actually took traffic
