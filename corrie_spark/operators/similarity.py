@@ -11,8 +11,14 @@ Two paths:
     re-rank within buckets. Shuffle is keyed on the signature, so the
     join is co-partitioned and the cross product is per-bucket only.
 
-No Python UDFs anywhere: ~100x win over row-at-a-time Python, and no
-Arrow transfer either.
+Scoring stays JVM-side (built-in array expressions, whole-stage
+codegen — no row-at-a-time Python anywhere). The ONE deliberate
+Python stage is _local_topk's Arrow-batched per-partition top-k:
+built-in aggregates cannot bound a partial top-k (collect_list's
+map-side buffers ship every row), so the scored candidates take one
+vectorized pass through pandas to cap the re-rank shuffle at
+~#queries x k rows per partition — a linear map-side cost paid to
+remove an unbounded exchange.
 """
 
 from __future__ import annotations
@@ -422,6 +428,13 @@ def kmeans_assign(vectors: DataFrame, centroids) -> DataFrame:
         rows = [(r["cell"], list(r["centroid"])) for r in centroids.collect()]
     else:
         rows = [(c, list(v)) for c, v in centroids]
+    if not rows:
+        # degenerate path parity with the old crossJoin form: no
+        # centroids -> no assignments (not an analysis error from a
+        # zero-element array literal)
+        return vectors.select(
+            "vid", "qv", F.lit(None).cast("int").alias("cell")
+        ).limit(0)
     rows.sort()
     cents = F.array(
         *[

@@ -229,6 +229,15 @@ class FakeClickHouseServer:
                     return
         except (ConnectionError, OSError):
             return
+        except Exception as e:  # noqa: BLE001 — a handler bug must not
+            # surface to the peer as a bare TCP close: real ClickHouse
+            # answers protocol-level trouble with an exception packet,
+            # and the client's retry logic keys off that
+            try:
+                self._send_exception(sock, 1002, "INTERNAL_ERROR", f"{type(e).__name__}: {e}")
+            except OSError:
+                pass
+            return
         finally:
             try:
                 sock.close()
@@ -315,15 +324,25 @@ class FakeClickHouseServer:
         return True
 
     def _handle_insert(self, sock, r, query: str) -> bool:
-        # "INSERT INTO <table> (c1, c2, ...) VALUES"
-        head = query[: query.upper().index("VALUES")] if "VALUES" in query.upper() else query
-        rest = head.split(None, 2)[2].strip()  # after INSERT INTO
-        if "(" in rest:
-            table = rest[: rest.index("(")].strip()
-            collist = rest[rest.index("(") + 1 : rest.rindex(")")]
-            cols = [c.strip().strip("`") for c in collist.split(",")]
-        else:
-            table, cols = rest.strip(), None
+        # "INSERT INTO <table> (c1, c2, ...) VALUES" — the VALUES cut
+        # uses the reference client's own regex (\sVALUES\s*( or
+        # end-of-statement), NOT a substring search: identifiers may
+        # legitimately contain the letters VALUES ("total_values")
+        import re
+
+        m = re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+(\S+?)\s*(?:\(([^)]*)\))?\s*VALUES\b",
+            query,
+        )
+        if m is None:
+            self._send_exception(sock, 62, "SYNTAX_ERROR", f"cannot parse: {query}")
+            return False
+        table = m.group(1).strip().strip("`")
+        cols = (
+            [c.strip().strip("`") for c in m.group(2).split(",")]
+            if m.group(2) is not None
+            else None
+        )
         with self._lock:
             schema = self.schemas.get(table)
         if schema is None:

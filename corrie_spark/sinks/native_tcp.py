@@ -387,24 +387,37 @@ class NativeTcpConn:
         prepare contract), one Native block per element of
         `row_blocks` (an iterable of row-lists), empty-block end
         marker, then drain progress to EndOfStream."""
-        collist = ", ".join(columns)
-        self._send_query(f"INSERT INTO {table} ({collist}) VALUES")
-        meta = self.read_meta()
-        by_name = dict(meta)
         try:
-            types = [by_name[c] for c in columns]
-        except KeyError as e:
-            raise CHServerException(16, "NO_SUCH_COLUMN_IN_TABLE", f"no column {e}") from e
-        for rows in row_blocks:
-            if not rows:
-                continue
-            cols = [
-                (columns[i], types[i], [r[i] for r in rows])
-                for i in range(len(columns))
-            ]
-            self._send_data_block(encode_block(cols))
-        self._send_data_block(encode_empty_block())
-        return self._process()
+            collist = ", ".join(columns)
+            self._send_query(f"INSERT INTO {table} ({collist}) VALUES")
+            meta = self.read_meta()
+            by_name = dict(meta)
+            try:
+                types = [by_name[c] for c in columns]
+            except KeyError as e:
+                # the server is waiting for data blocks; abort the
+                # in-flight INSERT protocol-correctly before raising
+                self.cancel()
+                raise CHServerException(
+                    16, "NO_SUCH_COLUMN_IN_TABLE", f"no column {e}"
+                ) from e
+            for rows in row_blocks:
+                if not rows:
+                    continue
+                cols = [
+                    (columns[i], types[i], [r[i] for r in rows])
+                    for i in range(len(columns))
+                ]
+                self._send_data_block(encode_block(cols))
+            self._send_data_block(encode_empty_block())
+            return self._process()
+        except BaseException:
+            # any failure mid-lifecycle (server exception, encode
+            # error, broken pipe) leaves the connection in an unknown
+            # protocol state — close so a caller that catches cannot
+            # reuse a half-synchronized conn
+            self.close()
+            raise
 
 
 def _cols_to_rows(cols: list[tuple[str, str, list]]) -> list[tuple]:
@@ -450,7 +463,12 @@ class NativeTcpSink:
     ):
         if isinstance(hosts, str):
             hosts = [hosts]
-        self.hosts = [(h.rsplit(":", 1)[0], int(h.rsplit(":", 1)[1])) for h in hosts]
+        self.hosts = []
+        for h in hosts:
+            host, sep, port = h.rpartition(":")
+            if not sep or not port.isdigit():
+                raise ValueError(f"host entry {h!r} must be 'host:port'")
+            self.hosts.append((host, int(port)))
         self.database, self.username, self.password = database, username, password
         self.block_rows = block_rows
 

@@ -73,14 +73,20 @@ class HealthServer:
             results = {}
 
             def rd():
-                results["r"] = listener.healthy() if listener is not None else True
+                try:
+                    results["r"] = listener.healthy() if listener is not None else True
+                except Exception:  # noqa: BLE001 — a broken check is a failed check
+                    results["r"] = False
 
             def wr():
-                results["w"] = (
-                    ping_gate(ping, ping_attempts, ping_interval_s)
-                    if ping is not None
-                    else True
-                )
+                try:
+                    results["w"] = (
+                        ping_gate(ping, ping_attempts, ping_interval_s)
+                        if ping is not None
+                        else True
+                    )
+                except Exception:  # noqa: BLE001
+                    results["w"] = False
 
             ts = [threading.Thread(target=rd), threading.Thread(target=wr)]
             for t in ts:
@@ -102,7 +108,12 @@ class HealthServer:
                     self.send_response(404)
                     self.end_headers()
                     return
-                state, text = fn()
+                try:
+                    state, text = fn()
+                except Exception as e:  # noqa: BLE001 — a broken check
+                    # must still answer HTTP (critical), not drop the
+                    # connection on the prober
+                    state, text = STATE_CRITICAL, f"check failed: {type(e).__name__}"
                 self.send_response(_STATE_HTTP.get(state, 500))
                 self.send_header("Content-Type", "text/plain")
                 self.end_headers()

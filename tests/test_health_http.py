@@ -132,3 +132,20 @@ def test_status_during_live_streaming_query(spark, tmp_path):
             if q is not None:
                 q.stop()
             spark.streams.removeListener(listener)
+
+
+def test_broken_custom_check_answers_500_not_connection_drop():
+    with HealthServer() as h:
+        h.add("/boom", lambda: 1 / 0)
+        code, text = _get(h.address + "/boom")
+        assert code == 500
+        assert "check failed" in text
+
+
+def test_status_with_raising_listener_is_nok():
+    class Broken(HealthListener):
+        def healthy(self):  # noqa: D102
+            raise RuntimeError("state store gone")
+
+    with HealthServer(Broken(), ping=lambda: True) as h:
+        assert _get(h.address + "/status") == (429, "nok")

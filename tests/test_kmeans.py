@@ -78,3 +78,14 @@ def test_kmeans_assignment_is_map_only(spark):
     assert count_shuffles(df) == 0
     assert "Join" not in s
     assert "Window" not in s
+
+
+def test_kmeans_assign_empty_centroids_yields_no_rows(spark):
+    """Degenerate-path parity with the old crossJoin form: an empty
+    centroid set assigns nothing (and must not be an analysis error
+    from a zero-element array literal)."""
+    emb = load(spark, SF_CORRECT, "embeddings")
+    q = emb.select(F.col("vec_id").alias("vid"), S.quantize(F.col("embedding")).alias("qv"))
+    out = S.kmeans_assign(q, [])
+    assert out.columns == ["vid", "qv", "cell"]
+    assert out.count() == 0

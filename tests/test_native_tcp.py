@@ -300,3 +300,30 @@ def test_sink_round_robins_hosts(spark):
         a, b = s1.rows("t"), s2.rows("t")
         assert sorted(r[0] for r in a + b) == list(range(8))
         assert a and b  # both hosts actually took traffic
+
+
+def test_insert_column_named_like_values_keyword(server):
+    """The VALUES cut is the reference client's word-boundary regex,
+    not a substring search — identifiers containing the letters
+    VALUES must parse (and a truly malformed INSERT answers
+    SYNTAX_ERROR, never a bare TCP close)."""
+    server.register_table("vals", [("total_values", "Int64"), ("x", "Int64")])
+    with _conn(server) as c:
+        c.insert_blocks("vals", ["total_values", "x"], [[(1, 2), (3, 4)]])
+    assert server.rows("vals") == [(1, 2), (3, 4)]
+
+
+def test_insert_missing_column_closes_conn_cleanly(server):
+    """A prepare failure discovered client-side (meta lacks a column)
+    cancels + closes the connection — it is mid-INSERT and must not
+    be reused half-synchronized."""
+    c = _conn(server)
+    with pytest.raises(CHServerException) as e:
+        c.insert_blocks("events_native", ["event_id", "nope"], [[(1, 2)]])
+    assert e.value.code == 16
+    assert c._sock is None  # closed, not dangling mid-protocol
+
+
+def test_bad_host_entry_raises_value_error():
+    with pytest.raises(ValueError, match="h1"):
+        NativeTcpSink(["h1", "h2:9000"])
