@@ -13,6 +13,12 @@ optimizer must get right at 100 TB:
   - q_big_orders              Q18-style    -> agg-filter then join back
   - q_cheapest_supplier_per_part           -> two-level agg + window argmin
   - q_asof_join_order_context              -> union+window as-of join
+  - q13_order_count_distribution Q13-style -> agg-then-LEFT-join (keeps
+                                              zero-order customers)
+  - q15_top_supplier          Q15-style    -> scalar-max broadcast, no
+                                              global window
+  - q22_idle_rich_customers   Q22-style    -> scalar-avg broadcast +
+                                              left-anti
 
 Scale notes (100 TB): semi/anti joins never materialize the probe side
 twice; every dim-side input is `broadcast()` so the lineitem scan joins
@@ -742,4 +748,149 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("interval_id")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .orderBy("interval_id")
+    )
+
+
+_Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_count_distribution", oracle=_Q13_ORACLE)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of orders-per-customer INCLUDING
+    zero-order customers.
+
+    Plan shape: aggregate orders by custkey FIRST (map-side partial
+    combine collapses each customer's orders before the exchange),
+    then LEFT join customer -> counts on the same key (preserves
+    customers with no orders as count 0 — the half an inner join
+    silently drops), then a second tiny aggregation over the count
+    values. Never an outer join of raw customer x orders rows followed
+    by one giant groupBy: the first agg bounds the join input to one
+    row per customer with orders."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count")
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) achieving the maximum quarterly
+    revenue.
+
+    Plan shape: one shuffle (revenue per suppkey, map-side partial
+    over the date-pruned lineitem scan), the revenue frame reused for
+    both the scalar MAX (single-row broadcast) and the winner filter —
+    equality on the DECIMAL-exact sum, so 'the max' is well-defined
+    bit-for-bit in both engines; supplier dim broadcasts. A window
+    max-over-all would shuffle the whole revenue frame to one
+    partition; the scalar-subquery form never does."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev_dec = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        rev_dec.alias("rev_dec")
+    )
+    max_rev = rev.agg(F.max("rev_dec").alias("m"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), rev.rev_dec == max_rev.m)
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(c_acctbal) AS a
+  FROM customer WHERE c_acctbal > 0.0
+),
+rich_idle AS (
+  SELECT c_mktsegment, c_acctbal
+  FROM customer, avg_bal
+  WHERE c_acctbal > a
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+)
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM rich_idle
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q22_idle_rich_customers", oracle=_Q22_ORACLE)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average balance and NO
+    orders, grouped by segment (phone-prefix grouping adapted to the
+    columns this schema carries).
+
+    Plan shape: the global average is a single-row broadcast (scalar
+    subquery, never a window over all customers); NOT EXISTS is a
+    left-anti join on custkey against the single-column orders scan;
+    the final agg is segment-cardinality sized. AVG equality with the
+    oracle: both engines compute SUM(double)/COUNT on the same scan
+    order-independently via decimal accumulation."""
+    cust = load(spark, sf_dir, "customer")
+    from corrie_spark.queries.analytics import davg
+
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "a"))
+    orders_keys = load(spark, sf_dir, "orders").select("o_custkey")
+    rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a")).join(
+        orders_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        rich.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -57,6 +57,38 @@ def test_similarity_broadcasts_queries(spark):
     assert has_broadcast_join(df)
 
 
+def test_q13_aggregates_before_outer_join(spark):
+    """Q13-style: orders collapse to one row per customer BEFORE the
+    left join (partial agg bounds the join input); no cross product,
+    no window."""
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q13_order_count_distribution"](spark, SF_CORRECT)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s and "Window" not in s
+    assert count_shuffles(df) <= 4
+
+
+def test_q15_scalar_max_broadcasts_no_window(spark):
+    """Q15-style: the winner filter is a broadcast single-row scalar
+    max, never a window over the whole revenue frame."""
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q15_top_supplier"](spark, SF_CORRECT)
+    s = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "Window" not in s
+
+
+def test_q22_anti_join_with_broadcast_scalar(spark):
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q22_idle_rich_customers"](spark, SF_CORRECT)
+    s = explain_str(df)
+    assert "LeftAnti" in s
+    assert has_broadcast_join(df)
+
+
 def test_topk_is_partial_aggregation_not_window(spark):
     """Exact top-k re-rank: per-partition bounded top-k (map) + ONE
     hash agg on query_id — never a row_number window, whose exchange
