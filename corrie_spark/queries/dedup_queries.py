@@ -707,3 +707,60 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(
         batch, corpus, fp_fn=lambda t: prefix_fingerprint(t, 8)
     )
+
+
+_BLOOM_M = 1 << 14
+_BLOOM_K = 3
+_BLOOM_POS = (
+    "('0x' || substr(md5('bloom' || CAST({i} AS VARCHAR) || ':' || fp), 1, 15))::BIGINT"
+    f" % {_BLOOM_M}"
+)
+
+_BLOOM_ORACLE = f"""
+WITH fp_t AS (
+  SELECT doc_id, {_PREFIX_FP} AS fp FROM documents
+),
+batch AS (SELECT doc_id, fp FROM fp_t WHERE doc_id % 4 = 3),
+corpus AS (SELECT DISTINCT fp FROM fp_t WHERE doc_id % 4 <> 3),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || fp), 1, 15))::BIGINT
+      % {_BLOOM_M} AS b
+  FROM corpus CROSS JOIN range({_BLOOM_K}) t(i)
+)
+SELECT doc_id,
+  ({_BLOOM_POS.format(i=0)}) IN (SELECT b FROM bits)
+    AND ({_BLOOM_POS.format(i=1)}) IN (SELECT b FROM bits)
+    AND ({_BLOOM_POS.format(i=2)}) IN (SELECT b FROM bits) AS bloom_hit,
+  fp IN (SELECT fp FROM corpus) AS in_corpus
+FROM batch
+"""
+
+
+@register("q_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom pre-filter for the incremental-dedup screen:
+    the corpus fingerprint set compresses into a 2^14-bit filter
+    (built by a distributed bit_or aggregate, merged map-side,
+    collected as m/64 longs) that tests batch membership INSIDE the
+    probe scan's projection — zero shuffle of the probe side; only
+    maybe-members would proceed to the exact verify join. Output
+    carries both the bloom verdict and ground truth, so the oracle
+    pins the exact deterministic false-positive set (never a false
+    negative) bit-for-bit (operators/bloom.py)."""
+    from corrie_spark.operators.bloom import bloom_build, bloom_member
+    from corrie_spark.operators.text import prefix_fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    fp = prefix_fingerprint("text", 8)
+    batch = docs.filter(F.col("doc_id") % 4 == 3).select("doc_id", fp.alias("fp"))
+    corpus = docs.filter(F.col("doc_id") % 4 != 3).select(fp.alias("fp")).distinct()
+    words = bloom_build(corpus, "fp", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    marked = batch.join(
+        F.broadcast(corpus.withColumn("_in", F.lit(1))), "fp", "left"
+    )
+    return marked.select(
+        "doc_id",
+        bloom_member(F.col("fp"), words, _BLOOM_K).alias("bloom_hit"),
+        F.col("_in").isNotNull().alias("in_corpus"),
+    )
