@@ -1,0 +1,84 @@
+"""Graph analytics over near-duplicate pair graphs: PageRank.
+
+Connected components (operators/dedup.connected_components) answers
+"which documents are the same"; PageRank answers "which document is
+the CENTER of its duplicate neighborhood" — the canonical-
+representative / hub-selection signal a corpus build uses when
+keep-min-id is too arbitrary (keep the most-linked variant of a
+boilerplate family instead of the lowest crawl id).
+
+EXACT INTEGER power iteration. Float PageRank is not reproducible
+across engines or partitionings (per-node contribution sums are
+float-order-dependent); here ranks are BIGINTs scaled by 10^12 and
+every step is integer arithmetic:
+
+    contrib(u)   = r(u) div deg(u)              (truncating div)
+    s(v)         = sum of contribs of v's in-neighbors  (exact)
+    r'(v)        = (SCALE * (100-d)) div (100 * N) + (d * s(v)) div 100
+
+with d the damping percentage (85 = the classic 0.85). Truncation
+loses mass (ranks sum to slightly under SCALE) but identically in
+every engine — the DuckDB oracle unrolls the same rounds with `//`
+and matches bit-for-bit. |r| <= SCALE=10^12 and d*s <= 85*10^12 stay
+far inside int64.
+
+Scale shape per round: one co-partitioned join ranks->edges on the
+source id plus one groupBy(dst) with map-side partial sums — two
+key-width shuffles, no all-pairs anything; localCheckpoint per round
+keeps the plan flat (the CC loop's discipline); the driver never sees
+row data. Rounds are a fixed small constant (power iteration
+converges geometrically; rank ORDER stabilizes long before values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    n_iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank_scaled) after `n_iters` exact-integer power
+    iterations over the UNDIRECTED pair graph (each (id_a, id_b) edge
+    contributes in both directions). Nodes without edges hold the
+    teleport base rank. rank_scaled is the 10^12-scaled BIGINT — keep
+    it integral for engine-exact comparison; divide by 1e12 for the
+    conventional value."""
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.count()  # scalar, metadata-sized
+    base = (SCALE * (100 - damping_pct)) // (100 * n_nodes)
+    ranks = nodes.select(
+        F.col(id_col).alias("node"), F.lit(SCALE // n_nodes).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    # degree is loop-invariant: checkpoint once, reuse every round
+    sym_deg = sym.join(deg, "src").localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        contrib = (
+            sym_deg.join(ranks, sym_deg.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

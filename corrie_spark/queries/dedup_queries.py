@@ -764,3 +764,72 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_member(F.col("fp"), words, _BLOOM_K).alias("bloom_hit"),
         F.col("_in").isNotNull().alias("in_corpus"),
     )
+
+
+_PR_ITERS = 3
+_PR_DAMP = 85
+_PR_SCALE = 10**12
+
+# reuse the LSH pair CTEs from the clusters oracle (everything before
+# the recursive closure), then unroll integer power-iteration rounds
+_PR_PAIRS_PREFIX = (
+    _CLUSTERS_ORACLE.split("edges AS (")[0]
+    .replace("WITH RECURSIVE", "WITH")
+    .format(
+        toks=_TOKS,
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    )
+    .rstrip()
+    .rstrip(",")
+)
+
+
+def _pr_rounds(n: int) -> str:
+    base = f"(({_PR_SCALE} * {100 - _PR_DAMP}) // (100 * (SELECT n FROM nn)))"
+    parts = []
+    for t in range(n):
+        parts.append(
+            f"c{t} AS (SELECT dst, SUM(r // deg) AS s "
+            f"FROM sym JOIN deg USING (src) JOIN r{t} ON src = node GROUP BY dst)"
+        )
+        parts.append(
+            f"r{t + 1} AS (SELECT node, CAST({base} + ({_PR_DAMP} * COALESCE(s, 0)) // 100"
+            f" AS BIGINT) AS r FROM r{t} LEFT JOIN c{t} ON node = dst)"
+        )
+    return ",\n".join(parts)
+
+
+_PAGERANK_ORACLE = f"""
+{_PR_PAIRS_PREFIX},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+r0 AS (
+  SELECT doc_id AS node, CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM documents
+),
+{_pr_rounds(_PR_ITERS)}
+SELECT node AS doc_id, r AS rank_scaled FROM r{_PR_ITERS}
+"""
+
+
+@register("q_graph_pagerank", oracle=_PAGERANK_ORACLE)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash-LSH near-dup pair graph — the
+    hub-selection signal for choosing a duplicate family's
+    representative (most-linked variant, not lowest crawl id).
+    EXACT-INTEGER power iteration (ranks are 10^12-scaled BIGINTs,
+    truncating division everywhere), so 3 unrolled rounds match the
+    DuckDB replay bit-for-bit; per round: one co-partitioned join +
+    one partial-agg shuffle, plan kept flat by localCheckpoint
+    (operators/graph.py)."""
+    from corrie_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = _shared_pairs(spark, sf_dir).select("id_a", "id_b")
+    return pagerank(
+        pairs, docs.select("doc_id"), n_iters=_PR_ITERS, damping_pct=_PR_DAMP
+    ).select(F.col("node").alias("doc_id"), "rank_scaled")
