@@ -784,24 +784,22 @@ _PR_PAIRS_PREFIX = (
 )
 
 
-def _pr_rounds(n: int) -> str:
+def _pr_rounds(n: int, pfx: str = "r") -> str:
     base = f"(({_PR_SCALE} * {100 - _PR_DAMP}) // (100 * (SELECT n FROM nn)))"
     parts = []
     for t in range(n):
         parts.append(
-            f"c{t} AS (SELECT dst, SUM(r // deg) AS s "
-            f"FROM sym JOIN deg USING (src) JOIN r{t} ON src = node GROUP BY dst)"
+            f"c{pfx}{t} AS (SELECT dst, SUM(r // deg) AS s "
+            f"FROM sym JOIN deg USING (src) JOIN {pfx}{t} ON src = node GROUP BY dst)"
         )
         parts.append(
-            f"r{t + 1} AS (SELECT node, CAST({base} + ({_PR_DAMP} * COALESCE(s, 0)) // 100"
-            f" AS BIGINT) AS r FROM r{t} LEFT JOIN c{t} ON node = dst)"
+            f"{pfx}{t + 1} AS (SELECT node, CAST({base} + ({_PR_DAMP} * COALESCE(s, 0)) // 100"
+            f" AS BIGINT) AS r FROM {pfx}{t} LEFT JOIN c{pfx}{t} ON node = dst)"
         )
     return ",\n".join(parts)
 
 
-_PAGERANK_ORACLE = f"""
-{_PR_PAIRS_PREFIX},
-sym AS (
+_PR_TAIL = f"""sym AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs
 ),
@@ -811,9 +809,34 @@ r0 AS (
   SELECT doc_id AS node, CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
   FROM documents
 ),
-{_pr_rounds(_PR_ITERS)}
+{_pr_rounds(_PR_ITERS)}"""
+
+
+_PAGERANK_ORACLE = f"""
+{_PR_PAIRS_PREFIX},
+{_PR_TAIL}
 SELECT node AS doc_id, r AS rank_scaled FROM r{_PR_ITERS}
 """
+
+
+def _shared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (node, rank_scaled) over the shared LSH pair graph —
+    q_graph_pagerank and q_dedup_rep_by_rank both read it; the power
+    iteration runs once per session."""
+    from corrie_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    return _memo(
+        spark,
+        sf_dir,
+        "pagerank",
+        lambda: pagerank(
+            _shared_pairs(spark, sf_dir).select("id_a", "id_b"),
+            docs.select("doc_id"),
+            n_iters=_PR_ITERS,
+            damping_pct=_PR_DAMP,
+        ).persist(),
+    )
 
 
 @register("q_graph_pagerank", oracle=_PAGERANK_ORACLE)
@@ -826,10 +849,60 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replay bit-for-bit; per round: one co-partitioned join +
     one partial-agg shuffle, plan kept flat by localCheckpoint
     (operators/graph.py)."""
-    from corrie_spark.operators.graph import pagerank
+    return _shared_ranks(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "rank_scaled"
+    )
 
-    docs = load(spark, sf_dir, "documents")
-    pairs = _shared_pairs(spark, sf_dir).select("id_a", "id_b")
-    return pagerank(
-        pairs, docs.select("doc_id"), n_iters=_PR_ITERS, damping_pct=_PR_DAMP
-    ).select(F.col("node").alias("doc_id"), "rank_scaled")
+
+_REP_ORACLE = _CLUSTERS_ORACLE.format(
+    toks=_TOKS,
+    sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+).replace(
+    """SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node
+""",
+    f""", clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id
+  FROM reach GROUP BY node
+),
+{_PR_TAIL},
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, p.r AS rank_scaled,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY p.r DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN r{_PR_ITERS} p ON c.doc_id = p.node
+)
+SELECT cluster_id, doc_id AS rep_id, rank_scaled AS rep_rank,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""",
+)
+
+
+@register("q_dedup_rep_by_rank", oracle=_REP_ORACLE)
+def q_dedup_rep_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy upgrade: per near-dup cluster, keep the
+    member with the HIGHEST PageRank (ties to lowest doc id) instead
+    of blindly keeping the minimum id — connected components picks
+    the families, PageRank picks the representative. Both inputs come
+    from session memos (pair graph computed once); the argmax is a
+    single partial-agg groupBy over max(struct(rank, -id)) — no
+    window, no per-cluster subqueries. The oracle recomputes closure
+    + unrolled integer power iteration and must agree on every
+    representative exactly."""
+    clusters = _shared_clusters(spark, sf_dir)
+    ranks = _shared_ranks(spark, sf_dir)
+    j = clusters.join(ranks, clusters.doc_id == ranks.node)
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("rank_scaled"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("m.neg_id")).alias("rep_id"),
+        F.col("m.rank_scaled").alias("rep_rank"),
+        "n_members",
+    )
