@@ -13,7 +13,7 @@ Two paths:
 
 Scoring stays JVM-side (built-in array expressions, whole-stage
 codegen — no row-at-a-time Python anywhere). The ONE deliberate
-Python stage is _local_topk's Arrow-batched per-partition top-k:
+Python stage is local_topk's Arrow-batched per-partition top-k:
 built-in aggregates cannot bound a partial top-k (collect_list's
 map-side buffers ship every row), so the scored candidates take one
 vectorized pass through pandas to cap the re-rank shuffle at
@@ -57,7 +57,13 @@ def cosine_from_int(dot: Column, n1: Column, n2: Column) -> Column:
     )
 
 
-def _local_topk(scored: DataFrame, k: int) -> DataFrame:
+def local_topk(
+    scored: DataFrame,
+    k: int,
+    key_col: str = "query_id",
+    order_col: str = "dot",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
     """Per-PARTITION per-query top-k — the bounded partial aggregate
     Spark's built-ins cannot express: a row_number window exchanges
     every scored row, and collect_list's map-side partial buffers also
@@ -78,41 +84,51 @@ def _local_topk(scored: DataFrame, k: int) -> DataFrame:
         for pdf in batches:
             cur = pdf if run is None else pd.concat([run, pdf], ignore_index=True)
             cur = cur.sort_values(
-                ["dot", "neighbor_id"], ascending=[False, True], kind="mergesort"
+                [order_col, id_col], ascending=[False, True], kind="mergesort"
             )
-            run = cur.groupby("query_id", sort=False).head(k)
+            run = cur.groupby(key_col, sort=False).head(k)
         if run is not None and len(run):
             yield run
 
     return scored.mapInPandas(take, scored.schema)
 
 
-def _grouped_topk(scored: DataFrame, k: int, carry: tuple[str, ...] = ()) -> DataFrame:
-    """Exact global top-k per query over a scored candidate set:
-    local (per-partition) top-k, then ONE hash aggregation on
-    query_id whose input is already bounded — slice(sort_array(
+def grouped_topk(
+    scored: DataFrame,
+    k: int,
+    key_col: str = "query_id",
+    order_col: str = "dot",
+    id_col: str = "neighbor_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact global top-k per key over a scored candidate set — the
+    GENERIC partial-top-k operator (similarity re-rank is one caller;
+    any "top N per group, N small, groups many" shape fits): local
+    (per-partition) top-k, then ONE hash aggregation on `key_col`
+    whose input is already bounded — slice(sort_array(
     collect_list(...)), 1, k) + posexplode replaces the full-sort
-    row_number window. The sort key struct((-dot), neighbor_id) makes
-    sort_array's lexicographic ascending order = dot desc with ties
-    to the lowest neighbor id — bit-identical ranking to the window
-    formulation (dot is an exact integer, |dot| < 2^45, so negation
-    is safe). `carry` columns ride along inside the struct."""
+    row_number window. The sort key struct((-order), id) makes
+    sort_array's lexicographic ascending order = order desc with ties
+    to the lowest id — bit-identical ranking to the window
+    formulation. `order_col` must be numeric and exact (integers
+    here; |dot| < 2^45 so negation is safe); `carry` columns ride
+    along inside the struct. Output: (key, id, rnk, order, *carry)."""
     entry = F.struct(
-        (-F.col("dot")).alias("negdot"),
-        F.col("neighbor_id").alias("nid"),
+        (-F.col(order_col)).alias("negord"),
+        F.col(id_col).alias("topk_id"),
         *[F.col(c).alias(c) for c in carry],
     )
     agg = (
-        _local_topk(scored, k)
-        .groupBy("query_id")
+        local_topk(scored, k, key_col, order_col, id_col)
+        .groupBy(key_col)
         .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("top"))
     )
-    ex = agg.select("query_id", F.posexplode("top").alias("pos", "e"))
+    ex = agg.select(key_col, F.posexplode("top").alias("pos", "e"))
     return ex.select(
-        "query_id",
-        F.col("e.nid").alias("neighbor_id"),
+        key_col,
+        F.col("e.topk_id").alias(id_col),
         (F.col("pos") + 1).cast("int").alias("rnk"),
-        (-F.col("e.negdot")).alias("dot"),
+        (-F.col("e.negord")).alias(order_col),
         *[F.col(f"e.{c}").alias(c) for c in carry],
     )
 
@@ -151,7 +167,7 @@ def brute_force_topk(
             int_norm_sq(F.col("c_vec")).alias("cn"),
         )
     )
-    return _grouped_topk(scored, k, carry=("qn", "cn")).select(
+    return grouped_topk(scored, k, carry=("qn", "cn")).select(
         "query_id",
         "neighbor_id",
         "rnk",
@@ -282,7 +298,7 @@ def ann_lsh_topk(
     grows; n_tables>1 adds independent hash tables (OR-amplification)
     to recover recall at high plane counts. The count() used for
     auto-derivation is metadata-cheap next to the join it sizes.
-    Re-rank uses the partial top-k (see _grouped_topk), not a global
+    Re-rank uses the partial top-k (see grouped_topk), not a global
     window: the exchange after scoring carries ~Q x k rows per
     partition, not every bucket candidate."""
     if n_planes is None:
@@ -320,7 +336,7 @@ def ann_lsh_topk(
         int_norm_sq(F.col("q_vec")).alias("qn"),
         int_norm_sq(F.col("c_vec")).alias("cn"),
     )
-    return _grouped_topk(scored, k, carry=("qn", "cn")).select(
+    return grouped_topk(scored, k, carry=("qn", "cn")).select(
         "query_id",
         "neighbor_id",
         "rnk",
@@ -545,7 +561,7 @@ def ivf_topk(
             "query_id", "neighbor_id", int_dot(F.col("q_vec"), F.col("c_vec")).alias("dot")
         )
     )
-    return _grouped_topk(scored, k).select("query_id", "neighbor_id", "rnk", "dot")
+    return grouped_topk(scored, k).select("query_id", "neighbor_id", "rnk", "dot")
 
 
 def ivf_topk_trained(
