@@ -36,6 +36,12 @@ def _build_parser() -> argparse.ArgumentParser:
     pipe.add_argument("--checkpoint", required=True)
     pipe.add_argument("--drain", action="store_true", help="availableNow then exit")
     pipe.add_argument("--trigger-seconds", type=int, default=60)
+    pipe.add_argument(
+        "--native-hosts",
+        default=None,
+        help="write via native TCP to these host:port pairs (comma-"
+        "separated alt_hosts round-robin) instead of the parquet sink",
+    )
     return p
 
 
@@ -77,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "pipeline":
         from corrie_spark.session import get_spark
-        from corrie_spark.sinks import DLQSink, ParquetDirSink, SchemaRegistry
+        from corrie_spark.sinks import DLQSink, SchemaRegistry
         from corrie_spark.sources.sharded_queue import register_sharded_queue
         from corrie_spark.streaming import PipelineConfig, start_pipeline
 
@@ -92,9 +98,16 @@ def main(argv: list[str] | None = None) -> int:
         # demo registry: real deployments construct this from their
         # table DDLs (SchemaRegistry.register per table)
         registry = SchemaRegistry()
+        from corrie_spark.sinks.base import sink_from_options
+
+        sink = sink_from_options(
+            {"nativeHosts": args.native_hosts}
+            if args.native_hosts
+            else {"parquetDir": args.out}
+        )
         q = start_pipeline(
             src,
-            ParquetDirSink(args.out),
+            sink,
             DLQSink(f"{args.out}/_dlq"),
             registry,
             PipelineConfig(

@@ -69,3 +69,49 @@ def test_amqp_to_clickhouse_native_end_to_end(spark, tmp_path):
         # once ack discipline, not a leak
         assert b.pending_count("corrie.0") == 0
         assert b.pending_count("corrie.1") == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_commit_log_makes_native_path_replay_safe(spark, tmp_path):
+    """K10 upgraded on the native path: with the batch commit log on,
+    re-running a drained checkpoint (the crash-after-commit replay
+    window) inserts NOTHING twice into ClickHouse — the replayed
+    epoch is skipped before the sink runs."""
+    broker_root = str(tmp_path / "broker")
+    b = FakeAmqpBroker(broker_root)
+    for i in range(10):
+        b.publish(
+            "corrie.0",
+            json.dumps({"Query": Q_SQL, "Data": [str(i), "1.0", "t"]}),
+        )
+    register_amqp_sharded_queue(spark)
+    with FakeClickHouseServer() as ch:
+        ch.register_table("db.metrics", SCHEMA)
+
+        def drain():
+            src = (
+                spark.readStream.format("amqp_sharded_queue")
+                .option("broker", broker_root)
+                .option("queue", "corrie")
+                .option("shards", "1")
+                .option("stateDir", str(tmp_path / "state"))
+                .load()
+            )
+            q = start_pipeline(
+                src,
+                NativeTcpSink([f"127.0.0.1:{ch.port}"]),
+                DLQSink(str(tmp_path / "dlq")),
+                SchemaRegistry({"db.metrics": SCHEMA}),
+                PipelineConfig(
+                    checkpoint_dir=str(tmp_path / "ckpt"),
+                    commit_log_dir=str(tmp_path / "commits"),
+                    available_now=True,
+                    writer=WriterConfig(retry_interval_s=0.01, max_retries=1),
+                ),
+            )
+            q.awaitTermination(120)
+
+        drain()
+        assert sorted(r[0] for r in ch.rows("db.metrics")) == list(range(10))
+        drain()  # replay on the same checkpoint + commit log
+        assert sorted(r[0] for r in ch.rows("db.metrics")) == list(range(10))
