@@ -81,10 +81,128 @@ def encode_fake_video(n_frames: int, frame_size: int, seed: int) -> bytes:
     return VID_MAGIC + struct.pack("<ii", n_frames, frame_size) + frames
 
 
+def encode_bmp(width: int, height: int, rows: list[bytes], bottom_up: bool = True) -> bytes:
+    """REAL encoder: 8-bpp uncompressed BMP (BITMAPINFOHEADER) with
+    the spec's 4-byte row padding; `rows` are top-down visual rows."""
+    row_raw = width
+    stride = (row_raw + 3) & ~3
+    stored = list(reversed(rows)) if bottom_up else rows
+    px = b"".join(bytes(r) + b"\x00" * (stride - row_raw) for r in stored)
+    data_off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(px), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height if bottom_up else -height, 1, 8, 0, len(px), 0, 0, 0, 0,
+    )
+    return hdr + info + px
+
+
+def encode_wav_pcm(sample_rate: int, samples, bits: int = 16, nch: int = 1) -> bytes:
+    """REAL encoder: RIFF/WAVE PCM container (fmt + data chunks,
+    even-length chunk padding)."""
+    data = (
+        np.asarray(samples, dtype="<i2").tobytes()
+        if bits == 16
+        else bytes(samples)
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * nch * bits // 8,
+        nch * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """REAL codec: uncompressed BMP (BITMAPINFOHEADER, 8/24 bpp) from
+    the public file-format layout — 'BM', pixel-array offset at byte
+    10, width/height int32 at 18/22, bpp uint16 at 28, compression
+    uint32 at 30 (must be BI_RGB=0). Rows are 4-byte aligned and
+    stored bottom-up when height > 0; the returned `data` is the
+    unpadded pixel bytes in TOP-DOWN row order (for 24 bpp: BGR byte
+    triples, so mean_pixel is the mean over all channel bytes).
+    Implemented with struct + one numpy gather — no external libs."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (8, 24) or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    height, bottom_up = abs(h), h > 0
+    bytes_per_px = bpp // 8
+    row_raw = w * bytes_per_px
+    row_stride = (row_raw + 3) & ~3  # 4-byte row padding
+    need = data_off + row_stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    rows = [
+        arr[data_off + r * row_stride : data_off + r * row_stride + row_raw]
+        for r in range(height)
+    ]
+    if bottom_up:
+        rows.reverse()
+    return {
+        "kind": "image",
+        "width": w,
+        "height": height,
+        "data": np.concatenate(rows).tobytes() if rows else b"",
+    }
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL codec: RIFF/WAVE PCM (8- or 16-bit, any channel count)
+    from the public container layout — 'RIFF' <size> 'WAVE', then
+    chunks ('fmt ' carries format tag/channels/sample-rate/bits,
+    'data' carries the frames; chunk sizes pad to even). Returns
+    int-valued samples (numpy) so amplitude stats are exact; only
+    format tag 1 (PCM) is supported — compressed WAVs raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sr, bits, nch, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, nch, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_tag != 1 or bits not in (8, 16) or nch < 1:
+                raise ValueError(f"unsupported WAV (fmt={fmt_tag}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks pad to even length
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    frame_bytes = nch * bits // 8
+    n_samples = len(data) // frame_bytes
+    usable = data[: n_samples * frame_bytes]
+    samples = np.frombuffer(usable, dtype=np.uint8 if bits == 8 else np.dtype("<i2"))
+    return {
+        "kind": "audio",
+        "sample_rate": sr,
+        "n_samples": n_samples,
+        "data": usable,
+        "samples": samples,
+    }
+
+
 def decode_payload(media_type: str, payload: bytes) -> dict:
-    """Decode seam. `fake/*` types use the deterministic codec; real
-    types would dispatch to PIL/soundfile/av here — unavailable in
-    this environment, so they raise (clearly-marked stub)."""
+    """Decode seam. `fake/*` types use the deterministic codec;
+    image/bmp and audio/wav are REAL decoders implemented here from
+    the public format specs (struct + numpy, no external libs);
+    compressed formats (JPEG/PNG/MP4/...) would dispatch to
+    PIL/soundfile/av — unavailable in this environment, so they raise
+    (clearly-marked stub)."""
+    if media_type == "image/bmp":
+        return _decode_bmp(payload)
+    if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return _decode_wav(payload)
     if media_type.startswith("fake/"):
         if payload[:7] == IMG_MAGIC:
             w, h = struct.unpack("<ii", payload[7:15])
@@ -97,8 +215,9 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
             return {"kind": "video", "n_frames": nf, "frame_size": fs, "data": payload[15:]}
         raise ValueError("bad fake payload header")
     raise NotImplementedError(
-        f"real decoder for {media_type!r} not available in this environment "
-        "(plug PIL/soundfile/av into decode_payload)"
+        f"decoder for {media_type!r} not available in this environment "
+        "(plug PIL/soundfile/av into decode_payload; BMP and PCM WAV "
+        "are decoded natively above)"
     )
 
 
@@ -143,10 +262,20 @@ def audio_features(df: DataFrame) -> DataFrame:
                     d = decode_payload(mtype, bytes(payload))
                     if d["kind"] == "audio":
                         data = d["data"]
+                        if "samples" in d:  # real decoder: exact int
+                            # amplitudes (int64-accumulated |x| mean)
+                            s = d["samples"]
+                            amp = (
+                                float(np.abs(s.astype(np.int64)).sum() / s.size)
+                                if s.size
+                                else 0.0
+                            )
+                        else:
+                            amp = _byte_mean(data)
                         row.update(
                             sample_rate=d["sample_rate"], n_samples=d["n_samples"],
                             duration_s=d["n_samples"] / d["sample_rate"],
-                            mean_amp=_byte_mean(data), ok=True,
+                            mean_amp=amp, ok=True,
                         )
                 except (ValueError, NotImplementedError, struct.error):
                     pass

@@ -101,3 +101,88 @@ def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. Shuffle-free map pipeline like the other media ops."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return M.frame_stats(M.synth_media(docs), every_k=2)
+
+
+_RC_W, _RC_H, _RC_N = 5, 3, 16  # bmp 5x3 (odd width -> real row padding), wav 16 samples
+
+_REAL_CODEC_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+  TRUE AS ok,
+  CASE WHEN doc_id % 2 = 0 THEN CAST({_RC_W} AS BIGINT) END AS width,
+  CASE WHEN doc_id % 2 = 0 THEN CAST({_RC_H} AS BIGINT) END AS height,
+  CASE WHEN doc_id % 2 = 0 THEN
+    CAST(list_sum(list_transform(range(0, {_RC_W * _RC_H}),
+         i -> (doc_id * 7 + i) % 256)) AS DOUBLE) / {_RC_W * _RC_H}
+  END AS mean_pixel,
+  CASE WHEN doc_id % 2 = 1 THEN CAST({_RC_N} AS BIGINT) END AS n_samples,
+  CASE WHEN doc_id % 2 = 1 THEN
+    CAST(list_sum(list_transform(range(0, {_RC_N}),
+         i -> abs((doc_id * 13 + i) % 1024 - 512))) AS DOUBLE) / {_RC_N}
+  END AS mean_amp
+FROM documents
+"""
+
+
+@register("q_multimodal_real_codecs", oracle=_REAL_CODEC_ORACLE)
+def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container codecs through the whole oracle gate: even
+    doc_ids become 8-bpp BMPs (odd width, so the spec's 4-byte row
+    padding and bottom-up storage are actually exercised), odd ids
+    16-bit PCM WAVs; the features come back through the REAL parsers
+    (_decode_bmp / _decode_wav — struct+numpy, no external libs) and
+    must match DuckDB's closed-form expectations exactly. This is the
+    part of the real-codec seam this environment CAN close natively;
+    compressed formats stay behind the documented PIL/av stub."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    rows = [
+                        bytes((did * 7 + (r * _RC_W + c)) % 256 for c in range(_RC_W))
+                        for r in range(_RC_H)
+                    ]
+                    out.append(
+                        {"media_id": did, "media_type": "image/bmp",
+                         "payload": M.encode_bmp(_RC_W, _RC_H, rows)}
+                    )
+                else:
+                    samples = [(did * 13 + i) % 1024 - 512 for i in range(_RC_N)]
+                    out.append(
+                        {"media_id": did, "media_type": "audio/wav",
+                         "payload": M.encode_wav_pcm(8000, samples)}
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    img = M.image_features(media.filter(F.col("media_type") == "image/bmp")).select(
+        "media_id",
+        "media_type",
+        "ok",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_pixel",
+        F.lit(None).cast("long").alias("n_samples"),
+        F.lit(None).cast("double").alias("mean_amp"),
+    )
+    aud = M.audio_features(media.filter(F.col("media_type") != "image/bmp")).select(
+        "media_id",
+        "media_type",
+        "ok",
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("double").alias("mean_pixel"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "mean_amp",
+    )
+    return img.unionByName(aud)

@@ -146,3 +146,102 @@ def test_sample_frames_every_k(media):
         fs = d["frame_size"]
         for r in rows:
             assert bytes(r.frame) == d["data"][r.frame_idx * fs : (r.frame_idx + 1) * fs]
+
+
+# --- REAL codecs: BMP + PCM WAV (struct/numpy, no external libs) ------
+
+
+def _bmp_bytes(width, height, rows, bpp=8, bottom_up=True):
+    """Hand-assembled BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    padded pixel array. `rows` is a list of `height` byte-rows in
+    TOP-DOWN visual order."""
+    import struct as st
+
+    bytes_per_px = bpp // 8
+    row_raw = width * bytes_per_px
+    stride = (row_raw + 3) & ~3
+    stored = list(reversed(rows)) if bottom_up else rows
+    px = b"".join(bytes(r) + b"\x00" * (stride - row_raw) for r in stored)
+    data_off = 14 + 40
+    hdr = b"BM" + st.pack("<IHHI", data_off + len(px), 0, 0, data_off)
+    h_signed = height if bottom_up else -height
+    info = st.pack("<IiiHHIIiiII", 40, width, h_signed, 1, bpp, 0, len(px), 0, 0, 0, 0)
+    return hdr + info + px
+
+
+def _wav_bytes(sample_rate, samples, bits=16, nch=1):
+    import struct as st
+
+    import numpy as np
+
+    data = (
+        np.asarray(samples, dtype="<i2").tobytes()
+        if bits == 16
+        else bytes(samples)
+    )
+    fmt = st.pack("<HHIIHH", 1, nch, sample_rate, sample_rate * nch * bits // 8,
+                  nch * bits // 8, bits)
+    chunks = b"fmt " + st.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + st.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+    return b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_real_bmp_decode_via_image_features(spark):
+    """8-bit bottom-up BMP with row padding: width/height/mean come
+    out exactly; a 24-bit top-down variant works too; a truncated
+    file is ok=false, not a task failure."""
+    rows = [[10, 20, 30], [40, 50, 60]]  # 3x2, top-down
+    good8 = _bmp_bytes(3, 2, rows, bpp=8, bottom_up=True)
+    good24 = _bmp_bytes(2, 1, [[1, 2, 3, 4, 5, 6]], bpp=24, bottom_up=False)
+    df = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(good8)),
+         (2, "image/bmp", bytearray(good24)),
+         (3, "image/bmp", bytearray(good8[:20]))],
+        M.MEDIA_SCHEMA_DDL,
+    )
+    got = {r["media_id"]: r for r in M.image_features(df).collect()}
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"]) == (3, 2)
+    assert got[1]["mean_pixel"] == pytest.approx(sum([10, 20, 30, 40, 50, 60]) / 6)
+    assert got[1]["n_bytes"] == 6  # padding stripped
+    assert got[2]["ok"] and got[2]["mean_pixel"] == pytest.approx(3.5)
+    assert not got[3]["ok"]
+
+
+def test_real_bmp_row_order_top_down(spark):
+    """Bottom-up storage must come back in visual (top-down) order."""
+    from corrie_spark.operators.multimodal import _decode_bmp
+
+    rows = [[9, 9], [1, 1]]
+    d = _decode_bmp(_bmp_bytes(2, 2, rows, bpp=8, bottom_up=True))
+    assert list(d["data"]) == [9, 9, 1, 1]
+
+
+def test_real_wav_decode_via_audio_features(spark):
+    """16-bit PCM: n_samples/duration/mean |amplitude| are exact;
+    8-bit works; a compressed (non-PCM) WAV is ok=false."""
+    import struct as st
+
+    w16 = _wav_bytes(8000, [100, -200, 300, -400], bits=16)
+    w8 = _wav_bytes(4000, [0, 255, 128], bits=8)
+    bad = w16.replace(st.pack("<HH", 1, 1), st.pack("<HH", 85, 1), 1)  # fmt 85
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(w16)),
+         (2, "audio/wav", bytearray(w8)),
+         (3, "audio/wav", bytearray(bad))],
+        M.MEDIA_SCHEMA_DDL,
+    )
+    got = {r["media_id"]: r for r in M.audio_features(df).collect()}
+    assert got[1]["ok"] and got[1]["n_samples"] == 4
+    assert got[1]["duration_s"] == pytest.approx(4 / 8000)
+    assert got[1]["mean_amp"] == pytest.approx((100 + 200 + 300 + 400) / 4)
+    assert got[2]["ok"] and got[2]["n_samples"] == 3
+    assert got[2]["mean_amp"] == pytest.approx((0 + 255 + 128) / 3)
+    assert not got[3]["ok"]
+
+
+def test_real_wav_stereo_frames(spark):
+    from corrie_spark.operators.multimodal import _decode_wav
+
+    d = _decode_wav(_wav_bytes(44100, [1, -1, 2, -2], bits=16, nch=2))
+    assert d["n_samples"] == 2  # frames, not flat samples
+    assert d["sample_rate"] == 44100
