@@ -1,0 +1,235 @@
+"""Remaining classic TPC-H query shapes (Q4, Q9, Q11, Q12, Q16),
+adapted to the driver testdata schema (no partsupp table, no
+commit/receipt dates or shipmode on lineitem — see TESTDATA.md), so
+the read surface covers every canonical decision-support shape:
+EXISTS semi-join counting (Q4), multi-dim profit rollup (Q9),
+global-fraction HAVING via scalar subquery (Q11), conditional
+two-way counting (Q12), and distinct-count with NOT IN exclusion
+(Q16).
+
+Parity: the reference's read surface is plain SELECT over the sink
+tables (vendored driver stmt.go:69-97, rows.go:42-141); these queries
+exercise that surface with the same analytics idioms as
+analytics.py/joins.py and are all oracle-checked.
+
+Scale notes (100 TB): dims broadcast; facts shuffle at most once on
+their join key; aggregations are partial by construction; the Q11
+"global total" is a 1-row broadcast, never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.queries.analytics import dsum
+from corrie_spark.queries.registry import register
+from corrie_spark.tables import load
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=_Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders in a quarter that
+    had at least one problem line (adapted: returnflag='R' stands in
+    for commitdate<receiptdate, which this schema lacks).
+
+    LEFT SEMI join — Spark never materializes the lineitem payload,
+    only the key match; both sides are pre-filtered so the shuffle is
+    a fraction of either table, and EXISTS-dedup happens inside the
+    semi join (no distinct needed).
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    problem = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(problem, orders.o_orderkey == problem.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q9_ORACLE = """
+SELECT
+  n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+"""
+
+
+@register("q9_product_type_profit", oracle=_Q9_ORACLE)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation x order year for a
+    part-name pattern (adapted: revenue in place of
+    revenue - ps_supplycost*qty; this schema has no partsupp).
+
+    part/supplier/nation broadcast; lineitem-orders is the only big
+    shuffle (on orderkey). The LIKE filter prunes via the broadcast
+    hash join BEFORE the shuffle, so shuffle volume is the matching
+    fraction only — the shape that survives 100x.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"))
+    )
+
+
+_Q11_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+  FROM lineitem
+  GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM lineitem
+)
+SELECT l_partkey, part_value
+FROM pv, tot
+WHERE part_value * 1000.0 > total_value
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_ORACLE)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fraction
+    (1/1000) of the global total — the HAVING-vs-scalar-subquery
+    pattern (adapted to lineitem revenue; no partsupp stock value in
+    this schema).
+
+    One scan feeds both aggregates; the global total is a 1-row frame
+    cross-joined via broadcast — at 100 TB the threshold never touches
+    the driver and the fact table is scanned once per aggregate with
+    partial map-side combine. Both engines compare identical doubles
+    (exact decimal sums cast once), so the predicate is deterministic.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pv = li.groupBy("l_partkey").agg(dsum(rev, "part_value"))
+    tot = li.agg(dsum(rev, "total_value"))
+    return pv.join(F.broadcast(tot)).filter(
+        F.col("part_value") * 1000.0 > F.col("total_value")
+    ).select("l_partkey", "part_value")
+
+
+_Q12_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("q12_priority_by_returnflag", oracle=_Q12_ORACLE)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way counting of order
+    priorities per lineitem class (adapted: returnflag stands in for
+    shipmode, which this schema lacks).
+
+    orders-lineitem shuffle on orderkey with the date filter pushed to
+    the lineitem scan; the CASE counting folds into the partial agg so
+    the final shuffle carries ~3 groups x 2 longs.
+    """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+  )
+GROUP BY p_brand, p_size
+"""
+
+
+@register("q16_supplier_part_counts", oracle=_Q16_ORACLE)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute bucket,
+    excluding a brand and a blocklisted supplier set (adapted: the
+    acctbal threshold stands in for the complaint-comment scan, and
+    lineitem links parts to suppliers since this schema has no
+    partsupp).
+
+    The NOT IN set is a LEFT ANTI join against a broadcast (supplier
+    is a dim); part is broadcast too, so the only shuffle is the
+    distinct-count on (brand, size) — Spark expands count(distinct)
+    into a two-phase partial/final agg, which bounds shuffle rows by
+    the number of distinct (brand, size, suppkey) triples.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    blocked = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(blocked), li.l_suppkey == blocked.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
         return
     # imports deferred to avoid circular import at package import time
     import corrie_spark.queries.analytics  # noqa: F401
+    import corrie_spark.queries.analytics_ext  # noqa: F401
     import corrie_spark.queries.envelope_queries  # noqa: F401
     import corrie_spark.queries.dedup_queries  # noqa: F401
     import corrie_spark.queries.text_queries  # noqa: F401
