@@ -326,9 +326,6 @@ def ann_lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "q_vec", "c_vec")
     )
-    if n_tables > 1:
-        # a pair colliding in several tables must score once
-        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.select(
         "query_id",
         "neighbor_id",
@@ -336,6 +333,14 @@ def ann_lsh_topk(
         int_norm_sq(F.col("q_vec")).alias("qn"),
         int_norm_sq(F.col("c_vec")).alias("cn"),
     )
+    if n_tables > 1:
+        # a pair colliding in several tables must count once in the
+        # top-k. Dedup AFTER scoring, not before: scoring is a pure
+        # deterministic map (duplicate rows are bit-identical), so
+        # re-scoring a multi-collided pair costs map-side CPU only,
+        # while deduping first would drag both 64-element vectors
+        # through the dedup exchange — ~1 KB/row vs 5 longs/row here.
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     return grouped_topk(scored, k, carry=("qn", "cn")).select(
         "query_id",
         "neighbor_id",
