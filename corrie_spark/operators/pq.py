@@ -1,0 +1,245 @@
+"""Product quantization (PQ) for vector search at 100 TB scale.
+
+PQ is the third leg of the ANN stool next to LSH (similarity.py
+hyperplane buckets) and IVF (coarse cells): split each vector into
+`n_sub` subspaces, learn a tiny per-subspace codebook, and store each
+vector as `n_sub` small codes — here 8 codes x 16 centroids = 8 bytes
+per vector against 512 bytes of raw float64s (64x compression), which
+is what lets a 10^10-vector corpus live in cluster memory. Scoring is
+asymmetric distance computation (ADC): each query precomputes a
+(n_sub x n_codes) lookup table of exact subspace dot products once,
+and every corpus candidate costs n_sub table lookups + adds — no
+full-dimension arithmetic in the hot loop.
+
+Everything is exact BIGINT arithmetic on the quantized vectors (same
+discipline as similarity.kmeans_cells): md5-bucket codebook init,
+floor-mean centroids, argmin encode with ties to the lowest code —
+so training, codes, and ADC scores are bit-identical in any engine
+and the DuckDB oracle replays them.
+
+Reference parity: the reference engine has no vector surface at all —
+this module is part of the beyond-parity training-data-pipeline
+surface (SURVEY §2 "LLM-data ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from corrie_spark.functions.core import bind
+from corrie_spark.operators.similarity import int_dot, quantize
+
+N_SUB = 8
+N_CODES = 16
+SUB_DIM = 8
+
+
+def _init_code(m: int, n_codes: int) -> Column:
+    """Deterministic md5-bucket init for subspace m — reproducible
+    across engines and cluster sizes (cf. similarity.kmeans_cells)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("vid").cast("string"), F.lit(f":{m}"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % n_codes).cast("int")
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = N_SUB,
+    n_codes: int = N_CODES,
+    sub_dim: int = SUB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[int]]]]:
+    """Train per-subspace codebooks (one floor-mean round over the
+    md5 init — the same 1-iteration Lloyd the IVF trainer starts
+    from). Returns books[m] = sorted [(code, centroid)], collected:
+    n_sub x n_codes x sub_dim ints is metadata-sized at any corpus
+    scale, like the IVF centroid table.
+
+    Plan: one exploded pass over the corpus (n_sub structs per row,
+    map-side combined) -> ONE shuffle of n_sub x n_codes groups."""
+    q = corpus.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
+    sub = q.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("qv", m * sub_dim + 1, sub_dim).alias("sv"),
+                        _init_code(m, n_codes).alias("j"),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("e")
+    ).select("e.m", "e.sv", "e.j")
+    sums = sub.groupBy("m", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("sv", d + 1)).alias(f"s{d}") for d in range(sub_dim)],
+    )
+    cent = F.array(
+        *[F.floor(F.col(f"s{d}") / F.col("n")).cast("bigint") for d in range(sub_dim)]
+    )
+    rows = sums.select("m", "j", cent.alias("centroid")).collect()
+    books: list[list[tuple[int, list[int]]]] = [[] for _ in range(n_sub)]
+    for r in rows:
+        books[r["m"]].append((int(r["j"]), [int(x) for x in r["centroid"]]))
+    for b in books:
+        b.sort()
+    return books
+
+
+def _books_literal(books: list[list[tuple[int, list[int]]]]) -> Column:
+    """ONE nested literal — books[m] as array<struct<cnorm, code,
+    centroid>> — referenced by runtime `transform` loops. Unrolling
+    the n_sub x n_codes dot products into separate expressions (the
+    first version) made a ~130x wider Catalyst tree whose analysis +
+    codegen time dominated small-corpus runs; a single literal plus
+    lambda iteration keeps the plan O(1) expressions regardless of
+    codebook size, with identical semantics."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sum(x * x for x in v)).cast("bigint").alias("cnorm"),
+                        F.lit(int(j)).cast("int").alias("code"),
+                        F.lit([int(x) for x in v]).cast("array<bigint>").alias("centroid"),
+                    )
+                    for j, v in book
+                ]
+            )
+            for book in books
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+    sub_dim: int = SUB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector compressed to n_sub small ints —
+    MAP-ONLY (books fold to one literal), the pass you'd persist as
+    the PQ index. codes[m] = argmin over books[m] of the exact
+    integer cost ||c||^2 - 2 sv.c with ties to the lowest code
+    (array_min over (cost, code) structs — same tie-break as
+    similarity.kmeans_assign). `bind` pins each subvector slice so
+    Catalyst evaluates it once per subspace, not once per centroid."""
+    q = corpus.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
+    bl = _books_literal(books)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        lambda m: bind(
+            F.slice(F.col("qv"), m * sub_dim + 1, sub_dim),
+            lambda sv: F.array_min(
+                F.transform(
+                    F.element_at(bl, m + 1),
+                    lambda s: F.struct(
+                        (s["cnorm"] - 2 * int_dot(sv, s["centroid"])).alias("cost"),
+                        s["code"].alias("code"),
+                    ),
+                )
+            )["code"],
+        ),
+    )
+    return q.select("vid", codes.alias("codes"))
+
+
+def _lut(
+    qv: Column,
+    books: list[list[tuple[int, list[int]]]],
+    sub_dim: int,
+    n_codes: int = N_CODES,
+) -> Column:
+    """Per-query ADC lookup table: lut[m][j+1] = dot(q_slice_m,
+    centroid[m][j]), positionally indexed 0..n_codes-1 (codebook
+    entries that lost every member during init fill 0 — no corpus row
+    carries their code, so the value is never read). Densified
+    per-subspace tables (code -> value at position code+1) make the
+    hot-path lookup a positional element_at; built with runtime
+    transforms over one nested literal (see _books_literal)."""
+    dense: list[list[list[int] | None]] = []
+    for book in books:
+        by_code = dict(book)
+        dense.append([by_code.get(j) for j in range(n_codes)])
+    dl = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit([0] * sub_dim if v is None else [int(x) for x in v]).cast(
+                        "array<bigint>"
+                    )
+                    for v in table
+                ]
+            )
+            for table in dense
+        ]
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        lambda m: bind(
+            F.slice(qv, m * sub_dim + 1, sub_dim),
+            lambda sv: F.transform(
+                F.element_at(dl, m + 1), lambda cent: int_dot(sv, cent)
+            ),
+        ),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_sub: int = N_SUB,
+    n_codes: int = N_CODES,
+    sub_dim: int = SUB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    books: list[list[tuple[int, list[int]]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ/ADC: train codebooks (or reuse
+    `books`/`codes`), encode the corpus, precompute each query's
+    lookup table in-engine, then score candidates with n_sub lookups
+    + adds per pair and take the partial top-k.
+
+    100 TB shape: the corpus is scanned for codes once (then the
+    8-byte codes frame is what moves — 64x smaller than the vectors);
+    queries + their LUTs broadcast; the only exchanges are the
+    codebook training agg and grouped_topk's bounded merge. ADC makes
+    per-pair cost O(n_sub), independent of vector dimension."""
+    if books is None:
+        books = pq_codebooks(corpus, n_sub, n_codes, sub_dim, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(corpus, books, sub_dim, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
+    ).select("query_id", _lut(F.col("q_vec"), books, sub_dim, n_codes).alias("lut"))
+    scored = (
+        codes.withColumnRenamed("vid", "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, c + 1),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("approx_dot"),
+        )
+    )
+    from corrie_spark.operators.similarity import grouped_topk
+
+    return grouped_topk(scored, k, order_col="approx_dot")

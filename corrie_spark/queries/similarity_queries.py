@@ -503,3 +503,162 @@ def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- product quantization (ADC) — see corrie_spark/operators/pq.py ---------
+
+_PQ_SUB_SUMS = ", ".join(f"SUM(sv[{d + 1}]) AS s{d}" for d in range(8))
+_PQ_CENT_LIST = ", ".join(
+    f"CAST(floor(CAST(s{d} AS DOUBLE) / n) AS BIGINT)" for d in range(8)
+)
+_PQ_SUBDOT = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> {a}[i] * {b}[i])) AS BIGINT)"
+)
+
+# the full DuckDB replay of pq_codebooks + pq_encode + per-query LUTs:
+# md5-bucket init per (vector, subspace), floor-mean centroids, argmin
+# encode (ties to lowest code), exact subspace dot products
+_PQ_CTES = f"""
+sub AS (
+  SELECT vec_id, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(m AS VARCHAR)), 1, 15))::BIGINT % 16 AS BIGINT) AS j
+  FROM base, range(0, 8) t(m)
+),
+csum AS (SELECT m, j, COUNT(*) AS n, {_PQ_SUB_SUMS} FROM sub GROUP BY m, j),
+centb AS (SELECT m, j, [{_PQ_CENT_LIST}] AS centroid FROM csum),
+cnormb AS (
+  SELECT m, j, centroid,
+         {_PQ_SUBDOT.format(a='centroid', b='centroid')} AS cn
+  FROM centb
+),
+enc AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT s.vec_id, s.m, c.j,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             c.cn - 2 * {_PQ_SUBDOT.format(a='s.sv', b='c.centroid')} ASC, c.j ASC) AS r
+    FROM sub s JOIN cnormb c USING (m)
+  ) WHERE r = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv
+  FROM base, range(0, 8) t(m) WHERE vec_id < 5
+),
+lut AS (
+  SELECT query_id, c.m, c.j,
+         {_PQ_SUBDOT.format(a='qs.sv', b='c.centroid')} AS d
+  FROM qsub qs JOIN cnormb c USING (m)
+),
+pq_score AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS approx_dot
+  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+),
+pq_r AS (
+  SELECT query_id, neighbor_id, approx_dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) AS rnk
+  FROM pq_score
+)"""
+
+_PQ_TOPK_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+{_PQ_CTES.lstrip()}
+SELECT query_id, neighbor_id, rnk, approx_dot FROM pq_r WHERE rnk <= 10
+"""
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Session-scoped memo of (codebooks, persisted codes frame) —
+    the PQ index is trained once and shared by q_sim_pq_topk and
+    q_sim_pq_recall, exactly like the kmeans trained-cells memo. The
+    codes frame is the thing you'd persist as the index at scale:
+    8 bytes per vector vs 512 raw."""
+    from corrie_spark.operators import pq
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        books = pq.pq_codebooks(emb)
+        codes = pq.pq_encode(emb, books).persist()
+        return (books, codes)
+
+    return _memo(spark, sf_dir, "pq_index", build)
+
+
+@register("q_sim_pq_topk", oracle=_PQ_TOPK_ORACLE)
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 by product quantization + asymmetric
+    distance: 8 subspaces x 16 codes (8-byte codes, 64x compression),
+    per-query lookup tables, 8 adds per candidate. Training, codes,
+    and ADC scores are exact integers, so the oracle replays the
+    whole index bit-for-bit."""
+    from corrie_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    books, codes = _pq_index(spark, sf_dir)
+    return pq.pq_topk(q, emb, k=10, books=books, codes=codes)
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+{_PQ_CTES.lstrip()},
+q AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id < 5),
+exact_s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN q WHERE b.vec_id <> query_id
+),
+exact_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM exact_s
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_r WHERE rnk <= 10),
+approx AS (SELECT query_id, neighbor_id FROM pq_r WHERE rnk <= 10)
+SELECT t.query_id,
+       COUNT(*) AS k_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_10
+FROM truth t
+LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@register("q_sim_pq_recall", oracle=_PQ_RECALL_ORACLE)
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the PQ/ADC path against brute-force truth — how
+    much ranking quality 64x compression costs, per query. Reuses the
+    memoized ground truth and PQ index; both sides exact."""
+    from corrie_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = _bf_truth(spark, sf_dir).select("query_id", "neighbor_id")
+    books, codes = _pq_index(spark, sf_dir)
+    approx = pq.pq_topk(q, emb, k=10, books=books, codes=codes).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_truth"),
+            F.sum(hit).cast("bigint").alias("k_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

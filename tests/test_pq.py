@@ -1,0 +1,127 @@
+"""Product-quantization operator contract (corrie_spark/operators/pq.py).
+
+The oracle gate (q_sim_pq_topk / q_sim_pq_recall) pins end-to-end
+values; these tests pin the index structure, determinism, the
+empty-bucket edge, and the plan shape that makes PQ the scale path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import pq
+from corrie_spark.operators.similarity import quantize
+from corrie_spark.plans import count_shuffles, has_broadcast_join
+from corrie_spark.tables import load
+from tests.conftest import SF_CORRECT
+
+
+def _emb(spark):
+    return load(spark, SF_CORRECT, "embeddings")
+
+
+def test_codebooks_shape_and_determinism(spark):
+    emb = _emb(spark)
+    books = pq.pq_codebooks(emb)
+    assert len(books) == pq.N_SUB
+    for b in books:
+        assert 1 <= len(b) <= pq.N_CODES
+        assert all(len(v) == pq.SUB_DIM for _, v in b)
+        assert [j for j, _ in b] == sorted(j for j, _ in b)
+    # training is deterministic: md5 init + exact integer floor-means
+    assert books == pq.pq_codebooks(emb)
+
+
+def test_codes_in_range_and_stable(spark):
+    emb = _emb(spark)
+    books = pq.pq_codebooks(emb)
+    valid = [{j for j, _ in b} for b in books]
+    rows = pq.pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["codes"]) == pq.N_SUB
+        for m, c in enumerate(r["codes"]):
+            assert c in valid[m]
+
+
+def test_encode_matches_python_argmin(spark):
+    """The literal-centroid argmin equals a straight Python argmin
+    with the same (cost, code) tie-break, for every subspace of a
+    sample of vectors."""
+    emb = _emb(spark)
+    books = pq.pq_codebooks(emb)
+    sample = (
+        emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .collect()
+    )
+    got = {
+        r["vid"]: list(r["codes"])
+        for r in pq.pq_encode(emb.filter(F.col("vec_id") < 20), books).collect()
+    }
+    for r in sample:
+        qv = list(r["qv"])
+        for m, book in enumerate(books):
+            sv = qv[m * pq.SUB_DIM : (m + 1) * pq.SUB_DIM]
+            best = min(
+                (
+                    (
+                        sum(x * x for x in cent) - 2 * sum(a * b for a, b in zip(sv, cent)),
+                        j,
+                    )
+                    for j, cent in book
+                )
+            )[1]
+            assert got[r["vec_id"]][m] == best, (r["vec_id"], m)
+
+
+def test_adc_score_is_sum_of_subspace_centroid_dots(spark):
+    """approx_dot(query, neighbor) must equal the exact integer
+    dot(query, reconstructed_neighbor) where the reconstruction is
+    the per-subspace centroid of the neighbor's code — the defining
+    identity of ADC."""
+    emb = _emb(spark)
+    books = pq.pq_codebooks(emb)
+    codes = {r["vid"]: list(r["codes"]) for r in pq.pq_encode(emb, books).collect()}
+    q = emb.filter(F.col("vec_id") < 2)
+    qv = {
+        r["vec_id"]: list(r["qv"])
+        for r in q.select("vec_id", quantize(F.col("embedding")).alias("qv")).collect()
+    }
+    out = pq.pq_topk(q, emb, k=5, books=books)
+    for r in out.collect():
+        qvec, ncodes = qv[r["query_id"]], codes[r["neighbor_id"]]
+        expect = 0
+        for m, book in enumerate(books):
+            cent = dict(book)[ncodes[m]]
+            sv = qvec[m * pq.SUB_DIM : (m + 1) * pq.SUB_DIM]
+            expect += sum(a * b for a, b in zip(sv, cent))
+        assert r["approx_dot"] == expect
+
+
+def test_empty_buckets_are_handled(spark):
+    """A tiny corpus leaves some of the 16 init buckets empty; the
+    codebook must shrink (not emit null centroids) and encode/score
+    must still work against the smaller book."""
+    tiny = _emb(spark).filter(F.col("vec_id") < 12)
+    books = pq.pq_codebooks(tiny)
+    assert any(len(b) < pq.N_CODES for b in books)
+    out = pq.pq_topk(tiny.filter(F.col("vec_id") < 2), tiny, k=3, books=books)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(r["approx_dot"] is not None for r in rows)
+
+
+def test_pq_plan_shapes(spark):
+    """Encode is MAP-ONLY (books fold to literals — zero exchanges);
+    the scoring path broadcasts queries and shuffles only the bounded
+    grouped top-k merge."""
+    emb = _emb(spark)
+    books = pq.pq_codebooks(emb)
+    enc = pq.pq_encode(emb, books)
+    assert count_shuffles(enc) == 0
+    top = pq.pq_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, books=books)
+    assert has_broadcast_join(top)
+    from corrie_spark.plans.inspect import explain_str
+
+    assert "Window" not in explain_str(top)
+    assert count_shuffles(top) == 1
