@@ -124,15 +124,22 @@ def pq_encode(
     sub_dim: int = SUB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes): each vector compressed to n_sub small ints —
-    MAP-ONLY (books fold to one literal), the pass you'd persist as
-    the PQ index. codes[m] = argmin over books[m] of the exact
-    integer cost ||c||^2 - 2 sv.c with ties to the lowest code
+    """(id, codes, *carry_cols): each vector compressed to n_sub
+    small ints — MAP-ONLY (books fold to one literal), the pass you'd
+    persist as the PQ index. codes[m] = argmin over books[m] of the
+    exact integer cost ||c||^2 - 2 sv.c with ties to the lowest code
     (array_min over (cost, code) structs — same tie-break as
     similarity.kmeans_assign). `bind` pins each subvector slice so
-    Catalyst evaluates it once per subspace, not once per centroid."""
-    q = corpus.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
+    Catalyst evaluates it once per subspace, not once per centroid.
+    `carry_cols` ride along unchanged (e.g. the IVF cell for an
+    IVF+PQ index)."""
+    q = corpus.select(
+        F.col(id_col).alias("vid"),
+        quantize(F.col(vec_col)).alias("qv"),
+        *[F.col(c) for c in carry_cols],
+    )
     bl = _books_literal(books)
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(len(books) - 1)),
@@ -149,7 +156,7 @@ def pq_encode(
             )["code"],
         ),
     )
-    return q.select("vid", codes.alias("codes"))
+    return q.select("vid", codes.alias("codes"), *[F.col(c) for c in carry_cols])
 
 
 def _lut(
@@ -242,4 +249,86 @@ def pq_topk(
     )
     from corrie_spark.operators.similarity import grouped_topk
 
+    return grouped_topk(scored, k, order_col="approx_dot")
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    n_sub: int = N_SUB,
+    n_codes: int = N_CODES,
+    sub_dim: int = SUB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    books: list[list[tuple[int, list[int]]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + PQ (the FAISS-style inverted-file layout): rank coarse
+    cells by dot(query, cell centroid), then ADC-score ONLY the PQ
+    codes inside the top-`nprobe` cells.
+
+    This composes the two scale levers: IVF cuts the candidate set to
+    ~nprobe/#cells of the corpus, PQ makes each surviving candidate
+    cost n_sub lookups against an 8-byte code instead of a
+    full-dimension dot against a 512-byte vector. The index that
+    moves is (cell, codes) — neither vectors nor raw floats. Codes
+    are plain PQ over the full vectors (not residual-encoded; the
+    residual refinement is a quality add-on, the data layout and
+    plan shape are identical).
+
+    Plan: centroid table broadcast for probe selection (Q x #cells
+    window — query-side only, metadata-sized); probed (query, cell,
+    LUT) broadcast against the codes frame as a CELL EQUI-JOIN (never
+    a crossJoin over the corpus); partial top-k merge. The corpus-side
+    frame is never shuffled."""
+    from pyspark.sql.window import Window
+
+    from corrie_spark.operators.similarity import grouped_topk, ivf_centroids
+
+    if books is None:
+        books = pq_codebooks(corpus, n_sub, n_codes, sub_dim, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(
+            corpus, books, sub_dim, id_col, vec_col, carry_cols=(cell_col,)
+        )
+    cents = ivf_centroids(corpus, cell_col, vec_col, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cell_dot").desc(), F.col("cell")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cell_dot", int_dot(F.col("q_vec"), F.col("centroid")))
+        .withColumn("cell_rnk", F.row_number().over(probe_w))
+        .filter(F.col("cell_rnk") <= nprobe)
+        .select(
+            "query_id",
+            F.col("cell").alias("probe_cell"),
+            _lut(F.col("q_vec"), books, sub_dim, n_codes).alias("lut"),
+        )
+    )
+    scored = (
+        codes.withColumnRenamed("vid", "neighbor_id")
+        .join(F.broadcast(probed), F.col(cell_col).cast("bigint") == F.col("probe_cell"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, c + 1),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("approx_dot"),
+        )
+    )
     return grouped_topk(scored, k, order_col="approx_dot")

@@ -560,6 +560,11 @@ pq_r AS (
   FROM pq_score
 )"""
 
+# index-only slice of _PQ_CTES (codebooks + codes + query LUTs, no
+# full-corpus scoring) — composed by the IVF+PQ oracle below, which
+# restricts scoring to probed cells
+_PQ_INDEX_CTES = _PQ_CTES[: _PQ_CTES.index(",\npq_score")]
+
 _PQ_TOPK_ORACLE = f"""
 WITH base AS (
   SELECT vec_id, {_QUANT} AS qv FROM embeddings
@@ -581,7 +586,9 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     def build():
         emb = load(spark, sf_dir, "embeddings")
         books = pq.pq_codebooks(emb)
-        codes = pq.pq_encode(emb, books).persist()
+        # carry the IVF cell so q_sim_ivfpq_topk shares the same
+        # persisted codes frame (plain-PQ callers just ignore it)
+        codes = pq.pq_encode(emb, books, carry_cols=("label",)).persist()
         return (books, codes)
 
     return _memo(spark, sf_dir, "pq_index", build)
@@ -662,3 +669,57 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_IVFPQ_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS cell, {_QUANT} AS qv FROM embeddings
+),
+{_PQ_INDEX_CTES.lstrip()},
+ivfcent AS (
+  SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM base GROUP BY cell
+),
+ivfcentv AS (SELECT cell, [{_CENT_LIST}] AS centroid FROM ivfcent),
+q AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id < 5),
+probe AS (
+  SELECT query_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                i -> q_vec[i] * centroid[i])) AS BIGINT) DESC, cell) AS cell_rnk
+  FROM q CROSS JOIN ivfcentv
+),
+cand AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id
+  FROM probe p JOIN base b USING (cell)
+  WHERE p.cell_rnk <= {_NPROBE} AND b.vec_id <> p.query_id
+),
+ipq_score AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS approx_dot
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = e.m AND l.j = e.code
+  GROUP BY c.query_id, c.neighbor_id
+),
+ipq_r AS (
+  SELECT query_id, neighbor_id, approx_dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) AS rnk
+  FROM ipq_score
+)
+SELECT query_id, neighbor_id, rnk, approx_dot FROM ipq_r WHERE rnk <= 10
+"""
+
+
+@register("q_sim_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ: probe the top-2 coarse cells by centroid dot, then
+    ADC-score only the 8-byte PQ codes inside probed cells — the
+    composed 100 TB layout (candidate count cut by IVF, per-candidate
+    cost cut by PQ). Shares the session PQ index memo; the corpus-side
+    codes frame joins probed queries on the cell key and never
+    shuffles."""
+    from corrie_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    books, codes = _pq_index(spark, sf_dir)
+    return pq.ivfpq_topk(q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes)

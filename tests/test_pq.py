@@ -125,3 +125,24 @@ def test_pq_plan_shapes(spark):
 
     assert "Window" not in explain_str(top)
     assert count_shuffles(top) == 1
+
+
+def test_ivfpq_cell_equijoin_not_crossjoin(spark):
+    """IVF+PQ: corpus codes join probed queries on the CELL key with
+    the probe side broadcast — never a cartesian over the corpus; the
+    only shuffle is the bounded top-k merge (+ the query-side probe
+    window over Q x #cells rows, which is metadata-sized)."""
+    from corrie_spark.plans.inspect import explain_str
+
+    emb = _emb(spark)
+    books = pq.pq_codebooks(emb)
+    codes = pq.pq_encode(emb, books, carry_cols=("label",))
+    top = pq.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, books=books, codes=codes
+    )
+    s = explain_str(top)
+    assert "CartesianProduct" not in s
+    assert has_broadcast_join(top)
+    rows = top.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
+    assert all(r["rnk"] <= 10 for r in rows)
