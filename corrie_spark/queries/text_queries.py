@@ -930,3 +930,136 @@ def q_mix_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
     return token_budget_sample(sized, budget=_MIX_BUDGET)
+
+
+# --- BM25 retrieval over the corpus (inverted-index shape) -----------------
+
+_BM25_TERMS = ("stream", "merge", "window")
+_BM25_K1 = "1.2"
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# per-(doc, term) partial score. RATIONAL BM25 variant: the classic
+# log-idf is replaced by the odds ratio (N - df + 0.5)/(df + 0.5) it
+# wraps — monotonic in the same direction, but free of transcendental
+# functions, so both engines produce bit-identical doubles (IEEE
+# +,*,/ only, identical parenthesization on both sides)
+_BM25_SCORE = (
+    "((CAST(tf AS DOUBLE) * 2.2) / "
+    f"(CAST(tf AS DOUBLE) + {_BM25_K1} * (0.25 + (0.75 * (CAST(dl AS DOUBLE) / avgdl))))) "
+    "* ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+)
+
+_BM25_TERM_COLS = ", ".join(
+    f"SUM(CASE WHEN term = '{t}' THEN s END) AS s{i}" for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_TOTAL = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(_BM25_TERMS)))
+_BM25_NMATCH = " + ".join(
+    f"(CASE WHEN s{i} IS NOT NULL THEN 1 ELSE 0 END)" for i in range(len(_BM25_TERMS))
+)
+
+_BM25_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS toks
+  FROM documents
+),
+dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dls
+),
+postings AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM dls)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, dl, term
+),
+dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT doc_id, term, {_BM25_SCORE} AS s
+  FROM postings JOIN dfs USING (term) CROSS JOIN stats
+),
+per_doc AS (
+  SELECT doc_id, {_BM25_TERM_COLS} FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       {_BM25_TOTAL} AS bm25,
+       CAST({_BM25_NMATCH} AS BIGINT) AS n_matched
+FROM per_doc
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("q_text_bm25_topk", oracle=_BM25_ORACLE)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a 3-term query by BM25 (rational-idf
+    variant — see oracle comment) — the inverted-index retrieval
+    shape over the corpus.
+
+    100 TB shape: per-term tf is computed MAP-SIDE as
+    size(filter(tokens, == term)) — no corpus-wide explode, no
+    (doc, term) groupBy shuffle. Pass 1 is ONE aggregation producing
+    the corpus constants (n_docs, avgdl, and df per query term —
+    2 + |query| numbers, collected and folded into the scoring
+    projection as literals, the same metadata-sized-collect
+    discipline as the k-means centroids); pass 2 is a map-only score
+    + TakeOrdered top-10. Two scans, zero joins, never a global
+    sort. All score arithmetic is IEEE +,*,/ with identical
+    parenthesization in both engines — bit-identical doubles, no
+    tolerance needed (the literal constants round-trip exactly:
+    int64 df, one IEEE double avgdl). The oracle builds tf by
+    unnest+count — same values, different engine-appropriate plan."""
+    from corrie_spark.functions.core import bind
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
+
+    def tf_struct(tk: F.Column) -> F.Column:
+        # evaluated under bind: the split runs once per doc, not once
+        # per query term (Catalyst would inline it per reference)
+        return F.struct(
+            F.size(tk).cast("bigint").alias("dl"),
+            *[
+                F.size(F.filter(tk, lambda x: x == t)).cast("bigint").alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+
+    per_doc = docs.select("doc_id", bind(toks, tf_struct).alias("e")).select(
+        "doc_id", "e.*"
+    )
+    consts = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).collect()[0]
+    total = None
+    nmatch = None
+    for i in range(len(_BM25_TERMS)):
+        # same expression string as the oracle's `s`, with the corpus
+        # constants bound as literals and tf bound per term
+        # NB: a bare decimal literal parses as DECIMAL in Spark SQL —
+        # embed avgdl through a string cast so it stays the exact IEEE
+        # double the aggregation produced (repr round-trips doubles)
+        s_i = F.expr(
+            _BM25_SCORE.replace("tf", f"tf{i}")
+            .replace("avgdl", f"CAST('{float(consts['avgdl'])!r}' AS DOUBLE)")
+            .replace("n_docs", str(int(consts["n_docs"])))
+            .replace("df", str(int(consts[f"df{i}"])))
+        )
+        c = F.when(F.col(f"tf{i}") > 0, s_i).otherwise(0.0)
+        total = c if total is None else total + c
+        m = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+        nmatch = m if nmatch is None else nmatch + m
+    return (
+        per_doc.filter(sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0)
+        .select("doc_id", total.alias("bm25"), nmatch.cast("bigint").alias("n_matched"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

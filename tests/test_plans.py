@@ -418,3 +418,17 @@ def test_q16_anti_join_broadcast_distinct_two_phase(spark):
     # count(distinct) expands to partial/final pairs over (brand,
     # size, suppkey) — bounded by distinct triples, not fact rows
     assert count_shuffles(df) <= 2
+
+
+def test_bm25_two_scans_no_joins(spark):
+    """BM25 retrieval: corpus constants fold to literals, so the
+    ranked result is a map-only score projection + TakeOrdered — no
+    join nodes, no Window, no aggregation exchange in the final
+    plan."""
+    from corrie_spark.plans.inspect import explain_str
+
+    df = all_queries()["q_text_bm25_topk"](spark, SF_CORRECT)
+    s = explain_str(df)
+    assert "Join" not in s and "Window" not in s
+    assert "TakeOrderedAndProject" in s
+    assert count_shuffles(df) == 0
