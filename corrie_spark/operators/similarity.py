@@ -598,3 +598,80 @@ def ivf_topk_trained(
     return ivf_topk(
         queries, corpus2, k, nprobe, id_col, vec_col, cell_col="trained_cell", dim=dim
     )
+
+
+# --- SemDeDup: semantic dedup via kmeans cells + within-cell cosine --------
+
+
+def semdedup_pairs(cells: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): find semantic
+    near-duplicate pairs by clustering embeddings with k-means and
+    comparing cosine ONLY within a cluster — the trick that turns an
+    O(N^2) all-pairs problem into k independent O((N/k)^2) blocks.
+
+    `cells` is a trained (vid, qv, cell) frame from kmeans_cells.
+    Returns (cell, id_a, id_b, dot, cos) for within-cell pairs with
+    cosine >= threshold, id_a < id_b.
+
+    Scale shape (100 TB): the self-join is an equi-join on the cell
+    key, so each cell's block is one shuffle partition group — never
+    a global cross join. Norms are computed map-side BEFORE the join
+    (each vector's norm once, not once per pair). At 10^10 vectors
+    the operator holds because #cells is scaled with the corpus
+    (SemDeDup's own recipe: cell size stays ~constant, e.g. sqrt(N)
+    cells), keeping per-cell pair counts bounded; pair cosines stay
+    exact-integer dots, so results are engine-independent. Within-
+    cell skew (one giant cluster) is the known failure mode — cap it
+    by raising n_cells for the trainer, not by sampling here.
+    """
+    with_norm = cells.select(
+        "cell",
+        F.col("vid"),
+        F.col("qv"),
+        int_norm_sq(F.col("qv")).alias("nrm"),
+    )
+    a = with_norm.select(
+        "cell",
+        F.col("vid").alias("id_a"),
+        F.col("qv").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = with_norm.select(
+        "cell",
+        F.col("vid").alias("id_b"),
+        F.col("qv").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", int_dot(F.col("va"), F.col("vb")))
+        .withColumn("cos", cosine_from_int(F.col("dot"), F.col("na"), F.col("nb")))
+    )
+    return pairs.filter(F.col("cos") >= threshold).select(
+        "cell", "id_a", "id_b", "dot", "cos"
+    )
+
+
+def semdedup_cell_report(cells: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Per-cell SemDeDup effect: (cell, n_vectors, n_dropped, n_kept)
+    under the deterministic keep-min-id policy — a vector is dropped
+    iff some same-cell vector with a SMALLER id sits within the
+    cosine threshold (exactly SemDeDup's 'keep one per epsilon-ball',
+    made reproducible). The dropped set is distinct id_b of the pair
+    frame (id_a < id_b by construction)."""
+    pairs = semdedup_pairs(cells, threshold)
+    dropped = pairs.select(F.col("id_b").alias("vid")).distinct().withColumn(
+        "is_dropped", F.lit(1)
+    )
+    return (
+        cells.select("cell", "vid")
+        .join(dropped, "vid", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).cast("bigint").alias("n_dropped"),
+        )
+        .withColumn("n_kept", (F.col("n_vectors") - F.col("n_dropped")).cast("bigint"))
+        .orderBy("cell")
+    )

@@ -723,3 +723,78 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5)
     books, codes = _pq_index(spark, sf_dir)
     return pq.ivfpq_topk(q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes)
+
+
+# --- SemDeDup (Abbas et al. 2023): kmeans cells + within-cell cosine ------
+
+_SEM_TAU = 0.35  # same corpus-tuned threshold as q_dedup_embedding
+
+_SEM_CTES = f"""
+{{km}}
+,cl AS (
+  SELECT vec_id, qv, cell,
+         CAST(list_sum(list_transform(range(1, {{dim}} + 1), i -> qv[i] * qv[i])) AS BIGINT) AS nrm
+  FROM a{{iters}}
+),
+sem_pairs AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, {{dim}} + 1), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM cl a JOIN cl b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+sem_hits AS (
+  SELECT cell, id_a, id_b, dot,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+  FROM sem_pairs
+  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= {_SEM_TAU}
+)"""
+
+
+def _sem_ctes() -> str:
+    return _SEM_CTES.format(
+        km=f"WITH base AS (\n  SELECT vec_id, {_QUANT} AS qv FROM embeddings\n),\n{_km_ctes(_KM_ITERS)}",
+        dim=_DIM,
+        iters=_KM_ITERS,
+    )
+
+
+_SEMDEDUP_PAIRS_ORACLE = f"""
+{_sem_ctes()}
+SELECT cell, id_a, id_b, dot, cos FROM sem_hits
+ORDER BY cell, id_a, id_b
+"""
+
+
+@register("q_semdedup_pairs", oracle=_SEMDEDUP_PAIRS_ORACLE)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pairs: cosine >= 0.35 restricted to
+    within-Lloyd-cell blocks — the clustering bound that replaces
+    all-pairs with k independent blocks. The full trainer trajectory
+    is replayed by the oracle, so cell membership AND pair scores are
+    checked bit-for-bit (dot exact-int, cos one IEEE div over exact
+    ints). Shares the session trained-cells memo with
+    q_sim_kmeans_cells."""
+    return S.semdedup_pairs(_trained_cells(spark, sf_dir), threshold=_SEM_TAU).orderBy(
+        "cell", "id_a", "id_b"
+    )
+
+
+_SEMDEDUP_REPORT_ORACLE = f"""
+{_sem_ctes()},
+sem_dropped AS (SELECT DISTINCT id_b FROM sem_hits)
+SELECT c.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(d.id_b) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.id_b) AS BIGINT) AS n_kept
+FROM cl c LEFT JOIN sem_dropped d ON c.vec_id = d.id_b
+GROUP BY c.cell
+ORDER BY c.cell
+"""
+
+
+@register("q_semdedup_survivors", oracle=_SEMDEDUP_REPORT_ORACLE)
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell SemDeDup pruning report under the deterministic
+    keep-min-id representative policy — what fraction of each
+    semantic cluster a training-data build would drop at tau=0.35."""
+    return S.semdedup_cell_report(_trained_cells(spark, sf_dir), threshold=_SEM_TAU)
