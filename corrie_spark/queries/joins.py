@@ -894,3 +894,86 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- Q21-style: suppliers who kept orders waiting --------------------------
+
+_Q21_ORACLE = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+         MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY l_orderkey
+),
+waiting AS (
+  SELECT late_supp AS s_suppkey, COUNT(*) AS numwait
+  FROM per_order WHERE ns > 1 AND nl = 1
+  GROUP BY late_supp
+)
+SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+FROM waiting w JOIN supplier s USING (s_suppkey)
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
+@register("q21_waiting_suppliers", oracle=_Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: for finished multi-supplier orders, the
+    suppliers who were the ONLY late supplier on an order ("kept the
+    order waiting"), ranked by how many orders they held up. "Late"
+    adapts to this schema's columns: shipped > 60 days after the
+    order date (no commit/receipt dates here).
+
+    Plan shape — the classic Q21 rewrite: instead of the spec's
+    correlated EXISTS (another supplier on the order) + NOT EXISTS
+    (another LATE supplier), ONE aggregation over the order join
+    computes (distinct suppliers, distinct late suppliers, the late
+    supplier key) per order; nl = 1 makes MAX(late supp) exactly THE
+    sole late supplier. At 100 TB this is one orderkey shuffle (the
+    join's exchange is reused by the co-partitioned aggregation)
+    instead of three correlated passes over lineitem; the supplier
+    name join is a broadcast; the top-10 is a TakeOrdered, never a
+    global sort."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    # two-level agg instead of two countDistincts: a multi-distinct
+    # aggregate Expands the fact shuffle 3x (one replica per distinct
+    # clause); (orderkey, suppkey) -> orderkey keeps every shuffled
+    # row a single replica and bounds per-group state
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("sup_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("sup_late").alias("nl"),
+        F.max(F.when(F.col("sup_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    waiting = (
+        per_order.filter((F.col("ns") > 1) & (F.col("nl") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
