@@ -906,3 +906,149 @@ def q_dedup_rep_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.rank_scaled").alias("rep_rank"),
         "n_members",
     )
+
+
+# --- leakage-free splits: assign by near-dup CLUSTER, not by doc -----------
+
+# doc-level split bucket (the naive policy q_train_test_split uses) vs
+# cluster-level bucket (every member of a near-dup component inherits
+# its cluster representative's bucket, so near-duplicates can never
+# straddle train/test — the leakage control Lee et al. / GPT-3 appendix
+# dedup is about)
+_BUCKET_OF = "CAST('0x' || substr(md5('split:' || CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) % 1000"
+_SPLIT_OF = (
+    "CASE WHEN {b} < 900 THEN 'train' WHEN {b} < 950 THEN 'val' ELSE 'test' END"
+)
+
+_CLUSTER_SPLIT_ORACLE = _CLUSTERS_ORACLE.replace(
+    """SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node
+""",
+    f""", clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id
+  FROM reach GROUP BY node
+),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         {_SPLIT_OF.format(b=_BUCKET_OF.format(key="cluster_id"))} AS split
+  FROM clusters
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM assigned
+GROUP BY split
+ORDER BY split
+""",
+)
+
+
+@register(
+    "q_split_by_cluster",
+    oracle=_CLUSTER_SPLIT_ORACLE.format(
+        toks=_TOKS,
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    ),
+)
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 90/5/5 split: the split bucket is hashed from the
+    near-dup CLUSTER id (min-id representative), so every member of a
+    component lands in the same split — near-duplicate train/test
+    leakage is structurally impossible, unlike the per-doc policy of
+    q_train_test_split. Rides the session cluster memo; assignment is
+    a pure projection over (doc_id, cluster_id)."""
+    clusters = _shared_clusters(spark, sf_dir)
+    bucket = D.hash60(F.col("cluster_id").cast("string"), salt="split") % 1000
+    split = F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    return (
+        clusters.select("cluster_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+_LEAKAGE_AUDIT_ORACLE = _CLUSTERS_ORACLE.replace(
+    """SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node
+""",
+    f""", clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id
+  FROM reach GROUP BY node
+),
+doc_split AS (
+  SELECT doc_id,
+         {_SPLIT_OF.format(b=_BUCKET_OF.format(key="doc_id"))} AS by_doc,
+         {_SPLIT_OF.format(b=_BUCKET_OF.format(key="cluster_id"))} AS by_cluster
+  FROM clusters
+),
+audited AS (
+  SELECT p.id_a, p.id_b,
+         CASE WHEN a.by_doc <> b.by_doc THEN 1 ELSE 0 END AS doc_leak,
+         CASE WHEN a.by_cluster <> b.by_cluster THEN 1 ELSE 0 END AS cluster_leak
+  FROM pairs p JOIN doc_split a ON p.id_a = a.doc_id
+               JOIN doc_split b ON p.id_b = b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(doc_leak) AS BIGINT) AS n_cross_split_by_doc,
+       CAST(SUM(cluster_leak) AS BIGINT) AS n_cross_split_by_cluster
+FROM audited
+""",
+)
+
+
+@register(
+    "q_split_leakage_audit",
+    oracle=_LEAKAGE_AUDIT_ORACLE.format(
+        toks=_TOKS,
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    ),
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit over the near-dup pair graph: how many
+    candidate near-dup pairs straddle splits under the per-doc hash
+    policy vs the per-cluster policy. The per-cluster column is
+    provably zero (both endpoints share a component, hence a bucket)
+    — the audit exists to MEASURE the per-doc policy's leakage and
+    regression-pin the structural guarantee. Pair graph and clusters
+    ride session memos; the audit itself is two broadcast-sized
+    joins plus a single-row aggregate."""
+    pairs = _shared_pairs(spark, sf_dir).select("id_a", "id_b")
+    clusters = _shared_clusters(spark, sf_dir)
+    doc_bucket = D.hash60(F.col("doc_id").cast("string"), salt="split") % 1000
+    cl_bucket = D.hash60(F.col("cluster_id").cast("string"), salt="split") % 1000
+
+    def split_of(b):
+        return F.when(b < 900, "train").when(b < 950, "val").otherwise("test")
+
+    assigned = clusters.select(
+        "doc_id",
+        split_of(doc_bucket).alias("by_doc"),
+        split_of(cl_bucket).alias("by_cluster"),
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("by_doc").alias("doc_a"),
+        F.col("by_cluster").alias("cl_a"),
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("by_doc").alias("doc_b"),
+        F.col("by_cluster").alias("cl_b"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("doc_a") != F.col("doc_b")).cast("int"))
+            .cast("bigint")
+            .alias("n_cross_split_by_doc"),
+            F.sum((F.col("cl_a") != F.col("cl_b")).cast("int"))
+            .cast("bigint")
+            .alias("n_cross_split_by_cluster"),
+        )
+    )

@@ -123,3 +123,25 @@ def test_plan_shapes(spark):
     assert count_shuffles(inc) <= 4  # batch fp agg + corpus distinct + co-keyed joins
     mix = qs["q_mix_budget_sample"](spark, SF_CORRECT)
     assert has_broadcast_join(mix)
+
+
+def test_cluster_split_has_zero_leakage(spark):
+    """Structural guarantee: splitting by cluster representative makes
+    cross-split near-dup pairs impossible; the doc-hash policy leaks."""
+    from corrie_spark.queries.registry import get
+    from tests.conftest import SF_CORRECT
+
+    row = get("q_split_leakage_audit").spark(spark, SF_CORRECT).collect()[0]
+    assert row.n_cross_split_by_cluster == 0
+    assert row.n_pairs > 0
+    # the naive policy leaks on this corpus — the audit isn't vacuous
+    assert row.n_cross_split_by_doc > 0
+
+
+def test_cluster_split_counts_consistent(spark):
+    from corrie_spark.queries.registry import get
+    from tests.conftest import SF_CORRECT
+
+    rows = get("q_split_by_cluster").spark(spark, SF_CORRECT).collect()
+    assert sum(r.n_docs for r in rows) == 500  # every doc assigned once
+    assert all(r.n_clusters <= r.n_docs for r in rows)
