@@ -222,3 +222,63 @@ def top_duplicated_grams(
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("gram"))
         .limit(k)
     )
+
+
+def strip_duplicated_passages(
+    docs: DataFrame,
+    n: int = DEFAULT_PASSAGE_N,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus-cleaning TRANSFORM over dup_passage_stats' report:
+    rebuild each document with every token covered by a duplicated
+    n-gram removed (the 'drop the repeated span, keep the rest'
+    policy for boilerplate). Returns ALL docs:
+    (doc_id, n_tokens, n_removed, clean_text) — untouched docs pass
+    through with n_removed = 0.
+
+    Scale shape: identical to dup_passage_stats up to the per-doc
+    join (long-only shuffles); the rebuild is one left join of docs
+    against the per-doc covered-position arrays (bounded by token
+    count) and a row-local filter-by-index — no extra shuffle beyond
+    the doc-keyed join, no Python. Token membership tests use
+    array_contains over the deduped covered array; its size is at
+    most the doc's token count, so the row-local cost is
+    O(tokens * dup_grams) worst case and O(tokens) typical.
+    """
+    occ = ngram_occurrences(docs, n=n, id_col=id_col, text_col=text_col)
+    dup = duplicated_grams(occ, min_docs=min_docs).select("gram_hash")
+    hits = occ.join(dup, "gram_hash").select("doc_id", "pos")
+    covered = hits.groupBy("doc_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.collect_list("pos"),
+                        lambda p: F.sequence(p, p + (n - 1)),
+                    )
+                )
+            )
+        ).alias("cov")
+    )
+
+    def rebuild(toks: Column) -> Column:
+        # bound lambda var: tokenize once (functions.bind), then keep
+        # tokens whose 1-based index is not in the covered set; the
+        # empty guard matters because sequence(1, 0) DESCENDS in Spark
+        cov0 = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+        idxs = F.when(F.size(toks) == 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), F.size(toks))
+        )
+        kept = F.filter(idxs, lambda i: ~F.array_contains(cov0, i))
+        return F.array_join(F.transform(kept, lambda i: F.element_at(toks, i)), " ")
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    joined = base.join(covered, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("bigint").alias("n_removed"),
+        bind(tokens("text"), rebuild).alias("clean_text"),
+    )

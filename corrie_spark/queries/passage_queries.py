@@ -100,3 +100,46 @@ def q_text_dup_gram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.top_duplicated_grams(
         load(spark, sf_dir, "documents"), n=_N, min_docs=_MIN_DOCS, k=20
     )
+
+
+_STRIP_ORACLE = f"""
+WITH {_OCC_CTES},
+hits AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN dupg USING (gram)
+),
+cov AS (
+  SELECT doc_id,
+         list_sort(list_distinct(flatten(list(range(pos, pos + {_N}))))) AS cov
+  FROM hits GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         CAST(t.ntok AS BIGINT) AS n_tokens,
+         CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed,
+         md5(COALESCE(array_to_string(
+           list_transform(
+             list_filter(range(1, t.ntok + 1),
+                         i -> NOT list_contains(COALESCE(c.cov, []), i)),
+             i -> t.tk[i]), ' '), '')) AS clean_md5
+  FROM toks t LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_removed, clean_md5 FROM rebuilt
+ORDER BY doc_id
+"""
+
+
+@register("q_text_strip_boilerplate", oracle=_STRIP_ORACLE)
+def q_text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning TRANSFORM for the passage family: every document
+    rebuilt with duplicated-8-gram-covered tokens removed (untouched
+    docs pass through, n_removed = 0). Output carries md5(clean_text)
+    instead of the text so the cross-engine compare stays compact
+    while still pinning the rebuilt string byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    out = P.strip_duplicated_passages(
+        load(spark, sf_dir, "documents"), n=_N, min_docs=_MIN_DOCS
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("clean_text").alias("clean_md5")
+    ).orderBy("doc_id")

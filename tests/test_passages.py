@@ -98,3 +98,24 @@ def test_sf_smoke_matches_known_counts(spark):
 
     docs = load(spark, SF_CORRECT, "documents")
     assert P.dup_passage_stats(docs, n=8, min_docs=2).count() == 47
+
+
+def test_strip_removes_exactly_covered_tokens(spark):
+    df = _docs(spark, [(1, "a b c d e x y z"), (2, "q w a b c d r t"), (3, "u v w")])
+    out = {r.doc_id: r for r in P.strip_duplicated_passages(df, n=3, min_docs=2).collect()}
+    # docs 1,2 share grams "a b c"/"b c d" -> covered tokens a b c d
+    assert out[1].n_removed == 4
+    assert out[1].clean_text == "e x y z"
+    assert out[2].n_removed == 4
+    assert out[2].clean_text == "q w r t"
+    # untouched doc passes through verbatim with n_removed = 0
+    assert out[3].n_removed == 0 and out[3].clean_text == "u v w"
+    # conservation: kept + removed == total
+    for r in out.values():
+        assert r.n_tokens - r.n_removed == len(r.clean_text.split()) if r.clean_text else r.n_tokens == r.n_removed
+
+
+def test_strip_fully_covered_doc_yields_empty_text(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    out = {r.doc_id: r for r in P.strip_duplicated_passages(df, n=3, min_docs=2).collect()}
+    assert out[1].n_removed == 3 and out[1].clean_text == ""
