@@ -1,0 +1,111 @@
+"""Persist and reload ANN index structures as parquet tables.
+
+Training an index over a 100 TB corpus (Lloyd cells, PQ codebooks +
+codes) is a multi-hour job; probing it is interactive. This module
+gives the build-once-probe-many workflow: every index artifact is
+stored as a plain parquet table so a probe session starts from a
+metadata-sized read (codebooks, centroids) plus a distributed scan
+(codes, cell assignments) — no retraining, no driver-side state
+beyond what the operators already hold (codebooks are n_sub x
+n_codes x sub_dim ints; IVF centroids are #cells x dim).
+
+Storage layout under a root path:
+  <root>/pq_books/    (m, code, centroid)        — collected at load
+  <root>/pq_codes/    (vec_id, codes)            — stays distributed
+  <root>/ivf_cells/   (vid, cell)                — stays distributed
+  <root>/ivf_centroids/ (cell, centroid)         — collected/broadcast
+
+The distributed tables round-trip through parquet untouched, so a
+probe over a reloaded index is plan-identical to one over the
+freshly-built frames (pinned by tests/test_index_store.py). Codes
+write sorted within partitions by cell/vec_id when the caller
+provides them that way — parquet run-length benefits; no sort is
+imposed here.
+
+Everything in the index is exact integers (see operators/pq.py and
+operators/similarity.py), so persistence cannot drift results: a
+reloaded index returns bit-identical top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BOOKS_SCHEMA = "m int, code int, centroid array<bigint>"
+
+
+def save_pq_index(
+    spark: SparkSession,
+    root: str,
+    books: list[list[tuple[int, list[int]]]],
+    codes: DataFrame,
+    mode: str = "overwrite",
+) -> None:
+    """Write a PQ index (codebooks + encoded corpus). The books frame
+    is a single tiny file (n_sub x n_codes rows); codes keep their
+    partitioning — at 10^10 vectors that table IS the index and must
+    never pass through the driver."""
+    rows = [
+        (m, int(j), [int(x) for x in v])
+        for m, book in enumerate(books)
+        for j, v in book
+    ]
+    spark.createDataFrame(rows, _BOOKS_SCHEMA).coalesce(1).write.mode(mode).parquet(
+        f"{root}/pq_books"
+    )
+    codes.write.mode(mode).parquet(f"{root}/pq_codes")
+
+
+def load_pq_index(
+    spark: SparkSession, root: str
+) -> tuple[list[list[tuple[int, list[int]]]], DataFrame]:
+    """Reload (books, codes). Books come back driver-resident (they
+    fold into probe plans as literals, exactly like the fresh-trained
+    path); codes come back as a lazy distributed scan."""
+    brows = spark.read.parquet(f"{root}/pq_books").collect()
+    n_sub = 1 + max(r["m"] for r in brows)
+    books: list[list[tuple[int, list[int]]]] = [[] for _ in range(n_sub)]
+    for r in brows:
+        books[r["m"]].append((int(r["code"]), [int(x) for x in r["centroid"]]))
+    for b in books:
+        b.sort()
+    codes = spark.read.parquet(f"{root}/pq_codes")
+    return books, codes
+
+
+def save_ivf_index(
+    root: str,
+    cells: DataFrame,
+    centroids: DataFrame | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write an IVF index: the (vid, cell) assignment — the inverted
+    file — and optionally the (cell, centroid) table. The qv column
+    of a trained cells frame is NOT stored: vectors belong to the
+    corpus table, and duplicating them doubles the largest artifact
+    for no probe benefit (probe re-joins the corpus anyway)."""
+    cells.select("vid", "cell").write.mode(mode).parquet(f"{root}/ivf_cells")
+    if centroids is not None:
+        centroids.coalesce(1).write.mode(mode).parquet(f"{root}/ivf_centroids")
+
+
+def load_ivf_index(
+    spark: SparkSession, root: str, corpus: DataFrame | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Reload the inverted file. With `corpus` given, re-attach the
+    quantized vectors so the result is drop-in for
+    ivf_topk_trained(cells=...): (vid, qv, cell). The join is keyed
+    on the corpus id — co-partitioned with any downstream cell probe
+    after AQE, and the only shuffle a probe session pays for reusing
+    a multi-hour training run."""
+    cells = spark.read.parquet(f"{root}/ivf_cells")
+    if corpus is None:
+        return cells
+    from corrie_spark.operators.similarity import quantize
+
+    q = corpus.select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    return q.join(cells, "vid").select("vid", "qv", "cell")
