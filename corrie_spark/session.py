@@ -45,6 +45,9 @@ def engine_confs(cpus: int | None = None) -> dict[str, str]:
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # rollup-table incremental refresh overwrites ONLY the day
+        # partitions a late batch touches (operators/rollup.refresh_days)
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
