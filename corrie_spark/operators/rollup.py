@@ -132,3 +132,41 @@ def refresh_days(events: DataFrame, path: str, days: list[str]) -> None:
     survive the overwrite."""
     delta = events.filter(F.date_format("ts", "yyyy-MM-dd").isin(days))
     hourly_rollup(delta).write.mode("overwrite").partitionBy("day").parquet(path)
+
+
+def merge_into_rollup(spark: SparkSession, events_delta: DataFrame, path: str) -> list[str]:
+    """Streaming-increment the rollup: merge a micro-batch of raw
+    events into the stored cells. Used from foreachBatch — the
+    continuous-aggregate maintenance loop:
+
+      1. aggregate the delta to hourly cells (|delta| -> tiny);
+      2. read back ONLY the day partitions the delta touches
+         (planning-time pruning — the year's other partitions are
+         never opened);
+      3. re-merge existing + delta cells (the same merge law as
+         serve_*: sums add exactly, min/min, max/max);
+      4. dynamic-partition-overwrite exactly those days.
+
+    Exactly-once batches compose with the txn-table discipline
+    (sinks/txn_table.py); here the contract is idempotence at the
+    DAY level: re-merging the same delta twice WOULD double-count,
+    so foreachBatch callers must pair this with the batch-id commit
+    log (test_event_streaming shows the pattern). Returns the list
+    of day keys rewritten."""
+    delta_cells = hourly_rollup(events_delta)
+    # touched days: cell-count sized collect (metadata, never events)
+    days = [r["day"] for r in delta_cells.select("day").distinct().collect()]
+    if not days:
+        return []
+    try:
+        existing = read_rollup(spark, path).filter(F.col("day").isin(days))
+        merged_src = existing.unionByName(delta_cells)
+    except Exception:
+        # first write: no table yet
+        merged_src = delta_cells
+    # the write overwrites partitions the plan also READS — cut the
+    # lineage first so the writer never streams from files it is
+    # replacing (cells are metadata-sized; the checkpoint is cheap)
+    merged = _merge(GRAIN_COLS, merged_src).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").partitionBy("day").parquet(path)
+    return sorted(days)

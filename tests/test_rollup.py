@@ -101,3 +101,22 @@ def test_incremental_refresh_rewrites_only_touched_day(spark, tmp_path):
     for key, row in before.items():
         if key[0] != target:
             assert tuple(after[key]) == tuple(row)
+
+
+def test_streaming_merge_equals_batch_rollup(spark, tmp_path):
+    """Feeding the events table through merge_into_rollup in three
+    arbitrary chunks must converge to the same cells as one batch
+    write — the continuous-aggregate maintenance loop is exact."""
+    ev = load(spark, SF_SMOKE, "events")
+    batch_path = str(tmp_path / "batch")
+    inc_path = str(tmp_path / "inc")
+    R.write_rollup(ev, batch_path)
+
+    for part in range(3):  # arbitrary, day-straddling chunks
+        chunk = ev.filter(F.col("event_id") % 3 == part)
+        touched = R.merge_into_rollup(spark, chunk, inc_path)
+        assert touched  # every chunk hits at least one day
+
+    a = R.serve_daily(R.read_rollup(spark, batch_path)).collect()
+    b = R.serve_daily(R.read_rollup(spark, inc_path)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
