@@ -1063,3 +1063,67 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# --- robust outlier detection: per-source MAD on doc length ----------------
+
+_OUTLIER_ORACLE = """
+WITH med AS (
+  SELECT source, median(n_chars) AS med_chars
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, d.doc_id, d.n_chars, m.med_chars,
+         abs(d.n_chars - m.med_chars) AS adev
+  FROM documents d JOIN med m USING (source)
+),
+mad AS (
+  SELECT source, median(adev) AS mad_chars FROM dev GROUP BY source
+)
+SELECT dev.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ANY_VALUE(dev.med_chars) AS DOUBLE) AS median_chars,
+       CAST(ANY_VALUE(mad.mad_chars) AS DOUBLE) AS mad_chars,
+       CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad_chars THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (source)
+GROUP BY dev.source
+ORDER BY dev.source
+"""
+
+
+@register("q_outlier_docs", oracle=_OUTLIER_ORACLE)
+def q_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier report: median/MAD of n_chars
+    (both exact interpolated percentiles over integers — one IEEE
+    midpoint op, identical cross-engine) and the count of docs beyond
+    3 MADs — the scale/quality screen that, unlike mean/stddev, a few
+    giant crawl artifacts cannot drag.
+
+    Plan shape: two source-keyed exact-percentile aggregations with
+    the doc frame re-joined via BROADCAST (#sources rows each), one
+    final per-source count — the fact table shuffles once per
+    percentile pass. Exact percentile is single-pass-per-group
+    sort-based; at 100 TB swap median() for approx_percentile exactly
+    as q_percentiles_approx documents (call shape unchanged)."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    med = docs.groupBy("source").agg(F.median("n_chars").alias("med_chars"))
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source",
+        "med_chars",
+        F.abs(F.col("n_chars") - F.col("med_chars")).alias("adev"),
+    )
+    mad = dev.groupBy("source").agg(F.median("adev").alias("mad_chars"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.any_value("med_chars").cast("double").alias("median_chars"),
+            F.any_value("mad_chars").cast("double").alias("mad_chars"),
+            F.sum((F.col("adev") > 3 * F.col("mad_chars")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
