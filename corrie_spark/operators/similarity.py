@@ -200,7 +200,7 @@ def planes_for_corpus(
 
 
 def hyperplane_signature(
-    qvec: Column, n_planes: int = 8, dim: int = 64, table: int = 0
+    qvec: Column | str, n_planes: int = 8, dim: int = 64, table: int = 0
 ) -> Column:
     """Random-hyperplane LSH signature (SimHash for vectors) over a
     QUANTIZED vector, packed into an int. Plane p's component d is a
@@ -225,6 +225,21 @@ def hyperplane_signature(
     the whole query.) The DuckDB oracle recomputes the same constants
     symbolically; values are identical by construction."""
     ws = _plane_weights(n_planes, dim, table)
+    if isinstance(qvec, str):
+        # fast path: ONE server-parsed SQL expression. The Column
+        # formulation below costs ~10 py4j round trips per plane
+        # (lambda construction) — measured ~3.5s of pure driver time
+        # for a 2-table 14-plane signature pair; a single expr() is
+        # one round trip and parses in milliseconds.
+        parts = []
+        for p in range(n_planes):
+            arr = "array(" + ",".join(f"{x}L" for x in ws[p]) + ")"
+            proj = (
+                f"aggregate(zip_with({qvec}, {arr}, (x, w) -> x * w), "
+                "0L, (acc, x) -> acc + x)"
+            )
+            parts.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p}L ELSE 0L END)")
+        return F.expr("CAST((" + " + ".join(parts) + ") AS LONG)")
     bits = []
     for p in range(n_planes):
         # one foldable array Literal per plane (NOT CreateArray of 64
@@ -269,7 +284,7 @@ def _multi_table_sig(df: DataFrame, vec: str, n_planes: int, dim: int, n_tables:
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                hyperplane_signature(F.col(vec), n_planes, dim, table=t).alias("bucket"),
+                hyperplane_signature(vec, n_planes, dim, table=t).alias("bucket"),
             )
             for t in range(n_tables)
         ]
