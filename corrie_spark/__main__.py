@@ -8,6 +8,10 @@ Commands:
                             start the streaming ETL over a sharded
                             spool dir (demo wiring: parquet sink +
                             DLQ + commit log)
+  build --sf-dir D --out O [--shard-budget N]
+                            run the full training-corpus build
+                            (dedup -> quality -> strip -> split ->
+                            shards) and print the manifest JSON
 """
 
 from __future__ import annotations
@@ -42,6 +46,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="write via native TCP to these host:port pairs (comma-"
         "separated alt_hosts round-robin) instead of the parquet sink",
     )
+
+    build = sub.add_parser("build", help="run the training-corpus build")
+    build.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    build.add_argument("--out", required=True)
+    build.add_argument("--shard-budget", type=int, default=None)
     return p
 
 
@@ -118,6 +127,24 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         q.awaitTermination()
+        return 0
+
+    if args.cmd == "build":
+        import json
+
+        from corrie_spark.corpus import SHARD_BUDGET_TOKENS, build_corpus
+        from corrie_spark.session import get_spark
+        from corrie_spark.tables import load
+
+        spark = get_spark("corrie-spark-build")
+        spark.sparkContext.setLogLevel("ERROR")
+        manifest = build_corpus(
+            spark,
+            load(spark, args.sf_dir, "documents"),
+            args.out,
+            shard_budget=args.shard_budget or SHARD_BUDGET_TOKENS,
+        )
+        print(json.dumps(manifest, sort_keys=True))
         return 0
 
     return 2

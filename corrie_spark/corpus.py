@@ -1,0 +1,146 @@
+"""End-to-end training-corpus build: the composition every other
+operator in this repo exists for, as ONE DataFrame program.
+
+    raw documents
+      -> exact dedup        (md5 fingerprint, keep-min-id)
+      -> near-dedup         (MinHash-LSH -> connected components,
+                             keep the min-id representative)
+      -> quality filter     (Gopher-style feature gates)
+      -> boilerplate strip  (duplicated-passage removal)
+      -> leakage-free split (bucket hashed from the near-dup cluster)
+      -> shard packing      (deterministic ~budget-token shards)
+      -> parquet, partitioned by split
+
+plus a driver-side MANIFEST (per-stage survivor counts, per-split
+shard/token totals) whose size is #stages + #splits + #shards —
+metadata, never rows.
+
+Scale shape: each stage is one of the already-audited operators (see
+their module docstrings for the 100 TB arguments); the composition
+adds NO extra scans — stages chain lazily and Spark pipelines the
+maps between the shuffles each stage owns. Every decision is
+hash-deterministic, so two runs over the same snapshot — on any
+cluster size or partitioning — produce byte-identical shards
+(pinned by tests/test_corpus_build.py).
+
+Determinism note on the near-dedup stage: connected_components is
+iterative (localCheckpoint rounds), so the build materializes the
+cluster map once and reuses it for both survivor choice and split
+assignment — the same frame, not a recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import dedup as D
+from corrie_spark.operators import passages as P
+from corrie_spark.operators import text as T
+from corrie_spark.operators.packing import pack_shards
+
+# Gopher-style gates (same corpus-tuned constants as q_corpus_filter)
+NTOK_MIN, NTOK_MAX = 10, 500
+MTL_MIN, MTL_MAX = 2.0, 10.0
+STOP_MIN = 0.03
+PUNCT_MAX = 0.2
+
+SHARD_BUDGET_TOKENS = 4000
+
+
+def build_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    shard_budget: int = SHARD_BUDGET_TOKENS,
+    strip_n: int = P.DEFAULT_PASSAGE_N,
+) -> dict:
+    """Run the full build over a `documents`-shaped frame (doc_id,
+    text, lang, source, n_chars) and write
+    `<out_dir>/corpus` (parquet, partitioned by split). Returns the
+    manifest dict (also what a driver would log per snapshot)."""
+    n_raw = docs.count()
+
+    # 1. exact dedup: keep the min doc_id per md5 fingerprint
+    exact = D.deduplicate_exact(docs, id_col="doc_id", text_col="text")
+    n_exact = exact.count()
+
+    # 2. near-dedup: LSH pair graph -> CC -> keep cluster representative.
+    # The cluster map is materialized ONCE (iterative lineage) and
+    # reused for the split assignment below.
+    pairs = D.candidate_pairs(exact, id_col="doc_id", text_col="text").select(
+        "id_a", "id_b"
+    )
+    clusters = D.connected_components(
+        pairs, exact.select("doc_id"), id_col="doc_id"
+    ).persist()
+    survivors = exact.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "doc_id",
+    )
+    n_near = survivors.count()
+
+    # 3. quality gates (one projection, all rules in one pass)
+    f = T.quality_features("text")
+    gated = survivors.withColumn("_f", f).filter(
+        F.col("_f.n_tokens").between(NTOK_MIN, NTOK_MAX)
+        & F.col("_f.mean_token_len").between(MTL_MIN, MTL_MAX)
+        & (F.col("_f.stopword_ratio") >= STOP_MIN)
+        & (F.col("_f.punct_ratio") <= PUNCT_MAX)
+    ).drop("_f")
+    n_quality = gated.count()
+
+    # 4. strip duplicated passages (computed over the SURVIVOR corpus:
+    # boilerplate shared only by dropped near-dups is already gone)
+    stripped = (
+        P.strip_duplicated_passages(gated, n=strip_n)
+        .filter(F.length("clean_text") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"), "n_tokens", "n_removed")
+    )
+
+    # 5. leakage-free split: bucket by the near-dup cluster id
+    bucket = D.hash60(F.col("cluster_id").cast("string"), salt="split") % 1000
+    split = (
+        F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    )
+    assigned = stripped.join(clusters, "doc_id").select(
+        "doc_id",
+        "text",
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens"),
+        split.alias("split"),
+    )
+
+    # 6. shard packing per split (~budget tokens per shard, hash order)
+    packed = None
+    for s in ("train", "val", "test"):
+        part = pack_shards(
+            assigned.filter(F.col("split") == s), "doc_id", "n_tokens", shard_budget
+        )
+        packed = part if packed is None else packed.unionByName(part)
+
+    packed.write.mode("overwrite").partitionBy("split").parquet(f"{out_dir}/corpus")
+
+    out = spark.read.parquet(f"{out_dir}/corpus")
+    per_split = {
+        r["split"]: {
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "n_shards": r["n_shards"],
+        }
+        for r in out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("shard").alias("n_shards"),
+        )
+        .collect()
+    }
+    clusters.unpersist()
+    return {
+        "n_raw": n_raw,
+        "n_after_exact_dedup": n_exact,
+        "n_after_near_dedup": n_near,
+        "n_after_quality": n_quality,
+        "n_written": sum(s["n_docs"] for s in per_split.values()),
+        "splits": per_split,
+    }
