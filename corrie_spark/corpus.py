@@ -48,37 +48,56 @@ PUNCT_MAX = 0.2
 SHARD_BUDGET_TOKENS = 4000
 
 
-def build_corpus(
+def corpus_stages(
     spark: SparkSession,
     docs: DataFrame,
-    out_dir: str,
-    shard_budget: int = SHARD_BUDGET_TOKENS,
     strip_n: int = P.DEFAULT_PASSAGE_N,
+    clusters: DataFrame | None = None,
 ) -> dict:
-    """Run the full build over a `documents`-shaped frame (doc_id,
-    text, lang, source, n_chars) and write
-    `<out_dir>/corpus` (parquet, partitioned by split). Returns the
-    manifest dict (also what a driver would log per snapshot)."""
-    n_raw = docs.count()
+    """The build as LAZY stage frames (no writes, no counts) — shared
+    by build_corpus (which writes shards) and q_corpus_manifest
+    (which oracle-checks every stage boundary end-to-end). `clusters`
+    comes back persisted (iterative CC lineage must be materialized
+    once, not replayed per consumer); callers unpersist when done.
 
-    # 1. exact dedup: keep the min doc_id per md5 fingerprint
-    exact = D.deduplicate_exact(docs, id_col="doc_id", text_col="text")
-    n_exact = exact.count()
+    `clusters` optionally injects a precomputed (doc_id, cluster_id)
+    near-dup cluster map over the RAW docs (e.g. the session-shared
+    memo the dedup queries use): restricting an all-docs clustering
+    to the exact-dedup survivors yields EXACTLY the clustering this
+    pipeline computes itself, because an exact duplicate has a
+    bit-identical MinHash signature to its keeper — every band edge
+    through a removed duplicate also exists through its keeper
+    (connectivity preserved), and each component's min id is itself
+    a keeper (a fp-group's keeper IS that group's min id). Injection
+    turns the build's most expensive stage into a reused artifact."""
+    from pyspark import StorageLevel
+
+    # 1. exact dedup: keep the min doc_id per md5 fingerprint.
+    # Stage boundaries are persisted MEMORY_AND_DISK: every boundary
+    # feeds >= 2 consumers (the next stage + the manifest count), and
+    # without the persist each consumer replays every upstream
+    # shuffle (measured ~4x the work at sf0.1). At 100 TB the same
+    # role is played by checkpointing stage outputs to parquet;
+    # MEMORY_AND_DISK is the single-job equivalent (spills, never
+    # OOMs).
+    exact = D.deduplicate_exact(docs, id_col="doc_id", text_col="text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # 2. near-dedup: LSH pair graph -> CC -> keep cluster representative.
-    # The cluster map is materialized ONCE (iterative lineage) and
-    # reused for the split assignment below.
-    pairs = D.candidate_pairs(exact, id_col="doc_id", text_col="text").select(
-        "id_a", "id_b"
-    )
-    clusters = D.connected_components(
-        pairs, exact.select("doc_id"), id_col="doc_id"
-    ).persist()
+    if clusters is not None:
+        clusters = clusters.join(exact.select("doc_id"), "doc_id").persist()
+    else:
+        pairs = D.candidate_pairs(exact, id_col="doc_id", text_col="text").select(
+            "id_a", "id_b"
+        )
+        clusters = D.connected_components(
+            pairs, exact.select("doc_id"), id_col="doc_id"
+        ).persist()
     survivors = exact.join(
         clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
         "doc_id",
     )
-    n_near = survivors.count()
 
     # 3. quality gates (one projection, all rules in one pass)
     f = T.quality_features("text")
@@ -87,8 +106,7 @@ def build_corpus(
         & F.col("_f.mean_token_len").between(MTL_MIN, MTL_MAX)
         & (F.col("_f.stopword_ratio") >= STOP_MIN)
         & (F.col("_f.punct_ratio") <= PUNCT_MAX)
-    ).drop("_f")
-    n_quality = gated.count()
+    ).drop("_f").persist(StorageLevel.MEMORY_AND_DISK)
 
     # 4. strip duplicated passages (computed over the SURVIVOR corpus:
     # boilerplate shared only by dropped near-dups is already gone)
@@ -109,15 +127,48 @@ def build_corpus(
         (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens"),
         split.alias("split"),
     )
+    return {
+        "exact": exact,
+        "clusters": clusters,
+        "survivors": survivors,
+        "gated": gated,
+        "assigned": assigned.persist(StorageLevel.MEMORY_AND_DISK),
+    }
 
-    # 6. shard packing per split (~budget tokens per shard, hash order)
+
+def pack_splits(assigned: DataFrame, shard_budget: int) -> DataFrame:
+    """Shard-pack each split independently (~budget tokens, hash
+    order)."""
     packed = None
     for s in ("train", "val", "test"):
         part = pack_shards(
             assigned.filter(F.col("split") == s), "doc_id", "n_tokens", shard_budget
         )
         packed = part if packed is None else packed.unionByName(part)
+    return packed
 
+
+def build_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    shard_budget: int = SHARD_BUDGET_TOKENS,
+    strip_n: int = P.DEFAULT_PASSAGE_N,
+) -> dict:
+    """Run the full build over a `documents`-shaped frame (doc_id,
+    text, lang, source, n_chars) and write
+    `<out_dir>/corpus` (parquet, partitioned by split). Returns the
+    manifest dict (also what a driver would log per snapshot)."""
+    st = corpus_stages(spark, docs, strip_n=strip_n)
+    n_raw = docs.count()
+    n_exact = st["exact"].count()
+    n_near = st["survivors"].count()
+    n_quality = st["gated"].count()
+    clusters = st["clusters"]
+    assigned = st["assigned"]
+
+    # 6. shard packing per split (~budget tokens per shard, hash order)
+    packed = pack_splits(assigned, shard_budget)
     packed.write.mode("overwrite").partitionBy("split").parquet(f"{out_dir}/corpus")
 
     out = spark.read.parquet(f"{out_dir}/corpus")
@@ -135,7 +186,8 @@ def build_corpus(
         )
         .collect()
     }
-    clusters.unpersist()
+    for k in ("exact", "gated", "assigned", "clusters"):
+        st[k].unpersist()
     return {
         "n_raw": n_raw,
         "n_after_exact_dedup": n_exact,

@@ -1,0 +1,221 @@
+"""The flagship end-to-end correctness artifact: the WHOLE corpus
+build (exact dedup -> LSH/CC near-dedup -> quality gates ->
+duplicated-passage strip -> cluster-keyed split -> shard packing)
+replayed as ONE DuckDB SQL program and compared stage-boundary by
+stage-boundary against the Spark pipeline in corrie_spark.corpus.
+
+Every piece of the oracle is the SAME SQL the per-operator queries
+already verify in isolation (dedup_queries, passage_queries,
+text_queries templates) — re-targeted at the intermediate corpus each
+stage actually sees (clusters over the raw set restricted to the
+exact-dedup survivors, passage strip over the gated set, ...). A
+green compare therefore proves the
+COMPOSITION: stage wiring, intermediate cardinalities, token
+accounting, split assignment, and shard counts, end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark import corpus as C
+from corrie_spark.queries.dedup_queries import _memo, _sig_expr
+from corrie_spark.queries.registry import register
+from corrie_spark.queries.text_queries import (
+    _NORM,
+    _NPUNCT,
+    _NSTOP,
+    _NTOK,
+    _NTOKCHARS,
+    _TOKS,
+)
+from corrie_spark.tables import load
+
+_BUDGET = 2000  # shard budget at oracle scale
+_STRIP_N = C.P.DEFAULT_PASSAGE_N
+
+_SIGS = ", ".join(_sig_expr(i) for i in range(16))
+
+_MANIFEST_ORACLE = f"""
+WITH RECURSIVE
+-- stage 1: exact dedup (keep-min-id per normalized-text md5)
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+),
+exact AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)
+),
+-- stage 2: MinHash-LSH pair graph over ALL docs -> CC clusters,
+-- restricted to the exact set below (identical-signature argument in
+-- corpus_stages: the restriction equals clustering the exact set)
+toksx AS (
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS t
+  FROM documents
+),
+gramsx AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [array_to_string(t, ' ')] END AS grams
+  FROM toksx
+),
+sigsx AS (SELECT doc_id, [{_SIGS}] AS sig FROM gramsx),
+bandsx AS (
+  SELECT doc_id, b AS band_idx,
+         md5(CAST(b AS VARCHAR) || ':' ||
+             CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR)) AS band_hash
+  FROM sigsx, range(0, 8) r(b)
+),
+pairsx AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsx a JOIN bandsx b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edgesx AS (
+  SELECT id_a AS src, id_b AS dst FROM pairsx
+  UNION SELECT id_b, id_a FROM pairsx
+),
+reachx AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT reachx.node, edgesx.dst AS r
+  FROM reachx JOIN edgesx ON reachx.r = edgesx.src
+),
+clustersx AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reachx GROUP BY node),
+surv AS (
+  SELECT e.doc_id, e.text FROM exact e
+  JOIN clustersx c ON e.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+),
+-- stage 3: Gopher-style quality gates
+feats AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         {_NTOK} AS n_tokens, {_NTOKCHARS} AS n_token_chars,
+         {_NSTOP} AS n_stop, {_NPUNCT} AS n_punct
+  FROM surv
+),
+gatedx AS (
+  SELECT doc_id, text, n_tokens FROM feats
+  WHERE n_tokens BETWEEN {C.NTOK_MIN} AND {C.NTOK_MAX}
+    AND (CAST(n_token_chars AS DOUBLE) / greatest(n_tokens, 1))
+        BETWEEN {C.MTL_MIN} AND {C.MTL_MAX}
+    AND (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) >= {C.STOP_MIN}
+    AND (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) <= {C.PUNCT_MAX}
+),
+-- stage 4: duplicated-passage strip over the GATED set
+ptoks AS (SELECT doc_id, {_TOKS} AS tk, n_tokens AS ntok FROM gatedx),
+pocc AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(tk[i:i+{_STRIP_N - 1}], ' ') AS gram
+  FROM ptoks, UNNEST(range(1, ntok - {_STRIP_N} + 2)) AS u(i)
+  WHERE ntok >= {_STRIP_N}
+),
+pdup AS (
+  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS d FROM pocc GROUP BY gram) x
+  WHERE d >= 2
+),
+phits AS (SELECT o.doc_id, o.pos FROM pocc o JOIN pdup USING (gram)),
+pcov AS (
+  SELECT doc_id, len(list_distinct(flatten(list(range(pos, pos + {_STRIP_N}))))) AS covlen
+  FROM phits GROUP BY doc_id
+),
+strippedx AS (
+  SELECT g.doc_id, g.n_tokens - COALESCE(c.covlen, 0) AS n_clean
+  FROM gatedx g LEFT JOIN pcov c USING (doc_id)
+  WHERE g.n_tokens - COALESCE(c.covlen, 0) > 0
+),
+-- stage 5: leakage-free split by cluster bucket
+assignedx AS (
+  SELECT s.doc_id, s.n_clean AS n_tokens,
+         CASE WHEN bkt < 900 THEN 'train' WHEN bkt < 950 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT s.doc_id, s.n_clean,
+           ('0x' || substr(md5('split:' || CAST(c.cluster_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000 AS bkt
+    FROM strippedx s JOIN clustersx c USING (doc_id)
+  ) s
+),
+-- stage 6: per-split shard packing (hash order, exclusive prefix sum)
+packx AS (
+  SELECT split, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY split ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM (
+    SELECT *, ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM assignedx
+  ) t
+),
+shardx AS (
+  SELECT split, doc_id, n_tokens,
+         CAST(floor(cum_before / {_BUDGET}.0) AS BIGINT) AS shard
+  FROM packx
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_near,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM gatedx) AS n_quality,
+  CAST(COUNT(*) AS BIGINT) AS n_written,
+  CAST(COUNT(*) FILTER (split = 'train') AS BIGINT) AS train_docs,
+  CAST(COALESCE(SUM(n_tokens) FILTER (split = 'train'), 0) AS BIGINT) AS train_tokens,
+  CAST(COUNT(DISTINCT CASE WHEN split = 'train' THEN shard END) AS BIGINT) AS train_shards,
+  CAST(COUNT(*) FILTER (split = 'val') AS BIGINT) AS val_docs,
+  CAST(COALESCE(SUM(n_tokens) FILTER (split = 'val'), 0) AS BIGINT) AS val_tokens,
+  CAST(COUNT(DISTINCT CASE WHEN split = 'val' THEN shard END) AS BIGINT) AS val_shards,
+  CAST(COUNT(*) FILTER (split = 'test') AS BIGINT) AS test_docs,
+  CAST(COALESCE(SUM(n_tokens) FILTER (split = 'test'), 0) AS BIGINT) AS test_tokens,
+  CAST(COUNT(DISTINCT CASE WHEN split = 'test' THEN shard END) AS BIGINT) AS test_shards
+FROM shardx
+"""
+
+
+def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row manifest over the full lazy pipeline. Session-memoized:
+    the CC stage is iterative and the bench runs each query twice."""
+
+    def build() -> DataFrame:
+        from corrie_spark.queries.dedup_queries import _shared_clusters
+
+        docs = load(spark, sf_dir, "documents")
+        st = C.corpus_stages(spark, docs, clusters=_shared_clusters(spark, sf_dir))
+        packed = C.pack_splits(st["assigned"], _BUDGET)
+
+        def cnt(df, name):
+            return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+        def split_agg(s):
+            in_s = F.col("split") == s
+            return [
+                F.sum(in_s.cast("int")).cast("bigint").alias(f"{s}_docs"),
+                F.coalesce(F.sum(F.when(in_s, F.col("n_tokens"))), F.lit(0))
+                .cast("bigint")
+                .alias(f"{s}_tokens"),
+                F.countDistinct(F.when(in_s, F.col("shard")))
+                .cast("bigint")
+                .alias(f"{s}_shards"),
+            ]
+
+        written = packed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_written"),
+            *split_agg("train"),
+            *split_agg("val"),
+            *split_agg("test"),
+        )
+        out = (
+            cnt(docs, "n_raw")
+            .crossJoin(cnt(st["exact"], "n_exact"))
+            .crossJoin(cnt(st["survivors"], "n_near"))
+            .crossJoin(cnt(st["gated"], "n_quality"))
+            .crossJoin(written)
+        )
+        return out.persist()
+
+    return _memo(spark, sf_dir, "corpus_manifest", build)
+
+
+@register("q_corpus_manifest", oracle=_MANIFEST_ORACLE)
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pipeline manifest: one row of stage-boundary counts
+    and per-split doc/token/shard totals for the full corpus build —
+    the composition proof (see module docstring)."""
+    return _manifest_frame(spark, sf_dir)
