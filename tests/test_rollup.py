@@ -120,3 +120,52 @@ def test_streaming_merge_equals_batch_rollup(spark, tmp_path):
     a = R.serve_daily(R.read_rollup(spark, batch_path)).collect()
     b = R.serve_daily(R.read_rollup(spark, inc_path)).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
+    """A real Structured Streaming query (file source, availableNow,
+    one file per micro-batch) maintaining the rollup store through
+    foreachBatch converges to the batch-written cells — the
+    continuous-aggregate loop under actual streaming epochs, with
+    the batch-id guard that makes a replayed epoch a no-op."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 10, 0), 1, "click", 2.5),
+        (2, dt.datetime(2024, 3, 1, 11, 30), 2, "view", 1.0),
+        (3, dt.datetime(2024, 3, 2, 9, 15), 1, "click", 4.0),
+        (4, dt.datetime(2024, 3, 2, 9, 45), 3, "error", 0.5),
+    ]
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src_dir = tmp_path / "ev_in"
+    df_all = spark.createDataFrame(rows, ddl)
+    spark.createDataFrame(rows[:2], ddl).coalesce(1).write.parquet(str(src_dir / "f1"))
+    spark.createDataFrame(rows[2:], ddl).coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    store = str(tmp_path / "stream_rollup")
+    batch_store = str(tmp_path / "batch_rollup")
+    R.write_rollup(df_all, batch_store)
+
+    seen: set[int] = set()
+
+    def per_batch(bdf, batch_id):
+        if batch_id in seen:  # replay guard (foreachBatch may retry)
+            return
+        seen.add(batch_id)
+        R.merge_into_rollup(bdf.sparkSession, bdf, store)
+
+    q = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen) >= 2  # really ran as multiple micro-batches
+
+    a = R.serve_daily(R.read_rollup(spark, batch_store)).collect()
+    b = R.serve_daily(R.read_rollup(spark, store)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
