@@ -119,3 +119,57 @@ def test_strip_fully_covered_doc_yields_empty_text(spark):
     df = _docs(spark, [(1, "a b c"), (2, "a b c")])
     out = {r.doc_id: r for r in P.strip_duplicated_passages(df, n=3, min_docs=2).collect()}
     assert out[1].n_removed == 3 and out[1].clean_text == ""
+
+
+# --- property: operator vs brute-force Python reference --------------------
+
+def _ref_passage_stats(texts: dict[int, str], n: int, min_docs: int = 2):
+    """Row-at-a-time reference implementation of dup_passage_stats."""
+    occ: dict[int, list[tuple[int, str]]] = {}
+    gram_docs: dict[str, set[int]] = {}
+    for did, text in texts.items():
+        toks = text.split()
+        grams = [
+            (i + 1, " ".join(toks[i : i + n])) for i in range(len(toks) - n + 1)
+        ]
+        occ[did] = grams
+        for _pos, g in grams:
+            gram_docs.setdefault(g, set()).add(did)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    out = {}
+    for did, grams in occ.items():
+        ps = sorted(p for p, g in grams if g in dup)
+        if not ps:
+            continue
+        covered = set()
+        for p in ps:
+            covered.update(range(p, p + n))
+        n_spans = 1 + sum(1 for a, b in zip(ps, ps[1:]) if b - a > n)
+        out[did] = (len(ps), n_spans, len(covered))
+    return out
+
+
+def test_property_operator_matches_reference(spark):
+    """Randomized docs (seeded): the distributed operator must agree
+    with the brute-force reference on every doc's (n_dup_grams,
+    n_spans, covered_tokens)."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {}
+    for did in range(40):
+        k = rng.randint(0, 30)
+        toks = [rng.choice(vocab) for _ in range(k)]
+        texts[did] = " ".join(toks)
+    # plant shared passages
+    shared = "a b c d e"
+    for did in (3, 17, 29):
+        texts[did] = texts[did] + " " + shared + " " + texts[did]
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_grams, r.n_spans, r.covered_tokens)
+        for r in P.dup_passage_stats(df, n=3, min_docs=2).collect()
+    }
+    assert got == _ref_passage_stats(texts, n=3)
