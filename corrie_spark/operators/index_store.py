@@ -109,3 +109,25 @@ def load_ivf_index(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
     )
     return q.join(cells, "vid").select("vid", "qv", "cell")
+
+
+def append_to_pq_index(
+    root: str,
+    new_vectors: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: encode a NEW batch of vectors
+    with the FROZEN codebooks and append their codes — the daily-crawl
+    update path. No retraining, no rewrite of existing codes: the
+    append is one map-only encode pass over the delta plus a parquet
+    append. (Codebook drift is the caller's policy decision — retrain
+    via pq_codebooks + save_pq_index when recall degrades; ADC scores
+    for OLD codes never change because their codebook entries are
+    immutable here.)"""
+    from corrie_spark.operators.pq import pq_encode
+
+    pq_encode(new_vectors, books, id_col=id_col, vec_col=vec_col).write.mode(
+        "append"
+    ).parquet(f"{root}/pq_codes")

@@ -74,3 +74,23 @@ def test_loaded_codes_stay_distributed(spark, tmp_path):
     _, codes2 = IX.load_pq_index(spark, root)
     plan = codes2._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in plan or "BatchScan" in plan
+
+
+def test_incremental_append_matches_full_rebuild(spark, tmp_path):
+    """Appending a delta batch (frozen codebooks) must yield the same
+    probe results as encoding the full corpus in one pass."""
+    emb = load(spark, SF_SMOKE, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 3)
+
+    books = pq.pq_codebooks(emb)  # trained once, frozen
+    root = str(tmp_path / "pqinc")
+    IX.save_pq_index(spark, root, books, pq.pq_encode(old, books))
+    IX.append_to_pq_index(root, new, books)
+
+    _, codes_inc = IX.load_pq_index(spark, root)
+    full_codes = pq.pq_encode(emb, books)
+    inc = pq.pq_topk(q, emb, k=5, books=books, codes=codes_inc)
+    full = pq.pq_topk(q, emb, k=5, books=books, codes=full_codes)
+    assert _rows(inc) == _rows(full)
