@@ -1127,3 +1127,70 @@ def q_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- in-engine BPE-style merge training ------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_ctes(n_rounds: int) -> str:
+    """CTE chain t0 -> (p_r, c_r, w_r, t_r)*: the DuckDB replay of
+    operators/bpe.train_merges — same adjacent-pair counts, same
+    (count DESC, a, b) winner, same left-to-right list-fold merge."""
+    parts = [
+        "t0 AS (\n"
+        f"  SELECT CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS t\n"
+        "  FROM documents\n)"
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"t{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT t[i] AS a, t[i+1] AS b FROM {prev}, UNNEST(range(1, len(t))) AS u(i))"
+        )
+        parts.append(
+            f"c{r} AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM p{r} GROUP BY a, b)"
+        )
+        parts.append(f"w{r} AS (SELECT a, b, n FROM c{r} ORDER BY n DESC, a, b LIMIT 1)")
+        parts.append(
+            f"t{r} AS (\n"
+            "  SELECT CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE\n"
+            "    list_reduce(list_transform(t, x -> [x]),\n"
+            "      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = w.a AND x[1] = w.b\n"
+            "                  THEN acc[1:len(acc)-1] || [w.a || ' ' || w.b]\n"
+            "                  ELSE acc || x END) END AS t\n"
+            f"  FROM {prev} CROSS JOIN w{r} w\n)"
+        )
+    return ",\n".join(parts)
+
+
+_BPE_ORACLE = f"""
+WITH {_bpe_ctes(_BPE_ROUNDS)}
+SELECT * FROM (
+{" UNION ALL ".join(f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS token_a, b AS token_b, n AS pair_count FROM w{r}" for r in range(1, _BPE_ROUNDS + 1))}
+) ORDER BY merge_rank
+"""
+
+
+@register("q_text_bpe_merges", oracle=_BPE_ORACLE)
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE-style vocabulary induction: 3 greedy word-level
+    merge rounds (count adjacent pairs -> merge the winner -> repeat)
+    trained by DataFrame rounds with a 1-row collect per round — the
+    same iterative-trainer discipline as the Lloyd k-means. The
+    oracle replays every round (winner selection AND the fold-merge
+    re-tokenization), so the learned merge table is cross-engine
+    exact. See operators/bpe.py for the scale argument."""
+    from corrie_spark.operators.bpe import train_merges
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build():
+        merges = train_merges(load(spark, sf_dir, "documents"), n_merges=_BPE_ROUNDS)
+        return spark.createDataFrame(
+            [(r, a, b, n) for r, a, b, n in merges],
+            "merge_rank long, token_a string, token_b string, pair_count long",
+        ).orderBy("merge_rank").persist()
+
+    # session-memoized like the kmeans trainer: rounds are sequential
+    # driver-coordinated work, paid once per (session, sf)
+    return _memo(spark, sf_dir, "bpe_merges", build)

@@ -1,0 +1,47 @@
+"""BPE merge trainer: fold semantics (greedy left-to-right,
+no re-merge through an emitted token), deterministic winner, and the
+round discipline (1-row collects only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import bpe as B
+
+
+def _fold(spark, text, a, b):
+    from corrie_spark.operators.text import tokens
+
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(B._merge_fold(tokens("text"), a, b).alias("t")).collect()[0].t
+
+
+def test_merge_fold_basic(spark):
+    assert _fold(spark, "x a b y a b", "a", "b") == ["x", "a b", "y", "a b"]
+
+
+def test_merge_fold_greedy_no_overlap_remerge(spark):
+    # 'a a a' with merge (a,a): left-to-right -> ['a a', 'a'], the
+    # emitted merged token must not re-merge with the trailing 'a'
+    assert _fold(spark, "a a a", "a", "a") == ["a a", "a"]
+
+
+def test_merge_fold_edges(spark):
+    assert _fold(spark, "", "a", "b") == []
+    assert _fold(spark, "solo", "a", "b") == ["solo"]
+    assert _fold(spark, "a b", "a", "b") == ["a b"]
+
+
+def test_train_merges_deterministic_and_sequential(spark):
+    rows = [
+        (1, "u v u v u v w"),
+        (2, "u v q u v"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = B.train_merges(df, n_merges=2)
+    # round 1: (u, v) x5 wins; round 2 counts over MERGED tokens
+    assert merges[0][1:] == ("u", "v", 5)
+    assert merges[1][0] == 2
+    # round-2 winner must be a pair over the merged vocabulary
+    assert "u v" in (merges[1][1], merges[1][2])
