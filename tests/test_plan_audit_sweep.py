@@ -1,0 +1,52 @@
+"""Registry-wide plan-shape sweep: the mechanical enforcement of
+PLANS.md. Every registered query's executed plan must be free of
+CartesianProduct, and Python/Arrow stages may appear ONLY in the
+documented set (partial top-k consumers, multimodal codecs).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+# queries whose plans legitimately contain an Arrow/Python stage:
+# the partial-top-k consumers (local_topk mapInPandas) and the
+# multimodal codec family (mapInPandas over binary payloads)
+_PYTHON_OK = {
+    "q_sim_cosine_topk",
+    "q_sim_ann_lsh",
+    "q_sim_ann_multiprobe",
+    "q_sim_ivf",
+    "q_sim_ivf_recall",
+    "q_sim_ivf_trained_recall",
+    "q_sim_pq_topk",
+    "q_sim_pq_recall",
+    "q_sim_ivfpq_topk",
+    "q_multimodal_image_features",
+    "q_multimodal_audio_features",
+    "q_multimodal_frame_stats",
+    "q_multimodal_real_codecs",
+}
+
+
+@pytest.mark.slow
+def test_registry_wide_plan_sweep(spark):
+    from plan_audit import audit
+
+    from corrie_spark.queries.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    offenders_cartesian = []
+    offenders_python = []
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, SF_SMOKE)
+        a = audit(df._jdf.queryExecution().executedPlan().toString())
+        if a["cartesian"]:
+            offenders_cartesian.append(name)
+        if a["python"] and name not in _PYTHON_OK:
+            offenders_python.append(name)
+    assert offenders_cartesian == []
+    assert offenders_python == []
