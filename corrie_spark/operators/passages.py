@@ -158,12 +158,30 @@ def _span_stats(ps: Column, n: int) -> list[Column]:
     return [n_spans, covered]
 
 
+def dup_hits(
+    docs: DataFrame,
+    n: int = DEFAULT_PASSAGE_N,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos) of every duplicated-gram occurrence — the shared
+    intermediate of the passage family. Callers that run several
+    passage queries over one corpus persist this once (see
+    passage_queries' session memo) instead of recomputing the
+    explode + two-stage distinct per query."""
+    occ = ngram_occurrences(docs, n=n, id_col=id_col, text_col=text_col)
+    dup = duplicated_grams(occ, min_docs=min_docs).select("gram_hash")
+    return occ.join(dup, "gram_hash").select("doc_id", "pos")
+
+
 def dup_passage_stats(
     docs: DataFrame,
     n: int = DEFAULT_PASSAGE_N,
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-passage report for docs containing at
     least one duplicated n-gram: (doc_id, n_dup_grams, n_spans,
@@ -173,9 +191,8 @@ def dup_passage_stats(
     covered by duplicated grams — the quantity Lee et al. threshold
     on to drop high-boilerplate documents. dup_frac = covered /
     n_tokens as an exact double of two exact integers."""
-    occ = ngram_occurrences(docs, n=n, id_col=id_col, text_col=text_col)
-    dup = duplicated_grams(occ, min_docs=min_docs).select("gram_hash")
-    hits = occ.join(dup, "gram_hash").select("doc_id", "pos")
+    if hits is None:
+        hits = dup_hits(docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col)
     ps = F.sort_array(F.collect_list("pos"))
     per_doc = hits.groupBy("doc_id").agg(ps.alias("ps"))
     n_spans, covered = _span_stats(F.col("ps"), n)
@@ -230,6 +247,7 @@ def strip_duplicated_passages(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus-cleaning TRANSFORM over dup_passage_stats' report:
     rebuild each document with every token covered by a duplicated
@@ -247,9 +265,8 @@ def strip_duplicated_passages(
     most the doc's token count, so the row-local cost is
     O(tokens * dup_grams) worst case and O(tokens) typical.
     """
-    occ = ngram_occurrences(docs, n=n, id_col=id_col, text_col=text_col)
-    dup = duplicated_grams(occ, min_docs=min_docs).select("gram_hash")
-    hits = occ.join(dup, "gram_hash").select("doc_id", "pos")
+    if hits is None:
+        hits = dup_hits(docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col)
     covered = hits.groupBy("doc_id").agg(
         F.array_sort(
             F.array_distinct(

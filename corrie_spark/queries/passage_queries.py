@@ -71,6 +71,22 @@ ORDER BY s.doc_id
 """
 
 
+def _shared_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the duplicated-gram occurrence frame (doc_id,
+    pos) — q_text_dup_passages and q_text_strip_boilerplate both ride
+    it instead of re-running the explode + two-stage distinct."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        "passage_hits",
+        lambda: P.dup_hits(
+            load(spark, sf_dir, "documents"), n=_N, min_docs=_MIN_DOCS
+        ).persist(),
+    )
+
+
 @register("q_text_dup_passages", oracle=_PASSAGE_ORACLE)
 def q_text_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-passage coverage: for every doc
@@ -79,7 +95,12 @@ def q_text_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     of tokens covered by repeated text — the substring-level dedup
     signal doc-level MinHash misses (boilerplate inside otherwise
     distinct documents)."""
-    return P.dup_passage_stats(load(spark, sf_dir, "documents"), n=_N, min_docs=_MIN_DOCS)
+    return P.dup_passage_stats(
+        load(spark, sf_dir, "documents"),
+        n=_N,
+        min_docs=_MIN_DOCS,
+        hits=_shared_hits(spark, sf_dir),
+    )
 
 
 _TOP_GRAMS_ORACLE = f"""
@@ -138,7 +159,10 @@ def q_text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     out = P.strip_duplicated_passages(
-        load(spark, sf_dir, "documents"), n=_N, min_docs=_MIN_DOCS
+        load(spark, sf_dir, "documents"),
+        n=_N,
+        min_docs=_MIN_DOCS,
+        hits=_shared_hits(spark, sf_dir),
     )
     return out.select(
         "doc_id", "n_tokens", "n_removed", F.md5("clean_text").alias("clean_md5")

@@ -173,3 +173,11 @@ def test_property_operator_matches_reference(spark):
         for r in P.dup_passage_stats(df, n=3, min_docs=2).collect()
     }
     assert got == _ref_passage_stats(texts, n=3)
+
+
+def test_hits_injection_equivalent(spark):
+    """Passing a precomputed dup_hits frame must not change results."""
+    df = _docs(spark, [(1, "a b c d e x y z"), (2, "q w a b c d r t")])
+    base = P.dup_passage_stats(df, n=3).collect()
+    inj = P.dup_passage_stats(df, n=3, hits=P.dup_hits(df, n=3)).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, inj))
