@@ -155,6 +155,49 @@ def _decode_bmp(payload: bytes) -> dict:
     }
 
 
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL encoder: binary P6 PPM (netpbm) — 'P6\n<w> <h>\n255\n'
+    followed by width*height RGB byte triples."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match width*height*3")
+    return f"P6\n{width} {height}\n255\n".encode() + pixels
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """REAL codec: netpbm P6 (binary PPM) from the public spec —
+    'P6', whitespace/comment-separated width, height, maxval (<=255
+    supported), ONE whitespace byte, then width*height RGB triples.
+    Comments ('#' to end of line) are legal anywhere in the header."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM file")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment: skip to newline
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            raise ValueError("bad PPM header byte")
+    w, h, maxval = fields
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (maxval={maxval})")
+    pos += 1  # exactly one whitespace byte after maxval
+    need = w * h * 3
+    data = payload[pos : pos + need]
+    if len(data) < need:
+        raise ValueError("truncated PPM pixel array")
+    return {"kind": "image", "width": w, "height": h, "data": data}
+
+
 def _decode_wav(payload: bytes) -> dict:
     """REAL codec: RIFF/WAVE PCM (8- or 16-bit, any channel count)
     from the public container layout — 'RIFF' <size> 'WAVE', then
@@ -194,13 +237,15 @@ def _decode_wav(payload: bytes) -> dict:
 
 def decode_payload(media_type: str, payload: bytes) -> dict:
     """Decode seam. `fake/*` types use the deterministic codec;
-    image/bmp and audio/wav are REAL decoders implemented here from
+    image/bmp, image/ppm (P6) and audio/wav are REAL decoders implemented here from
     the public format specs (struct + numpy, no external libs);
     compressed formats (JPEG/PNG/MP4/...) would dispatch to
     PIL/soundfile/av — unavailable in this environment, so they raise
     (clearly-marked stub)."""
     if media_type == "image/bmp":
         return _decode_bmp(payload)
+    if media_type in ("image/x-portable-pixmap", "image/ppm"):
+        return _decode_ppm(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _decode_wav(payload)
     if media_type.startswith("fake/"):

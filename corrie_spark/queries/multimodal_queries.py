@@ -108,16 +108,20 @@ _RC_W, _RC_H, _RC_N = 5, 3, 16  # bmp 5x3 (odd width -> real row padding), wav 1
 _REAL_CODEC_ORACLE = f"""
 SELECT
   doc_id AS media_id,
-  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+       ELSE 'image/x-portable-pixmap' END AS media_type,
   TRUE AS ok,
-  CASE WHEN doc_id % 2 = 0 THEN CAST({_RC_W} AS BIGINT) END AS width,
-  CASE WHEN doc_id % 2 = 0 THEN CAST({_RC_H} AS BIGINT) END AS height,
-  CASE WHEN doc_id % 2 = 0 THEN
+  CASE WHEN doc_id % 3 <> 1 THEN CAST({_RC_W} AS BIGINT) END AS width,
+  CASE WHEN doc_id % 3 <> 1 THEN CAST({_RC_H} AS BIGINT) END AS height,
+  CASE WHEN doc_id % 3 = 0 THEN
     CAST(list_sum(list_transform(range(0, {_RC_W * _RC_H}),
          i -> (doc_id * 7 + i) % 256)) AS DOUBLE) / {_RC_W * _RC_H}
+  WHEN doc_id % 3 = 2 THEN
+    CAST(list_sum(list_transform(range(0, {_RC_W * _RC_H * 3}),
+         i -> (doc_id * 7 + i) % 256)) AS DOUBLE) / {_RC_W * _RC_H * 3}
   END AS mean_pixel,
-  CASE WHEN doc_id % 2 = 1 THEN CAST({_RC_N} AS BIGINT) END AS n_samples,
-  CASE WHEN doc_id % 2 = 1 THEN
+  CASE WHEN doc_id % 3 = 1 THEN CAST({_RC_N} AS BIGINT) END AS n_samples,
+  CASE WHEN doc_id % 3 = 1 THEN
     CAST(list_sum(list_transform(range(0, {_RC_N}),
          i -> abs((doc_id * 13 + i) % 1024 - 512))) AS DOUBLE) / {_RC_N}
   END AS mean_amp
@@ -127,11 +131,12 @@ FROM documents
 
 @register("q_multimodal_real_codecs", oracle=_REAL_CODEC_ORACLE)
 def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL container codecs through the whole oracle gate: even
-    doc_ids become 8-bpp BMPs (odd width, so the spec's 4-byte row
-    padding and bottom-up storage are actually exercised), odd ids
-    16-bit PCM WAVs; the features come back through the REAL parsers
-    (_decode_bmp / _decode_wav — struct+numpy, no external libs) and
+    """REAL container codecs through the whole oracle gate, routed
+    by doc_id % 3: 8-bpp BMPs (odd width, so the spec's 4-byte row
+    padding and bottom-up storage are actually exercised), 16-bit
+    PCM WAVs, and binary P6 PPMs (comment-tolerant header parse);
+    the features come back through the REAL parsers
+    (_decode_bmp / _decode_wav / _decode_ppm — struct+numpy) and
     must match DuckDB's closed-form expectations exactly. This is the
     part of the real-codec seam this environment CAN close natively;
     compressed formats stay behind the documented PIL/av stub."""
@@ -147,7 +152,7 @@ def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
+                if did % 3 == 0:
                     rows = [
                         bytes((did * 7 + (r * _RC_W + c)) % 256 for c in range(_RC_W))
                         for r in range(_RC_H)
@@ -156,16 +161,22 @@ def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {"media_id": did, "media_type": "image/bmp",
                          "payload": M.encode_bmp(_RC_W, _RC_H, rows)}
                     )
-                else:
+                elif did % 3 == 1:
                     samples = [(did * 13 + i) % 1024 - 512 for i in range(_RC_N)]
                     out.append(
                         {"media_id": did, "media_type": "audio/wav",
                          "payload": M.encode_wav_pcm(8000, samples)}
                     )
+                else:
+                    px = bytes((did * 7 + i) % 256 for i in range(_RC_W * _RC_H * 3))
+                    out.append(
+                        {"media_id": did, "media_type": "image/x-portable-pixmap",
+                         "payload": M.encode_ppm(_RC_W, _RC_H, px)}
+                    )
             yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
 
     media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
-    img = M.image_features(media.filter(F.col("media_type") == "image/bmp")).select(
+    img = M.image_features(media.filter(F.col("media_type") != "audio/wav")).select(
         "media_id",
         "media_type",
         "ok",
@@ -175,7 +186,7 @@ def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_samples"),
         F.lit(None).cast("double").alias("mean_amp"),
     )
-    aud = M.audio_features(media.filter(F.col("media_type") != "image/bmp")).select(
+    aud = M.audio_features(media.filter(F.col("media_type") == "audio/wav")).select(
         "media_id",
         "media_type",
         "ok",

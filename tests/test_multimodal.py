@@ -245,3 +245,28 @@ def test_real_wav_stereo_frames(spark):
     d = _decode_wav(_wav_bytes(44100, [1, -1, 2, -2], bits=16, nch=2))
     assert d["n_samples"] == 2  # frames, not flat samples
     assert d["sample_rate"] == 44100
+
+
+def test_ppm_roundtrip_and_header_tolerance():
+    from corrie_spark.operators import multimodal as M
+
+    px = bytes((i * 31) % 256 for i in range(4 * 2 * 3))
+    d = M.decode_payload("image/ppm", M.encode_ppm(4, 2, px))
+    assert (d["width"], d["height"], d["data"]) == (4, 2, px)
+    # comments and arbitrary whitespace are legal anywhere in header
+    hdr = b"P6 # c1\n# full line comment\n 4\t2 # c2\n255\n" + px
+    d2 = M.decode_payload("image/x-portable-pixmap", hdr)
+    assert d2["data"] == px
+
+
+def test_ppm_rejects_bad_payloads():
+    import pytest
+
+    from corrie_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError):
+        M.decode_payload("image/ppm", b"P5\n1 1\n255\n\x00")  # P5 not P6
+    with pytest.raises(ValueError):
+        M.decode_payload("image/ppm", b"P6\n2 2\n255\n\x00\x00")  # truncated
+    with pytest.raises(ValueError):
+        M.decode_payload("image/ppm", b"P6\n1 1\n65535\n\x00\x00")  # 16-bit maxval
