@@ -27,6 +27,7 @@ the whole table.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -161,8 +162,10 @@ def merge_into_rollup(spark: SparkSession, events_delta: DataFrame, path: str) -
     try:
         existing = read_rollup(spark, path).filter(F.col("day").isin(days))
         merged_src = existing.unionByName(delta_cells)
-    except Exception:
-        # first write: no table yet
+    except AnalysisException:
+        # first write: no table yet (read.parquet raises PATH_NOT_FOUND
+        # eagerly at schema inference). Anything else — permissions,
+        # corrupt footers — must propagate, not silently zero history.
         merged_src = delta_cells
     # the write overwrites partitions the plan also READS — cut the
     # lineage first so the writer never streams from files it is
