@@ -8,6 +8,9 @@ Commands:
                             start the streaming ETL over a sharded
                             spool dir (demo wiring: parquet sink +
                             DLQ + commit log)
+  explain <name> [--sf-dir D]  print the optimized + physical plan
+                            of one registered query (the plan-shape
+                            review surface PLANS.md sweeps)
   build --sf-dir D --out O [--shard-budget N]
                             run the full training-corpus build
                             (dedup -> quality -> strip -> split ->
@@ -46,6 +49,10 @@ def _build_parser() -> argparse.ArgumentParser:
         help="write via native TCP to these host:port pairs (comma-"
         "separated alt_hosts round-robin) instead of the parquet sink",
     )
+
+    exp = sub.add_parser("explain", help="print a query's plans")
+    exp.add_argument("name")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     build = sub.add_parser("build", help="run the training-corpus build")
     build.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -127,6 +134,20 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         q.awaitTermination()
+        return 0
+
+    if args.cmd == "explain":
+        from corrie_spark.queries.registry import all_queries
+        from corrie_spark.session import get_spark
+
+        qs = all_queries()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; try: python -m corrie_spark list",
+                  file=sys.stderr)
+            return 2
+        spark = get_spark("corrie-spark-explain")
+        spark.sparkContext.setLogLevel("ERROR")
+        qs[args.name](spark, args.sf_dir).explain(mode="formatted")
         return 0
 
     if args.cmd == "build":

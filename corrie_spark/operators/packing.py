@@ -201,3 +201,49 @@ def token_budget_sample(
         .filter(F.col("before_tokens") < budget)
         .select(source_col, id_col, tokens_col, "before_tokens")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    temperature: float = 2.0,
+    scale: int = 1 << 30,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    source_col: str = "source",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the multilingual-LM
+    recipe: p_s ∝ w_s^(1/T), T > 1 upweights small sources). Each
+    source's ACCEPTANCE probability is q_s = p_s / max_s(p_s) — the
+    largest source keeps everything, smaller sources keep a larger
+    fraction than their raw share — and a document is kept iff
+    hash60(id) % scale < floor(q_s * scale): deterministic Bernoulli,
+    reproducible on any cluster/partitioning, no rand().
+
+    T=2 keeps the cross-engine determinism airtight: w^(1/2) is one
+    IEEE sqrt. Other temperatures go through pow(), also
+    correctly-rounded on every platform libm we target, but sqrt is
+    the contract the oracle pins.
+
+    Scale shape: per-source token totals are a #sources-row aggregate
+    broadcast back into the scan's projection; the accept test is a
+    pure map — the only shuffle is the final report aggregation.
+    """
+    from corrie_spark.operators.dedup import hash60
+
+    totals = df.groupBy(source_col).agg(
+        F.sum(tokens_col).cast("bigint").alias("_w")
+    )
+    p = F.sqrt(F.col("_w").cast("double")) if temperature == 2.0 else F.pow(
+        F.col("_w").cast("double"), 1.0 / temperature
+    )
+    weighted = totals.select(source_col, p.alias("_p"))
+    pmax = weighted.agg(F.max("_p").alias("_pmax"))
+    thresholds = weighted.crossJoin(F.broadcast(pmax)).select(
+        source_col,
+        F.floor(F.col("_p") / F.col("_pmax") * F.lit(scale)).cast("bigint").alias("_thr"),
+    )
+    keyed = df.join(F.broadcast(thresholds), source_col).withColumn(
+        "_h", hash60(F.col(id_col).cast("string"), salt=salt) % F.lit(scale)
+    )
+    return keyed.withColumn("kept", F.col("_h") < F.col("_thr")).drop("_h", "_thr")

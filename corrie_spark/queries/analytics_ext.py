@@ -233,3 +233,64 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --- exact distributed moments (mean/var/skewness from power sums) ---------
+
+_MOMENTS_ORACLE = """
+WITH sums AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s1,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2,
+         CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS s3
+  FROM documents GROUP BY source
+)
+SELECT source, n,
+       CAST(s1 AS DOUBLE) / n AS mean_chars,
+       CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS var_chars,
+       CASE WHEN n * s2 - s1 * s1 = 0 THEN 0.0 ELSE
+         (CAST(n AS DOUBLE) * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)
+         / (CAST(n AS DOUBLE) * n * n)
+         / pow(CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n), 1.5)
+       END AS skew_chars
+FROM sums
+ORDER BY source
+"""
+
+
+@register("q_moment_stats", oracle=_MOMENTS_ORACLE)
+def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed moments: per-source mean/variance/skewness of
+    doc length derived from INTEGER power sums (s1, s2, s3) — the
+    mergeable-moments formulation. Built-in skewness() is a floating
+    accumulator whose result depends on partition merge order (and on
+    the engine's sample-vs-population convention); integer power sums
+    are associative/commutative EXACTLY, so any partitioning — and any
+    engine — produces bit-identical doubles from the same closed-form
+    combination. n_chars <= ~10^4 and n <= 10^10 keep s3 < 2^63.
+    One partial-aggregated shuffle of 4 longs per (partition, source)."""
+    docs = load(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    sums = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("s1"),
+        F.sum(x * x).cast("bigint").alias("s2"),
+        F.sum(x * x * x).cast("bigint").alias("s3"),
+    )
+    n, s1, s2, s3 = (F.col(c) for c in ("n", "s1", "s2", "s3"))
+    nd = n.cast("double")
+    m2_num = n * s2 - s1 * s1  # n^2 * variance, exact integer
+    var = m2_num.cast("double") / (nd * nd)
+    m3 = (nd * nd * s3.cast("double") - 3.0 * nd * s1.cast("double") * s2.cast("double")
+          + 2.0 * s1.cast("double") * s1.cast("double") * s1.cast("double")) / (nd * nd * nd)
+    return (
+        sums.select(
+            "source",
+            "n",
+            (s1.cast("double") / n).alias("mean_chars"),
+            var.alias("var_chars"),
+            F.when(m2_num == 0, F.lit(0.0)).otherwise(m3 / F.pow(var, 1.5)).alias("skew_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1194,3 +1194,60 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-memoized like the kmeans trainer: rounds are sequential
     # driver-coordinated work, paid once per (session, sf)
     return _memo(spark, sf_dir, "bpe_merges", build)
+
+
+# --- temperature-flattened mixture sampling --------------------------------
+
+_TEMP_SCALE = 1 << 30
+
+_TEMP_ORACLE = f"""
+WITH totals AS (
+  SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+weighted AS (SELECT source, sqrt(CAST(w AS DOUBLE)) AS p FROM totals),
+thr AS (
+  SELECT source,
+         CAST(floor(p / (SELECT MAX(p) FROM weighted) * {_TEMP_SCALE}) AS BIGINT) AS t
+  FROM weighted
+),
+marked AS (
+  SELECT d.source, {_NTOK} AS ntok,
+         ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {_TEMP_SCALE} < t.t AS kept
+  FROM documents d JOIN thr t USING (source)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM marked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q_mix_temperature", oracle=_TEMP_ORACLE)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture (T=2): acceptance ∝ sqrt(source
+    token share), so small sources keep proportionally more — the
+    multilingual-LM upsampling recipe as a deterministic hash
+    Bernoulli. Per-source report of kept docs/tokens; the accept
+    threshold table is #sources rows broadcast into the scan."""
+    from corrie_spark.operators.packing import temperature_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    marked = temperature_sample(docs, temperature=2.0, scale=_TEMP_SCALE)
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -145,3 +145,29 @@ def test_cluster_split_counts_consistent(spark):
     rows = get("q_split_by_cluster").spark(spark, SF_CORRECT).collect()
     assert sum(r.n_docs for r in rows) == 500  # every doc assigned once
     assert all(r.n_clusters <= r.n_docs for r in rows)
+
+
+def test_temperature_sample_semantics(spark):
+    """T=2 flattening: the largest source keeps everything; smaller
+    sources keep a fraction >= their raw share; deterministic."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.packing import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small", 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    marked = temperature_sample(df, temperature=2.0)
+    rep = {
+        r.source: r
+        for r in marked.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("kept").cast("int")).alias("k"))
+        .collect()
+    }
+    assert rep["big"].k == rep["big"].n  # max source keeps all
+    # small keeps ~sqrt(100/900)=1/3 of its docs, way above raw share
+    frac = rep["small"].k / rep["small"].n
+    assert 0.15 < frac < 0.55
+    # deterministic: second run identical
+    again = {r.source: r.k for r in temperature_sample(df).groupBy("source")
+             .agg(F.sum(F.col("kept").cast("int")).alias("k")).collect()}
+    assert again == {s: rep[s].k for s in rep}
