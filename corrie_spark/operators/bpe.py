@@ -53,21 +53,21 @@ def _adjacent_pairs(toks: Column) -> Column:
     )
 
 
-def _merge_fold(toks: Column, a: str, b: str) -> Column:
+def _merge_fold(toks: Column, a: str, b: str, merged: str | None = None) -> Column:
     """Map-only left-to-right merge of every (a, b) adjacency into
     one 'a b' token — the BPE apply step as a higher-order aggregate
     with a list accumulator. Greedy left-to-right: after emitting a
     merge, the merged token ends the accumulator, so an overlapping
     'b b' (when a == b) correctly does NOT re-merge — matching
     standard BPE apply semantics."""
-    merged = F.lit(f"{a} {b}")
+    merged_lit = F.lit(f"{a} {b}" if merged is None else merged)
     empty = F.array().cast("array<string>")
 
     def step(acc: Column, x: Column) -> Column:
         can = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b))
         return F.when(
             can,
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged_lit)),
         ).otherwise(F.concat(acc, F.array(x)))
 
     return F.when(F.size(toks) == 0, empty).otherwise(F.aggregate(toks, empty, step))
@@ -103,4 +103,57 @@ def train_merges(
         cur = cur.select(_merge_fold(F.col("t"), a, b).alias("t")).localCheckpoint(
             eager=False
         )
+    return out
+
+
+# --- REAL subword BPE: train over the word-frequency table -----------------
+
+
+def train_subword_merges(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """TRUE BPE training structure (Sennrich et al. 2016): learn
+    merges over the WORD-FREQUENCY table, not the raw corpus. The
+    corpus-scale work is exactly one tokenize + word count (a single
+    partially-aggregated shuffle); every merge round then runs over
+    the vocab frame — |vocab| rows regardless of corpus size, which
+    is what makes k=30000 merges tractable at 100 TB (rounds cost
+    vocab-sized scans, and the vocab frame is localCheckpointed per
+    round like the word-level trainer).
+
+    Pair counts are weighted by word frequency; the winner is
+    deterministic (weighted count DESC, then lexicographic). Returns
+    [(rank, sym_a, sym_b, weighted_count)].
+    """
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    # initial symbol sequence = the word's characters (no end-of-word
+    # marker: the synthetic corpus is space-tokenized and merges never
+    # need to cross words here; append a sentinel element if the
+    # downstream tokenizer requires one)
+    sym = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    cur = vocab.select(sym.alias("s"), "freq").localCheckpoint(eager=False)
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            cur.select(F.explode(_adjacent_pairs(F.col("s"))).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        out.append((rank, a, b, n))
+        cur = cur.select(
+            _merge_fold(F.col("s"), a, b, merged=a + b).alias("s"), "freq"
+        ).localCheckpoint(eager=False)
     return out

@@ -1251,3 +1251,66 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- REAL subword BPE over the word-frequency table ------------------------
+
+
+def _sub_bpe_ctes(n_rounds: int) -> str:
+    parts = [
+        "vocab AS (\n"
+        f"  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq\n"
+        f"  FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE length(trim(text)) > 0) x\n"
+        "  GROUP BY w\n)",
+        "s0 AS (SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS s, freq FROM vocab)",
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"sp{r} AS (SELECT s[i] AS a, s[i+1] AS b, freq FROM {prev}, UNNEST(range(1, len(s))) AS u(i))"
+        )
+        parts.append(
+            f"sc{r} AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS n FROM sp{r} GROUP BY a, b)"
+        )
+        parts.append(f"sw{r} AS (SELECT a, b, n FROM sc{r} ORDER BY n DESC, a, b LIMIT 1)")
+        parts.append(
+            f"s{r} AS (\n"
+            "  SELECT CASE WHEN len(s) = 0 THEN s ELSE\n"
+            "    list_reduce(list_transform(s, x -> [x]),\n"
+            "      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = w.a AND x[1] = w.b\n"
+            "                  THEN acc[1:len(acc)-1] || [w.a || w.b]\n"
+            "                  ELSE acc || x END) END AS s, freq\n"
+            f"  FROM {prev} CROSS JOIN sw{r} w\n)"
+        )
+    return ",\n".join(parts)
+
+
+_SUB_BPE_ORACLE = f"""
+WITH {_sub_bpe_ctes(_BPE_ROUNDS)}
+SELECT * FROM (
+{" UNION ALL ".join(f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, n AS weighted_count FROM sw{r}" for r in range(1, _BPE_ROUNDS + 1))}
+) ORDER BY merge_rank
+"""
+
+
+@register("q_text_bpe_subword", oracle=_SUB_BPE_ORACLE)
+def q_text_bpe_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE subword BPE (Sennrich et al. 2016 training structure):
+    merges learned over the word-FREQUENCY table — the corpus pays
+    one tokenize+count shuffle, then every merge round is vocab-sized
+    regardless of corpus scale. Frequency-weighted pair counts,
+    deterministic winner, fold-merge applied per word; the oracle
+    replays all rounds including the symbol-sequence rewrites."""
+    from corrie_spark.operators.bpe import train_subword_merges
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build():
+        merges = train_subword_merges(
+            load(spark, sf_dir, "documents"), n_merges=_BPE_ROUNDS
+        )
+        return spark.createDataFrame(
+            [(r, a, b, n) for r, a, b, n in merges],
+            "merge_rank long, sym_a string, sym_b string, weighted_count long",
+        ).orderBy("merge_rank").persist()
+
+    return _memo(spark, sf_dir, "bpe_subword", build)

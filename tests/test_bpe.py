@@ -45,3 +45,29 @@ def test_train_merges_deterministic_and_sequential(spark):
     assert merges[1][0] == 2
     # round-2 winner must be a pair over the merged vocabulary
     assert "u v" in (merges[1][1], merges[1][2])
+
+
+def test_subword_merges_build_words(spark):
+    """Frequency-weighted subword BPE reconstructs the dominant word
+    greedily: 'hash' x3 drives a->s, as->h, h->ash."""
+    df = spark.createDataFrame(
+        [(1, "hash hash table hashes")], "doc_id long, text string"
+    )
+    merges = B.train_subword_merges(df, n_merges=3)
+    assert [(a, b) for _r, a, b, _n in merges] == [("a", "s"), ("as", "h"), ("h", "ash")]
+    assert [n for *_x, n in merges] == [3, 3, 3]  # 'hashes' contributes too
+
+
+def test_subword_rounds_are_vocab_sized(spark):
+    """The round data is the VOCAB frame: duplicating the corpus 10x
+    must not change the learned merges' identity, only the weights."""
+    base = [(i, "alpha beta beta") for i in range(1)]
+    big = [(i, "alpha beta beta") for i in range(10)]
+    m1 = B.train_subword_merges(
+        spark.createDataFrame(base, "doc_id long, text string"), n_merges=2
+    )
+    m10 = B.train_subword_merges(
+        spark.createDataFrame(big, "doc_id long, text string"), n_merges=2
+    )
+    assert [(a, b) for _r, a, b, _n in m1] == [(a, b) for _r, a, b, _n in m10]
+    assert [n * 10 for *_x, n in m1] == [n for *_x, n in m10]
