@@ -157,3 +157,20 @@ def train_subword_merges(
             _merge_fold(F.col("s"), a, b, merged=a + b).alias("s"), "freq"
         ).localCheckpoint(eager=False)
     return out
+
+
+def apply_merges(
+    words: DataFrame, merges: list[tuple[int, str, str, int]], word_col: str = "w"
+) -> DataFrame:
+    """Segment words with a learned merge table: chars -> fold each
+    merge IN RANK ORDER (BPE apply is order-sensitive: later merges
+    consume earlier merges' outputs). Adds `sym` (array<string>) —
+    map-only, vocab-sized input, merge literals folded into the
+    projection."""
+    sym = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.col(word_col).substr(i, F.lit(1)),
+    )
+    for _rank, a, b, _n in sorted(merges):
+        sym = _merge_fold(sym, a, b, merged=a + b)
+    return words.withColumn("sym", sym)

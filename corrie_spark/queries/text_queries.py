@@ -1262,7 +1262,7 @@ def _sub_bpe_ctes(n_rounds: int) -> str:
         f"  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq\n"
         f"  FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE length(trim(text)) > 0) x\n"
         "  GROUP BY w\n)",
-        "s0 AS (SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS s, freq FROM vocab)",
+        "s0 AS (SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS s, freq FROM vocab)",
     ]
     for r in range(1, n_rounds + 1):
         prev = f"s{r - 1}"
@@ -1275,7 +1275,7 @@ def _sub_bpe_ctes(n_rounds: int) -> str:
         parts.append(f"sw{r} AS (SELECT a, b, n FROM sc{r} ORDER BY n DESC, a, b LIMIT 1)")
         parts.append(
             f"s{r} AS (\n"
-            "  SELECT CASE WHEN len(s) = 0 THEN s ELSE\n"
+            "  SELECT w, CASE WHEN len(s) = 0 THEN s ELSE\n"
             "    list_reduce(list_transform(s, x -> [x]),\n"
             "      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = w.a AND x[1] = w.b\n"
             "                  THEN acc[1:len(acc)-1] || [w.a || w.b]\n"
@@ -1293,14 +1293,10 @@ SELECT * FROM (
 """
 
 
-@register("q_text_bpe_subword", oracle=_SUB_BPE_ORACLE)
-def q_text_bpe_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE subword BPE (Sennrich et al. 2016 training structure):
-    merges learned over the word-FREQUENCY table — the corpus pays
-    one tokenize+count shuffle, then every merge round is vocab-sized
-    regardless of corpus scale. Frequency-weighted pair counts,
-    deterministic winner, fold-merge applied per word; the oracle
-    replays all rounds including the symbol-sequence rewrites."""
+def _subword_merges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the trained subword merge table — shared by
+    q_text_bpe_subword (reports it) and q_text_bpe_tokenize (applies
+    it), so the trainer rounds run once per (session, sf)."""
     from corrie_spark.operators.bpe import train_subword_merges
     from corrie_spark.queries.dedup_queries import _memo
 
@@ -1311,6 +1307,74 @@ def q_text_bpe_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [(r, a, b, n) for r, a, b, n in merges],
             "merge_rank long, sym_a string, sym_b string, weighted_count long",
-        ).orderBy("merge_rank").persist()
+        ).persist()
 
     return _memo(spark, sf_dir, "bpe_subword", build)
+
+
+@register("q_text_bpe_subword", oracle=_SUB_BPE_ORACLE)
+def q_text_bpe_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE subword BPE (Sennrich et al. 2016 training structure):
+    merges learned over the word-FREQUENCY table — the corpus pays
+    one tokenize+count shuffle, then every merge round is vocab-sized
+    regardless of corpus scale. Frequency-weighted pair counts,
+    deterministic winner, fold-merge applied per word; the oracle
+    replays all rounds including the symbol-sequence rewrites."""
+    return _subword_merges_frame(spark, sf_dir).orderBy("merge_rank")
+
+
+_BPE_TOKENIZE_ORACLE = f"""
+WITH {{ctes}},
+psw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest({_TOKS}) AS w FROM documents WHERE length(trim(text)) > 0) x
+  GROUP BY source, w
+),
+seg AS (SELECT w, CAST(len(s) AS BIGINT) AS n_sym FROM s{_BPE_ROUNDS})
+SELECT p.source,
+       CAST(SUM(p.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(p.cnt * s.n_sym) AS BIGINT) AS n_subword_tokens,
+       CAST(SUM(p.cnt * s.n_sym) AS DOUBLE) / SUM(p.cnt) AS avg_subwords_per_word
+FROM psw p JOIN seg s USING (w)
+GROUP BY p.source
+ORDER BY p.source
+""".format(ctes=_sub_bpe_ctes(_BPE_ROUNDS))
+
+
+@register("q_text_bpe_tokenize", oracle=_BPE_TOKENIZE_ORACLE)
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned subword merges to the corpus: per-source
+    word / subword-token counts and the compression ratio — the
+    tokenizer-throughput metric a data pipeline reports per source.
+    Segmentation runs over the VOCAB (distinct words), then joins the
+    per-(source, word) counts — the corpus never re-folds; merge
+    literals come from the session-memoized trainer."""
+    from corrie_spark.operators.bpe import apply_merges
+
+    docs = load(spark, sf_dir, "documents")
+    merges_df = _subword_merges_frame(spark, sf_dir)
+    merges = [
+        (int(r.merge_rank), r.sym_a, r.sym_b, int(r.weighted_count))
+        for r in merges_df.collect()
+    ]
+
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source", F.explode(T.tokens("text")).alias("w")
+    )
+    psw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    vocab = psw.select("w").distinct()
+    seg = apply_merges(vocab, merges).select(
+        "w", F.size("sym").cast("bigint").alias("n_sym")
+    )
+    return (
+        psw.join(F.broadcast(seg), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_subword_tokens"),
+            (
+                F.sum(F.col("cnt") * F.col("n_sym")).cast("double") / F.sum("cnt")
+            ).alias("avg_subwords_per_word"),
+        )
+        .orderBy("source")
+    )

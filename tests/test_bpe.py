@@ -71,3 +71,19 @@ def test_subword_rounds_are_vocab_sized(spark):
     )
     assert [(a, b) for _r, a, b, _n in m1] == [(a, b) for _r, a, b, _n in m10]
     assert [n * 10 for *_x, n in m1] == [n for *_x, n in m10]
+
+
+def test_apply_merges_order_sensitive(spark):
+    """BPE apply must fold merges in rank order — rank-2 ('as','h')
+    only fires on rank-1's output."""
+    words = spark.createDataFrame([("hash",), ("sash",)], "w string")
+    merges = [(1, "a", "s", 3), (2, "as", "h", 3)]
+    seg = {r.w: list(r.sym) for r in B.apply_merges(words, merges).collect()}
+    assert seg["hash"] == ["h", "ash"]
+    assert seg["sash"] == ["s", "ash"]
+    # reversed rank order must NOT give the same segmentation
+    seg_rev = {
+        r.w: list(r.sym)
+        for r in B.apply_merges(words, [(1, "as", "h", 3), (2, "a", "s", 3)]).collect()
+    }
+    assert seg_rev["hash"] == ["h", "as", "h"]
