@@ -82,3 +82,71 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def count_triangles(pairs: DataFrame) -> DataFrame:
+    """Exact triangle census of an undirected pair graph, returned as
+    one row: (n_nodes, n_edges, n_triangles, max_degree).
+
+    Algorithm: degree-ordered wedge closure — orient every edge from
+    its lower-(degree, id) endpoint to the higher one, build wedges at
+    the common SOURCE of two oriented edges, and close each wedge with
+    one semi-join back into the oriented edge set. Every triangle is
+    counted exactly once (its unique degree-min vertex roots the
+    wedge).
+
+    Why orientation matters at 100 TB: wedge count at a node is
+    quadratic in its ORIENTED out-degree, and orienting toward higher
+    degree caps out-degree at O(sqrt(|E|)) — the classic bound that
+    tames power-law hubs (a 10^6-degree boilerplate hub would
+    otherwise build 10^12 wedges; oriented, its wedges land on its
+    low-degree neighbors instead). The oracle counts the same
+    triangles with a naive 3-way join — same number, feasible only at
+    oracle scale.
+
+    Plan: degrees = one groupBy; orientation = broadcast-free
+    projection after a degree join; wedges = one self-join on src;
+    closure = one semi-join on the (lo, hi) edge key. All equi-joins
+    on long keys.
+    """
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+
+    du = deg.select(F.col("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    keyed = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            # orient from lower (deg, id) to higher (deg, id)
+            (
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+            ).alias("fwd"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("fwd"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("fwd"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "src").filter(F.col("x") < F.col("y"))
+    # closing-edge lookup: the input pairs are already (min, max)
+    # normalized, so the canonical key set IS the pair list
+    closing = e.select(F.col("u").alias("x2"), F.col("v").alias("y2"))
+    tri = wedges.join(
+        closing,
+        (F.least("x", "y") == F.col("x2")) & (F.greatest("x", "y") == F.col("y2")),
+        "left_semi",
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                           F.max("deg").cast("bigint").alias("max_degree")))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        .select("n_nodes", "n_edges", "n_triangles", "max_degree")
+    )

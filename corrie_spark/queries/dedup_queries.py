@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from corrie_spark.operators import dedup as D
+from corrie_spark.operators.graph import count_triangles
 from corrie_spark.queries.registry import register
 from corrie_spark.tables import load
 from corrie_spark.queries.text_queries import _NORM, _TOKS
@@ -1052,3 +1053,38 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_cross_split_by_cluster"),
         )
     )
+
+
+# --- triangle census over the pair graph -----------------------------------
+
+_TRIANGLES_ORACLE = f"""
+{_PR_PAIRS_PREFIX},
+sym2 AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg2 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym2 GROUP BY u),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM pairs p1
+  JOIN pairs p2 ON p2.id_a = p1.id_b
+  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg2) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+  (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+  (SELECT CAST(MAX(deg) AS BIGINT) FROM deg2) AS max_degree
+"""
+
+
+@register("q_graph_triangles", oracle=_TRIANGLES_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the near-dup pair graph (cohesion of
+    duplicate families: triangles = mutually-confirming near-dup
+    evidence; a triangle-free pair component is chain-shaped and more
+    likely LSH noise). Spark side is the degree-ORIENTED wedge-closure
+    algorithm (out-degree capped ~sqrt(|E|), hub-proof); the oracle
+    counts the same triangles with a naive a<b<c three-way join —
+    identical by construction. Rides the session pair-graph memo."""
+    return count_triangles(_shared_pairs(spark, sf_dir).select("id_a", "id_b"))

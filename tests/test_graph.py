@@ -61,3 +61,41 @@ def test_round_plan_is_flat(spark):
     shallow = count_shuffles(pagerank(e, n, n_iters=1))
     deep = count_shuffles(pagerank(e, n, n_iters=4))
     assert deep == shallow  # plan size constant in iteration count
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    from corrie_spark.operators.graph import count_triangles
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "id_a long, id_b long",
+    )
+    row = count_triangles(pairs).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.max_degree) == (5, 7, 4, 4)
+
+
+def test_triangle_count_matches_naive_on_random_graph(spark):
+    import itertools
+    import random
+
+    from corrie_spark.operators.graph import count_triangles
+
+    rng = random.Random(7)
+    nodes = list(range(20))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)})
+    naive = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if ((a, b) in edges and (b, c) in edges and (a, c) in edges)
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    assert count_triangles(pairs).collect()[0].n_triangles == naive
+
+
+def test_triangle_free_graph(spark):
+    from corrie_spark.operators.graph import count_triangles
+
+    # star graph: no triangles, hub degree 4
+    pairs = spark.createDataFrame([(0, i) for i in range(1, 5)], "id_a long, id_b long")
+    row = count_triangles(pairs).collect()[0]
+    assert (row.n_triangles, row.max_degree) == (0, 4)
