@@ -690,3 +690,54 @@ def semdedup_cell_report(cells: DataFrame, threshold: float = 0.35) -> DataFrame
         .withColumn("n_kept", (F.col("n_vectors") - F.col("n_dropped")).cast("bigint"))
         .orderBy("cell")
     )
+
+
+def gram_cells(
+    vectors: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Exact integer Gram/covariance cells: (i, j, s_ij, n, s1_i,
+    s1_j) for the upper triangle (1-based dims, i <= j), where
+    s_ij = sum(qv[i]*qv[j]), s1 = per-dim sums — everything int64.
+
+    The per-partition work is ONE numpy X^T X per Arrow batch
+    (int64 — exact; |qv| <= 2^19 keeps a 10^6-row batch's cell sums
+    under 2^63), emitted as dim*(dim+1)/2 partial rows per batch; the
+    only shuffle carries #batches x 2080 rows into a dim^2-bounded
+    hash aggregation — corpus size never appears on the wire. This is
+    the sanctioned-Arrow pattern (like local_topk): a linear map-side
+    pass that replaces an unboundedly larger JVM explode (the
+    struct-explode formulation shipped 2080 structs PER ROW and ran
+    ~8x slower at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(dim)
+    quant = vectors.select(quantize(F.col(vec_col)).alias("qv"))
+
+    def per_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            g = x.T @ x
+            s1 = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int32"),
+                    "j": (ju + 1).astype("int32"),
+                    "s_ij": g[iu, ju],
+                    "n": np.full(len(iu), len(x), dtype=np.int64),
+                    "s1_i": s1[iu],
+                    "s1_j": s1[ju],
+                }
+            )
+
+    partial = quant.mapInPandas(
+        per_batch, "i int, j int, s_ij long, n long, s1_i long, s1_j long"
+    )
+    return partial.groupBy("i", "j").agg(
+        F.sum("s_ij").cast("bigint").alias("s_ij"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1_i").cast("bigint").alias("s1_i"),
+        F.sum("s1_j").cast("bigint").alias("s1_j"),
+    )

@@ -798,3 +798,69 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-min-id representative policy — what fraction of each
     semantic cluster a training-data build would drop at tau=0.35."""
     return S.semdedup_cell_report(_trained_cells(spark, sf_dir), threshold=_SEM_TAU)
+
+
+# --- exact distributed covariance (Gram sums) over embeddings -------------
+
+_COV_TOPK = 15
+
+_COV_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+cells AS (
+  SELECT i, j,
+         CAST(SUM(qv[i] * qv[j]) AS BIGINT) AS s_ij,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base, UNNEST(range(1, {_DIM + 1})) AS a(i), UNNEST(range(1, {_DIM + 1})) AS b(j)
+  WHERE i <= j
+  GROUP BY i, j
+),
+means AS (
+  SELECT i AS d, CAST(SUM(qv[i]) AS BIGINT) AS s1
+  FROM base, UNNEST(range(1, {_DIM + 1})) AS a(i)
+  GROUP BY i
+),
+cov AS (
+  SELECT c.i, c.j,
+         c.n * c.s_ij - mi.s1 * mj.s1 AS cov_num  -- n^2 * cov, exact
+  FROM cells c JOIN means mi ON c.i = mi.d JOIN means mj ON c.j = mj.d
+)
+SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+       CAST(cov_num AS BIGINT) AS cov_num
+FROM cov
+WHERE i < j
+ORDER BY abs(cov_num) DESC, i, j
+LIMIT {_COV_TOPK}
+"""
+
+
+@register("q_emb_covariance", oracle=_COV_ORACLE)
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed covariance: the strongest 15 off-diagonal
+    entries of the embedding covariance matrix as EXACT integers
+    (cov_num = n^2 * cov over quantized vectors; n*s_ij - s_i*s_j) —
+    the PCA/whitening prep computation. One numpy X^T X per Arrow
+    batch (see gram_cells) emits dim^2/2 partial cells per batch; the
+    shuffle is dim^2-bounded regardless of corpus size and the full
+    matrix is metadata (64x64) at any scale. |qv|<=2^19 keeps cell
+    sums < 2^63 to n ~ 10^6 rows; at larger n switch the cell sums
+    to DECIMAL(38,0) — same plan.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cells = S.gram_cells(emb, "embedding", dim=_DIM)
+    cov = cells.select(
+        "i",
+        "j",
+        (F.col("n") * F.col("s_ij") - F.col("s1_i") * F.col("s1_j")).alias("cov_num"),
+    )
+    return (
+        cov.filter(F.col("i") < F.col("j"))
+        .select(
+            F.col("i").cast("bigint").alias("dim_i"),
+            F.col("j").cast("bigint").alias("dim_j"),
+            F.col("cov_num").cast("bigint").alias("cov_num"),
+        )
+        .orderBy(F.abs("cov_num").desc(), "dim_i", "dim_j")
+        .limit(_COV_TOPK)
+    )

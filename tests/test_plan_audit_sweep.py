@@ -29,6 +29,7 @@ _PYTHON_OK = {
     "q_multimodal_audio_features",
     "q_multimodal_frame_stats",
     "q_multimodal_real_codecs",
+    "q_emb_covariance",  # gram_cells: one numpy X^T X per Arrow batch
 }
 
 
