@@ -741,3 +741,59 @@ def gram_cells(
         F.sum("s1_i").cast("bigint").alias("s1_i"),
         F.sum("s1_j").cast("bigint").alias("s1_j"),
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — the replayable
+    division both the driver-side power iteration and the DuckDB
+    oracle use (Python // floors, which differs on negatives)."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+PCA_SCALE = 1 << 20
+
+
+def pca_power_iteration(
+    cells_rows: list, dim: int = 64, n_iters: int = 3
+) -> list[int]:
+    """Dominant eigenvector of the (uncentered) Gram matrix by
+    EXACT-INTEGER power iteration — every step replayable in any
+    engine:
+
+      m[i][j] = tdiv(s_ij, 2^20)         (downscale so m·v fits i64)
+      v0      = [2^20] * dim
+      w       = m · v                     (exact int64 sums)
+      v'      = [tdiv(w_i * 2^20, max|w|)]  (renormalize to 2^20)
+
+    The input is gram_cells' collected upper triangle (i, j, s_ij) —
+    dim^2 metadata, the same driver discipline as the kmeans
+    centroid collect. Sign is fixed by the deterministic all-ones
+    init. Returns the scaled eigenvector (ints in [-2^20, 2^20])."""
+    m = [[0] * dim for _ in range(dim)]
+    for r in cells_rows:
+        i, j, s = int(r["i"]) - 1, int(r["j"]) - 1, int(r["s_ij"])
+        d = _tdiv(s, PCA_SCALE)
+        m[i][j] = d
+        m[j][i] = d
+    v = [PCA_SCALE] * dim
+    for _ in range(n_iters):
+        w = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w) or 1
+        v = [_tdiv(x * PCA_SCALE, mx) for x in w]
+    return v
+
+
+def pca_project(
+    vectors: DataFrame, v: list[int], vec_col: str = "embedding"
+) -> DataFrame:
+    """Project each vector onto the scaled eigenvector: an exact
+    integer dot against a foldable literal (map-only), downscaled by
+    2^20 so downstream squared sums stay in int64. Adds `pc1`."""
+    vec_lit = F.lit(v).cast("array<bigint>")
+    raw = int_dot(quantize(F.col(vec_col)), vec_lit)
+    # guarded truncating div, replayable in SQL: |raw| < 2^45 so the
+    # double division is mantissa-exact and floor is exact
+    red = F.when(
+        raw >= 0, F.floor(raw / F.lit(PCA_SCALE))
+    ).otherwise(-F.floor((-raw) / F.lit(PCA_SCALE)))
+    return vectors.withColumn("pc1", red.cast("bigint"))

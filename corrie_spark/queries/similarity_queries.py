@@ -864,3 +864,95 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs("cov_num").desc(), "dim_i", "dim_j")
         .limit(_COV_TOPK)
     )
+
+
+# --- in-engine PCA: integer power iteration, bit-exact replay -------------
+
+_PCA_ITERS = 3
+_PCA_S = 1 << 20  # similarity.PCA_SCALE
+
+
+def _pca_round(r: int) -> str:
+    prev = f"pv{r - 1}"
+    return f"""pw{r} AS (
+  SELECT list_transform(range(1, {_DIM + 1}),
+           i -> CAST(list_sum(list_transform(range(1, {_DIM + 1}), j -> m[i][j] * v[j])) AS BIGINT)) AS w
+  FROM {prev} CROSS JOIN pmat
+),
+pn{r} AS (SELECT w, greatest(list_max(list_transform(w, y -> abs(y))), 1) AS mx FROM pw{r}),
+pv{r} AS (
+  SELECT list_transform(w, x -> CASE WHEN x >= 0
+            THEN CAST((CAST(x AS HUGEINT) * {_PCA_S}) // mx AS BIGINT)
+            ELSE CAST(-((CAST(-x AS HUGEINT) * {_PCA_S}) // mx) AS BIGINT) END) AS v
+  FROM pn{r}
+)"""
+
+
+_PCA_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+gcell AS (
+  SELECT i, j, CAST(SUM(qv[i] * qv[j]) AS BIGINT) AS s_ij
+  FROM base, UNNEST(range(1, {_DIM + 1})) AS a(i), UNNEST(range(1, {_DIM + 1})) AS b(j)
+  WHERE i <= j GROUP BY i, j
+),
+gfull AS (
+  SELECT i, j, s_ij FROM gcell
+  UNION ALL SELECT j, i, s_ij FROM gcell WHERE i <> j
+),
+pmrow AS (
+  SELECT i, list(CASE WHEN s_ij >= 0 THEN s_ij // {_PCA_S}
+                      ELSE -((-s_ij) // {_PCA_S}) END ORDER BY j) AS mr
+  FROM gfull GROUP BY i
+),
+pmat AS (SELECT list(mr ORDER BY i) AS m FROM pmrow),
+pv0 AS (SELECT list_transform(range(1, {_DIM + 1}), x -> CAST({_PCA_S} AS BIGINT)) AS v),
+{",".join(_pca_round(r) for r in range(1, _PCA_ITERS + 1))},
+proj AS (
+  SELECT d.source,
+         CASE WHEN raw >= 0 THEN CAST(floor(CAST(raw AS DOUBLE) / {_PCA_S}) AS BIGINT)
+              ELSE -CAST(floor(CAST(-raw AS DOUBLE) / {_PCA_S}) AS BIGINT) END AS pc1
+  FROM (
+    SELECT b.vec_id,
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}), k -> b.qv[k] * v[k])) AS BIGINT) AS raw
+    FROM base b CROSS JOIN pv{_PCA_ITERS}
+  ) r JOIN documents d ON d.doc_id = r.vec_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pc1) AS BIGINT) AS s1,
+       CAST(SUM(pc1 * pc1) AS BIGINT) AS s2,
+       CAST(SUM(pc1) AS DOUBLE) / COUNT(*) AS pc1_mean
+FROM proj
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q_emb_pca_source", oracle=_PCA_ORACLE)
+def q_emb_pca_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine PCA: dominant Gram eigenvector by EXACT-INTEGER
+    power iteration (driver holds only the 64x64 cell collect — the
+    kmeans-centroid discipline), corpus projected onto it map-only,
+    per-source projection sums reported as exact integers. The
+    oracle replays the iteration arithmetic bit-for-bit (guarded
+    truncating divisions, HUGEINT renormalization products), so the
+    eigenvector itself — not just summary stats — is cross-engine
+    pinned through the projections."""
+    emb = load(spark, sf_dir, "embeddings")
+    cells = S.gram_cells(emb, "embedding", dim=_DIM).select("i", "j", "s_ij").collect()
+    v = S.pca_power_iteration(cells, dim=_DIM, n_iters=_PCA_ITERS)
+    proj = S.pca_project(emb, v)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        proj.join(docs, proj.vec_id == docs.doc_id)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pc1").cast("bigint").alias("s1"),
+            F.sum(F.col("pc1") * F.col("pc1")).cast("bigint").alias("s2"),
+            (F.sum("pc1").cast("double") / F.count(F.lit(1))).alias("pc1_mean"),
+        )
+        .orderBy("source")
+    )

@@ -89,3 +89,38 @@ def test_kmeans_assign_empty_centroids_yields_no_rows(spark):
     out = S.kmeans_assign(q, [])
     assert out.columns == ["vid", "qv", "cell"]
     assert out.count() == 0
+
+
+def test_pca_power_iteration_finds_dominant_direction(spark):
+    """Synthetic anisotropic cloud: variance along the learned PC1
+    must dominate variance along an arbitrary fixed direction."""
+    import random
+
+    from corrie_spark.operators import similarity as S
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        t = rng.uniform(-1, 1)
+        vec = [0.0] * 64
+        vec[0] = 0.9 * t + rng.uniform(-0.05, 0.05)   # dominant axis
+        vec[1] = 0.1 * rng.uniform(-1, 1)             # minor axis
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cells = S.gram_cells(df).select("i", "j", "s_ij").collect()
+    v = S.pca_power_iteration(cells)
+    assert len(v) == 64 and max(abs(x) for x in v) == S.PCA_SCALE
+    # PC1 must point (mostly) along dim 1
+    assert abs(v[0]) == max(abs(x) for x in v)
+    # deterministic: same input -> same vector
+    assert v == S.pca_power_iteration(cells)
+
+    from pyspark.sql import functions as F
+
+    proj = S.pca_project(df, v)
+    var_pc1 = proj.agg(F.variance("pc1")).collect()[0][0]
+    other = [0] * 64
+    other[5] = S.PCA_SCALE
+    var_other = S.pca_project(df, other).agg(F.variance("pc1")).collect()[0][0]
+    assert var_pc1 > 10 * (var_other + 1)
