@@ -10,7 +10,7 @@ can't diverge (same convention as q_events_hourly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from corrie_spark.queries.registry import register
@@ -331,4 +331,59 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).cast("bigint").alias("n_hours_present"),
         F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).cast("bigint").alias("n_hours_filled"),
         F.sum("n").cast("bigint").alias("total_events"),
+    )
+
+
+# --- day-over-day anomaly flags (lag deltas + MAD threshold) ---------------
+
+_ANOMALY_ORACLE = """
+WITH days AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+deltas AS (
+  SELECT day, n_events,
+         n_events - LAG(n_events) OVER (ORDER BY day) AS delta
+  FROM days
+),
+m AS (SELECT median(abs(delta)) AS mad FROM deltas WHERE delta IS NOT NULL)
+SELECT d.day, d.n_events,
+       CAST(d.delta AS BIGINT) AS delta,
+       CASE WHEN d.delta IS NULL THEN FALSE
+            ELSE abs(d.delta) > 3 * m.mad END AS anomaly
+FROM deltas d CROSS JOIN m
+ORDER BY d.day
+"""
+
+
+@register("q_anomaly_days", oracle=_ANOMALY_ORACLE)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume anomaly screen: daily event counts, lag
+    deltas, and a robust MAD threshold (|delta| > 3 * median|delta|)
+    — the rollup-store alert a pipeline would run nightly. The day
+    series is #days rows, so the lag window and the scalar MAD are
+    metadata-sized at any raw scale; only the daily count aggregation
+    touches the events table (one partial-agg shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w = Window.orderBy("day")
+    deltas = days.withColumn(
+        "delta", (F.col("n_events") - F.lag("n_events").over(w)).cast("bigint")
+    )
+    mad = deltas.filter(F.col("delta").isNotNull()).agg(
+        F.median(F.abs("delta")).alias("mad")
+    )
+    return (
+        deltas.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            "delta",
+            F.when(F.col("delta").isNull(), F.lit(False))
+            .otherwise(F.abs("delta") > 3 * F.col("mad"))
+            .alias("anomaly"),
+        )
+        .orderBy("day")
     )
