@@ -109,3 +109,30 @@ def test_zorder_tightens_rowgroup_stats_on_both_columns(spark, tmp_path):
     assert spans(zpath, "y") < dom * 0.6
     # and the y-span improvement vs the plain sort is large
     assert spans(zpath, "y") < spans(spath, "y") / 1.5
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """Joining a day-partitioned fact against a selectively-filtered
+    dim must plan a dynamicpruning subquery on the fact scan — at
+    100 TB this is the difference between scanning one day and
+    scanning the table when the qualifying days are only known at
+    runtime (the star-join backfill shape)."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    ev = load(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "ev_days")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(path)
+
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(f"2024-01-{i:02d}", f"t{i}") for i in range(1, 10)],
+        "day string, tag string",
+    )
+    j = fact.join(dim.filter(F.col("tag") == "t2"), "day").agg(F.count("*"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
