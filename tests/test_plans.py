@@ -432,3 +432,43 @@ def test_bm25_two_scans_no_joins(spark):
     assert "Join" not in s and "Window" not in s
     assert "TakeOrderedAndProject" in s
     assert count_shuffles(df) == 0
+
+
+def test_runtime_bloom_filter_engages_on_smj(spark):
+    """Spark's runtime Bloom-filter injection (the engine-native twin
+    of operators/bloom.py): with broadcast off and a selective build
+    side, the probe scan gets a bloom_filter_agg semi-filter before
+    the shuffle join. Size thresholds default to 10 MB/10 GB — right
+    for a 100 TB cluster, far above sf0.01 — so the test pins the
+    BEHAVIOR by lowering them; production keeps the defaults."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.tables import load
+    from tests.conftest import SF_CORRECT
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100000000"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load(spark, SF_CORRECT, "lineitem")
+        orders = load(spark, SF_CORRECT, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(F.count("*"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
