@@ -136,3 +136,28 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     j = fact.join(dim.filter(F.col("tag") == "t2"), "day").agg(F.count("*"))
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_morton_key_is_bijective(spark):
+    """Round-trip property: de-interleaving the key recovers exactly
+    (x, y) for a grid sample — no collisions, no dropped bits."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.sinks.layout import morton_key
+
+    def demorton(z, bits=8):
+        x = y = 0
+        for i in range(bits):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    df = (
+        spark.range(256)
+        .select((F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y"))
+        .select("x", "y", morton_key(F.col("x"), F.col("y"), bits=8).alias("z"))
+    )
+    rows = df.collect()
+    assert len({r.z for r in rows}) == 256  # injective on the grid
+    for r in rows:
+        assert demorton(r.z) == (r.x, r.y)
