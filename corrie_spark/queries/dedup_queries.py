@@ -1088,3 +1088,66 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts the same triangles with a naive a<b<c three-way join —
     identical by construction. Rides the session pair-graph memo."""
     return count_triangles(_shared_pairs(spark, sf_dir).select("id_a", "id_b"))
+
+
+# --- cross-modality dedup agreement ----------------------------------------
+
+_AGREE_ORACLE = f"""
+{_PR_PAIRS_PREFIX},
+emb_base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+emb_sigs AS (
+  SELECT vec_id, qv, {_BUCKET} AS bucket FROM emb_base
+),
+emb_pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+           CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS BIGINT) AS na,
+           CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS BIGINT) AS nb
+    FROM emb_sigs a JOIN emb_sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) p
+  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+),
+tp AS (SELECT id_a, id_b FROM pairs),
+agree AS (SELECT id_a, id_b FROM tp INTERSECT SELECT id_a, id_b FROM emb_pairs)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_text_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM emb_pairs) AS n_embedding_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM agree) AS n_both,
+  CAST((SELECT COUNT(*) FROM agree) AS DOUBLE)
+    / ((SELECT COUNT(*) FROM tp) + (SELECT COUNT(*) FROM emb_pairs)
+       - (SELECT COUNT(*) FROM agree)) AS jaccard
+"""
+
+
+@register("q_dedup_modality_agreement", oracle=_AGREE_ORACLE)
+def q_dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup diagnostic: how much do the TEXT near-dup
+    pair set (MinHash-LSH bands) and the EMBEDDING near-dup pair set
+    (cosine-LSH, tau=0.35) agree? doc_id and vec_id are 1:1 in this
+    corpus, so the pair sets are directly comparable; low Jaccard
+    flags threshold drift between the two dedup families before a
+    corpus build trusts either alone. Both pair frames ride their
+    session memos — the query itself is two counts and a semi-sized
+    intersect."""
+    text_pairs = _shared_pairs(spark, sf_dir).select("id_a", "id_b")
+    emb_pairs = _shared_embedding_pairs(spark, sf_dir).select("id_a", "id_b")
+    both = text_pairs.intersect(emb_pairs)
+    nt = text_pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_text_pairs"))
+    ne = emb_pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_embedding_pairs"))
+    nb = both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    return (
+        nt.crossJoin(ne)
+        .crossJoin(nb)
+        .select(
+            "n_text_pairs",
+            "n_embedding_pairs",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_text_pairs") + F.col("n_embedding_pairs") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
