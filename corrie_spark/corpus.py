@@ -196,3 +196,106 @@ def build_corpus(
         "n_written": sum(s["n_docs"] for s in per_split.values()),
         "splits": per_split,
     }
+
+
+def build_corpus_staged(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    shard_budget: int = SHARD_BUDGET_TOKENS,
+    strip_n: int = P.DEFAULT_PASSAGE_N,
+) -> dict:
+    """Restartable build: every stage boundary is CHECKPOINTED as a
+    parquet stage table under <out_dir>/stages/, and a rerun SKIPS
+    any stage whose output already exists — the operational shape of
+    a multi-hour 100 TB build, where a failure at shard-packing must
+    not re-pay the near-dedup pass. (build_corpus's in-memory
+    persists are the single-job equivalent; this is the multi-job /
+    resumable variant.)
+
+    Stage tables and their producers:
+      stages/clusters   (doc_id, cluster_id)   exact-dedup + LSH + CC
+      stages/assigned   (doc_id, text, n_tokens, split)
+                        gates + strip + split over the cluster table
+      corpus/           final packed shards (partitioned by split)
+
+    Resume contract: a stage counts as done only when its
+    _STAGE_DONE marker exists, written strictly AFTER the parquet
+    commit returns (a killed write leaves no marker and the rerun
+    rewrites the stage; dynamic-partition-overwrite suppresses
+    Spark's own _SUCCESS, so the explicit marker is load-bearing for
+    the packed output). Each stage is a pure function of its
+    upstream table, so skipping is always sound. Delete a stage dir
+    to force its recompute (e.g. after changing gate thresholds).
+
+    Returns the same manifest as build_corpus plus a `stages_run`
+    list showing what actually executed this invocation."""
+    import os
+
+    stages_dir = f"{out_dir}/stages"
+    ran: list[str] = []
+
+    def done(path: str) -> bool:
+        return os.path.exists(f"{path}/_STAGE_DONE")
+
+    def mark(path: str) -> None:
+        with open(f"{path}/_STAGE_DONE", "w") as f:
+            f.write("ok\n")
+
+    st: dict | None = None
+
+    def teardown():
+        if st is not None:
+            for k in ("exact", "gated", "assigned", "clusters"):
+                st[k].unpersist()
+
+    clusters_path = f"{stages_dir}/clusters"
+    if not done(clusters_path):
+        st = corpus_stages(spark, docs, strip_n=strip_n)
+        st["clusters"].write.mode("overwrite").parquet(clusters_path)
+        mark(clusters_path)
+        ran.append("clusters")
+
+    assigned_path = f"{stages_dir}/assigned"
+    if not done(assigned_path):
+        if st is None:
+            # resume: rebuild downstream stages from the stored table
+            st = corpus_stages(
+                spark, docs, strip_n=strip_n,
+                clusters=spark.read.parquet(clusters_path),
+            )
+        st["assigned"].write.mode("overwrite").parquet(assigned_path)
+        mark(assigned_path)
+        ran.append("assigned")
+    teardown()
+    assigned = spark.read.parquet(assigned_path)
+
+    corpus_path = f"{out_dir}/corpus"
+    if not done(corpus_path):
+        pack_splits(assigned, shard_budget).write.mode("overwrite").partitionBy(
+            "split"
+        ).parquet(corpus_path)
+        mark(corpus_path)
+        ran.append("pack")
+
+    out = spark.read.parquet(corpus_path)
+    per_split = {
+        r["split"]: {
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "n_shards": r["n_shards"],
+        }
+        for r in out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("shard").alias("n_shards"),
+        )
+        .collect()
+    }
+    return {
+        "n_raw": docs.count(),
+        "n_written": sum(s["n_docs"] for s in per_split.values()),
+        "splits": per_split,
+        "stages_run": ran,
+    }

@@ -76,3 +76,33 @@ def test_exact_dup_never_written(spark, tmp_path):
 
     written = out.select("doc_id").join(docs, "doc_id").select(fingerprint("text").alias("fp"))
     assert written.count() == written.distinct().count()
+
+
+def test_staged_build_resumes_without_recompute(spark, tmp_path):
+    """Stage checkpointing: run 1 executes all stages; run 2 (outputs
+    present) executes none; deleting the final output re-runs ONLY
+    the pack stage; and the staged result matches the in-memory
+    build exactly."""
+    import shutil
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "staged")
+    m1 = C.build_corpus_staged(spark, docs, out, shard_budget=2000)
+    assert m1["stages_run"] == ["clusters", "assigned", "pack"]
+
+    m2 = C.build_corpus_staged(spark, docs, out, shard_budget=2000)
+    assert m2["stages_run"] == []
+    assert m2["splits"] == m1["splits"]
+
+    shutil.rmtree(f"{out}/corpus")
+    m3 = C.build_corpus_staged(spark, docs, out, shard_budget=2000)
+    assert m3["stages_run"] == ["pack"]
+    assert m3["splits"] == m1["splits"]
+
+    # staged output == one-shot in-memory build output
+    mem_manifest, mem_out = _build(spark, tmp_path, "c1")
+    staged_rows = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/corpus").collect()
+    )
+    mem_rows = sorted(tuple(r) for r in mem_out.collect())
+    assert staged_rows == mem_rows
