@@ -11,10 +11,12 @@ Commands:
   explain <name> [--sf-dir D]  print the optimized + physical plan
                             of one registered query (the plan-shape
                             review surface PLANS.md sweeps)
-  build --sf-dir D --out O [--shard-budget N]
+  build --sf-dir D --out O [--shard-budget N] [--staged]
                             run the full training-corpus build
                             (dedup -> quality -> strip -> split ->
-                            shards) and print the manifest JSON
+                            shards) and print the manifest JSON;
+                            --staged checkpoints stage tables and
+                            resumes completed stages on rerun
 """
 
 from __future__ import annotations
@@ -58,6 +60,8 @@ def _build_parser() -> argparse.ArgumentParser:
     build.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     build.add_argument("--out", required=True)
     build.add_argument("--shard-budget", type=int, default=None)
+    build.add_argument("--staged", action="store_true",
+                       help="checkpoint stage tables; reruns resume")
     return p
 
 
@@ -153,13 +157,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         import json
 
-        from corrie_spark.corpus import SHARD_BUDGET_TOKENS, build_corpus
+        from corrie_spark.corpus import (
+            SHARD_BUDGET_TOKENS,
+            build_corpus,
+            build_corpus_staged,
+        )
         from corrie_spark.session import get_spark
         from corrie_spark.tables import load
 
         spark = get_spark("corrie-spark-build")
         spark.sparkContext.setLogLevel("ERROR")
-        manifest = build_corpus(
+        builder = build_corpus_staged if args.staged else build_corpus
+        manifest = builder(
             spark,
             load(spark, args.sf_dir, "documents"),
             args.out,
