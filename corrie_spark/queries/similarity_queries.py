@@ -956,3 +956,120 @@ def q_emb_pca_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- residual IVF-PQ (the faithful FAISS layout) --------------------------
+
+# residual PQ chain: the plain-PQ index CTEs with the codebook/enc
+# side re-targeted at residual vectors (rv); query-side LUTs stay
+# over the RAW query subvectors (ADC decomposition: dot(q, x) ~
+# dot(q, c_cell) + sum_m lut[m][code]).
+_RES_PQ_CTES = _PQ_INDEX_CTES.replace(
+    "sub AS (\n  SELECT vec_id, m, list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv,",
+    "sub AS (\n  SELECT vec_id, m, list_slice(rv, m * 8 + 1, m * 8 + 8) AS sv,",
+).replace(
+    "FROM base, range(0, 8) t(m)\n),\ncsum",
+    "FROM rbase, range(0, 8) t(m)\n),\ncsum",
+)
+
+_IVFPQ_RES_RECALL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS cell, {_QUANT} AS qv FROM embeddings
+),
+rcent AS (
+  SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM base GROUP BY cell
+),
+rcentv AS (SELECT cell, [{_CENT_LIST}] AS centroid FROM rcent),
+rbase AS (
+  SELECT b.vec_id, b.cell,
+         list_transform(range(1, {_DIM + 1}), i -> b.qv[i] - cv.centroid[i]) AS rv
+  FROM base b JOIN rcentv cv USING (cell)
+),
+{_RES_PQ_CTES.lstrip()},
+rprobe AS (
+  SELECT query_id, cell, cell_dot FROM (
+    SELECT q.query_id, cv.cell,
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                i -> q.qv[i] * cv.centroid[i])) AS BIGINT) AS cell_dot,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                  i -> q.qv[i] * cv.centroid[i])) AS BIGINT) DESC, cv.cell) AS cell_rnk
+    FROM (SELECT vec_id AS query_id, qv FROM base WHERE vec_id < 5) q
+    CROSS JOIN rcentv cv
+  ) t WHERE cell_rnk <= {_NPROBE}
+),
+rcand AS (
+  SELECT p.query_id, p.cell_dot, b.vec_id AS neighbor_id
+  FROM rprobe p JOIN base b USING (cell)
+  WHERE b.vec_id <> p.query_id
+),
+rscore AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(c.cell_dot + SUM(l.d) AS BIGINT) AS approx_dot
+  FROM rcand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = e.m AND l.j = e.code
+  GROUP BY c.query_id, c.neighbor_id, c.cell_dot
+),
+rr AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) AS rnk
+  FROM rscore
+),
+rapprox AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 10),
+exact_s AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> q.qv[i] * b.qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN (SELECT vec_id, qv FROM base WHERE vec_id < 5) q
+  WHERE b.vec_id <> q.vec_id
+),
+exact_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM exact_s
+),
+rtruth AS (SELECT query_id, neighbor_id FROM exact_r WHERE rnk <= 10)
+SELECT t.query_id,
+       COUNT(*) AS k_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_10
+FROM rtruth t
+LEFT JOIN rapprox a USING (query_id, neighbor_id)
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@register("q_sim_ivfpq_res_recall", oracle=_IVFPQ_RES_RECALL_ORACLE)
+def q_sim_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of RESIDUAL IVF-PQ (codebooks over vector-minus-
+    centroid residuals, ADC = probe-time cell dot + residual lookups
+    — the faithful FAISS layout) vs brute-force truth. The oracle
+    replays residual training, encoding, probing, and the decomposed
+    scores exactly; tests/test_pq.py pins recall >= the plain IVFPQ
+    path's."""
+    from corrie_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = _bf_truth(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = pq.ivfpq_residual_topk(q, emb, k=10, nprobe=_NPROBE).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_truth"),
+            F.sum(hit).cast("bigint").alias("k_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

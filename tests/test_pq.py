@@ -146,3 +146,61 @@ def test_ivfpq_cell_equijoin_not_crossjoin(spark):
     rows = top.collect()
     assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
     assert all(r["rnk"] <= 10 for r in rows)
+
+
+def test_residual_ivfpq_recall_at_least_plain(spark):
+    """The point of residual encoding: with the same codebook budget,
+    approximating small residuals beats approximating full vectors —
+    mean recall@10 of residual IVF-PQ must be >= the plain path's on
+    this corpus."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators import pq
+    from corrie_spark.operators.similarity import brute_force_topk
+    from corrie_spark.tables import load
+    from tests.conftest import SF_CORRECT
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = brute_force_topk(q, emb, k=10).select("query_id", "neighbor_id")
+
+    def recall(approx):
+        hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        return hits / truth.count()
+
+    plain = pq.ivfpq_topk(q, emb, k=10, nprobe=2).select("query_id", "neighbor_id")
+    resid = pq.ivfpq_residual_topk(q, emb, k=10, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    r_plain, r_resid = recall(plain), recall(resid)
+    assert r_resid >= r_plain
+    # absolute recall is bounded by the probe coverage (nprobe=2 of 8
+    # cells scans ~1/4 of the corpus); the gate is non-vacuity
+    assert r_resid > 0.05
+
+
+def test_residual_frame_exact_reconstruction(spark):
+    """rv + centroid == qv exactly (integer residuals, no loss)."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators import pq
+    from corrie_spark.operators.similarity import ivf_centroids, quantize
+    from corrie_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    cents = ivf_centroids(emb, "label", "embedding", 64)
+    res = pq.residual_frame(emb, cents)
+    rejoined = res.join(F.broadcast(cents), "cell").select(
+        "vid",
+        F.zip_with(F.col("rv"), F.col("centroid"), lambda a, b: a + b).alias("back"),
+    )
+    orig = emb.select(
+        F.col("vec_id").alias("vid"), quantize(F.col("embedding")).alias("qv")
+    )
+    bad = (
+        rejoined.join(orig, "vid")
+        .filter(F.col("back") != F.col("qv"))
+        .count()
+    )
+    assert bad == 0
