@@ -1041,6 +1041,28 @@ ORDER BY t.query_id
 """
 
 
+def _res_pq_index(spark: SparkSession, sf_dir: str):
+    """Session memo of the RESIDUAL PQ index (books, persisted codes)
+    — the residual trainer runs once per (session, sf), same
+    discipline as _pq_index."""
+    from corrie_spark.operators import pq
+    from corrie_spark.operators.similarity import ivf_centroids
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        cents = ivf_centroids(emb, "label", "embedding", _DIM)
+        res = pq.residual_frame(emb, cents)
+        books = pq.pq_codebooks(res, id_col="vid", vec_col="rv", quantized=True)
+        codes = pq.pq_encode(
+            res, books, id_col="vid", vec_col="rv",
+            carry_cols=("cell",), quantized=True,
+        ).persist()
+        return (books, codes)
+
+    return _memo(spark, sf_dir, "res_pq_index", build)
+
+
 @register("q_sim_ivfpq_res_recall", oracle=_IVFPQ_RES_RECALL_ORACLE)
 def q_sim_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of RESIDUAL IVF-PQ (codebooks over vector-minus-
@@ -1054,9 +1076,10 @@ def q_sim_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     truth = _bf_truth(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = pq.ivfpq_residual_topk(q, emb, k=10, nprobe=_NPROBE).select(
-        "query_id", F.col("neighbor_id").alias("hit_id")
-    )
+    books, codes = _res_pq_index(spark, sf_dir)
+    approx = pq.ivfpq_residual_topk(
+        q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes
+    ).select("query_id", F.col("neighbor_id").alias("hit_id"))
     hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
     return (
         truth.join(
