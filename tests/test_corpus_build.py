@@ -106,3 +106,19 @@ def test_staged_build_resumes_without_recompute(spark, tmp_path):
     )
     mem_rows = sorted(tuple(r) for r in mem_out.collect())
     assert staged_rows == mem_rows
+
+
+def test_staged_build_rewrites_killed_stage(spark, tmp_path):
+    """Crash-safety: a stage dir WITHOUT its post-commit marker (the
+    on-disk state a killed write leaves) must be rewritten, not
+    trusted."""
+    import os
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "killed")
+    C.build_corpus_staged(spark, docs, out, shard_budget=2000)
+    # simulate a crash mid-rewrite of the assigned stage
+    os.remove(f"{out}/stages/assigned/_STAGE_DONE")
+    m = C.build_corpus_staged(spark, docs, out, shard_budget=2000)
+    assert m["stages_run"] == ["assigned"]  # clusters trusted, assigned redone
+    assert os.path.exists(f"{out}/stages/assigned/_STAGE_DONE")
