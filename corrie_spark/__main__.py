@@ -11,6 +11,9 @@ Commands:
   explain <name> [--sf-dir D]  print the optimized + physical plan
                             of one registered query (the plan-shape
                             review surface PLANS.md sweeps)
+  index --sf-dir D --out O [--ivf]
+                            train and persist the PQ (optionally
+                            +IVF) ANN index as parquet tables
   build --sf-dir D --out O [--shard-budget N] [--staged]
                             run the full training-corpus build
                             (dedup -> quality -> strip -> split ->
@@ -55,6 +58,12 @@ def _build_parser() -> argparse.ArgumentParser:
     exp = sub.add_parser("explain", help="print a query's plans")
     exp.add_argument("name")
     exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
+    idx = sub.add_parser("index", help="train + persist the ANN index")
+    idx.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    idx.add_argument("--out", required=True)
+    idx.add_argument("--ivf", action="store_true",
+                     help="also persist the IVF inverted file + centroids")
 
     build = sub.add_parser("build", help="run the training-corpus build")
     build.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -152,6 +161,31 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("corrie-spark-explain")
         spark.sparkContext.setLogLevel("ERROR")
         qs[args.name](spark, args.sf_dir).explain(mode="formatted")
+        return 0
+
+    if args.cmd == "index":
+        import json
+
+        from corrie_spark.operators import pq
+        from corrie_spark.operators.index_store import save_ivf_index, save_pq_index
+        from corrie_spark.operators.similarity import ivf_centroids, kmeans_cells
+        from corrie_spark.session import get_spark
+        from corrie_spark.tables import load
+
+        spark = get_spark("corrie-spark-index")
+        spark.sparkContext.setLogLevel("ERROR")
+        emb = load(spark, args.sf_dir, "embeddings")
+        books = pq.pq_codebooks(emb)
+        codes = pq.pq_encode(emb, books)
+        save_pq_index(spark, args.out, books, codes)
+        report = {"pq_books": sum(len(b) for b in books),
+                  "pq_codes": codes.count()}
+        if args.ivf:
+            cells = kmeans_cells(emb, n_cells=8, n_iters=2)
+            save_ivf_index(args.out, cells,
+                           centroids=ivf_centroids(emb, "label", "embedding", 64))
+            report["ivf_cells"] = cells.count()
+        print(json.dumps(report, sort_keys=True))
         return 0
 
     if args.cmd == "build":
