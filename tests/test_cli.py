@@ -26,3 +26,15 @@ def test_parser_rejects_missing_command():
 
     with pytest.raises(SystemExit):
         _build_parser().parse_args([])
+
+
+def test_parser_accepts_round5_subcommands():
+    from corrie_spark.__main__ import _build_parser
+
+    p = _build_parser()
+    a = p.parse_args(["explain", "q1_pricing_summary", "--sf-dir", "/d"])
+    assert (a.cmd, a.name) == ("explain", "q1_pricing_summary")
+    a = p.parse_args(["index", "--out", "/o", "--ivf"])
+    assert (a.cmd, a.ivf) == ("index", True)
+    a = p.parse_args(["build", "--out", "/o", "--staged", "--shard-budget", "123"])
+    assert (a.cmd, a.staged, a.shard_budget) == ("build", True, 123)
