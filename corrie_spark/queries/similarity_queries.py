@@ -1096,3 +1096,67 @@ def q_sim_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_IVFPQ_RES_TOPK_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS cell, {_QUANT} AS qv FROM embeddings
+),
+rcent AS (
+  SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM base GROUP BY cell
+),
+rcentv AS (SELECT cell, [{_CENT_LIST}] AS centroid FROM rcent),
+rbase AS (
+  SELECT b.vec_id, b.cell,
+         list_transform(range(1, {_DIM + 1}), i -> b.qv[i] - cv.centroid[i]) AS rv
+  FROM base b JOIN rcentv cv USING (cell)
+),
+{_RES_PQ_CTES.lstrip()},
+rprobe AS (
+  SELECT query_id, cell, cell_dot FROM (
+    SELECT q.query_id, cv.cell,
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                i -> q.qv[i] * cv.centroid[i])) AS BIGINT) AS cell_dot,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                  i -> q.qv[i] * cv.centroid[i])) AS BIGINT) DESC, cv.cell) AS cell_rnk
+    FROM (SELECT vec_id AS query_id, qv FROM base WHERE vec_id < 5) q
+    CROSS JOIN rcentv cv
+  ) t WHERE cell_rnk <= {_NPROBE}
+),
+rcand AS (
+  SELECT p.query_id, p.cell_dot, b.vec_id AS neighbor_id
+  FROM rprobe p JOIN base b USING (cell)
+  WHERE b.vec_id <> p.query_id
+),
+rscore AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(c.cell_dot + SUM(l.d) AS BIGINT) AS approx_dot
+  FROM rcand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = e.m AND l.j = e.code
+  GROUP BY c.query_id, c.neighbor_id, c.cell_dot
+),
+rr AS (
+  SELECT query_id, neighbor_id, approx_dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) AS rnk
+  FROM rscore
+)
+SELECT query_id, neighbor_id, rnk, approx_dot FROM rr WHERE rnk <= 10
+"""
+
+
+@register("q_sim_ivfpq_res_topk", oracle=_IVFPQ_RES_TOPK_ORACLE)
+def q_sim_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-10 (the value-level twin of the recall
+    gate): probed cells' decomposed ADC scores checked row-for-row
+    against the oracle's replay of residual training + encoding +
+    probing. Shares the session residual-index memo."""
+    from corrie_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    books, codes = _res_pq_index(spark, sf_dir)
+    return pq.ivfpq_residual_topk(
+        q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes
+    ).select("query_id", "neighbor_id", "rnk", "approx_dot")

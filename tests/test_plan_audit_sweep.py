@@ -26,6 +26,7 @@ _PYTHON_OK = {
     "q_sim_pq_recall",
     "q_sim_ivfpq_topk",
     "q_sim_ivfpq_res_recall",
+    "q_sim_ivfpq_res_topk",
     "q_multimodal_image_features",
     "q_multimodal_audio_features",
     "q_multimodal_frame_stats",
