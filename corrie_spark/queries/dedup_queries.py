@@ -1151,3 +1151,50 @@ def q_dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_CLUSTCOEF_ORACLE = f"""
+{_PR_PAIRS_PREFIX},
+sym3 AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg3 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym3 GROUP BY u),
+wed AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg3),
+tri3 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM pairs p1
+  JOIN pairs p2 ON p2.id_a = p1.id_b
+  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+)
+SELECT w.n_wedges, t.n_triangles,
+       CASE WHEN w.n_wedges = 0 THEN 0.0
+            ELSE 3.0 * t.n_triangles / w.n_wedges END AS global_clustering
+FROM wed w CROSS JOIN tri3 t
+"""
+
+
+@register("q_graph_clustering", oracle=_CLUSTCOEF_ORACLE)
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the near-dup pair graph:
+    3 * triangles / wedges — how much of the candidate graph is
+    mutually-confirming versus chain-shaped LSH noise, as one
+    bounded ratio. Wedges come from the degree table alone
+    (sum deg*(deg-1)/2 — no join); triangles ride the same
+    degree-oriented closure as q_graph_triangles; the pair graph is
+    the session memo."""
+    pairs = _shared_pairs(spark, sf_dir).select("id_a", "id_b")
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    tri = count_triangles(pairs).select("n_triangles")
+    return wedges.crossJoin(tri).select(
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(3.0 * F.col("n_triangles") / F.col("n_wedges"))
+        .alias("global_clustering"),
+    )
