@@ -1198,3 +1198,36 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3.0 * F.col("n_triangles") / F.col("n_wedges"))
         .alias("global_clustering"),
     )
+
+
+_DEGHIST_ORACLE = f"""
+{_PR_PAIRS_PREFIX},
+sym4 AS (
+  SELECT id_a AS u FROM pairs
+  UNION ALL SELECT id_b FROM pairs
+),
+deg4 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym4 GROUP BY u)
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg4
+GROUP BY deg
+ORDER BY deg
+"""
+
+
+@register("q_graph_degree_hist", oracle=_DEGHIST_ORACLE)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph (degree ->
+    node count) — the skew diagnostic that decides when hub
+    mitigation (degree-oriented triangle counting, salted joins)
+    starts to matter. Two partial-agg shuffles over long keys; the
+    histogram itself is max-degree rows."""
+    pairs = _shared_pairs(spark, sf_dir).select("id_a", "id_b")
+    ends = pairs.select(F.col("id_a").alias("u")).unionAll(
+        pairs.select(F.col("id_b").alias("u"))
+    )
+    deg = ends.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("deg")
+    )
