@@ -1160,3 +1160,70 @@ def q_sim_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_residual_topk(
         q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes
     ).select("query_id", "neighbor_id", "rnk", "approx_dot")
+
+
+_SRC_CENTROID_ORACLE = f"""
+WITH base AS (
+  SELECT d.source, {_QUANT} AS qv
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+sums AS (
+  SELECT source,
+         list_transform(range(1, {_DIM + 1}),
+           i -> CAST(list_sum(list_transform(qvs, v -> v[i])) AS BIGINT)) AS sv
+  FROM (SELECT source, list(qv) AS qvs FROM base GROUP BY source) g
+),
+pairsC AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> a.sv[i] * b.sv[i])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> a.sv[i] * a.sv[i])) AS BIGINT) AS na,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> b.sv[i] * b.sv[i])) AS BIGINT) AS nb
+  FROM sums a JOIN sums b ON a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS centroid_cosine
+FROM pairsC
+ORDER BY source_a, source_b
+"""
+
+
+@register("q_emb_source_centroids", oracle=_SRC_CENTROID_ORACLE)
+def q_emb_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-drift diagnostic: pairwise cosine between per-source
+    embedding SUM vectors (cos of sums == cos of means; sums stay
+    exact integers, so the compare is engine-exact). Per-source sums
+    are one partial-agg shuffle of dim longs per source; the pair
+    table is #sources^2/2 rows of driver-free arithmetic."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    base = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", S.quantize(F.col("embedding")).alias("qv")
+    )
+    exploded = base.select(
+        "source", F.posexplode("qv").alias("i", "x")
+    )
+    sums = (
+        exploded.groupBy("source", "i")
+        .agg(F.sum("x").cast("bigint").alias("s"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("parts"))
+        .select(
+            "source",
+            F.transform(F.col("parts"), lambda p: p["s"]).alias("sv"),
+        )
+    )
+    a = sums.select(F.col("source").alias("source_a"), F.col("sv").alias("va"))
+    b = sums.select(F.col("source").alias("source_b"), F.col("sv").alias("vb"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.select(
+            "source_a",
+            "source_b",
+            S.cosine_from_int(
+                S.int_dot(F.col("va"), F.col("vb")),
+                S.int_norm_sq(F.col("va")),
+                S.int_norm_sq(F.col("vb")),
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )
