@@ -94,3 +94,18 @@ def test_incremental_append_matches_full_rebuild(spark, tmp_path):
     inc = pq.pq_topk(q, emb, k=5, books=books, codes=codes_inc)
     full = pq.pq_topk(q, emb, k=5, books=books, codes=full_codes)
     assert _rows(inc) == _rows(full)
+
+
+def test_ivf_centroids_table_roundtrip(spark, tmp_path):
+    """The optional centroid table persists and reloads exactly —
+    the metadata a probe session broadcasts without retraining."""
+    from corrie_spark.operators.similarity import ivf_centroids
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    cents = ivf_centroids(emb, "label", "embedding", 64)
+    root = str(tmp_path / "ivfc")
+    IX.save_ivf_index(root, S.kmeans_cells(emb, n_cells=4, n_iters=1), centroids=cents)
+    back = spark.read.parquet(f"{root}/ivf_centroids")
+    a = sorted((r.cell, tuple(r.centroid)) for r in cents.collect())
+    b = sorted((r.cell, tuple(r.centroid)) for r in back.collect())
+    assert a == b
