@@ -171,3 +171,30 @@ def test_temperature_sample_semantics(spark):
     again = {r.source: r.k for r in temperature_sample(df).groupBy("source")
              .agg(F.sum(F.col("kept").cast("int")).alias("k")).collect()}
     assert again == {s: rep[s].k for s in rep}
+
+
+def test_temperature_sample_pow_path_monotone(spark):
+    """T != 2 goes through pow(): higher temperature flattens more —
+    the small source's keep-fraction must increase with T, and T=1
+    must reduce to proportional (keep-fraction ~ raw share ratio)."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.packing import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small", 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+
+    def small_frac(t):
+        rep = {
+            r.source: (r.k, r.n)
+            for r in temperature_sample(df, temperature=t)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("kept").cast("int")).alias("k"))
+            .collect()
+        }
+        k, n = rep["small"]
+        return k / n
+
+    f1, f2, f4 = small_frac(1.0), small_frac(2.0), small_frac(4.0)
+    assert f1 < f2 < f4  # more temperature -> more upsampling of small
+    assert abs(f1 - 100 / 900) < 0.05  # T=1 ~ proportional acceptance
