@@ -1214,7 +1214,10 @@ def q_emb_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sums.select(F.col("source").alias("source_a"), F.col("sv").alias("va"))
     b = sums.select(F.col("source").alias("source_b"), F.col("sv").alias("vb"))
-    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    # #sources rows: broadcast the build side so the inequality join
+    # plans as BroadcastNestedLoop (sanctioned scalar/cross shape),
+    # never an unbroadcast CartesianProduct
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
     return (
         pairs.select(
             "source_a",
