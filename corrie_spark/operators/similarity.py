@@ -618,7 +618,9 @@ def ivf_topk_trained(
 # --- SemDeDup: semantic dedup via kmeans cells + within-cell cosine --------
 
 
-def semdedup_pairs(cells: DataFrame, threshold: float = 0.35) -> DataFrame:
+def semdedup_pairs(
+    cells: DataFrame, threshold: float = 0.35, block_rows: int = 2048
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): find semantic
     near-duplicate pairs by clustering embeddings with k-means and
     comparing cosine ONLY within a cluster — the trick that turns an
@@ -628,54 +630,94 @@ def semdedup_pairs(cells: DataFrame, threshold: float = 0.35) -> DataFrame:
     Returns (cell, id_a, id_b, dot, cos) for within-cell pairs with
     cosine >= threshold, id_a < id_b.
 
-    Scale shape (100 TB): the self-join is an equi-join on the cell
-    key, so each cell's block is one shuffle partition group — never
-    a global cross join. Norms are computed map-side BEFORE the join
-    (each vector's norm once, not once per pair). At 10^10 vectors
-    the operator holds because #cells is scaled with the corpus
+    Scale shape (100 TB): ONE hash-partition shuffle on the cell key,
+    then each cell's block is scored as an integer numpy Gram matmul
+    inside an Arrow applyInPandas stage — the sanctioned-Arrow
+    pattern (like gram_cells): a dense X @ X.T replaces what would
+    otherwise be an exploded pair join evaluating a 64-term
+    higher-order-function dot per pair (measured ~6x slower at
+    sf0.1, and its shuffle carries every candidate pair with both
+    vectors attached; here only the input vectors and the
+    above-threshold HITS ever cross the wire). At 10^10 vectors the
+    operator holds because #cells is scaled with the corpus
     (SemDeDup's own recipe: cell size stays ~constant, e.g. sqrt(N)
-    cells), keeping per-cell pair counts bounded; pair cosines stay
-    exact-integer dots, so results are engine-independent. Within-
-    cell skew (one giant cluster) is the known failure mode — cap it
-    by raising n_cells for the trainer, not by sampling here.
+    cells), keeping per-cell blocks executor-sized; the matmul is
+    row-chunked (`block_rows`) so peak memory is block_rows x |cell|
+    cells of int64, never |cell|^2. Dots are exact int64 (|qv| <=
+    2^19 -> 64-dim dot < 2^44), and cos = double(dot) /
+    (sqrt(double(na)) * sqrt(double(nb))) is the identical IEEE
+    sequence DuckDB evaluates, so results are engine-independent
+    bit-for-bit. Within-cell skew (one giant cluster) is the known
+    failure mode — cap it by raising n_cells for the trainer, not by
+    sampling here.
     """
-    with_norm = cells.select(
-        "cell",
-        F.col("vid"),
-        F.col("qv"),
-        int_norm_sq(F.col("qv")).alias("nrm"),
+    import pandas as pd
+
+    cell_t = cells.schema["cell"].dataType.simpleString()
+    out_schema = (
+        f"cell {cell_t}, id_a bigint, id_b bigint, dot bigint, cos double"
     )
-    a = with_norm.select(
-        "cell",
-        F.col("vid").alias("id_a"),
-        F.col("qv").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = with_norm.select(
-        "cell",
-        F.col("vid").alias("id_b"),
-        F.col("qv").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", int_dot(F.col("va"), F.col("vb")))
-        .withColumn("cos", cosine_from_int(F.col("dot"), F.col("na"), F.col("nb")))
-    )
-    return pairs.filter(F.col("cos") >= threshold).select(
-        "cell", "id_a", "id_b", "dot", "cos"
+    chunk = int(block_rows)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # id_a < id_b <=> i < j
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"cell": pdf["cell"].iloc[:0], "id_a": [], "id_b": [],
+                 "dot": [], "cos": []}
+            )
+        X = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in pdf["qv"].iloc[order]]
+        )
+        sq = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+        ia, ib, dots, coss = [], [], [], []
+        for s in range(0, n, chunk):
+            G = X[s : s + chunk] @ X.T  # int64 — exact
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = G.astype(np.float64) / (
+                    sq[s : s + chunk, None] * sq[None, :]
+                )
+            ri, cj = np.nonzero(cos >= threshold)  # NaN compares false
+            keep = cj > ri + s  # upper triangle only
+            ri, cj = ri[keep], cj[keep]
+            ia.append(ids[ri + s])
+            ib.append(ids[cj])
+            dots.append(G[ri, cj])
+            coss.append(cos[ri, cj])
+        ia = np.concatenate(ia) if ia else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {
+                "cell": np.repeat(pdf["cell"].iloc[0], len(ia)),
+                "id_a": ia,
+                "id_b": np.concatenate(ib) if ib else np.empty(0, np.int64),
+                "dot": np.concatenate(dots) if dots else np.empty(0, np.int64),
+                "cos": np.concatenate(coss) if coss else np.empty(0, np.float64),
+            }
+        )
+
+    return cells.select("cell", "vid", "qv").groupBy("cell").applyInPandas(
+        score_cell, out_schema
     )
 
 
-def semdedup_cell_report(cells: DataFrame, threshold: float = 0.35) -> DataFrame:
+def semdedup_cell_report(
+    cells: DataFrame, threshold: float = 0.35, pairs: DataFrame | None = None
+) -> DataFrame:
     """Per-cell SemDeDup effect: (cell, n_vectors, n_dropped, n_kept)
     under the deterministic keep-min-id policy — a vector is dropped
     iff some same-cell vector with a SMALLER id sits within the
     cosine threshold (exactly SemDeDup's 'keep one per epsilon-ball',
     made reproducible). The dropped set is distinct id_b of the pair
-    frame (id_a < id_b by construction)."""
-    pairs = semdedup_pairs(cells, threshold)
+    frame (id_a < id_b by construction). `pairs` optionally injects
+    an already-materialized semdedup_pairs frame (e.g. a session
+    memo) so the Gram stage runs once across consumers."""
+    if pairs is None:
+        pairs = semdedup_pairs(cells, threshold)
     dropped = pairs.select(F.col("id_b").alias("vid")).distinct().withColumn(
         "is_dropped", F.lit(1)
     )

@@ -729,6 +729,23 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_TAU = 0.35  # same corpus-tuned threshold as q_dedup_embedding
 
+
+def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the within-cell Gram pair frame — the pairs
+    query and the survivors report both consume it, and the Arrow
+    Gram stage (plus the trainer upstream) should run once per
+    session, not per consumer."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        "semdedup_pairs",
+        lambda: S.semdedup_pairs(
+            _trained_cells(spark, sf_dir), threshold=_SEM_TAU
+        ).persist(),
+    )
+
 _SEM_CTES = f"""
 {{km}}
 ,cl AS (
@@ -774,9 +791,7 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked bit-for-bit (dot exact-int, cos one IEEE div over exact
     ints). Shares the session trained-cells memo with
     q_sim_kmeans_cells."""
-    return S.semdedup_pairs(_trained_cells(spark, sf_dir), threshold=_SEM_TAU).orderBy(
-        "cell", "id_a", "id_b"
-    )
+    return _semdedup_pairs(spark, sf_dir).orderBy("cell", "id_a", "id_b")
 
 
 _SEMDEDUP_REPORT_ORACLE = f"""
@@ -797,7 +812,11 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell SemDeDup pruning report under the deterministic
     keep-min-id representative policy — what fraction of each
     semantic cluster a training-data build would drop at tau=0.35."""
-    return S.semdedup_cell_report(_trained_cells(spark, sf_dir), threshold=_SEM_TAU)
+    return S.semdedup_cell_report(
+        _trained_cells(spark, sf_dir),
+        threshold=_SEM_TAU,
+        pairs=_semdedup_pairs(spark, sf_dir),
+    )
 
 
 # --- exact distributed covariance (Gram sums) over embeddings -------------

@@ -52,25 +52,31 @@ def test_cell_report_keep_min_id(spark):
     assert (rep[1].n_vectors, rep[1].n_dropped, rep[1].n_kept) == (1, 0, 1)
 
 
-def test_plan_equi_join_never_cartesian(spark):
+def test_plan_one_shuffle_gram_stage_no_join(spark):
+    """The pair stage is ONE hash-partition exchange on the cell key
+    feeding an Arrow Gram stage — no self-join, never a cartesian:
+    only input vectors and above-threshold hits cross the wire."""
     rows = [(i, [i, 1], i % 2) for i in range(1, 9)]
     df = S.semdedup_pairs(_cells(spark, rows), threshold=0.5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
-    # the block join is keyed on the cell column
-    assert "cell" in plan
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(cell" in plan
 
 
-def test_norms_computed_before_join(spark):
-    """Each vector's norm must be evaluated map-side, once per vector
-    — not once per pair: the aggregate over qv*qv appears UNDER the
-    join in the plan, on both build and stream sides."""
-    rows = [(i, [i, 1], 0) for i in range(1, 6)]
-    df = S.semdedup_pairs(_cells(spark, rows), threshold=0.5)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    join_at = plan.find("Join")
-    assert join_at != -1
-    # 'nrm' is projected below the join, not recomputed above it
-    above = plan[:join_at]
-    assert "nrm" not in above or "aggregate" not in above.lower()
+def test_chunked_matmul_equals_unchunked(spark):
+    """The row-chunked Gram path (memory bound: block_rows x |cell|)
+    must emit exactly the same pairs as one whole-cell matmul —
+    including pairs that straddle a chunk boundary."""
+    rows = [(i, [i % 7 + 1, (3 * i) % 5 + 1, i % 3], i % 2) for i in range(1, 40)]
+    whole = sorted(
+        map(tuple, S.semdedup_pairs(_cells(spark, rows), 0.8, block_rows=4096).collect())
+    )
+    chunked = sorted(
+        map(tuple, S.semdedup_pairs(_cells(spark, rows), 0.8, block_rows=3).collect())
+    )
+    assert whole == chunked
+    assert len(whole) > 5  # non-trivial corpus actually produced hits
