@@ -1378,3 +1378,267 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- TF-IDF top terms per source (rational idf — cross-engine exact) -------
+
+_TFIDF_K = 5
+
+# same transcendental-free odds-ratio idf as BM25 (see _BM25_SCORE):
+# tf, df, n_docs are exact ints; the score is IEEE *,+,/ with
+# identical parenthesization in both engines -> bit-identical doubles
+_TFIDF_SCORE = (
+    "CAST(tf AS DOUBLE) * "
+    "((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+)
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS t
+  FROM documents
+),
+exploded AS (SELECT doc_id, source, UNNEST(t) AS term FROM toks),
+df_tbl AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM exploded GROUP BY term
+),
+tf_tbl AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM exploded GROUP BY source, term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT source, term, tf, df, {_TFIDF_SCORE} AS tfidf
+  FROM tf_tbl JOIN df_tbl USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT source, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_TFIDF_K}
+ORDER BY source, rnk
+"""
+
+
+@register("q_text_tfidf_terms", oracle=_TFIDF_ORACLE)
+def q_text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most source-characteristic terms by TF-IDF (rational
+    odds-ratio idf — no transcendental functions, so scores are
+    bit-identical across engines; ties broken by term).
+
+    100 TB shape: the token explode feeds two partial-agg rollups —
+    df per term (distinct doc count, term-keyed) and tf per
+    (source, term) — both vocab-sized outputs, never corpus-sized
+    shuffles beyond the one explode pass each. The scoring join is
+    term-keyed (vocab x vocab equi-join), n_docs rides in as a
+    broadcast one-row frame, and the final window partitions by
+    source over VOCAB-sized input (per-source term lists are
+    metadata relative to the corpus)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    exploded = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", "source", F.explode(T.tokens("text")).alias("term")
+    )
+    df_tbl = exploded.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    tf_tbl = exploded.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf_tbl.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.expr(_TFIDF_SCORE))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("source", "term", "tf", "df", "tfidf", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+# --- pairwise source vocabulary overlap (Jaccard over distinct terms) ------
+
+_VOCAB_ORACLE = """
+WITH exploded AS (
+  SELECT DISTINCT source,
+         UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS term
+  FROM documents
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM exploded GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM exploded a JOIN exploded b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("q_source_vocab_overlap", oracle=_VOCAB_ORACLE)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the domain-
+    similarity matrix a mixture designer reads before weighting
+    sources.
+
+    100 TB shape: the corpus collapses to DISTINCT (source, term)
+    first (vocab-sized — one explode + partial-agg distinct), so the
+    pair join is vocab x vocab keyed on term, never corpus-sized;
+    with S sources the output is S^2/2 rows and the per-source size
+    table is broadcast back. Hot terms shared by all sources fan out
+    S^2 per term at worst — bounded by the constant source count."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(T.tokens("text")).alias("term"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .select("source_a", "source_b", "n_a", "n_b", "n_common", "jaccard")
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --- bigram language-model quality score (add-1 smoothing) -----------------
+
+# Quantized integer log-probabilities: logq = floor(ln(num/den)*1e4)
+# with num, den exact ints. The ONE transcendental (ln) is computed on
+# identical doubles in both engines (num/den is a single
+# correctly-rounded IEEE division of exact ints), then quantized to an
+# int, so per-doc SUMS are exact integers — order-independent, unlike
+# a float sum of raw logs. A last-ulp ln() divergence could only
+# matter if ln lands within ~1e-16 of a 1e-4 quantization boundary
+# (~1e-12 per distinct bigram — negligible, and confined to one gram).
+_LM_LOGQ = (
+    "CAST(floor(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 10000.0) AS BIGINT)"
+)
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, source, UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM bi GROUP BY w1, w2),
+ug AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt_u FROM bi GROUP BY w1),
+vo AS (
+  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+  FROM (SELECT UNNEST(t) AS term FROM toks)
+),
+scored AS (
+  SELECT doc_id, source, {_LM_LOGQ.replace("num", "cnt_b + 1").replace("den", "cnt_u + v")} AS logq
+  FROM bi JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN vo
+),
+per_doc AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(logq) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+       CAST(SUM(s) AS BIGINT) AS sum_logq,
+       -(CAST(SUM(s) AS DOUBLE) / (CAST(SUM(n_pairs) AS DOUBLE) * 10000.0)) AS avg_nll
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("q_text_lm_score", oracle=_LM_ORACLE)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per source: train add-1-
+    smoothed bigram probabilities over the corpus, score every
+    adjacent token pair, report per-source mean negative log-
+    likelihood (nats/token-pair) — the classic perplexity-style
+    quality filter (a held-out scorer is this operator pointed at a
+    different snapshot).
+
+    100 TB shape: one explode pass feeds the bigram/context count
+    rollups (both vocab^-ish sized, partial-agg); scoring re-joins the
+    bigram stream to the two count tables on their gram keys — plain
+    equi-joins, AQE handles hot-gram skew; V rides in as a broadcast
+    one-row frame; per-doc and per-source rollups are partial aggs
+    over exact ints (see _LM_LOGQ note — no float-sum order
+    sensitivity anywhere)."""
+    from corrie_spark.functions.core import bind
+
+    docs = load(spark, sf_dir, "documents")
+
+    def pairs_of(tk: F.Column) -> F.Column:
+        return F.when(
+            F.size(tk) >= 2,
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    bi = docs.select(
+        "doc_id", "source", F.explode(bind(T.tokens("text"), pairs_of)).alias("p")
+    ).select("doc_id", "source", "p.w1", "p.w2")
+    bg = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_b"))
+    ug = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_u"))
+    vo = (
+        docs.select(F.explode(T.tokens("text")).alias("term"))
+        .agg(F.countDistinct("term").cast("bigint").alias("v"))
+    )
+    scored = (
+        bi.join(bg, ["w1", "w2"])
+        .join(ug, "w1")
+        .crossJoin(F.broadcast(vo))
+        .withColumn(
+            "logq",
+            F.expr(_LM_LOGQ.replace("num", "cnt_b + 1").replace("den", "cnt_u + v")),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("logq").cast("bigint").alias("s"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+            F.sum("s").cast("bigint").alias("sum_logq"),
+            (
+                -(
+                    F.sum("s").cast("double")
+                    / (F.sum("n_pairs").cast("double") * F.lit(10000.0))
+                )
+            ).alias("avg_nll"),
+        )
+        .orderBy("source")
+    )
