@@ -294,3 +294,109 @@ def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- column-level data profile over orders ---------------------------------
+
+# (column, stringify SQL both engines share). Everything is profiled
+# through CAST(col AS VARCHAR) so one output schema covers all types;
+# min/max are therefore LEXICOGRAPHIC on the stringified value —
+# mirrored exactly in the oracle (a profile wants comparability and
+# determinism, not numeric ordering). Timestamps render identically
+# ('yyyy-MM-dd HH:mm:ss', no fractional part in this data) and
+# doubles use shortest-round-trip notation in both engines at these
+# magnitudes.
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+       (SELECT CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) FROM orders) AS n_nulls,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_v, MAX(v) AS max_v,
+       (SELECT v FROM (SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt
+                       FROM orders WHERE {c} IS NOT NULL GROUP BY 1)
+        ORDER BY cnt DESC, v LIMIT 1) AS mode_v,
+       (SELECT CAST(MAX(cnt) AS BIGINT)
+        FROM (SELECT COUNT(*) AS cnt FROM orders
+              WHERE {c} IS NOT NULL GROUP BY {c})) AS mode_n
+FROM (SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt
+      FROM orders WHERE {c} IS NOT NULL GROUP BY 1) g
+"""
+
+
+_PROFILE_ORACLE = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(_profile_col_sql(c) for c in _PROFILE_COLS)
+    + "\n) ORDER BY col"
+)
+
+
+@register("q_profile_orders", oracle=_PROFILE_ORACLE)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of `orders`: per column — row/null
+    counts, exact distinct count, lexicographic min/max of the
+    stringified value, and the mode (ties broken to the smallest
+    value). The pre-ingest data-quality report a pipeline runs before
+    trusting a new snapshot.
+
+    100 TB shape: one pass PER COLUMN, each scan column-pruned to
+    that single column at the parquet reader; the per-column rollup
+    is a value-keyed partial agg (distinct-value table), then a
+    metadata-sized reduction (n_distinct/min/max/mode over the value
+    table, never the raw rows twice). Profiles of C columns are C
+    independent single-column jobs — embarrassingly parallel across
+    a scheduler at scale."""
+    orders = load(spark, sf_dir, "orders")
+    outs = []
+    for c in _PROFILE_COLS:
+        v = orders.select(F.col(c).cast("string").alias("v"))
+        stats = v.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("int")).cast("bigint").alias("n_nulls"),
+        )
+        grp = (
+            v.filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        prof = grp.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            # mode with ties to the SMALLEST value: min over (-cnt, v)
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("v").alias("v"))).alias(
+                "m"
+            ),
+        ).select(
+            "n_distinct",
+            "min_v",
+            "max_v",
+            F.col("m.v").alias("mode_v"),
+            (-F.col("m.neg")).cast("bigint").alias("mode_n"),
+        )
+        outs.append(
+            stats.crossJoin(prof).select(
+                F.lit(c).alias("col"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_v",
+                "max_v",
+                "mode_v",
+                "mode_n",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col")

@@ -1249,3 +1249,86 @@ def q_emb_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- Matryoshka prefix-dim retrieval (MRL-style truncation) ----------------
+
+_MAT_DIM = 16
+
+_MAT_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id < 5),
+exact_s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN q WHERE b.vec_id <> query_id
+),
+exact_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM exact_s
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_r WHERE rnk <= 10),
+mat_s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_MAT_DIM + 1}), i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN q WHERE b.vec_id <> query_id
+),
+mat_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM mat_s
+),
+approx AS (SELECT query_id, neighbor_id FROM mat_r WHERE rnk <= 10)
+SELECT t.query_id,
+       COUNT(*) AS k_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_10
+FROM truth t
+LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@register("q_sim_matryoshka_recall", oracle=_MAT_ORACLE)
+def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of retrieval over the FIRST {_MAT_DIM} embedding
+    dimensions vs full-dim ground truth — the Matryoshka-representation
+    tradeoff (4x less memory/bandwidth per comparison when the model
+    front-loads information; with these synthetic embeddings the
+    recall is the honest junk-dims answer, which is the point of
+    measuring before trusting a truncation).
+
+    100 TB shape: identical to the exact baseline — broadcast query
+    set over one corpus scan, per-partition partial top-k, the only
+    exchange carries ~#queries x k rows; the prefix slice happens in
+    the scan projection so only 1/4 of the vector bytes flow through
+    scoring. Full-dim truth rides the session memo."""
+    emb = load(spark, sf_dir, "embeddings")
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, _MAT_DIM).alias("emb_mat")
+    )
+    truth = _bf_truth(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = S.brute_force_topk(
+        emb16.filter(F.col("vec_id") < 5), emb16, k=10, vec_col="emb_mat"
+    ).select("query_id", F.col("neighbor_id").alias("hit_id"))
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_truth"),
+            F.sum(hit).cast("bigint").alias("k_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

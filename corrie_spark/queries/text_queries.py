@@ -1642,3 +1642,101 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- exact OLS via integer normal equations (Cramer) -----------------------
+
+def _det3(m) -> str | int:
+    """3x3 determinant by first-column cofactor expansion — ONE shared
+    formula emitted either as SQL over HUGEINT symbols (strings) or
+    evaluated exactly over Python ints. Using the same generator for
+    both engines removes any chance of a hand-derivation mismatch."""
+    if isinstance(m[0][0], str):
+        t = lambda r, c: f"CAST({m[r][c]} AS HUGEINT)"
+        return (
+            f"({t(0,0)} * ({t(1,1)} * {t(2,2)} - {t(1,2)} * {t(2,1)})"
+            f" - {t(1,0)} * ({t(0,1)} * {t(2,2)} - {t(0,2)} * {t(2,1)})"
+            f" + {t(2,0)} * ({t(0,1)} * {t(1,2)} - {t(0,2)} * {t(1,1)}))"
+        )
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[1][0] * (m[0][1] * m[2][2] - m[0][2] * m[2][1])
+        + m[2][0] * (m[0][1] * m[1][2] - m[0][2] * m[1][1])
+    )
+
+
+_OLS_SUMS = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+       CAST(SUM(x1 * x1) AS BIGINT) AS s11, CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+       CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x1 * y) AS BIGINT) AS s1y, CAST(SUM(x2 * y) AS BIGINT) AS s2y
+FROM (SELECT {_NTOK} AS x1, {_NSTOP} AS x2, length(text) AS y FROM documents)
+"""
+
+_OLS_A = [["n", "sx1", "sx2"], ["sx1", "s11", "s12"], ["sx2", "s12", "s22"]]
+_OLS_B = ["sy", "s1y", "s2y"]
+
+
+def _ols_repl(col: int):
+    return [
+        [_OLS_B[r] if c == col else _OLS_A[r][c] for c in range(3)] for r in range(3)
+    ]
+
+
+_OLS_ORACLE = f"""
+WITH sums AS ({_OLS_SUMS})
+SELECT n AS n_docs,
+       CAST({_det3(_ols_repl(0))} AS DOUBLE) / CAST({_det3(_OLS_A)} AS DOUBLE) AS beta0,
+       CAST({_det3(_ols_repl(1))} AS DOUBLE) / CAST({_det3(_OLS_A)} AS DOUBLE) AS beta1,
+       CAST({_det3(_ols_repl(2))} AS DOUBLE) / CAST({_det3(_OLS_A)} AS DOUBLE) AS beta2
+FROM sums
+"""
+
+
+@register("q_ols_doc_length", oracle=_OLS_ORACLE)
+def q_ols_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact in-engine OLS: fit n_chars ~ b0 + b1*n_tokens + b2*n_stopwords
+    by the normal equations, solved with integer Cramer determinants —
+    the distributed work is ONE partial aggregation of nine int64
+    power/cross sums (order-independent, engine-independent), the
+    3x3 solve is exact big-int arithmetic on the driver (metadata-
+    sized collect, same discipline as the k-means centroids and PCA
+    eigenvector), and the emitted coefficients are double(det_i) /
+    double(det) — each determinant rounded to IEEE double FIRST, then
+    one division, mirroring the oracle's HUGEINT->DOUBLE casts
+    bit-for-bit.
+
+    100 TB shape: one column-pruned scan, map-side combine into 9
+    longs; nothing else moves."""
+    docs = load(spark, sf_dir, "documents")
+    x1 = T.token_count("text").cast("bigint")
+    x2 = T.stopword_count("text").cast("bigint")
+    y = F.length("text").cast("bigint")
+    r = (
+        docs.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x1").alias("sx1"),
+            F.sum("x2").alias("sx2"),
+            F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+            F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+            F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        )
+        .collect()[0]
+    )
+    s = {k: int(r[k]) for k in r.asDict()}
+    a = [[s[v] for v in row] for row in _OLS_A]
+    det = _det3(a)
+    betas = [
+        float(_det3([[s[v] for v in row] for row in _ols_repl(i)])) / float(det)
+        for i in range(3)
+    ]
+    return spark.createDataFrame(
+        [(s["n"], betas[0], betas[1], betas[2])],
+        "n_docs bigint, beta0 double, beta1 double, beta2 double",
+    )

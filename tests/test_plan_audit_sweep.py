@@ -32,6 +32,7 @@ _PYTHON_OK = {
     "q_multimodal_frame_stats",
     "q_multimodal_real_codecs",
     "q_emb_covariance",  # gram_cells: one numpy X^T X per Arrow batch
+    "q_sim_matryoshka_recall",  # partial-top-k consumer (prefix dims)
     "q_semdedup_pairs",  # per-cell numpy Gram block (applyInPandas)
     "q_semdedup_survivors",  # consumes the same Gram pair frame
 }
