@@ -164,6 +164,7 @@ def candidate_pairs(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b) with estimated
     Jaccard = fraction of matching signature slots.
@@ -173,8 +174,18 @@ def candidate_pairs(
     pair join is co-partitioned; a hot bucket (all-identical docs) is
     handled by AQE skew splitting. Signature travels with the row to
     avoid a second join back to the corpus.
-    """
-    sigs = with_minhash(df, text_col, num_hashes).select(id_col, "sig")
+
+    `sigs` optionally injects a pre-built (id_col, sig) frame — pass a
+    PERSISTED one (e.g. a session memo) so the md5-heavy signature
+    scan runs once, not once per self-join side: Catalyst does not
+    reuse the exchange across the two sides of this join, so without
+    materialization the corpus is re-hashed twice. At scale the
+    signature frame is #docs x (16 longs) — far smaller than the
+    corpus text it replaces in memory."""
+    if sigs is None:
+        sigs = with_minhash(df, text_col, num_hashes).select(id_col, "sig")
+    else:
+        sigs = sigs.select(id_col, "sig")
     exploded = sigs.select(
         F.col(id_col),
         F.col("sig"),

@@ -178,10 +178,17 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs = load(spark, sf_dir, "documents")
         st = C.corpus_stages(spark, docs, clusters=_shared_clusters(spark, sf_dir))
-        packed = C.pack_splits(st["assigned"], _BUDGET)
 
-        def cnt(df, name):
-            return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        # materialize each persisted stage boundary IN ORDER (the
+        # counts are manifest fields anyway): a single lazy collect
+        # over the whole DAG lets the branches race to fill the stage
+        # caches and re-run upstream shuffles before the cache wins —
+        # measured ~2x the work at sf0.1. Sequential counts are
+        # exactly how build_corpus materializes the same pipeline.
+        n_raw = docs.count()
+        n_exact = st["exact"].count()
+        n_near = st["survivors"].count()
+        n_quality = st["gated"].count()
 
         def split_agg(s):
             in_s = F.col("split") == s
@@ -195,20 +202,26 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"{s}_shards"),
             ]
 
-        written = packed.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_written"),
-            *split_agg("train"),
-            *split_agg("val"),
-            *split_agg("test"),
+        w = (
+            C.pack_splits(st["assigned"], _BUDGET)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_written"),
+                *split_agg("train"),
+                *split_agg("val"),
+                *split_agg("test"),
+            )
+            .collect()[0]
         )
-        out = (
-            cnt(docs, "n_raw")
-            .crossJoin(cnt(st["exact"], "n_exact"))
-            .crossJoin(cnt(st["survivors"], "n_near"))
-            .crossJoin(cnt(st["gated"], "n_quality"))
-            .crossJoin(written)
+        row = (n_raw, n_exact, n_near, n_quality) + tuple(w)
+        schema = (
+            "n_raw bigint, n_exact bigint, n_near bigint, n_quality bigint, "
+            "n_written bigint, "
+            + ", ".join(
+                f"{s}_docs bigint, {s}_tokens bigint, {s}_shards bigint"
+                for s in ("train", "val", "test")
+            )
         )
-        return out.persist()
+        return spark.createDataFrame([row], schema)
 
     return _memo(spark, sf_dir, "corpus_manifest", build)
 

@@ -41,10 +41,42 @@ def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     return _MEMO[k]
 
 
+def _shared_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, n_grams, sig) MinHash signature frame —
+    computed ONCE per session and consumed by q_dedup_minhash AND
+    both sides of the LSH pair self-join (Catalyst does not reuse the
+    exchange across self-join sides, so an unpersisted signature
+    lineage would re-run the md5-heavy scan per side)."""
+    docs = load(spark, sf_dir, "documents")
+
+    def build() -> DataFrame:
+        # spread the md5-heavy signature map over every core first: a
+        # small-sf documents table is a single parquet split, and
+        # without this the whole scan serializes into one task (at
+        # cluster scale the input arrives already multi-split and the
+        # repartition coalesces to the same width, not wider)
+        par = spark.sparkContext.defaultParallelism
+        sigs = (
+            D.with_minhash(docs.repartition(par, "doc_id"))
+            .select("doc_id", F.size("grams").alias("n_grams"), "sig")
+            .persist()
+        )
+        # materialize BEFORE returning: the first consumer is the pair
+        # self-join, whose two sides would otherwise race to fill the
+        # cache and each run the signature scan anyway
+        sigs.count()
+        return sigs
+
+    return _memo(spark, sf_dir, "minhash_sigs", build)
+
+
 def _shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return _memo(
-        spark, sf_dir, "cand_pairs", lambda: D.candidate_pairs(docs).persist()
+        spark,
+        sf_dir,
+        "cand_pairs",
+        lambda: D.candidate_pairs(docs, sigs=_shared_sigs(spark, sf_dir)).persist(),
     )
 
 
@@ -151,11 +183,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-fidelity MinHash signatures (16 hash functions over word
     3-gram shingles), one column per slot. Row-local computation: at
     100 TB this is a pure map stage."""
-    docs = load(spark, sf_dir, "documents")
-    sigs = D.with_minhash(docs)
+    sigs = _shared_sigs(spark, sf_dir)
     return sigs.select(
         "doc_id",
-        F.size("grams").alias("n_grams"),
+        "n_grams",
         *[F.element_at("sig", i + 1).alias(f"sig_{i}") for i in range(D.DEFAULT_NUM_HASHES)],
     )
 
