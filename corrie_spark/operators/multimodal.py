@@ -478,3 +478,118 @@ def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .alias("media_type"),
         F.when(kind == 0, img).when(kind == 1, aud).otherwise(vid).alias("payload"),
     )
+
+
+DHASH_BITS = 62  # stay inside a positive int64: bits 0..61
+
+IMAGE_DHASH_DDL = "media_id bigint, dhash bigint, n_pixels int, ok boolean"
+
+
+def image_dhash(df: DataFrame, n_bits: int = DHASH_BITS) -> DataFrame:
+    """Perceptual gradient hash per image: bit i is set iff pixel i is
+    brighter than pixel i+1 (the dHash idea applied to the decoded
+    grayscale byte stream; a production variant downsamples to a fixed
+    9x8 grid first — same Spark plumbing, different numpy line).
+    Images with fewer than n_bits+1 pixels leave the high bits zero
+    (defined, so two short images still compare). Returns
+    (media_id, dhash, n_pixels, ok); undecodable payloads -> ok=false
+    (K7-style per-row isolation).
+
+    Scale: shuffle-free Arrow map stage like the other media ops —
+    the hash is 8 bytes per image, so every downstream dedup join
+    moves longs, never pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                row = {"media_id": mid, "dhash": None, "n_pixels": None, "ok": False}
+                try:
+                    d = decode_payload(mtype, bytes(payload))
+                    if d["kind"] == "image":
+                        px = np.frombuffer(d["data"], dtype=np.uint8).astype(np.int64)
+                        bits = (px[:-1] > px[1:]).astype(np.int64)[:n_bits]
+                        h = int(
+                            (bits << np.arange(bits.size, dtype=np.int64)).sum()
+                        )
+                        row.update(dhash=h, n_pixels=int(px.size), ok=True)
+                except (ValueError, NotImplementedError, struct.error):
+                    pass
+                out.append(row)
+            # NULLABLE Int64 built straight from the python ints —
+            # never let the DataFrame constructor see an int column
+            # containing None: pandas coerces it to float64, silently
+            # rounding hashes above 2^53 (observed: ...700 -> ...696)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(
+                        [r["media_id"] for r in out], dtype="Int64"
+                    ),
+                    "dhash": pd.array([r["dhash"] for r in out], dtype="Int64"),
+                    "n_pixels": pd.array(
+                        [r["n_pixels"] for r in out], dtype="Int64"
+                    ),
+                    "ok": [r["ok"] for r in out],
+                }
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        run, IMAGE_DHASH_DDL
+    )
+
+
+def dhash_near_pairs(
+    hashes: DataFrame, max_dist: int = 12, band_bits: int = 16
+) -> DataFrame:
+    """Hamming near-duplicate image pairs from a (media_id, dhash)
+    frame: block on equality of any 16-bit band of the hash (the
+    simhash banding idiom — pigeonhole: two hashes within
+    ceil(62/16)-1 = 3 differing bands share at least one exact band),
+    then verify popcount(xor) <= max_dist on candidates only.
+
+    Scale: band explode is x4, the candidate join is a band-keyed
+    equi-join carrying (id, hash) longs — never payloads — and the
+    verify is one JVM expression per candidate pair."""
+    from pyspark.sql import functions as F
+
+    n_bands = (DHASH_BITS + band_bits - 1) // band_bits
+    mask = (1 << band_bits) - 1
+    h = hashes.filter(F.col("dhash").isNotNull()).select("media_id", "dhash")
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (
+                            F.shiftright(F.col("dhash"), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "dhash", "bb.b", "bb.bv")
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("dhash").alias("ha"), "b", "bv"
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("dhash").alias("hb"), "b", "bv"
+    )
+    cand = (
+        a.join(b, ["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("dist", dist.cast("bigint"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -197,3 +197,91 @@ def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_amp",
     )
     return img.unionByName(aud)
+
+
+# --- perceptual-hash image dedup (dHash + hamming banding) -----------------
+
+# closed-form pixel stream of the fake image codec (see _IMG_ORACLE):
+# p(i) = ((doc_id + i) * 31 + 7) % 256, n = W*H pixels
+_PX = "(((doc_id + {i}) * 31 + 7) % 256)"
+_DH_BITS = 62
+_DHASH_EXPR = (
+    f"CAST(list_sum(list_transform(range(0, least({_DH_BITS}, {_W} * {_H} - 1)), "
+    f"i -> CASE WHEN {_PX.format(i='i')} > {_PX.format(i='i + 1')} "
+    f"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+_DHASH_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN {_DHASH_EXPR} END AS dhash,
+  CASE WHEN doc_id % 3 = 0 THEN CAST({_W} * {_H} AS BIGINT) END AS n_pixels,
+  doc_id % 3 = 0 AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_image_dhash", oracle=_DHASH_ORACLE)
+def q_multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual gradient hash (dHash family) for every image in the
+    media corpus — 8 bytes per image that downstream dedup moves
+    instead of pixels. Whole chain (binary codec -> Arrow -> numpy
+    bit pack) checked in closed form; non-images -> ok=false."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return M.image_dhash(M.synth_media(docs)).select(
+        "media_id",
+        "dhash",
+        F.col("n_pixels").cast("bigint").alias("n_pixels"),
+        "ok",
+    )
+
+
+_DHASH_PAIRS_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id AS media_id, {_DHASH_EXPR} AS dhash
+  FROM documents WHERE doc_id % 3 = 0
+),
+bands AS (
+  SELECT media_id, dhash, b, (dhash >> CAST(b * 16 AS INT)) & 65535 AS bv
+  FROM hs, range(0, 4) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.dhash AS ha, b.dhash AS hb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bv = b.bv AND a.media_id < b.media_id
+)
+SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(id_a) AS min_id_a, MIN(id_b) AS min_id_b
+FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+GROUP BY 1 ORDER BY dist
+"""
+
+
+@register("q_multimodal_dhash_pairs", oracle=_DHASH_PAIRS_ORACLE)
+def q_multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE census by perceptual-hash hamming distance:
+    the multimodal twin of the text SimHash pipeline — 16-bit band
+    blocking (pigeonhole-complete for dist <= 3 differing bands, and
+    the popcount verify re-checks every candidate), XOR-popcount
+    verify at dist <= 2, then a distance histogram (the synthetic
+    corpus repeats pixel phases, so raw pairs are census-sized —
+    the report is what an operator dashboards). Candidate joins
+    carry (id, hash) longs only; pixels never shuffle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    from pyspark.sql import functions as F
+
+    hashes = M.image_dhash(M.synth_media(docs))
+    return (
+        M.dhash_near_pairs(hashes, max_dist=2)
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("id_a").alias("min_id_a"),
+            F.min("id_b").alias("min_id_b"),
+        )
+        .orderBy("dist")
+    )

@@ -270,3 +270,48 @@ def test_ppm_rejects_bad_payloads():
         M.decode_payload("image/ppm", b"P6\n2 2\n255\n\x00\x00")  # truncated
     with pytest.raises(ValueError):
         M.decode_payload("image/ppm", b"P6\n1 1\n65535\n\x00\x00")  # 16-bit maxval
+
+
+def test_image_dhash_known_bits_and_none_isolation(spark):
+    """dHash bit i = (p[i] > p[i+1]); non-images yield ok=false with a
+    NULL hash — and a >2^53 hash must survive the Arrow transfer
+    exactly (nullable Int64 path, not a float64 coercion)."""
+    from corrie_spark.operators import multimodal as M
+
+    rows = [
+        (1, "fake/image", M.encode_fake_image(3, 2, 0)),
+        (2, "fake/audio", M.encode_fake_audio(8000, 4, 0)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    got = {r.media_id: r for r in M.image_dhash(df).collect()}
+    px = [((0 + i) * 31 + 7) % 256 for i in range(6)]
+    expect = sum(1 << i for i in range(5) if px[i] > px[i + 1])
+    assert got[1].ok and got[1].dhash == expect and got[1].n_pixels == 6
+    assert not got[2].ok and got[2].dhash is None
+
+
+def test_dhash_pairs_banding_and_distance(spark):
+    """Hashes equal in one 16-bit band pair up; distance is the exact
+    popcount of the XOR; far hashes with no shared band never pair."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators import multimodal as M
+
+    h = spark.createDataFrame(
+        [
+            (1, (1 << 61) - 1),          # bands: ffff ffff ffff 1fff
+            (2, (1 << 61) - 1 - (1 << 3)),  # 1 bit off -> shares 3 bands
+            (3, 0),                       # shares NO band with 1 or 2...
+            (4, 1 << 20),                 # ...but bands 0,2,3 == 0 match 3
+        ],
+        "media_id long, dhash long",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in M.dhash_near_pairs(h, max_dist=62).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert pairs[(3, 4)] == 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # verify threshold actually filters
+    assert M.dhash_near_pairs(h, max_dist=0).count() == 0

@@ -31,6 +31,8 @@ _PYTHON_OK = {
     "q_multimodal_audio_features",
     "q_multimodal_frame_stats",
     "q_multimodal_real_codecs",
+    "q_multimodal_image_dhash",  # mapInPandas decode + bit pack
+    "q_multimodal_dhash_pairs",  # same Arrow stage feeds the band join
     "q_emb_covariance",  # gram_cells: one numpy X^T X per Arrow batch
     "q_sim_matryoshka_recall",  # partial-top-k consumer (prefix dims)
     "q_semdedup_pairs",  # per-cell numpy Gram block (applyInPandas)
