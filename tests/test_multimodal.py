@@ -315,3 +315,36 @@ def test_dhash_pairs_banding_and_distance(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     # verify threshold actually filters
     assert M.dhash_near_pairs(h, max_dist=0).count() == 0
+
+
+def test_dhash_banding_complete_for_small_distances(spark):
+    """Pigeonhole completeness: with 4 bands, any pair at hamming
+    distance <= 3 differs in <= 3 bands, so at least one band matches
+    exactly and the blocked join must surface EVERY such pair that a
+    brute-force scan finds (randomized hashes, fixed seed)."""
+    import itertools
+    import random
+
+    from corrie_spark.operators import multimodal as M
+
+    rng = random.Random(6)
+    base = [rng.getrandbits(62) for _ in range(30)]
+    # plant near pairs at distances 1..3 off existing hashes
+    hashes = list(base)
+    for i, h in enumerate(base[:10]):
+        flip = 0
+        for b in rng.sample(range(62), (i % 3) + 1):
+            flip |= 1 << b
+        hashes.append(h ^ flip)
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in M.dhash_near_pairs(df, max_dist=3).collect()
+    }
+    expect = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            expect[(min(ia, ib), max(ia, ib))] = d
+    assert got == expect and len(expect) >= 10
