@@ -414,16 +414,30 @@ def embedding_near_dups(
 def _centroids_of(assigned: DataFrame, dim: int = 64) -> DataFrame:
     """(cell, qv) rows -> (cell, centroid): floor of the per-dimension
     mean of quantized vectors — exact integers, so every engine
-    computes identical centroids. 64 parallel SUMs, pure map-side
-    combine, shuffle payload #cells x 64 longs."""
-    sums = assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+    computes identical centroids (floor(double(s)/n): |s| < 2^53, so
+    the division input is exact and the floor engine-independent).
+
+    Shape: posexplode to (cell, pos, x), ONE two-column partial
+    aggregation, then a 64-row-per-cell collect_list reassembly. The
+    map-side combine collapses the explode to #cells x dim longs per
+    partition before the exchange — the same wire payload as a
+    dim-wide column aggregate — while keeping the expression tree
+    O(1) in dim: the previous 64-parallel-SUM formulation spent
+    seconds PER TRAINING ROUND on py4j column building + codegen of
+    the 64-aggregate plan, which dwarfed the actual row work and
+    recurred every Lloyd iteration (plans are not cached across the
+    re-literalized rounds)."""
+    sums = (
+        assigned.select("cell", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("c", F.floor(F.col("s") / F.col("n")).cast("bigint"))
     )
-    centroid = F.array(
-        *[F.floor(F.col(f"s{i}") / F.col("n")).cast("bigint") for i in range(dim)]
+    return sums.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda t: t["c"]
+        ).alias("centroid")
     )
-    return sums.select("cell", centroid.alias("centroid"))
 
 
 def ivf_centroids(
@@ -472,24 +486,28 @@ def kmeans_assign(vectors: DataFrame, centroids) -> DataFrame:
             "vid", "qv", F.lit(None).cast("int").alias("cell")
         ).limit(0)
     rows.sort()
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(sum(x * x for x in v)).cast("bigint").alias("cnorm"),
-                F.lit(int(c)).cast("int").alias("cell"),
-                F.lit([int(x) for x in v]).cast("array<bigint>").alias("centroid"),
-            )
-            for c, v in rows
-        ]
+    # ONE server-parsed SQL expression instead of per-cell py4j Column
+    # building: constructing the (cnorm, cell, centroid) literals
+    # through the Column API costs ~0.5s of round trips PER LLOYD
+    # ROUND (8 structs x 64-long arrays); a single expr string parses
+    # in milliseconds (same fast path as hyperplane_signature)
+    structs = ", ".join(
+        "named_struct('cnorm', {n}L, 'cell', {c}, 'centroid', array({v}))".format(
+            n=sum(int(x) * int(x) for x in v),
+            c=int(c),
+            v=", ".join(f"{int(x)}L" for x in v),
+        )
+        for c, v in rows
     )
-    costs = F.transform(
-        cents,
-        lambda s: F.struct(
-            (s["cnorm"] - 2 * int_dot(F.col("qv"), s["centroid"])).alias("cost"),
-            s["cell"].alias("cell"),
-        ),
+    costs = (
+        f"transform(array({structs}), s -> named_struct("
+        "'cost', s.cnorm - 2 * aggregate(zip_with(qv, s.centroid, (a, b) -> a * b), "
+        "0L, (acc, x) -> acc + x), "
+        "'cell', s.cell))"
     )
-    return vectors.select("vid", "qv", F.array_min(costs)["cell"].alias("cell"))
+    return vectors.select(
+        "vid", "qv", F.expr(f"array_min({costs}).cell").cast("int").alias("cell")
+    )
 
 
 def kmeans_cells(
