@@ -1575,6 +1575,59 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def _lm_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the per-doc LM score frame (doc_id, source,
+    n_pairs, s): the bigram training + scoring joins run once and
+    feed both the per-source report and the outlier query."""
+    from corrie_spark.functions.core import bind
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+
+        def pairs_of(tk: F.Column) -> F.Column:
+            return F.when(
+                F.size(tk) >= 2,
+                F.zip_with(
+                    F.slice(tk, 1, F.size(tk) - 1),
+                    F.slice(tk, 2, F.size(tk) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+        bi = docs.select(
+            "doc_id", "source", F.explode(bind(T.tokens("text"), pairs_of)).alias("p")
+        ).select("doc_id", "source", "p.w1", "p.w2")
+        bg = bi.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt_b")
+        )
+        ug = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_u"))
+        vo = docs.select(F.explode(T.tokens("text")).alias("term")).agg(
+            F.countDistinct("term").cast("bigint").alias("v")
+        )
+        scored = (
+            bi.join(bg, ["w1", "w2"])
+            .join(ug, "w1")
+            .crossJoin(F.broadcast(vo))
+            .withColumn(
+                "logq",
+                F.expr(
+                    _LM_LOGQ.replace("num", "cnt_b + 1").replace("den", "cnt_u + v")
+                ),
+            )
+        )
+        return (
+            scored.groupBy("doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum("logq").cast("bigint").alias("s"),
+            )
+            .persist()
+        )
+
+    return _memo(spark, sf_dir, "lm_per_doc", build)
+
+
 @register("q_text_lm_score", oracle=_LM_ORACLE)
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model fluency score per source: train add-1-
@@ -1590,43 +1643,9 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins, AQE handles hot-gram skew; V rides in as a broadcast
     one-row frame; per-doc and per-source rollups are partial aggs
     over exact ints (see _LM_LOGQ note — no float-sum order
-    sensitivity anywhere)."""
-    from corrie_spark.functions.core import bind
-
-    docs = load(spark, sf_dir, "documents")
-
-    def pairs_of(tk: F.Column) -> F.Column:
-        return F.when(
-            F.size(tk) >= 2,
-            F.zip_with(
-                F.slice(tk, 1, F.size(tk) - 1),
-                F.slice(tk, 2, F.size(tk) - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            ),
-        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-
-    bi = docs.select(
-        "doc_id", "source", F.explode(bind(T.tokens("text"), pairs_of)).alias("p")
-    ).select("doc_id", "source", "p.w1", "p.w2")
-    bg = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_b"))
-    ug = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_u"))
-    vo = (
-        docs.select(F.explode(T.tokens("text")).alias("term"))
-        .agg(F.countDistinct("term").cast("bigint").alias("v"))
-    )
-    scored = (
-        bi.join(bg, ["w1", "w2"])
-        .join(ug, "w1")
-        .crossJoin(F.broadcast(vo))
-        .withColumn(
-            "logq",
-            F.expr(_LM_LOGQ.replace("num", "cnt_b + 1").replace("den", "cnt_u + v")),
-        )
-    )
-    per_doc = scored.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum("logq").cast("bigint").alias("s"),
-    )
+    sensitivity anywhere). The per-doc frame is a session memo shared
+    with q_text_lm_outliers."""
+    per_doc = _lm_per_doc(spark, sf_dir)
     return (
         per_doc.groupBy("source")
         .agg(
@@ -1739,4 +1758,57 @@ def q_ols_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(s["n"], betas[0], betas[1], betas[2])],
         "n_docs bigint, beta0 double, beta1 double, beta2 double",
+    )
+
+
+_LM_OUTLIER_K = 20
+
+_LM_OUTLIERS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, source, UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM bi GROUP BY w1, w2),
+ug AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt_u FROM bi GROUP BY w1),
+vo AS (
+  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+  FROM (SELECT UNNEST(t) AS term FROM toks)
+),
+scored AS (
+  SELECT doc_id, source, {_LM_LOGQ.replace("num", "cnt_b + 1").replace("den", "cnt_u + v")} AS logq
+  FROM bi JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN vo
+),
+per_doc AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(logq) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_pairs,
+       -(CAST(s AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 10000.0)) AS nll
+FROM per_doc
+ORDER BY nll DESC, doc_id
+LIMIT {_LM_OUTLIER_K}
+"""
+
+
+@register("q_text_lm_outliers", oracle=_LM_OUTLIERS_ORACLE)
+def q_text_lm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k} least-fluent documents by bigram-LM mean NLL — the
+    artifact a perplexity quality filter actually drops. Rides the
+    session per-doc score memo (q_text_lm_score trains once); the
+    top-k is a TakeOrdered over exact-int-derived doubles, ties to
+    doc_id — deterministic in both engines."""
+    per_doc = _lm_per_doc(spark, sf_dir)
+    nll = -(
+        F.col("s").cast("double") / (F.col("n_pairs").cast("double") * F.lit(10000.0))
+    )
+    return (
+        per_doc.select("doc_id", "source", "n_pairs", nll.alias("nll"))
+        .orderBy(F.col("nll").desc(), "doc_id")
+        .limit(_LM_OUTLIER_K)
     )
