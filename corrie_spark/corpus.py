@@ -72,13 +72,6 @@ def corpus_stages(
     turns the build's most expensive stage into a reused artifact."""
     from pyspark import StorageLevel
 
-    # Spread the md5/feature-heavy map stages over every core: a
-    # small-sf documents table is one parquet split, which would
-    # serialize stage 1's normalize+hash scan into a single task (at
-    # cluster scale the input is already multi-split and this is a
-    # same-width reshuffle of the raw text, paid once).
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-
     # 1. exact dedup: keep the min doc_id per md5 fingerprint.
     # Stage boundaries are persisted MEMORY_AND_DISK: every boundary
     # feeds >= 2 consumers (the next stage + the manifest count), and

@@ -50,14 +50,8 @@ def _shared_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
 
     def build() -> DataFrame:
-        # spread the md5-heavy signature map over every core first: a
-        # small-sf documents table is a single parquet split, and
-        # without this the whole scan serializes into one task (at
-        # cluster scale the input arrives already multi-split and the
-        # repartition coalesces to the same width, not wider)
-        par = spark.sparkContext.defaultParallelism
         sigs = (
-            D.with_minhash(docs.repartition(par, "doc_id"))
+            D.with_minhash(docs)
             .select("doc_id", F.size("grams").alias("n_grams"), "sig")
             .persist()
         )

@@ -179,11 +179,12 @@ def test_asof_join_single_shuffle_no_join(spark):
 
 
 def test_ivf_broadcasts_centroids_and_probes(spark):
-    """IVF: centroid build shuffles #cells rows; probe + candidate
+    """IVF: centroid build shuffles (cell, pos) partials then a
+    #cells x dim reassembly (both metadata-sized); probe + candidate
     joins broadcast; window re-rank shuffles candidates only."""
     df = all_queries()["q_sim_ivf"](spark, SF_CORRECT)
     assert has_broadcast_join(df)
-    assert count_shuffles(df) <= 3
+    assert count_shuffles(df) <= 4
 
 
 def test_new_text_ops_shuffle_free(spark):
@@ -472,3 +473,48 @@ def test_runtime_bloom_filter_engages_on_smj(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_tfidf_broadcasts_scalar_vocab_join(spark):
+    """TF-IDF: n_docs rides a broadcast one-row frame; the tf x df
+    join is term-keyed (vocab-sized), never a cartesian."""
+    df = all_queries()["q_text_tfidf_terms"](spark, SF_CORRECT)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_score_broadcasts_vocab_size(spark):
+    """Bigram LM: V is a broadcast one-row frame; scoring joins are
+    gram-keyed equi-joins."""
+    df = all_queries()["q_text_lm_score"](spark, SF_CORRECT)
+    assert has_broadcast_join(df)
+
+
+def test_profile_scans_are_single_column(spark):
+    """Column profile: every orders scan must be pruned to exactly the
+    one profiled column — a profile that re-reads the full row width
+    per column is wrong at scale."""
+    df = all_queries()["q_profile_orders"](spark, SF_CORRECT)
+    for schema in read_schemas(df):
+        cols = [c for c in schema.strip("struct<>").split(",") if c.strip()]
+        assert len(cols) == 1, schema
+
+
+def test_ols_single_pruned_scan_no_shuffle_before_agg(spark):
+    """OLS sums: one scan pruned to the text column, one partial
+    aggregation — nothing else moves (the solve happens driver-side
+    on the collected 9 longs, so the returned frame is a literal)."""
+    from corrie_spark.tables import load
+    from corrie_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF_CORRECT, "documents")
+    sums = docs.select(
+        T.token_count("text").cast("bigint").alias("x1"),
+        T.stopword_count("text").cast("bigint").alias("x2"),
+        F.length("text").cast("bigint").alias("y"),
+    ).agg(F.sum("x1"), F.sum("x2"), F.sum("y"))
+    [schema] = read_schemas(sums)
+    assert "text" in schema and "doc_id" not in schema and "source" not in schema
+    assert count_shuffles(sums) <= 1
