@@ -289,3 +289,102 @@ def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "exact_count", F.col("cms_count"))
         .orderBy(F.col("exact_count").desc(), F.col("token"))
     )
+
+
+# --- HLL set algebra: distinct-user overlap of two event types -------------
+
+_EST = (
+    f"(({ALPHA_EXPR}) * {HLL_M * HLL_M}.0e0 * {1 << 52}.0e0"
+    f" / CAST(s_hit + ({HLL_M} - n_hit) * (1::BIGINT << 52) AS DOUBLE))"
+)
+
+_HLL_OVERLAP_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type, {_H} AS h FROM events
+  WHERE event_type IN ('click', 'view')
+),
+regs AS (
+  SELECT event_type, h & {HLL_M - 1} AS bucket,
+         MAX({hll_rank_sql('h')}) AS max_rank
+  FROM hashed GROUP BY event_type, h & {HLL_M - 1}
+),
+uregs AS (SELECT bucket, MAX(max_rank) AS max_rank FROM regs GROUP BY bucket),
+est AS (
+  SELECT event_type AS scope,
+         SUM((1::BIGINT << (52 - max_rank))) AS s_hit, COUNT(*) AS n_hit
+  FROM regs GROUP BY event_type
+  UNION ALL
+  SELECT 'union', SUM((1::BIGINT << (52 - max_rank))), COUNT(*) FROM uregs
+),
+vals AS (
+  SELECT
+    SUM(CASE WHEN scope = 'click' THEN {_EST} END) AS est_click,
+    SUM(CASE WHEN scope = 'view' THEN {_EST} END) AS est_view,
+    SUM(CASE WHEN scope = 'union' THEN {_EST} END) AS est_union
+  FROM est
+)
+SELECT est_click, est_view, est_union,
+       est_click + est_view - est_union AS est_intersection,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'view')) AS exact_intersection
+FROM vals
+"""
+
+
+@register("q_sketch_hll_overlap", oracle=_HLL_OVERLAP_ORACLE)
+def q_sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user OVERLAP of two event types by HLL inclusion-
+    exclusion: |A ∩ B| ~ est(A) + est(B) - est(A ∪ B), where the
+    union sketch is a bucket-wise MAX merge of the two register
+    tables — set algebra on mergeable state, no re-scan of raw data
+    once registers exist. The exact intersection rides along so the
+    estimate's error is visible in the row.
+
+    100 TB shape: registers are 2 x 256 rows of ints; the merge, the
+    three estimates and the final arithmetic are metadata-sized. The
+    exact twin is one co-partitioned user_id rollup (the part a real
+    deployment would drop, keeping only sketches)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    regs = SK.hll_registers(ev, "event_type", "user_id")
+    uregs = (
+        regs.groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .withColumn("scope", F.lit("union"))
+    )
+    est = SK.hll_estimate(
+        regs.withColumnRenamed("event_type", "scope").unionByName(
+            uregs.select("scope", "bucket", "max_rank")
+        ),
+        "scope",
+    )
+    vals = est.agg(
+        F.sum(F.when(F.col("scope") == "click", F.col("hll_estimate"))).alias(
+            "est_click"
+        ),
+        F.sum(F.when(F.col("scope") == "view", F.col("hll_estimate"))).alias(
+            "est_view"
+        ),
+        F.sum(F.when(F.col("scope") == "union", F.col("hll_estimate"))).alias(
+            "est_union"
+        ),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+    )
+    exact = per_user.filter((F.col("c") == 1) & (F.col("v") == 1)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_intersection")
+    )
+    return vals.crossJoin(exact).select(
+        "est_click",
+        "est_view",
+        "est_union",
+        (F.col("est_click") + F.col("est_view") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+        "exact_intersection",
+    )

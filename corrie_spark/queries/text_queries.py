@@ -1812,3 +1812,152 @@ def q_text_lm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("nll").desc(), "doc_id")
         .limit(_LM_OUTLIER_K)
     )
+
+
+# --- token-distribution entropy & KL drift (training-mix diagnostics) ------
+
+# same quantized-log discipline as the bigram LM (_LM_LOGQ): the one
+# ln() runs on an identical correctly-rounded double ratio in both
+# engines, quantizes to an int, and every downstream sum is exact
+# int64 — order-independent across partitionings.
+
+_ENTROPY_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS term
+  FROM documents
+),
+cnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY source, term),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM cnt GROUP BY source),
+scored AS (
+  SELECT c.source, c.c,
+         CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) * 10000.0) AS BIGINT) AS logq
+  FROM cnt c JOIN tot t USING (source)
+)
+SELECT s.source, t.n AS n_tokens, t.vocab AS vocab_size,
+       CAST(SUM(s.c * s.logq) AS BIGINT) AS sum_clogq,
+       -(CAST(SUM(s.c * s.logq) AS DOUBLE) / (CAST(t.n AS DOUBLE) * 10000.0)) AS entropy_nats
+FROM scored s JOIN tot t USING (source)
+GROUP BY s.source, t.n, t.vocab
+ORDER BY source
+"""
+
+
+@register("q_text_entropy", oracle=_ENTROPY_ORACLE)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats/token) of each source's unigram
+    distribution — the diversity metric a mixture designer watches
+    for mode collapse (low entropy = repetitive/templated source).
+
+    100 TB shape: one explode -> (source, term) partial-agg count
+    table (vocab-sized); totals re-join broadcast (#sources rows);
+    the entropy sum is an exact int64 partial agg of c * logq."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    scored = cnt.join(F.broadcast(tot), "source").withColumn(
+        "logq",
+        F.expr(
+            "CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0) AS BIGINT)"
+        ),
+    )
+    return (
+        scored.groupBy("source", "n", "vocab")
+        .agg(F.sum(F.col("c") * F.col("logq")).cast("bigint").alias("sum_clogq"))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.col("vocab").alias("vocab_size"),
+            "sum_clogq",
+            (
+                -(
+                    F.col("sum_clogq").cast("double")
+                    / (F.col("n").cast("double") * F.lit(10000.0))
+                )
+            ).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+_KL_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS term
+  FROM documents
+),
+cnt_s AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st FROM toks GROUP BY source, term),
+tot_s AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cnt_s GROUP BY source),
+cnt_t AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cnt_s GROUP BY term),
+ntot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cnt_s),
+scored AS (
+  SELECT s.source, s.c_st,
+         CAST(floor(ln(CAST(s.c_st * n.n AS DOUBLE) / CAST(t.n_s * ct.c_t AS DOUBLE)) * 10000.0) AS BIGINT) AS logq
+  FROM cnt_s s
+  JOIN tot_s t USING (source)
+  JOIN cnt_t ct USING (term)
+  CROSS JOIN ntot n
+)
+SELECT s.source, t.n_s AS n_tokens,
+       CAST(SUM(s.c_st * s.logq) AS BIGINT) AS sum_clogq,
+       CAST(SUM(s.c_st * s.logq) AS DOUBLE) / (CAST(t.n_s AS DOUBLE) * 10000.0) AS kl_nats
+FROM scored s JOIN tot_s t USING (source)
+GROUP BY s.source, t.n_s
+ORDER BY source
+"""
+
+
+@register("q_text_kl_divergence", oracle=_KL_ORACLE)
+def q_text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    whole-corpus distribution — the domain-drift score that flags a
+    source whose language stopped looking like the mixture it feeds.
+
+    100 TB shape: the per-source count table rolls up to the corpus
+    table with one term-keyed partial agg; scoring joins are
+    term-keyed equi-joins (vocab x vocab); per-source totals and the
+    corpus total broadcast; the KL sum is an exact int64 partial agg
+    (see entropy note)."""
+    docs = load(spark, sf_dir, "documents")
+    cnt_s = (
+        docs.select("source", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
+    )
+    tot_s = cnt_s.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    cnt_t = cnt_s.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    ntot = cnt_s.agg(F.sum("c_st").cast("bigint").alias("n"))
+    scored = (
+        cnt_s.join(cnt_t, "term")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "logq",
+            F.expr(
+                "CAST(floor(ln(CAST(c_st * n AS DOUBLE) / CAST(n_s * c_t AS DOUBLE))"
+                " * 10000.0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("source", "n_s")
+        .agg(F.sum(F.col("c_st") * F.col("logq")).cast("bigint").alias("sum_clogq"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "sum_clogq",
+            (
+                F.col("sum_clogq").cast("double")
+                / (F.col("n_s").cast("double") * F.lit(10000.0))
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
