@@ -35,6 +35,7 @@ _PYTHON_OK = {
     "q_multimodal_dhash_pairs",  # same Arrow stage feeds the band join
     "q_emb_covariance",  # gram_cells: one numpy X^T X per Arrow batch
     "q_sim_matryoshka_recall",  # partial-top-k consumer (prefix dims)
+    "q_sim_hard_negatives",  # partial-top-k consumer (cluster-excluded)
     "q_semdedup_pairs",  # per-cell numpy Gram block (applyInPandas)
     "q_semdedup_survivors",  # consumes the same Gram pair frame
 }
