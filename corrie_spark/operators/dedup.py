@@ -458,40 +458,37 @@ def connected_components(
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
-        neighbor_min = (
+        # ONE fused round: new_label(v) = min(label(v),
+        #                                     min_{u~v} label(u),      [neighbor step]
+        #                                     label(label(v)))         [pointer jump]
+        # All three candidates are ids inside v's component and labels
+        # only shrink, so the invariant and the fixpoint (= component
+        # minimum) are those of the sequential two-step round; applying
+        # the jump to the round-START labels (Jacobi, not Gauss-Seidel)
+        # can cost one extra round on some graphs but halves the
+        # per-round materializations: a single eager checkpoint + the
+        # changed-count probe instead of two checkpoints + count.
+        nbr = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("cand"))
+            .select(F.col("src").alias("node"), "cand", F.lit(None).cast("long").alias("old"))
         )
-        stepped = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("old_label"),
-            )
-            # referenced twice below (as base and as `parent`); Spark
-            # shares no common subplans, so without this checkpoint the
-            # neighbor-min join subtree would execute twice per round
-            .localCheckpoint(eager=True)
-        )
-        # pointer jumping: follow one hop through the label graph
-        # (label(v) -> label(label(v))); labels only shrink, so the
-        # left join + least keeps the invariant
-        parent = stepped.select(
+        parent = labels.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
+        # every label IS some node's id (invariant), so the hop join is
+        # inner and total — no left/coalesce needed
+        jump = labels.join(parent, labels.label == parent.p_node).select(
+            "node", F.col("p_label").alias("cand"), F.lit(None).cast("long").alias("old")
+        )
+        keep = labels.select("node", F.col("label").alias("cand"), F.col("label").alias("old"))
         updated = (
-            stepped.join(parent, stepped.label == parent.p_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("new_label"),
-                F.col("old_label").alias("label"),
-            )
+            keep.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("node")
+            # old is non-null exactly once per node (the keep branch)
+            .agg(F.min("cand").alias("new_label"), F.max("old").alias("label"))
             # one materialization per round: the changed-count probe and
             # the next round's labels both read this, and the lineage is
             # cut so each round's plan stays O(1)
