@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from corrie_spark.operators import similarity as S
 from corrie_spark.queries.registry import register
 from corrie_spark.queries.similarity_queries import _DIM, _QUANT
 from corrie_spark.tables import load
