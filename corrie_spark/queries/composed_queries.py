@@ -71,11 +71,8 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange at ~#queries x k rows per partition. Rides the session
     cluster memo — the LSH/CC build is shared with the whole dedup
     family."""
-    from pyspark.sql.window import Window
-
-    from corrie_spark.queries.dedup_queries import _shared_clusters
-
     from corrie_spark.operators.similarity import grouped_topk, int_dot, quantize
+    from corrie_spark.queries.dedup_queries import _shared_clusters
 
     emb = load(spark, sf_dir, "embeddings")
     clus = _shared_clusters(spark, sf_dir)
@@ -113,4 +110,95 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_topk(pairs, 10)
         .select("query_id", "neighbor_id", F.col("rnk").cast("bigint"), "dot")
         .orderBy("query_id", "rnk")
+    )
+
+
+# --- duplication x quality interaction -------------------------------------
+
+def _dupq_oracle() -> str:
+    from corrie_spark.operators import dedup as D
+    from corrie_spark.queries.dedup_queries import _CLUSTERS_ORACLE, _sig_expr
+    from corrie_spark.queries.text_queries import _NSTOP, _NTOK, _TOKS
+
+    clusters = _CLUSTERS_ORACLE.format(
+        toks=_TOKS,
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    )
+    tail = "SELECT node AS doc_id, MIN(r) AS cluster_id\nFROM reach GROUP BY node"
+    assert tail in clusters
+    return clusters.replace(
+        tail,
+        f""", clus AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM clus GROUP BY cluster_id),
+feat AS (
+  SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens, CAST({_NSTOP} AS BIGINT) AS n_stop
+  FROM documents
+),
+bucketed AS (
+  SELECT CASE WHEN cs.n = 1 THEN 'unique'
+              WHEN cs.n <= 3 THEN 'small_2_3'
+              ELSE 'large_4_plus' END AS size_bucket,
+         c.cluster_id, f.n_tokens, f.n_stop
+  FROM clus c JOIN csize cs USING (cluster_id) JOIN feat f USING (doc_id)
+)
+SELECT size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+       CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS stopword_ratio
+FROM bucketed GROUP BY size_bucket ORDER BY size_bucket""",
+    )
+
+
+@register("q_dedup_quality_interaction", oracle=_dupq_oracle())
+def q_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does duplication correlate with junk? Per near-dup-cluster-size
+    bucket (unique / 2-3 copies / 4+): doc counts, cluster counts and
+    exact-ratio quality signals (mean tokens, stopword ratio) — the
+    evidence behind 'dedup improves data quality' for THIS corpus,
+    with the dedup subsystem and the text-feature subsystem proven
+    against one oracle simultaneously.
+
+    100 TB shape: cluster sizes are a metadata-sized rollup of the
+    session cluster memo; the feature pass is map-only; the size
+    re-join is id-keyed; all means are double ratios of exact int64
+    sums (order-independent)."""
+    from corrie_spark.operators import text as T
+    from corrie_spark.queries.dedup_queries import _shared_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    clus = _shared_clusters(spark, sf_dir)
+    csize = clus.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    feat = docs.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.stopword_count("text").cast("bigint").alias("n_stop"),
+    )
+    bucket = (
+        F.when(F.col("n") == 1, "unique")
+        .when(F.col("n") <= 3, "small_2_3")
+        .otherwise("large_4_plus")
+    )
+    bucketed = (
+        clus.join(csize, "cluster_id")
+        .join(feat, "doc_id")
+        .select(bucket.alias("size_bucket"), "cluster_id", "n_tokens", "n_stop")
+    )
+    return (
+        bucketed.groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "mean_tokens"
+            ),
+            (F.sum("n_stop").cast("double") / F.sum("n_tokens").cast("double")).alias(
+                "stopword_ratio"
+            ),
+        )
+        .orderBy("size_bucket")
     )
