@@ -388,3 +388,81 @@ def q_sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "exact_intersection",
     )
+
+
+# --- 7-day sliding distinct users from DAILY register tables ---------------
+
+_HLL_SLIDING_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id, {_H} AS h FROM events
+),
+days AS (SELECT DISTINCT day FROM ev),
+regs AS (
+  SELECT day, h & {HLL_M - 1} AS bucket, MAX({hll_rank_sql('h')}) AS max_rank
+  FROM ev GROUP BY day, h & {HLL_M - 1}
+),
+win AS (
+  SELECT d.day AS day, r.bucket, MAX(r.max_rank) AS max_rank
+  FROM days d JOIN regs r ON r.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day, r.bucket
+),
+agg AS (
+  SELECT day, SUM((1::BIGINT << (52 - max_rank))) AS s_hit, COUNT(*) AS n_hit
+  FROM win GROUP BY day
+),
+exact AS (
+  SELECT d.day AS day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_distinct
+  FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT a.day, CAST(a.n_hit AS BIGINT) AS registers_hit, {_EST} AS hll_estimate,
+       x.exact_distinct
+FROM agg a JOIN exact x USING (day)
+ORDER BY day
+"""
+
+
+@register("q_sketch_hll_sliding", oracle=_HLL_SLIDING_ORACLE)
+def q_sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users PER DAY, served from daily HLL
+    register tables — the rollup-store pattern applied to sketch
+    state: a dashboard reads 7 x 256-row register tables and merges
+    (bucket-wise MAX), never re-scanning raw events. The exact twin
+    rides along per row.
+
+    100 TB shape: daily registers are a (day, bucket) partial agg —
+    the ONE pass over raw events; the sliding merge joins the 30-row
+    day spine to the #days x 256 register table (both metadata-sized,
+    broadcast inequality join -> BNLJ, never a corpus product). The
+    exact twin is the expensive path a deployment would drop."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    regs = SK.hll_registers(ev, "day", "user_id")
+    days = ev.select("day").distinct().select(F.col("day").alias("tday"))
+    win = (
+        regs.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("tday"))
+            & (F.col("day") >= F.date_sub(F.col("tday"), 6)),
+        )
+        .groupBy("tday", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .withColumnRenamed("tday", "day")
+    )
+    est = SK.hll_estimate(win, "day")
+    exact = (
+        ev.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("tday"))
+            & (F.col("day") >= F.date_sub(F.col("tday"), 6)),
+        )
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+        .withColumnRenamed("tday", "day")
+    )
+    return (
+        est.join(exact, "day")
+        .select("day", "registers_hit", "hll_estimate", "exact_distinct")
+        .orderBy("day")
+    )
