@@ -452,7 +452,11 @@ def q_sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = SK.hll_estimate(win, "day")
     exact = (
-        ev.join(
+        # collapse to distinct (day, user) BEFORE the x7 window
+        # explode: same countDistinct result, 1/events-per-user-day
+        # of the join input
+        ev.distinct()
+        .join(
             F.broadcast(days),
             (F.col("day") <= F.col("tday"))
             & (F.col("day") >= F.date_sub(F.col("tday"), 6)),
