@@ -51,4 +51,10 @@ def engine_confs(cpus: int | None = None) -> dict[str, str]:
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # long sessions compile hundreds of whole-stage-codegen classes
+        # (the bench runs the full registry in one JVM); the JIT's
+        # default 240 MB reserved code cache fills and flushes, causing
+        # sporadic multi-second stalls on late queries — Spark's own
+        # tuning guide recommends raising it for codegen-heavy work
+        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
     }
