@@ -1961,3 +1961,82 @@ def q_text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Heaps-law vocabulary growth curve -------------------------------------
+
+_HEAPS_ORACLE = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id,
+         CAST(least(doc_id * 10 // n.n_docs, 9) AS BIGINT) AS decile,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS t
+  FROM documents CROSS JOIN n
+),
+exploded AS (SELECT decile, UNNEST(t) AS term FROM toks),
+term_first AS (SELECT term, CAST(MIN(decile) AS BIGINT) AS first_decile FROM exploded GROUP BY term),
+new_terms AS (
+  SELECT first_decile AS decile, CAST(COUNT(*) AS BIGINT) AS n_new FROM term_first GROUP BY first_decile
+),
+tok_counts AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_toks FROM exploded GROUP BY decile
+),
+spine AS (SELECT CAST(UNNEST(range(0, 10)) AS BIGINT) AS decile)
+SELECT s.decile,
+       CAST(SUM(COALESCE(tc.n_toks, 0)) OVER (ORDER BY s.decile) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY s.decile) AS BIGINT) AS cum_vocab
+FROM spine s
+LEFT JOIN new_terms nt USING (decile)
+LEFT JOIN tok_counts tc USING (decile)
+ORDER BY s.decile
+"""
+
+
+@register("q_text_heaps_curve", oracle=_HEAPS_ORACLE)
+def q_text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct vocabulary vs
+    cumulative tokens over doc-id deciles of the corpus — the curve
+    whose early flattening tells a data buyer the next shard of a
+    source adds words, not repeats.
+
+    100 TB shape: one explode pass feeds two vocab-sized partial aggs
+    (first-decile per term, tokens per decile); the cumulative sums
+    run over a TEN-row spine (a metadata window, not a data one);
+    n_docs rides in broadcast."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    toks = docs.crossJoin(F.broadcast(n)).select(
+        F.least(
+            (F.col("doc_id") * 10 / F.col("n_docs")).cast("bigint"), F.lit(9)
+        ).alias("decile"),
+        F.explode(T.tokens("text")).alias("term"),
+    )
+    term_first = toks.groupBy("term").agg(
+        F.min("decile").cast("bigint").alias("first_decile")
+    )
+    new_terms = term_first.groupBy(F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    tok_counts = toks.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks")
+    )
+    spine = spark.range(10).select(F.col("id").cast("bigint").alias("decile"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(new_terms, "decile", "left")
+        .join(tok_counts, "decile", "left")
+        .select(
+            "decile",
+            F.sum(F.coalesce(F.col("n_toks"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
