@@ -229,10 +229,20 @@ def build_corpus_staged(
     to force its recompute (e.g. after changing gate thresholds).
 
     Returns the same manifest as build_corpus plus a `stages_run`
-    list showing what actually executed this invocation."""
+    list showing what actually executed this invocation.
+
+    Stage-boundary counts (n_raw / n_after_exact_dedup /
+    n_after_near_dedup / n_after_quality) are recorded in
+    `stages/COUNTS.json` the first time the stages run, so a resumed
+    or read-only consumer (q_corpus_manifest's warm path) can report
+    the full manifest without replaying the build. The counts are
+    taken from the SAME persisted boundary frames the build flows
+    through — not a separate pass."""
+    import json as _json
     import os
 
     stages_dir = f"{out_dir}/stages"
+    counts_path = f"{stages_dir}/COUNTS.json"
     ran: list[str] = []
 
     def done(path: str) -> bool:
@@ -267,6 +277,18 @@ def build_corpus_staged(
         st["assigned"].write.mode("overwrite").parquet(assigned_path)
         mark(assigned_path)
         ran.append("assigned")
+    if st is not None and not os.path.exists(counts_path):
+        # boundary frames are persisted by corpus_stages; these counts
+        # read the caches the write above already filled
+        _json.dump(
+            {
+                "n_raw": docs.count(),
+                "n_after_exact_dedup": st["exact"].count(),
+                "n_after_near_dedup": st["survivors"].count(),
+                "n_after_quality": st["gated"].count(),
+            },
+            open(counts_path, "w"),
+        )
     teardown()
     assigned = spark.read.parquet(assigned_path)
 
@@ -293,8 +315,12 @@ def build_corpus_staged(
         )
         .collect()
     }
+    boundary = (
+        _json.load(open(counts_path)) if os.path.exists(counts_path) else {}
+    )
     return {
-        "n_raw": docs.count(),
+        "n_raw": boundary.get("n_raw", docs.count()),
+        **{k: v for k, v in boundary.items() if k != "n_raw"},
         "n_written": sum(s["n_docs"] for s in per_split.values()),
         "splits": per_split,
         "stages_run": ran,

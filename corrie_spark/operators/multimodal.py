@@ -541,20 +541,43 @@ def image_dhash(df: DataFrame, n_bits: int = DHASH_BITS) -> DataFrame:
 
 
 def dhash_near_pairs(
-    hashes: DataFrame, max_dist: int = 12, band_bits: int = 16
+    hashes: DataFrame, max_dist: int = 12, band_bits: int | None = None
 ) -> DataFrame:
     """Hamming near-duplicate image pairs from a (media_id, dhash)
-    frame: block on equality of any 16-bit band of the hash (the
-    simhash banding idiom — pigeonhole: two hashes within
-    ceil(62/16)-1 = 3 differing bands share at least one exact band),
-    then verify popcount(xor) <= max_dist on candidates only.
+    frame: block on equality of any band of the hash (the simhash
+    banding idiom), then verify popcount(xor) <= max_dist on
+    candidates only.
 
-    Scale: band explode is x4, the candidate join is a band-keyed
-    equi-join carrying (id, hash) longs — never payloads — and the
-    verify is one JVM expression per candidate pair."""
+    RECALL BOUND (pigeonhole): with n_bands bands, banding is
+    complete only for pairs differing in <= n_bands - 1 bits — a pair
+    whose differing bits land in ALL bands shares no band and is
+    silently missed; the popcount verify fixes precision, never
+    recall. By default band_bits is DERIVED from max_dist so that
+    n_bands >= max_dist + 1 and the result is exhaustive; passing
+    band_bits explicitly raises ValueError when the requested
+    max_dist exceeds the completeness bound (round-6 advice: the old
+    16-bit default silently dropped recall for max_dist > 3).
+
+    Scale: band explode is x n_bands, the candidate join is a
+    band-keyed equi-join carrying (id, hash) longs — never payloads —
+    and the verify is one JVM expression per candidate pair."""
     from pyspark.sql import functions as F
 
+    if band_bits is None:
+        if max_dist >= DHASH_BITS:
+            raise ValueError(
+                f"max_dist {max_dist} >= {DHASH_BITS} hash bits: banding cannot "
+                "be complete (a pair differing in every bit shares no band); "
+                "use an exact all-pairs verify instead"
+            )
+        band_bits = DHASH_BITS // (max_dist + 1)  # >= 1 since max_dist < 62
     n_bands = (DHASH_BITS + band_bits - 1) // band_bits
+    if max_dist > n_bands - 1:
+        raise ValueError(
+            f"band_bits={band_bits} gives {n_bands} bands — complete only for "
+            f"max_dist <= {n_bands - 1}, got {max_dist}; pass smaller "
+            "band_bits or leave it None to derive"
+        )
     mask = (1 << band_bits) - 1
     h = hashes.filter(F.col("dhash").isNotNull()).select("media_id", "dhash")
     bands = h.select(
@@ -592,4 +615,94 @@ def dhash_near_pairs(
         cand.withColumn("dist", dist.cast("bigint"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
+    )
+
+
+DHASH_GRID_W, DHASH_GRID_H = 9, 8  # the classic dHash grid
+
+IMAGE_DHASH_RS_DDL = (
+    "media_id bigint, dhash bigint, width bigint, height bigint, ok boolean"
+)
+
+
+def image_dhash_resampled(
+    df: DataFrame,
+    grid_w: int = DHASH_GRID_W,
+    grid_h: int = DHASH_GRID_H,
+    n_bits: int = DHASH_BITS,
+) -> DataFrame:
+    """PRODUCTION dHash: nearest-neighbor resample every image to a
+    fixed grid_w x grid_h grayscale grid FIRST, then bit-pack the
+    per-row horizontal gradients (bit j*(grid_w-1)+i set iff
+    grid[j][i] > grid[j][i+1], low n_bits kept so the hash stays a
+    positive int64). Fixing the grid makes hashes comparable across
+    image sizes and kills the structural zero-band problem the raw
+    variant has on short images (SCALE.md round-6 note): every hash
+    always carries grid_h*(grid_w-1) meaningful gradient bits.
+
+    Sampling is exact integer arithmetic — source column for grid x
+    is (x * width) // grid_w, row likewise — so DuckDB replays the
+    whole chain in closed form (q_multimodal_dhash_resampled).
+    RGB images (3 bytes/pixel, e.g. PPM) collapse to integer-mean
+    gray ((r+g+b)//3) before sampling; 1 byte/pixel streams (BMP 8bpp,
+    fake codec) are used as-is.
+
+    Scale: identical shape to image_dhash — shuffle-free Arrow map
+    stage, 8 bytes out per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs0 = np.arange(grid_w, dtype=np.int64)
+        ys0 = np.arange(grid_h, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                row = {
+                    "media_id": mid,
+                    "dhash": None,
+                    "width": None,
+                    "height": None,
+                    "ok": False,
+                }
+                try:
+                    d = decode_payload(mtype, bytes(payload))
+                    if d["kind"] == "image":
+                        w, h = int(d["width"]), int(d["height"])
+                        px = np.frombuffer(d["data"], dtype=np.uint8).astype(
+                            np.int64
+                        )
+                        if px.size == 3 * w * h:  # RGB -> integer-mean gray
+                            px = px.reshape(h * w, 3).sum(axis=1) // 3
+                        if px.size != w * h or w < 1 or h < 1:
+                            raise ValueError("pixel buffer does not match dims")
+                        g = px.reshape(h, w)[(ys0 * h) // grid_h][
+                            :, (xs0 * w) // grid_w
+                        ]
+                        bits = (g[:, :-1] > g[:, 1:]).astype(np.int64).ravel()[
+                            :n_bits
+                        ]
+                        hsh = int(
+                            (bits << np.arange(bits.size, dtype=np.int64)).sum()
+                        )
+                        row.update(dhash=hsh, width=w, height=h, ok=True)
+                except (ValueError, NotImplementedError, struct.error):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(
+                        [r["media_id"] for r in out], dtype="Int64"
+                    ),
+                    "dhash": pd.array([r["dhash"] for r in out], dtype="Int64"),
+                    "width": pd.array([r["width"] for r in out], dtype="Int64"),
+                    "height": pd.array(
+                        [r["height"] for r in out], dtype="Int64"
+                    ),
+                    "ok": [r["ok"] for r in out],
+                }
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        run, IMAGE_DHASH_RS_DDL
     )

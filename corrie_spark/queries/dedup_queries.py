@@ -65,13 +65,24 @@ def _shared_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted LSH candidate-pair frame — materialized eagerly (same
+    rule as `_shared_sigs`): the graph-family consumers (triangles,
+    clustering census) would otherwise replay the full signature →
+    band-self-join lineage on their first action, which the round-6
+    plan audit measured as 70/79 shuffles under the census."""
     docs = load(spark, sf_dir, "documents")
-    return _memo(
-        spark,
-        sf_dir,
-        "cand_pairs",
-        lambda: D.candidate_pairs(docs, sigs=_shared_sigs(spark, sf_dir)).persist(),
-    )
+
+    def build() -> DataFrame:
+        # localCheckpoint (not persist+count): the pair list is
+        # |pairs|-sized — tiny relative to the corpus — and checkpointing
+        # truncates the lineage so downstream plans (and a re-run after
+        # cache eviction) never replay the signature scan. Same tradeoff
+        # the CC fixpoint already accepts (operators/dedup.py).
+        return D.candidate_pairs(docs, sigs=_shared_sigs(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
+
+    return _memo(spark, sf_dir, "cand_pairs", build)
 
 
 def _shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -285,3 +285,92 @@ def q_multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# --- production dHash: fixed 9x8 resample through the REAL codecs ----------
+
+# variable per-doc dimensions so the resample actually changes shape
+_RS_W = "(4 + doc_id % 6)"
+_RS_H = "(3 + doc_id % 5)"
+
+
+def _rs_gray(k: str) -> str:
+    """Closed-form grayscale value at flat pixel index `k`: even docs
+    are 8-bpp BMPs with p(i) = (doc_id*7 + i) % 256; odd docs are P6
+    PPMs whose RGB bytes follow the same stream, collapsed to
+    integer-mean gray exactly as image_dhash_resampled does."""
+    even = f"((doc_id * 7 + ({k})) % 256)"
+    odd = (
+        f"((((doc_id * 7 + 3 * ({k})) % 256)"
+        f" + ((doc_id * 7 + 3 * ({k}) + 1) % 256)"
+        f" + ((doc_id * 7 + 3 * ({k}) + 2) % 256)) // 3)"
+    )
+    return f"(CASE WHEN doc_id % 2 = 0 THEN {even} ELSE {odd} END)"
+
+
+# grid sample indices: row (t//8) maps to source row ((t//8)*H)//8,
+# gradient columns t%8 and t%8+1 map through ((x*W)//9)
+_RS_KL = f"(((t // 8) * {_RS_H}) // 8) * {_RS_W} + (((t % 8)) * {_RS_W}) // 9"
+_RS_KR = f"(((t // 8) * {_RS_H}) // 8) * {_RS_W} + ((((t % 8)) + 1) * {_RS_W}) // 9"
+
+_RS_HASH = (
+    "CAST(list_sum(list_transform(range(0, 62), t -> "
+    f"CASE WHEN {_rs_gray(_RS_KL)} > {_rs_gray(_RS_KR)} "
+    "THEN (CAST(1 AS BIGINT) << CAST(t AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+_DHASH_RS_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  {_RS_HASH} AS dhash,
+  CAST({_RS_W} AS BIGINT) AS width,
+  CAST({_RS_H} AS BIGINT) AS height,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_dhash_resampled", oracle=_DHASH_RS_ORACLE)
+def q_multimodal_dhash_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION dHash (round-6 verdict item 5): every image is
+    nearest-neighbor resampled to the classic 9x8 grayscale grid
+    BEFORE the gradient bit-pack, so hashes are size-invariant and
+    never carry the structural zero bands that inflate banding
+    candidates on short images. Wired through the REAL container
+    codecs — even doc_ids arrive as 8-bpp BMPs (bottom-up rows, row
+    padding exercised), odd as binary P6 PPMs (RGB -> integer-mean
+    gray) — with per-doc varying dimensions so the resample is doing
+    real work. The oracle replays header->pixels->grid->bits in
+    closed form."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 6, 3 + did % 5
+                if did % 2 == 0:
+                    rows = [
+                        bytes((did * 7 + (r * w + c)) % 256 for c in range(w))
+                        for r in range(h)
+                    ]
+                    out.append(
+                        {"media_id": did, "media_type": "image/bmp",
+                         "payload": M.encode_bmp(w, h, rows)}
+                    )
+                else:
+                    px = bytes((did * 7 + i) % 256 for i in range(w * h * 3))
+                    out.append(
+                        {"media_id": did,
+                         "media_type": "image/x-portable-pixmap",
+                         "payload": M.encode_ppm(w, h, px)}
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.image_dhash_resampled(media).select(
+        "media_id", "dhash", "width", "height", "ok"
+    )

@@ -291,30 +291,47 @@ def test_image_dhash_known_bits_and_none_isolation(spark):
 
 
 def test_dhash_pairs_banding_and_distance(spark):
-    """Hashes equal in one 16-bit band pair up; distance is the exact
-    popcount of the XOR; far hashes with no shared band never pair."""
+    """Near pairs surface with exact XOR-popcount distances; far pairs
+    are filtered by the verify; the threshold actually filters."""
+    import pytest
+
     from pyspark.sql import functions as F
 
     from corrie_spark.operators import multimodal as M
 
     h = spark.createDataFrame(
         [
-            (1, (1 << 61) - 1),          # bands: ffff ffff ffff 1fff
-            (2, (1 << 61) - 1 - (1 << 3)),  # 1 bit off -> shares 3 bands
-            (3, 0),                       # shares NO band with 1 or 2...
-            (4, 1 << 20),                 # ...but bands 0,2,3 == 0 match 3
+            (1, (1 << 61) - 1),
+            (2, (1 << 61) - 1 - (1 << 3)),  # 1 bit off 1
+            (3, 0),                         # far from 1 and 2
+            (4, 1 << 20),                   # 1 bit off 3
         ],
         "media_id long, dhash long",
     )
     pairs = {
         (r.id_a, r.id_b): r.dist
-        for r in M.dhash_near_pairs(h, max_dist=62).collect()
+        for r in M.dhash_near_pairs(h, max_dist=3, band_bits=16).collect()
     }
-    assert pairs[(1, 2)] == 1
-    assert pairs[(3, 4)] == 1
-    assert (1, 3) not in pairs and (2, 3) not in pairs
-    # verify threshold actually filters
+    assert pairs == {(1, 2): 1, (3, 4): 1}
+    # verify threshold actually filters (derived 1-band blocking)
     assert M.dhash_near_pairs(h, max_dist=0).count() == 0
+
+
+def test_dhash_pairs_rejects_incomplete_banding(spark):
+    """The round-6 recall trap is now a loud error: an explicit band
+    split too coarse for max_dist raises instead of silently missing
+    pairs, as does a max_dist no banding can cover."""
+    import pytest
+
+    from corrie_spark.operators import multimodal as M
+
+    h = spark.createDataFrame([(1, 0)], "media_id long, dhash long")
+    with pytest.raises(ValueError, match="complete only for"):
+        M.dhash_near_pairs(h, max_dist=12, band_bits=16)
+    with pytest.raises(ValueError, match="cannot be complete"):
+        M.dhash_near_pairs(h, max_dist=62)
+    # derived banding at the old trap point: 13+ bands, no raise
+    assert M.dhash_near_pairs(h, max_dist=12).count() == 0
 
 
 def test_dhash_banding_complete_for_small_distances(spark):
@@ -348,3 +365,77 @@ def test_dhash_banding_complete_for_small_distances(spark):
         if d <= 3:
             expect[(min(ia, ib), max(ia, ib))] = d
     assert got == expect and len(expect) >= 10
+
+
+def test_dhash_resampled_size_invariance_and_reference(spark):
+    """The SAME visual content at different resolutions hashes
+    identically after the 9x8 resample (the point of the production
+    variant), and the bit-pack matches a straight python replay of
+    grid-gradient packing."""
+    import numpy as np
+
+    from corrie_spark.operators import multimodal as M
+
+    def bmp_of(mat):  # mat: list of rows of ints
+        return M.encode_bmp(len(mat[0]), len(mat), [bytes(r) for r in mat])
+
+    # base 9x8 gradient image; upscale x2 by pixel doubling -> same grid
+    base = [[(r * 9 + c) * 3 % 256 for c in range(9)] for r in range(8)]
+    up = [
+        [base[r // 2][c // 2] for c in range(18)]
+        for r in range(16)
+    ]
+    rows = [
+        (1, "image/bmp", bmp_of(base)),
+        (2, "image/bmp", bmp_of(up)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    got = {r.media_id: r for r in M.image_dhash_resampled(df).collect()}
+    assert got[1].ok and got[2].ok
+    # nearest-neighbor at exactly 2x pixel doubling lands on the same
+    # source pixels: identical hashes despite different sizes
+    assert got[1].dhash == got[2].dhash
+    assert (got[1].width, got[1].height) == (9, 8)
+    assert (got[2].width, got[2].height) == (18, 16)
+    # reference replay
+    g = np.array(base, dtype=np.int64)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.int64).ravel()[:62]
+    assert got[1].dhash == int((bits << np.arange(bits.size)).sum())
+
+
+def test_dhash_resampled_banding_pigeonhole_complete(spark):
+    """Banding over RESAMPLED hashes is pigeonhole-complete: derived
+    band split for max_dist=4 must surface every pair a brute-force
+    popcount scan finds over a randomized image population (fixed
+    seed), with exact distances."""
+    import itertools
+    import random
+
+    from corrie_spark.operators import multimodal as M
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(24):
+        w, h = rng.randint(5, 14), rng.randint(4, 12)
+        mat = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        rows.append((i, "image/bmp", M.encode_bmp(w, h, [bytes(r) for r in mat])))
+        if i % 2 == 0:  # near-dup: same image lightly perturbed
+            mat2 = [list(r) for r in mat]
+            for _ in range(rng.randint(1, 3)):
+                mat2[rng.randrange(h)][rng.randrange(w)] ^= 0x80
+            rows.append(
+                (100 + i, "image/bmp", M.encode_bmp(w, h, [bytes(r) for r in mat2]))
+            )
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    hashes = M.image_dhash_resampled(df).select("media_id", "dhash")
+    hs = {r.media_id: r.dhash for r in hashes.collect()}
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in M.dhash_near_pairs(hashes, max_dist=4).collect()
+    }
+    expect = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(sorted(hs.items()), 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 4:
+            expect[(ia, ib)] = d
+    assert got == expect and len(expect) >= 5

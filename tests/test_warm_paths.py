@@ -1,0 +1,82 @@
+"""Warm serving paths must be invisible to correctness: the staged
+manifest cache and the persisted ANN index store have to return
+byte-identical results to the live/fresh-trained paths they replace
+in the bench (round-6 verdict items 2 and 4).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from corrie_spark.queries import corpus_queries as CQ
+from corrie_spark.queries import similarity_queries as SQ
+from corrie_spark.queries.dedup_queries import _MEMO
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def isolated_caches(tmp_path, monkeypatch):
+    monkeypatch.setenv("CORRIE_STAGE_CACHE", str(tmp_path / "stages"))
+    monkeypatch.setenv("CORRIE_INDEX_CACHE", str(tmp_path / "ann"))
+    yield tmp_path
+
+
+def test_staged_manifest_matches_live(spark, isolated_caches):
+    # live path (cache absent -> fallback), bypassing the session memo
+    assert CQ._staged_manifest(spark, SF_SMOKE) is None
+    _MEMO.pop(
+        (spark.sparkContext.applicationId, SF_SMOKE, "corpus_manifest"), None
+    )
+    live = CQ._manifest_frame(spark, SF_SMOKE).collect()
+
+    CQ.warm_manifest_cache(spark, SF_SMOKE)
+    staged = CQ._staged_manifest(spark, SF_SMOKE)
+    assert staged is not None
+    assert staged.collect() == live
+    # second warm call is a no-op resume (all stages skipped)
+    CQ.warm_manifest_cache(spark, SF_SMOKE)
+    assert CQ._staged_manifest(spark, SF_SMOKE).collect() == live
+
+
+def test_warm_ann_indexes_bit_identical(spark, isolated_caches):
+    from corrie_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    names = ("q_sim_pq_topk", "q_sim_ivfpq_topk", "q_sim_kmeans_cells")
+
+    # pass 1: store empty -> trains fresh AND saves
+    SQ.warm_ann_indexes(spark, SF_SMOKE)
+    fresh = {n: sorted(map(tuple, qs[n](spark, SF_SMOKE).collect())) for n in names}
+
+    # pass 2: wipe session memos -> indexes come back from the store
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _MEMO if k[0] == app and k[1] == SF_SMOKE]:
+        del _MEMO[k]
+    SQ.warm_ann_indexes(spark, SF_SMOKE)
+    for n in names:
+        assert sorted(map(tuple, qs[n](spark, SF_SMOKE).collect())) == fresh[n], n
+
+
+def test_staged_build_records_boundary_counts(spark, tmp_path):
+    import json
+    import os
+
+    from corrie_spark import corpus as C
+    from corrie_spark.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "staged")
+    m = C.build_corpus_staged(spark, docs, out, shard_budget=2000)
+    counts = json.load(open(os.path.join(out, "stages", "COUNTS.json")))
+    assert (
+        counts["n_raw"]
+        >= counts["n_after_exact_dedup"]
+        >= counts["n_after_near_dedup"]
+        >= counts["n_after_quality"]
+        >= m["n_written"]
+    )
+    # resume returns the recorded boundaries without recomputing
+    m2 = C.build_corpus_staged(spark, docs, out, shard_budget=2000)
+    assert m2["stages_run"] == []
+    for k, v in counts.items():
+        assert m2[k] == v
