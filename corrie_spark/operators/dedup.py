@@ -444,6 +444,9 @@ def connected_components(
 
     edges: (id_a, id_b) undirected pairs. nodes: one row per id_col —
     nodes without edges become singleton clusters of themselves.
+    Edge endpoints are expected to be a subset of `nodes`; endpoints
+    that are not receive NO label (excluded from the output, exactly
+    like the pre-fused formulation) rather than a silently-NULL one.
     """
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -489,6 +492,13 @@ def connected_components(
             .groupBy("node")
             # old is non-null exactly once per node (the keep branch)
             .agg(F.min("cand").alias("new_label"), F.max("old").alias("label"))
+            # contract: every edge endpoint must appear in `nodes`. An
+            # endpoint that doesn't reaches this agg only through the
+            # nbr branch (old=NULL for every contribution), so the
+            # filter excludes it — same behavior as the pre-fused
+            # formulation — instead of letting a NULL round-start
+            # label corrupt the output silently (round-6 advice)
+            .filter(F.col("label").isNotNull())
             # one materialization per round: the changed-count probe and
             # the next round's labels both read this, and the lineage is
             # cut so each round's plan stays O(1)

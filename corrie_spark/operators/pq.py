@@ -441,3 +441,70 @@ def ivfpq_residual_topk(
         )
     )
     return grouped_topk(scored, k, order_col="approx_dot")
+
+
+def ivfpq_refined_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    refine_factor: int = 4,
+    nprobe: int = 2,
+    n_sub: int = N_SUB,
+    n_codes: int = N_CODES,
+    sub_dim: int = SUB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    books: list[list[tuple[int, list[int]]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ + REFINE — the standard FAISS `RefineFlat` layer this
+    index family was missing: take the top `k * refine_factor` ADC
+    candidates from the residual IVF-PQ stage, fetch their RAW
+    (quantized) vectors by an id-keyed join, re-rank by the EXACT
+    integer dot, and keep the top k. ADC error can only reorder or
+    drop candidates; re-ranking a wider beam with exact dots recovers
+    every true neighbor the beam retained, so recall@k is >= the
+    unrefined stage's at the cost of Q x k x refine_factor exact dots
+    (pinned by tests/test_pq.py).
+
+    100 TB shape: the candidate frame is Q x (k * refine_factor) rows
+    of (query_id, neighbor_id) longs — broadcast-sized for any
+    interactive Q — so the vector fetch is a BROADCAST equi-join
+    against the corpus scan (corpus never shuffles; at extreme Q the
+    same join shuffles on the id key instead). Exact re-rank cost is
+    one int_dot per candidate, independent of corpus size."""
+    cand = ivfpq_residual_topk(
+        queries,
+        corpus,
+        k=k * refine_factor,
+        nprobe=nprobe,
+        n_sub=n_sub,
+        n_codes=n_codes,
+        sub_dim=sub_dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
+        dim=dim,
+        books=books,
+        codes=codes,
+    ).select("query_id", "neighbor_id")
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("n_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
+    )
+    scored = (
+        raw.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("q_vec"), F.col("n_vec")).alias("dot"),
+        )
+    )
+    from corrie_spark.operators.similarity import grouped_topk
+
+    return grouped_topk(scored, k, order_col="dot")

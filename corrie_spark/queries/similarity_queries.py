@@ -1181,6 +1181,76 @@ def q_sim_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rnk", "approx_dot")
 
 
+# --- IVF-PQ + refine (FAISS RefineFlat): exact re-rank of the ADC beam -----
+
+_REFINE_FACTOR = 4
+
+# the refined oracle = the residual-recall oracle with the approx side
+# widened to a k*refine_factor ADC beam, exact-dot re-ranked via an
+# id-keyed join back to the raw (quantized) vectors
+_REFINE_BLOCK = f"""rbeam AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= {10 * _REFINE_FACTOR}),
+refsc AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> q.qv[i] * b.qv[i])) AS BIGINT) AS dot
+  FROM rbeam c
+  JOIN base b ON b.vec_id = c.neighbor_id
+  JOIN base q ON q.vec_id = c.query_id
+),
+refr AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM refsc
+),
+rapprox AS (SELECT query_id, neighbor_id FROM refr WHERE rnk <= 10),"""
+
+_RES_RAPPROX = "rapprox AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 10),"
+assert _RES_RAPPROX in _IVFPQ_RES_RECALL_ORACLE
+_IVFPQ_REFINED_ORACLE = _IVFPQ_RES_RECALL_ORACLE.replace(
+    _RES_RAPPROX, _REFINE_BLOCK
+)
+
+
+@register("q_sim_ivfpq_refined_recall", oracle=_IVFPQ_REFINED_ORACLE)
+def q_sim_ivfpq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of residual IVF-PQ + REFINE (exact integer re-rank of
+    the top-40 ADC candidates against raw vectors fetched by id-keyed
+    broadcast join — the FAISS RefineFlat layer). tests/test_pq.py
+    pins refined recall >= the unrefined residual stage's; the oracle
+    replays beam + re-rank exactly. Shares the session residual-index
+    memo and the brute-force-truth memo."""
+    from corrie_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = _bf_truth(spark, sf_dir).select("query_id", "neighbor_id")
+    books, codes = _res_pq_index(spark, sf_dir)
+    approx = pq.ivfpq_refined_topk(
+        q,
+        emb,
+        k=10,
+        refine_factor=_REFINE_FACTOR,
+        nprobe=_NPROBE,
+        books=books,
+        codes=codes,
+    ).select("query_id", F.col("neighbor_id").alias("hit_id"))
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_truth"),
+            F.sum(hit).cast("bigint").alias("k_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 _SRC_CENTROID_ORACLE = f"""
 WITH base AS (
   SELECT d.source, {_QUANT} AS qv

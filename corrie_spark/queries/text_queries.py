@@ -1900,7 +1900,7 @@ cnt_t AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cnt_s GROUP BY term
 ntot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cnt_s),
 scored AS (
   SELECT s.source, s.c_st,
-         CAST(floor(ln(CAST(s.c_st * n.n AS DOUBLE) / CAST(t.n_s * ct.c_t AS DOUBLE)) * 10000.0) AS BIGINT) AS logq
+         CAST(floor(ln((CAST(s.c_st AS DOUBLE) * CAST(n.n AS DOUBLE)) / (CAST(t.n_s AS DOUBLE) * CAST(ct.c_t AS DOUBLE))) * 10000.0) AS BIGINT) AS logq
   FROM cnt_s s
   JOIN tot_s t USING (source)
   JOIN cnt_t ct USING (term)
@@ -1940,10 +1940,15 @@ def q_text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot_s), "source")
         .crossJoin(F.broadcast(ntot))
         .withColumn(
+            # each factor casts to double BEFORE multiplying: the int64
+            # products c_st*n and n_s*c_t are O(total_tokens^2) and
+            # would wrap at ~10^13 tokens (round-6 advice); the
+            # correctly-rounded double ratio is what ln needs, and the
+            # identical expression runs in both engines
             "logq",
             F.expr(
-                "CAST(floor(ln(CAST(c_st * n AS DOUBLE) / CAST(n_s * c_t AS DOUBLE))"
-                " * 10000.0) AS BIGINT)"
+                "CAST(floor(ln((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE))"
+                " / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))) * 10000.0) AS BIGINT)"
             ),
         )
     )
@@ -2008,9 +2013,14 @@ def q_text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     toks = docs.crossJoin(F.broadcast(n)).select(
-        F.least(
-            (F.col("doc_id") * 10 / F.col("n_docs")).cast("bigint"), F.lit(9)
-        ).alias("decile"),
+        # exact integer floor division (`div`), mirroring the oracle's
+        # `//`: a double true-division + truncation agrees at bench
+        # scale but can land one decile off once doc_id*10 exceeds
+        # ~2^52 (round-6 advice) — engine-independence must not
+        # depend on double rounding
+        F.least(F.expr("doc_id * 10 div n_docs"), F.lit(9).cast("bigint")).alias(
+            "decile"
+        ),
         F.explode(T.tokens("text")).alias("term"),
     )
     term_first = toks.groupBy("term").agg(

@@ -204,3 +204,41 @@ def test_residual_frame_exact_reconstruction(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_refined_recall_at_least_residual(spark):
+    """RefineFlat contract: exact re-rank of a wider ADC beam can only
+    help — mean recall@10 of IVF-PQ + refine must be >= the unrefined
+    residual stage's, and the refined top-k must be the exact-dot
+    ordering of its own beam."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators import pq
+    from corrie_spark.operators.similarity import brute_force_topk
+    from corrie_spark.tables import load
+    from tests.conftest import SF_CORRECT
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = brute_force_topk(q, emb, k=10).select("query_id", "neighbor_id")
+
+    def recall(approx):
+        hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        return hits / truth.count()
+
+    resid = pq.ivfpq_residual_topk(q, emb, k=10, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    refined = pq.ivfpq_refined_topk(q, emb, k=10, refine_factor=4, nprobe=2)
+    r_resid, r_ref = recall(resid), recall(refined.select("query_id", "neighbor_id"))
+    assert r_ref >= r_resid
+    assert r_ref > 0.05
+    # re-rank scores are the EXACT integer dots (spot check vs truth's
+    # scorer on one query)
+    exact = {
+        (r.query_id, r.neighbor_id): r.dot
+        for r in brute_force_topk(q, emb, k=200).collect()
+    }
+    for r in refined.collect():
+        if (r.query_id, r.neighbor_id) in exact:
+            assert r.dot == exact[(r.query_id, r.neighbor_id)]

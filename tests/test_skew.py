@@ -82,3 +82,18 @@ def test_connected_components_chain_converges_logarithmically(spark):
     assert rounds <= 20, rounds
     got = {r.doc_id: r.cluster_id for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_ignores_unknown_endpoints(spark):
+    """Contract: edge endpoints absent from `nodes` are excluded from
+    the output (the pre-fused behavior), never emitted with a NULL
+    cluster_id (round-6 advice: the fused round's nbr branch would
+    otherwise invent old=NULL rows for them)."""
+    from corrie_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    # 99 is not a node; 1-2 is a normal edge; 3 stays singleton
+    edges = spark.createDataFrame([(1, 2), (2, 99)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+    assert None not in got and None not in got.values()
