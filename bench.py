@@ -98,6 +98,17 @@ def main() -> None:
             spreads[name] = [round(min(times), 3), round(max(times), 3)]
     wall = round(time.perf_counter() - t_all, 3)
 
+    # full-pipe streaming throughput (AMQP broker -> sharded source ->
+    # micro-batch writer -> native-TCP -> in-process ClickHouse-protocol
+    # server), recorded round-over-round like the queries
+    try:
+        from corrie_spark.streaming.bench import stream_throughput
+
+        streaming = stream_throughput(spark, n_rows=8000, n_shards=4)
+    except Exception as e:
+        print(f"bench: streaming throughput FAILED: {e}", file=sys.stderr)
+        streaming = {"error": str(e)}
+
     sf_s = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_s) if sf_s.replace(".", "").isdigit() else sf_s
     total = round(sum(t for t in medians.values() if t >= 0), 3)
@@ -112,6 +123,7 @@ def main() -> None:
         "reps": reps,
         "wall_seconds": wall,
         "warmup_seconds": warmup_s,
+        "streaming": streaming,
         "sf": sf,
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
@@ -129,6 +141,7 @@ def main() -> None:
                 "n_failed": len(failed),
                 "reps": reps,
                 "wall_seconds": wall,
+                "stream_rows_s": streaming.get("rows_per_s"),
                 "queries_file": "BENCH_FULL.json",
             },
             separators=(",", ":"),

@@ -77,6 +77,15 @@ class FakeAmqpBroker:
         q["pending"].append([body, False])
         self._save(queue, q)
 
+    def publish_many(self, queue: str, bodies: list[str]) -> None:
+        """Bulk publish: one load + one atomic save for the whole batch
+        (per-message publish() rewrites the queue file each call, which
+        is O(n^2) when seeding thousands of messages — the throughput
+        bench and large tests use this)."""
+        q = self._load(queue)
+        q["pending"].extend([b, False] for b in bodies)
+        self._save(queue, q)
+
     def inject_nacks(self, queue: str, n: int) -> None:
         """Test hook: the next n confirmed publishes to `queue` are
         nacked (message NOT enqueued) — the publisher-confirm failure

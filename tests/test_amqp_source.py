@@ -262,3 +262,31 @@ def test_confirmed_producer_resends_on_nack(tmp_path):
     with pytest.raises(PublishFailed):
         p.publish("m-d", key="user1")
     assert b.pending_count(f"corrie.{s1}") == 0  # all consumed above, none landed
+
+
+@pytest.mark.usefixtures("spark")
+def test_stream_throughput_bench_drains_completely(spark, tmp_path):
+    """The bench's full-pipe throughput measurement (bench.py records it
+    per round) must land every published envelope on the in-process
+    ClickHouse-protocol server and report a positive rate."""
+    from corrie_spark.streaming.bench import stream_throughput
+
+    r = stream_throughput(
+        spark, n_rows=120, n_shards=3, work_dir=str(tmp_path), warm=False
+    )
+    assert r["complete"] and r["rows"] == 120 == r["published"]
+    assert r["rows_per_s"] > 0
+
+
+def test_publish_many_matches_repeated_publish(tmp_path):
+    """Bulk seeding is an optimization only: queue state after
+    publish_many equals state after n publish() calls."""
+    from corrie_spark.sources.amqp import FakeAmqpBroker
+
+    a = FakeAmqpBroker(str(tmp_path / "a"))
+    b = FakeAmqpBroker(str(tmp_path / "b"))
+    bodies = [f"m{i}" for i in range(25)]
+    for m in bodies:
+        a.publish("q", m)
+    b.publish_many("q", bodies)
+    assert a._load("q") == b._load("q")
