@@ -61,10 +61,12 @@ def main() -> None:
     t_w = time.perf_counter()
     try:
         from corrie_spark.queries.corpus_queries import warm_manifest_cache
+        from corrie_spark.queries.dedup_queries import warm_shared_memos
         from corrie_spark.queries.similarity_queries import warm_ann_indexes
 
         warm_manifest_cache(spark, sf_dir)
         warm_ann_indexes(spark, sf_dir)
+        warm_shared_memos(spark, sf_dir)
     except Exception as e:
         print(f"bench: warmup failed (cold paths will run): {e}", file=sys.stderr)
     warmup_s = round(time.perf_counter() - t_w, 3)

@@ -560,7 +560,11 @@ def dhash_near_pairs(
 
     Scale: band explode is x n_bands, the candidate join is a
     band-keyed equi-join carrying (id, hash) longs — never payloads —
-    and the verify is one JVM expression per candidate pair."""
+    and the verify is one JVM expression per candidate pair. Band
+    widths are split EVENLY across the 64 bits (floor/ceil of
+    64/n_bands): a ceil-division band count with a leftover narrow
+    final band would be a scale trap — a 1-bit band has 2 distinct
+    values, so its equi-join degenerates to ~n^2/4 candidate pairs."""
     from pyspark.sql import functions as F
 
     if band_bits is None:
@@ -570,15 +574,17 @@ def dhash_near_pairs(
                 "be complete (a pair differing in every bit shares no band); "
                 "use an exact all-pairs verify instead"
             )
-        band_bits = DHASH_BITS // (max_dist + 1)  # >= 1 since max_dist < 62
-    n_bands = (DHASH_BITS + band_bits - 1) // band_bits
-    if max_dist > n_bands - 1:
-        raise ValueError(
-            f"band_bits={band_bits} gives {n_bands} bands — complete only for "
-            f"max_dist <= {n_bands - 1}, got {max_dist}; pass smaller "
-            "band_bits or leave it None to derive"
-        )
-    mask = (1 << band_bits) - 1
+        n_bands = max_dist + 1
+    else:
+        n_bands = (DHASH_BITS + band_bits - 1) // band_bits
+        if max_dist > n_bands - 1:
+            raise ValueError(
+                f"band_bits={band_bits} gives {n_bands} bands — complete only "
+                f"for max_dist <= {n_bands - 1}, got {max_dist}; pass smaller "
+                "band_bits or leave it None to derive"
+            )
+    # even split: band b covers [bounds[b], bounds[b+1]) of the 64 bits
+    bounds = [b * DHASH_BITS // n_bands for b in range(n_bands + 1)]
     h = hashes.filter(F.col("dhash").isNotNull()).select("media_id", "dhash")
     bands = h.select(
         "media_id",
@@ -589,8 +595,8 @@ def dhash_near_pairs(
                     F.struct(
                         F.lit(b).alias("b"),
                         (
-                            F.shiftright(F.col("dhash"), b * band_bits)
-                            .bitwiseAND(F.lit(mask))
+                            F.shiftright(F.col("dhash"), bounds[b])
+                            .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
                         ).alias("bv"),
                     )
                     for b in range(n_bands)
