@@ -413,6 +413,30 @@ def ngram_jaccard(text_a: Column, text_b: Column, k: int = DEFAULT_SHINGLE_K) ->
     return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
 
 
+def ngram_containment(
+    text_a: Column, text_b: Column, k: int = DEFAULT_SHINGLE_K
+) -> Column:
+    """Directional n-gram containment struct (cont_a, cont_b) where
+    cont_a = |grams(A) ∩ grams(B)| / |grams(A)|. The asymmetric
+    near-dup measure Jaccard misses: a short document wholly embedded
+    in a long one has high containment but low Jaccard (|∩|/|∪| is
+    diluted by the long side's extra grams) — exactly the
+    quote/boilerplate/sub-document duplication case a training-data
+    pipeline must catch. Pair-level verifier applied AFTER LSH
+    candidate generation, never all-pairs."""
+    def with_b(ga: Column) -> Column:
+        def build(gb: Column) -> Column:
+            inter = F.size(F.array_intersect(ga, gb)).cast("double")
+            na, nb = F.size(ga), F.size(gb)
+            cont_a = F.when(na == 0, F.lit(0.0)).otherwise(inter / na)
+            cont_b = F.when(nb == 0, F.lit(0.0)).otherwise(inter / nb)
+            return F.struct(cont_a.alias("cont_a"), cont_b.alias("cont_b"))
+
+        return bind(F.array_distinct(shingles(text_b, k)), build)
+
+    return bind(F.array_distinct(shingles(text_a, k)), with_b)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

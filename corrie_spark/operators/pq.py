@@ -508,3 +508,98 @@ def ivfpq_refined_topk(
     from corrie_spark.operators.similarity import grouped_topk
 
     return grouped_topk(scored, k, order_col="dot")
+
+
+# --- SQ8 scalar quantization ----------------------------------------------
+
+DIM = 64
+
+
+def sq8_bounds(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, int]]:
+    """Per-dimension (min, max) of the quantized integer vectors — the
+    whole SQ8 "codebook". One posexplode + narrow (d -> min/max) agg
+    over the corpus; the driver holds dim pairs of ints
+    (metadata-sized at any corpus scale, like centroids/codebooks)."""
+    rows = (
+        corpus.select(F.posexplode(quantize(F.col(vec_col))).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    by_dim = {r["d"]: (r["lo"], r["hi"]) for r in rows}
+    return [by_dim[d] for d in range(len(by_dim))]
+
+
+def _sq8_arrays(bounds: list[tuple[int, int]]) -> tuple[str, str]:
+    """(mins, spans) as SQL array literals (one F.expr string per
+    frame keeps the driver py4j-cheap and the plan textually small)."""
+    mins = ",".join(str(lo) for lo, _ in bounds)
+    spans = ",".join(str(hi - lo) for lo, hi in bounds)
+    return f"array({mins})", f"array({spans})"
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    bounds: list[tuple[int, int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as dim uint8 codes:
+    code_d = ((x_d - min_d) * 255) div max(span_d, 1)  in [0, 255].
+
+    Map-only (bounds are literals in the expression — no join, no
+    shuffle); the codes frame is the index you persist: 1 byte of
+    information per dimension vs 8 bytes of raw float64, and ADC
+    reconstruction never touches the raw vectors."""
+    mins, spans = _sq8_arrays(bounds)
+    code = (
+        f"transform(qv, (x, d) -> ((x - element_at({mins}, d+1)) * 255)"
+        f" div greatest(element_at({spans}, d+1), 1L))"
+    )
+    return corpus.select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    ).select("vid", F.expr(code).alias("codes"))
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: list[tuple[int, int]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by SQ8/ADC: score = <q, recon(codes)> with
+    recon_d = min_d + ((2*code_d + 1) * span_d) div 512 (the midpoint
+    of the code's cell, all exact BIGINT so the oracle replays it).
+
+    100 TB shape: codes frame scanned once (8x smaller than raw),
+    queries broadcast, partial top-k bounds the only exchange. Same
+    plan skeleton as pq_topk; the tradeoff axis differs — SQ8 keeps
+    per-dimension resolution (better recall) at 8x compression where
+    PQ buys 64x compression with coarser geometry."""
+    if bounds is None:
+        bounds = sq8_bounds(corpus, id_col, vec_col)
+    if codes is None:
+        codes = sq8_encode(corpus, bounds, id_col, vec_col)
+    mins, spans = _sq8_arrays(bounds)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
+    )
+    score = (
+        "aggregate(transform(codes, (c, d) -> element_at(q_vec, d+1) *"
+        f" (element_at({mins}, d+1) + ((2*c + 1) * element_at({spans}, d+1)) div 512L)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        codes.withColumnRenamed("vid", "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(score).alias("approx_dot"))
+    )
+    from corrie_spark.operators.similarity import grouped_topk
+
+    return grouped_topk(scored, k, order_col="approx_dot")

@@ -387,6 +387,66 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- asymmetric containment verify stage -----------------------------------
+
+_CONTAIN_ORACLE = (
+    "WITH contained AS (\n"
+    + _PAIRS_ORACLE_TEMPLATE.format(
+        toks=_TOKS,
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    )
+    .strip()
+    .replace(
+        """SELECT id_a, id_b,
+  CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16 AS jaccard_est
+FROM pairs""",
+        """SELECT p.id_a, p.id_b,
+  CASE WHEN len(list_distinct(ga.grams)) = 0 THEN 0.0
+       ELSE CAST(len(list_filter(list_distinct(ga.grams), g -> list_contains(gb.grams, g))) AS DOUBLE)
+            / len(list_distinct(ga.grams)) END AS cont_a,
+  CASE WHEN len(list_distinct(gb.grams)) = 0 THEN 0.0
+       ELSE CAST(len(list_filter(list_distinct(gb.grams), g -> list_contains(ga.grams, g))) AS DOUBLE)
+            / len(list_distinct(gb.grams)) END AS cont_b
+FROM pairs p
+JOIN grams_t ga ON p.id_a = ga.doc_id
+JOIN grams_t gb ON p.id_b = gb.doc_id""",
+    )
+    + "\n)\nSELECT id_a, id_b, cont_a, cont_b,\n"
+    "  greatest(cont_a, cont_b) AS containment\nFROM contained"
+)
+
+
+@register("q_dedup_containment", oracle=_CONTAIN_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment on LSH candidate pairs: the
+    sub-document-duplication measure (a short doc quoted inside a long
+    one scores high containment but low Jaccard, so a Jaccard-only
+    verify under-deduplicates boilerplate/quotes). Scale shape is the
+    verify-stage contract: exact set measures run on candidate pairs
+    only; the candidate generator stays a band equi-join."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _shared_pairs(spark, sf_dir).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    c = F.col("c")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            D.ngram_containment(F.col("text_a"), F.col("text_b")).alias("c"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            c["cont_a"].alias("cont_a"),
+            c["cont_b"].alias("cont_b"),
+            F.greatest(c["cont_a"], c["cont_b"]).alias("containment"),
+        )
+    )
+
+
 # --- embedding-cosine near-dup ---------------------------------------------
 
 from corrie_spark.queries.similarity_queries import _BUCKET, _QUANT  # noqa: E402

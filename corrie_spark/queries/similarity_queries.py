@@ -1405,6 +1405,143 @@ def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- SQ8 scalar quantization ----------------------------------------------
+
+_SQ8_CTES = f"""
+dimstats AS (
+  SELECT d, MIN(qv[d + 1]) AS lo, MAX(qv[d + 1]) AS hi
+  FROM base CROSS JOIN range(0, {_DIM}) r(d) GROUP BY d
+),
+bounds AS (
+  SELECT list(lo ORDER BY d) AS mins, list(hi - lo ORDER BY d) AS spans
+  FROM dimstats
+),
+enc AS (
+  SELECT vec_id,
+         list_transform(range(0, {_DIM}),
+           d -> ((qv[d + 1] - mins[d + 1]) * 255) // greatest(spans[d + 1], 1)) AS codes
+  FROM base CROSS JOIN bounds
+),
+q AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id < 5),
+sq8_s AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(0, {_DIM}), d ->
+           q_vec[d + 1] * (mins[d + 1] + ((2 * e.codes[d + 1] + 1) * spans[d + 1]) // 512)
+         )) AS BIGINT) AS approx_dot
+  FROM enc e CROSS JOIN q CROSS JOIN bounds
+  WHERE e.vec_id <> query_id
+),
+sq8_r AS (
+  SELECT query_id, neighbor_id, approx_dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) AS rnk
+  FROM sq8_s
+)"""
+
+_SQ8_TOPK_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+{_SQ8_CTES.lstrip()}
+SELECT query_id, neighbor_id, rnk, approx_dot FROM sq8_r WHERE rnk <= 10
+"""
+
+
+def _sq8_index(spark: SparkSession, sf_dir: str):
+    """Session memo of (bounds, persisted codes) — the SQ8 index is
+    one corpus pass to train (per-dim min/max) and one map-only pass
+    to encode; topk and recall share it like the PQ memo."""
+    from corrie_spark.operators import pq
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        bounds = pq.sq8_bounds(emb)
+        codes = pq.sq8_encode(emb, bounds).persist()
+        codes.count()
+        return (bounds, codes)
+
+    return _memo(spark, sf_dir, "sq8_index", build)
+
+
+@register("q_sim_sq8_topk", oracle=_SQ8_TOPK_ORACLE)
+def q_sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 by SQ8 scalar quantization + ADC: per-dim
+    [min, max] split into 256 cells, 1 byte per dimension (8x
+    compression), score = <query, cell midpoint> in exact BIGINT.
+    The FAISS ScalarQuantizer(QT_8bit) point on the memory/recall
+    curve: coarser than raw, far finer geometry than PQ's 8-byte
+    codes. Codes frame scanned once; queries broadcast; partial
+    top-k bounds the exchange."""
+    from corrie_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    bounds, codes = _sq8_index(spark, sf_dir)
+    return pq.sq8_topk(q, emb, k=10, bounds=bounds, codes=codes)
+
+
+_SQ8_RECALL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+{_SQ8_CTES.lstrip()},
+exact_s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN q WHERE b.vec_id <> query_id
+),
+exact_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM exact_s
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_r WHERE rnk <= 10),
+approx AS (SELECT query_id, neighbor_id FROM sq8_r WHERE rnk <= 10)
+SELECT t.query_id,
+       COUNT(*) AS k_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_10
+FROM truth t
+LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@register("q_sim_sq8_recall", oracle=_SQ8_RECALL_ORACLE)
+def q_sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the SQ8/ADC path against brute-force truth — what
+    8x compression costs in ranking quality (expected near-1.0: SQ8
+    keeps per-dimension resolution, unlike PQ). Rides the memoized
+    truth and index."""
+    from corrie_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = _bf_truth(spark, sf_dir).select("query_id", "neighbor_id")
+    bounds, codes = _sq8_index(spark, sf_dir)
+    approx = pq.sq8_topk(q, emb, k=10, bounds=bounds, codes=codes).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_truth"),
+            F.sum(hit).cast("bigint").alias("k_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- bench warmup: build-once-probe-many via the index store --------------
 
 

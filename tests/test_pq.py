@@ -242,3 +242,72 @@ def test_refined_recall_at_least_residual(spark):
     for r in refined.collect():
         if (r.query_id, r.neighbor_id) in exact:
             assert r.dot == exact[(r.query_id, r.neighbor_id)]
+
+
+# --- SQ8 scalar quantization ----------------------------------------------
+
+
+def test_sq8_codes_in_range_and_deterministic(spark):
+    emb = _emb(spark)
+    bounds = pq.sq8_bounds(emb)
+    assert len(bounds) == pq.DIM and all(lo <= hi for lo, hi in bounds)
+    assert bounds == pq.sq8_bounds(emb)
+    rows = pq.sq8_encode(emb, bounds).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["codes"]) == pq.DIM
+        assert all(0 <= c <= 255 for c in r["codes"])
+
+
+def test_sq8_encode_matches_python(spark):
+    """Codes replicate the documented integer formula exactly."""
+    emb = _emb(spark).limit(20)
+    bounds = pq.sq8_bounds(_emb(spark))
+    raw = {
+        r["vec_id"]: r["qv"]
+        for r in emb.select(
+            "vec_id", quantize(F.col("embedding")).alias("qv")
+        ).collect()
+    }
+    for r in pq.sq8_encode(emb, bounds).collect():
+        qv = raw[r["vid"]]
+        want = [
+            ((x - lo) * 255) // max(hi - lo, 1)
+            for x, (lo, hi) in zip(qv, bounds)
+        ]
+        assert list(r["codes"]) == want
+
+
+def test_sq8_recall_beats_pq(spark):
+    """SQ8 keeps per-dimension resolution (8x compression) so its
+    recall@10 must be at least plain PQ's (64x compression) on this
+    corpus — the memory/recall tradeoff the docstrings claim."""
+    from corrie_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, emb, k=10).collect()
+    }
+
+    def recall(res) -> float:
+        hits = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+        return len(truth & hits) / len(truth)
+
+    r_sq8 = recall(pq.sq8_topk(q, emb, k=10))
+    r_pq = recall(pq.pq_topk(q, emb, k=10))
+    assert r_sq8 >= r_pq
+    assert r_sq8 >= 0.9  # near-lossless at 8 bits/dim
+
+
+def test_sq8_topk_plan_is_broadcast_no_corpus_shuffle(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    bounds = pq.sq8_bounds(emb)
+    codes = pq.sq8_encode(emb, bounds)
+    plan = pq.sq8_topk(q, emb, k=10, bounds=bounds, codes=codes)
+    assert has_broadcast_join(plan)
+    # encode is map-only on the codes side; the only exchange is the
+    # bounded partial-top-k merge (plus the broadcast build)
+    assert count_shuffles(pq.sq8_encode(emb, bounds)) == 0
