@@ -2050,3 +2050,202 @@ def q_text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- Zipf's-law slope per source -------------------------------------------
+
+_ZIPF_K = 100
+
+# Shared double-arithmetic fragments: every cast/multiply/subtract is
+# an IEEE correctly-rounded op on values both engines hold exactly
+# (quantized-int sums), and BOTH engines evaluate the SAME expression
+# string — so the fitted coefficients are bit-identical. Products are
+# taken in doubles, never int64 (the q_text_kl_divergence overflow
+# lesson: int64 cross-products of corpus-scale sums wrap at ~10^13
+# tokens; double products merely round).
+_ZIPF_SLOPE = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_ZIPF_ICEPT = (
+    "((CAST(sy AS DOUBLE) - zipf_slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+    " / 10000.0"
+)
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS t
+  FROM documents
+),
+exploded AS (SELECT source, UNNEST(t) AS term FROM toks),
+counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM exploded GROUP BY source, term
+),
+ranked AS (
+  SELECT source, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rnk
+  FROM counts
+),
+head AS (
+  SELECT source,
+         CAST(floor(ln(CAST(rnk AS DOUBLE)) * 10000.0) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000.0) AS BIGINT) AS y
+  FROM ranked WHERE rnk <= {_ZIPF_K}
+),
+sums AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM head GROUP BY source
+),
+fit AS (SELECT source, n, sx, sy, {_ZIPF_SLOPE} AS zipf_slope FROM sums)
+SELECT source, n AS n_terms, zipf_slope, {_ZIPF_ICEPT} AS ln_intercept
+FROM fit
+ORDER BY source
+"""
+
+
+@register("q_text_zipf", oracle=_ZIPF_ORACLE)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: regress quantized ln(term frequency)
+    on quantized ln(rank) over each source's top-{k} terms. The slope
+    (~-1 for natural language) is a fast corpus-health diagnostic — a
+    source whose head is too flat (boilerplate-dominated) or too steep
+    (token-spam) jumps out without reading a single document.
+
+    100 TB shape: one token explode feeds a (source, term) partial-agg
+    count (vocab-sized); the head cut is grouped_topk's bounded
+    partial top-k, NOT a full window sort, so only {k} rows per source
+    reach the regression; the fit itself is a 5-long partial agg per
+    source. Quantized-int x/y make the sums order-independent (the
+    _LM_LOGQ discipline); the top-{k} cap also bounds every
+    cross-product far below int64 at any corpus size."""
+    from corrie_spark.operators.similarity import grouped_topk
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    head = grouped_topk(
+        counts, _ZIPF_K, key_col="source", order_col="cnt", id_col="term"
+    ).select(
+        "source",
+        F.expr("CAST(floor(ln(CAST(rnk AS DOUBLE)) * 10000.0) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000.0) AS BIGINT)").alias("y"),
+    )
+    sums = head.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        sums.withColumn("zipf_slope", F.expr(_ZIPF_SLOPE))
+        .select(
+            "source",
+            F.col("n").alias("n_terms"),
+            "zipf_slope",
+            F.expr(_ZIPF_ICEPT.replace("CAST(n AS DOUBLE)", "CAST(n_terms AS DOUBLE)")).alias(
+                "ln_intercept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- weighted reservoir sample (Efraimidis-Spirakis A-ES) ------------------
+
+_WRS_K = 10
+
+# 52-bit md5-derived uniform: h in [0, 2^52) is exactly representable
+# as a double, so u = (h + 1) / 2^52 in (0, 1] is ONE correctly-
+# rounded IEEE division of exact values — identical in every engine.
+# A-ES key: ln(u) / w; top-k by key == weight-proportional sample
+# without replacement. The key is quantized to an int (the _LM_LOGQ
+# discipline) so ranking never depends on engine float comparison
+# subtleties; ties (measure-zero) break on doc_id via grouped_topk.
+_WRS_H52 = "CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)"
+_WRS_KEY = (
+    "CAST(floor((ln((CAST(h AS DOUBLE) + 1.0) / 4503599627370496.0)"
+    " / CAST(w AS DOUBLE)) * -1000000.0) AS BIGINT)"
+)
+
+_WRS_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         {_WRS_H52} AS h,
+         CAST(n_chars + 1 AS BIGINT) AS w
+  FROM documents
+),
+scored AS (
+  SELECT source, doc_id, n_chars, {_WRS_KEY} AS neg_key FROM keyed
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, neg_key,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY neg_key, doc_id) AS rnk
+  FROM scored
+)
+SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk, neg_key, n_chars
+FROM ranked WHERE rnk <= {_WRS_K}
+ORDER BY source, rnk
+"""
+
+
+@register("q_mix_weighted_sample", oracle=_WRS_ORACLE)
+def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement, {k} docs per
+    source, weight = n_chars + 1 (longer docs proportionally more
+    likely) — the Efraimidis-Spirakis reservoir scheme with the
+    "random" replaced by a deterministic md5-derived uniform: the
+    sample is a pure function of doc_id, reproducible across runs,
+    engines, and cluster sizes (same contract as the hash split and
+    stratified sample), yet distributionally exactly the A-ES
+    weighted draw. The mix op df.sample() can't express: quality- or
+    length-weighted subcorpus draws for data-mix ablations.
+
+    100 TB shape: key computation is a pure projection; the per-source
+    top-k is grouped_topk's bounded partial merge (only {k} rows per
+    source per partition reach the exchange) — no full sort, no
+    corpus shuffle."""
+    from corrie_spark.operators.similarity import grouped_topk
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+        (F.col("n_chars") + 1).cast("bigint").alias("w"),
+    )
+    scored = keyed.select(
+        "source", "doc_id", "n_chars", F.expr(_WRS_KEY).alias("neg_key")
+    )
+    # grouped_topk ranks by order_col DESC; A-ES wants the LARGEST
+    # ln(u)/w, i.e. the smallest quantized negation -> order by
+    # -neg_key descending
+    return (
+        grouped_topk(
+            scored.withColumn("ord", -F.col("neg_key")),
+            _WRS_K,
+            key_col="source",
+            order_col="ord",
+            id_col="doc_id",
+            carry=("neg_key", "n_chars"),
+        )
+        .select("source", "doc_id", "rnk", "neg_key", "n_chars")
+        .orderBy("source", "rnk")
+    )

@@ -198,3 +198,55 @@ def test_temperature_sample_pow_path_monotone(spark):
     f1, f2, f4 = small_frac(1.0), small_frac(2.0), small_frac(4.0)
     assert f1 < f2 < f4  # more temperature -> more upsampling of small
     assert abs(f1 - 100 / 900) < 0.05  # T=1 ~ proportional acceptance
+
+
+def test_weighted_sample_matches_python_aes_model(spark):
+    """q_mix_weighted_sample == an independent python replay of the
+    deterministic Efraimidis-Spirakis draw (md5-uniform, ln(u)/w key,
+    top-k per source) — pinning the whole arithmetic chain, not just
+    cross-engine agreement."""
+    import hashlib
+    import math
+
+    from corrie_spark.queries.registry import all_queries
+    from corrie_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for r in docs:
+        h = int(hashlib.md5(f"wrs:{r['doc_id']}".encode()).hexdigest()[:13], 16)
+        u = (h + 1) / 4503599627370496.0
+        neg_key = math.floor((math.log(u) / (r["n_chars"] + 1)) * -1000000.0)
+        by_source.setdefault(r["source"], []).append((neg_key, r["doc_id"]))
+    want = set()
+    for src, keys in by_source.items():
+        for rnk, (nk, did) in enumerate(sorted(keys)[:10], start=1):
+            want.add((src, did, rnk))
+    got = {
+        (r["source"], r["doc_id"], r["rnk"])
+        for r in all_queries()["q_mix_weighted_sample"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Sampled docs must skew long: mean n_chars of the weighted
+    sample exceeds the corpus mean (weight = n_chars + 1)."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.queries.registry import all_queries
+    from corrie_spark.tables import load
+    from tests.conftest import SF_CORRECT
+
+    sample_mean = (
+        all_queries()["q_mix_weighted_sample"](spark, SF_CORRECT)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    corpus_mean = (
+        load(spark, SF_CORRECT, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
