@@ -857,3 +857,63 @@ def pca_project(
         raw >= 0, F.floor(raw / F.lit(PCA_SCALE))
     ).otherwise(-F.floor((-raw) / F.lit(PCA_SCALE)))
     return vectors.withColumn("pc1", red.cast("bigint"))
+
+
+def kcenter_seeds(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Farthest-point (maxmin / Gonzalez k-center) seeding: seed 0 is
+    the lowest-id vector; each further seed is the vector MAXIMIZING
+    its distance to the nearest already-chosen seed (ties to the
+    lowest id). The classic 2-approximation to the k-center cover and
+    the deterministic alternative to kmeans++ (whose sequential random
+    draws have no engine-reproducible analog) — spreads initial
+    centroids to the corpus extremes so Lloyd never starts with the
+    md5-partition init's near-coincident centers.
+
+    All arithmetic is exact BIGINT (full squared distance
+    vnorm - 2 v.s + snorm, vnorm included — it varies across the
+    candidates being ranked), so the chosen seeds are bit-identical in
+    any engine. Each round is ONE map-only projection over the corpus
+    (seeds enter as foldable literals, kmeans_assign-style) feeding a
+    single max_by aggregate — k rounds = k scans of a persisted
+    quantized frame, no joins, no shuffles beyond the 1-row agg. At
+    100 TB you run this on a uniform sample (seeding quality needs
+    extremes, not the full corpus); the plan shape is unchanged.
+
+    Returns [(cell, centroid_ints)] with cells numbered in pick order.
+    """
+    from pyspark import StorageLevel
+
+    q = corpus.select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    first = q.select(
+        F.expr("min_by(named_struct('vid', vid, 'qv', qv), vid)").alias("p")
+    ).collect()[0]["p"]
+    seeds: list[tuple[int, list[int]]] = [(0, [int(x) for x in first["qv"]])]
+    vnorm = "aggregate(zip_with(qv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    for j in range(1, k):
+        structs = ", ".join(
+            "named_struct('snorm', {n}L, 'centroid', array({v}))".format(
+                n=sum(x * x for x in v), v=", ".join(f"{x}L" for x in v)
+            )
+            for _, v in seeds
+        )
+        mind = (
+            f"array_min(transform(array({structs}), s -> s.snorm"
+            " - 2 * aggregate(zip_with(qv, s.centroid, (a, b) -> a * b),"
+            f" 0L, (acc, x) -> acc + x))) + {vnorm}"
+        )
+        pick = q.select(
+            F.expr(
+                "max_by(named_struct('vid', vid, 'qv', qv),"
+                f" named_struct('d', {mind}, 'nv', -vid))"
+            ).alias("p")
+        ).collect()[0]["p"]
+        seeds.append((j, [int(x) for x in pick["qv"]]))
+    q.unpersist()
+    return seeds

@@ -1340,3 +1340,67 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy("deg")
     )
+
+
+# --- LSH parameter tuning (banding S-curve) --------------------------------
+
+# Configurations sharing the 16-slot signature budget: b bands x r rows.
+_LSH_CONFIGS = [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)]
+
+
+def _scurve_case() -> str:
+    """CASE expression for p_collide = 1 - (1 - s^r)^b, with every
+    power expanded to an explicit left-associated product — both
+    engines parse `a*b*c` identically and IEEE multiplication is
+    correctly rounded, so the curve is bit-identical without trusting
+    either engine's pow()/list_product fold order. b, r are data
+    columns; the 5 branches are generated from ONE python source."""
+    branches = []
+    for b, r in _LSH_CONFIGS:
+        t = " * ".join(["s"] * r)
+        u = f"(1.0 - {t})"
+        ub = " * ".join([u] * b)
+        branches.append(f"WHEN b = {b} AND r = {r} THEN 1.0 - {ub}")
+    return "CASE " + " ".join(branches) + " END"
+
+
+_LSH_TUNING_ORACLE = f"""
+WITH grid AS (
+  SELECT CAST(i AS DOUBLE) / 20.0 AS s
+  FROM range(1, 20) g(i)
+),
+cfg AS (
+  SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r
+  FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)}) c(b, r)
+),
+curve AS (
+  SELECT b, r, s, {_scurve_case()} AS p_collide
+  FROM cfg CROSS JOIN grid
+)
+SELECT b, r, s, p_collide,
+       CAST(CASE WHEN p_collide >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS above_half
+FROM curve
+ORDER BY b, r, s
+"""
+
+
+@register("q_dedup_lsh_tuning", oracle=_LSH_TUNING_ORACLE)
+def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH design calculator: collision probability
+    1-(1-s^r)^b over a Jaccard grid for every (bands, rows) split of
+    the 16-slot signature budget — how the pipeline's 8x2 default is
+    chosen (steepest S-curve with its half-collision point near the
+    0.5 near-dup threshold). Pure metadata-sized compute, but
+    evaluated IN-ENGINE on both sides from one generated expression,
+    so the published curve is engine-exact, not a notebook estimate."""
+    grid = spark.range(1, 20).select((F.col("id").cast("double") / 20.0).alias("s"))
+    cfg = spark.createDataFrame(_LSH_CONFIGS, "b long, r long")
+    return (
+        cfg.crossJoin(grid)
+        .select("b", "r", "s", F.expr(_scurve_case()).alias("p_collide"))
+        .withColumn(
+            "above_half",
+            F.when(F.col("p_collide") >= 0.5, 1).otherwise(0).cast("bigint"),
+        )
+        .orderBy("b", "r", "s")
+    )

@@ -1606,3 +1606,89 @@ def warm_ann_indexes(spark: SparkSession, sf_dir: str, root: str | None = None) 
     else:
         IS.save_ivf_index(km_path, _trained_cells(spark, sf_dir))
     return root
+
+
+# --- k-center (farthest-point) seeding -------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_ctes(k: int) -> str:
+    """CTE chain s0..s{k-1} + kseeds + kassign: the DuckDB replay of
+    kcenter_seeds (lowest-id start, argmax-of-min full squared
+    distance, ties to the lowest id) and the nearest-seed assignment
+    (ties to the lowest cell = pick order)."""
+
+    def d(t: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {_DIM + 1}),"
+            f" i -> (b.qv[i] - {t}.qv[i]) * (b.qv[i] - {t}.qv[i]))) AS BIGINT)"
+        )
+
+    parts = ["s0 AS (SELECT vec_id, qv FROM base ORDER BY vec_id LIMIT 1)"]
+    for j in range(1, k):
+        joins = " ".join(f"CROSS JOIN s{i} t{i}" for i in range(j))
+        mind = (
+            d("t0") if j == 1
+            else "least(" + ", ".join(d(f"t{i}") for i in range(j)) + ")"
+        )
+        parts.append(
+            f"s{j} AS (SELECT b.vec_id, b.qv FROM base b {joins}"
+            f" ORDER BY {mind} DESC, b.vec_id ASC LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS cell, qv FROM s{j}" for j in range(k)
+    )
+    parts.append(f"kseeds AS ({union})")
+    dc = (
+        f"CAST(list_sum(list_transform(range(1, {_DIM + 1}),"
+        " i -> (b.qv[i] - c.qv[i]) * (b.qv[i] - c.qv[i]))) AS BIGINT)"
+    )
+    parts.append(
+        "kassign AS (SELECT vec_id, cell FROM ("
+        "SELECT b.vec_id, c.cell, ROW_NUMBER() OVER ("
+        f"PARTITION BY b.vec_id ORDER BY {dc} ASC, c.cell ASC) AS r "
+        "FROM base b CROSS JOIN kseeds c) t WHERE r = 1)"
+    )
+    return ",\n".join(parts)
+
+
+_KCENTER_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+{_kcenter_ctes(_KC_K)}
+SELECT vec_id, cell FROM kassign
+"""
+
+
+def _kcenter_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the k-center assignment (seeding pays k corpus
+    scans — once per session, like the Lloyd trajectory memo)."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        seeds = S.kcenter_seeds(emb, k=_KC_K)
+        q = emb.select(
+            F.col("vec_id").alias("vid"), S.quantize(F.col("embedding")).alias("qv")
+        )
+        return S.kmeans_assign(q, seeds).persist()
+
+    return _memo(spark, sf_dir, "kcenter_cells", build)
+
+
+@register("q_sim_kcenter_cells", oracle=_KCENTER_ORACLE)
+def q_sim_kcenter_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point (Gonzalez k-center) seeded cell assignment —
+    the deterministic kmeans++-class initializer next to the
+    md5-partition init: seeds are corpus extremes, so no two initial
+    centers start near-coincident. Seeding is k map-only scans of the
+    persisted quantized frame (argmax-of-min distance as a literal
+    projection + 1-row max_by agg — zero joins); assignment is the
+    same literal-centroid array_min projection as kmeans_assign. The
+    full seed trajectory AND the assignment are exact-integer and
+    oracle-replayed bit-for-bit."""
+    return _kcenter_cells(spark, sf_dir).select(
+        F.col("vid").alias("vec_id"), F.col("cell").cast("bigint").alias("cell")
+    )

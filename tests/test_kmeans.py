@@ -124,3 +124,45 @@ def test_pca_power_iteration_finds_dominant_direction(spark):
     other[5] = S.PCA_SCALE
     var_other = S.pca_project(df, other).agg(F.variance("pc1")).collect()[0][0]
     assert var_pc1 > 10 * (var_other + 1)
+
+
+def test_kcenter_gonzalez_property(spark):
+    """Farthest-point seeding invariant: every point's distance to its
+    nearest seed is <= the minimum pairwise distance between seeds
+    (each pick was the farthest remaining point, so seeds are mutually
+    farther apart than anything left is from them)."""
+    from corrie_spark.operators.similarity import kcenter_seeds, quantize
+    from corrie_spark.tables import load
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    seeds = kcenter_seeds(emb, k=4)
+    vecs = [
+        list(r["qv"])
+        for r in emb.select(quantize(F.col("embedding")).alias("qv")).collect()
+    ]
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    svecs = [v for _, v in seeds]
+    min_seed_pair = min(
+        sqd(svecs[i], svecs[j])
+        for i in range(len(svecs))
+        for j in range(i + 1, len(svecs))
+    )
+    max_point = max(min(sqd(v, s) for s in svecs) for v in vecs)
+    assert max_point <= min_seed_pair
+
+
+def test_kcenter_deterministic_and_distinct(spark):
+    from corrie_spark.operators.similarity import kcenter_seeds
+    from corrie_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    a = kcenter_seeds(emb, k=4)
+    b = kcenter_seeds(emb, k=4)
+    assert a == b
+    assert len({tuple(v) for _, v in a}) == 4
