@@ -1,0 +1,69 @@
+"""Streaming HLL (corrie_spark/streaming/sketch_stream.py): the
+mergeable-sketch streaming pattern. Exactness contract: streamed
+estimate == batch estimate for ANY micro-batch split, and redelivered
+deltas change nothing (register MAX is idempotent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators.sketch import hll_distinct
+from corrie_spark.streaming.sketch_stream import hll_serve, start_hll_stream
+from corrie_spark.tables import load
+from tests.conftest import SF_SMOKE
+
+
+def _estimates(df):
+    return {
+        r["event_type"]: (r["registers_hit"], r["hll_estimate"])
+        for r in df.collect()
+    }
+
+
+def test_streamed_hll_equals_batch_hll(spark, tmp_path):
+    events = load(spark, SF_SMOKE, "events").select("event_type", "user_id")
+    # split into many files so availableNow produces multiple batches
+    src = str(tmp_path / "src")
+    events.repartition(7).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "regs"), str(tmp_path / "ckpt")
+    q = start_hll_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = _estimates(hll_serve(spark, out))
+    want = _estimates(hll_distinct(events, "event_type", "user_id"))
+    assert got == want  # exact, not approximate, agreement
+
+
+def test_redelivered_delta_is_a_noop(spark, tmp_path):
+    """At-least-once appends are harmless by algebra: duplicating
+    every stored delta leaves the served estimate unchanged."""
+    events = load(spark, SF_SMOKE, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema("event_type string, user_id bigint").parquet(src)
+    out, ckpt = str(tmp_path / "regs"), str(tmp_path / "ckpt")
+    q = start_hll_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    before = _estimates(hll_serve(spark, out))
+    spark.read.parquet(out).write.mode("append").parquet(out)  # redeliver all
+    assert _estimates(hll_serve(spark, out)) == before
+
+
+def test_store_is_sketch_sized(spark, tmp_path):
+    """Each batch's delta is bounded by #keys x 256 rows no matter how
+    many events the batch carried."""
+    events = load(spark, SF_SMOKE, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema("event_type string, user_id bigint").parquet(src)
+    out, ckpt = str(tmp_path / "regs"), str(tmp_path / "ckpt")
+    q = start_hll_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    store = spark.read.parquet(out)
+    n_keys = events.select("event_type").distinct().count()
+    n_batches = store.select("batch_id").distinct().count()
+    assert store.count() <= n_keys * 256 * n_batches
