@@ -74,3 +74,56 @@ def hll_serve(
         .agg(F.max("max_rank").alias("max_rank"))
     )
     return hll_estimate(merged, key_col)
+
+
+# --- streaming CMS: the NON-idempotent contrast ---------------------------
+
+
+def start_cms_stream(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    item_col: str = "event_type",
+    available_now: bool = True,
+):
+    """Start the CMS counter-delta stream. CMS counters are SUMS, so
+    unlike the HLL register MAX a redelivered delta WOULD double-count
+    — the append-only trick is not enough. Idempotence is restored by
+    addressing each delta by its batch id: every micro-batch
+    OVERWRITES `out_dir/batch_id=<n>`, so a replayed batch rewrites
+    the same partition with the same rows instead of adding to it.
+    (This is the general recipe for non-idempotent mergeable state in
+    foreachBatch; the HLL path doesn't need it and documents why.)"""
+    from corrie_spark.operators.sketch import cms_counters
+
+    def overwrite_delta(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_counters(batch_df, item_col)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(overwrite_delta)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cms_serve(
+    spark: SparkSession, out_dir: str, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """Point-query the streamed sketch: cell-wise SUM across batch
+    deltas (the CMS merge law), then min-over-rows per key."""
+    from corrie_spark.operators.sketch import cms_estimate
+
+    merged = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cms_estimate(merged, keys, key_col)

@@ -67,3 +67,65 @@ def test_store_is_sketch_sized(spark, tmp_path):
     n_keys = events.select("event_type").distinct().count()
     n_batches = store.select("batch_id").distinct().count()
     assert store.count() <= n_keys * 256 * n_batches
+
+
+def test_streamed_cms_equals_batch_cms(spark, tmp_path):
+    """Cell-wise SUM of per-batch CMS deltas == the one-shot batch
+    sketch, for any micro-batch split (counter addition is the CMS
+    merge law)."""
+    from corrie_spark.operators.sketch import cms_counters, cms_estimate
+    from corrie_spark.streaming.sketch_stream import cms_serve, start_cms_stream
+
+    events = load(spark, SF_SMOKE, "events").select("event_type")
+    src = str(tmp_path / "src")
+    events.repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "cms"), str(tmp_path / "ckpt")
+    q = start_cms_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    keys = events.distinct()
+    got = {
+        r["event_type"]: r["cms_count"]
+        for r in cms_serve(spark, out, keys, "event_type").collect()
+    }
+    want = {
+        r["event_type"]: r["cms_count"]
+        for r in cms_estimate(
+            cms_counters(events, "event_type"), keys, "event_type"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_replayed_cms_batch_is_idempotent(spark, tmp_path):
+    """Re-writing a batch's delta partition (the foreachBatch replay
+    case) leaves the served counts unchanged — overwrite-by-batch-id
+    is what makes the SUM-merged sketch safe under at-least-once."""
+    from corrie_spark.operators.sketch import cms_counters
+    from corrie_spark.streaming.sketch_stream import cms_serve, start_cms_stream
+
+    events = load(spark, SF_SMOKE, "events").select("event_type")
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema("event_type string").parquet(src)
+    out, ckpt = str(tmp_path / "cms"), str(tmp_path / "ckpt")
+    q = start_cms_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    keys = events.distinct()
+    before = {
+        r["event_type"]: r["cms_count"]
+        for r in cms_serve(spark, out, keys, "event_type").collect()
+    }
+    # replay batch 0: same data, same partition, overwrite
+    cms_counters(events, "event_type").write.mode("overwrite").parquet(
+        f"{out}/batch_id=0"
+    )
+    after = {
+        r["event_type"]: r["cms_count"]
+        for r in cms_serve(spark, out, keys, "event_type").collect()
+    }
+    assert after == before
