@@ -1692,3 +1692,88 @@ def q_sim_kcenter_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kcenter_cells(spark, sf_dir).select(
         F.col("vid").alias("vec_id"), F.col("cell").cast("bigint").alias("cell")
     )
+
+
+# --- seeding-quality comparison (quantization error per init) --------------
+
+
+def _sse_blocks() -> str:
+    """Per-method CTE blocks: join the method's assignment back to the
+    quantized vectors, recompute floor-mean centroids, and sum exact
+    squared distances (per-vector distance fits int64; the corpus SUM
+    goes through DECIMAL(38,0) — at 10^10 vectors an int64 SSE sum
+    would wrap)."""
+    d = (
+        f"CAST(list_sum(list_transform(range(1, {_DIM + 1}),"
+        " i -> (j.qv[i] - c.centroid[i]) * (j.qv[i] - c.centroid[i]))) AS BIGINT)"
+    )
+    blocks, selects = [], []
+    for m, tbl in [
+        ("kcenter", "kassign"),
+        ("lloyd2", f"a{_KM_ITERS}"),
+        ("md5_init", "a0"),
+    ]:
+        blocks.append(
+            f"j_{m} AS (SELECT t.cell, b.qv FROM {tbl} t JOIN base b USING (vec_id))"
+        )
+        blocks.append(
+            f"cs_{m} AS (SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM j_{m} GROUP BY cell)"
+        )
+        blocks.append(f"cv_{m} AS (SELECT cell, [{_CENT_LIST}] AS centroid FROM cs_{m})")
+        blocks.append(
+            f"sse_{m} AS (SELECT '{m}' AS method,"
+            " CAST(COUNT(*) AS BIGINT) AS n_vectors,"
+            f" CAST(CAST(SUM(CAST({d} AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) AS sse"
+            f" FROM j_{m} j JOIN cv_{m} c USING (cell))"
+        )
+        selects.append(f"SELECT * FROM sse_{m}")
+    return ",\n".join(blocks) + "\n" + " UNION ALL ".join(selects) + " ORDER BY method"
+
+
+_SEEDING_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+{_km_ctes(_KM_ITERS)},
+{_kcenter_ctes(_KC_K)},
+{_sse_blocks()}
+"""
+
+
+@register("q_sim_seeding_quality", oracle=_SEEDING_ORACLE)
+def q_sim_seeding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell quantization error (SSE to the floor-mean centroid)
+    for the three coarse-quantizer initializations side by side —
+    md5-partition init, 2-round Lloyd, and farthest-point k-center —
+    the measurement that justifies paying for training: Lloyd must
+    beat the md5 partition, and k-center shows what spread-only
+    seeding buys before any refinement. All three assignments ride
+    their session memos; each SSE is one broadcast centroid join +
+    a 2-column agg. Exact integers end to end (corpus sum in
+    DECIMAL(38,0) — int64 wraps at ~10^10 vectors), so the whole
+    comparison is oracle-replayed bit-for-bit."""
+
+    def sse_of(assigned: DataFrame, method: str) -> DataFrame:
+        cents = S._centroids_of(assigned, _DIM)
+        d = (
+            "aggregate(zip_with(qv, centroid, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        )
+        return (
+            assigned.join(F.broadcast(cents), "cell")
+            .select(F.expr(d).alias("d"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.sum(F.col("d").cast("decimal(38,0)")).cast("double").alias("sse"),
+            )
+            .select(F.lit(method).alias("method"), "n_vectors", "sse")
+        )
+
+    emb = load(spark, sf_dir, "embeddings")
+    md5_init = S.kmeans_cells(emb, n_cells=_KM_CELLS, n_iters=0)
+    return (
+        sse_of(_kcenter_cells(spark, sf_dir), "kcenter")
+        .unionAll(sse_of(_trained_cells(spark, sf_dir), "lloyd2"))
+        .unionAll(sse_of(md5_init, "md5_init"))
+        .orderBy("method")
+    )

@@ -166,3 +166,19 @@ def test_kcenter_deterministic_and_distinct(spark):
     b = kcenter_seeds(emb, k=4)
     assert a == b
     assert len({tuple(v) for _, v in a}) == 4
+
+
+def test_seeding_quality_ordering(spark):
+    """Training must pay for itself: 2-round Lloyd SSE < the md5
+    random-partition init's SSE; the k-center spread also beats the
+    random partition on this corpus (both oracle-pinned values, so
+    this is a semantic regression guard, not a flaky metric)."""
+    from corrie_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    rows = {
+        r["method"]: r["sse"]
+        for r in all_queries()["q_sim_seeding_quality"](spark, SF_CORRECT).collect()
+    }
+    assert rows["lloyd2"] < rows["md5_init"]
+    assert rows["kcenter"] < rows["md5_init"]
