@@ -2249,3 +2249,127 @@ def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rnk", "neg_key", "n_chars")
         .orderBy("source", "rnk")
     )
+
+
+# --- least-squares quality-classifier distillation -------------------------
+
+# Label: the q_corpus_filter thresholds reformulated as integer-exact
+# comparisons (stop-ratio >= 0.03 <=> 100*n_stop >= 3*n_tok,
+# punct-ratio <= 0.2 <=> 5*n_punct <= n_chars, mean token length in
+# [2, 10] <=> 2*n_tok <= tok_chars <= 10*n_tok).
+_LSC_LABEL = (
+    f"CASE WHEN ({_NTOK}) BETWEEN 10 AND 500"
+    f" AND 100 * ({_NSTOP}) >= 3 * ({_NTOK})"
+    f" AND 5 * ({_NPUNCT}) <= length(text)"
+    f" AND 2 * ({_NTOK}) <= ({_NTOKCHARS})"
+    f" AND ({_NTOKCHARS}) <= 10 * ({_NTOK}) THEN 1 ELSE -1 END"
+)
+
+_LSC_SUMS = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+       CAST(SUM(x1 * x1) AS BIGINT) AS s11, CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+       CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x1 * y) AS BIGINT) AS s1y, CAST(SUM(x2 * y) AS BIGINT) AS s2y
+FROM (SELECT {_LSC_LABEL} AS y, {_NTOK} AS x1, {_NSTOP} AS x2 FROM documents)
+"""
+
+_LSC_ORACLE = f"""
+WITH sums AS ({_LSC_SUMS}),
+fit AS (
+  SELECT n,
+         CAST({_det3(_ols_repl(0))} AS DOUBLE) / CAST({_det3(_OLS_A)} AS DOUBLE) AS beta0,
+         CAST({_det3(_ols_repl(1))} AS DOUBLE) / CAST({_det3(_OLS_A)} AS DOUBLE) AS beta1,
+         CAST({_det3(_ols_repl(2))} AS DOUBLE) / CAST({_det3(_OLS_A)} AS DOUBLE) AS beta2
+  FROM sums
+),
+scored AS (
+  SELECT f.beta0, f.beta1, f.beta2, f.n,
+         CASE WHEN ({_LSC_LABEL}) * (f.beta0 + f.beta1 * ({_NTOK}) + f.beta2 * ({_NSTOP})) > 0
+              THEN 1 ELSE 0 END AS correct
+  FROM documents CROSS JOIN fit f
+)
+SELECT any_value(n) AS n_docs,
+       any_value(beta0) AS beta0, any_value(beta1) AS beta1, any_value(beta2) AS beta2,
+       CAST(SUM(correct) AS BIGINT) AS n_correct,
+       CAST(SUM(correct) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) AS accuracy
+FROM scored
+"""
+
+
+@register("q_text_ls_classifier", oracle=_LSC_ORACLE)
+def q_text_ls_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares quality classifier trained IN-ENGINE: distill the
+    rule-based corpus filter into a linear scorer sign(b0 + b1*n_tok +
+    b2*n_stop) by regressing the ±1 rule label on the raw counts (the
+    classic bootstrap for a learned quality classifier: heuristic
+    labels, cheap features — the model must rediscover the filter's
+    engineered stop-ratio from raw counts, and does: train accuracy
+    beats the majority-class baseline, pinned by test).
+
+    Training is the exact-OLS machinery (q_ols_doc_length): ONE 9-long
+    partial aggregation of integer power sums, big-int Cramer solve on
+    the driver, coefficients emitted by the identical HUGEINT->DOUBLE
+    cast sequence as the oracle. Scoring is a second one-pass agg with
+    the fitted doubles folded in as literals (shortest-roundtrip repr
+    parses back to the identical IEEE double in both engines), so the
+    reported accuracy is bit-exact too."""
+    from corrie_spark.functions import bind
+
+    docs = load(spark, sf_dir, "documents")
+    nt = T.token_count("text").cast("bigint")
+    ns = T.stopword_count("text").cast("bigint")
+    np_ = T.punct_count("text").cast("bigint")
+    nc = F.length("text").cast("bigint")
+    ntc = F.when(F.length(F.trim("text")) == 0, F.lit(0).cast("bigint")).otherwise(
+        bind(
+            T.tokens("text"),
+            lambda t: F.aggregate(
+                F.transform(t, lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ),
+        )
+    )
+    y = F.when(
+        nt.between(10, 500)
+        & (100 * ns >= 3 * nt)
+        & (5 * np_ <= nc)
+        & (2 * nt <= ntc)
+        & (ntc <= 10 * nt),
+        1,
+    ).otherwise(-1)
+    f = docs.select(y.alias("y"), nt.alias("x1"), ns.alias("x2"))
+    r = (
+        f.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x1").alias("sx1"),
+            F.sum("x2").alias("sx2"),
+            F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+            F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+            F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        )
+        .collect()[0]
+    )
+    s = {k: int(r[k]) for k in r.asDict()}
+    det = _det3([[s[v] for v in row] for row in _OLS_A])
+    betas = [
+        float(_det3([[s[v] for v in row] for row in _ols_repl(i)])) / float(det)
+        for i in range(3)
+    ]
+    score = f"(y * ({betas[0]!r}D + {betas[1]!r}D * x1 + {betas[2]!r}D * x2)) > 0"
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.lit(betas[0]).alias("beta0"),
+        F.lit(betas[1]).alias("beta1"),
+        F.lit(betas[2]).alias("beta2"),
+        F.sum(F.when(F.expr(score), 1).otherwise(0)).cast("bigint").alias("n_correct"),
+        (
+            F.sum(F.when(F.expr(score), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )

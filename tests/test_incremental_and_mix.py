@@ -250,3 +250,28 @@ def test_weighted_sample_prefers_heavy_docs(spark):
         load(spark, SF_CORRECT, "documents").agg(F.avg("n_chars")).collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_ls_classifier_beats_majority_baseline(spark):
+    """The distilled linear scorer must rediscover enough of the
+    rule's structure from raw counts to beat always-predict-majority
+    on the training corpus."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.queries.registry import all_queries
+    from corrie_spark.queries.text_queries import _LSC_LABEL
+    from tests.conftest import SF_CORRECT
+
+    [r] = all_queries()["q_text_ls_classifier"](spark, SF_CORRECT).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_CORRECT}/documents.parquet')"
+    )
+    (n_pos,) = con.execute(
+        f"SELECT SUM(CASE WHEN ({_LSC_LABEL}) = 1 THEN 1 ELSE 0 END) FROM documents"
+    ).fetchone()
+    majority = max(n_pos, r["n_docs"] - n_pos) / r["n_docs"]
+    assert r["accuracy"] > majority

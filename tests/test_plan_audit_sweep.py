@@ -38,6 +38,13 @@ _PYTHON_OK = {
     "q_sim_hard_negatives",  # partial-top-k consumer (cluster-excluded)
     "q_semdedup_pairs",  # per-cell numpy Gram block (applyInPandas)
     "q_semdedup_survivors",  # consumes the same Gram pair frame
+    "q_multimodal_dhash_resampled",  # mapInPandas decode + 9x8 resample
+    "q_sim_ivfpq_refined_recall",  # partial-top-k consumer (refine re-rank)
+    "q_sim_sq8_topk",  # partial-top-k consumer (SQ8 ADC)
+    "q_sim_sq8_recall",  # same
+    "q_sim_seeding_quality",  # rides the trained/kcenter memos (local_topk lineage)
+    "q_mix_weighted_sample",  # partial-top-k consumer (A-ES keys)
+    "q_text_zipf",  # partial-top-k head cut before the regression
 }
 
 
