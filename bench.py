@@ -79,8 +79,10 @@ def main() -> None:
             _semdedup_pairs,
             _sq8_index,
         )
+        from corrie_spark.queries.passage_queries import _shared_hits
         from corrie_spark.queries.text_queries import _lm_per_doc
 
+        _shared_hits(spark, sf_dir).count()
         _shared_ranks(spark, sf_dir).count()
         _semdedup_pairs(spark, sf_dir).count()
         _bf_truth(spark, sf_dir).count()
