@@ -79,9 +79,11 @@ def main() -> None:
             _semdedup_pairs,
             _sq8_index,
         )
+        from corrie_spark.queries.multimodal_queries import _dhash_cluster_labels
         from corrie_spark.queries.passage_queries import _shared_hits
         from corrie_spark.queries.text_queries import _lm_per_doc
 
+        _dhash_cluster_labels(spark, sf_dir)
         _shared_hits(spark, sf_dir).count()
         _shared_ranks(spark, sf_dir).count()
         _semdedup_pairs(spark, sf_dir).count()

@@ -150,3 +150,52 @@ def count_triangles(pairs: DataFrame) -> DataFrame:
         .crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
         .select("n_nodes", "n_edges", "n_triangles", "max_degree")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """k-core of an undirected pair graph: iteratively peel nodes of
+    degree < k until fixpoint; return the surviving nodes with their
+    in-core degree. On a near-dup pair graph the 2-core separates
+    mutually-confirming duplicate families (every member tied to >= 2
+    others) from chain/pendant pairs — the LSH-noise-shaped part of
+    the graph.
+
+    Peeling runs a FIXED `rounds` count (extra rounds after the
+    fixpoint are no-ops, so any rounds >= the true peel depth gives
+    the same answer — which is what lets an engine-independent oracle
+    replay it), then VERIFIES convergence and raises if the graph
+    needed more (the raise-on-nonconvergence discipline of
+    connected_components). Each round: one degree agg + two
+    key-equi semi joins, lineage cut per round (localCheckpoint, the
+    CC tradeoff — edge lists are |pairs|-sized, tiny vs the corpus).
+    """
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    for _ in range(rounds):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("src")
+        und = (
+            und.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    low = final_deg.agg(F.min("c").alias("m")).collect()[0]["m"]
+    if low is not None and low < k:
+        raise RuntimeError(
+            f"kcore: not converged after {rounds} rounds (min degree {low} < {k}); "
+            "raise `rounds`"
+        )
+    return final_deg.select(
+        F.col("src").alias("node"), F.col("c").alias("core_degree")
+    )

@@ -1404,3 +1404,58 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b", "r", "s")
     )
+
+
+# --- k-core of the pair graph ----------------------------------------------
+
+_KCORE_ROUNDS = 8
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """Fixed-round peeling replay: extra rounds past the fixpoint are
+    no-ops, so the oracle matches any converged Spark run (Spark
+    verifies convergence and raises otherwise)."""
+    # AS MATERIALIZED: each e{t} is referenced three times by round
+    # t+1 (degree agg + two semi joins); inlined CTEs would re-expand
+    # the whole prefix 3x per round — 3^rounds scans of the base table
+    parts = [
+        "e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)"
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e{t - 1} GROUP BY src)"
+        )
+        parts.append(f"kp{t} AS MATERIALIZED (SELECT src FROM d{t} WHERE c >= {k})")
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT e.src, e.dst FROM e{t - 1} e"
+            f" JOIN kp{t} a ON e.src = a.src JOIN kp{t} b ON e.dst = b.src)"
+        )
+    return ",\n".join(parts)
+
+
+_KCORE_ORACLE = f"""
+{_PR_PAIRS_PREFIX},
+{_kcore_ctes(2, _KCORE_ROUNDS)}
+SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{_KCORE_ROUNDS} GROUP BY src ORDER BY doc_id
+"""
+
+
+@register("q_graph_kcore", oracle=_KCORE_ORACLE)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup pair graph: the subgraph where every
+    member is tied to >= 2 others — mutually-confirming duplicate
+    families, with pendant/chain pairs (the LSH-noise shape) peeled
+    away. Complements the triangle census: triangles certify local
+    cohesion, the 2-core certifies it globally. Fixed-round peeling
+    with a convergence check (raise if the graph needed more rounds);
+    rides the session pair-graph memo."""
+    from corrie_spark.operators.graph import kcore
+
+    pairs = _shared_pairs(spark, sf_dir).select("id_a", "id_b")
+    return (
+        kcore(pairs, k=2, rounds=_KCORE_ROUNDS)
+        .select(F.col("node").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )

@@ -374,3 +374,115 @@ def q_multimodal_dhash_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_dhash_resampled(media).select(
         "media_id", "dhash", "width", "height", "ok"
     )
+
+
+# --- image near-dup clusters (dHash pairs -> connected components) ---------
+
+_DHASH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE hs AS (
+  SELECT doc_id AS media_id, {_DHASH_EXPR} AS dhash
+  FROM documents WHERE doc_id % 3 = 0
+),
+grp AS (
+  SELECT dhash, MIN(media_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n
+  FROM hs GROUP BY dhash
+),
+bands AS (
+  SELECT rep, dhash, b, (dhash >> CAST(b * 16 AS INT)) & 65535 AS bv
+  FROM grp, range(0, 4) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.rep AS id_a, b.rep AS id_b, a.dhash AS ha, b.dhash AS hb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bv = b.bv AND a.rep < b.rep
+),
+kept AS (
+  SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM kept
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM kept
+),
+reach AS (
+  SELECT rep AS node, rep AS r FROM grp
+  UNION
+  SELECT reach.node, edges.dst AS r
+  FROM reach JOIN edges ON reach.r = edges.src
+),
+labels AS (
+  SELECT node AS rep, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT l.cluster_id,
+       CAST(SUM(g.n) AS BIGINT) AS n_members,
+       MIN(g.rep) AS keep_id
+FROM grp g JOIN labels l USING (rep)
+GROUP BY l.cluster_id HAVING SUM(g.n) > 1
+ORDER BY l.cluster_id
+"""
+
+
+def _dhash_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of (dhash-representative, n, cluster_id): the CC
+    fixpoint over the distinct-hash graph runs ~log(diameter) rounds
+    whose per-round plan overhead dominates at bench scale (the graph
+    itself is sketch-sized) — build once per session like the text
+    pair-graph CC."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.dedup import connected_components
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("doc_id")
+        hashes = M.image_dhash(M.synth_media(docs))
+        grp = (
+            hashes.filter(F.col("dhash").isNotNull())
+            .groupBy("dhash")
+            .agg(
+                F.min("media_id").alias("rep"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            .persist()
+        )
+        grp.count()
+        distinct_h = grp.select(F.col("rep").alias("media_id"), "dhash")
+        pairs = M.dhash_near_pairs(distinct_h, max_dist=2, band_bits=16).select(
+            "id_a", "id_b"
+        )
+        labels = connected_components(pairs, grp.select(F.col("rep").alias("doc_id")))
+        out = grp.join(labels, grp.rep == labels.doc_id).select(
+            "rep", "n", "cluster_id"
+        ).persist()
+        out.count()
+        return out
+
+    from corrie_spark.queries.dedup_queries import _memo as _qmemo
+
+    return _qmemo(spark, sf_dir, "dhash_clusters", build)
+
+
+@register("q_multimodal_dhash_clusters", oracle=_DHASH_CLUSTERS_ORACLE)
+def q_multimodal_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE dedup clusters: exact-duplicate hashes collapse FIRST
+    (one groupBy to (dhash, representative, count)), then the hamming
+    pair graph and connected components run over DISTINCT hashes only
+    — identical-image cliques (the dominant shape in any crawl) never
+    materialize as k²/2 edges; member counts rejoin by hash at the
+    end. Same output as CC over the full media graph (identical
+    hashes are fully connected through banding), at the edge count of
+    the distinct-hash graph. The multimodal twin of the text
+    pairs -> CC -> survivors pipeline, sharing the same
+    pointer-jumping CC operator; keep-lowest-id policy; banding moves
+    8-byte hashes, pixels never leave the decode stage."""
+    from pyspark.sql import functions as F
+
+    return (
+        _dhash_cluster_labels(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_members"),
+            F.min("rep").alias("keep_id"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("cluster_id")
+    )

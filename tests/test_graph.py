@@ -99,3 +99,29 @@ def test_triangle_free_graph(spark):
     pairs = spark.createDataFrame([(0, i) for i in range(1, 5)], "id_a long, id_b long")
     row = count_triangles(pairs).collect()[0]
     assert (row.n_triangles, row.max_degree) == (0, 4)
+
+
+def test_kcore_peels_chains_keeps_cliques(spark):
+    """2-core of {4-clique} U {5-chain} U {pendant off the clique}:
+    the clique survives with degree 3 each, everything else peels."""
+    from corrie_spark.operators.graph import kcore
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # clique
+             (10, 11), (11, 12), (12, 13), (13, 14),          # chain
+             (4, 20)]                                          # pendant
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["node"], r["core_degree"]) for r in kcore(df, k=2).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_kcore_raises_on_nonconvergence(spark):
+    """A long chain needs ~len/2 peel rounds; rounds=1 must raise, not
+    silently return a non-core."""
+    import pytest
+
+    from corrie_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="not converged"):
+        kcore(df, k=2, rounds=1)
