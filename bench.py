@@ -78,6 +78,7 @@ def main() -> None:
             _kcenter_cells,
             _semdedup_pairs,
             _sq8_index,
+            _upsert_cells,
         )
         from corrie_spark.queries.multimodal_queries import _dhash_cluster_labels
         from corrie_spark.queries.passage_queries import _shared_hits
@@ -90,6 +91,7 @@ def main() -> None:
         _bf_truth(spark, sf_dir).count()
         _sq8_index(spark, sf_dir)
         _kcenter_cells(spark, sf_dir).count()
+        _upsert_cells(spark, sf_dir)
         _lm_per_doc(spark, sf_dir).count()
         for _q in ("q_text_bpe_merges", "q_text_bpe_subword"):
             queries[_q](spark, sf_dir).collect()

@@ -1777,3 +1777,161 @@ def q_sim_seeding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(sse_of(md5_init, "md5_init"))
         .orderBy("method")
     )
+
+
+# --- incremental index maintenance (IVF upsert) ----------------------------
+
+_UPS_MOD = 10  # ~10% of vectors arrive as the incoming batch
+
+_UPS_HASH = (
+    "(('0x' || substr(md5('upsert:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {_UPS_MOD})"
+)
+
+_UPS_INC_SUMS = ", ".join(f"SUM(qv[{i + 1}]) AS t{i}" for i in range(_DIM))
+_UPS_MERGED = ", ".join(
+    f"CAST(floor(CAST(c.s{i} + COALESCE(i.t{i}, 0) AS DOUBLE)"
+    f" / (c.n + COALESCE(i.n_inc, 0))) AS BIGINT) AS m{i}"
+    for i in range(_DIM)
+)
+_UPS_OLD = ", ".join(
+    f"CAST(floor(CAST(c.s{i} AS DOUBLE) / c.n) AS BIGINT) AS o{i}" for i in range(_DIM)
+)
+_UPS_DRIFT = " + ".join(f"(m{i} - o{i}) * (m{i} - o{i})" for i in range(_DIM))
+
+_UPSERT_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings WHERE {_UPS_HASH} <> 0
+),
+{_km_ctes(_KM_ITERS)},
+cent2 AS (SELECT cell, COUNT(*) AS n, {_CENT_SUMS} FROM a{_KM_ITERS} GROUP BY cell),
+centv2 AS (SELECT cell, [{_CENT_LIST}] AS centroid FROM cent2),
+inc AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings WHERE {_UPS_HASH} = 0
+),
+iassign AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT b.vec_id, b.qv, c.cell, ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> c.centroid[i] * c.centroid[i])) AS BIGINT)
+      - 2 * CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> b.qv[i] * c.centroid[i])) AS BIGINT) ASC,
+      c.cell ASC) AS r
+    FROM inc b CROSS JOIN centv2 c) t WHERE r = 1
+),
+isum AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_inc, {_UPS_INC_SUMS}
+  FROM iassign GROUP BY cell
+),
+merged AS (
+  SELECT c.cell, c.n AS n_base, COALESCE(i.n_inc, 0) AS n_incoming,
+         {_UPS_MERGED}, {_UPS_OLD}
+  FROM cent2 c LEFT JOIN isum i USING (cell)
+)
+SELECT cell, CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_incoming AS BIGINT) AS n_incoming,
+       CAST({_UPS_DRIFT} AS BIGINT) AS centroid_drift_sq
+FROM merged ORDER BY cell
+"""
+
+
+def _upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the BASE-subset Lloyd training (the persisted
+    index an upsert maintains against)."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("upsert:"), F.col("vec_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _UPS_MOD
+        )
+        base = emb.filter(h != 0)
+        cells = S.kmeans_cells(base, n_cells=_KM_CELLS, n_iters=_KM_ITERS).persist()
+        cells.count()
+        return cells
+
+    return _memo(spark, sf_dir, "upsert_cells", build)
+
+
+@register("q_sim_index_upsert", oracle=_UPSERT_ORACLE)
+def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: a deterministic ~10% of the
+    corpus arrives as the incoming batch; the index (Lloyd cells
+    trained on the other 90%) stays FROZEN — incoming vectors are
+    assigned to the nearest existing centroid by the same map-only
+    literal-argmin projection, and the report shows per cell how many
+    landed there and how far the centroid WOULD move if merged
+    (exact-integer squared displacement of the floor-mean). The
+    operational answer to 'when do I retrain?': drift ~0 means
+    assign-only upserts are safe; a hot cell with big drift is the
+    retrain trigger.
+
+    100 TB shape: the incoming batch never shuffles (literal-centroid
+    assign); per-cell sums are posexplode partial aggs (cells x dim
+    longs); the trained index rides a session memo exactly like the
+    serving-path queries."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    cells = _upsert_cells(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("upsert:"), F.col("vec_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _UPS_MOD
+    )
+    inc = emb.filter(h == 0).select(
+        F.col("vec_id").alias("vid"), S.quantize(F.col("embedding")).alias("qv")
+    )
+    cent_rows = S._centroids_of(cells, _DIM).collect()
+    iassign = S.kmeans_assign(inc, [(r["cell"], r["centroid"]) for r in cent_rows])
+
+    def dim_sums(assigned: DataFrame, s_name: str, n_name: str) -> DataFrame:
+        return (
+            assigned.select("cell", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum("x").alias(s_name),
+                F.count(F.lit(1)).cast("bigint").alias(n_name),
+            )
+        )
+
+    b = dim_sums(cells, "s", "nb")
+    i = dim_sums(iassign, "t", "ni")
+    per_dim = (
+        b.join(i, ["cell", "pos"], "left")
+        .select(
+            "cell",
+            "pos",
+            "nb",
+            F.coalesce("ni", F.lit(0)).alias("ni"),
+            F.floor(F.col("s") / F.col("nb")).cast("bigint").alias("old_c"),
+            F.floor(
+                (F.col("s") + F.coalesce(F.col("t"), F.lit(0)))
+                / (F.col("nb") + F.coalesce(F.col("ni"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("new_c"),
+        )
+    )
+    d = (F.col("new_c") - F.col("old_c"))
+    return (
+        per_dim.groupBy("cell")
+        .agg(
+            F.first("nb").cast("bigint").alias("n_base"),
+            F.first("ni").cast("bigint").alias("n_incoming"),
+            F.sum(d * d).cast("bigint").alias("centroid_drift_sq"),
+        )
+        .orderBy("cell")
+    )
