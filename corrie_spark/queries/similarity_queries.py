@@ -1935,3 +1935,107 @@ def q_sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --- Matryoshka cascade: prefix-dim candidates -> full-dim re-rank ---------
+
+_CASCADE_C = 50  # candidate beam from the prefix stage
+
+_CASCADE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, qv AS q_vec FROM base WHERE vec_id < 5),
+exact_s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN q WHERE b.vec_id <> query_id
+),
+exact_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM exact_s
+),
+truth AS (SELECT query_id, neighbor_id FROM exact_r WHERE rnk <= 10),
+pre_s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_MAT_DIM + 1}), i -> q_vec[i] * qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN q WHERE b.vec_id <> query_id
+),
+pre_r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM pre_s
+),
+beam AS (SELECT query_id, neighbor_id FROM pre_r WHERE rnk <= {_CASCADE_C}),
+rerank AS (
+  SELECT e.query_id, e.neighbor_id, e.dot,
+         ROW_NUMBER() OVER (PARTITION BY e.query_id ORDER BY e.dot DESC, e.neighbor_id) AS rnk
+  FROM exact_s e JOIN beam USING (query_id, neighbor_id)
+),
+approx AS (SELECT query_id, neighbor_id FROM rerank WHERE rnk <= 10)
+SELECT t.query_id,
+       COUNT(*) AS k_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_10
+FROM truth t
+LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@register("q_sim_matryoshka_cascade", oracle=_CASCADE_ORACLE)
+def q_sim_matryoshka_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Matryoshka serving cascade: generate a {C}-candidate beam
+    with the FIRST {16} dims only (4x less memory bandwidth per
+    comparison — at scale this stage reads a truncated column), then
+    re-rank the beam with full-dim exact dots fetched by an id-keyed
+    join. recall@10 vs brute-force truth — the cascade must recover
+    most of what prefix-only top-10 loses (pinned >= prefix recall by
+    test). Both stages are bounded partial top-k; the full-dim
+    vectors are touched for C rows per query, never the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = _bf_truth(spark, sf_dir).select("query_id", "neighbor_id")
+
+    qv = q.select(
+        F.col("vec_id").alias("query_id"), S.quantize(F.col("embedding")).alias("q_vec")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), S.quantize(F.col("embedding")).alias("c_vec")
+    )
+    prefix_dot = F.expr(
+        f"aggregate(zip_with(slice(q_vec, 1, {_MAT_DIM}), slice(c_vec, 1, {_MAT_DIM}),"
+        " (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    scored_pre = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", prefix_dot.alias("dot"), "q_vec", "c_vec")
+    )
+    beam = S.grouped_topk(scored_pre, _CASCADE_C, carry=("q_vec", "c_vec"))
+    full_dot = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    rerank = beam.select("query_id", "neighbor_id", full_dot.alias("dot"))
+    approx = S.grouped_topk(rerank, 10).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_truth"),
+            F.sum(hit).cast("bigint").alias("k_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

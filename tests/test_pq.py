@@ -311,3 +311,27 @@ def test_sq8_topk_plan_is_broadcast_no_corpus_shuffle(spark):
     # encode is map-only on the codes side; the only exchange is the
     # bounded partial-top-k merge (plus the broadcast build)
     assert count_shuffles(pq.sq8_encode(emb, bounds)) == 0
+
+
+def test_matryoshka_cascade_recovers_prefix_loss(spark):
+    """Full-dim re-rank over the 50-beam must do at least as well as
+    prefix-only top-10 (it can only fix ranking within a superset of
+    the prefix top-10), and should be near-exact at this beam size."""
+    from corrie_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    qs = all_queries()
+    casc = {
+        r["query_id"]: r["recall_at_10"]
+        for r in qs["q_sim_matryoshka_cascade"](spark, SF_CORRECT).collect()
+    }
+    pref = {
+        r["query_id"]: r["recall_at_10"]
+        for r in qs["q_sim_matryoshka_recall"](spark, SF_CORRECT).collect()
+    }
+    assert set(casc) == set(pref)
+    assert all(casc[k] >= pref[k] for k in casc)
+    # these synthetic embeddings are not Matryoshka-trained, so the
+    # 16-dim beam is genuinely lossy — the pin is the LIFT the exact
+    # re-rank buys over prefix-only top-10, not an absolute recall
+    assert sum(casc.values()) >= 2 * sum(pref.values())
