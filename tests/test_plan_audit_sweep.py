@@ -45,6 +45,8 @@ _PYTHON_OK = {
     "q_sim_seeding_quality",  # rides the trained/kcenter memos (local_topk lineage)
     "q_mix_weighted_sample",  # partial-top-k consumer (A-ES keys)
     "q_text_zipf",  # partial-top-k head cut before the regression
+    "q_sim_matryoshka_cascade",  # two partial-top-k stages (beam + re-rank)
+    "q_multimodal_dhash_clusters",  # mapInPandas decode feeds the hash grouping
 }
 
 
