@@ -2039,3 +2039,84 @@ def q_sim_matryoshka_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- embedding isotropy / collapse diagnostic ------------------------------
+
+_ISO_SCORE = (
+    "((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    " / (CAST(b AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+
+_ISOTROPY_ORACLE = f"""
+WITH base AS (
+  SELECT d.source, {_QUANT} AS qv
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+dsums AS (
+  SELECT source, g.d, CAST(SUM(qv[g.d + 1]) AS BIGINT) AS s
+  FROM base CROSS JOIN range(0, {_DIM}) g(d)
+  GROUP BY source, g.d
+),
+persrc AS (
+  SELECT source, CAST(SUM(s * s) AS BIGINT) AS a FROM dsums GROUP BY source
+),
+norms AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> qv[i] * qv[i])) AS BIGINT)) AS BIGINT) AS b
+  FROM base GROUP BY source
+)
+SELECT p.source, n AS n_vectors,
+       CAST(b AS DOUBLE) / CAST(n AS DOUBLE) AS avg_norm_sq,
+       {_ISO_SCORE} AS collapse_score
+FROM persrc p JOIN norms USING (source)
+ORDER BY p.source
+"""
+
+
+@register("q_emb_isotropy", oracle=_ISOTROPY_ORACLE)
+def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-collapse diagnostic per source: mean pairwise cosine
+    proxy = ((||Σv||² − Σ||v||²) / n(n−1)) / mean||v||² — near 0 for
+    an isotropic (healthy) embedding cloud, near 1 when vectors
+    collapse to one direction (a dying encoder, or a source whose
+    texts are near-identical). The identity turns ALL pairwise dots
+    into two exact-integer corpus sums: per-dim sums (posexplode
+    partial agg, #sources x dim longs) and per-vector norms (map +
+    sum) — never an O(n²) pair pass. Exact ints up to ~10^9 vectors
+    per source at this quantization (per-dim sums square into int64);
+    beyond that the same sums go through DECIMAL — the SSE-sum
+    lesson."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    base = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", S.quantize(F.col("embedding")).alias("qv")
+    )
+    dsums = (
+        base.select("source", F.posexplode("qv").alias("d", "x"))
+        .groupBy("source", "d")
+        .agg(F.sum("x").alias("s"))
+    )
+    persrc = dsums.groupBy("source").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("a")
+    )
+    vnorm = F.expr(
+        "aggregate(zip_with(qv, qv, (p, q) -> p * q), 0L, (acc, x) -> acc + x)"
+    )
+    norms = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vnorm).cast("bigint").alias("b"),
+    )
+    return (
+        persrc.join(norms, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_vectors"),
+            (F.col("b").cast("double") / F.col("n").cast("double")).alias(
+                "avg_norm_sq"
+            ),
+            F.expr(_ISO_SCORE).alias("collapse_score"),
+        )
+        .orderBy("source")
+    )

@@ -64,3 +64,18 @@ def test_auto_planes_runs_end_to_end(spark):
     out = S.ann_lsh_topk(q, emb, k=5, n_planes=None).collect()
     assert 0 < len(out) <= 10
     assert {r.query_id for r in out} <= {0, 1}
+
+
+def test_isotropy_sane_on_healthy_corpus(spark):
+    """Synthetic embeddings are near-isotropic: collapse_score must be
+    small and positive-ish; a score near 1 would mean directional
+    collapse (and a bug here, since the corpus is random-like)."""
+    from corrie_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    rows = all_queries()["q_emb_isotropy"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r["n_vectors"] > 1
+        assert r["avg_norm_sq"] > 0
+        assert -0.1 < r["collapse_score"] < 0.5
