@@ -202,3 +202,95 @@ def q_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+# --- dedup-aware retrieval: BM25 over cluster representatives --------------
+
+def _bm25_dedup_oracle() -> str:
+    from corrie_spark.operators import dedup as D
+    from corrie_spark.queries.dedup_queries import _CLUSTERS_ORACLE, _sig_expr
+    from corrie_spark.queries.text_queries import (
+        _BM25_NMATCH,
+        _BM25_SCORE,
+        _BM25_TERM_COLS,
+        _BM25_TERMS_SQL,
+        _BM25_TOTAL,
+        _TOKS,
+    )
+
+    clusters = _CLUSTERS_ORACLE.format(
+        toks=_TOKS,
+        sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    )
+    tail = "SELECT node AS doc_id, MIN(r) AS cluster_id\nFROM reach GROUP BY node"
+    assert tail in clusters
+    return clusters.replace(
+        tail,
+        f""", clus AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM clus GROUP BY cluster_id),
+reps AS (SELECT doc_id FROM clus WHERE doc_id = cluster_id),
+bm_base AS (
+  SELECT d.doc_id, list_filter(string_split_regex(d.text, '\\s+'), t -> length(t) > 0) AS btoks
+  FROM documents d JOIN reps USING (doc_id)
+),
+dls AS (SELECT doc_id, CAST(len(btoks) AS BIGINT) AS dl, btoks FROM bm_base),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dls
+),
+postings AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, UNNEST(btoks) AS term FROM dls)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, dl, term
+),
+dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+bscored AS (
+  SELECT doc_id, term, {_BM25_SCORE} AS s
+  FROM postings JOIN dfs USING (term) CROSS JOIN stats
+),
+bper_doc AS (
+  SELECT doc_id, {_BM25_TERM_COLS} FROM bscored GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, {_BM25_TOTAL} AS bm25, CAST({_BM25_NMATCH} AS BIGINT) AS n_matched
+  FROM bper_doc ORDER BY bm25 DESC, doc_id LIMIT 10
+)
+SELECT r.doc_id, r.bm25, r.n_matched, c.cluster_size
+FROM ranked r JOIN csize c ON c.cluster_id = r.doc_id
+ORDER BY r.bm25 DESC, r.doc_id""",
+    )
+
+
+@register("q_text_bm25_dedup", oracle=_bm25_dedup_oracle())
+def q_text_bm25_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware retrieval — the third cross-subsystem composition
+    proof: BM25 ranks ONLY near-dup cluster representatives (standard
+    practice before indexing a crawl: duplicates otherwise crowd the
+    result list with the same content), and each hit reports its
+    cluster size — how many copies that single result now stands for.
+    The LSH/CC cluster map and the BM25 engine (two independently
+    oracle-checked subsystems) must compose exactly: the oracle
+    replays signatures -> band join -> recursive closure ->
+    representative filter -> the full BM25 pipeline in one statement.
+
+    Scale shape: representative filter is an id-keyed semi join
+    against the (metadata-sized relative to the corpus) cluster map;
+    BM25 keeps its two-scan zero-join plan over the filtered corpus;
+    cluster sizes join the 10-row result."""
+    from corrie_spark.queries.dedup_queries import _shared_clusters
+    from corrie_spark.queries.text_queries import bm25_rank
+
+    clus = _shared_clusters(spark, sf_dir)
+    reps = clus.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    csize = clus.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    docs = load(spark, sf_dir, "documents").join(reps, "doc_id")
+    ranked = bm25_rank(docs, k=10)
+    return (
+        ranked.join(csize, ranked.doc_id == csize.cluster_id)
+        .select(ranked.doc_id, "bm25", "n_matched", "cluster_size")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+    )

@@ -991,33 +991,16 @@ LIMIT 10
 """
 
 
-@register("q_text_bm25_topk", oracle=_BM25_ORACLE)
-def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents for a 3-term query by BM25 (rational-idf
-    variant — see oracle comment) — the inverted-index retrieval
-    shape over the corpus.
-
-    100 TB shape: per-term tf is computed MAP-SIDE as
-    size(filter(tokens, == term)) — no corpus-wide explode, no
-    (doc, term) groupBy shuffle. Pass 1 is ONE aggregation producing
-    the corpus constants (n_docs, avgdl, and df per query term —
-    2 + |query| numbers, collected and folded into the scoring
-    projection as literals, the same metadata-sized-collect
-    discipline as the k-means centroids); pass 2 is a map-only score
-    + TakeOrdered top-10. Two scans, zero joins, never a global
-    sort. All score arithmetic is IEEE +,*,/ with identical
-    parenthesization in both engines — bit-identical doubles, no
-    tolerance needed (the literal constants round-trip exactly:
-    int64 df, one IEEE double avgdl). The oracle builds tf by
-    unnest+count — same values, different engine-appropriate plan."""
+def bm25_rank(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k BM25 ranking over an arbitrary documents frame — the
+    retrieval engine behind q_text_bm25_topk, reusable over filtered
+    corpora (e.g. dedup-survivor-only retrieval). See the query
+    docstring for the scale/plan argument."""
     from corrie_spark.functions.core import bind
 
-    docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
 
     def tf_struct(tk: F.Column) -> F.Column:
-        # evaluated under bind: the split runs once per doc, not once
-        # per query term (Catalyst would inline it per reference)
         return F.struct(
             F.size(tk).cast("bigint").alias("dl"),
             *[
@@ -1042,11 +1025,6 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = None
     nmatch = None
     for i in range(len(_BM25_TERMS)):
-        # same expression string as the oracle's `s`, with the corpus
-        # constants bound as literals and tf bound per term
-        # NB: a bare decimal literal parses as DECIMAL in Spark SQL —
-        # embed avgdl through a string cast so it stays the exact IEEE
-        # double the aggregation produced (repr round-trips doubles)
         s_i = F.expr(
             _BM25_SCORE.replace("tf", f"tf{i}")
             .replace("avgdl", f"CAST('{float(consts['avgdl'])!r}' AS DOUBLE)")
@@ -1061,8 +1039,30 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.filter(sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0)
         .select("doc_id", total.alias("bm25"), nmatch.cast("bigint").alias("n_matched"))
         .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(10)
+        .limit(k)
     )
+
+
+@register("q_text_bm25_topk", oracle=_BM25_ORACLE)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a 3-term query by BM25 (rational-idf
+    variant — see oracle comment) — the inverted-index retrieval
+    shape over the corpus.
+
+    100 TB shape: per-term tf is computed MAP-SIDE as
+    size(filter(tokens, == term)) — no corpus-wide explode, no
+    (doc, term) groupBy shuffle. Pass 1 is ONE aggregation producing
+    the corpus constants (n_docs, avgdl, and df per query term —
+    2 + |query| numbers, collected and folded into the scoring
+    projection as literals, the same metadata-sized-collect
+    discipline as the k-means centroids); pass 2 is a map-only score
+    + TakeOrdered top-10. Two scans, zero joins, never a global
+    sort. All score arithmetic is IEEE +,*,/ with identical
+    parenthesization in both engines — bit-identical doubles, no
+    tolerance needed (the literal constants round-trip exactly:
+    int64 df, one IEEE double avgdl). The oracle builds tf by
+    unnest+count — same values, different engine-appropriate plan."""
+    return bm25_rank(load(spark, sf_dir, "documents"), k=10)
 
 
 # --- robust outlier detection: per-source MAD on doc length ----------------
