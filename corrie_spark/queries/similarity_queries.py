@@ -2120,3 +2120,129 @@ def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- index distortion report: ADC error vs exact dots ----------------------
+
+import re as _re
+
+_SQ8_CTES_RENAMED = _re.sub(r"\benc\b", "senc", _re.sub(r"\bq\b", "sq", _SQ8_CTES))
+
+_DISTORTION_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+{_PQ_CTES.lstrip()},
+{_SQ8_CTES_RENAMED.lstrip()},
+exact_s AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {_DIM + 1}), i -> q.qv[i] * b.qv[i])) AS BIGINT) AS dot
+  FROM base b CROSS JOIN (SELECT vec_id, qv FROM base WHERE vec_id < 5) q
+  WHERE b.vec_id <> q.vec_id
+),
+err_pq AS (
+  SELECT 'pq' AS method, p.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(ABS(p.approx_dot - e.dot)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_abs_err,
+         CAST(MAX(ABS(p.approx_dot - e.dot)) AS BIGINT) AS max_abs_err
+  FROM pq_score p JOIN exact_s e USING (query_id, neighbor_id)
+  GROUP BY p.query_id
+),
+err_sq8 AS (
+  SELECT 'sq8' AS method, s.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(ABS(s.approx_dot - e.dot)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_abs_err,
+         CAST(MAX(ABS(s.approx_dot - e.dot)) AS BIGINT) AS max_abs_err
+  FROM sq8_s s JOIN exact_s e USING (query_id, neighbor_id)
+  GROUP BY s.query_id
+)
+SELECT * FROM err_pq UNION ALL SELECT * FROM err_sq8
+ORDER BY method, query_id
+"""
+
+
+@register("q_sim_distortion", oracle=_DISTORTION_ORACLE)
+def q_sim_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-distortion report: mean/max |ADC score − exact
+    dot| over every (bench query, corpus vector) pair, for PQ (64x
+    compression) and SQ8 (8x) side by side — the error numbers BEHIND
+    the recall queries (recall says whether top-10 survives; this
+    says how much score fidelity each compression level spends, which
+    predicts how recall will degrade as k or corpus density changes).
+    Exact-integer errors, one broadcast pass per method over the
+    persisted codes frames; both index memos shared with the serving
+    queries; oracle replays both quantizers and the exact dots."""
+    from corrie_spark.operators import pq as PQ
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.quantize(F.col("embedding")).alias("c_vec"),
+    )
+    exact = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+
+    def report(scored: DataFrame, method: str) -> DataFrame:
+        err = F.abs(F.col("approx_dot") - F.col("exact_dot"))
+        return (
+            scored.groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                (
+                    F.sum(err).cast("double") / F.count(F.lit(1)).cast("double")
+                ).alias("mean_abs_err"),
+                F.max(err).cast("bigint").alias("max_abs_err"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                "n_pairs",
+                "mean_abs_err",
+                "max_abs_err",
+            )
+        )
+
+    # PQ: ADC via the session index memo's LUT scoring
+    books, codes = _pq_index(spark, sf_dir)
+    qlut = q.select(
+        F.col("vec_id").alias("query_id"), S.quantize(F.col("embedding")).alias("q_vec")
+    ).select("query_id", "q_vec", PQ._lut(F.col("q_vec"), books, PQ.SUB_DIM, PQ.N_CODES).alias("lut"))
+    adc = F.expr(
+        "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    pq_scored = (
+        codes.withColumnRenamed("vid", "neighbor_id")
+        .join(cv, "neighbor_id")
+        .crossJoin(F.broadcast(qlut))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", adc.alias("approx_dot"), exact.alias("exact_dot"))
+    )
+
+    # SQ8: midpoint-reconstruction ADC via the session bounds/codes memo
+    bounds, scodes = _sq8_index(spark, sf_dir)
+    mins, spans = PQ._sq8_arrays(bounds)
+    sq8_score = (
+        "aggregate(transform(codes, (c, d) -> element_at(q_vec, d+1) *"
+        f" (element_at({mins}, d+1) + ((2*c + 1) * element_at({spans}, d+1)) div 512L)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    qv = q.select(
+        F.col("vec_id").alias("query_id"), S.quantize(F.col("embedding")).alias("q_vec")
+    )
+    sq8_scored = (
+        scodes.withColumnRenamed("vid", "neighbor_id")
+        .join(cv, "neighbor_id")
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", F.expr(sq8_score).alias("approx_dot"), exact.alias("exact_dot")
+        )
+    )
+    return (
+        report(pq_scored, "pq")
+        .unionAll(report(sq8_scored, "sq8"))
+        .orderBy("method", "query_id")
+    )

@@ -335,3 +335,16 @@ def test_matryoshka_cascade_recovers_prefix_loss(spark):
     # 16-dim beam is genuinely lossy — the pin is the LIFT the exact
     # re-rank buys over prefix-only top-10, not an absolute recall
     assert sum(casc.values()) >= 2 * sum(pref.values())
+
+
+def test_sq8_distortion_below_pq(spark):
+    """8 bits/dim must be higher-fidelity than 1 byte/subspace: SQ8's
+    mean ADC error < PQ's for every bench query — the mechanism
+    behind test_sq8_recall_beats_pq."""
+    from corrie_spark.queries.registry import all_queries
+    from tests.conftest import SF_CORRECT
+
+    rows = all_queries()["q_sim_distortion"](spark, SF_CORRECT).collect()
+    err = {(r["method"], r["query_id"]): r["mean_abs_err"] for r in rows}
+    qids = {q for m, q in err}
+    assert all(err[("sq8", q)] < err[("pq", q)] for q in qids)
