@@ -387,3 +387,74 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- per-type trailing-window rate alert (z-score) -------------------------
+
+# One shared double expression: exact-int window sums first, then IEEE
+# ops in a fixed order (sqrt is correctly rounded) — identical engines.
+_ZSCORE = (
+    "CASE WHEN cnt = 7 AND 7 * s2 - s * s > 0 THEN"
+    " (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / 7.0)"
+    " / sqrt((7.0 * CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 49.0)"
+    " END"
+)
+
+_RATE_ZSCORE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, n,
+         CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+         CAST(SUM(n) OVER w AS BIGINT) AS s,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n AS n_events,
+       {_ZSCORE} AS z_score,
+       COALESCE(abs({_ZSCORE}) > 2.0, FALSE) AS alert
+FROM win
+ORDER BY event_type, day
+"""
+
+
+@register("q_events_rate_zscore", oracle=_RATE_ZSCORE_ORACLE)
+def q_events_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-rate alert: z-score of each day's event count
+    against its OWN trailing 7 observed days (window excludes the
+    current day, so a spike can't suppress its own alarm) — the
+    per-key streaming-alert twin of the global MAD screen. Variance
+    comes from exact-integer window sums (n, n²); the single double
+    expression evaluates identically in both engines, sqrt included.
+    The day series per type is metadata-sized at any raw scale; only
+    the daily rollup touches the events table."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt"),
+        F.sum("n").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("bigint").alias("s2"),
+    )
+    z = F.expr(_ZSCORE)
+    return win.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("alert"),
+    ).orderBy("event_type", "day")
