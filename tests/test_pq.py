@@ -348,3 +348,28 @@ def test_sq8_distortion_below_pq(spark):
     err = {(r["method"], r["query_id"]): r["mean_abs_err"] for r in rows}
     qids = {q for m, q in err}
     assert all(err[("sq8", q)] < err[("pq", q)] for q in qids)
+
+
+def test_sq8_adc_error_within_theoretical_bound(spark):
+    """Midpoint reconstruction is off by at most half a cell per
+    dimension: |recon_d - x_d| <= span_d div 512 + 1, so
+    |ADC - exact| <= sum_d |q_d| * (span_d div 512 + 1). Pin the
+    bound on every (query, corpus) pair at sf0.01."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    bounds = pq.sq8_bounds(emb)
+    codes = pq.sq8_encode(emb, bounds)
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = pq.sq8_topk(q, emb, k=10**9, bounds=bounds, codes=codes)
+    exact = {}
+    from corrie_spark.operators.similarity import quantize
+
+    qv = {r["vec_id"]: list(r["q"]) for r in q.select("vec_id", quantize(F.col("embedding")).alias("q")).collect()}
+    cv = {r["vec_id"]: list(r["q"]) for r in emb.select("vec_id", quantize(F.col("embedding")).alias("q")).collect()}
+    spans = [hi - lo for lo, hi in bounds]
+    for r in approx.collect():
+        qvec, cvec = qv[r["query_id"]], cv[r["neighbor_id"]]
+        ex = sum(a * b for a, b in zip(qvec, cvec))
+        bound = sum(abs(a) * (s // 512 + 1) for a, s in zip(qvec, spans))
+        assert abs(r["approx_dot"] - ex) <= bound

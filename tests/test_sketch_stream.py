@@ -129,3 +129,35 @@ def test_replayed_cms_batch_is_idempotent(spark, tmp_path):
         for r in cms_serve(spark, out, keys, "event_type").collect()
     }
     assert after == before
+
+
+def test_hll_store_compaction_preserves_estimates(spark, tmp_path):
+    """The docstring's compaction claim, pinned: folding all deltas
+    into one MAX-merged generation (what a janitor job would do to
+    bound store growth) leaves served estimates identical."""
+    from pyspark.sql import functions as F
+
+    events = load(spark, SF_SMOKE, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    events.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "regs"), str(tmp_path / "ckpt")
+    q = start_hll_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    before = _estimates(hll_serve(spark, out))
+    compacted = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+    )
+    tmp_out = str(tmp_path / "regs_compacted")
+    compacted.write.parquet(tmp_out)
+    assert _estimates(hll_serve(spark, tmp_out)) == before
+    # and the compacted store is one generation: <= keys x 256 rows
+    n_keys = events.select("event_type").distinct().count()
+    assert spark.read.parquet(tmp_out).count() <= n_keys * 256
