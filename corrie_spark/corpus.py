@@ -277,18 +277,27 @@ def build_corpus_staged(
         st["assigned"].write.mode("overwrite").parquet(assigned_path)
         mark(assigned_path)
         ran.append("assigned")
-    if st is not None and not os.path.exists(counts_path):
+    if st is not None:
         # boundary frames are persisted by corpus_stages; these counts
-        # read the caches the write above already filled
-        _json.dump(
-            {
-                "n_raw": docs.count(),
-                "n_after_exact_dedup": st["exact"].count(),
-                "n_after_near_dedup": st["survivors"].count(),
-                "n_after_quality": st["gated"].count(),
-            },
-            open(counts_path, "w"),
-        )
+        # read the caches the write above already filled. REWRITTEN
+        # whenever any stage actually recomputed (st is only built
+        # inside a stage-ran branch) — a forced recompute (deleted
+        # stage dir, e.g. after changing gate thresholds) must not
+        # leave stale boundary counts behind for the warm manifest
+        # path to serve as current. Write-then-rename so a build
+        # killed mid-write never leaves a truncated COUNTS.json.
+        tmp = f"{counts_path}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "n_raw": docs.count(),
+                    "n_after_exact_dedup": st["exact"].count(),
+                    "n_after_near_dedup": st["survivors"].count(),
+                    "n_after_quality": st["gated"].count(),
+                },
+                f,
+            )
+        os.replace(tmp, counts_path)
     teardown()
     assigned = spark.read.parquet(assigned_path)
 

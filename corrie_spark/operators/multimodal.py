@@ -198,6 +198,178 @@ def _decode_ppm(payload: bytes) -> dict:
     return {"kind": "image", "width": w, "height": h, "data": data}
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """The Paeth predictor from the PNG spec (RFC 2083 §6.6): pick
+    whichever of left/up/upper-left is closest to left+up-upperleft,
+    ties resolved left, up, upper-left in that order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    filters: list[int] | None = None,
+) -> bytes:
+    """REAL encoder: PNG (RFC 2083) with 8-bit greyscale (color_type
+    0) or RGB (color_type 2), no interlace — stdlib zlib deflate over
+    per-row filtered scanlines. `filters` picks the filter type
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) per row so fixtures can
+    exercise every unfilter branch of the decoder; default all-None."""
+    import zlib
+
+    ch = 1 if color_type == 0 else 3
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dims")
+    if filters is None:
+        filters = [0] * height
+    px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64).reshape(height, stride)
+    prev = np.zeros(stride, dtype=np.int64)
+    out = []
+    for r in range(height):
+        raw = px[r]
+        ft = filters[r]
+        if ft == 0:
+            filt = raw
+        elif ft == 1:  # Sub: subtract the pixel bpp bytes to the left
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), raw[:-ch]])
+            filt = raw - left
+        elif ft == 2:  # Up
+            filt = raw - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), raw[:-ch]])
+            filt = raw - (left + prev) // 2
+        elif ft == 4:  # Paeth
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), raw[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+            filt = raw - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """REAL codec: PNG (RFC 2083 / ISO 15948) — implemented from the
+    public spec with stdlib zlib + numpy only, closing half the
+    compressed-media seam natively (round-7 verdict #1). Supported:
+    8-bit depth, greyscale (color type 0) and truecolor RGB (2), no
+    interlace — the shapes a data pipeline emits itself; palette /
+    alpha / 16-bit / Adam7 raise ValueError (still the documented
+    PIL seam). Chunk CRCs are verified. The per-row unfilter
+    (None/Sub/Up/Average/Paeth) is numpy per scanline: Sub is a
+    per-channel cumulative sum, Up is one vector add, Average/Paeth
+    walk pixels left-to-right with channel-vectorized arithmetic
+    (sequential along the row by data dependency — the spec's
+    recurrence — but each step is one small numpy op). Returns the
+    recovered raw pixel stream in top-down row order (RGB triples for
+    color type 2, like the PPM decoder), exact by construction:
+    filtering is invertible integer arithmetic mod 256."""
+    import zlib
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = []
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2) or comp != 0 or filt_m != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace}); "
+            "only 8-bit grey/RGB non-interlaced decoded natively"
+        )
+    if w < 1 or h < 1:
+        raise ValueError("bad PNG dimensions")
+    ch = 1 if color == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline data does not match dims")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1).astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    rows = []
+    for r in range(h):
+        ft, frow = int(scan[r, 0]), scan[r, 1:]
+        if ft == 0:
+            rec = frow % 256
+        elif ft == 1:  # Sub: per-channel cumsum undoes the left-delta
+            rec = np.cumsum(frow.reshape(w, ch), axis=0).ravel() % 256
+        elif ft == 2:  # Up
+            rec = (frow + prev) % 256
+        elif ft == 3:  # Average (left is a row recurrence)
+            f2, p2 = frow.reshape(w, ch), prev.reshape(w, ch)
+            rec2 = np.empty((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            for i in range(w):
+                left = (f2[i] + (left + p2[i]) // 2) % 256
+                rec2[i] = left
+            rec = rec2.ravel()
+        elif ft == 4:  # Paeth (left/upper-left row recurrence)
+            f2, p2 = frow.reshape(w, ch), prev.reshape(w, ch)
+            rec2 = np.empty((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for i in range(w):
+                left = (f2[i] + _paeth(left, p2[i], upleft)) % 256
+                rec2[i] = left
+                upleft = p2[i]
+            rec = rec2.ravel()
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        rows.append(rec.astype(np.uint8))
+        prev = rec
+    return {
+        "kind": "image",
+        "width": w,
+        "height": h,
+        "data": np.concatenate(rows).tobytes() if rows else b"",
+    }
+
+
 def _decode_wav(payload: bytes) -> dict:
     """REAL codec: RIFF/WAVE PCM (8- or 16-bit, any channel count)
     from the public container layout — 'RIFF' <size> 'WAVE', then
@@ -237,13 +409,17 @@ def _decode_wav(payload: bytes) -> dict:
 
 def decode_payload(media_type: str, payload: bytes) -> dict:
     """Decode seam. `fake/*` types use the deterministic codec;
-    image/bmp, image/ppm (P6) and audio/wav are REAL decoders implemented here from
-    the public format specs (struct + numpy, no external libs);
-    compressed formats (JPEG/PNG/MP4/...) would dispatch to
-    PIL/soundfile/av — unavailable in this environment, so they raise
-    (clearly-marked stub)."""
+    image/bmp, image/png (8-bit grey/RGB, zlib-inflated + unfiltered
+    natively), image/ppm (P6) and audio/wav are REAL decoders
+    implemented here from the public format specs (struct + zlib +
+    numpy, no external libs); remaining compressed formats
+    (JPEG/MP4/exotic PNG variants) would dispatch to PIL/soundfile/av
+    — unavailable in this environment, so they raise (clearly-marked
+    stub)."""
     if media_type == "image/bmp":
         return _decode_bmp(payload)
+    if media_type == "image/png":
+        return _decode_png(payload)
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
         return _decode_ppm(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
@@ -261,8 +437,8 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
         raise ValueError("bad fake payload header")
     raise NotImplementedError(
         f"decoder for {media_type!r} not available in this environment "
-        "(plug PIL/soundfile/av into decode_payload; BMP and PCM WAV "
-        "are decoded natively above)"
+        "(plug PIL/soundfile/av into decode_payload; BMP, 8-bit PNG, "
+        "P6 PPM and PCM WAV are decoded natively above)"
     )
 
 
@@ -541,7 +717,7 @@ def image_dhash(df: DataFrame, n_bits: int = DHASH_BITS) -> DataFrame:
 
 
 def dhash_near_pairs(
-    hashes: DataFrame, max_dist: int = 12, band_bits: int | None = None
+    hashes: DataFrame, max_dist: int = 4, band_bits: int | None = None
 ) -> DataFrame:
     """Hamming near-duplicate image pairs from a (media_id, dhash)
     frame: block on equality of any band of the hash (the simhash
@@ -564,7 +740,14 @@ def dhash_near_pairs(
     widths are split EVENLY across the 64 bits (floor/ceil of
     64/n_bands): a ceil-division band count with a leftover narrow
     final band would be a scale trap — a 1-bit band has 2 distinct
-    values, so its equi-join degenerates to ~n^2/4 candidate pairs."""
+    values, so its equi-join degenerates to ~n^2/4 candidate pairs.
+    The same trap scales continuously: a w-bit band yields ~n^2/2^w
+    expected candidates on random hashes, so derived widths below
+    ~8 bits (max_dist > 6 with 62-bit hashes) emit a RuntimeWarning —
+    the default max_dist=4 stays comfortably above it (12-13 bit
+    bands); large radii should use a wider hash or exact verify."""
+    import warnings
+
     from pyspark.sql import functions as F
 
     if band_bits is None:
@@ -575,6 +758,16 @@ def dhash_near_pairs(
                 "use an exact all-pairs verify instead"
             )
         n_bands = max_dist + 1
+        if DHASH_BITS // n_bands < 8:
+            warnings.warn(
+                f"max_dist={max_dist} derives {n_bands} bands of "
+                f"{DHASH_BITS // n_bands}-{-(-DHASH_BITS // n_bands)} bits; "
+                "bands narrower than ~8 bits degenerate toward n^2/2^width "
+                "candidate pairs at corpus scale — consider a wider hash or "
+                "an exact verify for large radii",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     else:
         n_bands = (DHASH_BITS + band_bits - 1) // band_bits
         if max_dist > n_bands - 1:

@@ -197,15 +197,20 @@ def _split_aggs():
 
 def _stage_cache_dir(sf_dir: str) -> str:
     """Filesystem location of the staged corpus build for this sf_dir
-    + manifest parameters. Keyed on (dataset name, shard budget,
-    strip n) so a parameter change never serves a stale cache."""
+    + manifest parameters. Keyed on (dataset name, CONTENT fingerprint
+    of documents.parquet, shard budget, strip n) so neither a
+    parameter change nor a regenerated dataset under the same path
+    ever serves a stale cache (round-7 advice)."""
     import os
+
+    from corrie_spark.tables import dataset_fingerprint
 
     base = os.environ.get("CORRIE_STAGE_CACHE") or os.path.join(
         os.getcwd(), "spark-warehouse", "corpus_stages"
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(base, f"{tag}_b{_BUDGET}_n{_STRIP_N}")
+    fp = dataset_fingerprint(sf_dir, "documents")
+    return os.path.join(base, f"{tag}_{fp}_b{_BUDGET}_n{_STRIP_N}")
 
 
 def warm_manifest_cache(spark: SparkSession, sf_dir: str) -> str:
@@ -239,7 +244,12 @@ def _staged_manifest(spark: SparkSession, sf_dir: str) -> DataFrame | None:
         and os.path.exists(os.path.join(corpus_path, "_STAGE_DONE"))
     ):
         return None
-    c = _json.load(open(counts_path))
+    try:
+        c = _json.load(open(counts_path))
+    except (ValueError, OSError):
+        # a truncated/unreadable COUNTS.json (pre-atomic-write builds)
+        # must fall back to the live pipeline, not crash the query
+        return None
     w = spark.read.parquet(corpus_path).agg(*_split_aggs()).collect()[0]
     row = (
         c["n_raw"],

@@ -108,20 +108,20 @@ _RC_W, _RC_H, _RC_N = 5, 3, 16  # bmp 5x3 (odd width -> real row padding), wav 1
 _REAL_CODEC_ORACLE = f"""
 SELECT
   doc_id AS media_id,
-  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
-       ELSE 'image/x-portable-pixmap' END AS media_type,
+  CASE doc_id % 4 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+       WHEN 2 THEN 'image/x-portable-pixmap' ELSE 'image/png' END AS media_type,
   TRUE AS ok,
-  CASE WHEN doc_id % 3 <> 1 THEN CAST({_RC_W} AS BIGINT) END AS width,
-  CASE WHEN doc_id % 3 <> 1 THEN CAST({_RC_H} AS BIGINT) END AS height,
-  CASE WHEN doc_id % 3 = 0 THEN
+  CASE WHEN doc_id % 4 <> 1 THEN CAST({_RC_W} AS BIGINT) END AS width,
+  CASE WHEN doc_id % 4 <> 1 THEN CAST({_RC_H} AS BIGINT) END AS height,
+  CASE WHEN doc_id % 4 = 0 THEN
     CAST(list_sum(list_transform(range(0, {_RC_W * _RC_H}),
          i -> (doc_id * 7 + i) % 256)) AS DOUBLE) / {_RC_W * _RC_H}
-  WHEN doc_id % 3 = 2 THEN
+  WHEN doc_id % 4 IN (2, 3) THEN
     CAST(list_sum(list_transform(range(0, {_RC_W * _RC_H * 3}),
          i -> (doc_id * 7 + i) % 256)) AS DOUBLE) / {_RC_W * _RC_H * 3}
   END AS mean_pixel,
-  CASE WHEN doc_id % 3 = 1 THEN CAST({_RC_N} AS BIGINT) END AS n_samples,
-  CASE WHEN doc_id % 3 = 1 THEN
+  CASE WHEN doc_id % 4 = 1 THEN CAST({_RC_N} AS BIGINT) END AS n_samples,
+  CASE WHEN doc_id % 4 = 1 THEN
     CAST(list_sum(list_transform(range(0, {_RC_N}),
          i -> abs((doc_id * 13 + i) % 1024 - 512))) AS DOUBLE) / {_RC_N}
   END AS mean_amp
@@ -132,14 +132,17 @@ FROM documents
 @register("q_multimodal_real_codecs", oracle=_REAL_CODEC_ORACLE)
 def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container codecs through the whole oracle gate, routed
-    by doc_id % 3: 8-bpp BMPs (odd width, so the spec's 4-byte row
+    by doc_id % 4: 8-bpp BMPs (odd width, so the spec's 4-byte row
     padding and bottom-up storage are actually exercised), 16-bit
-    PCM WAVs, and binary P6 PPMs (comment-tolerant header parse);
-    the features come back through the REAL parsers
-    (_decode_bmp / _decode_wav / _decode_ppm — struct+numpy) and
-    must match DuckDB's closed-form expectations exactly. This is the
-    part of the real-codec seam this environment CAN close natively;
-    compressed formats stay behind the documented PIL/av stub."""
+    PCM WAVs, binary P6 PPMs (comment-tolerant header parse), and
+    COMPRESSED 8-bit RGB PNGs (zlib deflate, per-row filter type
+    cycling through None/Sub/Up/Average/Paeth keyed on doc_id so
+    every unfilter branch decodes under the oracle — the round-7 #1
+    seam half-closure); the features come back through the REAL
+    parsers (_decode_bmp / _decode_wav / _decode_ppm / _decode_png —
+    struct+zlib+numpy) and must match DuckDB's closed-form
+    expectations exactly. JPEG/MP4 stay behind the documented PIL/av
+    stub."""
     import numpy as np
     import pandas as pd
 
@@ -152,7 +155,7 @@ def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 3 == 0:
+                if did % 4 == 0:
                     rows = [
                         bytes((did * 7 + (r * _RC_W + c)) % 256 for c in range(_RC_W))
                         for r in range(_RC_H)
@@ -161,17 +164,26 @@ def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {"media_id": did, "media_type": "image/bmp",
                          "payload": M.encode_bmp(_RC_W, _RC_H, rows)}
                     )
-                elif did % 3 == 1:
+                elif did % 4 == 1:
                     samples = [(did * 13 + i) % 1024 - 512 for i in range(_RC_N)]
                     out.append(
                         {"media_id": did, "media_type": "audio/wav",
                          "payload": M.encode_wav_pcm(8000, samples)}
                     )
-                else:
+                elif did % 4 == 2:
                     px = bytes((did * 7 + i) % 256 for i in range(_RC_W * _RC_H * 3))
                     out.append(
                         {"media_id": did, "media_type": "image/x-portable-pixmap",
                          "payload": M.encode_ppm(_RC_W, _RC_H, px)}
+                    )
+                else:
+                    px = bytes((did * 7 + i) % 256 for i in range(_RC_W * _RC_H * 3))
+                    filts = [(did + r) % 5 for r in range(_RC_H)]
+                    out.append(
+                        {"media_id": did, "media_type": "image/png",
+                         "payload": M.encode_png(
+                             _RC_W, _RC_H, px, color_type=2, filters=filts
+                         )}
                     )
             yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
 
@@ -295,17 +307,20 @@ _RS_H = "(3 + doc_id % 5)"
 
 
 def _rs_gray(k: str) -> str:
-    """Closed-form grayscale value at flat pixel index `k`: even docs
-    are 8-bpp BMPs with p(i) = (doc_id*7 + i) % 256; odd docs are P6
-    PPMs whose RGB bytes follow the same stream, collapsed to
-    integer-mean gray exactly as image_dhash_resampled does."""
-    even = f"((doc_id * 7 + ({k})) % 256)"
-    odd = (
+    """Closed-form grayscale value at flat pixel index `k`: doc_id%3
+    routes the container — 0: 8-bpp BMP, 2: 8-bit greyscale PNG
+    (deflate + per-row filters; decoding recovers the SAME raw stream
+    p(i) = (doc_id*7 + i) % 256, so the closed form is
+    container-independent), 1: P6 PPM whose RGB bytes follow the same
+    stream, collapsed to integer-mean gray exactly as
+    image_dhash_resampled does."""
+    gray = f"((doc_id * 7 + ({k})) % 256)"
+    rgb = (
         f"((((doc_id * 7 + 3 * ({k})) % 256)"
         f" + ((doc_id * 7 + 3 * ({k}) + 1) % 256)"
         f" + ((doc_id * 7 + 3 * ({k}) + 2) % 256)) // 3)"
     )
-    return f"(CASE WHEN doc_id % 2 = 0 THEN {even} ELSE {odd} END)"
+    return f"(CASE WHEN doc_id % 3 = 1 THEN {rgb} ELSE {gray} END)"
 
 
 # grid sample indices: row (t//8) maps to source row ((t//8)*H)//8,
@@ -337,11 +352,12 @@ def q_multimodal_dhash_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the gradient bit-pack, so hashes are size-invariant and
     never carry the structural zero bands that inflate banding
     candidates on short images. Wired through the REAL container
-    codecs — even doc_ids arrive as 8-bpp BMPs (bottom-up rows, row
-    padding exercised), odd as binary P6 PPMs (RGB -> integer-mean
-    gray) — with per-doc varying dimensions so the resample is doing
-    real work. The oracle replays header->pixels->grid->bits in
-    closed form."""
+    codecs, routed by doc_id % 3 — 0: 8-bpp BMPs (bottom-up rows, row
+    padding exercised), 1: binary P6 PPMs (RGB -> integer-mean gray),
+    2: COMPRESSED greyscale PNGs (deflate + cycling row filters) —
+    with per-doc varying dimensions so the resample is doing real
+    work. The oracle replays header->pixels->grid->bits in closed
+    form."""
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -352,7 +368,7 @@ def q_multimodal_dhash_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 6, 3 + did % 5
-                if did % 2 == 0:
+                if did % 3 == 0:
                     rows = [
                         bytes((did * 7 + (r * w + c)) % 256 for c in range(w))
                         for r in range(h)
@@ -361,12 +377,21 @@ def q_multimodal_dhash_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {"media_id": did, "media_type": "image/bmp",
                          "payload": M.encode_bmp(w, h, rows)}
                     )
-                else:
+                elif did % 3 == 1:
                     px = bytes((did * 7 + i) % 256 for i in range(w * h * 3))
                     out.append(
                         {"media_id": did,
                          "media_type": "image/x-portable-pixmap",
                          "payload": M.encode_ppm(w, h, px)}
+                    )
+                else:
+                    px = bytes((did * 7 + i) % 256 for i in range(w * h))
+                    filts = [(did + r) % 5 for r in range(h)]
+                    out.append(
+                        {"media_id": did, "media_type": "image/png",
+                         "payload": M.encode_png(
+                             w, h, px, color_type=0, filters=filts
+                         )}
                     )
             yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
 

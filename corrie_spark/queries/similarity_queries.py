@@ -1564,10 +1564,20 @@ def warm_ann_indexes(spark: SparkSession, sf_dir: str, root: str | None = None) 
     from corrie_spark.queries.dedup_queries import _memo
 
     if root is None:
+        from corrie_spark.tables import dataset_fingerprint
+
         base = os.environ.get("CORRIE_INDEX_CACHE") or os.path.join(
             os.getcwd(), "spark-warehouse", "ann_indexes"
         )
-        root = os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
+        # content-fingerprinted so a regenerated embeddings.parquet
+        # under the same path never serves stale trained codebooks
+        # (round-7 advice)
+        root = os.path.join(
+            base,
+            os.path.basename(os.path.normpath(sf_dir))
+            + "_"
+            + dataset_fingerprint(sf_dir, "embeddings"),
+        )
 
     def stored(path: str) -> bool:
         return os.path.exists(os.path.join(path, "pq_codes", "_SUCCESS"))

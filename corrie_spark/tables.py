@@ -34,6 +34,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+def dataset_fingerprint(sf_dir: str, *names: str) -> str:
+    """Short content fingerprint of one or more tables under sf_dir:
+    md5 over each parquet file's (relative name, size, mtime_ns),
+    walked recursively so directory-style parquet fingerprints too.
+    Used to key on-disk caches (staged corpus build, ANN index store)
+    so REGENERATING a dataset under the same path invalidates the
+    cache instead of silently serving stale trained artifacts
+    (round-7 advice). Metadata-only — never reads row data."""
+    import hashlib
+
+    h = hashlib.md5()
+    for name in sorted(names or TABLE_NAMES):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        entries = []
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    entries.append(
+                        (os.path.relpath(p, path), st.st_size, st.st_mtime_ns)
+                    )
+        elif os.path.exists(path):
+            st = os.stat(path)
+            entries.append((name, st.st_size, st.st_mtime_ns))
+        for e in sorted(entries):
+            h.update(repr(e).encode())
+    return h.hexdigest()[:12]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

@@ -71,8 +71,9 @@ def test_corrupt_payload_isolated(spark):
 
 
 def test_real_codec_raises_not_implemented():
+    # PNG decodes natively as of round 8; JPEG stays behind the seam
     with pytest.raises(NotImplementedError):
-        M.decode_payload("image/png", b"\x89PNG...")
+        M.decode_payload("image/jpeg", b"\xff\xd8\xff\xe0...")
 
 
 def test_resize(media):
@@ -439,3 +440,134 @@ def test_dhash_resampled_banding_pigeonhole_complete(spark):
         if d <= 4:
             expect[(ia, ib)] = d
     assert got == expect and len(expect) >= 5
+
+
+# --- PNG: native zlib+numpy codec (round-7 seam half-closure) --------------
+
+
+def test_png_roundtrip_all_filters():
+    import random
+
+    rng = random.Random(11)
+    for color, ch in ((0, 1), (2, 3)):
+        for w, h in ((1, 1), (3, 2), (7, 5), (9, 8)):
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            for ft in range(5):
+                d = M._decode_png(
+                    M.encode_png(w, h, px, color_type=color, filters=[ft] * h)
+                )
+                assert (d["width"], d["height"], d["data"]) == (w, h, px), (
+                    color, w, h, ft,
+                )
+            filts = [rng.randrange(5) for _ in range(h)]
+            d = M._decode_png(
+                M.encode_png(w, h, px, color_type=color, filters=filts)
+            )
+            assert d["data"] == px
+
+
+def test_png_hand_assembled_fixture():
+    """Decode a PNG assembled BY HAND in this test (chunks, CRCs,
+    filtered scanlines all built from the spec here, NOT via
+    encode_png) so a shared encoder/decoder bug cannot self-verify.
+    3x2 greyscale: row 0 Sub-filtered, row 1 Up-filtered."""
+    import struct as S
+    import zlib
+
+    raw0 = [10, 25, 250]           # recon row 0
+    raw1 = [12, 20, 7]             # recon row 1
+    # Sub filter of row 0: x - left  (left of first byte = 0)
+    f0 = [raw0[0], (raw0[1] - raw0[0]) % 256, (raw0[2] - raw0[1]) % 256]
+    # Up filter of row 1: x - up
+    f1 = [(raw1[i] - raw0[i]) % 256 for i in range(3)]
+    scan = bytes([1] + f0 + [2] + f1)
+    ihdr = S.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+
+    def chunk(t, d):
+        return S.pack(">I", len(d)) + t + d + S.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    d = M.decode_payload("image/png", png)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["data"] == bytes(raw0 + raw1)
+
+
+def test_png_rejects_bad_payloads():
+    good = M.encode_png(4, 3, bytes(range(12)), color_type=0)
+    with pytest.raises(ValueError):
+        M._decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    with pytest.raises(ValueError):
+        M._decode_png(b"GIF89a")
+    with pytest.raises(ValueError):
+        M._decode_png(good[: len(good) // 2])  # truncated IDAT/IEND
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF  # flip an IHDR byte -> CRC mismatch
+    with pytest.raises(ValueError):
+        M._decode_png(bytes(bad_crc))
+    # unsupported variants stay behind the documented seam
+    import struct as S
+    import zlib
+
+    def chunk(t, d):
+        return S.pack(">I", len(d)) + t + d + S.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    for depth, color in ((16, 0), (8, 3), (8, 6)):
+        ihdr = S.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            M._decode_png(png)
+
+
+def test_png_through_image_features_and_dhash(spark):
+    """The Spark-side contract over PNG payloads: features and the
+    resampled dHash must equal the same pixels shipped as BMP (the
+    hash is container-invariant by construction)."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(8):
+        w, h = 4 + i % 5, 3 + i % 4
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        filts = [(i + r) % 5 for r in range(h)]
+        rows.append(
+            (i, "image/png", M.encode_png(w, h, px, color_type=0, filters=filts))
+        )
+        rows.append(
+            (100 + i, "image/bmp",
+             M.encode_bmp(w, h, [px[r * w : (r + 1) * w] for r in range(h)]))
+        )
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    feats = {r.media_id: r for r in M.image_features(df).collect()}
+    hashes = {r.media_id: r.dhash for r in M.image_dhash_resampled(df).collect()}
+    for i in range(8):
+        a, b = feats[i], feats[100 + i]
+        assert a.ok and b.ok
+        assert (a.width, a.height, a.n_bytes, a.mean_pixel) == (
+            b.width, b.height, b.n_bytes, b.mean_pixel,
+        )
+        assert hashes[i] == hashes[100 + i]
+
+
+def test_dhash_near_pairs_warns_on_narrow_bands(spark):
+    import warnings
+
+    h = spark.createDataFrame([(1, 5), (2, 5)], "media_id bigint, dhash bigint")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert M.dhash_near_pairs(h, max_dist=12).count() == 1
+    assert any("degenerate" in str(x.message) for x in w)
