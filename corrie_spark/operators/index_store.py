@@ -111,6 +111,67 @@ def load_ivf_index(
     return q.join(cells, "vid").select("vid", "qv", "cell")
 
 
+_BOUNDS_SCHEMA = "d int, lo bigint, hi bigint"
+
+
+def save_sq8_index(
+    spark: SparkSession,
+    root: str,
+    bounds: list[tuple[int, int]],
+    codes: DataFrame,
+    mode: str = "overwrite",
+) -> None:
+    """Write an SQ8 index: the per-dimension (min, max) training
+    bounds (dim pairs of ints — one tiny file) and the 1-byte-per-dim
+    codes frame, which at corpus scale IS the index and stays
+    distributed (round-7 verdict #5: every trained artifact
+    persists, not just PQ/IVF)."""
+    rows = [(d, int(lo), int(hi)) for d, (lo, hi) in enumerate(bounds)]
+    spark.createDataFrame(rows, _BOUNDS_SCHEMA).coalesce(1).write.mode(mode).parquet(
+        f"{root}/sq8_bounds"
+    )
+    codes.write.mode(mode).parquet(f"{root}/sq8_codes")
+
+
+def load_sq8_index(
+    spark: SparkSession, root: str
+) -> tuple[list[tuple[int, int]], DataFrame]:
+    """Reload (bounds, codes): bounds driver-resident (they fold into
+    encode/ADC expressions as literals), codes a lazy distributed
+    scan. Exact integers — bit-identical ADC scores after reload."""
+    brows = spark.read.parquet(f"{root}/sq8_bounds").collect()
+    by = {r["d"]: (int(r["lo"]), int(r["hi"])) for r in brows}
+    bounds = [by[d] for d in range(len(by))]
+    return bounds, spark.read.parquet(f"{root}/sq8_codes")
+
+
+_SEEDS_SCHEMA = "cell int, centroid array<bigint>"
+
+
+def save_seeds(
+    spark: SparkSession,
+    root: str,
+    seeds: list[tuple[int, list[int]]],
+    mode: str = "overwrite",
+) -> None:
+    """Write a [(cell, centroid_ints)] seed/centroid list (k-center
+    seeds, literal Lloyd centroids, ...) — k x dim ints, one tiny
+    file. Persisting seeds rather than the derived assignment keeps
+    the artifact metadata-sized; assignment is a deterministic
+    map-only projection replayed at load."""
+    rows = [(int(c), [int(x) for x in v]) for c, v in seeds]
+    spark.createDataFrame(rows, _SEEDS_SCHEMA).coalesce(1).write.mode(mode).parquet(
+        f"{root}/seeds"
+    )
+
+
+def load_seeds(spark: SparkSession, root: str) -> list[tuple[int, list[int]]]:
+    return sorted(
+        (int(r["cell"]), [int(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{root}/seeds").collect()
+    )
+
+
 def append_to_pq_index(
     root: str,
     new_vectors: DataFrame,

@@ -1615,6 +1615,50 @@ def warm_ann_indexes(spark: SparkSession, sf_dir: str, root: str | None = None) 
         _memo(spark, sf_dir, "kmeans_cells", build_km)
     else:
         IS.save_ivf_index(km_path, _trained_cells(spark, sf_dir))
+
+    # SQ8: per-dim training bounds + 1-byte/dim codes (round-7 #5 —
+    # every trained artifact persists, not just PQ/IVF)
+    sq8_path = os.path.join(root, "sq8")
+
+    def build_sq8():
+        bounds, codes = IS.load_sq8_index(spark, sq8_path)
+        codes = codes.persist()
+        codes.count()
+        return (bounds, codes)
+
+    if os.path.exists(os.path.join(sq8_path, "sq8_codes", "_SUCCESS")):
+        _memo(spark, sf_dir, "sq8_index", build_sq8)
+    else:
+        bounds, codes = _sq8_index(spark, sf_dir)  # trains AND memoizes
+        IS.save_sq8_index(spark, sq8_path, bounds, codes)
+
+    # k-center: persist the SEEDS (k x dim ints); the cell assignment
+    # is a deterministic map-only projection, replayed at load —
+    # bit-identical because seeding and assignment are exact-integer
+    kc_path = os.path.join(root, "kcenter")
+
+    def assign_from(seed_source):
+        def build():
+            emb = load(spark, sf_dir, "embeddings")
+            q = emb.select(
+                F.col("vec_id").alias("vid"),
+                S.quantize(F.col("embedding")).alias("qv"),
+            )
+            out = S.kmeans_assign(q, seed_source()).persist()
+            out.count()
+            return out
+
+        return build
+
+    if os.path.exists(os.path.join(kc_path, "seeds", "_SUCCESS")):
+        _memo(
+            spark, sf_dir, "kcenter_cells",
+            assign_from(lambda: IS.load_seeds(spark, kc_path)),
+        )
+    else:
+        seeds = S.kcenter_seeds(load(spark, sf_dir, "embeddings"), k=_KC_K)
+        IS.save_seeds(spark, kc_path, seeds)
+        _memo(spark, sf_dir, "kcenter_cells", assign_from(lambda: seeds))
     return root
 
 

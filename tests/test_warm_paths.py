@@ -42,7 +42,14 @@ def test_warm_ann_indexes_bit_identical(spark, isolated_caches):
     from corrie_spark.queries.registry import all_queries
 
     qs = all_queries()
-    names = ("q_sim_pq_topk", "q_sim_ivfpq_topk", "q_sim_kmeans_cells")
+    names = (
+        "q_sim_pq_topk",
+        "q_sim_ivfpq_topk",
+        "q_sim_kmeans_cells",
+        "q_sim_sq8_topk",
+        "q_sim_kcenter_cells",
+        "q_sim_ivfpq_res_topk",
+    )
 
     # pass 1: store empty -> trains fresh AND saves
     SQ.warm_ann_indexes(spark, SF_SMOKE)
