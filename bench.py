@@ -138,6 +138,19 @@ def main() -> None:
     except Exception as e:
         print(f"bench: streaming throughput FAILED: {e}", file=sys.stderr)
         streaming = {"error": str(e)}
+    # executor-parallel twin: the DataSourceV2 spool source (one
+    # InputPartition per shard) into the same writer + native-TCP
+    # sink — the scale path; the AMQP number above is driver-bound by
+    # the SimpleDataSourceStreamReader API for non-seekable brokers.
+    # 64k rows so per-drain fixed costs (stream init, census jobs)
+    # amortize and the number measures steady-state row flow.
+    try:
+        from corrie_spark.streaming.bench import spool_throughput
+
+        streaming_spool = spool_throughput(spark, n_rows=64000, n_shards=16)
+    except Exception as e:
+        print(f"bench: spool throughput FAILED: {e}", file=sys.stderr)
+        streaming_spool = {"error": str(e)}
 
     sf_s = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_s) if sf_s.replace(".", "").isdigit() else sf_s
@@ -154,6 +167,7 @@ def main() -> None:
         "wall_seconds": wall,
         "warmup_seconds": warmup_s,
         "streaming": streaming,
+        "streaming_spool": streaming_spool,
         "sf": sf,
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
@@ -172,6 +186,7 @@ def main() -> None:
                 "reps": reps,
                 "wall_seconds": wall,
                 "stream_rows_s": streaming.get("rows_per_s"),
+                "spool_rows_s": streaming_spool.get("rows_per_s"),
                 "queries_file": "BENCH_FULL.json",
             },
             separators=(",", ":"),

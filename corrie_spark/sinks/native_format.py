@@ -240,10 +240,13 @@ def _decode_body(buf: io.BytesIO, t: CHType, n: int) -> list:
         mask = buf.read(n)
         vals = _decode_body(buf, inner, n)
         return [None if m else v for m, v in zip(mask, vals)]
+    # fixed-width bodies decode from ONE bulk read + iter_unpack:
+    # a read(width) + unpack per value costs ~10x the decode itself
+    # once the reader is a socket (syscall + GIL per value)
     if base == "Array":
         inner = t.element
         assert inner is not None
-        offs = [struct.unpack("<Q", buf.read(8))[0] for _ in range(n)]
+        offs = [v for (v,) in struct.iter_unpack("<Q", buf.read(8 * n))]
         flat = _decode_body(buf, inner, offs[-1] if offs else 0)
         out, prev = [], 0
         for o in offs:
@@ -253,7 +256,7 @@ def _decode_body(buf: io.BytesIO, t: CHType, n: int) -> list:
     if base in _INT_FMT:
         fmt = _INT_FMT[base]
         w = struct.calcsize(fmt)
-        return [struct.unpack(fmt, buf.read(w))[0] for _ in range(n)]
+        return [v for (v,) in struct.iter_unpack(fmt, buf.read(w * n))]
     if base == "String":
         return [_read_str(buf) for _ in range(n)]
     if base == "FixedString":
@@ -265,13 +268,13 @@ def _decode_body(buf: io.BytesIO, t: CHType, n: int) -> list:
         return [buf.read(w) for _ in range(n)]
     if base == "Date":
         return [
-            _EPOCH_DATE + _dt.timedelta(days=struct.unpack("<H", buf.read(2))[0])
-            for _ in range(n)
+            _EPOCH_DATE + _dt.timedelta(days=d)
+            for (d,) in struct.iter_unpack("<H", buf.read(2 * n))
         ]
     if base == "DateTime":
         return [
-            _EPOCH_DT + _dt.timedelta(seconds=struct.unpack("<I", buf.read(4))[0])
-            for _ in range(n)
+            _EPOCH_DT + _dt.timedelta(seconds=s)
+            for (s,) in struct.iter_unpack("<I", buf.read(4 * n))
         ]
     if base in ("Enum8", "Enum16"):
         fmt = "<b" if base == "Enum8" else "<h"
@@ -308,7 +311,7 @@ def _decode_body(buf: io.BytesIO, t: CHType, n: int) -> list:
     if base == "Map":
         kt, vt = t.key, t.element
         assert kt is not None and vt is not None
-        offs = [struct.unpack("<Q", buf.read(8))[0] for _ in range(n)]
+        offs = [v for (v,) in struct.iter_unpack("<Q", buf.read(8 * n))]
         total = offs[-1] if offs else 0
         keys = _decode_body(buf, kt, total)
         vals = _decode_body(buf, vt, total)

@@ -135,18 +135,33 @@ class QueryResult:
 
 class _SockReader:
     """Exact-read adapter: the block/str/uvarint decoders expect
-    read(n) to return n bytes; raw sockets may return fewer."""
+    read(n) to return n bytes; raw sockets may return fewer.
+
+    BUFFERED: the decoders issue tiny reads (one byte per uvarint
+    byte, one word per fixed-width value), and a recv() syscall per
+    tiny read costs more than the decode itself — measured 8s of a
+    12s 64k-row insert drain. One recv() fills a 64 KiB buffer;
+    surplus bytes belong to the same response stream (the protocol is
+    a strict request/response alternation per connection, and recv
+    returns as soon as ANY bytes arrive, so read-ahead can neither
+    deadlock nor steal another request's bytes)."""
+
+    _BUFSIZE = 65536
 
     def __init__(self, sock: socket.socket):
         self._sock = sock
+        self._buf = b""
+        self._pos = 0
 
     def read(self, n: int) -> bytes:
-        out = b""
-        while len(out) < n:
-            chunk = self._sock.recv(n - len(out))
+        while len(self._buf) - self._pos < n:
+            chunk = self._sock.recv(self._BUFSIZE)
             if not chunk:
                 raise ConnectionError("server closed the connection mid-read")
-            out += chunk
+            self._buf = self._buf[self._pos :] + chunk
+            self._pos = 0
+        out = self._buf[self._pos : self._pos + n]
+        self._pos += n
         return out
 
 

@@ -179,3 +179,17 @@ def test_offset_probe_incremental(tmp_path):
         assert sorted(set(opened)) == ["004.jsonl", "005.jsonl"]
     finally:
         builtins.open = real_open
+
+
+@pytest.mark.usefixtures("spark")
+def test_spool_throughput_bench_drains_completely(spark, tmp_path):
+    """The executor-parallel spool-source throughput twin (bench.py
+    records it next to the driver-side AMQP number) must land every
+    envelope and report a positive rate."""
+    from corrie_spark.streaming.bench import spool_throughput
+
+    r = spool_throughput(
+        spark, n_rows=160, n_shards=4, work_dir=str(tmp_path), warm=False
+    )
+    assert r["complete"] and r["rows"] == 160 == r["published"]
+    assert r["rows_per_s"] > 0
