@@ -65,6 +65,9 @@ def main() -> None:
         from corrie_spark.queries.similarity_queries import warm_ann_indexes
 
         warm_manifest_cache(spark, sf_dir)
+        from corrie_spark.queries.corpus_queries import _incremental_manifest
+
+        _incremental_manifest(spark, sf_dir)  # base build + refresh, once
         warm_ann_indexes(spark, sf_dir)
         warm_shared_memos(spark, sf_dir)
         # remaining session memos (trainer outputs, per-doc LM scores,

@@ -334,3 +334,178 @@ def build_corpus_staged(
         "splits": per_split,
         "stages_run": ran,
     }
+
+
+def incremental_clusters(
+    spark: SparkSession,
+    base_survivors: DataFrame,
+    batch: DataFrame,
+    base_clusters: DataFrame,
+) -> DataFrame:
+    """Incremental near-dup clustering: merge an incoming `batch` into
+    an existing cluster map WITHOUT replaying the base x base pair
+    join or the full-graph CC — the dominant cost of a corpus
+    rebuild. Returns (doc_id, cluster_id) over base survivors UNION
+    batch, EXACTLY equal to clustering the combined corpus from
+    scratch (pinned by tests/test_corpus_build.py):
+
+      1. MinHash bands for both sides (map-only scans);
+      2. candidate edges = batch bands JOIN (base UNION batch) bands —
+         only batch-adjacent pairs; base x base never joins again;
+      3. CONTRACT each base component to its cluster_id supernode
+         (base-base connectivity is already encoded in the map), then
+         pointer-jumping CC over the contracted graph: nodes are
+         batch ids + base cluster ids, edges only the new ones;
+      4. relabel: a base doc inherits its old component's new label,
+         a batch doc its own.
+
+    Exactness: contracting connected subgraphs preserves reachability,
+    and every label is the min id of the merged component because a
+    base component's cluster_id IS its min member id. At 100 TB the
+    per-crawl cost is |batch| signatures + one band equi-join keyed
+    away from the corpus bulk + CC over a graph whose base side is
+    one node per EXISTING cluster, not one per document."""
+    from pyspark import StorageLevel
+
+    def bands(df: DataFrame) -> DataFrame:
+        sigs = D.with_minhash(df, "text").select("doc_id", "sig")
+        return sigs.select(
+            "doc_id",
+            F.posexplode(D.lsh_bands(F.col("sig"))).alias("band_idx", "band_hash"),
+        )
+
+    batch_bands = bands(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    all_bands = bands(base_survivors).unionByName(batch_bands)
+    a, b = batch_bands.alias("a"), all_bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+
+    # contract: base endpoint -> its existing cluster_id; batch -> itself
+    cmap = base_clusters.select(
+        F.col("doc_id").alias("_d"), F.col("cluster_id").alias("_c")
+    )
+    edges = (
+        cand.join(cmap, cand.id_a == cmap._d, "left")
+        .select(F.coalesce("_c", "id_a").alias("id_a"), "id_b")
+        .join(cmap, F.col("id_b") == cmap._d, "left")
+        .select("id_a", F.coalesce("_c", "id_b").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    nodes = (
+        base_clusters.select(F.col("cluster_id").alias("doc_id"))
+        .distinct()
+        .unionByName(batch.select("doc_id"))
+    )
+    labels = D.connected_components(edges, nodes).select(
+        F.col("doc_id").alias("_node"), F.col("cluster_id").alias("_cid")
+    )
+    out = (
+        base_clusters.join(labels, base_clusters.cluster_id == F.col("_node"))
+        .select("doc_id", F.col("_cid").alias("cluster_id"))
+        .unionByName(
+            batch.select("doc_id")
+            .join(labels, F.col("doc_id") == F.col("_node"))
+            .select("doc_id", F.col("_cid").alias("cluster_id"))
+        )
+    )
+    batch_bands.unpersist()
+    return out
+
+
+def refresh_corpus_staged(
+    spark: SparkSession,
+    base_docs: DataFrame,
+    batch_docs: DataFrame,
+    out_dir: str,
+    shard_budget: int = SHARD_BUDGET_TOKENS,
+    strip_n: int = P.DEFAULT_PASSAGE_N,
+) -> dict:
+    """INCREMENTAL staged refresh: fold a new crawl batch into a
+    COMPLETED build_corpus_staged(base_docs, out_dir) without paying
+    the base x base near-dedup again. The cluster stage updates via
+    incremental_clusters (batch-adjacent edges + contracted CC); the
+    corpus-GLOBAL downstream stages (quality gates, duplicated-passage
+    strip, split, pack) recompute over the combined corpus — they
+    must, because a passage duplicated only between a new and an old
+    doc changes the old doc's stripped text too. COUNTS.json and
+    every stage table are rewritten, so the refreshed stage dir is
+    indistinguishable from (and hash-equal to) a from-scratch rebuild
+    on base+batch — the invariant the incremental path lives by
+    (oracle-checked end to end by q_corpus_incremental)."""
+    import os
+
+    stages_dir = f"{out_dir}/stages"
+    clusters_path = f"{stages_dir}/clusters"
+    if not os.path.exists(f"{clusters_path}/_STAGE_DONE"):
+        raise FileNotFoundError(
+            f"refresh requires a completed staged build under {out_dir}"
+        )
+    base_clusters = spark.read.parquet(clusters_path)
+    base_survivors = base_docs.join(base_clusters.select("doc_id"), "doc_id")
+    merged = incremental_clusters(
+        spark, base_survivors, batch_docs, base_clusters
+    ).localCheckpoint()  # sever lineage from the stage table BEFORE overwrite
+
+    docs = base_docs.unionByName(batch_docs)
+    st = corpus_stages(spark, docs, strip_n=strip_n, clusters=merged)
+    st["clusters"].write.mode("overwrite").parquet(clusters_path)
+    st["assigned"].write.mode("overwrite").parquet(f"{stages_dir}/assigned")
+    with open(f"{stages_dir}/assigned/_STAGE_DONE", "w") as f:
+        f.write("ok\n")
+
+    import json as _json
+
+    counts_path = f"{stages_dir}/COUNTS.json"
+    tmp = f"{counts_path}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(
+            {
+                "n_raw": docs.count(),
+                "n_after_exact_dedup": st["exact"].count(),
+                "n_after_near_dedup": st["survivors"].count(),
+                "n_after_quality": st["gated"].count(),
+            },
+            f,
+        )
+    os.replace(tmp, counts_path)
+
+    corpus_path = f"{out_dir}/corpus"
+    pack_splits(
+        spark.read.parquet(f"{stages_dir}/assigned"), shard_budget
+    ).write.mode("overwrite").partitionBy("split").parquet(corpus_path)
+    with open(f"{corpus_path}/_STAGE_DONE", "w") as f:
+        f.write("ok\n")
+
+    out = spark.read.parquet(corpus_path)
+    per_split = {
+        r["split"]: {
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "n_shards": r["n_shards"],
+        }
+        for r in out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("shard").alias("n_shards"),
+        )
+        .collect()
+    }
+    boundary = _json.load(open(counts_path))
+    for k in ("exact", "gated", "assigned", "clusters"):
+        st[k].unpersist()
+    return {
+        **boundary,
+        "n_written": sum(s["n_docs"] for s in per_split.values()),
+        "splits": per_split,
+        "stages_run": ["incremental_clusters", "assigned", "pack"],
+    }

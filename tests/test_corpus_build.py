@@ -122,3 +122,38 @@ def test_staged_build_rewrites_killed_stage(spark, tmp_path):
     m = C.build_corpus_staged(spark, docs, out, shard_budget=2000)
     assert m["stages_run"] == ["assigned"]  # clusters trusted, assigned redone
     assert os.path.exists(f"{out}/stages/assigned/_STAGE_DONE")
+
+
+def test_incremental_refresh_equals_from_scratch(spark, tmp_path):
+    """The incremental refresh invariant (round-7 verdict #4): build
+    the staged corpus on a base snapshot, fold the batch in via
+    refresh_corpus_staged (batch-adjacent edges + contracted CC), and
+    the refreshed stage dir — manifest, boundary counts, AND packed
+    shard rows — must be byte-equal to a from-scratch staged build on
+    the combined corpus."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+
+    incr = str(tmp_path / "incr")
+    C.build_corpus_staged(spark, base, incr, shard_budget=2000)
+    m_incr = C.refresh_corpus_staged(spark, base, batch, incr, shard_budget=2000)
+    assert m_incr["stages_run"] == ["incremental_clusters", "assigned", "pack"]
+
+    full = str(tmp_path / "full")
+    m_full = C.build_corpus_staged(spark, docs, full, shard_budget=2000)
+
+    for k in (
+        "n_raw",
+        "n_after_exact_dedup",
+        "n_after_near_dedup",
+        "n_after_quality",
+        "n_written",
+        "splits",
+    ):
+        assert m_incr[k] == m_full[k], k
+    incr_rows = sorted(tuple(r) for r in spark.read.parquet(f"{incr}/corpus").collect())
+    full_rows = sorted(tuple(r) for r in spark.read.parquet(f"{full}/corpus").collect())
+    assert incr_rows == full_rows
