@@ -423,25 +423,14 @@ ORDER BY event_type, day
 """
 
 
-@register("q_events_rate_zscore", oracle=_RATE_ZSCORE_ORACLE)
-def q_events_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type daily-rate alert: z-score of each day's event count
-    against its OWN trailing 7 observed days (window excludes the
-    current day, so a spike can't suppress its own alarm) — the
-    per-key streaming-alert twin of the global MAD screen. Variance
-    comes from exact-integer window sums (n, n²); the single double
-    expression evaluates identically in both engines, sqrt included.
-    The day series per type is metadata-sized at any raw scale; only
-    the daily rollup touches the events table."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-7, -1)
-    )
+def rate_zscore_from_daily(daily: DataFrame) -> DataFrame:
+    """Trailing-7-day z-score alert from a (event_type, day, n) daily
+    count frame — shared by the batch query (daily counts straight
+    off the events scan) and the STREAMING serve path (daily counts
+    merged from the continuous-aggregate rollup store, which sums to
+    the same exact integers; streaming/rate_alert.py). Exact-integer
+    window sums, one shared double expression."""
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
     win = daily.select(
         "event_type",
         "day",
@@ -458,3 +447,20 @@ def q_events_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("alert"),
     ).orderBy("event_type", "day")
+
+
+@register("q_events_rate_zscore", oracle=_RATE_ZSCORE_ORACLE)
+def q_events_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-rate alert: z-score of each day's event count
+    against its OWN trailing 7 observed days (window excludes the
+    current day, so a spike can't suppress its own alarm) — the
+    per-key streaming-alert twin of the global MAD screen. Variance
+    comes from exact-integer window sums (n, n²); the single double
+    expression evaluates identically in both engines, sqrt included.
+    The day series per type is metadata-sized at any raw scale; only
+    the daily rollup touches the events table."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return rate_zscore_from_daily(daily)

@@ -161,3 +161,75 @@ def test_hll_store_compaction_preserves_estimates(spark, tmp_path):
     # and the compacted store is one generation: <= keys x 256 rows
     n_keys = events.select("event_type").distinct().count()
     assert spark.read.parquet(tmp_out).count() <= n_keys * 256
+
+
+# --- streaming rate alert from the rollup store (round-7 #6) ---------------
+
+
+def _alert_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streamed_rate_alert_equals_batch(spark, tmp_path):
+    """The z-score alert served from the stream-maintained rollup
+    store must equal the batch query bit-for-bit, for any micro-batch
+    split (cell counts are associative integer sums; the z-score is a
+    deterministic function of the daily sums)."""
+    from corrie_spark.queries.registry import all_queries
+    from corrie_spark.streaming.rate_alert import (
+        rate_alert_serve,
+        start_rate_alert_stream,
+    )
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "ts", "event_type", F.col("value").cast("double").alias("value")
+    )
+    src = str(tmp_path / "src")
+    events.repartition(7).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    rollup = str(tmp_path / "rollup")
+    q = start_rate_alert_stream(
+        stream, rollup, str(tmp_path / "ckpt"), str(tmp_path / "commits")
+    )
+    q.awaitTermination(120)
+
+    got = _alert_rows(rate_alert_serve(spark, rollup))
+    want = _alert_rows(all_queries()["q_events_rate_zscore"](spark, SF_SMOKE))
+    assert got == want
+
+
+def test_rate_alert_replay_is_skipped(spark, tmp_path):
+    """Rollup cell merge is a SUM (not idempotent), so the maintenance
+    loop's commit log must make a replayed batch a no-op: restarting
+    the stream over the same source with a fresh checkpoint (batch
+    ids restart at 0) leaves the served alert unchanged."""
+    from corrie_spark.streaming.rate_alert import (
+        rate_alert_serve,
+        start_rate_alert_stream,
+    )
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "ts", "event_type", F.col("value").cast("double").alias("value")
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src)
+        q = start_rate_alert_stream(
+            stream, str(tmp_path / "rollup"), str(tmp_path / ckpt),
+            str(tmp_path / "commits"),
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    before = _alert_rows(rate_alert_serve(spark, str(tmp_path / "rollup")))
+    run("ckpt2")  # replay: same batches, fresh checkpoint, same commit log
+    after = _alert_rows(rate_alert_serve(spark, str(tmp_path / "rollup")))
+    assert after == before
