@@ -294,3 +294,128 @@ def q_text_bm25_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(ranked.doc_id, "bm25", "n_matched", "cluster_size")
         .orderBy(F.col("bm25").desc(), "doc_id")
     )
+
+
+# --- image-text pair quality: the FOURTH cross-subsystem composition -------
+
+def _mm_text_quality_oracle() -> str:
+    from corrie_spark.queries.multimodal_queries import _DHASH_CLUSTERS_ORACLE
+    from corrie_spark.queries.text_queries import _NORM, _NSTOP, _NTOK
+
+    tail = """SELECT l.cluster_id,
+       CAST(SUM(g.n) AS BIGINT) AS n_members,
+       MIN(g.rep) AS keep_id
+FROM grp g JOIN labels l USING (rep)
+GROUP BY l.cluster_id HAVING SUM(g.n) > 1
+ORDER BY l.cluster_id"""
+    assert tail in _DHASH_CLUSTERS_ORACLE
+    return _DHASH_CLUSTERS_ORACLE.replace(
+        tail,
+        f""", img AS (
+  SELECT h.media_id AS doc_id, l.cluster_id
+  FROM hs h JOIN grp g ON h.dhash = g.dhash JOIN labels l USING (rep)
+),
+csize AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM img GROUP BY cluster_id
+),
+feat AS (
+  SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens,
+         CAST({_NSTOP} AS BIGINT) AS n_stop
+  FROM documents
+),
+copies AS (
+  SELECT doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY md5({_NORM})) AS BIGINT) AS n_copies
+  FROM documents
+),
+bucketed AS (
+  SELECT CASE WHEN cs.n = 1 THEN 'unique'
+              WHEN cs.n <= 3 THEN 'small_2_3'
+              ELSE 'large_4_plus' END AS size_bucket,
+         i.cluster_id, f.n_tokens, f.n_stop, c.n_copies
+  FROM img i JOIN csize cs USING (cluster_id)
+  JOIN feat f USING (doc_id) JOIN copies c USING (doc_id)
+)
+SELECT size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+       CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS stopword_ratio,
+       CAST(SUM(n_copies) AS DOUBLE) / COUNT(*) AS mean_text_copies,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_text_dup_docs
+FROM bucketed GROUP BY size_bucket ORDER BY size_bucket""",
+    )
+
+
+@register("q_multimodal_text_quality", oracle=_mm_text_quality_oracle())
+def q_multimodal_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair quality — the FOURTH cross-subsystem
+    composition proof (round-7 verdict #7): per IMAGE-dedup-cluster
+    size bucket (perceptual dHash clusters over the media corpus),
+    the paired documents' text quality (mean tokens, stopword ratio)
+    and text EXACT-dedup signals (mean copies per normalized-text
+    fingerprint, count of duplicated docs) — the report a multimodal
+    pipeline uses to decide whether repeated images mark repeated/
+    boilerplate text. Three independently oracle-checked subsystems
+    (perceptual image dedup, text features, exact text dedup) must
+    compose exactly in one statement.
+
+    100 TB shape: the image cluster map is the session memo (8-byte
+    hashes, pixels never shuffle); joins are id-/hash-keyed long-only
+    shuffles; text-copy counts are one fp-keyed groupBy re-joined by
+    id; every reported mean is a double ratio of exact int64 sums."""
+    from corrie_spark.operators import dedup as D
+    from corrie_spark.operators import multimodal as M
+    from corrie_spark.operators import text as T
+    from corrie_spark.queries.multimodal_queries import _dhash_cluster_labels
+
+    docs = load(spark, sf_dir, "documents")
+    hashes = M.image_dhash(M.synth_media(docs.select("doc_id"))).filter(
+        F.col("dhash").isNotNull()
+    )
+    labels = _dhash_cluster_labels(spark, sf_dir).select("dhash", "cluster_id")
+    img = (
+        hashes.select(F.col("media_id").alias("doc_id"), "dhash")
+        .join(labels, "dhash")
+        .select("doc_id", "cluster_id")
+    )
+    csize = img.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    feat = docs.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.stopword_count("text").cast("bigint").alias("n_stop"),
+    )
+    fps = docs.select("doc_id", D.fingerprint("text").alias("fp"))
+    fpn = fps.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+    copies = fps.join(fpn, "fp").select("doc_id", "n_copies")
+    bucket = (
+        F.when(F.col("n") == 1, "unique")
+        .when(F.col("n") <= 3, "small_2_3")
+        .otherwise("large_4_plus")
+    )
+    bucketed = (
+        img.join(csize, "cluster_id")
+        .join(feat, "doc_id")
+        .join(copies, "doc_id")
+        .select(bucket.alias("size_bucket"), "cluster_id", "n_tokens", "n_stop", "n_copies")
+    )
+    return (
+        bucketed.groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+            (F.sum("n_stop").cast("double") / F.sum("n_tokens").cast("double")).alias(
+                "stopword_ratio"
+            ),
+            (F.sum("n_copies").cast("double") / F.count(F.lit(1))).alias(
+                "mean_text_copies"
+            ),
+            F.sum((F.col("n_copies") > 1).cast("int")).cast("bigint").alias(
+                "n_text_dup_docs"
+            ),
+        )
+        .orderBy("size_bucket")
+    )

@@ -476,7 +476,7 @@ def _dhash_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = connected_components(pairs, grp.select(F.col("rep").alias("doc_id")))
         out = grp.join(labels, grp.rep == labels.doc_id).select(
-            "rep", "n", "cluster_id"
+            "dhash", "rep", "n", "cluster_id"
         ).persist()
         out.count()
         return out

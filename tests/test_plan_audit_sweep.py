@@ -47,6 +47,7 @@ _PYTHON_OK = {
     "q_text_zipf",  # partial-top-k head cut before the regression
     "q_sim_matryoshka_cascade",  # two partial-top-k stages (beam + re-rank)
     "q_multimodal_dhash_clusters",  # mapInPandas decode feeds the hash grouping
+    "q_multimodal_text_quality",  # rides the dhash-cluster memo (Arrow decode)
 }
 
 
