@@ -1,0 +1,126 @@
+"""Streaming incremental dedup: screen a continuous document stream
+against an append-only fingerprint store — the streaming twin of the
+batch snapshot screen (operators/dedup.incremental_dedup /
+q_dedup_incremental), and the shape a continuously-crawled corpus
+actually runs: every arriving micro-batch classifies against
+EVERYTHING kept so far, and only fresh fingerprints extend the store.
+
+Per micro-batch (foreachBatch):
+
+  1. fingerprint the batch (map-only);
+  2. classify each row against the store: dup_of_corpus (fp already
+     stored), dup_in_batch (first sighting is an earlier row of THIS
+     batch — keep-min-id within the batch), fresh;
+  3. append the decisions to the decision log;
+  4. append the batch's NEW fingerprints (one row per fresh fp) to
+     the store.
+
+Replay safety follows the merge-law analysis the sketch streams
+document (streaming/sketch_stream.py): the STORE is replay-safe by
+algebra — fingerprint-set union is idempotent, a re-appended fp
+changes no future classification — but the DECISION LOG is not (a
+replayed batch would re-classify its fresh rows as dup_of_corpus,
+because its own fps now sit in the store). So the loop pairs with the
+batch-id commit log, the standard recipe for order-dependent state
+(same as streaming CMS / the rollup alert).
+
+Equality contract (pinned by tests/test_dedup_stream.py): streamed
+over any doc_id-ordered micro-batch split,
+
+  {rows classified fresh}  ==  deduplicate_exact keepers (batch),
+
+because "fresh" fires exactly when the row is the first sighting of
+its fingerprint anywhere — which with ordered arrival is the global
+min id per fp, the batch keep-min-id rule.
+
+100 TB shape: the store is |distinct fps| rows of one hash column —
+metadata relative to the corpus — and each batch pays one fp-keyed
+groupBy plus one co-partitioned join against the store scan; corpus
+text never re-shuffles. At deployment scale the store scan is
+replaced (or fronted) by the broadcast Bloom pre-filter
+(operators/bloom.py) exactly as q_dedup_bloom_screen documents: the
+Bloom's false-positive slice is the only part that touches the exact
+store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.operators.dedup import fingerprint
+from corrie_spark.sinks.base import BatchCommitLog
+
+
+def start_dedup_stream(
+    docs: DataFrame,
+    store_dir: str,
+    decisions_dir: str,
+    checkpoint_dir: str,
+    commit_log_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Start the screening stream over a (id, text) document stream.
+    Returns the StreamingQuery (availableNow by default)."""
+    import os
+
+    commit_log = BatchCommitLog(commit_log_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if commit_log.committed(batch_id):
+            return
+        spark = batch_df.sparkSession
+        nf = batch_df.select(
+            F.col(id_col), fingerprint(text_col).alias("fp")
+        ).persist()
+        try:
+            if os.path.isdir(store_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(store_dir)
+            ):
+                seen = spark.read.parquet(store_dir).select("fp").distinct()
+            else:
+                seen = spark.createDataFrame([], "fp string")
+            seen = seen.withColumn("_seen", F.lit(1))
+            firsts = nf.groupBy("fp").agg(F.min(id_col).alias("_first"))
+            decided = (
+                nf.join(firsts, "fp")
+                .join(seen, "fp", "left")
+                .select(
+                    F.col(id_col),
+                    "fp",
+                    F.when(F.col("_seen").isNotNull(), F.lit("dup_of_corpus"))
+                    .when(F.col(id_col) > F.col("_first"), F.lit("dup_in_batch"))
+                    .otherwise(F.lit("fresh"))
+                    .alias("status"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .persist()
+            )
+            decided.write.mode("append").parquet(decisions_dir)
+            # extend the store with this batch's fresh fps only: one
+            # row per NEW fingerprint, so the store stays |distinct
+            # fps|-sized however big the stream gets
+            decided.filter(F.col("status") == "fresh").select("fp").write.mode(
+                "append"
+            ).parquet(store_dir)
+            decided.unpersist()
+        finally:
+            nf.unpersist()
+        commit_log.commit(batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dedup_decisions(spark: SparkSession, decisions_dir: str) -> DataFrame:
+    """The decision log: (doc_id, fp, status, batch_id) per screened
+    row."""
+    return spark.read.parquet(decisions_dir)
