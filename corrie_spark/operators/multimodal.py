@@ -416,6 +416,10 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
     (JPEG/MP4/exotic PNG variants) would dispatch to PIL/soundfile/av
     — unavailable in this environment, so they raise (clearly-marked
     stub)."""
+    if media_type in ("image/jpeg", "image/jpg"):
+        from corrie_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if media_type == "image/bmp":
         return _decode_bmp(payload)
     if media_type == "image/png":
@@ -438,7 +442,7 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
     raise NotImplementedError(
         f"decoder for {media_type!r} not available in this environment "
         "(plug PIL/soundfile/av into decode_payload; BMP, 8-bit PNG, "
-        "P6 PPM and PCM WAV are decoded natively above)"
+        "P6 PPM, PCM WAV and baseline JPEG are decoded natively above)"
     )
 
 
