@@ -211,6 +211,136 @@ def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.unionByName(aud)
 
 
+# --- baseline JPEG through the oracle gate ---------------------------------
+
+# JPEG is lossy, but the loss is DETERMINISTIC: for DC-only images
+# (constant 8x8 blocks / constant 16x16 MCU tiles) the decoded pixels
+# are an exact closed-form function of (value, quality) — the
+# quantize -> dequantize -> IDCT -> YCbCr->RGB chain collapses to
+# integer-rational arithmetic DuckDB replays bit-for-bit (the codec's
+# floor(x + 0.5 + 1e-9) rounding rule; see operators/jpeg.py module
+# doc for the boundary-margin argument).
+_JQ = "(40 + (doc_id % 5) * 15)"  # quality 40/55/70/85/100
+_JS = f"(CASE WHEN {_JQ} < 50 THEN 5000 // {_JQ} ELSE 200 - 2 * {_JQ} END)"
+_JQ0L = f"least(greatest((16 * {_JS} + 50) // 100, 1), 255)"  # scaled luma[0]
+_JQ0C = f"least(greatest((17 * {_JS} + 50) // 100, 1), 255)"  # scaled chroma[0]
+
+
+def _jdc(c: str, q0: str) -> str:
+    """Decoded value of a constant block: quantize, dequantize, IDCT
+    (constant -> coef*q0/8), round, +128, clip — the codec chain."""
+    return (
+        f"least(greatest(floor(floor(8 * (({c}) - 128) / ({q0}) + 0.5 + 1e-9)"
+        f" * ({q0}) / 8 + 0.5 + 1e-9) + 128, 0), 255)"
+    )
+
+
+_J_GRAY_VAL = _jdc(f"((doc_id * 11 + b * 37) % 256)", _JQ0L)
+_J_YD = _jdc(f"((doc_id * 13 + t * 29) % 256)", _JQ0L)
+_J_CBD = _jdc(f"((doc_id * 17 + t * 41) % 256)", _JQ0C)
+_J_CRD = _jdc(f"((doc_id * 19 + t * 53) % 256)", _JQ0C)
+# JFIF YCbCr->RGB in the decoder's exact double evaluation order
+_J_R = f"least(greatest(floor({_J_YD} + 1.402 * ({_J_CRD} - 128) + 0.5), 0), 255)"
+_J_G = (
+    f"least(greatest(floor({_J_YD} - 0.344136 * ({_J_CBD} - 128)"
+    f" - 0.714136 * ({_J_CRD} - 128) + 0.5), 0), 255)"
+)
+_J_B = f"least(greatest(floor({_J_YD} + 1.772 * ({_J_CBD} - 128) + 0.5), 0), 255)"
+
+_JPEG_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  'image/jpeg' AS media_type,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(24 AS BIGINT) ELSE CAST(32 AS BIGINT) END AS width,
+  CAST(16 AS BIGINT) AS height,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(24 * 16 AS BIGINT)
+       ELSE CAST(32 * 16 * 3 AS BIGINT) END AS n_bytes,
+  CASE WHEN doc_id % 2 = 0 THEN
+    CAST(list_sum(list_transform(range(0, 6), b -> {_J_GRAY_VAL})) AS DOUBLE) / 6
+  ELSE
+    CAST(list_sum(list_transform(range(0, 2),
+         t -> {_J_R} + {_J_G} + {_J_B})) AS DOUBLE) / 6
+  END AS mean_pixel,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_jpeg_features", oracle=_JPEG_ORACLE)
+def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-image codec through the whole oracle gate: per-doc
+    baseline JPEGs (the dominant crawl image format, closing the
+    compressed-media seam's image half) built by the repo's own T.81
+    encoder and decoded by the repo's own T.81 decoder inside the
+    standard mapInPandas feature stage. doc_id % 2 routes grayscale
+    24x16 (six constant 8x8 blocks — DC huffman diffs + EOB across
+    blocks) vs 4:2:0 YCbCr 32x16 (two constant 16x16 MCU tiles —
+    chroma downsample, interleaved MCU decode, YCbCr->RGB); quality
+    cycles 40..100 by doc_id % 5 so five quant tables are live. The
+    oracle replays quantize->dequantize->IDCT->color-convert in
+    closed form: lossy-but-deterministic, bit-exact doubles (the
+    power-of-2 scaling between 64*sum/384 and sum/6 keeps IEEE
+    division identical). The AC path is covered by tests/test_jpeg.py
+    (hand-assembled streams + independent IDCT cross-check)."""
+    import numpy as np
+    import pandas as pd
+
+    from corrie_spark.operators import jpeg as J
+
+    # the codec stage dominates (python entropy coding per doc); the
+    # documents scan is one thin parquet split, so spread the 8-byte
+    # ids across the executors before the Arrow stage — at crawl scale
+    # the source partitioning does this for free
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                quality = 40 + (did % 5) * 15
+                if did % 2 == 0:
+                    img = np.zeros((16, 24), dtype=np.uint8)
+                    for b in range(6):
+                        r, c = divmod(b, 3)
+                        img[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                            did * 11 + b * 37
+                        ) % 256
+                    payload = J.encode_jpeg_baseline(img, quality=quality)
+                else:
+                    ycc = np.zeros((16, 32, 3), dtype=np.uint8)
+                    for t in range(2):
+                        ycc[:, t * 16 : t * 16 + 16] = (
+                            (did * 13 + t * 29) % 256,
+                            (did * 17 + t * 41) % 256,
+                            (did * 19 + t * 53) % 256,
+                        )
+                    payload = J.encode_jpeg_baseline(
+                        ycc, quality=quality, subsampling=(2, 2)
+                    )
+                out.append(
+                    {"media_id": did, "media_type": "image/jpeg", "payload": payload}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    from pyspark.sql import functions as F
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.image_features(media).select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "mean_pixel",
+        "ok",
+    )
+
+
 # --- perceptual-hash image dedup (dHash + hamming banding) -----------------
 
 # closed-form pixel stream of the fake image codec (see _IMG_ORACLE):

@@ -48,6 +48,7 @@ _PYTHON_OK = {
     "q_sim_matryoshka_cascade",  # two partial-top-k stages (beam + re-rank)
     "q_multimodal_dhash_clusters",  # mapInPandas decode feeds the hash grouping
     "q_multimodal_text_quality",  # rides the dhash-cluster memo (Arrow decode)
+    "q_multimodal_jpeg_features",  # mapInPandas JPEG encode fixtures + decode
 }
 
 
