@@ -407,6 +407,112 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Walk RIFF sub-chunks in data[pos:end]: yields (fourcc, body,
+    body_start). LIST chunks yield as ('LIST:<type>', inner, ...)."""
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"LIST" and len(body) >= 4:
+            yield (b"LIST:" + body[:4], body[4:], pos + 12)
+        else:
+            yield (cid, body, pos + 8)
+        pos += 8 + sz + (sz & 1)  # chunks pad to even length
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """REAL encoder: minimal MJPEG AVI (RIFF 'AVI ' with an hdrl list
+    — avih + one 'vids'/'MJPG' stream — and a movi list of '00dc'
+    chunks, one JPEG per frame; public AVI RIFF layout + OpenDML
+    conventions). Exists for fixtures and sink symmetry; decode is
+    the production direction."""
+    n = len(frames)
+    frame_us = 1_000_000 // max(fps, 1)
+    maxbytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        frame_us, maxbytes * fps, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, width * height * 3, 0, 0, 0, 0
+    )
+    strf = strf[:16] + b"MJPG" + strf[20:]  # biCompression fourcc
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_avi_mjpeg(payload: bytes) -> dict:
+    """REAL codec: MJPEG AVI — RIFF container walk (hdrl for the
+    declared dims/rate, movi for the '00dc'/'00db' frame chunks), each
+    frame decoded by the repo's own baseline-JPEG decoder
+    (operators/jpeg.py). Closes the compressed-VIDEO half of the
+    media seam: MJPEG is the canonical intra-only format (every frame
+    standalone), so the container walk + still-image codec IS the
+    full decode — no inter-frame state. Returns the same shape the
+    fake video codec produces ({n_frames, frame_size, data} with
+    frames concatenated) so frame_stats/sample_frames run unchanged.
+    Frames must agree on decoded dimensions; inter-frame formats
+    (MPEG/H.26x in AVI, MP4 containers) still raise to the external-
+    decoder seam."""
+    from corrie_spark.operators.jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    fps = None
+    compression = None
+    frames: list[bytes] = []
+    for cid, body, _ in _riff_chunks(payload, 12, len(payload)):
+        if cid == b"LIST:hdrl":
+            for hid, hbody, _ in _riff_chunks(body, 0, len(body)):
+                if hid == b"avih" and len(hbody) >= 4:
+                    (frame_us,) = struct.unpack_from("<I", hbody, 0)
+                    fps = 1_000_000 // frame_us if frame_us else None
+                elif hid == b"LIST:strl":
+                    for sid, sbody, _ in _riff_chunks(hbody, 0, len(hbody)):
+                        if sid == b"strh" and sbody[:4] == b"vids":
+                            compression = sbody[4:8]
+        elif cid == b"LIST:movi":
+            for mid_, mbody, _ in _riff_chunks(body, 0, len(body)):
+                if mid_[2:4] in (b"dc", b"db"):
+                    frames.append(mbody)
+    if compression not in (b"MJPG", b"mjpg"):
+        raise ValueError(
+            f"AVI stream codec {compression!r} not decoded natively "
+            "(only MJPG; inter-frame codecs fall to the external seam)"
+        )
+    if not frames:
+        raise ValueError("AVI has no video frame chunks")
+    decoded = [decode_jpeg(f) for f in frames]
+    w, h, ch = decoded[0]["width"], decoded[0]["height"], decoded[0]["channels"]
+    if any(d["width"] != w or d["height"] != h or d["channels"] != ch for d in decoded):
+        raise ValueError("MJPEG frames disagree on dimensions")
+    return {
+        "kind": "video",
+        "n_frames": len(decoded),
+        "frame_size": w * h * ch,
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "fps": fps,
+        "data": b"".join(d["data"] for d in decoded),
+    }
+
+
 def decode_payload(media_type: str, payload: bytes) -> dict:
     """Decode seam. `fake/*` types use the deterministic codec;
     image/bmp, image/png (8-bit grey/RGB, zlib-inflated + unfiltered
@@ -428,6 +534,8 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
         return _decode_ppm(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _decode_wav(payload)
+    if media_type in ("video/avi", "video/x-msvideo"):
+        return _decode_avi_mjpeg(payload)
     if media_type.startswith("fake/"):
         if payload[:7] == IMG_MAGIC:
             w, h = struct.unpack("<ii", payload[7:15])

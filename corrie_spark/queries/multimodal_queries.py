@@ -341,6 +341,76 @@ def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MJPEG AVI video through the oracle gate -------------------------------
+
+# per-frame constant-block values: c(doc, f, b) = (doc_id*11 + f*71 + b*37) % 256
+_J_FRAME_VAL = _jdc("((doc_id * 11 + f.f * 71 + b * 37) % 256)", _JQ0L)
+
+_MJPEG_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  f.f AS frame_idx,
+  CAST(24 * 16 AS BIGINT) AS frame_bytes,
+  CAST(list_sum(list_transform(range(0, 6), b -> {_J_FRAME_VAL})) AS DOUBLE) / 6
+    AS mean_val,
+  CAST(list_min(list_transform(range(0, 6), b -> {_J_FRAME_VAL})) AS BIGINT) AS min_val,
+  CAST(list_max(list_transform(range(0, 6), b -> {_J_FRAME_VAL})) AS BIGINT) AS max_val
+FROM documents, (SELECT CAST(unnest([0, 2]) AS BIGINT) AS f) f
+"""
+
+
+@register("q_multimodal_mjpeg_frames", oracle=_MJPEG_ORACLE)
+def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-video codec through the oracle gate, closing the
+    video half of the media seam: per-doc MJPEG AVIs (RIFF container
+    walk + the repo's own T.81 JPEG decoder per frame — MJPEG is the
+    canonical intra-only video format, so this is a complete real
+    decode, not a stub) flow through the standard frame-sample +
+    per-frame-stats stage (every 2nd of 4 frames). Each frame is six
+    constant 8x8 blocks keyed on (doc_id, frame, block), quality
+    cycling 40..100, so the decoded stream is the same closed-form
+    quantize->dequantize->IDCT chain as q_multimodal_jpeg_features —
+    DuckDB replays mean/min/max per sampled frame exactly. Shuffle-
+    free Arrow map pipeline; only stats leave the decode stage."""
+    import numpy as np
+    import pandas as pd
+
+    from corrie_spark.operators import jpeg as J
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                quality = 40 + (did % 5) * 15
+                frames = []
+                for f in range(4):
+                    img = np.zeros((16, 24), dtype=np.uint8)
+                    for b in range(6):
+                        r, c = divmod(b, 3)
+                        img[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                            did * 11 + f * 71 + b * 37
+                        ) % 256
+                    frames.append(J.encode_jpeg_baseline(img, quality=quality))
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "video/avi",
+                        "payload": M.encode_avi_mjpeg(frames, 24, 16, fps=10),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.frame_stats(media, every_k=2)
+
+
 # --- perceptual-hash image dedup (dHash + hamming banding) -----------------
 
 # closed-form pixel stream of the fake image codec (see _IMG_ORACLE):

@@ -71,8 +71,12 @@ def test_corrupt_payload_isolated(spark):
 
 
 def test_real_codec_raises_not_implemented():
-    # PNG decodes natively as of round 8; JPEG stays behind the seam
+    # PNG and baseline JPEG / MJPEG-AVI decode natively as of round 8;
+    # MP4 (inter-frame) stays behind the external-decoder seam
     with pytest.raises(NotImplementedError):
+        M.decode_payload("video/mp4", b"\x00\x00\x00\x18ftypmp42")
+    # truncated JPEG is a per-row decode error, not a seam
+    with pytest.raises(ValueError):
         M.decode_payload("image/jpeg", b"\xff\xd8\xff\xe0...")
 
 
@@ -571,3 +575,84 @@ def test_dhash_near_pairs_warns_on_narrow_bands(spark):
         warnings.simplefilter("always")
         assert M.dhash_near_pairs(h, max_dist=12).count() == 1
     assert any("degenerate" in str(x.message) for x in w)
+
+
+# --- MJPEG AVI (RIFF container + baseline JPEG frames) ---------------------
+
+def _mjpeg_avi(n_frames=3, w=24, h=16, quality=70, seed=0):
+    import numpy as np
+
+    from corrie_spark.operators import jpeg as J
+
+    frames = []
+    for f in range(n_frames):
+        img = np.zeros((h, w), dtype=np.uint8)
+        for b in range(6):
+            r, c = divmod(b, 3)
+            img[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (seed + f * 50 + b * 37) % 256
+        frames.append(J.encode_jpeg_baseline(img, quality=quality))
+    return M.encode_avi_mjpeg(frames, w, h, fps=5)
+
+
+def test_avi_mjpeg_container_roundtrip():
+    d = M.decode_payload("video/avi", _mjpeg_avi())
+    assert d["kind"] == "video"
+    assert (d["n_frames"], d["width"], d["height"], d["fps"]) == (3, 24, 16, 5)
+    assert d["frame_size"] == 24 * 16 and len(d["data"]) == 3 * 24 * 16
+
+
+def test_avi_mjpeg_odd_sized_frame_chunks_pad_to_even():
+    # JPEG payloads of odd length force the RIFF even-padding path
+    import numpy as np
+
+    from corrie_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(3)
+    frames = []
+    while len(frames) < 2:
+        img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        enc = J.encode_jpeg_baseline(img, quality=95)
+        if len(enc) % 2 == 1:
+            frames.append(enc)
+    avi = M.encode_avi_mjpeg(frames, 8, 8)
+    d = M.decode_payload("video/x-msvideo", avi)
+    assert d["n_frames"] == 2 and d["frame_size"] == 64
+
+
+def test_avi_rejects_non_mjpeg_and_garbage():
+    import struct as st
+
+    import pytest
+
+    avi = bytearray(_mjpeg_avi(1))
+    i = avi.index(b"vidsMJPG")
+    avi[i + 4 : i + 8] = b"H264"
+    with pytest.raises(ValueError, match="not decoded natively"):
+        M.decode_payload("video/avi", bytes(avi))
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        M.decode_payload("video/avi", b"RIFF" + st.pack("<I", 4) + b"WAVE")
+
+
+def test_avi_mjpeg_through_frame_stats(spark):
+    """The Spark-side contract: frame_stats over a real MJPEG AVI
+    equals the closed-form DC-only expectation per sampled frame."""
+    import numpy as np
+
+    from corrie_spark.operators import jpeg as J
+
+    q0 = int(J.scale_quant(J.QUANT_LUMA, 70)[0])
+
+    def dc(c):
+        dcq = np.floor(8 * (c - 128) / q0 + 0.5 + 1e-9)
+        return int(np.clip(np.floor(dcq * q0 / 8 + 0.5 + 1e-9) + 128, 0, 255))
+
+    df = spark.createDataFrame(
+        [(7, "video/avi", _mjpeg_avi(4, seed=9))], M.MEDIA_SCHEMA_DDL
+    )
+    rows = {r.frame_idx: r for r in M.frame_stats(df, every_k=2).collect()}
+    assert set(rows) == {0, 2}
+    for f, r in rows.items():
+        vals = [dc((9 + f * 50 + b * 37) % 256) for b in range(6)]
+        assert r.frame_bytes == 384
+        assert r.mean_val == sum(vals) * 64 / 384
+        assert (r.min_val, r.max_val) == (min(vals), max(vals))

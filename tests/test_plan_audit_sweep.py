@@ -49,6 +49,7 @@ _PYTHON_OK = {
     "q_multimodal_dhash_clusters",  # mapInPandas decode feeds the hash grouping
     "q_multimodal_text_quality",  # rides the dhash-cluster memo (Arrow decode)
     "q_multimodal_jpeg_features",  # mapInPandas JPEG encode fixtures + decode
+    "q_multimodal_mjpeg_frames",  # mapInPandas AVI build + per-frame JPEG decode
 }
 
 
