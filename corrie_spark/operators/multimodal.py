@@ -227,15 +227,22 @@ def encode_png(
     pixels: bytes,
     color_type: int = 0,
     filters: list[int] | None = None,
+    palette: bytes | None = None,
 ) -> bytes:
     """REAL encoder: PNG (RFC 2083) with 8-bit greyscale (color_type
-    0) or RGB (color_type 2), no interlace — stdlib zlib deflate over
-    per-row filtered scanlines. `filters` picks the filter type
-    (0=None 1=Sub 2=Up 3=Average 4=Paeth) per row so fixtures can
-    exercise every unfilter branch of the decoder; default all-None."""
+    0), RGB (2), palette-indexed (3, `pixels` are indices and
+    `palette` is the PLTE body — RGB triples), grey+alpha (4) or
+    RGBA (6), no interlace — stdlib zlib deflate over per-row
+    filtered scanlines.
+    `filters` picks the filter type (0=None 1=Sub 2=Up 3=Average
+    4=Paeth) per row so fixtures can exercise every unfilter branch
+    of the decoder; default all-None."""
     import zlib
 
-    ch = 1 if color_type == 0 else 3
+    if color_type == 3:
+        if palette is None or len(palette) % 3 or not 3 <= len(palette) <= 768:
+            raise ValueError("palette PNG needs a PLTE body of RGB triples")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     stride = width * ch
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dims")
@@ -267,9 +274,11 @@ def encode_png(
         prev = raw
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     idat = zlib.compress(b"".join(out))
+    plte = _png_chunk(b"PLTE", palette) if color_type == 3 else b""
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
@@ -279,8 +288,8 @@ def _decode_png(payload: bytes) -> dict:
     """REAL codec: PNG (RFC 2083 / ISO 15948) — implemented from the
     public spec with stdlib zlib + numpy only, closing half the
     compressed-media seam natively (round-7 verdict #1). Supported:
-    8-bit depth, greyscale (color type 0) and truecolor RGB (2), no
-    interlace — the shapes a data pipeline emits itself; palette /
+    8-bit depth, greyscale (color type 0), truecolor RGB (2) and
+    palette-indexed (3, PLTE lookup to RGB triples), no interlace;
     alpha / 16-bit / Adam7 raise ValueError (still the documented
     PIL seam). Chunk CRCs are verified. The per-row unfilter
     (None/Sub/Up/Average/Paeth) is numpy per scanline: Sub is a
@@ -297,6 +306,7 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("not a PNG file")
     pos = len(PNG_SIG)
     ihdr = None
+    plte = None
     idat = []
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
@@ -309,6 +319,8 @@ def _decode_png(payload: bytes) -> dict:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -317,14 +329,18 @@ def _decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (0, 2) or comp != 0 or filt_m != 0 or interlace != 0:
+    if depth != 8 or color not in (0, 2, 3, 4, 6) or comp != 0 or filt_m != 0 or interlace != 0:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace}); "
-            "only 8-bit grey/RGB non-interlaced decoded natively"
+            "only 8-bit grey/RGB/palette/alpha non-interlaced decoded natively"
         )
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing/malformed PLTE chunk")
     if w < 1 or h < 1:
         raise ValueError("bad PNG dimensions")
-    ch = 1 if color == 0 else 3
+    # bytes per pixel in the filtered stream (alpha kept for filtering,
+    # stripped from the output so downstream stays gray/RGB-invariant)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * ch
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != (stride + 1) * h:
@@ -362,12 +378,340 @@ def _decode_png(payload: bytes) -> dict:
             raise ValueError(f"unknown PNG filter type {ft}")
         rows.append(rec.astype(np.uint8))
         prev = rec
+    out = np.concatenate(rows) if rows else np.zeros(0, dtype=np.uint8)
+    if color == 3:
+        # palette lookup: indices -> RGB triples (one numpy gather)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(out.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        out = pal[out].ravel()
+    elif color in (4, 6):
+        # strip the alpha channel after unfiltering (the filter bpp
+        # includes it; the pipeline's image contract is gray/RGB)
+        out = out.reshape(-1, ch)[:, : ch - 1].ravel()
     return {
         "kind": "image",
         "width": w,
         "height": h,
-        "data": np.concatenate(rows).tobytes() if rows else b"",
+        "data": out.tobytes(),
     }
+
+
+# --- IMA ADPCM (compressed audio) ------------------------------------------
+
+# public IMA ADPCM tables (IMA Digital Audio Focus/Compatibility
+# committees' reference algorithm, also in the MS WAVE format docs)
+ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+ADPCM_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (pred, index) x nibble -> new state.
+    Pure-integer; the oracle SQL replays it as a recursive CTE."""
+    step = ADPCM_STEPS[idx]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + ADPCM_INDEX_ADJ[nibble & 7]))
+    return pred, idx
+
+
+def adpcm_decode(pred0: int, idx0: int, nibbles: bytes | list[int]) -> list[int]:
+    """Decode a mono IMA ADPCM block body: the header predictor is
+    emitted as sample 0 (the standard block convention), then one
+    sample per 4-bit code."""
+    out = [pred0]
+    pred, idx = pred0, idx0
+    for n in nibbles:
+        pred, idx = _adpcm_step(pred, idx, n & 0xF)
+        out.append(pred)
+    return out
+
+
+def adpcm_encode(samples: list[int], pred0: int | None = None, idx0: int = 0) -> tuple[int, int, bytes]:
+    """Greedy reference IMA encoder: per sample pick the nibble whose
+    decoded prediction lands closest (the sign+magnitude search of
+    the reference algorithm). Returns (pred0, idx0, nibble bytes)."""
+    if pred0 is None:
+        pred0 = int(samples[0]) if samples else 0
+    pred, idx = pred0, idx0
+    nibbles = []
+    for s in samples:
+        step = ADPCM_STEPS[idx]
+        delta = int(s) - pred
+        n = 8 if delta < 0 else 0
+        if delta < 0:
+            delta = -delta
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        pred, idx = _adpcm_step(pred, idx, n)
+        nibbles.append(n)
+    return pred0, idx0, bytes(nibbles)
+
+
+def encode_wav_adpcm(
+    sample_rate: int, pred0: int, idx0: int, nibbles: bytes
+) -> bytes:
+    """REAL encoder: RIFF/WAVE with format tag 0x0011 (IMA ADPCM),
+    mono, one block — 4-byte block header (pred:int16, index:uint8,
+    reserved) then the 4-bit codes packed low-nibble-first. `fact`
+    chunk carries the decoded sample count as the spec requires for
+    compressed formats."""
+    n_samples = 1 + len(nibbles)
+    packed = bytearray()
+    for i in range(0, len(nibbles) - 1, 2):
+        packed.append((nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4))
+    if len(nibbles) % 2:
+        packed.append(nibbles[-1] & 0xF)
+    body = struct.pack("<hBB", pred0, idx0, 0) + bytes(packed)
+    block_align = len(body)
+    samples_per_block = n_samples
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, 1, sample_rate, sample_rate * block_align // max(samples_per_block, 1),
+        block_align, 4,
+    ) + struct.pack("<HH", 2, samples_per_block)  # cbSize=2, wSamplesPerBlock
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<I", 4) + struct.pack("<I", n_samples)
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_wav_adpcm(sr: int, block_align: int, samples_per_block: int, data: bytes) -> dict:
+    """Decode the data chunk of a mono IMA ADPCM WAV: per block, a
+    4-byte state header then packed nibbles (low first)."""
+    out: list[int] = []
+    pos = 0
+    while pos + 4 <= len(data):
+        block = data[pos : pos + block_align] if block_align else data[pos:]
+        pos += len(block) if block_align == 0 else block_align
+        pred0, idx0, _ = struct.unpack_from("<hBB", block, 0)
+        nibbles = []
+        for b in block[4:]:
+            nibbles.append(b & 0xF)
+            nibbles.append(b >> 4)
+        want = samples_per_block - 1 if samples_per_block else len(nibbles)
+        out.extend(adpcm_decode(pred0, idx0, nibbles[:want]))
+        if not block_align:
+            break
+    samples = np.asarray(out, dtype=np.int64)
+    return {
+        "kind": "audio",
+        "sample_rate": sr,
+        "n_samples": len(out),
+        "data": samples.astype("<i2").tobytes(),
+        "samples": samples,
+    }
+
+
+# --- GIF (LZW) -------------------------------------------------------------
+
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """REAL encoder: GIF89a with a global color table and one image
+    block, real variable-width LZW (dict growth, width bumps at
+    2^n boundaries, table reset at 4096) — from the public GIF89a
+    specification. `indices` are palette indices (one byte per
+    pixel), `palette` is RGB triples padded up to a power-of-two
+    entry count."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dims")
+    n_colors = len(palette) // 3
+    if len(palette) % 3 or not 2 <= n_colors <= 256:
+        raise ValueError("palette must be 2..256 RGB triples")
+    size_bits = max(2, (n_colors - 1).bit_length())
+    pal = palette + b"\x00" * (3 * ((1 << size_bits) - n_colors))
+    mcs = size_bits  # LZW minimum code size
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width_now = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = end + 1
+    out_bits.append((clear, width_now))
+    run = b""
+    for byte in indices:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        out_bits.append((table[run], width_now))
+        table[cand] = next_code
+        next_code += 1
+        # canonical width bump: when the NEXT code to assign (which the
+        # decoder may reference immediately, K-K-K) reaches 2^width
+        if next_code == (1 << width_now) and width_now < 12:
+            width_now += 1
+        if next_code > 4095:
+            out_bits.append((clear, width_now))
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = end + 1
+            width_now = mcs + 1
+        run = bytes([byte])
+    if run:
+        out_bits.append((table[run], width_now))
+    out_bits.append((end, width_now))
+
+    # LSB-first bit packing (GIF's bit order), then 255-byte sub-blocks
+    acc, nacc, data = 0, 0, bytearray()
+    for code, wd in out_bits:
+        acc |= code << nacc
+        nacc += wd
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(data) - i)]) + bytes(data[i : i + 255])
+        for i in range(0, len(data), 255)
+    ) + b"\x00"
+
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | ((size_bits - 1) << 4) | (size_bits - 1), 0, 0)
+    imgdesc = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    return b"GIF89a" + lsd + pal + imgdesc + bytes([mcs]) + blocks + b";"
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """REAL codec: GIF87a/89a from the public spec — logical screen
+    descriptor, global/local color tables, extension-block skip, and
+    the variable-width LZW decompressor (clear/end codes, dict
+    growth with width bumps, the K=K-K special case, 4096-entry
+    reset). Decodes the FIRST image block (still images and frame 1
+    of animations); interlaced row order is de-interlaced. Output is
+    RGB triples via the palette, top-down — same shape as the other
+    color decoders."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        interlaced = bool(ipacked & 0x40)
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        width_now = mcs + 1
+        acc = nacc = di = 0
+        prev: bytes | None = None
+        out = bytearray()
+
+        def next_code():
+            nonlocal acc, nacc, di
+            while nacc < width_now:
+                if di >= len(data):
+                    return None
+                acc |= data[di] << nacc
+                di += 1
+                nacc += 8
+            c = acc & ((1 << width_now) - 1)
+            acc >>= width_now
+            nacc -= width_now
+            return c
+
+        while True:
+            c = next_code()
+            if c is None or c == end:
+                break
+            if c == clear:
+                table = table[: (1 << mcs) + 2]
+                width_now = mcs + 1
+                prev = None
+                continue
+            if prev is None:
+                if c >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[c]
+            elif c < len(table):
+                entry = table[c]
+                table.append(prev + entry[:1])
+            elif c == len(table):  # the K-K-K case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            # width bump one entry EARLY: the encoder adds its entry
+            # before this decoder does (it is always one code ahead),
+            # so when the local table reaches 2^w - 1 the encoder's
+            # next emission is already w+1 bits wide
+            if len(table) == (1 << width_now) - 1 and width_now < 12:
+                width_now += 1
+            prev = entry
+        if len(out) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+        if interlaced:
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            rows = np.empty((h, w), dtype=np.uint8)
+            rows[order] = idx.reshape(h, w)
+            idx = rows.ravel()
+        npal = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= npal.shape[0]:
+            raise ValueError("GIF palette index out of range")
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "data": npal[idx].ravel().tobytes(),
+        }
+    raise ValueError("GIF has no image block")
 
 
 def _decode_wav(payload: bytes) -> dict:
@@ -380,20 +724,31 @@ def _decode_wav(payload: bytes) -> dict:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sr, bits, nch, data = 12, None, None, None, None
+    fmt_tag = None
+    block_align = 0
+    samples_per_block = 0
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         sz = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             fmt_tag, nch, sr = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt_tag != 1 or bits not in (8, 16) or nch < 1:
+            if fmt_tag == 0x11:  # IMA ADPCM: mono, 4-bit codes
+                if nch != 1 or bits != 4:
+                    raise ValueError(f"unsupported ADPCM WAV (nch={nch}, bits={bits})")
+                if len(body) >= 20:
+                    samples_per_block = struct.unpack_from("<H", body, 18)[0]
+            elif fmt_tag != 1 or bits not in (8, 16) or nch < 1:
                 raise ValueError(f"unsupported WAV (fmt={fmt_tag}, bits={bits})")
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)  # chunks pad to even length
     if sr is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag == 0x11:
+        return _decode_wav_adpcm(sr, block_align, samples_per_block, data)
     frame_bytes = nch * bits // 8
     n_samples = len(data) // frame_bytes
     usable = data[: n_samples * frame_bytes]
@@ -532,6 +887,8 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
         return _decode_png(payload)
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
         return _decode_ppm(payload)
+    if media_type == "image/gif":
+        return _decode_gif(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _decode_wav(payload)
     if media_type in ("video/avi", "video/x-msvideo"):

@@ -341,6 +341,182 @@ def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- palette-indexed formats (GIF LZW + palette PNG) -----------------------
+
+_PW = "(5 + doc_id % 4)"
+_PH = "(4 + doc_id % 3)"
+_PNC = "(4 + doc_id % 5)"
+# palette entry j, channel c (offsets 0/2/4): (doc_id*5 + j*9 + c*2) % 256
+_PIX = f"((doc_id * 7 + k) % {_PNC})"
+_PSUM = (
+    f"((doc_id * 5 + {_PIX} * 9) % 256)"
+    f" + ((doc_id * 5 + {_PIX} * 9 + 2) % 256)"
+    f" + ((doc_id * 5 + {_PIX} * 9 + 4) % 256)"
+)
+
+_PALETTE_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image/gif' ELSE 'image/png' END AS media_type,
+  CAST({_PW} AS BIGINT) AS width,
+  CAST({_PH} AS BIGINT) AS height,
+  CAST({_PW} * {_PH} * 3 AS BIGINT) AS n_bytes,
+  CAST(list_sum(list_transform(range(0, {_PW} * {_PH}), k -> {_PSUM}))
+       AS DOUBLE) / (3 * {_PW} * {_PH}) AS mean_pixel,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_palette_codecs", oracle=_PALETTE_ORACLE)
+def q_multimodal_palette_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette-indexed image formats through the oracle gate:
+    doc_id % 2 routes GIF89a (the repo's own variable-width LZW
+    compressor/decompressor — dict growth, early-change width bumps,
+    clear/end codes — from the public GIF spec) vs palette PNG
+    (color type 3: deflate + cycling row filters + PLTE lookup).
+    Both decode to the same closed-form RGB stream (indices
+    (doc_id*7+k) % ncol through a doc-keyed palette), so DuckDB
+    replays index->palette->mean exactly; per-doc dims and palette
+    sizes vary so header parsing does real work. Lossless twins of
+    the JPEG query; same shuffle-free Arrow map shape."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nc = 5 + did % 4, 4 + did % 3, 4 + did % 5
+                pal = bytes(
+                    (did * 5 + j * 9 + c * 2) % 256
+                    for j in range(nc)
+                    for c in range(3)
+                )
+                idx = bytes((did * 7 + k) % nc for k in range(w * h))
+                if did % 2 == 0:
+                    payload, mt = M.encode_gif(w, h, idx, pal), "image/gif"
+                else:
+                    filts = [(did + r) % 5 for r in range(h)]
+                    payload, mt = (
+                        M.encode_png(w, h, idx, color_type=3, filters=filts, palette=pal),
+                        "image/png",
+                    )
+                out.append({"media_id": did, "media_type": mt, "payload": payload})
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    from pyspark.sql import functions as F
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.image_features(media).select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "mean_pixel",
+        "ok",
+    )
+
+
+# --- IMA ADPCM compressed audio through the oracle gate --------------------
+
+_ADPCM_N = 24  # nibbles per doc (25 decoded samples incl. header pred)
+_ADPCM_STEPS_SQL = "[" + ",".join(str(s) for s in M.ADPCM_STEPS) + "]"
+
+_ADPCM_ORACLE = f"""
+WITH RECURSIVE dec AS (
+  SELECT doc_id, 0 AS k,
+         CAST((doc_id * 37) % 4096 - 2048 AS BIGINT) AS pred,
+         CAST(doc_id % 89 AS BIGINT) AS idx,
+         CAST(abs((doc_id * 37) % 4096 - 2048) AS BIGINT) AS asum
+  FROM documents
+  UNION ALL
+  SELECT doc_id, k + 1,
+         new_pred,
+         least(greatest(idx + adj, 0), 88),
+         asum + abs(new_pred)
+  FROM (
+    SELECT doc_id, k, asum, idx,
+           least(greatest(CASE WHEN nib >= 8 THEN pred - diff
+                               ELSE pred + diff END, -32768), 32767) AS new_pred,
+           [-1,-1,-1,-1,2,4,6,8][(nib % 8) + 1] AS adj
+    FROM (
+      SELECT doc_id, k, pred, idx, asum, nib, step,
+             (step // 8)
+             + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+             + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+             + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END AS diff
+      FROM (
+        SELECT doc_id, k, pred, idx, asum,
+               (doc_id * 3 + k) % 16 AS nib,
+               {_ADPCM_STEPS_SQL}[idx + 1] AS step
+        FROM dec WHERE k < {_ADPCM_N}
+      )
+    )
+  )
+)
+SELECT doc_id AS media_id,
+       'audio/wav' AS media_type,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST({_ADPCM_N + 1} AS BIGINT) AS n_samples,
+       CAST({_ADPCM_N + 1} AS DOUBLE) / 8000 AS duration_s,
+       CAST(asum AS DOUBLE) / {_ADPCM_N + 1} AS mean_amp,
+       TRUE AS ok
+FROM dec WHERE k = {_ADPCM_N}
+"""
+
+
+@register("q_multimodal_adpcm_features", oracle=_ADPCM_ORACLE)
+def q_multimodal_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio codec through the oracle gate: per-doc mono
+    IMA ADPCM WAVs (format tag 0x0011 — 4-bit codes, the public IMA
+    reference algorithm's step/index tables) decoded by the repo's
+    own state-machine decoder inside the standard audio-features
+    stage. The decode is a sequential integer recurrence — exactly
+    the shape SQL can't fake with closed-form arithmetic — so the
+    oracle replays it as a RECURSIVE CTE over (pred, step-index,
+    |sample| sum), one iteration per 4-bit code, all docs advancing
+    in lockstep. Nibbles/initial state are doc-keyed so every doc
+    walks a different path through the step table. Completes the
+    audio half of the compressed-media seam (PCM was already native;
+    ADPCM is the canonical compressed WAV)."""
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pred0 = (did * 37) % 4096 - 2048
+                idx0 = did % 89
+                nibbles = bytes((did * 3 + k) % 16 for k in range(_ADPCM_N))
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio/wav",
+                        "payload": M.encode_wav_adpcm(8000, pred0, idx0, nibbles),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.audio_features(media)
+
+
 # --- MJPEG AVI video through the oracle gate -------------------------------
 
 # per-frame constant-block values: c(doc, f, b) = (doc_id*11 + f*71 + b*37) % 256

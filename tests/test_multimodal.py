@@ -656,3 +656,204 @@ def test_avi_mjpeg_through_frame_stats(spark):
         assert r.frame_bytes == 384
         assert r.mean_val == sum(vals) * 64 / 384
         assert (r.min_val, r.max_val) == (min(vals), max(vals))
+
+
+# --- GIF (LZW) + palette PNG -----------------------------------------------
+
+def test_gif_lzw_roundtrip_paths():
+    """Growth, width-bump and 4096-reset paths of the variable-width
+    LZW coder, several palette sizes."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    cases = [(5, 3, 4), (40, 30, 16), (64, 64, 2), (300, 300, 256)]
+    for w, h, ncol in cases:
+        pal = bytes(rng.integers(0, 256, size=3 * ncol, dtype=np.uint8))
+        idx = bytes(rng.integers(0, ncol, size=w * h, dtype=np.uint8))
+        d = M.decode_payload("image/gif", M.encode_gif(w, h, idx, pal))
+        exp = (
+            np.frombuffer(pal, dtype=np.uint8)
+            .reshape(-1, 3)[np.frombuffer(idx, dtype=np.uint8)]
+            .ravel()
+            .tobytes()
+        )
+        assert (d["width"], d["height"]) == (w, h) and d["data"] == exp
+
+
+def test_gif_extension_blocks_skipped_and_interlace():
+    """89a graphics-control extension before the image block is
+    skipped; an interlaced image (flag + 4-pass row order built by
+    hand) de-interlaces to the same pixels."""
+    import struct as st
+
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    w, h, ncol = 6, 9, 8
+    pal = bytes(rng.integers(0, 256, size=3 * ncol, dtype=np.uint8))
+    idx = bytes(rng.integers(0, ncol, size=w * h, dtype=np.uint8))
+    plain = M.encode_gif(w, h, idx, pal)
+    # splice a GCE extension between color table and image descriptor
+    split = plain.index(b",")
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    with_ext = plain[:split] + gce + plain[split:]
+    d = M.decode_payload("image/gif", with_ext)
+    assert d["data"] == M.decode_payload("image/gif", plain)["data"]
+
+    # interlaced: store rows in pass order, set the interlace flag
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    arr = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+    inter = M.encode_gif(w, h, arr[order].tobytes(), pal)
+    split = inter.index(b",")
+    desc = bytearray(inter[split : split + 10])
+    desc[9] |= 0x40
+    inter = inter[:split] + bytes(desc) + inter[split + 10 :]
+    di = M.decode_payload("image/gif", inter)
+    exp = (
+        np.frombuffer(pal, dtype=np.uint8)
+        .reshape(-1, 3)[arr.ravel()]
+        .ravel()
+        .tobytes()
+    )
+    assert di["data"] == exp
+
+
+def test_gif_rejects_bad_payloads():
+    import pytest
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        M.decode_payload("image/gif", b"JIF89a" + b"\x00" * 20)
+    ok = M.encode_gif(2, 2, b"\x00\x01\x01\x00", b"\x00\x00\x00\xff\xff\xff")
+    with pytest.raises(ValueError):  # truncated pixel data
+        M.decode_payload("image/gif", ok[:-6] + b"\x00;")
+
+
+def test_palette_formats_container_invariant(spark):
+    """The same logical pixels as GIF, palette PNG and raw P6 PPM
+    produce identical features and resampled dHash — palette-indexed
+    containers are fully transparent to the pipeline."""
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(6):
+        w, h, ncol = 4 + i % 5, 3 + i % 4, 4 + i
+        pal = bytes(rng.integers(0, 256, size=3 * ncol, dtype=np.uint8))
+        idx = bytes(rng.integers(0, ncol, size=w * h, dtype=np.uint8))
+        rgb = (
+            np.frombuffer(pal, dtype=np.uint8)
+            .reshape(-1, 3)[np.frombuffer(idx, dtype=np.uint8)]
+            .ravel()
+            .tobytes()
+        )
+        rows.append((i, "image/gif", M.encode_gif(w, h, idx, pal)))
+        rows.append(
+            (100 + i, "image/png",
+             M.encode_png(w, h, idx, color_type=3,
+                          filters=[(i + r) % 5 for r in range(h)], palette=pal))
+        )
+        rows.append((200 + i, "image/x-portable-pixmap", M.encode_ppm(w, h, rgb)))
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    feats = {r.media_id: r for r in M.image_features(df).collect()}
+    hashes = {r.media_id: r.dhash for r in M.image_dhash_resampled(df).collect()}
+    for i in range(6):
+        a, b, c = feats[i], feats[100 + i], feats[200 + i]
+        assert a.ok and b.ok and c.ok
+        assert a.mean_pixel == b.mean_pixel == c.mean_pixel
+        assert hashes[i] == hashes[100 + i] == hashes[200 + i]
+
+
+# --- IMA ADPCM (compressed audio) ------------------------------------------
+
+def test_adpcm_known_vector():
+    """Hand-computed reference: pred0=0, idx0=0 (step 7).
+    Nibble 2: diff = 7>>3 + 7>>1 = 3, pred 0->3; index adj
+    index_table[2] = -1 clamps at 0 (step stays 7).
+    Nibble 9 (sign|1): diff = 7>>3 + 7>>2 = 1, pred 3->2."""
+    out = M.adpcm_decode(0, 0, bytes([2, 9]))
+    assert out == [0, 3, 2]
+
+
+def test_adpcm_state_clamps():
+    # index clamps at 0 and 88; predictor clamps at int16 range
+    out = M.adpcm_decode(32760, 88, bytes([7, 7]))
+    assert out[1] == 32767  # clamped high
+    out = M.adpcm_decode(-32760, 0, bytes([15, 15]))
+    assert out[1] == -32768
+
+
+def test_adpcm_wav_container_roundtrip():
+    pred0, idx0 = -500, 30
+    nibbles = bytes((5 * k + 3) % 16 for k in range(17))  # odd count
+    wav = M.encode_wav_adpcm(16000, pred0, idx0, nibbles)
+    d = M.decode_payload("audio/wav", wav)
+    assert d["sample_rate"] == 16000
+    assert list(d["samples"]) == M.adpcm_decode(pred0, idx0, nibbles)
+
+
+def test_adpcm_encoder_tracks_signal():
+    import numpy as np
+
+    t = np.arange(400)
+    sig = (2500 * np.sin(t / 15)).astype(int).tolist()
+    p0, i0, nib = M.adpcm_encode(sig)
+    dec = M.adpcm_decode(p0, i0, nib)
+    err = np.abs(np.asarray(dec[1:]) - np.asarray(sig))
+    # after the step table adapts, tracking error stays small relative
+    # to the signal swing
+    assert err[50:].max() < 600 and err.mean() < 100
+
+
+def test_adpcm_through_audio_features(spark):
+    pred0, idx0, n = 100, 20, 12
+    nibbles = bytes((3 * k + 1) % 16 for k in range(n))
+    df = spark.createDataFrame(
+        [(1, "audio/wav", M.encode_wav_adpcm(8000, pred0, idx0, nibbles))],
+        M.MEDIA_SCHEMA_DDL,
+    )
+    [r] = M.audio_features(df).collect()
+    exp = M.adpcm_decode(pred0, idx0, nibbles)
+    assert r.ok and r.n_samples == n + 1
+    assert r.mean_amp == sum(abs(s) for s in exp) / len(exp)
+
+
+def test_adpcm_rejects_stereo():
+    import struct as st
+
+    import pytest
+
+    wav = bytearray(M.encode_wav_adpcm(8000, 0, 0, bytes(8)))
+    i = wav.index(b"fmt ")
+    st.pack_into("<H", wav, i + 10, 2)  # nch=2
+    with pytest.raises(ValueError, match="ADPCM"):
+        M.decode_payload("audio/wav", bytes(wav))
+
+
+def test_png_alpha_channels_stripped():
+    """Color types 4 (grey+alpha) and 6 (RGBA): the alpha byte rides
+    through the per-pixel filters (bpp includes it) and is stripped
+    from the output, so downstream sees the same gray/RGB stream as
+    the alpha-free encodings."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    w, h = 7, 5
+    gray = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+    alpha = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+    ga = np.stack([gray, alpha], axis=1).ravel().tobytes()
+    rgba = np.concatenate(
+        [rgb.reshape(-1, 3), alpha[:, None]], axis=1
+    ).ravel().tobytes()
+    filts = [(r * 7) % 5 for r in range(h)]  # all five filter types
+    d4 = M.decode_payload(
+        "image/png", M.encode_png(w, h, ga, color_type=4, filters=filts)
+    )
+    d6 = M.decode_payload(
+        "image/png", M.encode_png(w, h, rgba, color_type=6, filters=filts)
+    )
+    assert d4["data"] == gray.tobytes()
+    assert d6["data"] == rgb.tobytes()

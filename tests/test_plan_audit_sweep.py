@@ -50,6 +50,8 @@ _PYTHON_OK = {
     "q_multimodal_text_quality",  # rides the dhash-cluster memo (Arrow decode)
     "q_multimodal_jpeg_features",  # mapInPandas JPEG encode fixtures + decode
     "q_multimodal_mjpeg_frames",  # mapInPandas AVI build + per-frame JPEG decode
+    "q_multimodal_palette_codecs",  # mapInPandas GIF/palette-PNG build + decode
+    "q_multimodal_adpcm_features",  # mapInPandas ADPCM build + state-machine decode
 }
 
 
