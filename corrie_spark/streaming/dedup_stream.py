@@ -124,3 +124,142 @@ def dedup_decisions(spark: SparkSession, decisions_dir: str) -> DataFrame:
     """The decision log: (doc_id, fp, status, batch_id) per screened
     row."""
     return spark.read.parquet(decisions_dir)
+
+
+# --- streaming MEDIA dedup (perceptual-hash screen) ------------------------
+
+def _dhash_bands(df: DataFrame, n_bands: int, bits: int = 62):
+    """Explode a (id, dhash) frame to (band, band value) rows with the
+    even band split dhash_near_pairs uses (SCALE.md §10: no degenerate
+    narrow band)."""
+    cols = []
+    for b in range(n_bands):
+        lo = b * bits // n_bands
+        hi = (b + 1) * bits // n_bands
+        width = hi - lo
+        cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("dhash", lo).bitwiseAND(F.lit((1 << width) - 1)).alias("bv"),
+            )
+        )
+    return df.select("*", F.explode(F.array(*cols)).alias("_b")).select(
+        df.columns + [F.col("_b.band").alias("band"), F.col("_b.bv").alias("bv")]
+    )
+
+
+def start_media_dedup_stream(
+    media: DataFrame,
+    store_dir: str,
+    decisions_dir: str,
+    checkpoint_dir: str,
+    commit_log_dir: str,
+    max_dist: int = 2,
+    available_now: bool = True,
+):
+    """Streaming IMAGE dedup: the multimodal twin of the fingerprint
+    screen, composing the real codecs (BMP/PNG/GIF/JPEG/... behind
+    decode_payload), the production resampled dHash, and the
+    append-only store pattern. Per micro-batch of (media_id,
+    media_type, payload):
+
+      1. decode + 9x8-resample + bit-pack in the Arrow stage
+         (image_dhash_resampled); undecodable rows -> status
+         'undecodable' (K7-style isolation, logged not dropped);
+      2. screen against the store by hamming band join (same even
+         band split as dhash_near_pairs, pigeonhole-complete for
+         max_dist) + XOR-popcount verify: within max_dist of any
+         stored hash -> 'near_dup_of_corpus';
+      3. within the batch, exact-hash collapse keep-min-id ->
+         'dup_in_batch';
+      4. survivors -> 'fresh'; their DISTINCT hashes append to the
+         store.
+
+    Near-pairs WITHIN one batch both classify fresh by design (the
+    store screen only sees prior batches): the within-batch rule is
+    the exact-collapse the batch pipeline applies before banding, and
+    near-dup chains across survivors are the batch CC compaction's
+    job (q_multimodal_dhash_clusters over the store), exactly like
+    the rollup store's periodic merge. With 1-row batches the stream
+    IS the greedy keep-first screen — pinned by test.
+
+    Replay safety: store append is idempotent-by-value but the
+    decision log is order-dependent, so the loop pairs with the
+    batch-id commit log like the text screen above.
+
+    100 TB shape: the store is |distinct hashes| x 8 bytes; each batch
+    pays one Arrow decode (no shuffle), one band equi-join against the
+    store scan and one exact-hash groupBy. Pixels never leave the
+    decode stage; at deployment scale the batch side's bands broadcast
+    against the big store scan."""
+    import os
+
+    from pyspark.sql import Column
+
+    from corrie_spark.operators.multimodal import image_dhash_resampled
+
+    commit_log = BatchCommitLog(commit_log_dir)
+    n_bands = max_dist + 1
+
+    def popcount(c: Column) -> Column:
+        return F.bit_count(c)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if commit_log.committed(batch_id):
+            return
+        spark = batch_df.sparkSession
+        hashes = image_dhash_resampled(batch_df).select(
+            "media_id", "dhash", "ok"
+        ).persist()
+        try:
+            if os.path.isdir(store_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(store_dir)
+            ):
+                store = spark.read.parquet(store_dir).select("dhash").distinct()
+            else:
+                store = spark.createDataFrame([], "dhash bigint")
+            good = hashes.filter(F.col("ok") & F.col("dhash").isNotNull())
+            bb = _dhash_bands(good.select("media_id", "dhash"), n_bands)
+            sb = _dhash_bands(store, n_bands).select(
+                "band", "bv", F.col("dhash").alias("_sh")
+            )
+            near = (
+                bb.join(sb, ["band", "bv"])
+                .filter(popcount(F.col("dhash").bitwiseXOR(F.col("_sh"))) <= max_dist)
+                .select("media_id")
+                .distinct()
+                .withColumn("_near", F.lit(1))
+            )
+            firsts = good.groupBy("dhash").agg(F.min("media_id").alias("_first"))
+            decided = (
+                hashes.join(near, "media_id", "left")
+                .join(firsts, "dhash", "left")
+                .select(
+                    "media_id",
+                    "dhash",
+                    F.when(~F.col("ok") | F.col("dhash").isNull(), F.lit("undecodable"))
+                    .when(F.col("_near").isNotNull(), F.lit("near_dup_of_corpus"))
+                    .when(F.col("media_id") > F.col("_first"), F.lit("dup_in_batch"))
+                    .otherwise(F.lit("fresh"))
+                    .alias("status"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .persist()
+            )
+            decided.write.mode("append").parquet(decisions_dir)
+            decided.filter(F.col("status") == "fresh").select("dhash").distinct().write.mode(
+                "append"
+            ).parquet(store_dir)
+            decided.unpersist()
+        finally:
+            hashes.unpersist()
+        commit_log.commit(batch_id)
+
+    writer = (
+        media.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -110,3 +110,171 @@ def test_dedup_stream_replay_is_skipped(spark, tmp_path):
         tuple(r) for r in dedup_decisions(spark, str(tmp_path / "decisions")).collect()
     )
     assert after == before
+
+
+# --- streaming MEDIA dedup (codecs -> resampled dHash -> band screen) ------
+
+def _media_stream(spark, tmp_path, rows, chunk: int):
+    """Media rows as sequential parquet chunk files with increasing
+    mtimes (same ordered-arrival harness as the text stream)."""
+    import os
+    import time
+
+    from corrie_spark.operators.multimodal import MEDIA_SCHEMA_DDL
+
+    src_dir = str(tmp_path / "msrc")
+    os.makedirs(src_dir, exist_ok=True)
+    t0 = int(time.time()) - 10_000
+    for i in range(0, len(rows), chunk):
+        p = os.path.join(src_dir, f"{i // chunk:06d}.parquet")
+        spark.createDataFrame(rows[i : i + chunk], MEDIA_SCHEMA_DDL).coalesce(
+            1
+        ).write.mode("overwrite").parquet(p)
+        os.utime(p, (t0 + i, t0 + i))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (t0 + i, t0 + i))
+    return (
+        spark.readStream.schema(MEDIA_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+
+
+def _media_rows(n=24):
+    """A mix of containers with deliberate near-dup structure: base
+    pixel streams repeat every 6 ids with tiny perturbations, so
+    hamming-near hashes occur across ids; id 13 is a corrupt payload."""
+    import numpy as np
+
+    from corrie_spark.operators import jpeg as J
+    from corrie_spark.operators import multimodal as M
+
+    rows = []
+    for i in range(n):
+        w, h = 12, 9
+        base = (np.add.outer(np.arange(h) * 31, np.arange(w) * 17) + (i % 6) * 97) % 256
+        if i >= 12:
+            base = base.copy()
+            base[0, 0] = (base[0, 0] + 3) % 256  # small perturbation
+        px = base.astype(np.uint8)
+        if i == 13:
+            rows.append((i, "image/png", b"\x89PNG garbage"))
+        elif i % 4 == 0:
+            rows.append((i, "image/bmp", M.encode_bmp(w, h, [px[r].tobytes() for r in range(h)])))
+        elif i % 4 == 1:
+            rows.append((i, "image/png", M.encode_png(w, h, px.tobytes(), color_type=0,
+                                                      filters=[r % 5 for r in range(h)])))
+        elif i % 4 == 2:
+            pal = bytes(range(256)) * 3
+            pal = bytes(b for v in range(256) for b in (v, v, v))
+            rows.append((i, "image/gif", M.encode_gif(w, h, px.tobytes(), pal)))
+        else:
+            rows.append((i, "image/jpeg", J.encode_jpeg_baseline(px, quality=95)))
+    return rows
+
+
+def test_streamed_media_dedup_single_row_batches_are_greedy(spark, tmp_path):
+    """With 1-row batches the stream IS the greedy keep-first screen:
+    replay the same rule over the statically-computed hashes and
+    require identical per-id statuses."""
+    from corrie_spark.operators.multimodal import MEDIA_SCHEMA_DDL, image_dhash_resampled
+    from corrie_spark.streaming.dedup_stream import (
+        dedup_decisions,
+        start_media_dedup_stream,
+    )
+
+    rows = _media_rows(16)
+    src = _media_stream(spark, tmp_path, rows, chunk=1)
+    q = start_media_dedup_stream(
+        src,
+        str(tmp_path / "mstore"),
+        str(tmp_path / "mdecisions"),
+        str(tmp_path / "mckpt"),
+        str(tmp_path / "mcommits"),
+        max_dist=2,
+    )
+    q.awaitTermination(240)
+
+    static = spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    hashes = {
+        r.media_id: (r.dhash if r.ok else None)
+        for r in image_dhash_resampled(static).collect()
+    }
+    kept: list[int] = []
+    expected = {}
+    for mid in sorted(hashes):
+        hv = hashes[mid]
+        if hv is None:
+            expected[mid] = "undecodable"
+        elif any(bin(hv ^ k).count("1") <= 2 for k in kept):
+            expected[mid] = "near_dup_of_corpus"
+        else:
+            expected[mid] = "fresh"
+            kept.append(hv)
+    got = {
+        r.media_id: r.status
+        for r in dedup_decisions(spark, str(tmp_path / "mdecisions")).collect()
+    }
+    assert got == expected
+    assert "near_dup_of_corpus" in got.values() and "undecodable" in got.values()
+    # store holds exactly the fresh distinct hashes
+    store = {r.dhash for r in spark.read.parquet(str(tmp_path / "mstore")).collect()}
+    assert store == set(kept)
+
+
+def test_streamed_media_dedup_batch_rule(spark, tmp_path):
+    """Multi-row batches: dup_in_batch fires on exact-hash collapse
+    within a batch (keep-min-id); the store screen only sees prior
+    batches. Replay the documented rule batch-by-batch."""
+    from corrie_spark.operators.multimodal import MEDIA_SCHEMA_DDL, image_dhash_resampled
+    from corrie_spark.streaming.dedup_stream import (
+        dedup_decisions,
+        start_media_dedup_stream,
+    )
+
+    rows = _media_rows(24)
+    chunk = 8
+    src = _media_stream(spark, tmp_path, rows, chunk=chunk)
+    q = start_media_dedup_stream(
+        src,
+        str(tmp_path / "m2store"),
+        str(tmp_path / "m2decisions"),
+        str(tmp_path / "m2ckpt"),
+        str(tmp_path / "m2commits"),
+        max_dist=2,
+    )
+    q.awaitTermination(240)
+
+    static = spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    hashes = {
+        r.media_id: (r.dhash if r.ok else None)
+        for r in image_dhash_resampled(static).collect()
+    }
+    store: set[int] = set()
+    expected = {}
+    ids = sorted(hashes)
+    for b in range(0, len(ids), chunk):
+        batch = ids[b : b + chunk]
+        firsts = {}
+        for mid in batch:
+            hv = hashes[mid]
+            if hv is not None and hv not in firsts:
+                firsts[hv] = mid
+        fresh_hashes = set()
+        for mid in batch:
+            hv = hashes[mid]
+            if hv is None:
+                expected[mid] = "undecodable"
+            elif any(bin(hv ^ k).count("1") <= 2 for k in store):
+                expected[mid] = "near_dup_of_corpus"
+            elif firsts[hv] != mid:
+                expected[mid] = "dup_in_batch"
+            else:
+                expected[mid] = "fresh"
+                fresh_hashes.add(hv)
+        store |= fresh_hashes
+    got = {
+        r.media_id: r.status
+        for r in dedup_decisions(spark, str(tmp_path / "m2decisions")).collect()
+    }
+    assert got == expected
