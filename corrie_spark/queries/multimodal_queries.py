@@ -517,6 +517,73 @@ def q_multimodal_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(media)
 
 
+# --- perceptual audio fingerprint (dedup twin for audio) -------------------
+
+_AFP_W = 24  # envelope windows -> 23 gradient bits
+_AFP_N = "(80 + doc_id % 40)"  # samples per clip (size-invariance is real)
+_AFP_S = "abs((doc_id * 13 + 7 * k) % 2048 - 1024)"  # |sample k|
+
+
+def _afp_env(j: str) -> str:
+    return (
+        f"list_sum(list_transform(range(({j}) * {_AFP_N} // {_AFP_W},"
+        f" (({j}) + 1) * {_AFP_N} // {_AFP_W}), k -> {_AFP_S}))"
+    )
+
+
+_AFP_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  CAST(list_sum(list_transform(range(0, {_AFP_W - 1}), j ->
+       CASE WHEN {_afp_env('j')} > {_afp_env('j + 1')}
+            THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+       AS BIGINT) AS afp,
+  CAST({_AFP_N} AS BIGINT) AS n_samples,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_audio_fingerprint", oracle=_AFP_ORACLE)
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup fingerprint through the oracle gate: the
+    audio twin of the image dHash family — per-doc PCM WAVs (varying
+    length, so the fixed-window envelope is doing real
+    size-normalization) decoded by the real RIFF parser, |amplitude|
+    envelope over 24 equal windows, gradient bit-pack. The oracle
+    replays sample->window-sum->gradient in closed form (all integer
+    sums). Downstream near-dup machinery (dhash_near_pairs banding,
+    the streaming store screen) consumes this hash unchanged — clips
+    dedup by envelope shape the way images dedup by gradient grid."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 80 + did % 40
+                samples = [(did * 13 + 7 * k) % 2048 - 1024 for k in range(n)]
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio/wav",
+                        "payload": M.encode_wav_pcm(8000, samples),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.audio_fingerprint(media, n_windows=_AFP_W)
+
+
 # --- MJPEG AVI video through the oracle gate -------------------------------
 
 # per-frame constant-block values: c(doc, f, b) = (doc_id*11 + f*71 + b*37) % 256

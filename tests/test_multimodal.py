@@ -857,3 +857,67 @@ def test_png_alpha_channels_stripped():
     )
     assert d4["data"] == gray.tobytes()
     assert d6["data"] == rgb.tobytes()
+
+
+# --- perceptual audio fingerprint ------------------------------------------
+
+def test_audio_fingerprint_gain_and_length_invariance(spark):
+    """The envelope-gradient hash reads SHAPE: doubling the gain or
+    resampling the clip 2x leaves the fingerprint unchanged (strict
+    monotone transforms preserve window-sum ordering when windows
+    align)."""
+    import numpy as np
+
+    n = 96
+    base = [int(800 * np.sin(k / 5)) + (k % 7) * 30 for k in range(n)]
+    double = [2 * s for s in base]
+    stretched = [base[k // 2] for k in range(2 * n)]  # 2x repeat-resample
+    rows = [
+        (1, "audio/wav", M.encode_wav_pcm(8000, base)),
+        (2, "audio/wav", M.encode_wav_pcm(8000, double)),
+        (3, "audio/wav", M.encode_wav_pcm(16000, stretched)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    fp = {r.media_id: r.afp for r in M.audio_fingerprint(df, n_windows=16).collect()}
+    assert fp[1] == fp[2] == fp[3]
+
+
+def test_audio_fingerprint_adpcm_near_pcm(spark):
+    """A lossy ADPCM re-encode of the same clip keeps the envelope
+    shape: the fingerprints sit within small hamming distance, so the
+    existing banding machinery finds the pair."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    n = 256
+    sig = [int(2000 * np.sin(k / 12)) for k in range(n)]
+    p0, i0, nib = M.adpcm_encode(sig)
+    rows = [
+        (1, "audio/wav", M.encode_wav_pcm(8000, sig)),
+        (2, "audio/wav", M.encode_wav_adpcm(8000, p0, i0, nib)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    fps = M.audio_fingerprint(df, n_windows=16).collect()
+    [a] = [r.afp for r in fps if r.media_id == 1]
+    [b] = [r.afp for r in fps if r.media_id == 2]
+    assert bin(a ^ b).count("1") <= 3
+    # the image near-pair operator consumes the hash column unchanged
+    pairs = M.dhash_near_pairs(
+        M.audio_fingerprint(df, n_windows=16).select(
+            "media_id", F.col("afp").alias("dhash")
+        ),
+        max_dist=3,
+    )
+    assert pairs.count() == 1
+
+
+def test_audio_fingerprint_isolation_and_nonaudio(spark):
+    rows = [
+        (1, "audio/wav", b"RIFFgarbage"),
+        (2, "image/bmp", M.encode_bmp(3, 2, [b"abc", b"def"])),
+        (3, "audio/wav", M.encode_wav_pcm(8000, list(range(-50, 50)))),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    out = {r.media_id: r for r in M.audio_fingerprint(df).collect()}
+    assert not out[1].ok and not out[2].ok and out[3].ok

@@ -52,6 +52,7 @@ _PYTHON_OK = {
     "q_multimodal_mjpeg_frames",  # mapInPandas AVI build + per-frame JPEG decode
     "q_multimodal_palette_codecs",  # mapInPandas GIF/palette-PNG build + decode
     "q_multimodal_adpcm_features",  # mapInPandas ADPCM build + state-machine decode
+    "q_multimodal_audio_fingerprint",  # mapInPandas WAV build + envelope hash
 }
 
 
