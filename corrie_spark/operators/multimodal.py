@@ -1241,6 +1241,56 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 32) -> DataFrame:
     return df.select("media_id", "media_type", "payload").mapInPandas(run, AUDIO_FP_DDL)
 
 
+VIDEO_FP_DDL = "media_id bigint, vfp bigint, n_frames int, ok boolean"
+
+
+def video_fingerprint(df: DataFrame, n_windows: int = 32) -> DataFrame:
+    """Perceptual VIDEO fingerprint completing the modality set: the
+    clip's frame-mean sequence (sum of pixel bytes per frame — exact
+    int64) is windowed and gradient-packed exactly like the audio
+    envelope, so cuts/retimings that preserve the brightness ARC keep
+    the hash. Windows are index-proportional (size-invariant across
+    frame rates); clips shorter than n_windows frames hash the raw
+    frame sequence (bounds collapse is avoided by clamping W to
+    n_frames). Same <= 62-bit int64 contract: banding, CC and the
+    streaming store screen consume it unchanged."""
+    if not 2 <= n_windows <= DHASH_BITS + 1:
+        raise ValueError(f"n_windows must be in [2, {DHASH_BITS + 1}]")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                row = {"media_id": mid, "vfp": None, "n_frames": None, "ok": False}
+                try:
+                    d = decode_payload(mtype, bytes(payload))
+                    if d["kind"] == "video" and d["n_frames"] >= 2:
+                        nf, fs = int(d["n_frames"]), int(d["frame_size"])
+                        fr = np.frombuffer(d["data"], dtype=np.uint8)[: nf * fs]
+                        sums = fr.reshape(nf, fs).sum(axis=1, dtype=np.int64)
+                        w = min(n_windows, nf)
+                        bounds = (np.arange(w + 1, dtype=np.int64) * nf) // w
+                        env = np.add.reduceat(sums, bounds[:-1])
+                        bits = (env[:-1] > env[1:]).astype(np.int64)
+                        h = int((bits << np.arange(bits.size, dtype=np.int64)).sum())
+                        row.update(vfp=h, n_frames=nf, ok=True)
+                except (ValueError, NotImplementedError, struct.error):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array([r["media_id"] for r in out], dtype="Int64"),
+                    "vfp": pd.array([r["vfp"] for r in out], dtype="Int64"),
+                    "n_frames": pd.array([r["n_frames"] for r in out], dtype="Int64"),
+                    "ok": [r["ok"] for r in out],
+                }
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(run, VIDEO_FP_DDL)
+
+
 def dhash_near_pairs(
     hashes: DataFrame, max_dist: int = 4, band_bits: int | None = None
 ) -> DataFrame:

@@ -654,6 +654,79 @@ def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_stats(media, every_k=2)
 
 
+# --- perceptual video fingerprint ------------------------------------------
+
+_VFP_NF = 8  # frames per clip -> 7 gradient bits (W clamps to n_frames)
+
+
+def _vfp_frame_sum(f: str) -> str:
+    """Decoded frame pixel sum: 6 constant blocks of 64 px each."""
+    val = _jdc(f"((doc_id * 11 + ({f}) * 71 + b * 37) % 256)", _JQ0L)
+    return f"(64 * list_sum(list_transform(range(0, 6), b -> {val})))"
+
+
+_VFP_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  CAST(list_sum(list_transform(range(0, {_VFP_NF - 1}), j ->
+       CASE WHEN {_vfp_frame_sum('j')} > {_vfp_frame_sum('j + 1')}
+            THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+       AS BIGINT) AS vfp,
+  CAST({_VFP_NF} AS BIGINT) AS n_frames,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_video_fingerprint", oracle=_VFP_ORACLE)
+def q_multimodal_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup fingerprint completing the modality
+    set (image dHash / audio envelope / video brightness-arc): per-doc
+    MJPEG AVIs — 8 DC-only JPEG frames through the real container +
+    codec — hashed by the frame-mean gradient. The oracle replays
+    frame decode -> pixel sum -> gradient in the same closed form as
+    the JPEG/MJPEG queries. One more consumer of the shared <= 62-bit
+    hash contract: banding/CC/the streaming screen work on clips
+    exactly as on images and audio."""
+    import numpy as np
+    import pandas as pd
+
+    from corrie_spark.operators import jpeg as J
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                quality = 40 + (did % 5) * 15
+                frames = []
+                for f in range(_VFP_NF):
+                    img = np.zeros((16, 24), dtype=np.uint8)
+                    for b in range(6):
+                        r, c = divmod(b, 3)
+                        img[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                            did * 11 + f * 71 + b * 37
+                        ) % 256
+                    frames.append(J.encode_jpeg_baseline(img, quality=quality))
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "video/avi",
+                        "payload": M.encode_avi_mjpeg(frames, 24, 16, fps=10),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.video_fingerprint(media)
+
+
 # --- perceptual-hash image dedup (dHash + hamming banding) -----------------
 
 # closed-form pixel stream of the fake image codec (see _IMG_ORACLE):

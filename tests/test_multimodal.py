@@ -921,3 +921,32 @@ def test_audio_fingerprint_isolation_and_nonaudio(spark):
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
     out = {r.media_id: r for r in M.audio_fingerprint(df).collect()}
     assert not out[1].ok and not out[2].ok and out[3].ok
+
+
+def test_video_fingerprint_properties(spark):
+    """Brightness-arc hash: retiming (frame repetition) preserves it;
+    fake-codec videos hash too (modality-blind); non-video -> ok=false."""
+    import numpy as np
+
+    from corrie_spark.operators import jpeg as J
+
+    def clip(frame_vals, fps=10):
+        frames = [
+            J.encode_jpeg_baseline(np.full((8, 8), v, dtype=np.uint8), quality=90)
+            for v in frame_vals
+        ]
+        return M.encode_avi_mjpeg(frames, 8, 8, fps=fps)
+
+    vals = [30, 200, 90, 250, 10, 120, 60, 180]
+    slow = [v for v in vals for _ in range(2)]  # 2x retime
+    rows = [
+        (1, "video/avi", clip(vals)),
+        (2, "video/avi", clip(slow, fps=20)),
+        (3, "audio/wav", M.encode_wav_pcm(8000, [0, 1, 2, 3])),
+        (4, "fake/video", M.encode_fake_video(4, 6, seed=5)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    out = {r.media_id: r for r in M.video_fingerprint(df, n_windows=8).collect()}
+    assert out[1].ok and out[2].ok and out[4].ok and not out[3].ok
+    assert out[1].vfp == out[2].vfp
+    assert out[1].n_frames == 8 and out[2].n_frames == 16

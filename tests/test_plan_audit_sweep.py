@@ -53,6 +53,7 @@ _PYTHON_OK = {
     "q_multimodal_palette_codecs",  # mapInPandas GIF/palette-PNG build + decode
     "q_multimodal_adpcm_features",  # mapInPandas ADPCM build + state-machine decode
     "q_multimodal_audio_fingerprint",  # mapInPandas WAV build + envelope hash
+    "q_multimodal_video_fingerprint",  # mapInPandas AVI build + frame-arc hash
 }
 
 
