@@ -525,6 +525,107 @@ def _decode_wav_adpcm(sr: int, block_align: int, samples_per_block: int, data: b
     }
 
 
+# --- G.711 mu-law / A-law --------------------------------------------------
+
+_G711_BIAS, _G711_CLIP = 0x84, 32635
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    """ITU-T G.711 mu-law expansion, all 256 codes at once: complement
+    the code, then magnitude = ((mant<<3)+BIAS) << exp minus BIAS,
+    negated when the (complemented) sign bit is set. Closed form — the
+    oracle replays the identical arithmetic in SQL."""
+    u = 255 - np.arange(256, dtype=np.int32)  # ~code & 0xFF
+    t = (((u & 0x0F) << 3) + _G711_BIAS) << ((u >> 4) & 7)
+    return np.where(u & 0x80, _G711_BIAS - t, t - _G711_BIAS).astype(np.int16)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    """ITU-T G.711 A-law expansion: XOR 0x55, then segment 0 adds the
+    half-step 8, segment 1 adds 0x108, higher segments shift; the
+    0x80 bit is the POSITIVE sign (opposite of mu-law)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    t = np.where(
+        seg == 0,
+        t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_TABLE = _ulaw_decode_table()
+_ALAW_TABLE = _alaw_decode_table()
+_ALAW_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+
+
+def ulaw_encode(samples) -> bytes:
+    """G.711 mu-law compression of 16-bit linear samples, vectorized:
+    bias the clipped magnitude, exponent = bit_length - 8 (exact via
+    frexp on float64 — integers < 2^53 are exact), 4-bit mantissa,
+    complement. encode(decode(code)) == code for every code except
+    0x7F (mu-law's redundant negative zero collapses to 0xFF)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _G711_CLIP) + _G711_BIAS
+    exp = np.frexp(mag.astype(np.float64))[1] - 8
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def alaw_encode(samples) -> bytes:
+    """G.711 A-law compression: 13-bit domain (>>3), negative values
+    fold as -x-1, segment by magnitude boundary table, XOR masking
+    (0xD5 positive / 0x55 negative). encode(decode(code)) == code for
+    all 256 codes (A-law has no redundant zero)."""
+    x = np.asarray(samples, dtype=np.int32) >> 3
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    v = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, v, side="left")
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((v >> shift) & 0x0F)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8).tobytes()
+
+
+def encode_wav_g711(sample_rate: int, samples, law: str = "mu", nch: int = 1) -> bytes:
+    """REAL encoder: RIFF/WAVE with format tag 7 (mu-law) or 6
+    (A-law) — G.711 telephony audio, 8 bits per sample. `samples` are
+    16-bit linear (interleaved if nch > 1); pass raw code bytes via
+    `raw=`-free path by pre-encoding with ulaw_encode/alaw_encode and
+    encode_wav_g711_raw."""
+    codes = ulaw_encode(samples) if law == "mu" else alaw_encode(samples)
+    return encode_wav_g711_raw(sample_rate, codes, law=law, nch=nch)
+
+
+def encode_wav_g711_raw(sample_rate: int, codes: bytes, law: str = "mu", nch: int = 1) -> bytes:
+    """RIFF assembly for already-compressed G.711 code bytes (the
+    oracle queries generate code streams directly in closed form)."""
+    fmt_tag = 7 if law == "mu" else 6
+    fmt = struct.pack("<HHIIHH", fmt_tag, nch, sample_rate, sample_rate * nch, nch, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<I", 4) + struct.pack("<I", len(codes) // nch)
+    chunks += b"data" + struct.pack("<I", len(codes)) + codes
+    if len(codes) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_wav_g711(sr: int, fmt_tag: int, nch: int, data: bytes) -> dict:
+    """Expand a G.711 data chunk through the 256-entry table — one
+    numpy gather, no per-byte python."""
+    table = _ULAW_TABLE if fmt_tag == 7 else _ALAW_TABLE
+    samples = table[np.frombuffer(data, dtype=np.uint8)]
+    n_samples = len(data) // max(nch, 1)
+    return {
+        "kind": "audio",
+        "sample_rate": sr,
+        "n_samples": n_samples,
+        "data": samples.astype("<i2").tobytes(),
+        "samples": samples,
+    }
+
+
 # --- GIF (LZW) -------------------------------------------------------------
 
 def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
@@ -719,8 +820,9 @@ def _decode_wav(payload: bytes) -> dict:
     from the public container layout — 'RIFF' <size> 'WAVE', then
     chunks ('fmt ' carries format tag/channels/sample-rate/bits,
     'data' carries the frames; chunk sizes pad to even). Returns
-    int-valued samples (numpy) so amplitude stats are exact; only
-    format tag 1 (PCM) is supported — compressed WAVs raise."""
+    int-valued samples (numpy) so amplitude stats are exact; format
+    tags 1 (PCM), 0x11 (IMA ADPCM), 6/7 (G.711 A-law/mu-law) are
+    decoded natively — other compressed WAVs raise."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sr, bits, nch, data = 12, None, None, None, None
@@ -740,6 +842,9 @@ def _decode_wav(payload: bytes) -> dict:
                     raise ValueError(f"unsupported ADPCM WAV (nch={nch}, bits={bits})")
                 if len(body) >= 20:
                     samples_per_block = struct.unpack_from("<H", body, 18)[0]
+            elif fmt_tag in (6, 7):  # G.711 A-law / mu-law: 8-bit codes
+                if bits != 8 or nch < 1:
+                    raise ValueError(f"unsupported G.711 WAV (nch={nch}, bits={bits})")
             elif fmt_tag != 1 or bits not in (8, 16) or nch < 1:
                 raise ValueError(f"unsupported WAV (fmt={fmt_tag}, bits={bits})")
         elif cid == b"data":
@@ -749,6 +854,8 @@ def _decode_wav(payload: bytes) -> dict:
         raise ValueError("WAV missing fmt/data chunk")
     if fmt_tag == 0x11:
         return _decode_wav_adpcm(sr, block_align, samples_per_block, data)
+    if fmt_tag in (6, 7):
+        return _decode_wav_g711(sr, fmt_tag, nch, data)
     frame_bytes = nch * bits // 8
     n_samples = len(data) // frame_bytes
     usable = data[: n_samples * frame_bytes]
@@ -868,15 +975,274 @@ def _decode_avi_mjpeg(payload: bytes) -> dict:
     }
 
 
+# --- MP4 / ISO base media file format (ISO/IEC 14496-12) --------------------
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _mp4_box(btype, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Walk ISO-BMFF boxes in data[pos:end]: yields (fourcc, body,
+    body_start). Handles the spec's 64-bit largesize (size==1) and
+    to-end (size==0) encodings."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body_start = pos + 16
+        elif size == 0:
+            size = end - pos
+            body_start = pos + 8
+        else:
+            body_start = pos + 8
+        if size < body_start - pos or pos + size > end:
+            raise ValueError(f"bad MP4 box size at {pos}")
+        yield btype, data[body_start : pos + size], body_start
+        pos += size
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes], width: int, height: int,
+    fps: int = 10, samples_per_chunk: int = 2,
+) -> bytes:
+    """REAL encoder: minimal ISO-BMFF MP4 (ftyp + mdat + moov) with a
+    single 'vide' track whose sample entry is the QuickTime/ISO 'jpeg'
+    VisualSampleEntry — MJPEG-in-MP4, one JPEG per sample. Samples are
+    grouped `samples_per_chunk` per chunk so the stsc/stco/stsz sample
+    tables are exercised non-trivially (a tail chunk gets its own stsc
+    entry). Exists for fixtures and sink symmetry; decode is the
+    production direction."""
+    n = len(frames)
+    timescale, delta = fps, 1
+    mdat = b"".join(frames)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    data_base = len(ftyp) + 8  # mdat payload starts after its header
+
+    spc = max(1, samples_per_chunk)
+    sizes = [len(f) for f in frames]
+    chunk_offsets, stsc_entries = [], []
+    pos = data_base
+    i = 0
+    chunk_no = 0
+    while i < n:
+        take = min(spc, n - i)
+        chunk_no += 1
+        chunk_offsets.append(pos)
+        if not stsc_entries or stsc_entries[-1][1] != take:
+            stsc_entries.append((chunk_no, take))
+        pos += sum(sizes[i : i + take])
+        i += take
+
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref_index
+        + b"\x00" * 16                               # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi fixed-point
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved + frame_count
+        + b"\x00" * 32                               # compressorname
+        + struct.pack(">Hh", 24, -1)                 # depth + pre_defined
+    )
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(b"jpeg", entry))
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _mp4_full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", fc, c, 1) for fc, c in stsc_entries),
+    )
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _mp4_full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _mp4_full(b"url ", 0, 1, b"")  # flag 1: media in this file
+    dref = _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _mp4_box(b"dinf", dref)
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    duration = n * delta
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + _MP4_UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + _mp4_box(b"mdat", mdat) + moov
+
+
+_MP4_JPEG_ENTRIES = (b"jpeg", b"mjpa", b"mjpg", b"MJPG")
+
+
+def _decode_mp4_mjpeg(payload: bytes) -> dict:
+    """REAL codec: MP4 / ISO base media file format demux
+    (ISO/IEC 14496-12) — box walk to the first 'vide' track's sample
+    tables, expand stsc x stco x stsz into absolute per-sample byte
+    ranges, and decode each sample with the repo's own baseline-JPEG
+    decoder (MJPEG-family sample entries: intra-only, so container
+    demux + still codec IS the full decode, exactly like the AVI
+    path). fps recovers from mdhd timescale / stts delta. Inter-frame
+    sample entries (avc1/hev1/mp4v...) raise to the documented
+    external-decoder seam; the oracle-facing return shape matches the
+    fake/AVI video codecs so frame_stats / video_fingerprint run
+    unchanged."""
+    from corrie_spark.operators.jpeg import decode_jpeg
+
+    def find(body_iter, wanted: bytes):
+        for btype, body, _ in body_iter:
+            if btype == wanted:
+                return body
+        return None
+
+    moov = find(_mp4_boxes(payload, 0, len(payload)), b"moov")
+    if moov is None:
+        raise ValueError("not an ISO-BMFF file (no moov box)")
+    stbl = timescale = None
+    for btype, trak, _ in _mp4_boxes(moov, 0, len(moov)):
+        if btype != b"trak":
+            continue
+        mdia = find(_mp4_boxes(trak, 0, len(trak)), b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(_mp4_boxes(mdia, 0, len(mdia)), b"hdlr")
+        if hdlr is None or hdlr[8:12] != b"vide":
+            continue
+        mdhd = find(_mp4_boxes(mdia, 0, len(mdia)), b"mdhd")
+        if mdhd is not None:
+            version = mdhd[0]
+            timescale = struct.unpack_from(
+                ">I", mdhd, 20 if version == 1 else 12
+            )[0]
+        minf = find(_mp4_boxes(mdia, 0, len(mdia)), b"minf")
+        if minf is not None:
+            stbl = find(_mp4_boxes(minf, 0, len(minf)), b"stbl")
+        break
+    if stbl is None:
+        raise ValueError("MP4 has no video track sample table")
+
+    tables: dict[bytes, bytes] = {
+        btype: body for btype, body, _ in _mp4_boxes(stbl, 0, len(stbl))
+    }
+    stsd = tables.get(b"stsd")
+    if stsd is None or struct.unpack_from(">I", stsd, 4)[0] < 1:
+        raise ValueError("MP4 stsd missing or empty")
+    entry_fourcc = stsd[12:16]
+    if entry_fourcc not in _MP4_JPEG_ENTRIES:
+        raise ValueError(
+            f"MP4 sample entry {entry_fourcc!r} not decoded natively "
+            "(only MJPEG-family; inter-frame codecs fall to the external seam)"
+        )
+
+    stsz = tables.get(b"stsz")
+    if stsz is None:
+        raise ValueError("MP4 missing stsz")
+    fixed, n = struct.unpack_from(">II", stsz, 4)
+    sizes = (
+        [fixed] * n
+        if fixed
+        else list(struct.unpack_from(f">{n}I", stsz, 12))
+    )
+
+    if b"stco" in tables:
+        body = tables[b"stco"]
+        (nc,) = struct.unpack_from(">I", body, 4)
+        offsets = list(struct.unpack_from(f">{nc}I", body, 8))
+    elif b"co64" in tables:
+        body = tables[b"co64"]
+        (nc,) = struct.unpack_from(">I", body, 4)
+        offsets = list(struct.unpack_from(f">{nc}Q", body, 8))
+    else:
+        raise ValueError("MP4 missing stco/co64")
+
+    stsc = tables.get(b"stsc")
+    if stsc is None:
+        raise ValueError("MP4 missing stsc")
+    (ne,) = struct.unpack_from(">I", stsc, 4)
+    runs = [struct.unpack_from(">III", stsc, 8 + 12 * i)[:2] for i in range(ne)]
+
+    # expand sample-to-chunk: run r applies to chunks [first_r, first_{r+1})
+    frames: list[bytes] = []
+    si = 0
+    for r, (first, per_chunk) in enumerate(runs):
+        last = runs[r + 1][0] if r + 1 < len(runs) else len(offsets) + 1
+        for chunk in range(first, last):
+            pos = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= n:
+                    break
+                frames.append(payload[pos : pos + sizes[si]])
+                pos += sizes[si]
+                si += 1
+    if si < n:
+        raise ValueError("MP4 sample tables inconsistent (samples unmapped)")
+
+    fps = None
+    stts = tables.get(b"stts")
+    if stts is not None and struct.unpack_from(">I", stts, 4)[0] >= 1:
+        _, delta = struct.unpack_from(">II", stts, 8)
+        if timescale and delta:
+            fps = timescale // delta
+
+    decoded = [decode_jpeg(f) for f in frames]
+    w, h, ch = decoded[0]["width"], decoded[0]["height"], decoded[0]["channels"]
+    if any(d["width"] != w or d["height"] != h or d["channels"] != ch for d in decoded):
+        raise ValueError("MJPEG samples disagree on dimensions")
+    return {
+        "kind": "video",
+        "n_frames": len(decoded),
+        "frame_size": w * h * ch,
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "fps": fps,
+        "data": b"".join(d["data"] for d in decoded),
+    }
+
+
 def decode_payload(media_type: str, payload: bytes) -> dict:
     """Decode seam. `fake/*` types use the deterministic codec;
-    image/bmp, image/png (8-bit grey/RGB, zlib-inflated + unfiltered
-    natively), image/ppm (P6) and audio/wav are REAL decoders
-    implemented here from the public format specs (struct + zlib +
-    numpy, no external libs); remaining compressed formats
-    (JPEG/MP4/exotic PNG variants) would dispatch to PIL/soundfile/av
-    — unavailable in this environment, so they raise (clearly-marked
-    stub)."""
+    image/bmp, image/png (8-bit grey/RGB/palette, zlib-inflated +
+    unfiltered natively), image/ppm (P6), image/gif (LZW),
+    image/jpeg (baseline T.81), audio/wav (PCM, IMA ADPCM, G.711
+    mu-law/A-law), video/avi (MJPEG) and video/mp4 (ISO-BMFF demux,
+    MJPEG-family sample entries) are REAL decoders implemented here
+    from the public format specs (struct + zlib + numpy, no external
+    libs); the remaining compressed formats (inter-frame video —
+    H.26x/MP4V —, MP3/AAC audio, exotic PNG variants) would dispatch
+    to PIL/soundfile/av — unavailable in this environment, so they
+    raise (clearly-marked stub)."""
     if media_type in ("image/jpeg", "image/jpg"):
         from corrie_spark.operators.jpeg import decode_jpeg
 
@@ -893,6 +1259,8 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
         return _decode_wav(payload)
     if media_type in ("video/avi", "video/x-msvideo"):
         return _decode_avi_mjpeg(payload)
+    if media_type in ("video/mp4", "video/quicktime"):
+        return _decode_mp4_mjpeg(payload)
     if media_type.startswith("fake/"):
         if payload[:7] == IMG_MAGIC:
             w, h = struct.unpack("<ii", payload[7:15])

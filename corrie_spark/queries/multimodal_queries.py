@@ -517,6 +517,80 @@ def q_multimodal_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(media)
 
 
+# --- G.711 mu-law / A-law through the oracle gate ---------------------------
+
+_G711_N = 64  # code bytes per clip
+_G711_B = "((doc_id * 7 + i * 13) % 256)"  # code byte i of doc
+# mu-law expansion (ITU-T G.711): complement, ((mant<<3)+132)<<exp, de-bias
+_G711_MU = f"""(CASE WHEN (255 - {_G711_B}) >= 128
+  THEN 132 - ((((255 - {_G711_B}) % 16) * 8 + 132)
+              * (CAST(1 AS BIGINT) << (((255 - {_G711_B}) // 16) % 8)))
+  ELSE (((255 - {_G711_B}) % 16) * 8 + 132)
+       * (CAST(1 AS BIGINT) << (((255 - {_G711_B}) // 16) % 8)) - 132 END)"""
+# A-law expansion: XOR 0x55; seg 0 adds 8, seg 1 adds 264, higher segs shift;
+# 0x80 bit = POSITIVE sign
+_G711_AX = f"xor({_G711_B}, 85)"
+_G711_AT = f"""(CASE WHEN ({_G711_AX} // 16) % 8 = 0 THEN ({_G711_AX} % 16) * 16 + 8
+  WHEN ({_G711_AX} // 16) % 8 = 1 THEN ({_G711_AX} % 16) * 16 + 264
+  ELSE (({_G711_AX} % 16) * 16 + 264)
+       * (CAST(1 AS BIGINT) << ((({_G711_AX} // 16) % 8) - 1)) END)"""
+_G711_A = f"(CASE WHEN {_G711_AX} >= 128 THEN {_G711_AT} ELSE -{_G711_AT} END)"
+_G711_VAL = f"(CASE WHEN doc_id % 2 = 0 THEN {_G711_MU} ELSE {_G711_A} END)"
+
+_G711_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  'audio/wav' AS media_type,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST({_G711_N} AS BIGINT) AS n_samples,
+  CAST({_G711_N} AS DOUBLE) / 8000 AS duration_s,
+  CAST(list_sum(list_transform(range(0, {_G711_N}), i -> abs({_G711_VAL})))
+       AS DOUBLE) / {_G711_N} AS mean_amp,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_g711_features", oracle=_G711_ORACLE)
+def q_multimodal_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony audio (format tags 7 mu-law / 6 A-law — the
+    OTHER canonical compressed WAV next to ADPCM) through the oracle
+    gate: per-doc code streams b(doc,i) = (doc_id*7 + i*13) % 256,
+    even docs mu-law / odd docs A-law, expanded by the repo's
+    table-gather decoder inside the standard audio-features stage.
+    Unlike ADPCM's recurrence, G.711 is per-byte CLOSED FORM, so the
+    oracle replays the exact expansion arithmetic (complement /
+    XOR-0x55, segment shift, de-bias) in plain SQL — no recursive
+    CTE. Exact int |sample| sums; one float division at the end."""
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codes = bytes((did * 7 + i * 13) % 256 for i in range(_G711_N))
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio/wav",
+                        "payload": M.encode_wav_g711_raw(
+                            8000, codes, law="mu" if did % 2 == 0 else "a"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.audio_features(media)
+
+
 # --- perceptual audio fingerprint (dedup twin for audio) -------------------
 
 _AFP_W = 24  # envelope windows -> 23 gradient bits
@@ -646,6 +720,76 @@ def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "media_id": did,
                         "media_type": "video/avi",
                         "payload": M.encode_avi_mjpeg(frames, 24, 16, fps=10),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.frame_stats(media, every_k=2)
+
+
+# --- MP4 / ISO-BMFF video through the oracle gate ---------------------------
+
+# per-frame constant-block values: c(doc, f, b) = (doc_id*23 + f*67 + b*31) % 256
+_J_MP4_VAL = _jdc("((doc_id * 23 + f.f * 67 + b * 31) % 256)", _JQ0L)
+
+_MP4_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  f.f AS frame_idx,
+  CAST(24 * 16 AS BIGINT) AS frame_bytes,
+  CAST(list_sum(list_transform(range(0, 6), b -> {_J_MP4_VAL})) AS DOUBLE) / 6
+    AS mean_val,
+  CAST(list_min(list_transform(range(0, 6), b -> {_J_MP4_VAL})) AS BIGINT) AS min_val,
+  CAST(list_max(list_transform(range(0, 6), b -> {_J_MP4_VAL})) AS BIGINT) AS max_val
+FROM documents, (SELECT CAST(unnest([0, 2, 4]) AS BIGINT) AS f) f
+"""
+
+
+@register("q_multimodal_mp4_frames", oracle=_MP4_ORACLE)
+def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 through the oracle gate — the LAST named container of the
+    media seam: per-doc ISO-BMFF files (ftyp/mdat/moov box walk,
+    stsc x stco x stsz sample-table expansion — 2 samples per chunk
+    so a 5-frame clip exercises a tail chunk — 'jpeg' VisualSample-
+    Entry) decoded by the repo's own T.81 JPEG codec per sample and
+    flowed through the standard frame-sample + per-frame-stats stage
+    (every 2nd of 5 frames). Same closed-form DC-only chain as the
+    AVI/MJPEG twin, different constants, so the two container paths
+    are proven independently. Inter-frame codecs (avc1/mp4v) remain
+    the documented external seam — the demux rejects them by sample-
+    entry fourcc rather than mis-decoding."""
+    import numpy as np
+    import pandas as pd
+
+    from corrie_spark.operators import jpeg as J
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                quality = 40 + (did % 5) * 15
+                frames = []
+                for f in range(5):
+                    img = np.zeros((16, 24), dtype=np.uint8)
+                    for b in range(6):
+                        r, c = divmod(b, 3)
+                        img[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                            did * 23 + f * 67 + b * 31
+                        ) % 256
+                    frames.append(J.encode_jpeg_baseline(img, quality=quality))
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "video/mp4",
+                        "payload": M.encode_mp4_mjpeg(frames, 24, 16, fps=10),
                     }
                 )
             yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])

@@ -950,3 +950,147 @@ def test_video_fingerprint_properties(spark):
     assert out[1].ok and out[2].ok and out[4].ok and not out[3].ok
     assert out[1].vfp == out[2].vfp
     assert out[1].n_frames == 8 and out[2].n_frames == 16
+
+
+# --- G.711 mu-law / A-law ---------------------------------------------------
+
+
+def test_g711_decode_known_codes():
+    """Spec vectors: mu-law 0xFF/0x7F are the two zeros, 0x00 is the
+    most-negative step (-32124); A-law 0xD5/0x55 are the +-8 codes
+    nearest zero and its positive extreme is 0x2A -> ... pin a few
+    closed-form points instead of trusting the tables blindly."""
+    assert M._ULAW_TABLE[0xFF] == 0 and M._ULAW_TABLE[0x7F] == 0
+    assert M._ULAW_TABLE[0x00] == -32124 and M._ULAW_TABLE[0x80] == 32124
+    assert M._ALAW_TABLE[0xD5] == 8 and M._ALAW_TABLE[0x55] == -8
+    assert M._ALAW_TABLE[0xAA] == 32256 and M._ALAW_TABLE[0x2A] == -32256
+
+
+def test_g711_codec_fixed_points():
+    """encode(decode(code)) == code — the codec's fixed-point law —
+    for all 256 A-law codes and all mu-law codes except 0x7F (the
+    redundant negative zero collapses onto 0xFF)."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.uint8)
+    mu = np.frombuffer(M.ulaw_encode(M._ULAW_TABLE[codes]), dtype=np.uint8)
+    assert (mu[codes != 0x7F] == codes[codes != 0x7F]).all()
+    assert mu[0x7F] == 0xFF
+    al = np.frombuffer(M.alaw_encode(M._ALAW_TABLE[codes]), dtype=np.uint8)
+    assert (al == codes).all()
+
+
+def test_g711_roundtrip_error_bound():
+    """Compand-expand error is bounded by half the local step size:
+    mu-law segments double every 16 codes, so |err| <= 2^exp * 4."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(-32000, 32000, size=2000).astype(np.int16)
+    for law, table in (("mu", M._ULAW_TABLE), ("a", M._ALAW_TABLE)):
+        wav = M.encode_wav_g711(8000, x, law=law)
+        d = M.decode_payload("audio/wav", wav)
+        assert d["n_samples"] == 2000
+        err = np.abs(d["samples"].astype(np.int32) - x.astype(np.int32))
+        assert err.max() <= 1024  # top-segment half-step
+        # small signals keep small error (companding's whole point)
+        small = np.abs(x.astype(np.int32)) < 128
+        assert err[small].max() <= 36
+
+
+def test_g711_through_audio_features(spark):
+    import numpy as np
+
+    x = np.asarray([0, 1000, -1000, 20000, -20000, 500], dtype=np.int16)
+    rows = [
+        (1, "audio/wav", M.encode_wav_g711(8000, x, law="mu")),
+        (2, "audio/wav", M.encode_wav_g711(16000, x, law="a")),
+        (3, "audio/wav", M.encode_wav_pcm(8000, x)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    out = {r.media_id: r for r in M.audio_features(df).collect()}
+    assert all(out[i].ok for i in (1, 2, 3))
+    assert out[1].n_samples == 6 and out[2].sample_rate == 16000
+    # companded mean amplitude lands near the PCM truth
+    assert abs(out[1].mean_amp - out[3].mean_amp) / out[3].mean_amp < 0.05
+    assert abs(out[2].mean_amp - out[3].mean_amp) / out[3].mean_amp < 0.05
+
+
+# --- MP4 / ISO-BMFF ---------------------------------------------------------
+
+
+def test_mp4_container_invariant_with_avi():
+    """The same JPEG frames through the MP4 demux and the AVI walk
+    decode to identical pixel streams — container invariance, the
+    PNG-vs-BMP proof replayed for video."""
+    import numpy as np
+
+    from corrie_spark.operators import jpeg as J
+
+    frames = [
+        J.encode_jpeg_baseline(
+            np.full((8, 16), 40 * (f + 1), dtype=np.uint8), quality=75
+        )
+        for f in range(5)
+    ]
+    mp4 = M.decode_payload("video/mp4", M.encode_mp4_mjpeg(frames, 16, 8, fps=12))
+    avi = M.decode_payload("video/avi", M.encode_avi_mjpeg(frames, 16, 8, fps=12))
+    assert mp4["n_frames"] == avi["n_frames"] == 5
+    assert mp4["data"] == avi["data"]
+    assert mp4["fps"] == 12 and mp4["width"] == 16 and mp4["height"] == 8
+
+
+def test_mp4_sample_table_chunking():
+    """stsc/stco expansion: odd frame counts produce a tail chunk with
+    its own stsc run; 1-sample-per-chunk stresses per-chunk offsets."""
+    import numpy as np
+
+    from corrie_spark.operators import jpeg as J
+
+    frames = [
+        J.encode_jpeg_baseline(np.full((8, 8), 30 * f + 9, dtype=np.uint8))
+        for f in range(7)
+    ]
+    for spc in (1, 2, 3, 7, 100):
+        d = M.decode_payload(
+            "video/mp4", M.encode_mp4_mjpeg(frames, 8, 8, samples_per_chunk=spc)
+        )
+        assert d["n_frames"] == 7
+        ref = M.decode_payload("video/avi", M.encode_avi_mjpeg(frames, 8, 8))
+        assert d["data"] == ref["data"]
+
+
+def test_mp4_rejects_interframe_entry():
+    """A non-MJPEG sample entry must raise to the external seam, not
+    mis-decode."""
+    import numpy as np
+
+    from corrie_spark.operators import jpeg as J
+
+    frames = [J.encode_jpeg_baseline(np.full((8, 8), 99, dtype=np.uint8))]
+    mp4 = bytearray(M.encode_mp4_mjpeg(frames, 8, 8))
+    i = mp4.find(b"jpeg", mp4.find(b"stsd"))
+    mp4[i : i + 4] = b"avc1"
+    with pytest.raises(ValueError, match="avc1"):
+        M.decode_payload("video/mp4", bytes(mp4))
+
+
+def test_mp4_through_video_fingerprint(spark):
+    """MP4 clips flow through the shared video-fingerprint contract
+    and hash identically to the same frames in an AVI."""
+    import numpy as np
+
+    from corrie_spark.operators import jpeg as J
+
+    vals = [30, 200, 90, 250, 10, 120]
+    frames = [
+        J.encode_jpeg_baseline(np.full((8, 8), v, dtype=np.uint8), quality=90)
+        for v in vals
+    ]
+    rows = [
+        (1, "video/mp4", M.encode_mp4_mjpeg(frames, 8, 8)),
+        (2, "video/avi", M.encode_avi_mjpeg(frames, 8, 8)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    out = {r.media_id: r for r in M.video_fingerprint(df, n_windows=6).collect()}
+    assert out[1].ok and out[2].ok and out[1].vfp == out[2].vfp

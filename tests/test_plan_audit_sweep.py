@@ -52,6 +52,8 @@ _PYTHON_OK = {
     "q_multimodal_mjpeg_frames",  # mapInPandas AVI build + per-frame JPEG decode
     "q_multimodal_palette_codecs",  # mapInPandas GIF/palette-PNG build + decode
     "q_multimodal_adpcm_features",  # mapInPandas ADPCM build + state-machine decode
+    "q_multimodal_g711_features",  # mapInPandas G.711 build + table expand
+    "q_multimodal_mp4_frames",  # mapInPandas ISO-BMFF build + demux + JPEG decode
     "q_multimodal_audio_fingerprint",  # mapInPandas WAV build + envelope hash
     "q_multimodal_video_fingerprint",  # mapInPandas AVI build + frame-arc hash
 }
