@@ -871,6 +871,139 @@ def q_multimodal_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
     return M.video_fingerprint(media)
 
 
+# --- cross-container video dedup -------------------------------------------
+
+_XC_NF = 17  # frames per clip -> 16-bit container-invariant hash
+
+
+def _xc_dec(j: str) -> str:
+    """Decoded value of the single 8x8 block of frame j (closed-form
+    DC-only JPEG chain, quality cycling with doc_id). Frame values
+    are md5-derived per (doc, frame) — the repo's standard shared
+    deterministic-uniform — because ANY affine-in-j modular formula
+    makes the gradient pattern nearly doc-independent (an arithmetic
+    progression mod 256 has the same up/down shape for every offset:
+    measured 17 distinct hashes over 5000 docs), and correlated
+    hashes turn the pair count quadratic in corpus size — the scale
+    trap the even-banding docstring warns about, at the fixture
+    level."""
+    return _jdc(
+        "(('0x' || substr(md5('xc:' || CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST({j} AS VARCHAR)), 1, 2))::BIGINT)",
+        _JQ0L,
+    )
+
+
+_XC_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {_XC_NF - 1}), j ->
+              CASE WHEN {_xc_dec('j')} > {_xc_dec('j + 1')}
+                   THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS vfp
+  FROM documents WHERE doc_id % 10 = 0
+),
+m AS (
+  SELECT doc_id * 2 AS media_id, vfp FROM h
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS media_id, vfp FROM h
+)
+SELECT (b.media_id = a.media_id + 1 AND a.media_id % 2 = 0) AS same_doc,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       min(a.media_id) AS min_id_a, max(b.media_id) AS max_id_b
+FROM m a JOIN m b ON a.vfp = b.vfp AND a.media_id < b.media_id
+GROUP BY 1
+"""
+
+
+@register("q_multimodal_cross_container", oracle=_XC_ORACLE)
+def q_multimodal_cross_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CONTAINER duplicate detection — the crawl reality that
+    the same video circulates re-wrapped (one upload as MJPEG AVI,
+    another as MJPEG MP4): every tenth doc emits its clip through
+    BOTH real containers, and the container-invariant perceptual
+    fingerprint (frame-mean brightness arc over the decoded pixels,
+    which demux cannot change) must pair each twin back up. The
+    screen IS the shared banding operator at max_dist=0 — one band =
+    the whole 64 bits = a plain hash equi-join, the exact-match end
+    of the same machinery the near-dup queries use. The report
+    is the census the image-pairs query dashboards: the same_doc=true
+    count equal to the clip count IS the cross-container recall
+    proof, and any same_doc=false rows are genuine birthday
+    collisions of the 16-bit arc hash, replayed by the oracle.
+    Scale: payloads stay in the Arrow decode stage; the join carries
+    (id, hash) longs; the fingerprint frame is localCheckpointed so
+    both join sides read one materialization instead of re-decoding."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators import jpeg as J
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                quality = 40 + (did % 5) * 15
+                frames = [
+                    J.encode_jpeg_baseline(
+                        np.full(
+                            (8, 8),
+                            int(hashlib.md5(f"xc:{did}:{j}".encode()).hexdigest()[:2], 16),
+                            dtype=np.uint8,
+                        ),
+                        quality=quality,
+                    )
+                    for j in range(_XC_NF)
+                ]
+                out.append(
+                    {
+                        "media_id": did * 2,
+                        "media_type": "video/avi",
+                        "payload": M.encode_avi_mjpeg(frames, 8, 8),
+                    }
+                )
+                out.append(
+                    {
+                        "media_id": did * 2 + 1,
+                        "media_type": "video/mp4",
+                        "payload": M.encode_mp4_mjpeg(frames, 8, 8),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    hashes = (
+        M.video_fingerprint(media)
+        .filter("ok")
+        .select("media_id", F.col("vfp").alias("dhash"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = M.dhash_near_pairs(hashes, max_dist=0)
+    return (
+        pairs.withColumn(
+            "same_doc",
+            (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 2 == 0),
+        )
+        .groupBy("same_doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("id_a").alias("min_id_a"),
+            F.max("id_b").alias("max_id_b"),
+        )
+    )
+
+
 # --- perceptual-hash image dedup (dHash + hamming banding) -----------------
 
 # closed-form pixel stream of the fake image codec (see _IMG_ORACLE):

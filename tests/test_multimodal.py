@@ -71,13 +71,18 @@ def test_corrupt_payload_isolated(spark):
 
 
 def test_real_codec_raises_not_implemented():
-    # PNG and baseline JPEG / MJPEG-AVI decode natively as of round 8;
-    # MP4 (inter-frame) stays behind the external-decoder seam
+    # PNG, baseline JPEG, MJPEG AVI and MJPEG MP4 decode natively as
+    # of round 8; inter-frame video (webm/H.26x) and MP3/AAC audio
+    # stay behind the external-decoder seam
     with pytest.raises(NotImplementedError):
-        M.decode_payload("video/mp4", b"\x00\x00\x00\x18ftypmp42")
-    # truncated JPEG is a per-row decode error, not a seam
+        M.decode_payload("video/webm", b"\x1a\x45\xdf\xa3")
+    with pytest.raises(NotImplementedError):
+        M.decode_payload("audio/mpeg", b"\xff\xfb\x90\x00")
+    # truncated JPEG / MP4 are per-row decode errors, not seams
     with pytest.raises(ValueError):
         M.decode_payload("image/jpeg", b"\xff\xd8\xff\xe0...")
+    with pytest.raises(ValueError):
+        M.decode_payload("video/mp4", b"\x00\x00\x00\x18ftypmp42")
 
 
 def test_resize(media):
