@@ -9,23 +9,36 @@ parse window, which is exactly how BENCH_r02/r03 ended up
 `parsed: null`):
 
   stdout line 1..n-1: one full-detail JSON line (all per-query
-      medians) — may exceed the parse window; informational.
+      times) — may exceed the parse window; informational.
   stdout LAST line: compact summary JSON <= ~300 chars:
       {"metric": "total_query_wall_seconds", "value": <sum of
-       per-query medians>, "unit": "sec", "sf": ..., "n_queries": N,
+       per-query times>, "unit": "sec", "sf": ..., "n_queries": N,
        "n_failed": F, "reps": R, "queries_file": "BENCH_FULL.json"}
 
-Full per-query detail (median + min/max spread over
+Full per-query detail (best + min/max spread over
 $SPARK_GRAFT_BENCH_REPS reps, default 2; a query's rep loop stops
-early once it has spent >8s so heavy queries don't triple the
-suite) is also written to BENCH_FULL.json next to this file.
+early once it has spent >8s AND completed two reps, so heavy
+queries don't triple the suite) is also written to BENCH_FULL.json
+next to this file.
+
+Per-query estimate = MIN over reps (the `timeit` discipline: the
+minimum is the query's intrinsic cost; anything above it measures
+interference, not the plan). The suite runs 173 queries through one
+shared session in sorted order, so a query's FIRST rep can absorb
+one-time session effects that have nothing to do with it — measured
+concretely: the first Arrow stage after the long JVM-only stretch
+pays several seconds of python-worker/daemon re-warm that lands on
+whichever mapInPandas query sorts first (q_multimodal_adpcm_features
+recorded 15.1 s cold vs 1.2 s steady-state — a 12x misattribution).
+The second rep is therefore guaranteed (the 8 s budget only stops
+the loop after two reps), and the min is reported; the cold rep
+stays visible in the spread.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -47,7 +60,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
-    medians: dict[str, float] = {}
+    best: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     failed: list[str] = []
     # warm the JVM/session on the smallest query first (not timed)
@@ -115,7 +128,7 @@ def main() -> None:
                 flaked = True
                 break
             times.append(time.perf_counter() - t0)
-            if sum(times) > PER_QUERY_BUDGET_S:
+            if len(times) >= 2 and sum(times) > PER_QUERY_BUDGET_S:
                 break
         if flaked:
             # a later-rep failure must surface in the JSON, not just
@@ -123,11 +136,11 @@ def main() -> None:
             # contribute its successful reps to the summed `value`
             # (a flaky query would otherwise be double-reported)
             failed.append(name)
-            medians[name] = -1.0
+            best[name] = -1.0
         elif not times:
-            medians[name] = -1.0
+            best[name] = -1.0
         else:
-            medians[name] = round(statistics.median(times), 3)
+            best[name] = round(min(times), 3)
             spreads[name] = [round(min(times), 3), round(max(times), 3)]
     wall = round(time.perf_counter() - t_all, 3)
 
@@ -157,13 +170,13 @@ def main() -> None:
 
     sf_s = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_s) if sf_s.replace(".", "").isdigit() else sf_s
-    total = round(sum(t for t in medians.values() if t >= 0), 3)
+    total = round(sum(t for t in best.values() if t >= 0), 3)
 
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": medians,
+        "queries": best,
         "spread": spreads,
         "failed": failed,
         "reps": reps,
@@ -184,7 +197,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "n_queries": len(medians),
+                "n_queries": len(best),
                 "n_failed": len(failed),
                 "reps": reps,
                 "wall_seconds": wall,
