@@ -221,6 +221,101 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared replay of the detect_lang argmax, reused by the evaluation pair
+_LANGID_PAIRS_CTE = f"""
+scores AS (
+  SELECT doc_id, lang AS lang_labeled,
+    {", ".join(f"{_lang_hits_sql(lang)} AS {lang}_hits" for lang in T.LANG_MARKERS)}
+  FROM documents
+),
+best AS (
+  SELECT *, greatest({", ".join(f"{lang}_hits" for lang in T.LANG_MARKERS)}) AS best
+  FROM scores
+),
+pairs AS (
+  SELECT lang_labeled,
+         CASE WHEN best < 1 THEN 'und' {_LANG_CASE} END AS lang_detected
+  FROM best
+)
+"""
+
+_LANGID_CONFUSION_ORACLE = f"""
+WITH {_LANGID_PAIRS_CTE}
+SELECT lang_labeled AS label, lang_detected AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("q_text_langid_confusion", oracle=_LANGID_CONFUSION_ORACLE)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (labeled lang x detected lang) —
+    the evaluation an operator reads before trusting the in-engine
+    classifier to route a corpus. One groupBy shuffle on class keys;
+    the matrix is #langs^2-bounded however large the corpus."""
+    from corrie_spark.operators import evaluation as EV
+
+    docs = load(spark, sf_dir, "documents")
+    return EV.confusion_matrix(
+        docs.select(
+            F.col("lang").alias("lang_labeled"),
+            T.detect_lang("text").alias("lang_detected"),
+        ),
+        "lang_labeled",
+        "lang_detected",
+    )
+
+
+_LANGID_REPORT_ORACLE = f"""
+WITH {_LANGID_PAIRS_CTE},
+cm AS (
+  SELECT lang_labeled, lang_detected, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+),
+lab AS (SELECT lang_labeled AS clazz, SUM(n) AS n_labeled FROM cm GROUP BY 1),
+prd AS (SELECT lang_detected AS clazz, SUM(n) AS n_pred FROM cm GROUP BY 1),
+tp AS (
+  SELECT lang_labeled AS clazz, n AS tp FROM cm
+  WHERE lang_labeled = lang_detected
+)
+SELECT COALESCE(l.clazz, p.clazz) AS clazz,
+  CAST(COALESCE(l.n_labeled, 0) AS BIGINT) AS n_labeled,
+  CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+  CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+  CASE WHEN COALESCE(p.n_pred, 0) > 0
+       THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / p.n_pred END AS precision,
+  CASE WHEN COALESCE(l.n_labeled, 0) > 0
+       THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / l.n_labeled END AS recall,
+  CASE WHEN COALESCE(l.n_labeled, 0) + COALESCE(p.n_pred, 0) > 0
+       THEN CAST(2 * COALESCE(t.tp, 0) AS DOUBLE)
+            / (COALESCE(l.n_labeled, 0) + COALESCE(p.n_pred, 0)) END AS f1
+FROM lab l
+FULL OUTER JOIN prd p ON l.clazz = p.clazz
+LEFT JOIN tp t ON COALESCE(l.clazz, p.clazz) = t.clazz
+"""
+
+
+@register("q_text_langid_report", oracle=_LANGID_REPORT_ORACLE)
+def q_text_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 for the language-ID classifier —
+    the full classification report, derived ENTIRELY from the
+    confusion matrix so the corpus shuffles once and the report joins
+    touch only #langs-sized frames. Exactness: counts are exact
+    BIGINTs, each ratio is one IEEE division of two ints (F1 as
+    2tp/(n_pred+n_labeled), never nested P/R rounding); classes the
+    detector never predicts get NULL precision, not a fake zero."""
+    from corrie_spark.operators import evaluation as EV
+
+    docs = load(spark, sf_dir, "documents")
+    return EV.classification_report(
+        docs.select(
+            F.col("lang").alias("lang_labeled"),
+            T.detect_lang("text").alias("lang_detected"),
+        ),
+        "lang_labeled",
+        "lang_detected",
+    )
+
+
 _SHINGLE_TOPK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
