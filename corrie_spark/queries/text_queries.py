@@ -239,6 +239,37 @@ pairs AS (
 )
 """
 
+def _report_sql(pairs_cte: str, label: str, pred: str) -> str:
+    """Classification-report SQL tail over a `pairs` CTE — the DuckDB
+    twin of operators/evaluation.classification_report (confusion
+    matrix -> per-class totals/diagonal -> P/R/F1 as single exact-int
+    divisions). Shared by the langid and quality-classifier report
+    oracles."""
+    return f"""
+WITH {pairs_cte},
+cm AS (
+  SELECT {label} AS label, {pred} AS pred, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+),
+lab AS (SELECT label AS clazz, SUM(n) AS n_labeled FROM cm GROUP BY 1),
+prd AS (SELECT pred AS clazz, SUM(n) AS n_pred FROM cm GROUP BY 1),
+tp AS (SELECT label AS clazz, n AS tp FROM cm WHERE label = pred)
+SELECT COALESCE(l.clazz, p.clazz) AS clazz,
+  CAST(COALESCE(l.n_labeled, 0) AS BIGINT) AS n_labeled,
+  CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+  CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+  CASE WHEN COALESCE(p.n_pred, 0) > 0
+       THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / p.n_pred END AS precision,
+  CASE WHEN COALESCE(l.n_labeled, 0) > 0
+       THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / l.n_labeled END AS recall,
+  CASE WHEN COALESCE(l.n_labeled, 0) + COALESCE(p.n_pred, 0) > 0
+       THEN CAST(2 * COALESCE(t.tp, 0) AS DOUBLE)
+            / (COALESCE(l.n_labeled, 0) + COALESCE(p.n_pred, 0)) END AS f1
+FROM lab l
+FULL OUTER JOIN prd p ON l.clazz = p.clazz
+LEFT JOIN tp t ON COALESCE(l.clazz, p.clazz) = t.clazz
+"""
+
+
 _LANGID_CONFUSION_ORACLE = f"""
 WITH {_LANGID_PAIRS_CTE}
 SELECT lang_labeled AS label, lang_detected AS pred,
@@ -266,32 +297,9 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANGID_REPORT_ORACLE = f"""
-WITH {_LANGID_PAIRS_CTE},
-cm AS (
-  SELECT lang_labeled, lang_detected, COUNT(*) AS n FROM pairs GROUP BY 1, 2
-),
-lab AS (SELECT lang_labeled AS clazz, SUM(n) AS n_labeled FROM cm GROUP BY 1),
-prd AS (SELECT lang_detected AS clazz, SUM(n) AS n_pred FROM cm GROUP BY 1),
-tp AS (
-  SELECT lang_labeled AS clazz, n AS tp FROM cm
-  WHERE lang_labeled = lang_detected
+_LANGID_REPORT_ORACLE = _report_sql(
+    _LANGID_PAIRS_CTE, "lang_labeled", "lang_detected"
 )
-SELECT COALESCE(l.clazz, p.clazz) AS clazz,
-  CAST(COALESCE(l.n_labeled, 0) AS BIGINT) AS n_labeled,
-  CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
-  CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
-  CASE WHEN COALESCE(p.n_pred, 0) > 0
-       THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / p.n_pred END AS precision,
-  CASE WHEN COALESCE(l.n_labeled, 0) > 0
-       THEN CAST(COALESCE(t.tp, 0) AS DOUBLE) / l.n_labeled END AS recall,
-  CASE WHEN COALESCE(l.n_labeled, 0) + COALESCE(p.n_pred, 0) > 0
-       THEN CAST(2 * COALESCE(t.tp, 0) AS DOUBLE)
-            / (COALESCE(l.n_labeled, 0) + COALESCE(p.n_pred, 0)) END AS f1
-FROM lab l
-FULL OUTER JOIN prd p ON l.clazz = p.clazz
-LEFT JOIN tp t ON COALESCE(l.clazz, p.clazz) = t.clazz
-"""
 
 
 @register("q_text_langid_report", oracle=_LANGID_REPORT_ORACLE)
@@ -2370,15 +2378,17 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
 FROM (SELECT {_LSC_LABEL} AS y, {_NTOK} AS x1, {_NSTOP} AS x2 FROM documents)
 """
 
-_LSC_ORACLE = f"""
-WITH sums AS ({_LSC_SUMS}),
+_LSC_FIT_CTE = f"""sums AS ({_LSC_SUMS}),
 fit AS (
   SELECT n,
          CAST({_det3(_ols_repl(0))} AS DOUBLE) / CAST({_det3(_OLS_A)} AS DOUBLE) AS beta0,
          CAST({_det3(_ols_repl(1))} AS DOUBLE) / CAST({_det3(_OLS_A)} AS DOUBLE) AS beta1,
          CAST({_det3(_ols_repl(2))} AS DOUBLE) / CAST({_det3(_OLS_A)} AS DOUBLE) AS beta2
   FROM sums
-),
+)"""
+
+_LSC_ORACLE = f"""
+WITH {_LSC_FIT_CTE},
 scored AS (
   SELECT f.beta0, f.beta1, f.beta2, f.n,
          CASE WHEN ({_LSC_LABEL}) * (f.beta0 + f.beta1 * ({_NTOK}) + f.beta2 * ({_NSTOP})) > 0
@@ -2393,23 +2403,12 @@ FROM scored
 """
 
 
-@register("q_text_ls_classifier", oracle=_LSC_ORACLE)
-def q_text_ls_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Least-squares quality classifier trained IN-ENGINE: distill the
-    rule-based corpus filter into a linear scorer sign(b0 + b1*n_tok +
-    b2*n_stop) by regressing the ±1 rule label on the raw counts (the
-    classic bootstrap for a learned quality classifier: heuristic
-    labels, cheap features — the model must rediscover the filter's
-    engineered stop-ratio from raw counts, and does: train accuracy
-    beats the majority-class baseline, pinned by test).
-
-    Training is the exact-OLS machinery (q_ols_doc_length): ONE 9-long
-    partial aggregation of integer power sums, big-int Cramer solve on
-    the driver, coefficients emitted by the identical HUGEINT->DOUBLE
-    cast sequence as the oracle. Scoring is a second one-pass agg with
-    the fitted doubles folded in as literals (shortest-roundtrip repr
-    parses back to the identical IEEE double in both engines), so the
-    reported accuracy is bit-exact too."""
+def _lsc_fit(spark: SparkSession, sf_dir: str):
+    """Shared trainer for the distilled quality classifier: the
+    (y, x1, x2) feature frame and the exact-OLS fit (integer power
+    sums -> big-int Cramer solve -> IEEE doubles). Serves
+    q_text_ls_classifier (accuracy dashboard) and
+    q_text_quality_report (per-class P/R/F1)."""
     from corrie_spark.functions import bind
 
     docs = load(spark, sf_dir, "documents")
@@ -2456,6 +2455,27 @@ def q_text_ls_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(_det3([[s[v] for v in row] for row in _ols_repl(i)])) / float(det)
         for i in range(3)
     ]
+    return f, betas
+
+
+@register("q_text_ls_classifier", oracle=_LSC_ORACLE)
+def q_text_ls_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares quality classifier trained IN-ENGINE: distill the
+    rule-based corpus filter into a linear scorer sign(b0 + b1*n_tok +
+    b2*n_stop) by regressing the ±1 rule label on the raw counts (the
+    classic bootstrap for a learned quality classifier: heuristic
+    labels, cheap features — the model must rediscover the filter's
+    engineered stop-ratio from raw counts, and does: train accuracy
+    beats the majority-class baseline, pinned by test).
+
+    Training is the exact-OLS machinery (q_ols_doc_length): ONE 9-long
+    partial aggregation of integer power sums, big-int Cramer solve on
+    the driver, coefficients emitted by the identical HUGEINT->DOUBLE
+    cast sequence as the oracle. Scoring is a second one-pass agg with
+    the fitted doubles folded in as literals (shortest-roundtrip repr
+    parses back to the identical IEEE double in both engines), so the
+    reported accuracy is bit-exact too."""
+    f, betas = _lsc_fit(spark, sf_dir)
     score = f"(y * ({betas[0]!r}D + {betas[1]!r}D * x1 + {betas[2]!r}D * x2)) > 0"
     return f.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -2468,3 +2488,38 @@ def q_text_ls_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("accuracy"),
     )
+
+
+_QR_PAIRS_CTE = f"""{_LSC_FIT_CTE},
+pairs AS (
+  SELECT CASE WHEN ({_LSC_LABEL}) = 1 THEN 'keep' ELSE 'drop' END AS label_cls,
+         CASE WHEN (f.beta0 + f.beta1 * ({_NTOK}) + f.beta2 * ({_NSTOP})) > 0
+              THEN 'keep' ELSE 'drop' END AS pred_cls
+  FROM documents CROSS JOIN fit f
+)"""
+
+_QUALITY_REPORT_ORACLE = _report_sql(_QR_PAIRS_CTE, "label_cls", "pred_cls")
+
+
+@register("q_text_quality_report", oracle=_QUALITY_REPORT_ORACLE)
+def q_text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class P/R/F1 for the DISTILLED quality classifier — the
+    evaluation the accuracy dashboard (q_text_ls_classifier) can't
+    give: accuracy hides that a 90/10 keep/drop corpus rewards
+    predicting 'keep' always; the report shows the drop-class recall
+    the filter actually needs. Composes the two in-engine layers —
+    the exact-OLS trainer (shared _lsc_fit, replayed by the oracle's
+    Cramer CTE) and the classification-report operator — in one
+    statement; the oracle replays BOTH through one SQL program.
+    Scale: training is the one 9-long power-sum agg, scoring+matrix
+    is one groupBy with the fitted doubles folded in as literals,
+    report joins are 2-class-sized."""
+    from corrie_spark.operators import evaluation as EV
+
+    f, betas = _lsc_fit(spark, sf_dir)
+    keep = f"({betas[0]!r}D + {betas[1]!r}D * x1 + {betas[2]!r}D * x2) > 0"
+    pairs = f.select(
+        F.when(F.col("y") == 1, "keep").otherwise("drop").alias("label_cls"),
+        F.when(F.expr(keep), "keep").otherwise("drop").alias("pred_cls"),
+    )
+    return EV.classification_report(pairs, "label_cls", "pred_cls")
