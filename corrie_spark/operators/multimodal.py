@@ -1848,3 +1848,83 @@ def image_dhash_resampled(
     return df.select("media_id", "media_type", "payload").mapInPandas(
         run, IMAGE_DHASH_RS_DDL
     )
+
+
+IMAGE_EMB_DDL = (
+    "media_id bigint, emb array<bigint>, width bigint, height bigint, ok boolean"
+)
+
+
+def image_embedding(
+    df: DataFrame, grid_w: int = 8, grid_h: int = 8
+) -> DataFrame:
+    """Visual FEATURE EXTRACTION: nearest-neighbor resample each
+    decoded image to a fixed grid_w x grid_h grayscale grid and emit
+    the grid VALUES as an exact-integer embedding (array<bigint>,
+    grid_w*grid_h dims) — the deterministic stand-in for a learned
+    visual encoder that makes the whole semantic-similarity stack
+    (brute-force cosine, IVF, PQ, SemDeDup) applicable to IMAGES:
+    decode -> embed here, then every downstream consumer is the
+    existing exact-int vector machinery unchanged.
+
+    Same sampling arithmetic as image_dhash_resampled (source index
+    (x * width) // grid_w; RGB collapses to integer-mean gray), so
+    DuckDB replays decode -> grid -> dot products in closed form.
+    Scale: shuffle-free Arrow map stage; 8 bytes/dim out per image,
+    payloads never leave the stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs0 = np.arange(grid_w, dtype=np.int64)
+        ys0 = np.arange(grid_h, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                row = {
+                    "media_id": mid,
+                    "emb": None,
+                    "width": None,
+                    "height": None,
+                    "ok": False,
+                }
+                try:
+                    d = decode_payload(mtype, bytes(payload))
+                    if d["kind"] == "image":
+                        w, h = int(d["width"]), int(d["height"])
+                        px = np.frombuffer(d["data"], dtype=np.uint8).astype(
+                            np.int64
+                        )
+                        if px.size == 3 * w * h:  # RGB -> integer-mean gray
+                            px = px.reshape(h * w, 3).sum(axis=1) // 3
+                        if px.size != w * h or w < 1 or h < 1:
+                            raise ValueError("pixel buffer does not match dims")
+                        g = px.reshape(h, w)[(ys0 * h) // grid_h][
+                            :, (xs0 * w) // grid_w
+                        ]
+                        row.update(
+                            emb=[int(v) for v in g.ravel()],
+                            width=w,
+                            height=h,
+                            ok=True,
+                        )
+                except (ValueError, NotImplementedError, struct.error):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(
+                        [r["media_id"] for r in out], dtype="Int64"
+                    ),
+                    "emb": [r["emb"] for r in out],
+                    "width": pd.array([r["width"] for r in out], dtype="Int64"),
+                    "height": pd.array(
+                        [r["height"] for r in out], dtype="Int64"
+                    ),
+                    "ok": [r["ok"] for r in out],
+                }
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        run, IMAGE_EMB_DDL
+    )

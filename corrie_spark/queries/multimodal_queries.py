@@ -1099,6 +1099,52 @@ _RS_W = "(4 + doc_id % 6)"
 _RS_H = "(3 + doc_id % 5)"
 
 
+def _rs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 3-container image corpus (8-bpp BMP / P6 PPM / filtered
+    greyscale PNG routed by doc_id % 3, per-doc varying dimensions,
+    the p(i) = (doc_id*7 + i) % 256 pixel stream) — consumed by the
+    resampled dHash AND the image-embedding similarity queries, whose
+    oracles replay it via the same _rs_gray closed form."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 6, 3 + did % 5
+                if did % 3 == 0:
+                    rows = [
+                        bytes((did * 7 + (r * w + c)) % 256 for c in range(w))
+                        for r in range(h)
+                    ]
+                    out.append(
+                        {"media_id": did, "media_type": "image/bmp",
+                         "payload": M.encode_bmp(w, h, rows)}
+                    )
+                elif did % 3 == 1:
+                    px = bytes((did * 7 + i) % 256 for i in range(w * h * 3))
+                    out.append(
+                        {"media_id": did,
+                         "media_type": "image/x-portable-pixmap",
+                         "payload": M.encode_ppm(w, h, px)}
+                    )
+                else:
+                    px = bytes((did * 7 + i) % 256 for i in range(w * h))
+                    filts = [(did + r) % 5 for r in range(h)]
+                    out.append(
+                        {"media_id": did, "media_type": "image/png",
+                         "payload": M.encode_png(
+                             w, h, px, color_type=0, filters=filts
+                         )}
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    return docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+
+
 def _rs_gray(k: str) -> str:
     """Closed-form grayscale value at flat pixel index `k`: doc_id%3
     routes the container — 0: 8-bpp BMP, 2: 8-bit greyscale PNG
@@ -1151,46 +1197,102 @@ def q_multimodal_dhash_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-doc varying dimensions so the resample is doing real
     work. The oracle replays header->pixels->grid->bits in closed
     form."""
-    import pandas as pd
-
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-
-    def build(batches):
-        for pdf in batches:
-            out = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h = 4 + did % 6, 3 + did % 5
-                if did % 3 == 0:
-                    rows = [
-                        bytes((did * 7 + (r * w + c)) % 256 for c in range(w))
-                        for r in range(h)
-                    ]
-                    out.append(
-                        {"media_id": did, "media_type": "image/bmp",
-                         "payload": M.encode_bmp(w, h, rows)}
-                    )
-                elif did % 3 == 1:
-                    px = bytes((did * 7 + i) % 256 for i in range(w * h * 3))
-                    out.append(
-                        {"media_id": did,
-                         "media_type": "image/x-portable-pixmap",
-                         "payload": M.encode_ppm(w, h, px)}
-                    )
-                else:
-                    px = bytes((did * 7 + i) % 256 for i in range(w * h))
-                    filts = [(did + r) % 5 for r in range(h)]
-                    out.append(
-                        {"media_id": did, "media_type": "image/png",
-                         "payload": M.encode_png(
-                             w, h, px, color_type=0, filters=filts
-                         )}
-                    )
-            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
-
-    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    media = _rs_media(spark, sf_dir)
     return M.image_dhash_resampled(media).select(
         "media_id", "dhash", "width", "height", "ok"
+    )
+
+
+# --- image SEMANTIC similarity: codecs -> embedding -> exact top-k ---------
+
+# embedding component t (8x8 grid): source pixel index for grid cell
+# (t//8, t%8) under the nearest-neighbor resample
+_SEM_KT = f"((((t // 8) * {_RS_H}) // 8) * {_RS_W} + ((t % 8) * {_RS_W}) // 8)"
+
+_SEM_ORACLE = f"""
+WITH emb AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), t -> CAST({_rs_gray(_SEM_KT)} AS BIGINT)) AS e
+  FROM documents
+),
+s AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
+              AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i]))
+              AS BIGINT) AS qn,
+         CAST(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i]))
+              AS BIGINT) AS cn
+  FROM (SELECT * FROM emb WHERE doc_id % 397 = 0) q CROSS JOIN emb c
+  WHERE c.doc_id <> q.doc_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, rnk, dot,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+         AS cosine
+FROM r WHERE rnk <= 5
+"""
+
+
+@register("q_multimodal_semantic_topk", oracle=_SEM_ORACLE)
+def q_multimodal_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image SEMANTIC similarity end to end: the real container codecs
+    (shared 3-container corpus) -> visual feature extraction
+    (image_embedding: 8x8 resample grid as an exact-int 64-dim
+    vector, the deterministic stand-in for a learned encoder) -> the
+    EXISTING exact-integer similarity machinery (int_dot + bounded
+    partial top-k + IEEE cosine) — the CLIP-style image-dedup/search
+    shape with every stage oracle-replayed in one SQL program: decode
+    -> grid -> dot -> rank. Every ~397th image queries the corpus for
+    its 5 nearest visual neighbors. Scale: payloads die in the Arrow
+    stage (8 B/dim out), the query set is broadcast, top-k is the
+    partial-agg operator (no global sort); the embedding frame is
+    localCheckpointed so queries and corpus read one materialization."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators import similarity as S
+
+    # norms are per-VECTOR, not per-pair: compute them once in the
+    # checkpointed embedding frame so the pair stage pays exactly one
+    # 64-dim dot per candidate (the HOF aggregate runs interpreted —
+    # per-pair norm recomputation tripled the stage cost, measured)
+    emb = (
+        M.image_embedding(_rs_media(spark, sf_dir))
+        .filter("ok")
+        .select("media_id", "emb", S.int_norm_sq(F.col("emb")).alias("nsq"))
+        .localCheckpoint(eager=True)
+    )
+    q = emb.filter(F.col("media_id") % 397 == 0).select(
+        F.col("media_id").alias("query_id"),
+        F.col("emb").alias("qv"),
+        F.col("nsq").alias("qn"),
+    )
+    c = emb.select(
+        F.col("media_id").alias("neighbor_id"),
+        F.col("emb").alias("cv"),
+        F.col("nsq").alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            S.int_dot(F.col("qv"), F.col("cv")).alias("dot"),
+            "qn",
+            "cn",
+        )
+    )
+    return S.grouped_topk(scored, 5, carry=("qn", "cn")).select(
+        "query_id",
+        "neighbor_id",
+        "rnk",
+        "dot",
+        S.cosine_from_int(F.col("dot"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
 
 
