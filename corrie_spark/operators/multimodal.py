@@ -643,8 +643,17 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes
     size_bits = max(2, (n_colors - 1).bit_length())
     pal = palette + b"\x00" * (3 * ((1 << size_bits) - n_colors))
     mcs = size_bits  # LZW minimum code size
-    clear, end = 1 << mcs, (1 << mcs) + 1
+    blocks = _gif_lzw_encode(indices, mcs)
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | ((size_bits - 1) << 4) | (size_bits - 1), 0, 0)
+    imgdesc = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    return b"GIF89a" + lsd + pal + imgdesc + bytes([mcs]) + blocks + b";"
 
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Variable-width LZW compress + LSB bit-pack + 255-byte
+    sub-blocking (incl. terminator) — shared by the still and
+    animation encoders."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
     out_bits: list[tuple[int, int]] = []  # (code, width)
     width_now = mcs + 1
     table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
@@ -684,14 +693,66 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes
             nacc -= 8
     if nacc:
         data.append(acc & 0xFF)
-    blocks = b"".join(
+    return b"".join(
         bytes([min(255, len(data) - i)]) + bytes(data[i : i + 255])
         for i in range(0, len(data), 255)
     ) + b"\x00"
 
-    lsd = struct.pack("<HHBBB", width, height, 0x80 | ((size_bits - 1) << 4) | (size_bits - 1), 0, 0)
-    imgdesc = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
-    return b"GIF89a" + lsd + pal + imgdesc + bytes([mcs]) + blocks + b";"
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytearray:
+    """Variable-width LZW decompress (clear/end codes, dict growth
+    with width bumps, the K=K-K special case, 4096-entry reset) —
+    shared by the still decoder and the animation compositor."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width_now = mcs + 1
+    acc = nacc = di = 0
+    prev: bytes | None = None
+    out = bytearray()
+
+    def next_code():
+        nonlocal acc, nacc, di
+        while nacc < width_now:
+            if di >= len(data):
+                return None
+            acc |= data[di] << nacc
+            di += 1
+            nacc += 8
+        c = acc & ((1 << width_now) - 1)
+        acc >>= width_now
+        nacc -= width_now
+        return c
+
+    while True:
+        c = next_code()
+        if c is None or c == end:
+            break
+        if c == clear:
+            table = table[: (1 << mcs) + 2]
+            width_now = mcs + 1
+            prev = None
+            continue
+        if prev is None:
+            if c >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[c]
+        elif c < len(table):
+            entry = table[c]
+            table.append(prev + entry[:1])
+        elif c == len(table):  # the K-K-K case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        # width bump one entry EARLY: the encoder adds its entry
+        # before this decoder does (it is always one code ahead),
+        # so when the local table reaches 2^w - 1 the encoder's
+        # next emission is already w+1 bits wide
+        if len(table) == (1 << width_now) - 1 and width_now < 12:
+            width_now += 1
+        prev = entry
+    return out
 
 
 def _decode_gif(payload: bytes) -> dict:
@@ -743,55 +804,7 @@ def _decode_gif(payload: bytes) -> dict:
             pos += 1 + ln
         pos += 1
 
-        clear, end = 1 << mcs, (1 << mcs) + 1
-        table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
-        width_now = mcs + 1
-        acc = nacc = di = 0
-        prev: bytes | None = None
-        out = bytearray()
-
-        def next_code():
-            nonlocal acc, nacc, di
-            while nacc < width_now:
-                if di >= len(data):
-                    return None
-                acc |= data[di] << nacc
-                di += 1
-                nacc += 8
-            c = acc & ((1 << width_now) - 1)
-            acc >>= width_now
-            nacc -= width_now
-            return c
-
-        while True:
-            c = next_code()
-            if c is None or c == end:
-                break
-            if c == clear:
-                table = table[: (1 << mcs) + 2]
-                width_now = mcs + 1
-                prev = None
-                continue
-            if prev is None:
-                if c >= len(table):
-                    raise ValueError("bad first LZW code")
-                entry = table[c]
-            elif c < len(table):
-                entry = table[c]
-                table.append(prev + entry[:1])
-            elif c == len(table):  # the K-K-K case
-                entry = prev + prev[:1]
-                table.append(entry)
-            else:
-                raise ValueError("LZW code out of range")
-            out += entry
-            # width bump one entry EARLY: the encoder adds its entry
-            # before this decoder does (it is always one code ahead),
-            # so when the local table reaches 2^w - 1 the encoder's
-            # next emission is already w+1 bits wide
-            if len(table) == (1 << width_now) - 1 and width_now < 12:
-                width_now += 1
-            prev = entry
+        out = _gif_lzw_decode(bytes(data), mcs)
         if len(out) < w * h:
             raise ValueError("truncated GIF pixel data")
         idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
@@ -813,6 +826,183 @@ def _decode_gif(payload: bytes) -> dict:
             "data": npal[idx].ravel().tobytes(),
         }
     raise ValueError("GIF has no image block")
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list[tuple],
+    palette: bytes,
+    bg_index: int = 0,
+    delay_cs: int = 10,
+) -> bytes:
+    """REAL encoder: multi-frame GIF89a animation. Each frame is
+    (left, top, w, h, indices, disposal, transparent_idx_or_None); a
+    Graphic Control Extension precedes every image block carrying the
+    disposal method (1 keep, 2 restore-background, 3 restore-previous),
+    the frame delay and the transparency index — the full inter-frame
+    state machine of the public spec."""
+    n_colors = len(palette) // 3
+    if len(palette) % 3 or not 2 <= n_colors <= 256:
+        raise ValueError("palette must be 2..256 RGB triples")
+    size_bits = max(2, (n_colors - 1).bit_length())
+    pal = palette + b"\x00" * (3 * ((1 << size_bits) - n_colors))
+    mcs = size_bits
+    lsd = struct.pack(
+        "<HHBBB", width, height,
+        0x80 | ((size_bits - 1) << 4) | (size_bits - 1), bg_index, 0,
+    )
+    body = bytearray()
+    for left, top, w, h, indices, disposal, tidx in frames:
+        if len(indices) != w * h:
+            raise ValueError("frame index buffer does not match dims")
+        packed = (disposal & 7) << 2 | (1 if tidx is not None else 0)
+        body += b"\x21\xf9\x04" + bytes([packed]) + struct.pack(
+            "<H", delay_cs
+        ) + bytes([tidx or 0, 0])
+        body += b"," + struct.pack("<HHHHB", left, top, w, h, 0)
+        body += bytes([mcs]) + _gif_lzw_encode(indices, mcs)
+    return b"GIF89a" + lsd + pal + bytes(body) + b";"
+
+
+def _gif_image_count(payload: bytes) -> int:
+    """Count image blocks by walking the block structure (sub-block
+    lengths let the LZW data be skipped without decoding) — routes
+    image/gif payloads between the still decoder and the animation
+    compositor."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    packed = payload[10]
+    pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+    n = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image: descriptor + local palette + lzw
+            n += 1
+            ipacked = payload[pos + 9]
+            pos += 10 + (3 * (2 << (ipacked & 7)) if ipacked & 0x80 else 0)
+            pos += 1  # min code size
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    return n
+
+
+def _decode_gif_animation(payload: bytes) -> dict:
+    """REAL codec: animated GIF89a — a true INTER-FRAME video decode
+    with stdlib only: every frame is a rect DELTA composited onto the
+    logical-screen canvas under the GCE state machine (transparency
+    holes keep the underlying canvas; disposal 1 keeps the composite,
+    2 restores the frame rect to the background color, 3 restores the
+    pre-frame canvas). Emits FULL canvas snapshots (RGB, top-down) in
+    the fake/AVI/MP4 video shape so frame_stats / video_fingerprint /
+    the dedup screens consume animations unchanged. fps recovers from
+    the GCE delay (centiseconds)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    bg_rgb = (
+        np.frombuffer(gct[3 * bg : 3 * bg + 3], dtype=np.uint8)
+        if gct is not None and 3 * bg + 3 <= len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    disposal, tidx, delay = 0, None, None
+    frames: list[bytes] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # GCE
+                gpacked = payload[pos + 1]
+                disposal = (gpacked >> 2) & 7
+                (d,) = struct.unpack_from("<H", payload, pos + 2)
+                delay = d if delay is None else delay
+                tidx = payload[pos + 4] if gpacked & 1 else None
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        out = _gif_lzw_decode(bytes(data), mcs)
+        if len(out) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+        if ipacked & 0x40:  # interlace de-pass
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            rows = np.empty((h, w), dtype=np.uint8)
+            rows[order] = idx.reshape(h, w)
+            idx = rows.ravel()
+        npal = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= npal.shape[0]:
+            raise ValueError("GIF palette index out of range")
+        if top + h > sh or left + w > sw:
+            raise ValueError("GIF frame rect exceeds logical screen")
+        before = canvas.copy() if disposal == 3 else None
+        rect = npal[idx].reshape(h, w, 3)
+        target = canvas[top : top + h, left : left + w]
+        if tidx is not None:
+            mask = (idx.reshape(h, w) != tidx)[:, :, None]
+            target[...] = np.where(mask, rect, target)
+        else:
+            target[...] = rect
+        frames.append(canvas.tobytes())
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal, tidx = 0, None
+    if not frames:
+        raise ValueError("GIF has no image block")
+    return {
+        "kind": "video",
+        "n_frames": len(frames),
+        "frame_size": sw * sh * 3,
+        "width": sw,
+        "height": sh,
+        "channels": 3,
+        "fps": (100 // delay) if delay else None,
+        "data": b"".join(frames),
+    }
 
 
 def _decode_wav(payload: bytes) -> dict:
@@ -1254,6 +1444,10 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
         return _decode_ppm(payload)
     if media_type == "image/gif":
+        # animations (>1 image block) are inter-frame VIDEO: composite
+        # under the GCE state machine; stills keep the image shape
+        if _gif_image_count(payload) > 1:
+            return _decode_gif_animation(payload)
         return _decode_gif(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _decode_wav(payload)

@@ -798,6 +798,80 @@ def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_stats(media, every_k=2)
 
 
+# --- animated GIF (inter-frame compositing) through the oracle gate --------
+
+_GA_G0 = "((doc_id * 13 + 7) % 256)"  # background gray (palette entry 0)
+
+
+def _ga_v(j: str) -> str:
+    """Gray of the rect painted by frame j (palette entry j+1)."""
+    return f"((doc_id * 17 + ({j}) * 29 + 11) % 256)"
+
+
+_GIFA_ORACLE = f"""
+SELECT doc_id AS media_id, f.f AS frame_idx,
+  CAST(162 AS BIGINT) AS frame_bytes,
+  CAST(3 * (9 * list_sum(list_transform(range(0, f.f + 1), j -> {_ga_v('j')}))
+       + (54 - 9 * (f.f + 1)) * {_GA_G0}) AS DOUBLE) / 162 AS mean_val,
+  CAST(least({_GA_G0},
+       list_min(list_transform(range(0, f.f + 1), j -> {_ga_v('j')})))
+       AS BIGINT) AS min_val,
+  CAST(greatest({_GA_G0},
+       list_max(list_transform(range(0, f.f + 1), j -> {_ga_v('j')})))
+       AS BIGINT) AS max_val
+FROM documents, (SELECT CAST(unnest([0, 2]) AS BIGINT) AS f) f
+"""
+
+
+@register("q_multimodal_gif_frames", oracle=_GIFA_ORACLE)
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-FRAME video through the oracle gate: per-doc animated
+    GIF89a clips — each of 4 frames is a 3x3 rect DELTA composited
+    onto the 9x6 canvas by the real GCE state machine (disposal 1:
+    the canvas accumulates), decoded to full canvas snapshots and
+    flowed through the standard frame-sample + per-frame-stats stage
+    (every 2nd frame). The oracle replays the COMPOSITION in closed
+    form: frame k's stats are a function of rect grays 0..k plus the
+    background that earlier frames haven't covered — the first
+    codec in the family whose per-frame output depends on every
+    prior frame. MP4V/H.26x motion compensation remains the
+    documented external seam; GIF's rect-delta + disposal machinery
+    is the inter-frame shape stdlib can close."""
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g0 = (did * 13 + 7) % 256
+                grays = [g0] + [
+                    (did * 17 + f * 29 + 11) % 256 for f in range(4)
+                ]
+                pal = bytes(v for g in grays for v in (g, g, g))
+                frames = [
+                    (3 * (f % 3), 3 * (f // 3), 3, 3, bytes([f + 1] * 9), 1, None)
+                    for f in range(4)
+                ]
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "image/gif",
+                        "payload": M.encode_gif_animation(9, 6, frames, pal),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.frame_stats(media, every_k=2)
+
+
 # --- perceptual video fingerprint ------------------------------------------
 
 _VFP_NF = 8  # frames per clip -> 7 gradient bits (W clamps to n_frames)

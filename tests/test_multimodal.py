@@ -1099,3 +1099,75 @@ def test_mp4_through_video_fingerprint(spark):
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
     out = {r.media_id: r for r in M.video_fingerprint(df, n_windows=6).collect()}
     assert out[1].ok and out[2].ok and out[1].vfp == out[2].vfp
+
+
+# --- animated GIF: inter-frame compositing ----------------------------------
+
+
+def _anim_canvas_frames(payload):
+    import numpy as np
+
+    d = M.decode_payload("image/gif", payload)
+    assert d["kind"] == "video"
+    w, h = d["width"], d["height"]
+    fr = np.frombuffer(d["data"], dtype=np.uint8).reshape(
+        d["n_frames"], h, w, 3
+    )
+    return d, fr
+
+
+def test_gif_animation_composites_deltas():
+    """Disposal 1 (keep): each frame's rect accumulates onto the
+    canvas; untouched area stays background."""
+    import numpy as np
+
+    pal = bytes([10, 10, 10, 200, 200, 200, 90, 90, 90, 0, 0, 0])
+    frames = [
+        (0, 0, 2, 2, bytes([1] * 4), 1, None),
+        (2, 1, 2, 2, bytes([2] * 4), 1, None),
+    ]
+    d, fr = _anim_canvas_frames(M.encode_gif_animation(4, 3, frames, pal))
+    assert d["n_frames"] == 2 and d["fps"] == 10
+    # frame 0: rect0 painted, rest bg
+    assert (fr[0, :2, :2] == 200).all() and (fr[0, 2, :] == 10).all()
+    # frame 1: rect0 still there (disposal 1), rect1 added
+    assert (fr[1, :2, :2] == 200).all() and (fr[1, 1:3, 2:4] == 90).all()
+
+
+def test_gif_animation_disposal_and_transparency():
+    import numpy as np
+
+    pal = bytes([10, 10, 10, 200, 200, 200, 90, 90, 90, 250, 250, 250])
+    frames = [
+        # frame 0 paints a 2x2 rect then RESTORES BACKGROUND (disposal 2)
+        (0, 0, 2, 2, bytes([1] * 4), 2, None),
+        # frame 1 paints elsewhere with disposal 3 (restore previous)
+        (2, 0, 2, 2, bytes([2] * 4), 3, None),
+        # frame 2: transparent holes (index 3) must show the canvas
+        # UNDER them — which disposal 3 reset to the pre-frame-1 state
+        (0, 0, 4, 2, bytes([3, 1, 3, 1] * 2), 1, 3),
+    ]
+    d, fr = _anim_canvas_frames(M.encode_gif_animation(4, 2, frames, pal))
+    assert d["n_frames"] == 3
+    assert (fr[0, :2, :2] == 200).all()          # frame 0 composite
+    assert (fr[1, :2, :2] == 10).all()           # disposal 2 wiped rect0
+    assert (fr[1, :2, 2:4] == 90).all()          # frame 1 paint
+    assert (fr[2, :, 0] == 10).all()             # hole over bg (rect1
+    assert (fr[2, :, 2] == 10).all()             # was disposal-3-reverted)
+    assert (fr[2, :, 1] == 200).all() and (fr[2, :, 3] == 200).all()
+
+
+def test_gif_animation_flows_into_video_stages(spark):
+    """Animations route as video: frame_stats and the arc fingerprint
+    consume them; a single-frame GIF still decodes as an image."""
+    pal = bytes(v for g in (0, 60, 120, 180) for v in (g, g, g))
+    frames = [
+        (0, 0, 4, 4, bytes([f] * 16), 1, None) for f in (1, 3, 0, 2, 1, 3)
+    ]
+    anim = M.encode_gif_animation(4, 4, frames, pal)
+    still = M.encode_gif(4, 4, bytes([2] * 16), pal)
+    assert M.decode_payload("image/gif", still)["kind"] == "image"
+    rows = [(1, "image/gif", anim), (2, "image/gif", still)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
+    out = {r.media_id: r for r in M.video_fingerprint(df, n_windows=6).collect()}
+    assert out[1].ok and out[1].n_frames == 6 and not out[2].ok

@@ -56,6 +56,7 @@ _PYTHON_OK = {
     "q_multimodal_mp4_frames",  # mapInPandas ISO-BMFF build + demux + JPEG decode
     "q_multimodal_cross_container",  # mapInPandas AVI+MP4 twin build + arc hash
     "q_multimodal_semantic_topk",  # mapInPandas codec build + embedding extract
+    "q_multimodal_gif_frames",  # mapInPandas animated-GIF build + composite
     "q_multimodal_audio_fingerprint",  # mapInPandas WAV build + envelope hash
     "q_multimodal_video_fingerprint",  # mapInPandas AVI build + frame-arc hash
 }
