@@ -1171,3 +1171,75 @@ def test_gif_animation_flows_into_video_stages(spark):
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA_DDL)
     out = {r.media_id: r for r in M.video_fingerprint(df, n_windows=6).collect()}
     assert out[1].ok and out[1].n_frames == 6 and not out[2].ok
+
+
+# --- property fuzz: GIF LZW + animation compositing -------------------------
+
+
+def test_gif_animation_matches_numpy_reference_fuzz():
+    """For ANY random animation (rect positions/sizes, palette,
+    disposal in {1,2,3}, optional transparency), decode(encode(...))
+    equals an independent numpy compositor — LZW round-trip and the
+    GCE state machine proven over the whole parameter space, not just
+    hand vectors."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def animation(draw):
+        sw = draw(st.integers(2, 12))
+        sh = draw(st.integers(2, 10))
+        ncol = draw(st.integers(2, 8))
+        pal = bytes(draw(st.integers(0, 255)) for _ in range(3 * ncol))
+        nf = draw(st.integers(1, 5))
+        frames = []
+        for _ in range(nf):
+            w = draw(st.integers(1, sw))
+            h = draw(st.integers(1, sh))
+            left = draw(st.integers(0, sw - w))
+            top = draw(st.integers(0, sh - h))
+            idx = bytes(draw(st.integers(0, ncol - 1)) for _ in range(w * h))
+            disposal = draw(st.integers(1, 3))
+            tidx = draw(st.one_of(st.none(), st.integers(0, ncol - 1)))
+            frames.append((left, top, w, h, idx, disposal, tidx))
+        bg = draw(st.integers(0, ncol - 1))
+        return sw, sh, frames, pal, bg
+
+    @given(animation())
+    @settings(max_examples=60, deadline=None)
+    def check(anim):
+        sw, sh, frames, pal, bg = anim
+        payload = M.encode_gif_animation(sw, sh, frames, pal, bg_index=bg)
+        npal = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        canvas = np.broadcast_to(npal[bg], (sh, sw, 3)).copy()
+        want = []
+        for left, top, w, h, idx, disposal, tidx in frames:
+            before = canvas.copy()
+            rect = npal[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w, 3)
+            tgt = canvas[top : top + h, left : left + w]
+            if tidx is not None:
+                mask = (np.frombuffer(idx, dtype=np.uint8).reshape(h, w) != tidx)[
+                    :, :, None
+                ]
+                tgt[...] = np.where(mask, rect, tgt)
+            else:
+                tgt[...] = rect
+            want.append(canvas.tobytes())
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = npal[bg]
+            elif disposal == 3:
+                canvas = before
+        d = M.decode_payload("image/gif", payload)
+        if len(frames) == 1:
+            # single image block decodes as a STILL of its own rect
+            assert d["kind"] == "image"
+            left, top, w, h, idx, _, _ = frames[0]
+            assert d["data"] == npal[np.frombuffer(idx, dtype=np.uint8)].tobytes()
+        else:
+            assert d["kind"] == "video" and d["n_frames"] == len(frames)
+            fs = d["frame_size"]
+            for k, wb in enumerate(want):
+                assert d["data"][k * fs : (k + 1) * fs] == wb
+
+    check()
