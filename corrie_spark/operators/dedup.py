@@ -539,3 +539,48 @@ def connected_components(
         )
     out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     return (out, rounds) if return_rounds else out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Crawl-over-crawl snapshot diff: classify every document id as
+    added / removed / changed / unchanged by comparing content
+    fingerprints across two snapshots — the QC report an operator
+    reads before promoting a new crawl (did the refresh drop a
+    source? rewrite half the corpus?).
+
+    Scale shape: ONE id-keyed full-outer join (both sides hash-
+    partition on the id; fingerprints are computed map-side before
+    the exchange, so the join carries (id, fp, carry) — never text or
+    payloads). `carry` columns ride through new-side-first
+    (COALESCE(new, old)) so removed rows keep their old metadata."""
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.col(fp_col).alias("_fp_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in carry],
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.col(fp_col).alias("_fp_new"),
+        *[F.col(c).alias(f"_new_{c}") for c in carry],
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_new") != F.col("_fp_old"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        status.alias("status"),
+        *[
+            F.coalesce(F.col(f"_new_{c}"), F.col(f"_old_{c}")).alias(c)
+            for c in carry
+        ],
+    )

@@ -819,6 +819,63 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPDIFF_ORACLE = """
+WITH oldv AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents WHERE doc_id % 13 <> 3
+),
+newv AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0 THEN md5(text || ' v2')
+              ELSE md5(text) END AS fp
+  FROM documents WHERE doc_id % 10 <> 7
+)
+SELECT COALESCE(n.source, o.source) AS source,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN n.fp <> o.fp THEN 'changed' ELSE 'unchanged' END AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(COALESCE(n.doc_id, o.doc_id)) AS min_doc_id
+FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("q_corpus_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl snapshot diff report: per (source, status)
+    counts of added / removed / changed / unchanged documents between
+    two corpus versions, keyed on id and classified by CONTENT
+    fingerprint (md5 of text) — the promotion gate an operator reads
+    before switching a training build to a new crawl (a source that
+    silently vanished or a template change that rewrote half a
+    domain shows up here first). Snapshots are deterministic slices:
+    old drops doc_id % 13 = 3 ('added' later), new drops
+    doc_id % 10 = 7 ('removed') and rewrites doc_id % 11 = 0
+    ('changed'). One id-keyed full-outer join of (id, fp, source)
+    triples; the report is #sources x 4 rows at any corpus scale
+    (operators/dedup.snapshot_diff)."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 3).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+        ).otherwise(F.md5("text")).alias("fp"),
+    )
+    return (
+        D.snapshot_diff(old, new, carry=("source",))
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
 _BLOOM_M = 1 << 14
 _BLOOM_K = 3
 _BLOOM_POS = (
