@@ -58,3 +58,27 @@ def test_containment_matches_python_set_model(spark):
         ga, gb = grams(ta), grams(tb)
         assert r["c"]["cont_a"] == len(ga & gb) / len(ga)
         assert r["c"]["cont_b"] == len(ga & gb) / len(gb)
+
+
+def test_snapshot_diff_statuses_and_carry(spark):
+    """added/removed/changed/unchanged classification and new-first
+    carry coalescing (removed rows keep old metadata)."""
+    from corrie_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")],
+        "doc_id long, fp string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "B", "s9"), (4, "d", "s3")],
+        "doc_id long, fp string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.snapshot_diff(old, new, carry=("source",)).collect()
+    }
+    assert out[1].status == "unchanged" and out[1].source == "s1"
+    assert out[2].status == "changed" and out[2].source == "s9"  # new wins
+    assert out[3].status == "removed" and out[3].source == "s2"  # old kept
+    assert out[4].status == "added" and out[4].source == "s3"
