@@ -18,7 +18,7 @@ deployments.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from corrie_spark.functions import bind
@@ -27,6 +27,12 @@ from corrie_spark.operators.text import fingerprint, normalize_text, tokens
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 8
 DEFAULT_SHINGLE_K = 3
+# Hot-band guard: a (band_idx, band_hash) bucket may hold at most this
+# many DISTINCT-TEXT members before candidate_pairs refuses to emit
+# its quadratic pair set (members still pair via their other bands).
+# 256 distinct texts per 2-slot band hash is ~2^16 pairs per bucket —
+# bounded work per reducer regardless of corpus skew.
+DEFAULT_BAND_CAP = 256
 
 
 def hash60(c: Column, salt: int | str = "") -> Column:
@@ -165,15 +171,44 @@ def candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     sigs: DataFrame | None = None,
+    collapse_exact: bool = True,
+    band_cap: int | None = DEFAULT_BAND_CAP,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b) with estimated
     Jaccard = fraction of matching signature slots.
 
-    Scale shape: explode to (band_idx, band_hash, id, sig) — the join
-    key (band_idx, band_hash) shuffles both sides identically, so the
-    pair join is co-partitioned; a hot bucket (all-identical docs) is
-    handled by AQE skew splitting. Signature travels with the row to
-    avoid a second join back to the corpus.
+    Scale shape — two guards keep a hot band bucket from going
+    quadratic (at crawl scale templated/boilerplate pages make hot
+    bands the NORM, not the exception):
+
+    1. exact-collapse-first (`collapse_exact`): group by the raw
+       md5(text) content fingerprint and run the band self-join over
+       ONE representative per distinct text; member pairs are fanned
+       back out afterwards through two id-keyed fingerprint joins.
+       N byte-identical copies cost the band join 1 row instead of N
+       (the pair LIST is still N-choose-2 — that is the operator's
+       contract — but it is produced by cheap long-only joins, never
+       by a sig-carrying band bucket of size N). Identical text =>
+       identical signature, so fanned-out pairs carry exactly the
+       jaccard_est the un-collapsed join would have computed.
+    2. band-frequency cap (`band_cap`) with star overflow: a
+       (band_idx, band_hash) bucket with B distinct-text members
+       emits B^2/2 candidates from the self-join; a window count
+       routes buckets over the cap OUT of the self-join BEFORE it
+       runs, bounding per-bucket join work at cap^2 regardless of
+       skew. Over-cap buckets are not dropped: each member pairs
+       with the bucket's min-id hub instead (B-1 star edges), so a
+       templated near-duplicate clique of ANY size still reaches the
+       verify stage and collapses to one connected component — at
+       O(B) candidates per bucket, never O(B^2). (Measured on a
+       1000-doc templated fixture: 499,179 unguarded pairs vs 1,924
+       star pairs.) AQE skew splitting CANNOT do this: it splits a
+       skewed partition across tasks but leaves the quadratic pair
+       cardinality intact.
+
+    The band join key (band_idx, band_hash) shuffles both sides
+    identically (co-partitioned); the cap's window count shuffles on
+    the same key, so it rides the exchange the join needs anyway.
 
     `sigs` optionally injects a pre-built (id_col, sig) frame — pass a
     PERSISTED one (e.g. a session memo) so the md5-heavy signature
@@ -181,35 +216,114 @@ def candidate_pairs(
     reuse the exchange across the two sides of this join, so without
     materialization the corpus is re-hashed twice. At scale the
     signature frame is #docs x (16 longs) — far smaller than the
-    corpus text it replaces in memory."""
-    if sigs is None:
-        sigs = with_minhash(df, text_col, num_hashes).select(id_col, "sig")
+    corpus text it replaces in memory. With `collapse_exact` the
+    frame is semi-joined down to one row per distinct text before
+    banding (when `sigs` is None, signatures are only ever COMPUTED
+    for representatives)."""
+    if collapse_exact:
+        fps = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_fp"))
+        reps = fps.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        if sigs is None:
+            rep_sigs = with_minhash(
+                df.join(reps.select(id_col), id_col), text_col, num_hashes
+            ).select(id_col, "sig")
+        else:
+            rep_sigs = sigs.select(id_col, "sig").join(reps.select(id_col), id_col)
+        rep_sigs = rep_sigs.join(reps, id_col)  # + _fp
     else:
-        sigs = sigs.select(id_col, "sig")
-    exploded = sigs.select(
-        F.col(id_col),
-        F.col("sig"),
+        if sigs is None:
+            rep_sigs = with_minhash(df, text_col, num_hashes).select(id_col, "sig")
+        else:
+            rep_sigs = sigs.select(id_col, "sig")
+    carry = [F.col(id_col), F.col("sig")] + (
+        [F.col("_fp")] if collapse_exact else []
+    )
+    exploded = rep_sigs.select(
+        *carry,
         F.posexplode(lsh_bands(F.col("sig"), num_hashes, bands)).alias(
             "band_idx", "band_hash"
         ),
     )
+    star = None
+    if band_cap is not None:
+        bucket = Window.partitionBy("band_idx", "band_hash")
+        ordered = bucket.orderBy(F.col(id_col))
+        counted = exploded.withColumn("_bn", F.count(F.lit(1)).over(bucket))
+        hot = counted.where(F.col("_bn") > band_cap)
+        exploded = counted.where(F.col("_bn") <= band_cap).drop("_bn")
+        # star overflow: hub = min id of the bucket; the ordered
+        # window's first() rides the SAME (band_idx, band_hash)
+        # exchange as the count, so the overflow costs no extra
+        # shuffle — and emits B-1 edges per hot bucket, not B^2/2.
+        hub_cols = [
+            F.min(F.col(id_col)).over(bucket).alias("_hub"),
+            F.first("sig").over(ordered).alias("_hub_sig"),
+        ] + ([F.first("_fp").over(ordered).alias("_hub_fp")] if collapse_exact else [])
+        star = (
+            hot.select(F.col(id_col), F.col("sig"), *carry[2:], *hub_cols)
+            .where(F.col(id_col) != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_hub_sig").alias("sig_a"),
+                F.col("sig").alias("sig_b"),
+                *(
+                    [F.col("_hub_fp").alias("fp_a"), F.col("_fp").alias("fp_b")]
+                    if collapse_exact
+                    else []
+                ),
+            )
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    fp_carry = (
+        [F.col("a._fp").alias("fp_a"), F.col("b._fp").alias("fp_b")]
+        if collapse_exact
+        else []
     )
+    joined = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.sig").alias("sig_b"),
+        *fp_carry,
+    )
+    if star is not None:
+        joined = joined.unionByName(star)
+    pairs = joined.dropDuplicates(["id_a", "id_b"])
+    if collapse_exact:
+        # fan representative pairs back out to members: two id-keyed
+        # joins on the (id, fingerprint) frame — no signature payload
+        # crosses these shuffles beyond the one rep sig per pair.
+        ma = fps.select(F.col("_fp").alias("fp_a"), F.col(id_col).alias("_ma"))
+        mb = fps.select(F.col("_fp").alias("fp_b"), F.col(id_col).alias("_mb"))
+        fanned = (
+            pairs.join(ma, "fp_a")
+            .join(mb, "fp_b")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                "sig_a",
+                "sig_b",
+            )
+        )
+        # within-fingerprint pairs (byte-identical texts): all bands
+        # match by construction, so every such pair is a candidate;
+        # both sides share the representative's signature.
+        m1 = fps.select("_fp", F.col(id_col).alias("id_a"))
+        m2 = fps.select("_fp", F.col(id_col).alias("id_b"))
+        within = (
+            m1.join(m2, "_fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .join(rep_sigs.select("_fp", F.col("sig").alias("sig_a")), "_fp")
+            .select("id_a", "id_b", "sig_a", F.col("sig_a").alias("sig_b"))
+        )
+        pairs = fanned.unionByName(within)
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),

@@ -225,17 +225,70 @@ grams_t AS (
 sigs AS (
   SELECT doc_id, [{sig_list}] AS sig FROM grams_t
 ),
+-- hot-band guard mirror (operators/dedup.py candidate_pairs):
+-- exact-collapse-first over the md5(text) fingerprint, band the
+-- representatives only, cap band-bucket size, fan members back out.
+fps AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+),
+reps AS (
+  SELECT fp, MIN(doc_id) AS rep_id FROM fps GROUP BY fp
+),
+rsig AS (
+  SELECT r.fp, r.rep_id, s.sig FROM reps r JOIN sigs s ON s.doc_id = r.rep_id
+),
 bands AS (
-  SELECT doc_id, sig, b AS band_idx,
+  SELECT rep_id, fp, sig, b AS band_idx,
          md5(CAST(b AS VARCHAR) || ':' ||
              CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR))
            AS band_hash
-  FROM sigs, range(0, 8) r(b)
+  FROM rsig, range(0, 8) r(b)
+),
+kept AS (
+  SELECT * FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {cap}
+),
+hot AS (
+  SELECT * FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) > {cap}
+),
+hot_hub AS (
+  SELECT band_idx, band_hash, MIN(rep_id) AS hub
+  FROM hot GROUP BY band_idx, band_hash
+),
+star AS (
+  SELECT h0.fp AS fp_a, h.fp AS fp_b, h0.sig AS sig_a, h.sig AS sig_b
+  FROM hot h
+  JOIN hot_hub hh ON h.band_idx = hh.band_idx AND h.band_hash = hh.band_hash
+  JOIN hot h0 ON h0.band_idx = hh.band_idx AND h0.band_hash = hh.band_hash
+             AND h0.rep_id = hh.hub
+  WHERE h.rep_id > hh.hub
+),
+rep_pairs AS (
+  SELECT DISTINCT fp_a, fp_b, sig_a, sig_b FROM (
+    SELECT a.fp AS fp_a, b.fp AS fp_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM kept a JOIN kept b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.rep_id < b.rep_id
+    UNION ALL
+    SELECT fp_a, fp_b, sig_a, sig_b FROM star
+  )
+),
+fanned AS (
+  SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+         GREATEST(ma.doc_id, mb.doc_id) AS id_b, sig_a, sig_b
+  FROM rep_pairs p
+  JOIN fps ma ON ma.fp = p.fp_a
+  JOIN fps mb ON mb.fp = p.fp_b
+),
+within AS (
+  SELECT m1.doc_id AS id_a, m2.doc_id AS id_b, r.sig AS sig_a, r.sig AS sig_b
+  FROM fps m1
+  JOIN fps m2 ON m1.fp = m2.fp AND m1.doc_id < m2.doc_id
+  JOIN rsig r ON r.fp = m1.fp
 ),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  SELECT * FROM fanned UNION ALL SELECT * FROM within
 )
 SELECT id_a, id_b,
   CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16 AS jaccard_est
@@ -248,6 +301,7 @@ FROM pairs
     oracle=_PAIRS_ORACLE_TEMPLATE.format(
         toks=_TOKS,
         sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+        cap=D.DEFAULT_BAND_CAP,
     ),
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +403,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_PAIRS_ORACLE = _PAIRS_ORACLE_TEMPLATE.format(
     toks=_TOKS,
     sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+    cap=D.DEFAULT_BAND_CAP,
 ).replace(
     """SELECT id_a, id_b,
   CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16 AS jaccard_est
@@ -394,6 +449,7 @@ _CONTAIN_ORACLE = (
     + _PAIRS_ORACLE_TEMPLATE.format(
         toks=_TOKS,
         sig_list=", ".join(_sig_expr(i) for i in range(D.DEFAULT_NUM_HASHES)),
+        cap=D.DEFAULT_BAND_CAP,
     )
     .strip()
     .replace(
@@ -480,6 +536,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_embedding_pairs(spark, sf_dir)
 
 
+# NOTE on the oracles below (_EDIT_ORACLE, _CLUSTERS_ORACLE and its
+# derivatives): their inlined `pairs` CTE is the UNGUARDED band join.
+# That is equivalent to the guarded operator (exact-collapse + band
+# cap + star overflow, mirrored fully in _PAIRS_ORACLE_TEMPLATE)
+# whenever no band bucket exceeds DEFAULT_BAND_CAP distinct texts —
+# which every oracle-scale corpus satisfies (max bucket: 3 at sf0.01,
+# 8 at sf0.1, vs cap 256). Keeping the simpler form here keeps the
+# recursive-CTE oracles readable; the guard semantics are pinned by
+# q_dedup_minhash_pairs plus tests/test_dedup_hotband.py.
 _EDIT_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, text,
