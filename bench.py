@@ -109,6 +109,9 @@ def main() -> None:
         _kcenter_cells(spark, sf_dir).count()
         _upsert_cells(spark, sf_dir)
         _lm_per_doc(spark, sf_dir).count()
+        from corrie_spark.queries.warc_queries import _shared_records
+
+        _shared_records(spark, sf_dir)  # fixture crawl build + ingest
         for _q in ("q_text_bpe_merges", "q_text_bpe_subword"):
             queries[_q](spark, sf_dir).collect()
     except Exception as e:

@@ -1,0 +1,178 @@
+"""Oracle-checked WARC crawl-ingestion queries.
+
+The fixture crawl is built distributed from the `documents` table by
+deterministic rules (corrie_spark/sources/warc.py fixture_*), so the
+DuckDB oracle can replay every extracted field closed-form straight
+from the parquet — record ids (md5-derived uuids), charset routing,
+HTTP framing byte counts, payload hashes — without ever gunzipping a
+byte. The Spark side exercises the REAL reader: gzip member split,
+WARC/1.0 header grammar, HTTP response framing, charset decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.queries.dedup_queries import _memo
+from corrie_spark.queries.registry import register
+from corrie_spark.sources import warc as W
+from corrie_spark.tables import load
+
+_N_FILES = 8
+
+# ASCII test mirrored in SQL: strlen (utf-8 bytes) == length (chars).
+_IS_ASCII = "strlen(text) = length(text)"
+
+# shared fixture-replay CTE: per-doc charset/body/byte-count rules,
+# exactly the rules fixture_body()/response_record() apply.
+_BASE = f"""
+base AS (
+  SELECT doc_id, text,
+    CASE WHEN doc_id % {W.LATIN1_MOD} = 0 AND {_IS_ASCII}
+         THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+    CASE WHEN doc_id % {W.LATIN1_MOD} = 0 AND {_IS_ASCII}
+         THEN text || '{W.LATIN1_SUFFIX}' ELSE text END AS body
+  FROM documents
+),
+enc AS (
+  SELECT *,
+    CASE WHEN charset = 'iso-8859-1' THEN length(body)
+         ELSE strlen(body) END AS body_bytes
+  FROM base
+),
+hdr AS (
+  SELECT *,
+    strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+           'Content-Type: text/html; charset=' || charset ||
+           chr(13) || chr(10) ||
+           'Content-Length: ' || CAST(body_bytes AS VARCHAR) ||
+           chr(13) || chr(10) || chr(13) || chr(10))
+      + body_bytes AS content_length
+  FROM enc
+)
+"""
+
+
+def _uuid_sql(md5_expr: str) -> str:
+    return (
+        f"substr({md5_expr},1,8) || '-' || substr({md5_expr},9,4) || '-' || "
+        f"substr({md5_expr},13,4) || '-' || substr({md5_expr},17,4) || '-' || "
+        f"substr({md5_expr},21,12)"
+    )
+
+
+_DATE_SQL = (
+    f"'{W.FIXTURE_DATE}T' || "
+    "lpad(CAST((doc_id % 86400) // 3600 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST(((doc_id % 86400) % 3600) // 60 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST((doc_id % 86400) % 60 AS VARCHAR), 2, '0') || 'Z'"
+)
+
+_INGEST_ORACLE = f"""
+WITH {_BASE},
+resp AS (
+  SELECT {_uuid_sql("md5('warc-resp:' || CAST(doc_id AS VARCHAR))")} AS record_id,
+         doc_id, charset, body, content_length
+  FROM hdr
+  UNION ALL
+  SELECT {_uuid_sql("md5('warc-resp-dup:' || CAST(doc_id AS VARCHAR))")} AS record_id,
+         doc_id, charset, body, content_length
+  FROM hdr WHERE doc_id % {W.DUP_MOD} = 0
+)
+SELECT record_id,
+  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+  {_DATE_SQL} AS warc_date,
+  CAST(200 AS BIGINT) AS http_status,
+  charset,
+  CAST(content_length AS BIGINT) AS content_length,
+  md5(body) AS text_md5,
+  CAST(length(body) AS BIGINT) AS n_chars
+FROM resp
+"""
+
+
+def _shared_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture crawl -> real reader, memoized per session: both WARC
+    queries consume the same ingested record frame, and the gzip/
+    parse stage should run once (the record frame is corpus-text
+    sized — persist is the single-job stand-in for the parquet
+    staging a 100 TB crawl ingest would write)."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        recs = W.warc_records(W.fixture_files(docs, _N_FILES)).drop("payload").persist()
+        recs.count()
+        return recs
+
+    return _memo(spark, sf_dir, "warc_records", build)
+
+
+@register("q_warc_ingest", oracle=_INGEST_ORACLE)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingestion through the full reader: distributed fixture
+    build (one .warc.gz per applyInPandas group, every record its own
+    gzip member) -> gzip member split -> WARC/1.0 header parse ->
+    HTTP response framing -> charset-sniffed text decode. The oracle
+    replays every field closed-form from `documents` (deterministic
+    fixture rules), so record ids, byte-exact Content-Lengths across
+    the charset boundary, and payload text hashes are all gated."""
+    recs = _shared_records(spark, sf_dir)
+    return recs.where(F.col("warc_type") == "response").select(
+        "record_id",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "charset",
+        "content_length",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_CORPUS_ORACLE = f"""
+WITH {_BASE},
+b AS (
+  SELECT *, CASE WHEN doc_id % {W.DUP_MOD} = 0 THEN 1 ELSE 0 END AS dup
+  FROM hdr
+)
+SELECT
+  CAST((SELECT COUNT(DISTINCT doc_id % {_N_FILES}) FROM b)
+       + 2 * COUNT(*) + SUM(dup) AS BIGINT) AS n_records,
+  CAST(COUNT(*) + SUM(dup) AS BIGINT) AS n_responses,
+  CAST(COUNT(DISTINCT body) AS BIGINT) AS n_unique_texts,
+  CAST(COUNT(*) + SUM(dup) - COUNT(DISTINCT body) AS BIGINT) AS n_dup_removed,
+  CAST(SUM(CASE WHEN charset = 'iso-8859-1' THEN 1 + dup ELSE 0 END) AS BIGINT)
+    AS n_latin1,
+  CAST(SUM((1 + dup) * length(body)) AS BIGINT) AS total_chars
+FROM b
+"""
+
+
+@register("q_warc_corpus", oracle=_CORPUS_ORACLE)
+def q_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build composition over the crawl: ingested records ->
+    documents schema (to_documents) -> exact-dedup accounting. The
+    fixture re-fetches every DUP_MOD-th page (second response record,
+    same body, new record id), so the dedup column is live: a corpus
+    built from WARC drops exactly the re-crawled duplicates. One
+    corpus-wide aggregate = one shuffle to a single row."""
+    recs = _shared_records(spark, sf_dir)
+    is_resp = (F.col("warc_type") == "response").cast("long")
+    return recs.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(is_resp).alias("n_responses"),
+        F.count_distinct(
+            F.when(F.col("warc_type") == "response", F.md5("text"))
+        ).alias("n_unique_texts"),
+        (
+            F.sum(is_resp)
+            - F.count_distinct(
+                F.when(F.col("warc_type") == "response", F.md5("text"))
+            )
+        ).alias("n_dup_removed"),
+        F.sum((F.col("charset") == "iso-8859-1").cast("long")).alias("n_latin1"),
+        F.sum(F.when(F.col("warc_type") == "response", F.length("text"))).alias(
+            "total_chars"
+        ),
+    )
