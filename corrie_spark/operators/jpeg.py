@@ -14,9 +14,12 @@ BMP/PNG/PPM/WAV in operators/multimodal.py.
 Supported on decode: baseline + extended-sequential huffman DCT
 (SOF0/SOF1), 8-bit samples, 1- or 3-component scans, arbitrary
 integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
-markers (DRI/RSTn), 0xFF00 byte stuffing, 8- and 16-bit DQT tables.
-Progressive (SOF2), arithmetic coding and 12-bit precision raise
-ValueError — they fall to the documented external-decoder seam.
+markers (DRI/RSTn), 0xFF00 byte stuffing, 8- and 16-bit DQT tables,
+and PROGRESSIVE huffman DCT (SOF2, T.81 Annex G: spectral selection,
+successive approximation, EOB runs, interleaved DC scans,
+non-interleaved component block grids, AC refinement). Arithmetic
+coding and 12-bit precision raise ValueError — they fall to the
+documented external-decoder seam.
 
 Determinism contract (shared with the oracle SQL in
 queries/multimodal_queries.py): every round in the pipeline is
@@ -319,6 +322,306 @@ def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([y, cb, cr], axis=-1), 0, 255).astype(np.uint8)
 
 
+def _parse_dqt(body: bytes, qtabs: dict[int, np.ndarray]) -> None:
+    p = 0
+    while p < len(body):
+        pq, tq = body[p] >> 4, body[p] & 15
+        p += 1
+        if pq == 0:
+            tab = np.frombuffer(body[p : p + 64], dtype=np.uint8).astype(np.int64)
+            p += 64
+        elif pq == 1:
+            tab = np.frombuffer(body[p : p + 128], dtype=">u2").astype(np.int64)
+            p += 128
+        else:
+            raise ValueError("bad DQT precision")
+        raster = np.zeros(64, dtype=np.int64)
+        raster[ZIGZAG] = tab
+        qtabs[tq] = raster.reshape(8, 8)
+
+
+def _parse_dht(body: bytes, huff: dict[tuple[int, int], "_HuffDecoder"]) -> None:
+    p = 0
+    while p < len(body):
+        tc, th = body[p] >> 4, body[p] & 15
+        bits = list(body[p + 1 : p + 17])
+        n = sum(bits)
+        vals = list(body[p + 17 : p + 17 + n])
+        huff[(tc, th)] = _HuffDecoder(bits, vals)
+        p += 17 + n
+
+
+def _scan_end(data: bytes, p: int) -> int:
+    """Offset of the first real marker after an entropy-coded segment
+    starting at p (skips stuffed FF00, RSTn, and FF fill bytes)."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            if nxt == 0xFF:
+                p += 1
+                continue
+            return p
+        p += 1
+    return n
+
+
+def _ac_first_block(rd: _BitReader, blk, ach, ss: int, se: int, al: int, eobrun: int) -> int:
+    """T.81 G.1.2.2: first (Ah=0) AC scan for one block; coefficients
+    land as value << Al. Returns the updated EOB run (count of
+    REMAINING all-zero-band blocks after this one)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.decode_huff(ach)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index overflow (progressive)")
+        blk[ZIGZAG[k]] = rd.receive_extend(s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(rd: _BitReader, blk, ach, ss: int, se: int, al: int, eobrun: int) -> int:
+    """T.81 G.1.2.3: successive-approximation AC refinement for one
+    block. Nonzero-history coefficients consume one correction bit
+    each as the band is walked; s=1 symbols place newly visible
+    +-1<<Al coefficients after their zero-history run. Returns the
+    updated EOB run (count of blocks INCLUDING this one when set)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.decode_huff(ach)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                newval = p1 if rd.bit() else -p1
+            while k <= se:
+                idx = ZIGZAG[k]
+                if blk[idx] != 0:
+                    if rd.bit() and (blk[idx] & p1) == 0:
+                        blk[idx] += p1 if blk[idx] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            idx = ZIGZAG[k]
+            if blk[idx] != 0:
+                if rd.bit() and (blk[idx] & p1) == 0:
+                    blk[idx] += p1 if blk[idx] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(payload: bytes) -> dict:
+    """Progressive (SOF2) huffman JPEG: accumulate coefficients over
+    all scans (spectral selection Ss..Se x successive approximation
+    Ah/Al, T.81 Annex G), then dequantize + IDCT with EXACTLY the
+    sequential path's math — a progressive stream carrying the same
+    quantized coefficients as a baseline twin decodes bit-identically
+    (pinned by tests/test_jpeg.py)."""
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    comps: list[dict] = []
+    coefs: list[np.ndarray] = []
+    w = h = hmax = vmax = mcux = mcuy = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        m = payload[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        if 0xD0 <= m <= 0xD7 or m == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDB:
+            _parse_dqt(body, qtabs)
+        elif m == 0xC4:
+            _parse_dht(body, huff)
+        elif m == 0xC2:
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1 or any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                raise ValueError("bad sampling factors")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # non-interleaved scans cover the component's OWN
+                # block grid (T.81 A.2.2), which can be narrower than
+                # the MCU-padded allocation
+                cw = -(-(w * c["h"]) // hmax)
+                ch = -(-(h * c["v"]) // vmax)
+                c["bx"], c["by"] = -(-cw // 8), -(-ch // 8)
+                coefs.append(
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                )
+            frame = True
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported frame markers in progressive stream")
+        elif m == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scomps = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scomps.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            rd = _BitReader(payload, pos + 2 + seglen)
+            idx_of = {c["id"]: i for i, c in enumerate(comps)}
+            if ss == 0:
+                # DC scan (first or refinement)
+                pred = [0] * len(comps)
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+
+                def dc_one(ci: int, blk, sc) -> None:
+                    if ah == 0:
+                        t = rd.decode_huff(huff[(0, sc["td"])])
+                        pred[ci] += rd.receive_extend(t)
+                        blk[0] = pred[ci] << al
+                    elif rd.bit():
+                        blk[0] |= 1 << al
+
+                cnt = 0
+                if ns > 1:  # interleaved MCU walk
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            if restart_interval and cnt and cnt % restart_interval == 0:
+                                rd.restart()
+                                pred = [0] * len(comps)
+                            for sc in scomps:
+                                ci = idx_of[sc["cs"]]
+                                c = comps[ci]
+                                for v in range(c["v"]):
+                                    for hh in range(c["h"]):
+                                        dc_one(
+                                            ci,
+                                            coefs[ci][my * c["v"] + v, mx * c["h"] + hh],
+                                            sc,
+                                        )
+                            cnt += 1
+                else:  # single-component block walk
+                    sc = scomps[0]
+                    ci = idx_of[sc["cs"]]
+                    c = comps[ci]
+                    for by in range(c["by"]):
+                        for bx in range(c["bx"]):
+                            if restart_interval and cnt and cnt % restart_interval == 0:
+                                rd.restart()
+                                pred = [0] * len(comps)
+                            dc_one(ci, coefs[ci][by, bx], sc)
+                            cnt += 1
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                sc = scomps[0]
+                ci = idx_of[sc["cs"]]
+                c = comps[ci]
+                ach = huff[(1, sc["ta"])]
+                eobrun = 0
+                cnt = 0
+                fn = _ac_first_block if ah == 0 else _ac_refine_block
+                for by in range(c["by"]):
+                    for bx in range(c["bx"]):
+                        if restart_interval and cnt and cnt % restart_interval == 0:
+                            rd.restart()
+                            eobrun = 0
+                        eobrun = fn(rd, coefs[ci][by, bx], ach, ss, se, al, eobrun)
+                        cnt += 1
+            pos = _scan_end(payload, pos + 2 + seglen)
+            continue
+        pos += 2 + seglen
+    if frame is None:
+        raise ValueError("progressive JPEG missing SOF2")
+
+    # reconstruction: identical math to the sequential path
+    at = _A.T
+    out_planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtabs:
+            raise ValueError("missing quantization table")
+        qt = qtabs[c["tq"]]
+        arr = coefs[ci]
+        plane = np.zeros((arr.shape[0] * 8, arr.shape[1] * 8), dtype=np.float64)
+        for by in range(arr.shape[0]):
+            for bx in range(arr.shape[1]):
+                block = (arr[by, bx].reshape(8, 8) * qt).astype(np.float64)
+                px = at @ block @ _A
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _round_half_up(px) + 128.0
+                )
+        p = np.clip(plane, 0, 255)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if vmax % c["v"] or hmax % c["h"]:
+            raise ValueError("non-integer chroma upsampling ratio")
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+
+    if len(comps) == 1:
+        return {
+            "kind": "image", "width": w, "height": h, "channels": 1,
+            "data": out_planes[0].astype(np.uint8).tobytes(),
+        }
+    if len(comps) == 3:
+        rgb = ycbcr_to_rgb(out_planes[0], out_planes[1], out_planes[2])
+        return {
+            "kind": "image", "width": w, "height": h, "channels": 3,
+            "data": rgb.tobytes(),
+        }
+    raise ValueError(f"unsupported component count {len(comps)}")
+
+
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline/extended-sequential huffman JPEG. Returns
     {"kind": "image", "width", "height", "channels": 1|3,
@@ -346,30 +649,9 @@ def decode_jpeg(payload: bytes) -> dict:
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment")
         if m == 0xDB:  # DQT
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 15
-                p += 1
-                if pq == 0:
-                    tab = np.frombuffer(body[p : p + 64], dtype=np.uint8).astype(np.int64)
-                    p += 64
-                elif pq == 1:
-                    tab = np.frombuffer(body[p : p + 128], dtype=">u2").astype(np.int64)
-                    p += 128
-                else:
-                    raise ValueError("bad DQT precision")
-                raster = np.zeros(64, dtype=np.int64)
-                raster[ZIGZAG] = tab
-                qtabs[tq] = raster.reshape(8, 8)
+            _parse_dqt(body, qtabs)
         elif m == 0xC4:  # DHT
-            p = 0
-            while p < len(body):
-                tc, th = body[p] >> 4, body[p] & 15
-                bits = list(body[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(body[p + 17 : p + 17 + n])
-                huff[(tc, th)] = _HuffDecoder(bits, vals)
-                p += 17 + n
+            _parse_dht(body, huff)
         elif m in (0xC0, 0xC1):  # SOF0 / SOF1 (both huffman sequential)
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
@@ -379,9 +661,11 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m == 0xC2:  # SOF2 progressive huffman — own multi-scan walk
+            return _decode_progressive(payload)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "progressive/arithmetic/hierarchical JPEG not decoded natively "
+                "arithmetic/hierarchical/lossless JPEG not decoded natively "
                 "(external-decoder seam)"
             )
         elif m == 0xDD:  # DRI
@@ -568,24 +852,14 @@ def _dht_body(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([(tc << 4) | th] + bits + vals)
 
 
-def encode_jpeg_baseline(
-    pixels: np.ndarray,
-    quality: int = 90,
-    subsampling: tuple[int, int] = (2, 2),
-    restart_interval: int = 0,
-) -> bytes:
-    """REAL encoder: baseline JFIF JPEG with the Annex-K example
-    huffman tables and IJG-scaled Annex-K quant tables. `pixels` is
-    (h, w) uint8 grayscale or (h, w, 3) uint8 **YCbCr** (callers with
-    RGB go through rgb_to_ycbcr first — keeping color conversion
-    outside the codec keeps the DC-only determinism contract visible
-    to the oracle). `subsampling` is the (h, v) factor of the luma
-    component relative to chroma: (1, 1) = 4:4:4, (2, 2) = 4:2:0.
-    Chroma downsample is a 2x2 block mean, floor(x+0.5).
-
-    Exists for fixtures, tests and sink-side symmetry (like
-    encode_png/encode_bmp); the production direction of the pipeline
-    is decode."""
+def _prep_components(
+    pixels: np.ndarray, quality: int, subsampling: tuple[int, int]
+) -> tuple[list[dict], int, int, int, int, bool, np.ndarray, np.ndarray]:
+    """Shared encoder front half (baseline AND progressive): component
+    planes padded to the MCU grid and level-shifted, quant tables,
+    Annex-K huffman encoders. Both entry points quantize through the
+    identical pipeline, which is what makes a progressive payload
+    decode bit-identically to its baseline twin."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if h < 1 or w < 1:
@@ -631,6 +905,31 @@ def encode_jpeg_baseline(
         c["plane"] = _pad_edge(c["plane"], mcuy * c["v"] * 8, mcux * c["h"] * 8)[
             : mcuy * c["v"] * 8, : mcux * c["h"] * 8
         ] - 128.0
+    return comps, hmax, vmax, mcux, mcuy, gray, qy, qc
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL encoder: baseline JFIF JPEG with the Annex-K example
+    huffman tables and IJG-scaled Annex-K quant tables. `pixels` is
+    (h, w) uint8 grayscale or (h, w, 3) uint8 **YCbCr** (callers with
+    RGB go through rgb_to_ycbcr first — keeping color conversion
+    outside the codec keeps the DC-only determinism contract visible
+    to the oracle). `subsampling` is the (h, v) factor of the luma
+    component relative to chroma: (1, 1) = 4:4:4, (2, 2) = 4:2:0.
+    Chroma downsample is a 2x2 block mean, floor(x+0.5).
+
+    Exists for fixtures, tests and sink-side symmetry (like
+    encode_png/encode_bmp); the production direction of the pipeline
+    is decode."""
+    comps, hmax, vmax, mcux, mcuy, gray, qy, qc = _prep_components(
+        pixels, quality, subsampling
+    )
+    h, w = pixels.shape[:2]
 
     bw = _BitWriter()
     pred = [0] * len(comps)
@@ -681,4 +980,191 @@ def encode_jpeg_baseline(
     out += _marker(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder ----------------------------------------------------
+
+def _quantize_blocks(c: dict, mcux: int, mcuy: int) -> np.ndarray:
+    """(by_pad, bx_pad, 64) quantized coefficients in ZIGZAG order,
+    through exactly the baseline `_encode_block` DCT/quant math."""
+    by_pad, bx_pad = mcuy * c["v"], mcux * c["h"]
+    out = np.zeros((by_pad, bx_pad, 64), dtype=np.int64)
+    for by in range(by_pad):
+        for bx in range(bx_pad):
+            blk = c["plane"][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            f = _A @ blk @ _A.T
+            q = _round_half_up(f / c["qt"]).astype(np.int64)
+            out[by, bx] = q.ravel()[ZIGZAG]
+    return out
+
+
+def _enc_ac_first(bw: _BitWriter, vec: np.ndarray, ac: _HuffEncoder,
+                  ss: int, se: int, al: int) -> None:
+    """First (Ah=0) AC scan for one block: RLE over the band at
+    point-transform Al (truncate toward zero), per-block EOB (the
+    Annex-K tables carry no EOBn>1 symbols)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(vec[k])
+        v = (v >> al) if v >= 0 else -((-v) >> al)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac.table[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _magnitude(v)
+        code, ln = ac.table[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac.table[0x00]
+        bw.write(code, ln)
+
+
+def _enc_ac_refine(bw: _BitWriter, vec: np.ndarray, ac: _HuffEncoder,
+                   ss: int, se: int, al: int) -> None:
+    """Refinement (Ah=Al+1) AC scan for one block, T.81 G.1.2.3 order:
+    correction bits of already-nonzero coefficients buffer until the
+    next emitted symbol (the decoder consumes them positionally while
+    walking runs)."""
+    pending: list[int] = []
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(vec[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac.table[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:  # history-nonzero: one magnitude correction bit
+            pending.append(t & 1)
+            continue
+        # newly visible at this Al: (run, s=1) symbol + sign bit
+        code, ln = ac.table[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, ln = ac.table[0x00]
+        bw.write(code, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Progressive (SOF2) encoder: 2-level successive approximation
+    (Al=1 first scans, Al=0 refinements) with spectral selection split
+    (DC interleaved / AC 1..5 / AC 6..63 per component) — the common
+    web-crawl scan script shape. Coefficients come from the SAME
+    `_prep_components` + DCT/quant pipeline as the baseline encoder,
+    so a progressive payload decodes bit-identically to its baseline
+    twin (pinned by tests/test_jpeg.py)."""
+    comps, hmax, vmax, mcux, mcuy, gray, qy, qc = _prep_components(
+        pixels, quality, subsampling
+    )
+    h, w = pixels.shape[:2]
+    for c in comps:
+        c["coef"] = _quantize_blocks(c, mcux, mcuy)
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["bx"], c["by"] = -(-cw // 8), -(-ch // 8)
+
+    scans: list[tuple[bytes, bytes]] = []
+
+    def dc_sos(ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for c in comps:
+            body += bytes([c["id"], c["td"] << 4])
+        return body + bytes([0, 0, (ah << 4) | al])
+
+    # scan 1: DC first (interleaved), Al=1
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        dcv = int(c["coef"][my * c["v"] + v, mx * c["h"] + hh, 0]) >> 1
+                        diff = dcv - pred[ci]
+                        pred[ci] = dcv
+                        s = _magnitude(diff)
+                        code, ln = c["dc"].table[s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    scans.append((dc_sos(0, 1), bytes(bw.out)))
+
+    # AC first scans, Al=1, per component per band
+    bands = ((1, 5), (6, 63))
+    for c in comps:
+        for ss, se in bands:
+            bw = _BitWriter()
+            for by in range(c["by"]):
+                for bx in range(c["bx"]):
+                    _enc_ac_first(bw, c["coef"][by, bx], c["ac"], ss, se, 1)
+            bw.flush()
+            scans.append((bytes([1, c["id"], c["ta"], ss, se, 0x01]), bytes(bw.out)))
+
+    # DC refinement, Al=0: one raw bit per block (no huffman)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        bw.write(
+                            int(c["coef"][my * c["v"] + v, mx * c["h"] + hh, 0]) & 1, 1
+                        )
+    bw.flush()
+    scans.append((dc_sos(1, 0), bytes(bw.out)))
+
+    # AC refinement scans, Ah=1 Al=0, per component per band
+    for c in comps:
+        for ss, se in bands:
+            bw = _BitWriter()
+            for by in range(c["by"]):
+                for bx in range(c["bx"]):
+                    _enc_ac_refine(bw, c["coef"][by, bx], c["ac"], ss, se, 0)
+            bw.flush()
+            scans.append((bytes([1, c["id"], c["ta"], ss, se, 0x10]), bytes(bw.out)))
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0x00]) + qy.ravel()[ZIGZAG].astype(np.uint8).tobytes()
+    if not gray:
+        dqt += bytes([0x01]) + qc.ravel()[ZIGZAG].astype(np.uint8).tobytes()
+    out += _marker(0xDB, dqt)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["qid"]])
+    out += _marker(0xC2, sof)
+    dht = _dht_body(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    dht += _dht_body(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        dht += _dht_body(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        dht += _dht_body(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    out += _marker(0xC4, dht)
+    for sos_body, data in scans:
+        out += _marker(0xDA, sos_body)
+        out += data
+    out += b"\xff\xd9"
     return bytes(out)

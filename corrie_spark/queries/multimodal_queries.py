@@ -303,6 +303,15 @@ def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 quality = 40 + (did % 5) * 15
+                # doc_id % 3 == 0 routes through the PROGRESSIVE (SOF2)
+                # encoder — same pixels, same quantized coefficients, so
+                # the closed-form pixel oracle is untouched: the gate now
+                # proves the Annex-G multi-scan decode (spectral selection
+                # + successive approximation) lands bit-identical to the
+                # sequential path on a third of the corpus.
+                enc = (
+                    J.encode_jpeg_progressive if did % 3 == 0 else J.encode_jpeg_baseline
+                )
                 if did % 2 == 0:
                     img = np.zeros((16, 24), dtype=np.uint8)
                     for b in range(6):
@@ -310,7 +319,7 @@ def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         img[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
                             did * 11 + b * 37
                         ) % 256
-                    payload = J.encode_jpeg_baseline(img, quality=quality)
+                    payload = enc(img, quality=quality)
                 else:
                     ycc = np.zeros((16, 32, 3), dtype=np.uint8)
                     for t in range(2):
@@ -319,9 +328,7 @@ def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (did * 17 + t * 41) % 256,
                             (did * 19 + t * 53) % 256,
                         )
-                    payload = J.encode_jpeg_baseline(
-                        ycc, quality=quality, subsampling=(2, 2)
-                    )
+                    payload = enc(ycc, quality=quality, subsampling=(2, 2))
                 out.append(
                     {"media_id": did, "media_type": "image/jpeg", "payload": payload}
                 )

@@ -186,11 +186,15 @@ def test_byte_stuffing_roundtrip():
 
 # --- format edges ----------------------------------------------------------
 
-def test_progressive_raises():
+def test_sequential_scan_inside_sof2_rejected():
+    # a baseline stream with SOF0 flipped to SOF2 is NOT a valid
+    # progressive stream (its single scan spans Ss=0..Se=63, which
+    # progressive forbids) — the progressive decoder must reject it,
+    # not decode garbage
     enc = bytearray(J.encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)))
     i = enc.index(b"\xff\xc0")
     enc[i + 1] = 0xC2  # flip SOF0 -> SOF2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan"):
         J.decode_jpeg(bytes(enc))
 
 
@@ -215,3 +219,66 @@ def test_sof1_extended_sequential_accepted():
     enc[i + 1] = 0xC1
     d = J.decode_jpeg(bytes(enc))
     assert d["width"] == 8
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+
+
+@pytest.mark.parametrize("quality", [55, 90])
+@pytest.mark.parametrize("shape", ["gray", "color420", "color444"])
+def test_progressive_bit_identical_to_baseline(quality, shape):
+    # same pixels through both encoders must DECODE bit-identically:
+    # the progressive scan script (DC/AC split, 2-level successive
+    # approximation) carries exactly the baseline's quantized
+    # coefficients. Odd dims exercise the non-interleaved component
+    # block grid (narrower than the MCU-padded allocation).
+    rng = np.random.default_rng(quality)
+    if shape == "gray":
+        img = rng.integers(0, 256, (19, 23)).astype(np.uint8)
+        sub = (1, 1)
+    else:
+        img = rng.integers(0, 256, (17, 25, 3)).astype(np.uint8)
+        sub = (2, 2) if shape == "color420" else (1, 1)
+    base = J.decode_jpeg(J.encode_jpeg_baseline(img, quality=quality, subsampling=sub))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=quality, subsampling=sub))
+    assert (base["width"], base["height"], base["channels"]) == (
+        prog["width"], prog["height"], prog["channels"])
+    assert base["data"] == prog["data"]
+
+
+def test_progressive_eobrun_hand_stream():
+    # hand-assembled 16x8 gray progressive stream with a custom AC
+    # table carrying an EOB1 symbol (0x10): block 1 codes one AC
+    # coefficient then EOBRUN=2 covering itself and block 2 — the
+    # EOBn>1 path the Annex-K-table encoder can't emit.
+    dqt = bytes([0x00]) + bytes([1] * 64)           # all-ones table
+    sof = bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    dht = bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([2, 3])       # DC: mags 2,3
+    dht += bytes([0x10]) + bytes([0, 2] + [0] * 14) + bytes([0x02, 0x10])  # AC
+    sos_dc = bytes([1, 1, 0x00, 0, 0, 0x00])
+    # DC scan bits: blk1 mag2('00')+val 3('11'); blk2 mag2('00')+diff 2('10')
+    dc_data = bytes([0b00110010])
+    sos_ac = bytes([1, 1, 0x00, 1, 63, 0x00])
+    # AC scan bits: blk1 (0,2)('00')+val 2('10'); EOB1('01')+1 extra bit 0
+    # -> eobrun covers blk2 entirely; pad with 1s
+    ac_data = bytes([0b00100101])
+    stream = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof) + _seg(0xC4, dht)
+              + _seg(0xDA, sos_dc) + dc_data + _seg(0xDA, sos_ac) + ac_data
+              + b"\xff\xd9")
+    d = J.decode_jpeg(stream)
+    assert (d["width"], d["height"], d["channels"]) == (16, 8, 1)
+    # expected: block1 coef {DC=3, zigzag#1=2}, block2 coef {DC=5}
+    got = np.frombuffer(d["data"], np.uint8).reshape(8, 16)
+    for bx, coefvec in enumerate(([3, 2], [5])):
+        coef = np.zeros(64, dtype=np.int64)
+        for k, v in enumerate(coefvec):
+            coef[J.ZIGZAG[k]] = v
+        px = J._A.T @ coef.reshape(8, 8).astype(np.float64) @ J._A
+        exp = np.clip(J._round_half_up(px) + 128.0, 0, 255).astype(np.uint8)
+        assert (got[:, bx * 8 : bx * 8 + 8] == exp).all()
+
+
+def test_progressive_via_decode_payload():
+    img = np.full((10, 12), 77, dtype=np.uint8)
+    d = decode_payload("image/jpeg", J.encode_jpeg_progressive(img, quality=80))
+    assert d["kind"] == "image" and (d["width"], d["height"]) == (12, 10)
