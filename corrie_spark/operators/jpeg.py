@@ -1168,3 +1168,147 @@ def encode_jpeg_progressive(
         out += data
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- APPn metadata (JFIF density, EXIF orientation/timestamp) ---------------
+# Metadata-only parse: segment walk stops at SOS, no pixel decode —
+# crawl-scale EXIF extraction costs header bytes, not entropy decode.
+# Public layouts: JFIF 1.02 (APP0), EXIF 2.x = TIFF 6.0 IFD structure
+# (APP1), both byte orders.
+
+EXIF_TAG_ORIENTATION = 0x0112
+EXIF_TAG_DATETIME = 0x0132
+
+
+def build_exif_app1(
+    orientation: int = 1, datetime_str: str = "", byte_order: str = "II"
+) -> bytes:
+    """APP1 segment body carrying a minimal EXIF/TIFF IFD0 with an
+    Orientation SHORT and (optionally) a DateTime ASCII tag."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte order must be II or MM")
+    e = "<" if byte_order == "II" else ">"
+    entries = [(EXIF_TAG_ORIENTATION, 3, 1, struct.pack(e + "H", orientation) + b"\x00\x00")]
+    value_area = b""
+    if datetime_str:
+        dt = datetime_str.encode("ascii")[:19].ljust(19, b"\x00") + b"\x00"
+        # value offset: tiff header (8) + count (2) + entries (12*n) + next-ifd (4)
+        off = 8 + 2 + 12 * 2 + 4
+        entries.append((EXIF_TAG_DATETIME, 2, 20, struct.pack(e + "I", off)))
+        value_area = dt
+    ifd = struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(e + "HHI", tag, typ, cnt) + val
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    tiff = byte_order.encode() + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    return b"Exif\x00\x00" + tiff + ifd + value_area
+
+
+def insert_app_segments(jpeg: bytes, bodies: list[tuple[int, bytes]]) -> bytes:
+    """Insert APPn segments right after SOI (the JFIF/EXIF slot)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    out = bytearray(jpeg[:2])
+    for m, body in bodies:
+        out += _marker(m, body)
+    out += jpeg[2:]
+    return bytes(out)
+
+
+def _parse_exif_tiff(tiff: bytes) -> dict:
+    if len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+        return {}
+    e = "<" if tiff[:2] == b"II" else ">"
+    if struct.unpack_from(e + "H", tiff, 2)[0] != 42:
+        return {}
+    (ifd_off,) = struct.unpack_from(e + "I", tiff, 4)
+    out: dict = {}
+    if ifd_off + 2 > len(tiff):
+        return out
+    (n,) = struct.unpack_from(e + "H", tiff, ifd_off)
+    for i in range(n):
+        p = ifd_off + 2 + 12 * i
+        if p + 12 > len(tiff):
+            break
+        tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, p)
+        if tag == EXIF_TAG_ORIENTATION and typ == 3 and cnt == 1:
+            out["orientation"] = struct.unpack_from(e + "H", tiff, p + 8)[0]
+        elif tag == EXIF_TAG_DATETIME and typ == 2:
+            (off,) = struct.unpack_from(e + "I", tiff, p + 8)
+            raw = tiff[off : off + min(cnt, 64)]
+            out["datetime"] = raw.split(b"\x00")[0].decode("ascii", "replace")
+    return out
+
+
+def parse_jpeg_metadata(payload: bytes) -> dict:
+    """Header-only metadata walk (stops at SOS — never touches the
+    entropy stream): JFIF density, EXIF orientation + timestamp, SOF
+    dimensions and progressive flag."""
+    out = {
+        "has_jfif": False, "density_units": None, "x_density": None,
+        "y_density": None, "has_exif": False, "orientation": None,
+        "datetime": None, "width": None, "height": None,
+        "progressive": None, "n_app_segments": 0,
+    }
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        m = payload[pos + 1]
+        if m == 0xD9 or m == 0xDA:  # EOI / SOS: metadata region over
+            break
+        if 0xD0 <= m <= 0xD7 or m == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if 0xE0 <= m <= 0xEF:
+            out["n_app_segments"] += 1
+            if m == 0xE0 and body[:5] == b"JFIF\x00" and len(body) >= 14:
+                out["has_jfif"] = True
+                out["density_units"] = body[7]
+                out["x_density"], out["y_density"] = struct.unpack_from(">HH", body, 8)
+            elif m == 0xE1 and body[:6] == b"Exif\x00\x00":
+                exif = _parse_exif_tiff(body[6:])
+                out["has_exif"] = True
+                out.update(exif)
+        elif m in (0xC0, 0xC1, 0xC2):
+            out["height"], out["width"] = struct.unpack_from(">HH", body, 1)
+            out["progressive"] = m == 0xC2
+        pos += 2 + seglen
+    return out
+
+
+# EXIF orientation -> numpy transform producing the UPRIGHT image from
+# the stored pixel grid (TIFF 6.0 / EXIF 2.3 table 4 semantics).
+def apply_exif_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    o = orientation or 1
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1, :]
+    if o == 5:
+        return px.swapaxes(0, 1)
+    if o == 6:
+        return np.rot90(px, 3)  # stored is 90 CCW -> rotate CW
+    if o == 7:
+        return px.swapaxes(0, 1)[::-1, ::-1]
+    if o == 8:
+        return np.rot90(px, 1)
+    return px
+
+
+def unapply_exif_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Inverse of apply_exif_orientation: the transform a camera
+    applied before storing (fixture builder for rotated twins)."""
+    o = orientation or 1
+    if o == 6:
+        return np.rot90(px, 1)
+    if o == 8:
+        return np.rot90(px, 3)
+    # 1,2,3,4,5,7 are involutions
+    return apply_exif_orientation(px, o)

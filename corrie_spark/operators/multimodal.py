@@ -1966,6 +1966,7 @@ def image_dhash_resampled(
     grid_w: int = DHASH_GRID_W,
     grid_h: int = DHASH_GRID_H,
     n_bits: int = DHASH_BITS,
+    normalize_orientation: bool = False,
 ) -> DataFrame:
     """PRODUCTION dHash: nearest-neighbor resample every image to a
     fixed grid_w x grid_h grayscale grid FIRST, then bit-pack the
@@ -1983,8 +1984,16 @@ def image_dhash_resampled(
     gray ((r+g+b)//3) before sampling; 1 byte/pixel streams (BMP 8bpp,
     fake codec) are used as-is.
 
+    With `normalize_orientation`, JPEG payloads carrying an EXIF
+    orientation tag are rotated/flipped UPRIGHT (header-only metadata
+    parse + one numpy view transform) before the resample — so a
+    crawl's rotated re-posts of the same photo hash identically and
+    cluster with their upright twins (pinned by
+    tests/test_exif.py::test_rotated_twin_pairs_when_normalized).
+
     Scale: identical shape to image_dhash — shuffle-free Arrow map
     stage, 8 bytes out per image."""
+    from corrie_spark.operators import jpeg as J
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         xs0 = np.arange(grid_w, dtype=np.int64)
@@ -2012,9 +2021,21 @@ def image_dhash_resampled(
                             px = px.reshape(h * w, 3).sum(axis=1) // 3
                         if px.size != w * h or w < 1 or h < 1:
                             raise ValueError("pixel buffer does not match dims")
-                        g = px.reshape(h, w)[(ys0 * h) // grid_h][
-                            :, (xs0 * w) // grid_w
-                        ]
+                        grid = px.reshape(h, w)
+                        if (
+                            normalize_orientation
+                            and bytes(payload)[:2] == b"\xff\xd8"
+                        ):
+                            o = (
+                                J.parse_jpeg_metadata(bytes(payload)).get(
+                                    "orientation"
+                                )
+                                or 1
+                            )
+                            if o != 1:
+                                grid = J.apply_exif_orientation(grid, o)
+                                h, w = grid.shape
+                        g = grid[(ys0 * h) // grid_h][:, (xs0 * w) // grid_w]
                         bits = (g[:, :-1] > g[:, 1:]).astype(np.int64).ravel()[
                             :n_bits
                         ]
@@ -2122,3 +2143,67 @@ def image_embedding(
     return df.select("media_id", "media_type", "payload").mapInPandas(
         run, IMAGE_EMB_DDL
     )
+
+
+JPEG_META_DDL = (
+    "media_id bigint, has_jfif boolean, density_units bigint, "
+    "x_density bigint, y_density bigint, has_exif boolean, "
+    "orientation bigint, exif_datetime string, width bigint, "
+    "height bigint, progressive boolean, n_app_segments bigint, ok boolean"
+)
+
+
+def jpeg_metadata(df: DataFrame) -> DataFrame:
+    """Crawl-scale JPEG metadata extraction: JFIF density, EXIF
+    orientation + capture timestamp (the dedup/recency signals real
+    crawls carry), SOF dimensions and the progressive flag — all from
+    a header-only segment walk (operators/jpeg.py parse_jpeg_metadata
+    stops at SOS; the entropy stream is NEVER decoded, so this stage
+    costs header bytes per image, not pixels). Arrow map stage, zero
+    shuffle, same plumbing as image_features."""
+    from corrie_spark.operators import jpeg as J
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {
+                    "media_id": mid, "has_jfif": None, "density_units": None,
+                    "x_density": None, "y_density": None, "has_exif": None,
+                    "orientation": None, "exif_datetime": None, "width": None,
+                    "height": None, "progressive": None,
+                    "n_app_segments": None, "ok": False,
+                }
+                try:
+                    md = J.parse_jpeg_metadata(bytes(payload))
+                    row.update(md)
+                    row["exif_datetime"] = md.get("datetime")
+                    row["ok"] = True
+                except (ValueError, struct.error):
+                    pass
+                row.pop("datetime", None)
+                out.append(row)
+            def col(k: str):  # Int64 for the integer columns (nullable)
+                return pd.array([r[k] for r in out], dtype="Int64")
+
+            # dict in exact JPEG_META_DDL order (mapInPandas matches
+            # the Arrow batch to the schema positionally)
+            yield pd.DataFrame(
+                {
+                    "media_id": col("media_id"),
+                    "has_jfif": [r["has_jfif"] for r in out],
+                    "density_units": col("density_units"),
+                    "x_density": col("x_density"),
+                    "y_density": col("y_density"),
+                    "has_exif": [r["has_exif"] for r in out],
+                    "orientation": col("orientation"),
+                    "exif_datetime": [r["exif_datetime"] for r in out],
+                    "width": col("width"),
+                    "height": col("height"),
+                    "progressive": [r["progressive"] for r in out],
+                    "n_app_segments": col("n_app_segments"),
+                    "ok": [r["ok"] for r in out],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, JPEG_META_DDL)

@@ -1487,3 +1487,82 @@ def q_multimodal_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") > 1)
         .orderBy("cluster_id")
     )
+
+
+# --- JPEG APPn metadata (JFIF density + EXIF orientation/timestamp) ---------
+
+_EXIF_TIME = (
+    "'2026:01:01 ' || "
+    "lpad(CAST((doc_id % 86400) // 3600 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST(((doc_id % 86400) % 3600) // 60 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST((doc_id % 86400) % 60 AS VARCHAR), 2, '0')"
+)
+
+_EXIF_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  TRUE AS has_jfif,
+  CAST(0 AS BIGINT) AS density_units,
+  CAST(1 AS BIGINT) AS x_density,
+  CAST(1 AS BIGINT) AS y_density,
+  TRUE AS has_exif,
+  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+  {_EXIF_TIME} AS exif_datetime,
+  CAST(24 AS BIGINT) AS width,
+  CAST(16 AS BIGINT) AS height,
+  doc_id % 3 = 0 AS progressive,
+  CAST(2 AS BIGINT) AS n_app_segments,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_exif", oracle=_EXIF_ORACLE)
+def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF/APPn metadata extraction without pixel decode: per-doc
+    JPEGs (baseline or progressive by doc_id % 3) carrying an APP1
+    EXIF block — orientation cycling through all 8 TIFF values, a
+    deterministic capture timestamp, byte order II for even docs and
+    MM for odd — parsed by the header-only segment walk
+    (operators/jpeg.py parse_jpeg_metadata). The oracle replays every
+    field closed-form from the fixture rules. At crawl scale this
+    stage reads a few hundred header bytes per image; the entropy
+    stream never decodes."""
+    import numpy as np
+    import pandas as pd
+
+    from corrie_spark.operators import jpeg as J
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = np.zeros((16, 24), dtype=np.uint8)
+                for b in range(6):
+                    r, c = divmod(b, 3)
+                    img[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (did * 7 + b * 31) % 256
+                enc = (
+                    J.encode_jpeg_progressive if did % 3 == 0 else J.encode_jpeg_baseline
+                )
+                s = did % 86400
+                dt = f"2026:01:01 {s // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}"
+                app1 = J.build_exif_app1(
+                    orientation=1 + did % 8,
+                    datetime_str=dt,
+                    byte_order="II" if did % 2 == 0 else "MM",
+                )
+                payload = J.insert_app_segments(enc(img, quality=80), [(0xE1, app1)])
+                out.append(
+                    {"media_id": did, "media_type": "image/jpeg", "payload": payload}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.jpeg_metadata(media)
