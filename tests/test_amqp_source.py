@@ -290,3 +290,164 @@ def test_publish_many_matches_repeated_publish(tmp_path):
         a.publish("q", m)
     b.publish_many("q", bodies)
     assert a._load("q") == b._load("q")
+
+
+@pytest.mark.usefixtures("spark")
+def test_crash_redelivery_dedup_exactly_once(spark, tmp_path):
+    """Round-8 verdict ask #6: the crash-redelivery scenario with the
+    opt-in dedup stage on. A dropped connection returns the whole
+    un-acked window to the queue; the redelivered messages arrive at
+    FRESH offsets (new batch ids), so neither checkpoint replay-skip
+    nor TxnSink epoch keys can drop them — only the message-identity
+    dedup stage can. Content mode is the correct key for AMQP
+    (delivery tags are counters, not identities). Asserts ZERO
+    duplicate rows at the sink and ZERO dropped distinct rows (new
+    messages published after the crash all land)."""
+    dedup_mode = "content"
+    from corrie_spark.sinks import DLQSink, SchemaRegistry, WriterConfig
+    from corrie_spark.sinks.txn_table import TxnSink
+    from corrie_spark.streaming import PipelineConfig, start_pipeline
+
+    registry = SchemaRegistry({"db.metrics": [("m_id", "Int64"), ("m_tag", "String")]})
+    q_sql = "INSERT INTO db.metrics (m_id, m_tag) VALUES (?, ?)"
+    broker_root = str(tmp_path / "broker")
+    b = FakeAmqpBroker(broker_root)
+
+    def publish(i: int) -> None:
+        b.publish(
+            f"corrie.{i % 2}", json.dumps({"Query": q_sql, "Data": [str(i), f"t{i}"]})
+        )
+
+    for i in range(10):
+        publish(i)
+
+    register_amqp_sharded_queue(spark)
+    sink = TxnSink(str(tmp_path / "wh"))
+    dlq = DLQSink(str(tmp_path / "dlq"))
+
+    def drain() -> None:
+        src = (
+            spark.readStream.format("amqp_sharded_queue")
+            .option("broker", broker_root)
+            .option("queue", "corrie")
+            .option("shards", "2")
+            .option("stateDir", str(tmp_path / "state"))
+            .load()
+        )
+        q = start_pipeline(
+            src,
+            sink,
+            dlq,
+            registry,
+            PipelineConfig(
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                available_now=True,
+                writer=WriterConfig(retry_interval_s=0.01, max_retries=1),
+                dedup=dedup_mode,
+            ),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    ids = sorted(r.m_id for r in sink.table("db.metrics").read(spark).collect())
+    assert ids == list(range(10))
+
+    # crash: acks lag one trigger, so the WHOLE window is un-acked and
+    # comes back marked redelivered at fresh offsets
+    b.drop_connection()
+    assert b.pending_count("corrie.0") + b.pending_count("corrie.1") > 0
+    publish(10)
+    publish(11)
+
+    drain()
+    got = sorted(r.m_id for r in sink.table("db.metrics").read(spark).collect())
+    # zero duplicates, zero dropped distinct rows
+    assert got == list(range(12))
+
+
+@pytest.mark.usefixtures("spark")
+def test_crash_redelivery_without_dedup_duplicates(spark, tmp_path):
+    """Control for the dedup test: the SAME scenario with dedup off
+    lands the redelivered window twice — proving the scenario really
+    produces duplicates and the dedup assertion is load-bearing."""
+    from corrie_spark.sinks import DLQSink, SchemaRegistry, WriterConfig
+    from corrie_spark.sinks.txn_table import TxnSink
+    from corrie_spark.streaming import PipelineConfig, start_pipeline
+
+    registry = SchemaRegistry({"db.metrics": [("m_id", "Int64"), ("m_tag", "String")]})
+    q_sql = "INSERT INTO db.metrics (m_id, m_tag) VALUES (?, ?)"
+    broker_root = str(tmp_path / "broker")
+    b = FakeAmqpBroker(broker_root)
+    for i in range(6):
+        b.publish(
+            f"corrie.{i % 2}", json.dumps({"Query": q_sql, "Data": [str(i), f"t{i}"]})
+        )
+    register_amqp_sharded_queue(spark)
+    sink = TxnSink(str(tmp_path / "wh"))
+    dlq = DLQSink(str(tmp_path / "dlq"))
+
+    def drain() -> None:
+        src = (
+            spark.readStream.format("amqp_sharded_queue")
+            .option("broker", broker_root)
+            .option("queue", "corrie")
+            .option("shards", "2")
+            .option("stateDir", str(tmp_path / "state"))
+            .load()
+        )
+        q = start_pipeline(
+            src, sink, dlq, registry,
+            PipelineConfig(
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                available_now=True,
+                writer=WriterConfig(retry_interval_s=0.01, max_retries=1),
+            ),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    b.drop_connection()
+    drain()
+    got = sorted(r.m_id for r in sink.table("db.metrics").read(spark).collect())
+    assert got == sorted(list(range(6)) * 2)  # duplicated window
+
+
+@pytest.mark.usefixtures("spark")
+def test_dedup_delivery_mode_keys_on_stable_id(spark, tmp_path):
+    """'delivery' mode unit pin: dedup keys on the BASE delivery id
+    (redelivery suffix stripped), not on content — two rows with the
+    same base id but different bodies collapse to the first, while
+    identical bodies under different ids both survive. For transports
+    with producer-assigned message ids."""
+    import pandas as pd
+
+    from corrie_spark.streaming import dedup_envelope_stream
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    rows = [
+        (0, 0, "body-A", "msg-1"),
+        (0, 1, "body-A-changed", "msg-1-r"),   # redelivery of msg-1
+        (0, 2, "body-A", "msg-2"),             # same content, new id
+        (1, 3, "body-B", "msg-3"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["shard", "offset", "body", "delivery_id"])
+    ).write.parquet(str(src_dir / "batch0"))
+    stream = spark.readStream.schema(
+        "shard bigint, offset bigint, body string, delivery_id string"
+    ).parquet(str(src_dir / "batch0"))
+    out = dedup_envelope_stream(stream, mode="delivery")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_delivery_pin")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = spark.sql("SELECT * FROM dedup_delivery_pin").collect()
+    # one survivor per base id (which copy survives is engine-arbitrary)
+    assert len(rows_out) == 3
+    got = {(r.shard, r.delivery_id.removesuffix("-r")) for r in rows_out}
+    assert got == {(0, "msg-1"), (0, "msg-2"), (1, "msg-3")}
