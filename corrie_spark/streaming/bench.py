@@ -147,6 +147,7 @@ def spool_throughput(
     n_shards: int = 16,
     work_dir: str | None = None,
     warm: bool = True,
+    reps: int = 2,
 ) -> dict:
     """Executor-parallel twin of stream_throughput: drain `n_rows`
     envelopes from an `n_shards`-shard spool through the
@@ -157,17 +158,42 @@ def spool_throughput(
     try:
         if warm:
             _drain_spool(spark, os.path.join(tmp, "warm"), min(100, n_rows), n_shards)
-        wall, landed = _drain_spool(spark, os.path.join(tmp, "main"), n_rows, n_shards)
-        return {
-            "rows": landed,
-            "published": n_rows,
-            "wall_seconds": round(wall, 3),
-            "rows_per_s": round(landed / wall, 1) if wall > 0 else 0.0,
-            "complete": landed == n_rows,
-        }
+        return _min_of_reps(
+            lambda i: _drain_spool(
+                spark, os.path.join(tmp, f"main{i}"), n_rows, n_shards
+            ),
+            n_rows,
+            reps,
+        )
     finally:
         if work_dir is None:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _min_of_reps(drain_fn, n_rows: int, reps: int) -> dict:
+    """Same timing discipline as the query bench (min-of-reps with the
+    full spread on record): a streaming number from ONE rep is at the
+    mercy of host noise — the round-8 record showed a phantom -29%
+    'regression' on the AMQP path that re-probing attributed entirely
+    to single-rep variance (SCALE.md §15)."""
+    walls: list[float] = []
+    landed = 0
+    for i in range(max(1, reps)):
+        wall, n = drain_fn(i)
+        walls.append(wall)
+        landed = n
+    best = min(walls)
+    return {
+        "rows": landed,
+        "published": n_rows,
+        "wall_seconds": round(best, 3),
+        "rows_per_s": round(landed / best, 1) if best > 0 else 0.0,
+        "spread_rows_per_s": [
+            round(landed / w, 1) for w in sorted(walls, reverse=True)
+        ],
+        "reps": len(walls),
+        "complete": landed == n_rows,
+    }
 
 
 def stream_throughput(
@@ -176,6 +202,7 @@ def stream_throughput(
     n_shards: int = 4,
     work_dir: str | None = None,
     warm: bool = True,
+    reps: int = 2,
 ) -> dict:
     """Publish `n_rows` envelopes across `n_shards` broker shards,
     drain them through the full AMQP -> writer -> native-TCP pipe, and
@@ -191,16 +218,11 @@ def stream_throughput(
     try:
         if warm:
             _drain(spark, os.path.join(tmp, "warm"), min(100, n_rows), n_shards)
-        wall, landed = _drain(
-            spark, os.path.join(tmp, "main"), n_rows, n_shards
+        return _min_of_reps(
+            lambda i: _drain(spark, os.path.join(tmp, f"main{i}"), n_rows, n_shards),
+            n_rows,
+            reps,
         )
-        return {
-            "rows": landed,
-            "published": n_rows,
-            "wall_seconds": round(wall, 3),
-            "rows_per_s": round(landed / wall, 1) if wall > 0 else 0.0,
-            "complete": landed == n_rows,
-        }
     finally:
         if work_dir is None:
             shutil.rmtree(tmp, ignore_errors=True)
