@@ -373,11 +373,27 @@ def embedding_near_dups(
     n_planes: int | None = 8,
     dim: int = 64,
     n_tables: int = 1,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (near-dup
     vectors collide with high probability). n_planes=None scales the
     plane count with the corpus (constant expected bucket size);
-    n_tables>1 OR-amplifies recall — see ann_lsh_topk."""
+    n_tables>1 OR-amplifies recall — see ann_lsh_topk.
+
+    Output cardinality is the CONTRACT's quadratic part: a semantic
+    cluster of B mutually-above-threshold vectors has B^2/2 true
+    pairs, and the full pair list necessarily costs that (measured by
+    tools/scaling_probe.py: wall tracks rows out, per-row cost FALLS
+    with scale). Consumers that only need CLUSTERS (CC labels, keep-
+    one-per-group dedup) should pass `bucket_cap`: buckets over the
+    cap route to a min-id-hub STAR (B-1 candidate edges, the text
+    MinHash guard's twin — operators/dedup.py candidate_pairs) instead
+    of the B^2/2 self-join. Star candidates still pass the cosine
+    verify, so in the motivating case (a near-identical clique, all
+    pairwise cosines >> threshold) the clique reaches CC fully
+    connected at O(B) rows; recall of pairs BETWEEN merely-similar
+    members of a hot bucket is traded away, which is exactly the
+    quadratic work a cluster consumer never needed."""
     if n_planes is None:
         n_planes = planes_for_corpus(df.count())
     sigs = _multi_table_sig(
@@ -387,6 +403,30 @@ def embedding_near_dups(
         dim,
         n_tables,
     )
+    star = None
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        bucket = Window.partitionBy("tbl", "bucket")
+        ordered = bucket.orderBy(F.col(id_col))
+        counted = sigs.withColumn("_bn", F.count(F.lit(1)).over(bucket))
+        hot = counted.where(F.col("_bn") > bucket_cap)
+        sigs = counted.where(F.col("_bn") <= bucket_cap).drop("_bn")
+        star = (
+            hot.select(
+                F.col(id_col),
+                F.col("q"),
+                F.min(F.col(id_col)).over(bucket).alias("_hub"),
+                F.first("q").over(ordered).alias("_hub_q"),
+            )
+            .where(F.col(id_col) != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_hub_q").alias("qa"),
+                F.col("q").alias("qb"),
+            )
+        )
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = a.join(
         b,
@@ -399,7 +439,9 @@ def embedding_near_dups(
         F.col("a.q").alias("qa"),
         F.col("b.q").alias("qb"),
     )
-    if n_tables > 1:
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    if n_tables > 1 or star is not None:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     cos = cosine_from_int(
         int_dot(F.col("qa"), F.col("qb")),

@@ -79,3 +79,43 @@ def test_isotropy_sane_on_healthy_corpus(spark):
         assert r["n_vectors"] > 1
         assert r["avg_norm_sq"] > 0
         assert -0.1 < r["collapse_score"] < 0.5
+
+
+def test_embedding_bucket_cap_bounds_hot_cluster(spark):
+    """Embedding twin of the MinHash hot-band guard: a near-identical
+    clique of 600 vectors costs the unguarded pair list ~180k rows;
+    with bucket_cap the same corpus emits O(cap * n) rows and the
+    clique still reaches connected components as ONE cluster (star
+    candidates pass the cosine verify because the clique's pairwise
+    cosines are far above threshold)."""
+    import numpy as np
+
+    from corrie_spark.operators import similarity as S
+    from corrie_spark.operators.dedup import connected_components
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    rows = []
+    for i in range(600):  # near-identical clique
+        rows.append((i, (base + 0.01 * rng.standard_normal(64)).tolist()))
+    for i in range(600, 800):  # background noise vectors
+        rows.append((i, rng.standard_normal(64).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = S.embedding_near_dups(df, threshold=0.9, bucket_cap=64)
+    n_capped = capped.count()
+    assert n_capped < 64 * 800  # O(cap * n), nowhere near 180k
+    # the clique survives as one connected component
+    cc = connected_components(
+        capped.select("id_a", "id_b"), df.select("vec_id"), id_col="vec_id"
+    )
+    clique_labels = {
+        r.cluster_id for r in cc.where(F.col("vec_id") < 600).collect()
+    }
+    assert clique_labels == {0}
+    # control on a SLICE (full unguarded 600-clique is the blowup we
+    # refuse to pay in a unit test): 150 clique members -> ~11k pairs
+    slice_df = df.where((F.col("vec_id") < 150) | (F.col("vec_id") >= 600))
+    unguarded = S.embedding_near_dups(slice_df, threshold=0.9).count()
+    assert unguarded > 150 * 149 // 3  # quadratic shape confirmed
