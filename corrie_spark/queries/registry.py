@@ -112,5 +112,6 @@ def _ensure_loaded() -> None:
     import corrie_spark.queries.sketch_queries  # noqa: F401
     import corrie_spark.queries.composed_queries  # noqa: F401
     import corrie_spark.queries.warc_queries  # noqa: F401
+    import corrie_spark.queries.web_queries  # noqa: F401
 
     _loaded = True

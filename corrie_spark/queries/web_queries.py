@@ -1,0 +1,153 @@
+"""Oracle-checked web-crawl operators: HTML-to-text extraction, URL
+canonicalization, per-domain crawl caps (operators/web.py).
+
+Gate shapes:
+  - q_web_html_text runs the SAME regex pipeline in both engines over
+    an identically-constructed HTML string (the chain is the unit
+    under test — Java regex vs RE2 agreement is exactly what the
+    cross-engine hash proves);
+  - q_web_url_canonical is stronger: Spark PARSES and canonicalizes
+    messy fixture URLs, while DuckDB computes the expected canonical
+    form closed-form from the generation rules — the oracle never
+    touches a regex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import web as W
+from corrie_spark.queries.registry import register
+from corrie_spark.tables import load
+
+# --- HTML -> text ------------------------------------------------------------
+
+# identical string in both engines; {S} = STRING (Spark) / VARCHAR (DuckDB)
+_HTML_TMPL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS {S}) || '</title>"
+    "<SCRIPT type=\"text/javascript\">var x = 1 < 2 && \"a&b\";</SCRIPT>"
+    "<style>.c {{ color: red; }}</style></head>"
+    "<body><h1>Doc ' || CAST(doc_id AS {S}) || '</h1>"
+    "<p>' || text || '</p>"
+    "<ul><li>alpha</li><li>beta</li></ul>"
+    "<p>&amp; &lt;tag&gt; &#39;q&#39;&nbsp;end</p>"
+    "<!-- comment <p>hidden</p> --></body></html>'"
+)
+
+_HTML_ORACLE = f"""
+SELECT doc_id,
+       {W.html_to_text_sql(_HTML_TMPL.format(S="VARCHAR"))} AS extracted,
+       CAST(length({W.html_to_text_sql(_HTML_TMPL.format(S="VARCHAR"))}) AS BIGINT)
+         AS n_chars
+FROM documents
+"""
+
+
+@register("q_web_html_text", oracle=_HTML_ORACLE)
+def q_web_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip over per-doc pages (title/script/style/
+    lists/entities/comments, mixed-case tags, a '<' INSIDE script
+    text): the tag/entity/whitespace pipeline runs JVM-side in one
+    whole-stage-codegen projection; the oracle executes the identical
+    chain in RE2, so the gate pins the two regex engines to the same
+    semantics on crawl-shaped markup."""
+    docs = load(spark, sf_dir, "documents")
+    html = F.expr(_HTML_TMPL.format(S="STRING"))
+    extracted = W.html_to_text(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )
+
+
+# --- URL canonicalization ----------------------------------------------------
+
+# messy fixture URLs: mixed-case scheme/host, default and non-default
+# ports, tracking params out of order, fragments
+_URL_TMPL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 THEN 'https' "
+    "ELSE 'HTTPS' END || '://WWW.Site' || CAST(doc_id % 40 AS {S}) || "
+    "'.Example.' || CASE WHEN doc_id % 4 = 1 THEN 'org' "
+    "WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN ':80' WHEN doc_id % 3 = 1 THEN ':443' "
+    "ELSE ':8443' END || '/Doc/' || CAST(doc_id AS {S}) || "
+    "'?utm_source=feed&b=' || CAST(doc_id % 7 AS {S}) || '&a=1#sec'"
+)
+
+_URL_ORACLE = f"""
+WITH rules AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END AS scheme,
+    'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.' ||
+      CASE WHEN doc_id % 4 = 1 THEN 'org'
+           WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS host,
+    CASE WHEN doc_id % 3 = 2 THEN ':8443' ELSE '' END AS port,
+    '/Doc/' || CAST(doc_id AS VARCHAR) AS path,
+    'a=1&b=' || CAST(doc_id % 7 AS VARCHAR) AS query,
+    'example.' || CASE WHEN doc_id % 4 = 1 THEN 'org'
+                       WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS domain
+  FROM documents
+)
+SELECT doc_id, scheme, host, domain,
+       scheme || '://' || host || port || path || '?' || query AS canon
+FROM rules
+"""
+
+
+@register("q_web_url_canonical", oracle=_URL_ORACLE)
+def q_web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization through the real parser: Spark parses the
+    messy fixture URL (mixed-case scheme/host, default ports to
+    strip, a non-default port to keep, tracking params to drop,
+    unsorted params to sort, a fragment to cut) and the oracle states
+    the expected canonical form CLOSED-FORM from the generation rules
+    — the parse/canonicalize chain is verified against ground truth,
+    not against another regex."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_TMPL.format(S="STRING"))
+    host = W.url_host(url)
+    return docs.select(
+        "doc_id",
+        W.url_scheme(url).alias("scheme"),
+        host.alias("host"),
+        W.registered_domain(host).alias("domain"),
+        W.canonical_url(url).alias("canon"),
+    )
+
+
+_CAPS_ORACLE = f"""
+WITH rules AS (
+  SELECT doc_id,
+    'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.' ||
+      CASE WHEN doc_id % 4 = 1 THEN 'org'
+           WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS host
+  FROM documents
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(LEAST(COUNT(*), 5) AS BIGINT) AS n_kept
+FROM rules GROUP BY host
+"""
+
+
+@register("q_web_domain_caps", oracle=_CAPS_ORACLE)
+def q_web_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl caps (the anti-SEO-farm sampling stage every
+    training pipeline runs): keep the first 5 docs per host in stable
+    doc_id order. One window over the host partition + one rollup —
+    the window's exchange IS the rollup's exchange, so the cap rides
+    the shuffle the count needed anyway."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_TMPL.format(S="STRING"))
+    hosts = docs.select("doc_id", W.url_host(url).alias("host"))
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        hosts.withColumn("_rn", F.row_number().over(w))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_rn") <= 5).cast("long")).alias("n_kept"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""operators/web.py unit pins: HTML extraction edge cases, URL
+parsing/canonicalization corners, registered-domain suffix handling —
+the row-local crawl stages between WARC ingestion and documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import web as W
+
+
+def _one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+
+def test_html_strip_basics(spark):
+    html = (
+        '<html><head><title>T</title><script>if (1 < 2) alert("x")</script>'
+        "<style>p { a: b; }</style></head>"
+        "<body><h1>Head</h1><p>one</p><p>two &amp; three</p>"
+        "<!-- <p>never</p> --></body></html>"
+    )
+    out = _one(spark, W.html_to_text(F.lit(html)))
+    assert out == "T Head one two & three"
+
+
+def test_html_malformed_degrades_not_raises(spark):
+    # tag soup: unclosed tags, stray '<', nested brokenness
+    html = "<p>a < b</p><div><span>c</div> trailing <"
+    out = _one(spark, W.html_to_text(F.lit(html)))
+    assert "a" in out and "c" in out and "trailing" in out
+
+
+def test_entity_order_amp_last(spark):
+    # '&amp;lt;' must decode to the LITERAL '&lt;', not '<'
+    out = _one(spark, W.html_to_text(F.lit("x &amp;lt; y &nbsp;z")))
+    assert out == "x &lt; y z"
+
+
+def test_url_parts_and_canonical(spark):
+    u = F.lit("HTTPS://User.Example.CO.UK:443/A/b?utm_source=t&z=2&a=1#frag")
+    assert _one(spark, W.url_scheme(u)) == "https"
+    assert _one(spark, W.url_host(u)) == "user.example.co.uk"
+    assert _one(spark, W.registered_domain(W.url_host(u))) == "example.co.uk"
+    assert (
+        _one(spark, W.canonical_url(u))
+        == "https://user.example.co.uk/A/b?a=1&z=2"
+    )
+
+
+def test_canonical_keeps_nondefault_port_and_empty_path(spark):
+    u = F.lit("http://Host.Example.com:8080")
+    assert _one(spark, W.canonical_url(u)) == "http://host.example.com:8080/"
+    u2 = F.lit("http://h.example.com:80?b=1")
+    assert _one(spark, W.canonical_url(u2)) == "http://h.example.com/?b=1"
+
+
+def test_canonical_drops_all_tracking(spark):
+    u = F.lit("https://a.example.com/p?utm_source=x&utm_medium=y&fbclid=z&gclid=1")
+    assert _one(spark, W.canonical_url(u)) == "https://a.example.com/p"
+
+
+def test_registered_domain_plain_and_short(spark):
+    assert _one(spark, W.registered_domain(F.lit("a.b.site.com"))) == "site.com"
+    assert _one(spark, W.registered_domain(F.lit("site.com"))) == "site.com"
+    assert _one(spark, W.registered_domain(F.lit("localhost"))) == "localhost"
+    assert (
+        _one(spark, W.registered_domain(F.lit("deep.sub.shop.com.au")))
+        == "shop.com.au"
+    )
