@@ -395,3 +395,56 @@ def fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
         .groupBy("_grp")
         .applyInPandas(build, "path string, content binary")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl ingestion
+# ---------------------------------------------------------------------------
+
+BINARY_FILE_STREAM_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Continuous crawl ingestion: Structured Streaming's file source
+    in binaryFile format watches the crawl directory — each NEW
+    .warc.gz lands as one row of one micro-batch and explodes through
+    the same record splitter the batch reader uses (one code path,
+    batch/stream unified). File-granular exactly-once comes from the
+    file source's checkpointed file log; record extraction is
+    deterministic, so replays re-emit identical rows."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_STREAM_SCHEMA)
+        .load(path)
+    )
+    return warc_records(files.select("path", "content"))
+
+
+def start_warc_dedup_stream(
+    spark: SparkSession,
+    crawl_dir: str,
+    work_dir: str,
+    available_now: bool = True,
+):
+    """The crawl-to-corpus streaming composition: arriving .warc.gz
+    files -> record split -> documents schema -> the incremental
+    dedup screen (streaming/dedup_stream.py), which classifies every
+    response against the append-only fingerprint store (dup_of_corpus
+    / dup_in_batch / fresh) — a re-crawled page never enters the
+    corpus twice however many crawl snapshots arrive. Returns the
+    StreamingQuery; decisions land under <work_dir>/decisions."""
+    import os
+
+    from corrie_spark.streaming.dedup_stream import start_dedup_stream
+
+    docs = to_documents(read_warc_stream(spark, crawl_dir))
+    return start_dedup_stream(
+        docs,
+        store_dir=os.path.join(work_dir, "store"),
+        decisions_dir=os.path.join(work_dir, "decisions"),
+        checkpoint_dir=os.path.join(work_dir, "ckpt"),
+        commit_log_dir=os.path.join(work_dir, "commits"),
+        available_now=available_now,
+    )

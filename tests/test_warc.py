@@ -114,3 +114,38 @@ def test_to_documents_schema_and_dedup_food(spark, tmp_path):
     assert len({r.doc_id for r in rows}) == 14
     # but identical text — exact dedup downstream collapses them
     assert len({r.text for r in rows}) == 12
+
+
+def test_streaming_crawl_to_corpus_dedup(spark, tmp_path):
+    """Crawl snapshots arriving as .warc.gz files, screened by the
+    incremental dedup store: snapshot 1 is all fresh (plus its own
+    re-fetch duplicates as dup_in_batch); snapshot 2 re-crawls half
+    the pages (dup_of_corpus) and adds new ones (fresh)."""
+    from corrie_spark.streaming.dedup_stream import dedup_decisions
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    work = str(tmp_path / "work")
+
+    snap1 = [(i, f"page body number {i}") for i in range(20)]
+    (crawl / "snap1.warc.gz").write_bytes(
+        W.build_warc_gz("snap1.warc.gz", snap1, with_dups=False)
+    )
+    q = W.start_warc_dedup_stream(spark, str(crawl / "*.warc.gz"), work)
+    q.awaitTermination(120)
+    d1 = dedup_decisions(spark, work + "/decisions")
+    assert d1.count() == 20
+    assert d1.where(F.col("status") != "fresh").count() == 0
+
+    # snapshot 2: pages 10..19 unchanged (re-crawled under the SAME
+    # ids/urls, as a real crawl does — the charset routing is id-keyed,
+    # so same id => byte-identical body), 20..29 new
+    snap2 = [(i, f"page body number {i}") for i in range(10, 30)]
+    (crawl / "snap2.warc.gz").write_bytes(
+        W.build_warc_gz("snap2.warc.gz", snap2, with_dups=False)
+    )
+    q = W.start_warc_dedup_stream(spark, str(crawl / "*.warc.gz"), work)
+    q.awaitTermination(120)
+    d2 = dedup_decisions(spark, work + "/decisions")
+    by_status = {r.status: r.n for r in d2.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert by_status == {"fresh": 30, "dup_of_corpus": 10}
