@@ -164,3 +164,36 @@ def canonical_url(c: Column | str) -> Column:
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+
+
+# ---------------------------------------------------------------------------
+# fixture HTML page (python + SQL twins for the WARC->HTML composition)
+# ---------------------------------------------------------------------------
+
+# one page shape, stated twice — the python builder feeds the WARC
+# fixture encoder, the SQL template feeds the oracle; equality of the
+# two constructions is pinned by tests/test_web.py.
+FIXTURE_PAGE_TMPL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS {S}) || '</title>"
+    "<SCRIPT type=\"text/javascript\">var x = 1 < 2 && \"a&b\";</SCRIPT>"
+    "<style>.c {{ color: red; }}</style></head>"
+    "<body><h1>Doc ' || CAST(doc_id AS {S}) || '</h1>"
+    "<p>' || text || '</p>"
+    "<ul><li>alpha</li><li>beta</li></ul>"
+    "<p>&amp; &lt;tag&gt; &#39;q&#39;&nbsp;end</p>"
+    "<!-- comment <p>hidden</p> --></body></html>'"
+)
+
+
+def fixture_page(doc_id: int, text: str) -> str:
+    """Python twin of FIXTURE_PAGE_TMPL (same bytes, pinned by test)."""
+    return (
+        f"<html><head><title>Doc {doc_id}</title>"
+        '<SCRIPT type="text/javascript">var x = 1 < 2 && "a&b";</SCRIPT>'
+        "<style>.c { color: red; }</style></head>"
+        f"<body><h1>Doc {doc_id}</h1>"
+        f"<p>{text}</p>"
+        "<ul><li>alpha</li><li>beta</li></ul>"
+        "<p>&amp; &lt;tag&gt; &#39;q&#39;&nbsp;end</p>"
+        "<!-- comment <p>hidden</p> --></body></html>"
+    )

@@ -176,3 +176,64 @@ def q_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars"
         ),
     )
+
+
+# --- WARC -> HTML -> text composition ---------------------------------------
+
+from corrie_spark.operators import web as Wb  # noqa: E402
+
+
+def _shared_html_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-page crawl fixture -> the real reader, memoized like the
+    plain-text one."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        recs = (
+            W.warc_records(W.fixture_files(docs, _N_FILES, html=True))
+            .drop("payload")
+            .persist()
+        )
+        recs.count()
+        return recs
+
+    return _memo(spark, sf_dir, "warc_html_records", build)
+
+
+_EXTRACT = Wb.html_to_text_sql(Wb.FIXTURE_PAGE_TMPL.format(S="VARCHAR"))
+
+_HTML_PIPE_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, {_EXTRACT} AS x FROM documents
+)
+SELECT {_uuid_sql("md5('warc-resp:' || CAST(doc_id AS VARCHAR))")} AS record_id,
+       doc_id, md5(x) AS text_md5, CAST(length(x) AS BIGINT) AS n_chars
+FROM ex
+UNION ALL
+SELECT {_uuid_sql("md5('warc-resp-dup:' || CAST(doc_id AS VARCHAR))")} AS record_id,
+       doc_id, md5(x) AS text_md5, CAST(length(x) AS BIGINT) AS n_chars
+FROM ex WHERE doc_id % {W.DUP_MOD} = 0
+"""
+
+
+@register("q_warc_html_pipeline", oracle=_HTML_PIPE_ORACLE)
+def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-to-text composition, three oracle-checked subsystems
+    in one gated statement: WARC framing (gzip members, record
+    grammar, HTTP payload extraction) -> HTML boilerplate strip
+    (operators/web.py, JVM regex chain) -> per-page text identity,
+    with doc ids recovered by URL parse from the WARC-Target-URI. The
+    oracle rebuilds the same HTML page closed-form from `documents`
+    and runs the identical extraction chain in RE2 — so bytes that
+    traveled the full ingest path hash-match text that never left
+    SQL."""
+    recs = _shared_html_records(spark, sf_dir)
+    extracted = Wb.html_to_text(F.col("text"))
+    return recs.where(F.col("warc_type") == "response").select(
+        "record_id",
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1).cast("long").alias(
+            "doc_id"
+        ),
+        F.md5(extracted).alias("text_md5"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )

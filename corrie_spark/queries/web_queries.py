@@ -23,17 +23,10 @@ from corrie_spark.tables import load
 
 # --- HTML -> text ------------------------------------------------------------
 
-# identical string in both engines; {S} = STRING (Spark) / VARCHAR (DuckDB)
-_HTML_TMPL = (
-    "'<html><head><title>Doc ' || CAST(doc_id AS {S}) || '</title>"
-    "<SCRIPT type=\"text/javascript\">var x = 1 < 2 && \"a&b\";</SCRIPT>"
-    "<style>.c {{ color: red; }}</style></head>"
-    "<body><h1>Doc ' || CAST(doc_id AS {S}) || '</h1>"
-    "<p>' || text || '</p>"
-    "<ul><li>alpha</li><li>beta</li></ul>"
-    "<p>&amp; &lt;tag&gt; &#39;q&#39;&nbsp;end</p>"
-    "<!-- comment <p>hidden</p> --></body></html>'"
-)
+# identical string in both engines; {S} = STRING (Spark) / VARCHAR
+# (DuckDB); python twin = operators/web.fixture_page (equality pinned
+# by tests/test_web.py)
+_HTML_TMPL = W.FIXTURE_PAGE_TMPL
 
 _HTML_ORACLE = f"""
 SELECT doc_id,

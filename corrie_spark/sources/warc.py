@@ -307,8 +307,16 @@ def _record(headers: list[tuple[str, str]], content: bytes) -> bytes:
     return head + content + CRLF + CRLF
 
 
-def response_record(doc_id: int, text: str, dup: int = 0) -> bytes:
-    charset, body_s = fixture_body(doc_id, text)
+def response_record(doc_id: int, text: str, dup: int = 0, html: bool = False) -> bytes:
+    if html:
+        # HTML-page mode (the WARC -> HTML -> corpus composition):
+        # body is the deterministic fixture page, utf-8 (the charset
+        # path is exercised by the plain-text fixture)
+        from corrie_spark.operators.web import fixture_page
+
+        charset, body_s = "utf-8", fixture_page(doc_id, text)
+    else:
+        charset, body_s = fixture_body(doc_id, text)
     body = body_s.encode(charset)
     http = (
         f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={charset}\r\n"
@@ -358,7 +366,10 @@ def warcinfo_record(name: str) -> bytes:
 
 
 def build_warc_gz(
-    name: str, docs: list[tuple[int, str]], with_dups: bool = True
+    name: str,
+    docs: list[tuple[int, str]],
+    with_dups: bool = True,
+    html: bool = False,
 ) -> bytes:
     """One fixture crawl file: warcinfo, then request+response per doc
     (re-fetched duplicate response for doc_id % DUP_MOD == 0), each
@@ -366,13 +377,15 @@ def build_warc_gz(
     members = [warcinfo_record(name)]
     for doc_id, text in sorted(docs):
         members.append(request_record(doc_id))
-        members.append(response_record(doc_id, text))
+        members.append(response_record(doc_id, text, html=html))
         if with_dups and doc_id % DUP_MOD == 0:
-            members.append(response_record(doc_id, text, dup=1))
+            members.append(response_record(doc_id, text, dup=1, html=html))
     return b"".join(gzip.compress(m, compresslevel=1) for m in members)
 
 
-def fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
+def fixture_files(
+    docs_df: DataFrame, n_files: int = 8, html: bool = False
+) -> DataFrame:
     """Distributed fixture build: group docs by doc_id % n_files, one
     applyInPandas group = one .warc.gz 'file' row (path, content) —
     the same shape `binaryFile` produces, so the ingest path under
@@ -385,7 +398,7 @@ def fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
         grp = int(key[0])
         name = f"crawl-{grp:05d}.warc.gz"
         blob = build_warc_gz(
-            name, list(zip((int(i) for i in pdf["doc_id"]), pdf["text"]))
+            name, list(zip((int(i) for i in pdf["doc_id"]), pdf["text"])), html=html
         )
         return pd.DataFrame([{"path": name, "content": blob}])
 

@@ -68,3 +68,14 @@ def test_registered_domain_plain_and_short(spark):
         _one(spark, W.registered_domain(F.lit("deep.sub.shop.com.au")))
         == "shop.com.au"
     )
+
+
+def test_fixture_page_python_sql_twins_agree(spark):
+    # the python builder (feeds the WARC fixture encoder) and the SQL
+    # template (feeds the oracle) must construct IDENTICAL strings
+    rows = spark.createDataFrame(
+        [(3, "alpha beta"), (11, 'quo "ted" & amp')],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.expr(W.FIXTURE_PAGE_TMPL.format(S="STRING")).alias("h"))
+    for r in rows.collect():
+        assert r.h == W.fixture_page(r.doc_id, r.text)
