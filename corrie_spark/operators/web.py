@@ -197,3 +197,110 @@ def fixture_page(doc_id: int, text: str) -> str:
         "<p>&amp; &lt;tag&gt; &#39;q&#39;&nbsp;end</p>"
         "<!-- comment <p>hidden</p> --></body></html>"
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309 Robots Exclusion Protocol)
+# ---------------------------------------------------------------------------
+
+ROBOTS_RULES_DDL = "host string, directive string, prefix string"
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, str]]:
+    """RFC 9309 group selection + allow/disallow extraction: groups
+    are runs of user-agent lines followed by rules; the group whose
+    user-agent most specifically matches `agent` applies (exact match
+    beats '*'); comments stripped; empty-prefix rules ignored (an
+    empty Disallow means allow-all). Wildcards (*, $) inside rule
+    paths are NOT interpreted — prefixes only (documented seam; the
+    fixture and most real robots files are prefix-shaped)."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, str]] = []
+    in_group_header = True
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_group_header:  # new group starts
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_group_header = True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_header = False
+            if val:
+                rules.append((key, val))
+    if agents or rules:
+        groups.append((agents, rules))
+    agent = agent.lower()
+    exact = [r for a, r in groups if agent in a]
+    if exact:
+        return [x for r in exact for x in r]
+    generic = [r for a, r in groups if "*" in a]
+    return [x for r in generic for x in r]
+
+
+def robots_rules(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, robots_txt) -> one (host, directive, prefix) row per
+    applicable rule. Arrow map stage; the rule table is tiny (rules x
+    hosts) and broadcast-joins against the URL set downstream."""
+    import pandas as pd
+
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for host, txt in zip(pdf[host_col], pdf[robots_col]):
+                for directive, prefix in parse_robots(str(txt), agent):
+                    out.append(
+                        {"host": host, "directive": directive, "prefix": prefix}
+                    )
+            yield pd.DataFrame(out, columns=["host", "directive", "prefix"])
+
+    return df.select(host_col, robots_col).mapInPandas(run, ROBOTS_RULES_DDL)
+
+
+def allowed_urls(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-URL robots verdict: host-keyed join against the rule table,
+    longest-prefix match wins, allow wins length ties (RFC 9309
+    precedence), no matching rule = allowed. Adds `allowed` boolean.
+
+    Scale: rules are per-HOST metadata (broadcast side); URLs keep
+    their partitioning — one broadcast join + one URL-keyed window."""
+    from pyspark.sql import Window
+
+    u = urls.withColumn("_host", url_host(url_col)).withColumn(
+        "_path",
+        F.when(url_path(url_col) == "", F.lit("/")).otherwise(url_path(url_col)),
+    )
+    r = rules.select(
+        F.col("host").alias("_rhost"), "directive", "prefix"
+    )
+    m = u.join(
+        F.broadcast(r),
+        (F.col("_host") == F.col("_rhost"))
+        & F.col("_path").startswith(F.col("prefix")),
+        "left",
+    )
+    w = Window.partitionBy(url_col).orderBy(
+        F.length("prefix").desc(), F.col("directive").asc()
+    )
+    best = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumn(
+            "allowed",
+            F.col("directive").isNull() | (F.col("directive") == "allow"),
+        )
+    )
+    return best.select(*urls.columns, "allowed")

@@ -144,3 +144,50 @@ def q_web_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("_rn") <= 5).cast("long")).alias("n_kept"),
         )
     )
+
+
+# --- robots.txt filtering ------------------------------------------------
+
+_ROBOTS_ORACLE = """
+SELECT doc_id,
+  'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.' ||
+    CASE WHEN doc_id % 4 = 1 THEN 'org'
+         WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS host,
+  CASE WHEN (doc_id % 40) % 2 = 0
+       THEN NOT starts_with(CAST(doc_id AS VARCHAR), '1')
+            OR starts_with(CAST(doc_id AS VARCHAR), '12')
+       ELSE TRUE END AS allowed
+FROM documents
+"""
+
+_ROBOTS_EVEN = (
+    "User-agent: megabot\nDisallow: /\n\n"
+    "User-agent: *\n# block list\nDisallow: /Doc/1\nAllow: /Doc/12\n"
+)
+_ROBOTS_ODD = "User-agent: *\nDisallow:\n"  # empty Disallow = allow all
+
+
+@register("q_web_robots_filter", oracle=_ROBOTS_ORACLE)
+def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots filtering through the real parser and matcher:
+    per-host robots.txt (group selection past a megabot-specific
+    group, comments, an empty Disallow meaning allow-all) -> rule
+    table -> broadcast longest-prefix match with allow-wins-ties
+    ('/Doc/12' overrides 'Disallow: /Doc/1'). The oracle states the
+    expected verdicts closed-form from the fixture rules — parser,
+    group selection and precedence are all checked against ground
+    truth. Scale: the rule table is per-host metadata (broadcast);
+    URLs never reshuffle."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_TMPL.format(S="STRING"))
+    urls = docs.select("doc_id", url.alias("url"))
+    hosts = urls.select(W.url_host("url").alias("host")).distinct()
+    k = F.regexp_extract("host", r"site([0-9]+)\.", 1).cast("long")
+    robots = hosts.withColumn(
+        "robots_txt",
+        F.when(k % 2 == 0, F.lit(_ROBOTS_EVEN)).otherwise(F.lit(_ROBOTS_ODD)),
+    )
+    rules = W.robots_rules(robots)
+    return W.allowed_urls(urls, rules).select(
+        "doc_id", W.url_host("url").alias("host"), "allowed"
+    )

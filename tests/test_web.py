@@ -79,3 +79,44 @@ def test_fixture_page_python_sql_twins_agree(spark):
     ).select("doc_id", "text", F.expr(W.FIXTURE_PAGE_TMPL.format(S="STRING")).alias("h"))
     for r in rows.collect():
         assert r.h == W.fixture_page(r.doc_id, r.text)
+
+
+def test_parse_robots_groups_and_precedence():
+    txt = (
+        "# policy\nUser-agent: megabot\nDisallow: /\n\n"
+        "User-agent: a\nUser-agent: b\nDisallow: /x\n\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\nDisallow:\n"
+    )
+    assert W.parse_robots(txt) == [
+        ("disallow", "/private/"),
+        ("allow", "/private/pub/"),
+    ]
+    assert W.parse_robots(txt, "MegaBot") == [("disallow", "/")]
+    assert W.parse_robots(txt, "b") == [("disallow", "/x")]
+    assert W.parse_robots("", "x") == []
+
+
+def test_allowed_urls_longest_match_allow_wins(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://h.example.com/private/secret",),
+            ("https://h.example.com/private/pub/page",),
+            ("https://h.example.com/open",),
+            ("https://other.example.com/private/secret",),  # no rules host
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h.example.com", "disallow", "/private/"),
+            ("h.example.com", "allow", "/private/pub/"),
+        ],
+        "host string, directive string, prefix string",
+    )
+    got = {r.url: r.allowed for r in W.allowed_urls(urls, rules).collect()}
+    assert got == {
+        "https://h.example.com/private/secret": False,
+        "https://h.example.com/private/pub/page": True,
+        "https://h.example.com/open": True,
+        "https://other.example.com/private/secret": True,
+    }
