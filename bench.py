@@ -115,6 +115,9 @@ def main() -> None:
         from corrie_spark.queries.warc_queries import _shared_html_records
 
         _shared_html_records(spark, sf_dir)  # HTML crawl fixture + ingest
+        from corrie_spark.queries.warc_queries import _shared_wet_records
+
+        _shared_wet_records(spark, sf_dir)  # WET fixture + ingest
         for _q in ("q_text_bpe_merges", "q_text_bpe_subword"):
             queries[_q](spark, sf_dir).collect()
     except Exception as e:

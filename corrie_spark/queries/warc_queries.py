@@ -237,3 +237,51 @@ def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(extracted).alias("text_md5"),
         F.length(extracted).cast("long").alias("n_chars"),
     )
+
+
+# --- WET (extracted-text conversion records) --------------------------------
+
+_WET_ORACLE = f"""
+WITH {_BASE}
+SELECT {_uuid_sql("md5('wet-conv:' || CAST(doc_id AS VARCHAR))")} AS record_id,
+  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+  charset,
+  CAST(body_bytes AS BIGINT) AS content_length,
+  md5(body) AS text_md5,
+  CAST(length(body) AS BIGINT) AS n_chars
+FROM enc
+"""
+
+
+def _shared_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        recs = (
+            W.warc_records(W.wet_fixture_files(docs, _N_FILES))
+            .drop("payload")
+            .persist()
+        )
+        recs.count()
+        return recs
+
+    return _memo(spark, sf_dir, "wet_records", build)
+
+
+@register("q_wet_ingest", oracle=_WET_ORACLE)
+def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET extracted-text ingestion (the *.warc.wet.gz layout most
+    text pipelines actually consume): conversion records carry the
+    text as a bare text/plain content block — no HTTP framing — so
+    the reader's conversion branch decodes straight from the WARC
+    content block with the charset from the WARC-level Content-Type.
+    Same closed-form gate as q_warc_ingest: record ids, byte-exact
+    Content-Lengths across the charset boundary, text hashes."""
+    recs = _shared_wet_records(spark, sf_dir)
+    return recs.where(F.col("warc_type") == "conversion").select(
+        "record_id",
+        "target_uri",
+        "charset",
+        "content_length",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -186,6 +186,14 @@ def warc_records(
                             if ctype.split(";")[0].strip() in _TEXTUAL:
                                 charset = sniff_charset(ctype, body)
                                 text = decode_text(body, charset)
+                        elif wtype == "conversion":
+                            # WET extracted-text record (the Common
+                            # Crawl *.warc.wet.gz layout): the content
+                            # block IS the text — no HTTP framing
+                            ctype = h.get("content-type", "")
+                            body = rec["content"]
+                            charset = sniff_charset(ctype, body)
+                            text = decode_text(body, charset)
                         out.append(
                             {
                                 "warc_file": path,
@@ -460,4 +468,75 @@ def start_warc_dedup_stream(
         checkpoint_dir=os.path.join(work_dir, "ckpt"),
         commit_log_dir=os.path.join(work_dir, "commits"),
         available_now=available_now,
+    )
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records, the *.warc.wet.gz layout)
+# ---------------------------------------------------------------------------
+
+
+def conversion_record(doc_id: int, text: str) -> bytes:
+    """WET conversion record: text/plain content block, no HTTP
+    framing, WARC-Refers-To linking back to the response record it
+    was extracted from (the Common Crawl convention)."""
+    charset, body_s = fixture_body(doc_id, text)
+    body = body_s.encode(charset)
+    return _record(
+        [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", f"<urn:uuid:{fixture_uuid(f'wet-conv:{doc_id}')}>"),
+            ("WARC-Refers-To", f"<urn:uuid:{fixture_uuid(f'warc-resp:{doc_id}')}>"),
+            ("WARC-Date", fixture_date(doc_id)),
+            ("WARC-Target-URI", f"https://example.org/doc/{doc_id}"),
+            ("Content-Type", f"text/plain; charset={charset}"),
+        ],
+        body,
+    )
+
+
+def build_wet_gz(name: str, docs: list[tuple[int, str]]) -> bytes:
+    """One fixture WET file: warcinfo + one conversion record per doc,
+    each its own gzip member."""
+    members = [warcinfo_record(name)]
+    for doc_id, text in sorted(docs):
+        members.append(conversion_record(doc_id, text))
+    return b"".join(gzip.compress(m, compresslevel=1) for m in members)
+
+
+def wet_fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
+    """Distributed WET fixture build (same shape as fixture_files)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def build(key, pdf):
+        grp = int(key[0])
+        name = f"crawl-{grp:05d}.warc.wet.gz"
+        blob = build_wet_gz(
+            name, list(zip((int(i) for i in pdf["doc_id"]), pdf["text"]))
+        )
+        return pd.DataFrame([{"path": name, "content": blob}])
+
+    return (
+        docs_df.select("doc_id", "text")
+        .withColumn("_grp", F.col("doc_id") % n_files)
+        .groupBy("_grp")
+        .applyInPandas(build, "path string, content binary")
+    )
+
+
+def wet_to_documents(records: DataFrame) -> DataFrame:
+    """Conversion records -> documents schema (the WET twin of
+    to_documents)."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.dedup import hash60
+
+    return records.where(
+        (F.col("warc_type") == "conversion") & F.col("text").isNotNull()
+    ).select(
+        hash60(F.col("record_id"), "wet-doc").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("text"),
     )

@@ -149,3 +149,23 @@ def test_streaming_crawl_to_corpus_dedup(spark, tmp_path):
     d2 = dedup_decisions(spark, work + "/decisions")
     by_status = {r.status: r.n for r in d2.groupBy("status").agg(F.count("*").alias("n")).collect()}
     assert by_status == {"fresh": 30, "dup_of_corpus": 10}
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET layout: conversion records carry text as a bare text/plain
+    content block (no HTTP framing); the reader decodes them through
+    its conversion branch and wet_to_documents maps them onto the
+    documents schema."""
+    docs = [(i, f"extracted text {i}") for i in range(9)]
+    (tmp_path / "c.warc.wet.gz").write_bytes(W.build_wet_gz("c.warc.wet.gz", docs))
+    recs = W.read_warc(spark, str(tmp_path / "c.warc.wet.gz"))
+    conv = recs.where(F.col("warc_type") == "conversion").collect()
+    assert len(conv) == 9
+    by_uri = {r.target_uri: r for r in conv}
+    r5 = by_uri["https://example.org/doc/5"]
+    assert r5.text == "extracted text 5" and r5.http_status == 0
+    # doc 7 routes latin-1 with the suffix
+    r7 = by_uri["https://example.org/doc/7"]
+    assert r7.charset == "iso-8859-1" and r7.text.endswith("caf\xe9")
+    d = W.wet_to_documents(recs)
+    assert d.columns == ["doc_id", "url", "text"] and d.count() == 9
