@@ -1854,12 +1854,30 @@ def video_fingerprint(df: DataFrame, n_windows: int = 32) -> DataFrame:
 
 
 def dhash_near_pairs(
-    hashes: DataFrame, max_dist: int = 4, band_bits: int | None = None
+    hashes: DataFrame,
+    max_dist: int = 4,
+    band_bits: int | None = None,
+    bucket_cap: int | None = 256,
 ) -> DataFrame:
     """Hamming near-duplicate image pairs from a (media_id, dhash)
     frame: block on equality of any band of the hash (the simhash
     banding idiom), then verify popcount(xor) <= max_dist on
     candidates only.
+
+    Hot-bucket guards (the image twin of the text MinHash guards,
+    operators/dedup.candidate_pairs — same two mechanisms, SCALE.md
+    §14): (1) exact-collapse-first — only ONE representative per
+    DISTINCT dhash enters the band join; members fan back out through
+    hash-keyed joins (N byte-identical crawl images cost the join 1
+    row; their N^2/2 dist-0 pairs — the operator's contract — come
+    from cheap long-only joins); (2) a band-bucket cap with min-id-hub
+    star overflow for buckets holding more than `bucket_cap` DISTINCT
+    hashes, so a templated near-identical image flood emits O(B)
+    candidates per bucket, never O(B^2), and still reaches CC as one
+    cluster (star candidates pass the popcount verify in the
+    motivating near-identical case). On the driver corpora both
+    guards are output-identity by construction (distinct-hash buckets
+    are far below the cap; verified by exceptAll in tests).
 
     RECALL BOUND (pigeonhole): with n_bands bands, banding is
     complete only for pairs differing in <= n_bands - 1 bits — a pair
@@ -1916,7 +1934,9 @@ def dhash_near_pairs(
     # even split: band b covers [bounds[b], bounds[b+1]) of the 64 bits
     bounds = [b * DHASH_BITS // n_bands for b in range(n_bands + 1)]
     h = hashes.filter(F.col("dhash").isNotNull()).select("media_id", "dhash")
-    bands = h.select(
+    # exact-collapse-first: one representative per distinct hash
+    reps = h.groupBy("dhash").agg(F.min("media_id").alias("media_id"))
+    bands = reps.select(
         "media_id",
         "dhash",
         F.explode(
@@ -1934,21 +1954,69 @@ def dhash_near_pairs(
             )
         ).alias("bb"),
     ).select("media_id", "dhash", "bb.b", "bb.bv")
+    star = None
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        bucket = Window.partitionBy("b", "bv")
+        ordered = bucket.orderBy("media_id")
+        counted = bands.withColumn("_bn", F.count(F.lit(1)).over(bucket))
+        hot = counted.where(F.col("_bn") > bucket_cap)
+        bands = counted.where(F.col("_bn") <= bucket_cap).drop("_bn")
+        star = (
+            hot.select(
+                "media_id",
+                "dhash",
+                F.min("media_id").over(bucket).alias("_hub"),
+                F.first("dhash").over(ordered).alias("_hub_h"),
+            )
+            .where(F.col("media_id") != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("id_a"),
+                F.col("media_id").alias("id_b"),
+                F.col("_hub_h").alias("ha"),
+                F.col("dhash").alias("hb"),
+            )
+        )
     a = bands.select(
         F.col("media_id").alias("id_a"), F.col("dhash").alias("ha"), "b", "bv"
     )
     b = bands.select(
         F.col("media_id").alias("id_b"), F.col("dhash").alias("hb"), "b", "bv"
     )
-    cand = (
+    joined = (
         a.join(b, ["b", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "ha", "hb")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        joined = joined.unionByName(star)
+    cand = joined.dropDuplicates(["id_a", "id_b"])
+    # fan representative pairs back out to members (hash-keyed joins);
+    # within-hash pairs are all dist-0 candidates by construction
+    ma = h.select(F.col("dhash").alias("ha"), F.col("media_id").alias("_ma"))
+    mb = h.select(F.col("dhash").alias("hb"), F.col("media_id").alias("_mb"))
+    fanned = (
+        cand.join(ma, "ha")
+        .join(mb, "hb")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "ha",
+            "hb",
+        )
+    )
+    m1 = h.select("dhash", F.col("media_id").alias("id_a"))
+    m2 = h.select("dhash", F.col("media_id").alias("id_b"))
+    within = (
+        m1.join(m2, "dhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("dhash").alias("ha"), F.col("dhash").alias("hb"))
+    )
+    pairs = fanned.unionByName(within)
     dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        cand.withColumn("dist", dist.cast("bigint"))
+        pairs.withColumn("dist", dist.cast("bigint"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )

@@ -1243,3 +1243,36 @@ def test_gif_animation_matches_numpy_reference_fuzz():
                 assert d["data"][k * fs : (k + 1) * fs] == wb
 
     check()
+
+
+def test_dhash_hot_bucket_guard(spark):
+    """Image twin of the MinHash hot-band guard (SCALE.md §14): a
+    flood of images sharing one 16-bit band value must not cost the
+    band join a quadratic candidate set, while (a) byte-identical
+    images (same dhash) still emit ALL their dist-0 pairs through the
+    exact-collapse fan-out and (b) planted near-dup pairs that share
+    a COLD band still surface under the cap."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    # 1000 distinct hashes, all sharing low-16 band value 0x1234:
+    # band 0 is scorching, bands 1-3 vary
+    for i in range(1000):
+        rows.append((i, ((i * 0x9E3779B1) & 0x3FFFFFFF) << 16 | 0x1234))
+    # planted near-dup pair: ids 2000/2001 differ in ONE high bit ->
+    # dist 1, share the hot band AND cold bands
+    base = (0x2AAAAAAA << 16) | 0x1234
+    rows += [(2000, base), (2001, base ^ (1 << 40))]
+    # byte-identical group: ids 3000..3009 share one hash (cold band)
+    rows += [(3000 + j, (0x11111 << 16) | 0x4321) for j in range(10)]
+    hashes = spark.createDataFrame(rows, "media_id long, dhash long")
+
+    pairs = M.dhash_near_pairs(hashes, max_dist=2, band_bits=16, bucket_cap=64)
+    got = {(r.id_a, r.id_b): r.dist for r in pairs.collect()}
+    assert got[(2000, 2001)] == 1  # cold-band recall under the cap
+    # the identical group fans out completely at dist 0
+    ident = {(a, b) for a in range(3000, 3010) for b in range(a + 1, 3010)}
+    assert ident <= set(got)
+    assert all(got[p] == 0 for p in ident)
+    # and nothing quadratic leaked from the hot band
+    assert len(got) < 2000
