@@ -191,7 +191,19 @@ def start_media_dedup_stream(
     pays one Arrow decode (no shuffle), one band equi-join against the
     store scan and one exact-hash groupBy. Pixels never leave the
     decode stage; at deployment scale the batch side's bands broadcast
-    against the big store scan."""
+    against the big store scan.
+
+    Hot-band note (SCALE.md §17): unlike the batch pair generators,
+    this screen needs no bucket cap — the store is SELF-THINNING. A
+    hash within max_dist of any stored hash classifies near_dup and
+    never enters the store, so stored hashes are (approximately, up
+    to same-batch survivors) pairwise farther than max_dist apart: a
+    near-identical content flood contributes ONE stored hash however
+    long it runs, and store band buckets stay at the random-hash
+    density the ≥12-bit band widths already size for. The join's
+    per-batch cost is |batch bucket| x |store bucket|, linear in the
+    batch when store buckets are thin — which the screen itself
+    maintains."""
     import os
 
     from pyspark.sql import Column
