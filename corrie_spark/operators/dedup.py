@@ -457,6 +457,7 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 6,
     signatures: DataFrame | None = None,
+    band_cap: int | None = DEFAULT_BAND_CAP,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs via hamming-band blocking:
     split the signature into `bands` equal bit-bands; a pair is a
@@ -464,10 +465,17 @@ def simhash_pairs(
     within hamming distance < `bands` is guaranteed caught), then the
     exact hamming distance filters candidates to <= max_hamming.
 
-    Scale shape — same as the MinHash-LSH path: signature is a
-    row-local map stage, blocking is a band-value equi-join (shuffle
-    keyed on (band_idx, band_val), never all-pairs), the XOR popcount
-    verify runs on candidates only."""
+    Scale shape — same as the MinHash-LSH path (and carrying the same
+    two §14 hot-band guards): signature is a row-local map stage;
+    exact-collapse-first bands ONE representative per distinct
+    simhash value (near-identical boilerplate pages often land on the
+    IDENTICAL simhash, so N copies cost the band join 1 row and their
+    hamming-0 pairs — the contract — fan out through value-keyed
+    long-only joins); band buckets over `band_cap` distinct values
+    route to a min-id-hub star (B-1 candidates, popcount-verified)
+    instead of the B^2/2 self-join; the XOR popcount verify runs on
+    candidates only. Output-identity below the cap (pinned by the
+    unchanged oracles)."""
     band_width = bits // bands
     mask = (1 << band_width) - 1
     # signatures may be precomputed/persisted by the caller (queries
@@ -477,7 +485,8 @@ def simhash_pairs(
         if signatures is not None
         else df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
     )
-    exploded = sh.select(
+    reps = sh.groupBy("simhash").agg(F.min(id_col).alias(id_col))
+    exploded = reps.select(
         id_col,
         "simhash",
         F.explode(
@@ -494,25 +503,71 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band_idx", "bb.band_val")
+    star = None
+    if band_cap is not None:
+        bucket = Window.partitionBy("band_idx", "band_val")
+        ordered = bucket.orderBy(F.col(id_col))
+        counted = exploded.withColumn("_bn", F.count(F.lit(1)).over(bucket))
+        hot = counted.where(F.col("_bn") > band_cap)
+        exploded = counted.where(F.col("_bn") <= band_cap).drop("_bn")
+        star = (
+            hot.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.min(F.col(id_col)).over(bucket).alias("_hub"),
+                F.first("simhash").over(ordered).alias("_hub_sh"),
+            )
+            .where(F.col(id_col) != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_hub_sh").alias("sh_a"),
+                F.col("simhash").alias("sh_b"),
+            )
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])  # multi-band collisions score once
+    joined = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
     )
+    if star is not None:
+        joined = joined.unionByName(star)
+    cand = joined.dropDuplicates(["id_a", "id_b"])  # multi-band collisions once
+    # fan representative pairs back out to identical-simhash members;
+    # within-value pairs are hamming 0 by construction
+    ma = sh.select(F.col("simhash").alias("sh_a"), F.col(id_col).alias("_ma"))
+    mb = sh.select(F.col("simhash").alias("sh_b"), F.col(id_col).alias("_mb"))
+    fanned = (
+        cand.join(ma, "sh_a")
+        .join(mb, "sh_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "sh_a",
+            "sh_b",
+        )
+    )
+    m1 = sh.select("simhash", F.col(id_col).alias("id_a"))
+    m2 = sh.select("simhash", F.col(id_col).alias("id_b"))
+    within = (
+        m1.join(m2, "simhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.col("simhash").alias("sh_a"), F.col("simhash").alias("sh_b"),
+        )
+    )
+    pairs = fanned.unionByName(within)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
     return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

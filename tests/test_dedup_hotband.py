@@ -118,3 +118,33 @@ def test_capped_bucket_members_still_pair_via_cold_bands(spark):
         for r in D.candidate_pairs(docs, band_cap=CAP).collect()
     }
     assert (500, 501) in got
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """SimHash twin: boilerplate pages landing on the IDENTICAL
+    simhash fan out all their hamming-0 pairs through the value-keyed
+    collapse, and a band-value flood of DISTINCT signatures stays
+    bounded under the cap while a planted cold-band near-pair
+    survives."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    # 500 distinct signatures sharing band 0 (low 12 bits = 0xABC)
+    for i in range(500):
+        rows.append((i, ((i * 2654435761) & 0xFFFFFFF) << 12 | 0xABC))
+    # planted near-pair: one bit apart in a HIGH band, shares cold bands
+    base = (0x5555555 << 12) | 0xABC
+    rows += [(2000, base), (2001, base ^ (1 << 40))]
+    # identical-signature group
+    rows += [(3000 + j, (0x777 << 12) | 0xDEF) for j in range(8)]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_pairs(
+            spark.range(0), signatures=sigs, band_cap=CAP
+        ).collect()
+    }
+    assert got[(2000, 2001)] == 1
+    ident = {(a, b) for a in range(3000, 3008) for b in range(a + 1, 3008)}
+    assert ident <= set(got) and all(got[p] == 0 for p in ident)
+    assert len(got) < 1200  # nothing quadratic from the hot band
