@@ -20,6 +20,12 @@ Commands:
                             shards) and print the manifest JSON;
                             --staged checkpoints stage tables and
                             resumes completed stages on rerun
+  ingest-warc <glob> --out O [--wet] [--html]
+                            ingest crawl files (WARC responses or
+                            --wet conversion records) into a
+                            documents parquet table, optionally
+                            stripping HTML — the front door for
+                            `build` over a real crawl
 """
 
 from __future__ import annotations
@@ -71,6 +77,20 @@ def _build_parser() -> argparse.ArgumentParser:
     build.add_argument("--shard-budget", type=int, default=None)
     build.add_argument("--staged", action="store_true",
                        help="checkpoint stage tables; reruns resume")
+
+    ing = sub.add_parser(
+        "ingest-warc", help="ingest WARC/WET crawl files into a documents table"
+    )
+    ing.add_argument("path", help="glob of *.warc.gz / *.warc.wet.gz files")
+    ing.add_argument("--out", required=True, help="documents parquet dir")
+    ing.add_argument(
+        "--wet", action="store_true",
+        help="read WET conversion records instead of HTTP responses",
+    )
+    ing.add_argument(
+        "--html", action="store_true",
+        help="strip HTML from the extracted text (operators/web.py)",
+    )
     return p
 
 
@@ -209,6 +229,36 @@ def main(argv: list[str] | None = None) -> int:
             shard_budget=args.shard_budget or SHARD_BUDGET_TOKENS,
         )
         print(json.dumps(manifest, sort_keys=True))
+        return 0
+
+    if args.cmd == "ingest-warc":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from corrie_spark.session import get_spark
+        from corrie_spark.sources import warc as W
+
+        spark = get_spark("corrie-spark-ingest")
+        spark.sparkContext.setLogLevel("ERROR")
+        recs = W.read_warc(spark, args.path)
+        docs = (W.wet_to_documents if args.wet else W.to_documents)(recs)
+        if args.html:
+            from corrie_spark.operators.web import html_to_text
+
+            docs = docs.withColumn("text", html_to_text(F.col("text")))
+        docs.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "documents": out.count(),
+                    "distinct_texts": out.select(F.md5("text")).distinct().count(),
+                    "out": args.out,
+                },
+                sort_keys=True,
+            )
+        )
         return 0
 
     return 2

@@ -38,3 +38,42 @@ def test_parser_accepts_round5_subcommands():
     assert (a.cmd, a.ivf) == ("index", True)
     a = p.parse_args(["build", "--out", "/o", "--staged", "--shard-budget", "123"])
     assert (a.cmd, a.staged, a.shard_budget) == ("build", True, 123)
+
+
+def test_cli_ingest_warc(spark, tmp_path, capsys):
+    import json as _json
+
+    from corrie_spark.__main__ import main as cli_main
+    from corrie_spark.operators.web import fixture_page
+    from corrie_spark.sources import warc as W
+
+    docs = [(i, fixture_page(i, f"cli body {i}")) for i in range(6)]
+    (tmp_path / "c.warc.gz").write_bytes(
+        W.build_warc_gz("c.warc.gz", docs, with_dups=False)
+    )
+    out = str(tmp_path / "docs")
+    rc = cli_main(
+        ["ingest-warc", str(tmp_path / "c.warc.gz"), "--out", out, "--html"]
+    )
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["documents"] == 6 and info["distinct_texts"] == 6
+    rows = {r.text for r in spark.read.parquet(out).collect()}
+    # HTML stripped: the page chrome is gone, the body text survives
+    assert any("cli body 3" in t for t in rows)
+    assert not any("<html>" in t for t in rows)
+
+
+def test_cli_ingest_wet(spark, tmp_path, capsys):
+    import json as _json
+
+    from corrie_spark.__main__ import main as cli_main
+    from corrie_spark.sources import warc as W
+
+    docs = [(i, f"wet text {i}") for i in range(5)]
+    (tmp_path / "c.warc.wet.gz").write_bytes(W.build_wet_gz("c.warc.wet.gz", docs))
+    out = str(tmp_path / "docs")
+    rc = cli_main(["ingest-warc", str(tmp_path / "c.warc.wet.gz"), "--out", out, "--wet"])
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["documents"] == 5
