@@ -365,6 +365,15 @@ def ann_lsh_topk(
     )
 
 
+def _vec_fingerprint(q: Column) -> Column:
+    """128-bit-equivalent content fingerprint of a QUANTIZED vector:
+    two independently-seeded xxhash64 passes over the integer array,
+    concatenated. JVM-side (no string building of the vector itself);
+    collision probability ~n^2/2^128 — the same budget the text path's
+    md5 fingerprint accepts (operators/dedup.py candidate_pairs)."""
+    return F.concat_ws("_", F.xxhash64(q), F.xxhash64(F.lit(42), q))
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -374,35 +383,67 @@ def embedding_near_dups(
     dim: int = 64,
     n_tables: int = 1,
     bucket_cap: int | None = None,
+    collapse_exact: bool = True,
+    expand_members: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (near-dup
     vectors collide with high probability). n_planes=None scales the
     plane count with the corpus (constant expected bucket size);
     n_tables>1 OR-amplifies recall — see ann_lsh_topk.
 
-    Output cardinality is the CONTRACT's quadratic part: a semantic
-    cluster of B mutually-above-threshold vectors has B^2/2 true
-    pairs, and the full pair list necessarily costs that (measured by
-    tools/scaling_probe.py: wall tracks rows out, per-row cost FALLS
-    with scale). Consumers that only need CLUSTERS (CC labels, keep-
-    one-per-group dedup) should pass `bucket_cap`: buckets over the
-    cap route to a min-id-hub STAR (B-1 candidate edges, the text
-    MinHash guard's twin — operators/dedup.py candidate_pairs) instead
-    of the B^2/2 self-join. Star candidates still pass the cosine
-    verify, so in the motivating case (a near-identical clique, all
-    pairwise cosines >> threshold) the clique reaches CC fully
-    connected at O(B) rows; recall of pairs BETWEEN merely-similar
-    members of a hot bucket is traded away, which is exactly the
-    quadratic work a cluster consumer never needed."""
+    Scale shape — the two guards of the text MinHash path
+    (operators/dedup.py candidate_pairs), applied to vectors:
+
+    1. exact-collapse-first (`collapse_exact`, ON by default and
+       OUTPUT-IDENTICAL): group by a fingerprint of the QUANTIZED
+       vector and run the LSH self-join over ONE representative per
+       distinct vector; verified pairs are fanned back out to members
+       afterwards through two fingerprint-keyed joins, plus the
+       within-group pairs directly (identical quantized vectors
+       always share every bucket and score the same cosine, so the
+       fanned-out pair list is exactly what the un-collapsed join
+       would emit — byte-identical re-posted content costs the LSH
+       join 1 row instead of N). The fan-out runs AFTER the cosine
+       verify: only surviving rep pairs are expanded, so no vector
+       payload rides the expansion joins.
+    2. `bucket_cap` star overflow (opt-in — it changes the pair-level
+       recall contract): buckets over the cap route to a min-id-hub
+       STAR (B-1 candidate edges) instead of the B^2/2 self-join.
+       Star candidates still pass the cosine verify, so a
+       near-identical clique (all pairwise cosines >> threshold)
+       reaches connected components fully connected at O(B) rows;
+       recall of pairs BETWEEN merely-similar members of a hot bucket
+       is traded away — exactly the quadratic work a CLUSTER consumer
+       (CC labels, keep-one-per-group dedup) never needed. Pair-list
+       consumers that threshold per-pair should leave it None.
+
+    Output cardinality of the uncapped form is the CONTRACT's
+    quadratic part: a semantic cluster of B mutually-above-threshold
+    DISTINCT vectors has B^2/2 true pairs. With collapse on, that
+    cost is only paid for distinct vectors; with bucket_cap it is
+    bounded at O(cap * n) candidates regardless of skew.
+
+    `expand_members=False` (cluster consumers only): skip the member
+    fan-out entirely — return rep-level verified pairs plus ONE
+    (rep, member) star edge per collapsed duplicate. Connected
+    components over this edge set equal CC over the full pair list
+    (members share their rep's signature, so every member-level pair
+    is a rep-level pair expanded; the star keeps each identical-vector
+    group connected through its min-id rep) at O(distinct-pairs + n)
+    rows instead of O(sum B^2) — byte-identical re-posts cost the
+    OUTPUT one row each, which is what drives the cluster path's
+    measured scaling exponent back to ~1."""
     if n_planes is None:
         n_planes = planes_for_corpus(df.count())
-    sigs = _multi_table_sig(
-        df.select(F.col(id_col), quantize(F.col(vec_col)).alias("q")),
-        "q",
-        n_planes,
-        dim,
-        n_tables,
-    )
+    qdf = df.select(F.col(id_col), quantize(F.col(vec_col)).alias("q"))
+    if collapse_exact:
+        fps = qdf.select(F.col(id_col), _vec_fingerprint(F.col("q")).alias("_fp"))
+        reps = fps.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        rep_q = qdf.join(reps.select(id_col), id_col)
+        base = rep_q
+    else:
+        base = qdf
+    sigs = _multi_table_sig(base, "q", n_planes, dim, n_tables)
     star = None
     if bucket_cap is not None:
         from pyspark.sql import Window
@@ -448,9 +489,74 @@ def embedding_near_dups(
         int_norm_sq(F.col("qa")),
         int_norm_sq(F.col("qb")),
     )
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+    verified = pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+    if not collapse_exact:
+        return verified
+    self_cos = cosine_from_int(
+        int_dot(F.col("q"), F.col("q")),
+        int_norm_sq(F.col("q")),
+        int_norm_sq(F.col("q")),
+    )
+    if not expand_members:
+        # CC-sufficient edge set: rep pairs as-is + one star edge per
+        # collapsed member (rep = group min id, so id_a < id_b holds).
+        stars = (
+            fps.join(
+                reps.select(F.col(id_col).alias("_rid"), "_fp"), "_fp"
+            )
+            .where(F.col(id_col) != F.col("_rid"))
+            .join(qdf.join(reps, id_col).select("_fp", self_cos.alias("cosine")), "_fp")
+            .select(
+                F.col("_rid").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                "cosine",
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+        return verified.unionByName(stars)
+    # fan representative pairs back out to members: the cosine of a
+    # member pair equals the rep pair's (identical quantized vectors),
+    # so the verdict AND the value transfer — two long+string-keyed
+    # joins, no vector payload.
+    rep_a = reps.select(F.col(id_col).alias("_ra"), F.col("_fp").alias("fp_a"))
+    rep_b = reps.select(F.col(id_col).alias("_rb"), F.col("_fp").alias("fp_b"))
+    with_fp = (
+        verified.join(rep_a, F.col("id_a") == F.col("_ra"))
+        .drop("_ra")
+        .join(rep_b, F.col("id_b") == F.col("_rb"))
+        .drop("_rb")
+    )
+    ma = fps.select(F.col("_fp").alias("fp_a"), F.col(id_col).alias("_ma"))
+    mb = fps.select(F.col("_fp").alias("fp_b"), F.col(id_col).alias("_mb"))
+    fanned = (
+        with_fp.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "cosine",
+        )
+    )
+    # within-fingerprint pairs (byte-identical quantized vectors):
+    # every bucket matches by construction, so the un-collapsed join
+    # would always have scored them; score from the rep's vector with
+    # itself through the SAME expression (keeps the degenerate
+    # zero-vector edge identical to the uncapped self-join).
+    m1 = fps.select("_fp", F.col(id_col).alias("id_a"))
+    m2 = fps.select("_fp", F.col(id_col).alias("id_b"))
+    within = (
+        m1.join(m2, "_fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(
+            qdf.join(reps, id_col).select("_fp", self_cos.alias("cosine")),
+            "_fp",
+        )
+        .select("id_a", "id_b", "cosine")
+        .filter(F.col("cosine") >= threshold)
+    )
+    return fanned.unionByName(within)
 
 
 def _centroids_of(assigned: DataFrame, dim: int = 64) -> DataFrame:

@@ -275,32 +275,44 @@ def allowed_urls(
     longest-prefix match wins, allow wins length ties (RFC 9309
     precedence), no matching rule = allowed. Adds `allowed` boolean.
 
-    Scale: rules are per-HOST metadata (broadcast side); URLs keep
-    their partitioning — one broadcast join + one URL-keyed window."""
+    The verdict is computed over DISTINCT (host, path) pairs and
+    joined back onto the input, so duplicate URLs (re-fetches are
+    normal in crawl frames) each keep their own output row — and the
+    window only ever sorts the distinct-path set, not the full frame.
+
+    Scale: rules are per-HOST metadata (broadcast side); the verdict
+    table is |distinct paths|-sized; the only full-frame shuffle is
+    the final (host, path)-keyed join back."""
     from pyspark.sql import Window
 
     u = urls.withColumn("_host", url_host(url_col)).withColumn(
         "_path",
         F.when(url_path(url_col) == "", F.lit("/")).otherwise(url_path(url_col)),
     )
+    paths = u.select("_host", "_path").distinct()
     r = rules.select(
         F.col("host").alias("_rhost"), "directive", "prefix"
     )
-    m = u.join(
+    m = paths.join(
         F.broadcast(r),
         (F.col("_host") == F.col("_rhost"))
         & F.col("_path").startswith(F.col("prefix")),
         "left",
     )
-    w = Window.partitionBy(url_col).orderBy(
+    w = Window.partitionBy("_host", "_path").orderBy(
         F.length("prefix").desc(), F.col("directive").asc()
     )
-    best = (
+    verdict = (
         m.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .withColumn(
-            "allowed",
-            F.col("directive").isNull() | (F.col("directive") == "allow"),
+        .select(
+            "_host",
+            "_path",
+            (
+                F.col("directive").isNull() | (F.col("directive") == "allow")
+            ).alias("allowed"),
         )
     )
-    return best.select(*urls.columns, "allowed")
+    return u.join(verdict, ["_host", "_path"], "left").select(
+        *urls.columns, F.coalesce("allowed", F.lit(True)).alias("allowed")
+    )

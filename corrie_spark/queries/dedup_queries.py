@@ -99,9 +99,19 @@ def _shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# star-overflow cap for CLUSTER-bound embedding consumers: a bucket
+# of B near-identical vectors contributes O(B) star edges instead of
+# B^2/2 — cluster labels are cap-invariant (the star keeps cliques
+# connected; pinned by tests/test_similarity_scale.py), while the
+# pair-LIST queries keep the exact uncapped contract below.
+_EMB_BUCKET_CAP = 256
+
+
 def _shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted cosine>=0.35 LSH pair frame shared by the embedding
-    near-dup query and its cluster assignment."""
+    """Persisted cosine>=0.35 LSH pair frame for the PAIR-LEVEL
+    embedding queries (q_dedup_embedding, q_dedup_modality_agreement)
+    — exact contract, no bucket cap; identical-vector blowups are
+    already collapsed by the operator's exact-collapse-first guard."""
     from corrie_spark.operators import similarity as S
 
     emb = load(spark, sf_dir, "embeddings")
@@ -110,6 +120,30 @@ def _shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "emb_pairs",
         lambda: S.embedding_near_dups(emb, threshold=0.35).persist(),
+    )
+
+
+def _shared_embedding_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted CC-sufficient edge frame for CLUSTER-bound consumers:
+    bucket_cap star overflow bounds candidate cardinality at
+    O(cap * n), and expand_members=False keeps identical-vector
+    groups as one star each instead of the quadratic member fan-out —
+    connected components over this frame are provably identical to CC
+    over the exact pair list (tests/test_similarity_scale.py pins the
+    equality on a duplicate-heavy fixture AND on this corpus)."""
+    from corrie_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    return _memo(
+        spark,
+        sf_dir,
+        "emb_pairs_capped",
+        lambda: S.embedding_near_dups(
+            emb,
+            threshold=0.35,
+            bucket_cap=_EMB_BUCKET_CAP,
+            expand_members=False,
+        ).persist(),
     )
 
 
@@ -124,6 +158,7 @@ def warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     _shared_clusters(spark, sf_dir).count()
     _shared_simhash(spark, sf_dir).count()
     _shared_embedding_pairs(spark, sf_dir).count()
+    _shared_embedding_pairs_capped(spark, sf_dir).count()
 
 
 def _shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,7 +877,7 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph shape too (vector buckets produce denser, blobbier
     components than MinHash bands)."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = _shared_embedding_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = _shared_embedding_pairs_capped(spark, sf_dir).select("id_a", "id_b")
     return D.connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
 
 

@@ -119,3 +119,86 @@ def test_embedding_bucket_cap_bounds_hot_cluster(spark):
     slice_df = df.where((F.col("vec_id") < 150) | (F.col("vec_id") >= 600))
     unguarded = S.embedding_near_dups(slice_df, threshold=0.9).count()
     assert unguarded > 150 * 149 // 3  # quadratic shape confirmed
+
+
+def test_embedding_collapse_exact_output_identical(spark):
+    """Vector-hash exact-collapse-first is OUTPUT-IDENTICAL to the
+    uncollapsed self-join: identical quantized vectors share every
+    bucket and every cosine, so collapsing them to one rep through
+    the LSH join and fanning verified pairs back out reproduces the
+    exact pair list (values included)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows, i = [], 0
+    for v in (rng.standard_normal(64) for _ in range(40)):
+        for _ in range(rng.integers(1, 5)):
+            rows.append((i, v.tolist()))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    on = S.embedding_near_dups(df, threshold=0.3, collapse_exact=True)
+    off = S.embedding_near_dups(df, threshold=0.3, collapse_exact=False)
+    assert on.exceptAll(off).count() == 0
+    assert off.exceptAll(on).count() == 0
+
+
+def test_embedding_cluster_edges_cc_invariant(spark):
+    """The cluster-bound frame (bucket_cap + expand_members=False)
+    yields IDENTICAL connected components to the exact pair list on a
+    duplicate-heavy corpus — at a fraction of the edge count. This is
+    the cap-invariance proof the shipped q_dedup_embedding_clusters
+    path relies on."""
+    import numpy as np
+
+    from corrie_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    rows, i = [], 0
+    for v in (rng.standard_normal(64) for _ in range(30)):
+        for _ in range(rng.integers(1, 9)):  # byte-identical re-posts
+            rows.append((i, v.tolist()))
+            i += 1
+    base = rng.standard_normal(64)
+    for _ in range(50):  # near-identical but DISTINCT clique
+        rows.append((i, (base + 0.01 * rng.standard_normal(64)).tolist()))
+        i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = S.embedding_near_dups(df, threshold=0.3)
+    edges = S.embedding_near_dups(
+        df, threshold=0.3, bucket_cap=16, expand_members=False
+    )
+    assert edges.count() < exact.count()
+    cc1 = connected_components(
+        exact.select("id_a", "id_b"), df.select("vec_id"), id_col="vec_id"
+    )
+    cc2 = connected_components(
+        edges.select("id_a", "id_b"), df.select("vec_id"), id_col="vec_id"
+    )
+    assert cc1.exceptAll(cc2).count() == 0
+    assert cc2.exceptAll(cc1).count() == 0
+
+
+def test_embedding_identical_clique_output_linear(spark):
+    """600 byte-identical vectors: the cluster-bound frame emits O(n)
+    rows (599 star edges + whatever the reps contribute), never the
+    ~180k exact pairs — and the group still lands in one component."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from corrie_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(64).tolist()
+    rows = [(i, v) for i in range(600)]
+    rows += [(600 + i, rng.standard_normal(64).tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = S.embedding_near_dups(
+        df, threshold=0.9, bucket_cap=64, expand_members=False
+    )
+    n = edges.count()
+    assert n < 3 * 700  # O(n), nowhere near 600*599/2
+    cc = connected_components(
+        edges.select("id_a", "id_b"), df.select("vec_id"), id_col="vec_id"
+    )
+    labels = {r.cluster_id for r in cc.where(F.col("vec_id") < 600).collect()}
+    assert labels == {0}

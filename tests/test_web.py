@@ -120,3 +120,27 @@ def test_allowed_urls_longest_match_allow_wins(spark):
         "https://h.example.com/open": True,
         "https://other.example.com/private/secret": True,
     }
+
+def test_allowed_urls_keeps_duplicate_urls(spark):
+    # re-fetches (same URL appearing on multiple rows) are normal in
+    # crawl frames — the verdict join must preserve ONE OUTPUT ROW PER
+    # INPUT ROW, not collapse duplicates (regression: the old window
+    # over url_col kept only row_number()==1 per URL string)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h.example.com/private/secret"),
+            (2, "https://h.example.com/private/secret"),  # dup URL
+            (3, "https://h.example.com/open"),
+            (4, "https://h.example.com/open"),  # dup URL
+            (5, "https://h.example.com/open"),  # dup URL
+        ],
+        "rid long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("h.example.com", "disallow", "/private/")],
+        "host string, directive string, prefix string",
+    )
+    rows = W.allowed_urls(urls, rules).collect()
+    assert len(rows) == 5
+    got = {r.rid: r.allowed for r in rows}
+    assert got == {1: False, 2: False, 3: True, 4: True, 5: True}
