@@ -239,6 +239,57 @@ def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CDX capture index -------------------------------------------------------
+
+# fixture urlkey: host example.org reversed = 'org,example'; path
+# '/doc/N' is already lowercase; no query. timestamp = the 14 digits
+# of the fixture WARC-Date. digest = md5 of the decoded text (equal to
+# md5(body) closed-form — the charset-normalized content identity).
+_CDX_ORACLE = f"""
+WITH {_BASE},
+resp AS (
+  SELECT {_uuid_sql("md5('warc-resp:' || CAST(doc_id AS VARCHAR))")} AS record_id,
+         doc_id, body
+  FROM hdr
+  UNION ALL
+  SELECT {_uuid_sql("md5('warc-resp-dup:' || CAST(doc_id AS VARCHAR))")} AS record_id,
+         doc_id, body
+  FROM hdr WHERE doc_id % {W.DUP_MOD} = 0
+)
+SELECT
+  'org,example)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+  substr(replace(replace(replace({_DATE_SQL}, '-', ''), ':', ''), 'T', ''), 1, 14)
+    AS timestamp,
+  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+  md5(body) AS digest,
+  record_id
+FROM resp
+"""
+
+
+@register("q_warc_cdx", oracle=_CDX_ORACLE)
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index emission (the IIPC/Common Crawl shape) from
+    the ingested record frame: SURT urlkey (reversed host labels +
+    canonical path/query), 14-digit timestamp, charset-normalized
+    content digest, record id. The oracle replays urlkey/timestamp/
+    digest closed-form from the fixture rules; the byte-offset half of
+    the CDX contract (warc_offset/warc_rec_length locate the record's
+    gzip member for range-request replay) is pinned by
+    tests/test_warc_sharded.py's seek-and-reparse round-trip, which
+    SQL cannot state. Row-local projection over the ingest scan; the
+    index is metadata-sized and feeds incremental re-crawl joins
+    (compose with q_corpus_snapshot_diff)."""
+    recs = _shared_records(spark, sf_dir)
+    return W.cdx_index(recs).select(
+        "urlkey",
+        F.substring("timestamp", 1, 14).alias("timestamp"),
+        "target_uri",
+        "digest",
+        "record_id",
+    )
+
+
 # --- WET (extracted-text conversion records) --------------------------------
 
 _WET_ORACLE = f"""

@@ -17,10 +17,12 @@ Scale shape:
     columns leave the stage.
   - `binaryFile` materializes a whole file per row (Spark's reader
     contract), so executor memory must hold one file per running
-    task. That matches the 1 GiB crawl convention; for pathological
-    multi-GiB files the gzip-member framing would support an
-    offset-sharded reader (a custom DataSource seam, documented here,
-    not needed for the crawl layout).
+    task. That matches the 1 GiB crawl convention; for multi-GiB
+    files use `read_warc_sharded` (the `warc_ranges` DataSource
+    below): partitions are (file, byte-range) resynced to gzip-member
+    boundaries, so a 10 GiB file parallelizes into ~80 tasks of
+    128 MiB each and no task ever holds more than its range plus one
+    straddling member.
   - charset decode and HTTP parsing are per-record local work; no
     driver round-trips anywhere.
 """
@@ -30,9 +32,10 @@ from __future__ import annotations
 import gzip
 import hashlib
 import zlib
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 CRLF = b"\r\n"
 
@@ -41,22 +44,51 @@ CRLF = b"\r\n"
 # ---------------------------------------------------------------------------
 
 
+GZIP_MAGIC = b"\x1f\x8b\x08"  # RFC 1952 magic + CM=deflate
+
+
+def gzip_members_at(data: bytes, base: int = 0) -> Iterator[tuple[int, int, bytes]]:
+    """Split a concatenation of gzip members, yielding
+    (absolute_offset, compressed_length, decompressed_bytes) per
+    member — the offsets a CDX index records. `base` is the absolute
+    file offset of data[0] (non-zero when the caller holds a byte
+    range of a larger file).
+
+    Total function (crawl-safe): a corrupt or truncated member cannot
+    raise out of the generator — on zlib.error the scan RESYNCS to the
+    next RFC 1952 member magic and continues, so one bad member costs
+    its own bytes, never the rest of the file. Callers detect skipped
+    spans by comparing consecutive offsets (warc_records emits an
+    error-marker row per gap)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        try:
+            out = d.decompress(data[pos:])
+            out += d.flush()
+            if not d.eof:
+                raise zlib.error("truncated gzip member")
+            consumed = (n - pos) - len(d.unused_data)
+            if consumed <= 0:  # trailing garbage that is not a member
+                return
+        except zlib.error:
+            nxt = data.find(GZIP_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        yield base + pos, consumed, out
+        pos += consumed
+
+
 def gzip_members(data: bytes) -> Iterator[bytes]:
     """Split a concatenation of gzip members (RFC 1952 allows any
     number back-to-back; the crawl convention is one WARC record per
     member). A whole-file single-member gzip also works: the loop
     yields one blob that `parse_warc` then walks record by record."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        out = d.decompress(data[pos:])
-        out += d.flush()
-        consumed = (n - pos) - len(d.unused_data)
-        if consumed <= 0:  # trailing garbage that is not a member
-            break
+    for _, _, out in gzip_members_at(data):
         yield out
-        pos += consumed
 
 
 def parse_warc(stream: bytes) -> Iterator[dict]:
@@ -89,7 +121,16 @@ def parse_warc(stream: bytes) -> Iterator[dict]:
                 headers[k.decode("ascii", "replace").strip().lower()] = v.decode(
                     "ascii", "replace"
                 ).strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+            if length < 0:
+                raise ValueError(length)
+        except ValueError:
+            # malformed Content-Length: the record's extent is unknown,
+            # so the rest of this stream cannot be framed — stop the
+            # walk (tolerant reader; the crawl convention of one record
+            # per gzip member bounds the loss to this member)
+            return
         content = stream[pos : pos + length]
         pos += length
         yield {"version": version, "headers": headers, "content": content}
@@ -147,12 +188,36 @@ def decode_text(body: bytes, charset: str) -> str:
 # Spark operators
 # ---------------------------------------------------------------------------
 
+WARC_COLUMNS = [
+    "warc_file",
+    "record_idx",
+    "record_id",
+    "warc_type",
+    "target_uri",
+    "warc_date",
+    "content_length",
+    "http_status",
+    "http_content_type",
+    "charset",
+    "payload",
+    "text",
+    "warc_offset",
+    "warc_rec_length",
+    "payload_digest",
+]
+
 WARC_SCHEMA_DDL = (
     "warc_file string, record_idx bigint, record_id string, warc_type string, "
     "target_uri string, warc_date string, content_length bigint, "
     "http_status bigint, http_content_type string, charset string, "
-    "payload binary, text string"
+    "payload binary, text string, "
+    "warc_offset bigint, warc_rec_length bigint, payload_digest string"
 )
+
+# warc_type of the poison-marker rows the splitter emits for byte
+# spans it could not frame (corrupt gzip member, unparseable record):
+# one row per skipped span, never an exception out of the stage.
+ERROR_TYPE = "_error"
 
 
 def warc_records(
@@ -162,19 +227,80 @@ def warc_records(
     record rows. mapInPandas: bytes stay executor-local; downstream
     consumers should immediately project away `payload` unless they
     need raw bytes (column pruning then keeps text-only pipelines
-    thin past this stage)."""
+    thin past this stage).
+
+    Per-record columns beyond the parsed fields:
+      - warc_offset / warc_rec_length: byte position and COMPRESSED
+        length of the record's gzip member within the crawl file (the
+        CDX locator — a range request of exactly those bytes replays
+        the record). If the input frame carries an `offset` column
+        (the sharded range reader's shape), it is the absolute base
+        offset of that row's bytes; binaryFile rows start at 0.
+      - payload_digest: md5 hex of the raw payload bytes (HTTP body
+        for responses, content block otherwise). Common Crawl's CDX
+        convention is base32 sha1; md5 hex is this engine's digest so
+        the same value is computable closed-form by the SQL oracles.
+
+    Poison safety: a corrupt gzip member or unframeable record can
+    never fail the task — the splitter resyncs to the next member
+    magic and emits ONE `warc_type='_error'` marker row per skipped
+    byte span (DLQ-style, so data loss is observable downstream)."""
     import pandas as pd
+
+    has_offset = "offset" in bin_df.columns
+
+    def _error_row(path: str, idx: int, off: int, length: int, why: str) -> dict:
+        return {
+            "warc_file": path,
+            "record_idx": idx,
+            "record_id": "",
+            "warc_type": ERROR_TYPE,
+            "target_uri": None,
+            "warc_date": None,
+            "content_length": 0,
+            "http_status": 0,
+            "http_content_type": why,
+            "charset": None,
+            "payload": None,
+            "text": None,
+            "warc_offset": off,
+            "warc_rec_length": length,
+            "payload_digest": None,
+        }
 
     def split(batches):
         for pdf in batches:
             out = []
-            for path, blob in zip(pdf[file_col], pdf[content_col]):
+            bases = pdf["offset"] if has_offset else [0] * len(pdf)
+            for path, blob, base in zip(pdf[file_col], pdf[content_col], bases):
+                data = bytes(blob)
+                base = int(base)
                 idx = 0
-                for member in gzip_members(bytes(blob)):
-                    for rec in parse_warc(member):
+                expect = base  # next byte the member walk should land on
+                for m_off, m_len, member in gzip_members_at(data, base):
+                    if m_off > expect:  # resynced past corrupt bytes
+                        out.append(
+                            _error_row(
+                                path, idx, expect, m_off - expect, "x-error/gzip"
+                            )
+                        )
+                        idx += 1
+                    expect = m_off + m_len
+                    try:
+                        recs = list(parse_warc(member))
+                    except Exception as e:  # noqa: BLE001 — poison row, not task death
+                        out.append(
+                            _error_row(
+                                path, idx, m_off, m_len,
+                                f"x-error/{type(e).__name__}",
+                            )
+                        )
+                        idx += 1
+                        continue
+                    for rec in recs:
                         h = rec["headers"]
                         wtype = h.get("warc-type", "")
-                        status, http_h, body = 0, {}, b""
+                        status, http_h, body = 0, {}, rec["content"]
                         text = None
                         charset = None
                         ctype = None
@@ -210,26 +336,21 @@ def warc_records(
                                 "charset": charset,
                                 "payload": body,
                                 "text": text,
+                                "warc_offset": m_off,
+                                "warc_rec_length": m_len,
+                                "payload_digest": hashlib.md5(body).hexdigest(),
                             }
                         )
                         idx += 1
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "warc_file",
-                    "record_idx",
-                    "record_id",
-                    "warc_type",
-                    "target_uri",
-                    "warc_date",
-                    "content_length",
-                    "http_status",
-                    "http_content_type",
-                    "charset",
-                    "payload",
-                    "text",
-                ],
-            )
+                tail = base + len(data)
+                if expect < tail and data[expect - base :].strip(b"\x00"):
+                    # trailing bytes that never became a member
+                    out.append(
+                        _error_row(
+                            path, idx, expect, tail - expect, "x-error/gzip-tail"
+                        )
+                    )
+            yield pd.DataFrame(out, columns=WARC_COLUMNS)
 
     return bin_df.mapInPandas(split, WARC_SCHEMA_DDL)
 
@@ -415,6 +536,211 @@ def fixture_files(
         .withColumn("_grp", F.col("doc_id") % n_files)
         .groupBy("_grp")
         .applyInPandas(build, "path string, content binary")
+    )
+
+
+# ---------------------------------------------------------------------------
+# offset-sharded range reader (multi-GiB files; removes binaryFile's
+# one-file-one-task ceiling and whole-file executor memory)
+# ---------------------------------------------------------------------------
+
+WARC_RANGE_SCHEMA = "path string, offset bigint, length bigint, content binary"
+
+DEFAULT_RANGE_BYTES = 128 << 20  # 128 MiB per partition at crawl scale
+
+
+def _scan_range_members(
+    f, start: int, end: int, file_size: int
+) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (absolute_offset, comp_length, compressed_member) for
+    every gzip member that STARTS in [start, end). The partition reads
+    its own range once; a member straddling `end` is finished by
+    on-demand tail reads (memory = range + one straddling member, not
+    the file). Ownership by member START offset is what makes ranges
+    non-overlapping: the neighbour partition walks the same rule.
+
+    Resync: a range (except offset 0) starts mid-stream, so the walk
+    finds the first RFC 1952 magic at/after `start` and VALIDATES it
+    by decompressing — a magic that happens inside compressed data
+    fails the member's CRC and the scan advances to the next
+    candidate (false accept probability ~2^-32 per candidate, the
+    standard shared-nothing WARC sharding trade)."""
+    f.seek(start)
+    data = f.read(end - start)
+    pos = 0 if start == 0 else -1
+    if pos < 0:
+        pos = data.find(GZIP_MAGIC)
+        if pos < 0:
+            return
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        buf = data[pos:]
+        comp_len = 0
+        ok = True
+        extra: list[bytes] = []
+        try:
+            d.decompress(buf)
+            comp_len = len(buf) - len(d.unused_data)
+            read_at = end
+            while not d.eof and read_at < file_size:
+                f.seek(read_at)
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                extra.append(chunk)
+                read_at += len(chunk)
+                d.decompress(chunk)
+                comp_len = len(buf) + sum(len(c) for c in extra) - len(d.unused_data)
+            if not d.eof:
+                ok = False  # truncated at EOF
+        except zlib.error:
+            ok = False
+        if not ok:
+            nxt = data.find(GZIP_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        member = buf + b"".join(extra)
+        yield start + pos, comp_len, member[:comp_len]
+        pos += comp_len
+
+
+class _WarcRange(InputPartition):
+    def __init__(self, path: str, start: int, end: int, file_size: int):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.file_size = file_size
+
+
+class _WarcRangeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc_ranges requires option 'path'")
+        self.range_bytes = int(options.get("rangeBytes", DEFAULT_RANGE_BYTES))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        import glob as _glob
+        import os
+
+        paths = sorted(_glob.glob(self.path)) or [self.path]
+        parts: list[InputPartition] = []
+        for p in paths:
+            size = os.path.getsize(p)
+            for s in range(0, max(size, 1), self.range_bytes):
+                parts.append(_WarcRange(p, s, min(s + self.range_bytes, size), size))
+        return parts
+
+    def read(self, partition: _WarcRange) -> Iterator[tuple]:
+        with open(partition.path, "rb") as f:
+            for off, length, comp in _scan_range_members(
+                f, partition.start, partition.end, partition.file_size
+            ):
+                yield (partition.path, off, length, comp)
+
+
+class WarcRangeDataSource(DataSource):
+    """`spark.read.format("warc_ranges").option("path", glob)
+    .option("rangeBytes", n)` after
+    `spark.dataSource.register(WarcRangeDataSource)`: one row per gzip
+    member, partitioned by byte RANGE instead of by file — a 10 GiB
+    crawl file becomes ~80 parallel 128 MiB tasks instead of one
+    straggler holding 10 GiB (the seam documented in this module's
+    round-9 header, now closed)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc_ranges"
+
+    def schema(self) -> str:
+        return WARC_RANGE_SCHEMA
+
+    def reader(self, schema) -> _WarcRangeReader:
+        return _WarcRangeReader(self.options)
+
+
+def register_warc_ranges(spark: SparkSession) -> None:
+    spark.dataSource.register(WarcRangeDataSource)
+
+
+def read_warc_sharded(
+    spark: SparkSession, path: str, range_bytes: int = DEFAULT_RANGE_BYTES
+) -> DataFrame:
+    """Offset-sharded crawl reader: (file, byte-range) partitions over
+    gzip-member boundaries -> the SAME record splitter as read_warc
+    (each range row carries its absolute `offset`, so warc_offset /
+    warc_rec_length come out identical to the binaryFile path —
+    hash-equality is pinned by tests/test_warc_sharded.py)."""
+    register_warc_ranges(spark)
+    rows = (
+        spark.read.format("warc_ranges")
+        .option("path", path)
+        .option("rangeBytes", str(range_bytes))
+        .load()
+    )
+    return warc_records(rows)
+
+
+# ---------------------------------------------------------------------------
+# CDX index emission (the IIPC / Common Crawl capture-index shape)
+# ---------------------------------------------------------------------------
+
+
+def surt_urlkey(url_col) -> "Column":
+    """SURT-style urlkey: reversed host labels joined by commas, ')/',
+    then the lowercased path with the canonical (tracking-stripped,
+    sorted) query — 'https://www.Site.example.org/Doc/9?b=2&a=1' ->
+    'org,example,site,www)/doc/9?a=1&b=2'. The prefix-sorted form
+    groups every capture of a host/path subtree contiguously, which
+    is what makes incremental re-crawl joins range-scans."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators import web as _web
+
+    host = _web.url_host(url_col)
+    path = F.lower(_web.url_path(url_col))
+    q = _web.canonical_query(_web.url_query(url_col))
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """Ingested record frame -> CDX capture index: one row per
+    response/conversion record with (urlkey, timestamp, target_uri,
+    digest, warc_file, warc_offset, warc_rec_length, record_id) —
+    the public capture-index shape (CDXJ fields) that makes
+    incremental re-crawl joins and range-request replay possible
+    without touching the crawl bytes again.
+
+    digest is md5 of the DECODED text for textual records (charset-
+    normalized content identity: the same page re-served as latin-1
+    vs utf-8 deduplicates) and of the raw payload bytes otherwise.
+    Row-local projection — at 100 TB it is a free rider on the ingest
+    scan; the output is metadata-sized (one short row per capture)."""
+    from pyspark.sql import functions as F
+
+    ts = F.regexp_replace(F.col("warc_date"), "[^0-9]", "")
+    digest = F.when(
+        F.col("text").isNotNull(), F.md5(F.col("text"))
+    ).otherwise(F.col("payload_digest"))
+    return records.where(
+        F.col("warc_type").isin("response", "conversion")
+    ).select(
+        surt_urlkey(F.col("target_uri")).alias("urlkey"),
+        ts.alias("timestamp"),
+        F.col("target_uri"),
+        digest.alias("digest"),
+        F.col("warc_file"),
+        F.col("warc_offset"),
+        F.col("warc_rec_length"),
+        F.col("record_id"),
     )
 
 

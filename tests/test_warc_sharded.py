@@ -1,0 +1,129 @@
+"""Offset-sharded WARC range reader + CDX index + poison safety.
+
+The sharded reader's contract: (file, byte-range) partitions resynced
+to gzip-member boundaries produce records HASH-IDENTICAL to the
+binaryFile whole-file path (including warc_offset/warc_rec_length),
+with more partitions than files. record_idx is excluded from identity
+— it is a within-input-row ordinal by contract (per file for
+binaryFile, per member for ranges), not a record identity; offsets
+are the identity.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from corrie_spark.sources import warc as W
+
+_IDENTITY_COLS = [c for c in W.WARC_COLUMNS if c != "record_idx"]
+
+
+def _write_fixture(tmp_path, n_docs=40, n_files=2):
+    paths = []
+    for g in range(n_files):
+        docs = [
+            (i, f"document {i} body with several words " * 3)
+            for i in range(n_docs)
+            if i % n_files == g
+        ]
+        p = os.path.join(tmp_path, f"crawl-{g:05d}.warc.gz")
+        with open(p, "wb") as f:
+            f.write(W.build_warc_gz(os.path.basename(p), docs))
+        paths.append(p)
+    return paths
+
+
+def test_sharded_reader_hash_identical_to_binaryfile(spark, tmp_path):
+    _write_fixture(str(tmp_path))
+    glob = os.path.join(str(tmp_path), "*.warc.gz")
+
+    whole = W.read_warc(spark, glob).select(*_IDENTITY_COLS)
+    # binaryFile paths are file:/ URIs; normalize to basenames on both
+    norm = lambda df: df.withColumn(  # noqa: E731
+        "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+    )
+    W.register_warc_ranges(spark)
+    sharded_rows = (
+        spark.read.format("warc_ranges")
+        .option("path", glob)
+        .option("rangeBytes", "4096")
+        .load()
+    )
+    # more partitions than files: the whole point of the range reader
+    assert sharded_rows.rdd.getNumPartitions() > 2
+    sharded = W.warc_records(sharded_rows).select(*_IDENTITY_COLS)
+    a, b = norm(whole), norm(sharded)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_sharded_reader_via_helper(spark, tmp_path):
+    _write_fixture(str(tmp_path), n_docs=12, n_files=1)
+    glob = os.path.join(str(tmp_path), "*.warc.gz")
+    recs = W.read_warc_sharded(spark, glob, range_bytes=2048)
+    n_resp = recs.where(F.col("warc_type") == "response").count()
+    assert n_resp == 12 + sum(1 for i in range(12) if i % W.DUP_MOD == 0)
+
+
+def test_corrupt_member_emits_error_marker_not_exception(spark, tmp_path):
+    docs = [(i, f"text {i} " * 5) for i in range(20)]
+    blob = W.build_warc_gz("c.warc.gz", docs)
+    offs = [(o, l) for o, l, _ in W.gzip_members_at(blob)]
+    bad = bytearray(blob)
+    o3, l3 = offs[3]
+    bad[o3 + 8 : o3 + 16] = b"\x00" * 8  # corrupt the 4th member
+    p = os.path.join(str(tmp_path), "c.warc.gz")
+    with open(p, "wb") as f:
+        f.write(bytes(bad))
+
+    recs = W.read_warc(spark, p)
+    errors = recs.where(F.col("warc_type") == W.ERROR_TYPE).collect()
+    good = recs.where(F.col("warc_type") != W.ERROR_TYPE)
+    # one marker row covering the skipped span; everything else parsed
+    assert len(errors) == 1
+    assert errors[0].http_content_type.startswith("x-error/")
+    assert errors[0].warc_offset == o3
+    assert good.count() >= len(offs) - 2
+
+
+def test_malformed_content_length_stops_member_only():
+    rec = W._record([("WARC-Type", "response")], b"xyz")
+    broken = rec.replace(b"Content-Length: 3", b"Content-Length: zz")
+    assert list(W.parse_warc(broken)) == []
+    # a clean record in its OWN member is unaffected (crawl layout)
+    assert len(list(W.parse_warc(rec))) == 1
+
+
+def test_cdx_offsets_range_request_roundtrip(spark, tmp_path):
+    """The CDX contract: reading exactly [warc_offset, +warc_rec_length)
+    from the file and gunzipping replays the indexed record."""
+    _write_fixture(str(tmp_path), n_docs=15, n_files=1)
+    glob = os.path.join(str(tmp_path), "*.warc.gz")
+    recs = W.read_warc(spark, glob)
+    cdx = W.cdx_index(recs).collect()
+    assert cdx
+    for row in cdx:
+        path = row.warc_file.removeprefix("file:")
+        with open(path, "rb") as f:
+            f.seek(row.warc_offset)
+            comp = f.read(row.warc_rec_length)
+        (rec,) = list(W.parse_warc(gzip.decompress(comp)))
+        rid = (
+            rec["headers"]["warc-record-id"]
+            .strip("<>")
+            .removeprefix("urn:uuid:")
+        )
+        assert rid == row.record_id
+
+
+def test_cdx_urlkey_surt_shape(spark):
+    df = spark.createDataFrame(
+        [("https://www.Site.Example.org:443/Doc/9?utm_source=x&b=2&a=1#f",)],
+        "u string",
+    )
+    got = df.select(W.surt_urlkey(F.col("u")).alias("k")).collect()[0].k
+    assert got == "org,example,site,www)/doc/9?a=1&b=2"
