@@ -118,6 +118,9 @@ def main() -> None:
         from corrie_spark.queries.warc_queries import _shared_wet_records
 
         _shared_wet_records(spark, sf_dir)  # WET fixture + ingest
+        from corrie_spark.queries.pdf_queries import _shared_pdf_records
+
+        _shared_pdf_records(spark, sf_dir)  # PDF fixture build + parse
         for _q in ("q_text_bpe_merges", "q_text_bpe_subword"):
             queries[_q](spark, sf_dir).collect()
     except Exception as e:

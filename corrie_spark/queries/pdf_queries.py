@@ -1,0 +1,132 @@
+"""Oracle-checked PDF text-extraction queries.
+
+Same gate shape as the WARC family (queries/warc_queries.py): the
+fixture PDFs are built distributed from `documents` by deterministic
+rules (sources/pdf.py fixture_* — WORDS_PER_LINE-word lines,
+LINES_PER_PAGE-line pages, string encodings rotating literal/hex/TJ
+by (doc_id + line)), so the DuckDB oracle replays the extracted text
+closed-form from the parquet without parsing a PDF byte. The Spark
+side exercises the REAL reader: object grammar, classic-xref
+precedence via scan, FlateDecode, BT..ET text operators across all
+three string encodings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.queries.dedup_queries import _memo
+from corrie_spark.queries.registry import register
+from corrie_spark.sources import pdf as P
+from corrie_spark.tables import load
+
+# the wrapping rule stated in SQL: tokens (split on single spaces,
+# empties dropped) -> WORDS_PER_LINE-word lines -> LINES_PER_PAGE-line
+# pages joined with \n; empty text -> one empty page.
+_PAGES_CTE = f"""
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []
+         ELSE list_transform(
+           range(0, (len(t) + {P.WORDS_PER_LINE - 1}) // {P.WORDS_PER_LINE}),
+           i -> array_to_string(
+             list_slice(t, i * {P.WORDS_PER_LINE} + 1,
+                        i * {P.WORDS_PER_LINE} + {P.WORDS_PER_LINE}), ' '))
+    END AS ls
+  FROM toks
+),
+pgs AS (
+  SELECT doc_id,
+    CASE WHEN len(ls) = 0 THEN ['']
+         ELSE list_transform(
+           range(0, (len(ls) + {P.LINES_PER_PAGE - 1}) // {P.LINES_PER_PAGE}),
+           p -> array_to_string(
+             list_slice(ls, p * {P.LINES_PER_PAGE} + 1,
+                        p * {P.LINES_PER_PAGE} + {P.LINES_PER_PAGE}), chr(10)))
+    END AS pg
+  FROM lns
+)
+"""
+
+_PDF_INGEST_ORACLE = f"""
+WITH {_PAGES_CTE}
+SELECT doc_id,
+       CAST(i AS BIGINT) AS page,
+       CAST(len(pg) AS BIGINT) AS n_pages,
+       md5(pg[i + 1]) AS text_md5,
+       CAST(length(pg[i + 1]) AS BIGINT) AS n_chars
+FROM pgs, UNNEST(range(0, len(pg))) AS a(i)
+"""
+
+
+def _shared_pdf_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture PDFs -> real reader, memoized per session (the warc
+    `_shared_records` pattern: the parse stage runs once per session,
+    not once per consumer)."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        recs = P.pdf_records(P.pdf_fixture_files(docs)).persist()
+        recs.count()
+        return recs
+
+    return _memo(spark, sf_dir, "pdf_records", build)
+
+
+@register("q_pdf_ingest", oracle=_PDF_INGEST_ORACLE)
+def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF ingestion through the full from-spec reader: distributed
+    fixture build (one deterministic PDF per document; FlateDecode
+    content streams, classic xref, an indirect /Length on page 0) ->
+    object scan -> page-tree walk -> stream decode -> BT..ET text
+    extraction across literal/hex/TJ-kerning string encodings. The
+    oracle replays per-page text closed-form from `documents`
+    (tokens -> 8-word lines -> 3-line pages), so page boundaries,
+    every string-encoding path, and the extracted bytes themselves
+    are all gated. Scale: binaryFile-shaped input, one Arrow map
+    stage, bytes never shuffle (sources/pdf.py header)."""
+    recs = _shared_pdf_records(spark, sf_dir)
+    return recs.where(F.col("error").isNull()).select(
+        F.regexp_extract("pdf_file", r"doc-([0-9]+)\.pdf", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("page"),
+        F.col("n_pages"),
+        F.md5("text").alias("text_md5"),
+        F.col("n_chars"),
+    )
+
+
+_PDF_CORPUS_ORACLE = f"""
+WITH {_PAGES_CTE}
+SELECT
+  CAST(SUM(len(pg)) AS BIGINT) AS n_pages,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN len(pg) > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multipage,
+  CAST(SUM(list_sum(list_transform(pg, x -> length(x)))) AS BIGINT) AS total_chars
+FROM pgs
+"""
+
+
+@register("q_pdf_corpus", oracle=_PDF_CORPUS_ORACLE)
+def q_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build composition over the PDF crawl: page rows ->
+    documents-schema accounting (page counts, multi-page docs, total
+    extracted chars) — one corpus-wide aggregate, one shuffle to a
+    single row. The DLQ contract rides along: error rows are excluded
+    exactly as pdf_to_documents excludes them."""
+    recs = _shared_pdf_records(spark, sf_dir)
+    ok = recs.where(F.col("error").isNull())
+    return ok.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count_distinct("pdf_file").alias("n_docs"),
+        F.count_distinct(
+            F.when(F.col("n_pages") > 1, F.col("pdf_file"))
+        ).alias("n_multipage"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -113,5 +113,6 @@ def _ensure_loaded() -> None:
     import corrie_spark.queries.composed_queries  # noqa: F401
     import corrie_spark.queries.warc_queries  # noqa: F401
     import corrie_spark.queries.web_queries  # noqa: F401
+    import corrie_spark.queries.pdf_queries  # noqa: F401
 
     _loaded = True

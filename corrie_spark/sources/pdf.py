@@ -1,0 +1,698 @@
+"""PDF text extraction (ISO 32000-1 / PDF 1.7 subset, from spec).
+
+Crawls carry PDFs second only to HTML among text-bearing formats; the
+reference engine has no document-format readers at all (this module
+is beyond-parity LLM-pipeline surface, like sources/warc.py). Built
+from public formats only: the PDF 1.7 object grammar (ISO 32000-1
+§7.3), classic cross-reference tables (§7.5.4), FlateDecode (stdlib
+zlib, §7.4.4), and the text-showing/positioning operators (§9.4).
+
+Subset and its seams:
+  - object parser: full §7.3 grammar (dicts, arrays, names with #xx
+    escapes, literal/hex strings, numbers, booleans, null, indirect
+    references, streams with direct-or-indirect /Length).
+  - document assembly SCANS for `N G obj` headers instead of trusting
+    the xref table (incremental updates append redefinitions, so
+    last-definition-wins reproduces xref precedence; a broken or
+    truncated xref cannot take the text down with it). Compressed
+    object streams (/Type/ObjStm) and xref streams are a documented
+    seam: files written that way fall back to whatever objects are
+    scannable, degrading to a DLQ row when no page tree survives.
+  - filters: FlateDecode and ASCIIHexDecode; other filters degrade
+    the page to a decode-error row, never an exception.
+  - text extraction walks BT..ET blocks: Tj / TJ / ' / " show text;
+    Td, TD, T*, Tm, ', " start a new output line (the deterministic
+    layout rule: one extracted line per text-positioning operation —
+    reproducible everywhere, no font metrics involved); TJ kerning
+    offsets below -250 (thousandths of an em) become one space, the
+    public-domain heuristic for inter-word gaps encoded as kerning.
+  - string bytes decode as UTF-16BE behind a BOM, else PDFDocEncoding
+    approximated by latin-1 (the spec's 8-bit range agrees with
+    latin-1 for every printable character).
+
+Scale shape mirrors sources/warc.py: binary files -> mapInPandas
+(Arrow) extraction, bytes never shuffle, every malformed input
+degrades to an `_error` marker row (poison-row safety stance), and
+`pdf_to_documents` feeds the same documents schema the whole corpus
+pipeline runs on.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class PdfError(ValueError):
+    """Malformed PDF construct (caught at the row boundary)."""
+
+
+class Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self) -> str:  # debug aid only
+        return f"Ref({self.num})"
+
+
+class Stream:
+    __slots__ = ("d", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.d = d
+        self.raw = raw
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos : pos + 1]
+        if c == b"%":  # comment to end of line
+            eol = data.find(b"\n", pos)
+            pos = len(data) if eol < 0 else eol + 1
+        elif c in _WS:
+            pos += 1
+        else:
+            break
+    return pos
+
+
+def _parse_name(data: bytes, pos: int) -> tuple[str, int]:
+    # pos at '/'
+    pos += 1
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        c = data[pos : pos + 1]
+        if c in _WS or c in _DELIM:
+            break
+        if c == b"#" and pos + 2 < n:
+            out += bytes.fromhex(data[pos + 1 : pos + 3].decode("ascii"))
+            pos += 3
+        else:
+            out += c
+            pos += 1
+    return out.decode("latin-1"), pos
+
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\x0c",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    # pos at '('
+    pos += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos : pos + 1]
+        if c == b"\\":
+            nxt = data[pos + 1 : pos + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                pos += 2
+            elif nxt.isdigit():  # \ddd octal, 1-3 digits
+                j = pos + 1
+                while j < min(pos + 4, n) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(data[pos + 1 : j], 8) & 0xFF)
+                pos = j
+            elif nxt in (b"\n", b"\r"):  # line continuation
+                pos += 2
+                if nxt == b"\r" and data[pos : pos + 1] == b"\n":
+                    pos += 1
+            else:
+                pos += 1  # lone backslash: drop
+        elif c == b"(":
+            depth += 1
+            out += c
+            pos += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out += c
+            pos += 1
+        else:
+            out += c
+            pos += 1
+    raise PdfError("unterminated literal string")
+
+
+def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    # pos at '<' (single)
+    end = data.find(b">", pos)
+    if end < 0:
+        raise PdfError("unterminated hex string")
+    hx = bytes(ch for ch in data[pos + 1 : end] if bytes((ch,)) not in _WS)
+    if len(hx) % 2:
+        hx += b"0"  # §7.3.4.3: odd count behaves as if 0 appended
+    return bytes.fromhex(hx.decode("ascii")), end + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+
+
+def parse_object(data: bytes, pos: int):
+    """Parse one PDF object at `pos`; returns (object, next_pos).
+    Indirect references `N G R` come back as Ref(N)."""
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise PdfError("eof")
+    c = data[pos : pos + 1]
+    if c == b"/":
+        return _parse_name(data, pos)
+    if c == b"(":
+        return _parse_literal_string(data, pos)
+    if data.startswith(b"<<", pos):
+        pos += 2
+        d: dict = {}
+        while True:
+            pos = _skip_ws(data, pos)
+            if data.startswith(b">>", pos):
+                return d, pos + 2
+            if data[pos : pos + 1] != b"/":
+                raise PdfError("dict key is not a name")
+            key, pos = _parse_name(data, pos)
+            val, pos = parse_object(data, pos)
+            d[key] = val
+    if c == b"<":
+        return _parse_hex_string(data, pos)
+    if c == b"[":
+        pos += 1
+        arr = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos : pos + 1] == b"]":
+                return arr, pos + 1
+            v, pos = parse_object(data, pos)
+            arr.append(v)
+    if data.startswith(b"true", pos):
+        return True, pos + 4
+    if data.startswith(b"false", pos):
+        return False, pos + 5
+    if data.startswith(b"null", pos):
+        return None, pos + 4
+    m = _NUM_RE.match(data, pos)
+    if m:
+        tok = m.group(0)
+        end = m.end()
+        # reference lookahead: <int> <int> R
+        if b"." not in tok:
+            look = _skip_ws(data, end)
+            m2 = _NUM_RE.match(data, look)
+            if m2 and b"." not in m2.group(0):
+                look2 = _skip_ws(data, m2.end())
+                if data.startswith(b"R", look2) and not data[
+                    look2 + 1 : look2 + 2
+                ].isalnum():
+                    return Ref(int(tok)), look2 + 1
+            return int(tok), end
+        return float(tok), end
+    raise PdfError(f"unparseable object at {pos}")
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def parse_document(data: bytes) -> tuple[dict[int, object], dict]:
+    """Scan all `N G obj` definitions (last wins = xref/incremental-
+    update precedence) and the trailer dict. Returns (objects, trailer).
+    Streams capture raw bytes; /Length may be an indirect reference
+    (resolved by the caller via the objects map) — the `endstream`
+    keyword is the authoritative backstop either way (§7.3.8 allows a
+    reader to recover the extent from it)."""
+    objects: dict[int, object] = {}
+    cursor = 0  # end of the last parsed object: a `N G obj` byte
+    # pattern INSIDE a stream's compressed bytes must not be taken for
+    # a definition (the reason real readers trust xref; scanning past
+    # consumed extents recovers the same property without needing an
+    # intact xref)
+    for m in _OBJ_RE.finditer(data):
+        if m.start() < cursor:
+            continue
+        num = int(m.group(1))
+        try:
+            obj, pos = parse_object(data, m.end())
+        except PdfError:
+            continue  # one bad object must not kill the document
+        pos2 = _skip_ws(data, pos)
+        if isinstance(obj, dict) and data.startswith(b"stream", pos2):
+            s = pos2 + len(b"stream")
+            if data.startswith(b"\r\n", s):
+                s += 2
+            elif data.startswith(b"\n", s):
+                s += 1
+            end = data.find(b"endstream", s)
+            if end < 0:
+                continue
+            # keep bytes verbatim up to `endstream`: compressed data
+            # legitimately ends in 0x0A/0x0D, so stripping here would
+            # truncate it — /Length (decode_stream) is the extent
+            raw = data[s:end]
+            obj = Stream(obj, raw)
+            pos = end + len(b"endstream")
+        objects[num] = obj
+        cursor = pos
+    trailer: dict = {}
+    t = data.rfind(b"trailer")
+    if t >= 0:
+        try:
+            trailer, _ = parse_object(data, t + len(b"trailer"))
+        except PdfError:
+            trailer = {}
+    if not trailer:
+        # no classic trailer (xref-stream file): find a catalog by type
+        for num, obj in objects.items():
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                trailer = {"Root": Ref(num)}
+                break
+    return objects, trailer
+
+
+def _resolve(objects: dict[int, object], v):
+    seen = 0
+    while isinstance(v, Ref):
+        v = objects.get(v.num)
+        seen += 1
+        if seen > 64:
+            raise PdfError("reference cycle")
+    return v
+
+
+def decode_stream(objects: dict[int, object], s: Stream) -> bytes:
+    raw = s.raw
+    length = _resolve(objects, s.d.get("Length"))
+    if isinstance(length, int) and 0 <= length <= len(raw):
+        raw = raw[:length]
+    else:
+        # no usable /Length: the spec requires one EOL before
+        # `endstream` — strip exactly that, never content bytes
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
+    filters = _resolve(objects, s.d.get("Filter"))
+    if filters is None:
+        chain = []
+    elif isinstance(filters, list):
+        chain = [_resolve(objects, f) for f in filters]
+    else:
+        chain = [filters]
+    for f in chain:
+        if f == "FlateDecode":
+            raw = zlib.decompress(raw)
+        elif f == "ASCIIHexDecode":
+            hx = raw.split(b">")[0]
+            hx = bytes(ch for ch in hx if bytes((ch,)) not in _WS)
+            if len(hx) % 2:
+                hx += b"0"
+            raw = bytes.fromhex(hx.decode("ascii"))
+        else:
+            raise PdfError(f"unsupported filter {f}")
+    return raw
+
+
+def _walk_pages(objects: dict[int, object], node, depth: int = 0) -> Iterator[dict]:
+    if depth > 64:
+        raise PdfError("page tree too deep")
+    node = _resolve(objects, node)
+    if not isinstance(node, dict):
+        return
+    t = node.get("Type")
+    if t == "Page":
+        yield node
+    elif t == "Pages" or "Kids" in node:
+        for kid in _resolve(objects, node.get("Kids")) or []:
+            yield from _walk_pages(objects, kid, depth + 1)
+
+
+def document_pages(data: bytes) -> list[bytes]:
+    """bytes -> decoded content stream per page, in page-tree order."""
+    objects, trailer = parse_document(data)
+    root = _resolve(objects, trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise PdfError("no document catalog")
+    out = []
+    for page in _walk_pages(objects, root.get("Pages")):
+        contents = _resolve(objects, page.get("Contents"))
+        parts: list[bytes] = []
+        if isinstance(contents, Stream):
+            parts = [decode_stream(objects, contents)]
+        elif isinstance(contents, list):
+            parts = [
+                decode_stream(objects, c)
+                for c in (_resolve(objects, x) for x in contents)
+                if isinstance(c, Stream)
+            ]
+        out.append(b"\n".join(parts))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# text extraction from content streams (§9.4 text operators)
+# ---------------------------------------------------------------------------
+
+_TJ_SPACE = -250  # thousandths of an em: gaps wider than this are words
+
+
+def _decode_pdf_string(b: bytes) -> str:
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1")
+
+
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+
+def extract_text(content: bytes) -> str:
+    """Deterministic layout rule: inside BT..ET, every text-positioning
+    operation (Td TD T* Tm ' \") starts a new output line; Tj/TJ/'/\"
+    append their strings; TJ kerning below -250 becomes one space.
+    Lines join with \\n; an ET flushes the line. No font metrics, no
+    coordinate sort — the SAME bytes always extract the SAME text, on
+    any engine, which is what a dedup/corpus pipeline needs from a
+    layout rule."""
+    lines: list[str] = []
+    cur: list[str] = []
+    pos = 0
+    n = len(content)
+    in_text = False
+
+    def flush() -> None:
+        if cur:
+            line = "".join(cur)
+            if line:
+                lines.append(line)
+            cur.clear()
+
+    operands: list = []
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos : pos + 1]
+        try:
+            if c == b"(":
+                s, pos = _parse_literal_string(content, pos)
+                operands.append(s)
+                continue
+            if content.startswith(b"<<", pos):
+                d, pos = parse_object(content, pos)
+                operands.append(d)
+                continue
+            if c == b"<":
+                s, pos = _parse_hex_string(content, pos)
+                operands.append(s)
+                continue
+            if c == b"[":
+                arr, pos = parse_object(content, pos)
+                operands.append(arr)
+                continue
+            if c == b"/":
+                name, pos = _parse_name(content, pos)
+                operands.append(name)
+                continue
+            m = _NUM_RE.match(content, pos)
+            if m:
+                operands.append(float(m.group(0)))
+                pos = m.end()
+                continue
+        except PdfError:
+            pos += 1
+            operands.clear()
+            continue
+        m = _OP_RE.match(content, pos)
+        if not m:
+            pos += 1
+            operands.clear()
+            continue
+        op = m.group(0)
+        pos = m.end()
+        if op == b"BT":
+            in_text = True
+        elif op == b"ET":
+            flush()
+            in_text = False
+        elif in_text:
+            if op == b"Tj" and operands and isinstance(operands[-1], bytes):
+                cur.append(_decode_pdf_string(operands[-1]))
+            elif op == b"TJ" and operands and isinstance(operands[-1], list):
+                for el in operands[-1]:
+                    if isinstance(el, bytes):
+                        cur.append(_decode_pdf_string(el))
+                    elif isinstance(el, (int, float)) and el < _TJ_SPACE:
+                        cur.append(" ")
+            elif op in (b"'", b'"'):
+                flush()
+                if operands and isinstance(operands[-1], bytes):
+                    cur.append(_decode_pdf_string(operands[-1]))
+            elif op in (b"Td", b"TD", b"T*", b"Tm"):
+                flush()
+        operands.clear()
+    flush()
+    return "\n".join(lines)
+
+
+def pdf_text(data: bytes) -> list[str]:
+    """Whole document -> extracted text per page."""
+    return [extract_text(c) for c in document_pages(data)]
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (the warc_records shape: poison-safe Arrow stage)
+# ---------------------------------------------------------------------------
+
+PDF_SCHEMA_DDL = (
+    "pdf_file string, page bigint, n_pages bigint, text string, "
+    "n_chars bigint, error string"
+)
+
+PDF_COLUMNS = ["pdf_file", "page", "n_pages", "text", "n_chars", "error"]
+
+
+def pdf_records(
+    bin_df: DataFrame, file_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """(file, pdf-bytes) -> one row per page with extracted text.
+    Poison safety stance of warc_records: a truncated or malformed PDF
+    yields ONE error row (error column set, text null) — never an
+    exception out of the stage. mapInPandas: bytes stay executor-
+    local, only text leaves."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf[file_col], pdf[content_col]):
+                try:
+                    pages = pdf_text(bytes(blob))
+                    if not pages:
+                        raise PdfError("no pages")
+                    for i, text in enumerate(pages):
+                        out.append(
+                            {
+                                "pdf_file": path,
+                                "page": i,
+                                "n_pages": len(pages),
+                                "text": text,
+                                "n_chars": len(text),
+                                "error": None,
+                            }
+                        )
+                except Exception as e:  # noqa: BLE001 — poison row, not task death
+                    out.append(
+                        {
+                            "pdf_file": path,
+                            "page": -1,
+                            "n_pages": 0,
+                            "text": None,
+                            "n_chars": 0,
+                            "error": f"{type(e).__name__}: {e}"[:200],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=PDF_COLUMNS)
+
+    return bin_df.mapInPandas(run, PDF_SCHEMA_DDL)
+
+
+def read_pdf(spark: SparkSession, path: str) -> DataFrame:
+    """Batch reader: binaryFile scan -> per-page extraction."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return pdf_records(files)
+
+
+def pdf_to_documents(records: DataFrame) -> DataFrame:
+    """Page rows -> documents schema: doc_id = 60-bit hash of
+    (file, page), all pages of a file concatenated per page row
+    upstream consumers can regroup; error rows are excluded (they
+    stay available as the DLQ frame via records.where(error ...))."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.dedup import hash60
+
+    return records.where(F.col("error").isNull()).select(
+        hash60(
+            F.concat_ws(":", F.col("pdf_file"), F.col("page")), "pdf-doc"
+        ).alias("doc_id"),
+        F.col("pdf_file").alias("url"),
+        F.col("text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture builder (python + closed-form oracle twins)
+# ---------------------------------------------------------------------------
+
+WORDS_PER_LINE = 8
+LINES_PER_PAGE = 3
+
+
+def fixture_lines(text: str) -> list[str]:
+    """The wrapping rule both engines state: split on single spaces,
+    WORDS_PER_LINE words per extracted line (the oracle rebuilds this
+    with list_slice over the token array). Empty text -> no lines."""
+    toks = [t for t in text.split(" ") if t]
+    return [
+        " ".join(toks[i : i + WORDS_PER_LINE])
+        for i in range(0, len(toks), WORDS_PER_LINE)
+    ]
+
+
+def fixture_pages(text: str) -> list[list[str]]:
+    lines = fixture_lines(text)
+    if not lines:
+        return [[]]
+    return [
+        lines[i : i + LINES_PER_PAGE]
+        for i in range(0, len(lines), LINES_PER_PAGE)
+    ]
+
+
+def _esc_literal(s: str) -> bytes:
+    b = s.encode("latin-1", "replace")
+    return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+
+
+def _content_stream(lines: list[str], doc_id: int) -> bytes:
+    """One BT..ET block per line; line encoding alternates literal /
+    hex / TJ-array by (doc_id + line index) so every string-shaped
+    code path is live in the gated fixture, while the EXTRACTED text
+    is identical by construction."""
+    parts = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        mode = (doc_id + i) % 3
+        if i > 0:
+            parts.append(b"0 -14 Td")
+        if mode == 0:
+            parts.append(b"(" + _esc_literal(line) + b") Tj")
+        elif mode == 1:
+            parts.append(b"<" + line.encode("latin-1", "replace").hex().encode() + b"> Tj")
+        else:
+            # TJ with an inter-word kerning gap: first word, -300 gap,
+            # rest — extracts to the same line text
+            words = line.split(" ", 1)
+            if len(words) == 2:
+                parts.append(
+                    b"[(" + _esc_literal(words[0]) + b") -300 ("
+                    + _esc_literal(words[1]) + b")] TJ"
+                )
+            else:
+                parts.append(b"(" + _esc_literal(line) + b") Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def build_pdf(doc_id: int, text: str) -> bytes:
+    """Deterministic single-doc PDF: catalog -> pages -> LINES_PER_PAGE
+    lines per page, FlateDecode content streams, classic xref with
+    byte-exact offsets, /Length as an INDIRECT reference on page 0
+    (the resolver path) and direct elsewhere."""
+    pages = fixture_pages(text)
+    n_pages = len(pages)
+    objs: list[tuple[int, bytes]] = []
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_ids) + b"]"
+    objs.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    objs.append(
+        (2, b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages)
+    )
+    objs.append((3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    next_id = 4 + 2 * n_pages
+    for i, (pid, lines) in enumerate(zip(page_ids, pages)):
+        content = zlib.compress(_content_stream(lines, doc_id))
+        if i == 0:
+            len_ref = b"%d 0 R" % next_id
+        else:
+            len_ref = b"%d" % len(content)
+        objs.append(
+            (
+                pid,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % (pid + 1),
+            )
+        )
+        objs.append(
+            (
+                pid + 1,
+                b"<< /Length " + len_ref + b" /Filter /FlateDecode >>\nstream\n"
+                + content
+                + b"\nendstream",
+            )
+        )
+    if n_pages:
+        first_len = len(zlib.compress(_content_stream(pages[0], doc_id)))
+        objs.append((next_id, b"%d" % first_len))
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    max_id = max(offsets) + 1
+    out += b"xref\n0 %d\n" % max_id
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_id):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_id, xref_at)
+    )
+    return bytes(out)
+
+
+def pdf_fixture_files(docs_df: DataFrame) -> DataFrame:
+    """Distributed fixture build: one PDF per document row (path,
+    content) — the binaryFile shape, so the extraction path under test
+    is the real one end-to-end."""
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            out = [
+                {
+                    "path": f"doc-{int(i):08d}.pdf",
+                    "content": build_pdf(int(i), str(t)),
+                }
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    return docs_df.select("doc_id", "text").mapInPandas(
+        build, "path string, content binary"
+    )

@@ -1,0 +1,164 @@
+"""PDF reader units (object grammar, streams, text operators) and the
+Spark extraction path (poison safety, documents composition)."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from corrie_spark.sources import pdf as P
+
+
+# --- object grammar ---------------------------------------------------------
+
+
+def test_parse_scalars_and_containers():
+    obj, _ = P.parse_object(b" << /A 1 /B [2 3.5 (x) /N#41me true null] >>", 0)
+    assert obj["A"] == 1
+    assert obj["B"][:2] == [2, 3.5]
+    assert obj["B"][2] == b"x"
+    assert obj["B"][3] == "NAme"  # #41 = 'A'
+    assert obj["B"][4] is True and obj["B"][5] is None
+
+
+def test_parse_reference_lookahead():
+    obj, _ = P.parse_object(b"<< /P 12 0 R /N 7 >>", 0)
+    assert isinstance(obj["P"], P.Ref) and obj["P"].num == 12
+    assert obj["N"] == 7
+
+
+def test_literal_string_escapes_and_nesting():
+    s, _ = P.parse_object(rb"(a\(b\)c (nested) \\ \101 \n)", 0)
+    assert s == b"a(b)c (nested) \\ A \n"
+
+
+def test_hex_string_odd_digit_pads_zero():
+    s, _ = P.parse_object(b"<48 6\n5 6C6C6F2>", 0)
+    assert s == b"Hello " or s == b"Hello\x20"  # trailing '2' -> 0x20
+
+
+def test_stream_bytes_kept_verbatim():
+    """Compressed data ending in EOL bytes must survive: /Length is
+    the extent, not whitespace stripping (the Error -5 regression)."""
+    payload = bytes(range(250, 256)) + b"\n\r\n"  # ends in EOLs
+    comp = zlib.compress(payload)
+    doc = (
+        b"1 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    objects, _ = P.parse_document(doc)
+    assert P.decode_stream(objects, objects[1]) == payload
+
+
+def test_incremental_update_last_definition_wins():
+    v1 = b"1 0 obj\n(old)\nendobj\n"
+    v2 = b"1 0 obj\n(new)\nendobj\n"
+    objects, _ = P.parse_document(v1 + v2)
+    assert objects[1] == b"new"
+
+
+def test_obj_pattern_inside_stream_ignored():
+    inner = b"garbage 2 0 obj << /X 1 >> endobj garbage"
+    doc = (
+        b"1 0 obj\n<< /Length %d >>\nstream\n" % len(inner)
+        + inner
+        + b"\nendstream\nendobj\n3 0 obj\n42\nendobj\n"
+    )
+    objects, _ = P.parse_document(doc)
+    assert 2 not in objects and objects[3] == 42
+
+
+# --- text operators -----------------------------------------------------------
+
+
+def test_extract_text_layout_rule():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (first line) Tj "
+        b"0 -14 Td (second) Tj ( line) Tj "
+        b"T* (third) Tj ET "
+        b"BT 1 0 0 1 72 500 Tm [(kern) -300 (gap) -10 (x)] TJ ET"
+    )
+    assert P.extract_text(content) == "first line\nsecond line\nthird\nkern gapx"
+
+
+def test_extract_text_quote_operators():
+    content = b"BT (a) Tj (b) ' 2 3 (c) \" ET"
+    assert P.extract_text(content) == "a\nb\nc"
+
+
+def test_extract_utf16_bom_string():
+    s = "café".encode("utf-16-be")
+    content = b"BT (" + b"\xfe\xff" + s + b") Tj ET"
+    assert P.extract_text(content) == "café"
+
+
+# --- whole documents ----------------------------------------------------------
+
+
+def test_build_extract_roundtrip_all_encodings():
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    for did in range(3):  # rotates literal/hex/TJ line encodings
+        pages = P.pdf_text(P.build_pdf(did, text))
+        assert pages == ["\n".join(pl) for pl in P.fixture_pages(text)]
+
+
+def test_indirect_length_resolved():
+    blob = P.build_pdf(0, "one two three four five six seven eight nine")
+    # page 0's /Length is an indirect reference by fixture construction
+    objects, trailer = P.parse_document(blob)
+    stream_objs = [o for o in objects.values() if isinstance(o, P.Stream)]
+    assert any(isinstance(s.d.get("Length"), P.Ref) for s in stream_objs)
+    assert P.pdf_text(blob)  # and it still decodes
+
+
+def test_poison_pdfs_degrade_to_error_rows(spark):
+    good = P.build_pdf(1, "hello world this is a fine document")
+    rows = [
+        ("good.pdf", good),
+        ("truncated.pdf", good[: len(good) // 3]),
+        ("garbage.pdf", b"this is not a pdf"),
+        ("empty.pdf", b""),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    recs = P.pdf_records(df).collect()
+    by_file = {}
+    for r in recs:
+        by_file.setdefault(r.pdf_file, []).append(r)
+    assert all(r.error is None for r in by_file["good.pdf"])
+    for poison in ("garbage.pdf", "empty.pdf"):
+        (row,) = by_file[poison]
+        assert row.error is not None and row.text is None
+    # truncated: either parses a prefix or degrades — never missing
+    assert "truncated.pdf" in by_file
+
+
+def test_pdf_to_documents_schema(spark):
+    df = spark.createDataFrame(
+        [
+            ("a.pdf", P.build_pdf(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9")),
+            ("bad.pdf", b"nope"),
+        ],
+        "path string, content binary",
+    )
+    docs = P.pdf_to_documents(P.pdf_records(df))
+    assert docs.columns == ["doc_id", "url", "text"]
+    got = docs.collect()
+    # 9 words -> two 8/1-word lines -> one page -> one doc row; the
+    # poison file contributes only a DLQ row, never a document
+    assert len(got) == 1
+    assert got[0].url == "a.pdf"
+    assert got[0].text == "w1 w2 w3 w4 w5 w6 w7 w8\nw9"
+
+
+def test_read_pdf_from_files(spark, tmp_path):
+    import os
+
+    for i in range(4):
+        with open(os.path.join(str(tmp_path), f"doc-{i}.pdf"), "wb") as f:
+            f.write(P.build_pdf(i, f"document {i} " + "word " * 20))
+    recs = P.read_pdf(spark, os.path.join(str(tmp_path), "*.pdf"))
+    ok = recs.where(F.col("error").isNull())
+    assert ok.count() >= 4
+    assert ok.select("pdf_file").distinct().count() == 4

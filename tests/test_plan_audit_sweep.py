@@ -45,6 +45,8 @@ _PYTHON_OK = {
     "q_web_robots_filter",  # robots.txt rule parse (tiny mapInPandas, host-sized)
     "q_wet_ingest",  # same WARC Arrow ingest stage, WET fixture
     "q_warc_cdx",  # consumes the same ingested record frame (CDX projection)
+    "q_pdf_ingest",  # mapInPandas fixture build + from-spec PDF parse
+    "q_pdf_corpus",  # consumes the same parsed page frame
     "q_multimodal_dhash_resampled",  # mapInPandas decode + 9x8 resample
     "q_sim_ivfpq_refined_recall",  # partial-top-k consumer (refine re-rank)
     "q_sim_sq8_topk",  # partial-top-k consumer (SQ8 ADC)
