@@ -207,16 +207,25 @@ ROBOTS_RULES_DDL = "host string, directive string, prefix string"
 
 
 def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, str]]:
-    """RFC 9309 group selection + allow/disallow extraction: groups
-    are runs of user-agent lines followed by rules; the group whose
-    user-agent most specifically matches `agent` applies (exact match
-    beats '*'); comments stripped; empty-prefix rules ignored (an
-    empty Disallow means allow-all). Wildcards (*, $) inside rule
-    paths are NOT interpreted — prefixes only (documented seam; the
-    fixture and most real robots files are prefix-shaped)."""
+    """RFC 9309 group selection + rule extraction: groups are runs of
+    user-agent lines followed by rules; the group whose user-agent
+    most specifically matches `agent` applies (exact match beats '*');
+    comments stripped; empty-prefix allow/disallow ignored (an empty
+    Disallow means allow-all). Wildcards (*, $) inside rule paths are
+    NOT interpreted — prefixes only (documented seam; the fixture and
+    most real robots files are prefix-shaped).
+
+    Beyond the core protocol, the two publicly-documented de-facto
+    extensions a polite crawler consumes:
+      - ('crawl-delay', seconds) — per-group like allow/disallow, so
+        it rides the same group selection;
+      - ('sitemap', url) — group-INDEPENDENT per the sitemaps.org
+        convention: returned for every agent, whichever group the
+        line sits in."""
     groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     agents: list[str] = []
     rules: list[tuple[str, str]] = []
+    sitemaps: list[str] = []
     in_group_header = True
     for raw in txt.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -234,14 +243,23 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, str]]:
             in_group_header = False
             if val:
                 rules.append((key, val))
+        elif key == "crawl-delay":
+            in_group_header = False
+            if val:
+                rules.append((key, val))
+        elif key == "sitemap":
+            if val:
+                sitemaps.append(val)
     if agents or rules:
         groups.append((agents, rules))
     agent = agent.lower()
     exact = [r for a, r in groups if agent in a]
-    if exact:
-        return [x for r in exact for x in r]
-    generic = [r for a, r in groups if "*" in a]
-    return [x for r in generic for x in r]
+    selected = (
+        [x for r in exact for x in r]
+        if exact
+        else [x for r in (r for a, r in groups if "*" in a) for x in r]
+    )
+    return selected + [("sitemap", u) for u in sitemaps]
 
 
 def robots_rules(
@@ -290,7 +308,7 @@ def allowed_urls(
         F.when(url_path(url_col) == "", F.lit("/")).otherwise(url_path(url_col)),
     )
     paths = u.select("_host", "_path").distinct()
-    r = rules.select(
+    r = rules.where(F.col("directive").isin("allow", "disallow")).select(
         F.col("host").alias("_rhost"), "directive", "prefix"
     )
     m = paths.join(
@@ -315,4 +333,72 @@ def allowed_urls(
     )
     return u.join(verdict, ["_host", "_path"], "left").select(
         *urls.columns, F.coalesce("allowed", F.lit(True)).alias("allowed")
+    )
+
+
+def crawl_delays(rules: DataFrame, default: float = 0.0) -> DataFrame:
+    """Rule table -> (host, crawl_delay): the selected group's
+    Crawl-delay in seconds, `default` when absent or unparseable
+    (MAX across duplicate lines — the conservative read). Per-host
+    metadata, broadcast-sized like the rule table itself."""
+    d = rules.where(F.col("directive") == "crawl-delay").select(
+        "host",
+        F.when(
+            F.col("prefix").rlike(r"^[0-9]+(\.[0-9]+)?$"),
+            F.col("prefix").cast("double"),
+        ).alias("_d"),
+    )
+    return d.groupBy("host").agg(
+        F.coalesce(F.max("_d"), F.lit(default)).alias("crawl_delay")
+    )
+
+
+def host_caps_weighted(
+    urls: DataFrame,
+    rules: DataFrame,
+    base_cap: int,
+    url_col: str = "url",
+    budget_s: float = 3600.0,
+    default_delay: float = 0.0,
+) -> DataFrame:
+    """Per-host crawl caps weighted by Crawl-delay: a host asking for
+    d seconds between fetches can yield at most budget_s/d pages per
+    crawl window, so its cap is min(base_cap, floor(budget_s /
+    max(d, 1))) (d=0 or absent -> base_cap). Returns one row per host
+    with (host, crawl_delay, cap, n_docs, n_kept) — the q_web_domain_
+    caps rollup with the politeness budget applied. The delay table
+    is broadcast; the window rides the rollup's own host exchange."""
+    from pyspark.sql import Window
+
+    hosts = urls.select(url_host(url_col).alias("host"), "*")
+    delays = crawl_delays(rules, default_delay)
+    withd = hosts.join(F.broadcast(delays), "host", "left").withColumn(
+        "crawl_delay", F.coalesce("crawl_delay", F.lit(default_delay))
+    )
+    cap = F.when(
+        F.col("crawl_delay") > 0,
+        F.least(
+            F.lit(base_cap),
+            F.floor(F.lit(budget_s) / F.greatest(F.col("crawl_delay"), F.lit(1.0))),
+        ),
+    ).otherwise(F.lit(base_cap))
+    w = Window.partitionBy("host").orderBy(F.col(url_col))
+    return (
+        withd.withColumn("_cap", cap)
+        .withColumn("_rn", F.row_number().over(w))
+        .groupBy("host")
+        .agg(
+            F.first("crawl_delay").alias("crawl_delay"),
+            F.first("_cap").cast("long").alias("cap"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_rn") <= F.col("_cap")).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def sitemap_urls(rules: DataFrame) -> DataFrame:
+    """Rule table -> (host, sitemap) rows — the crawl frontier's seed
+    list (group-independent per the sitemaps.org convention)."""
+    return rules.where(F.col("directive") == "sitemap").select(
+        "host", F.col("prefix").alias("sitemap")
     )

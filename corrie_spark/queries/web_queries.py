@@ -156,13 +156,18 @@ SELECT doc_id,
   CASE WHEN (doc_id % 40) % 2 = 0
        THEN NOT starts_with(CAST(doc_id AS VARCHAR), '1')
             OR starts_with(CAST(doc_id AS VARCHAR), '12')
-       ELSE TRUE END AS allowed
+       ELSE TRUE END AS allowed,
+  CAST(CASE WHEN (doc_id % 40) % 2 = 0 THEN 4.0 ELSE 0.0 END AS DOUBLE)
+    AS crawl_delay
 FROM documents
 """
 
+# even hosts: a megabot-specific group to skip, then the generic group
+# with prefix rules + a Crawl-delay, plus a group-independent Sitemap
 _ROBOTS_EVEN = (
     "User-agent: megabot\nDisallow: /\n\n"
     "User-agent: *\n# block list\nDisallow: /Doc/1\nAllow: /Doc/12\n"
+    "Crawl-delay: 4\nSitemap: https://example.com/sitemap.xml\n"
 )
 _ROBOTS_ODD = "User-agent: *\nDisallow:\n"  # empty Disallow = allow all
 
@@ -173,11 +178,12 @@ def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-host robots.txt (group selection past a megabot-specific
     group, comments, an empty Disallow meaning allow-all) -> rule
     table -> broadcast longest-prefix match with allow-wins-ties
-    ('/Doc/12' overrides 'Disallow: /Doc/1'). The oracle states the
-    expected verdicts closed-form from the fixture rules — parser,
-    group selection and precedence are all checked against ground
-    truth. Scale: the rule table is per-host metadata (broadcast);
-    URLs never reshuffle."""
+    ('/Doc/12' overrides 'Disallow: /Doc/1'), plus the selected
+    group's Crawl-delay surfaced per host (the de-facto politeness
+    extension). The oracle states the expected verdicts AND delays
+    closed-form from the fixture rules — parser, group selection and
+    precedence are all checked against ground truth. Scale: the rule
+    table is per-host metadata (broadcast); URLs never reshuffle."""
     docs = load(spark, sf_dir, "documents")
     url = F.expr(_URL_TMPL.format(S="STRING"))
     urls = docs.select("doc_id", url.alias("url"))
@@ -188,6 +194,59 @@ def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 2 == 0, F.lit(_ROBOTS_EVEN)).otherwise(F.lit(_ROBOTS_ODD)),
     )
     rules = W.robots_rules(robots)
-    return W.allowed_urls(urls, rules).select(
-        "doc_id", W.url_host("url").alias("host"), "allowed"
+    delays = W.crawl_delays(rules)
+    return (
+        W.allowed_urls(urls, rules)
+        .withColumn("host", W.url_host("url"))
+        .join(F.broadcast(delays), "host", "left")
+        .select(
+            "doc_id",
+            "host",
+            "allowed",
+            F.coalesce("crawl_delay", F.lit(0.0)).alias("crawl_delay"),
+        )
+    )
+
+
+_POLITE_ORACLE = """
+WITH rules AS (
+  SELECT doc_id,
+    'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.' ||
+      CASE WHEN doc_id % 4 = 1 THEN 'org'
+           WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS host,
+    (doc_id % 40) % 2 = 0 AS slow
+  FROM documents
+)
+SELECT host,
+       CAST(CASE WHEN slow THEN 4.0 ELSE 0.0 END AS DOUBLE) AS crawl_delay,
+       CAST(CASE WHEN slow THEN 2 ELSE 5 END AS BIGINT) AS cap,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(LEAST(COUNT(*), CASE WHEN slow THEN 2 ELSE 5 END) AS BIGINT)
+         AS n_kept
+FROM rules GROUP BY host, slow
+"""
+
+
+@register("q_web_polite_caps", oracle=_POLITE_ORACLE)
+def q_web_polite_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl caps weighted by the robots Crawl-delay: a host
+    asking for d seconds between fetches yields at most budget/d pages
+    per crawl window, so fixture hosts advertising Crawl-delay 4 under
+    a 10-second budget cap at floor(10/4)=2 pages while unconstrained
+    hosts keep the base cap of 5. Runs the REAL chain — robots parse
+    -> group selection -> crawl_delays -> budget arithmetic -> window
+    cap — against closed-form expected caps/keeps. The delay table is
+    broadcast; the cap window rides the per-host rollup exchange."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_TMPL.format(S="STRING"))
+    urls = docs.select("doc_id", url.alias("url"))
+    hosts = urls.select(W.url_host("url").alias("host")).distinct()
+    k = F.regexp_extract("host", r"site([0-9]+)\.", 1).cast("long")
+    robots = hosts.withColumn(
+        "robots_txt",
+        F.when(k % 2 == 0, F.lit(_ROBOTS_EVEN)).otherwise(F.lit(_ROBOTS_ODD)),
+    )
+    rules = W.robots_rules(robots)
+    return W.host_caps_weighted(
+        urls, rules, base_cap=5, url_col="url", budget_s=10.0
     )

@@ -144,3 +144,69 @@ def test_allowed_urls_keeps_duplicate_urls(spark):
     assert len(rows) == 5
     got = {r.rid: r.allowed for r in rows}
     assert got == {1: False, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_parse_robots_crawl_delay_and_sitemap():
+    txt = (
+        "User-agent: megabot\nDisallow: /\nCrawl-delay: 99\n"
+        "Sitemap: https://h/s1.xml\n\n"
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 4\n"
+        "Sitemap: https://h/s2.xml\n"
+    )
+    got = W.parse_robots(txt)
+    # generic group's rules + delay; sitemaps are group-INDEPENDENT
+    assert ("disallow", "/x") in got
+    assert ("crawl-delay", "4") in got
+    assert ("crawl-delay", "99") not in got
+    assert ("sitemap", "https://h/s1.xml") in got
+    assert ("sitemap", "https://h/s2.xml") in got
+    # exact agent selects its own delay, still both sitemaps
+    mb = W.parse_robots(txt, "megabot")
+    assert ("crawl-delay", "99") in mb and ("sitemap", "https://h/s2.xml") in mb
+
+
+def test_crawl_delays_and_sitemaps_tables(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "crawl-delay", "2.5"),
+            ("a.com", "crawl-delay", "7"),  # conservative MAX wins
+            ("a.com", "sitemap", "https://a.com/s.xml"),
+            ("b.com", "disallow", "/x"),
+            ("c.com", "crawl-delay", "junk"),  # unparseable -> default
+        ],
+        "host string, directive string, prefix string",
+    )
+    d = {r.host: r.crawl_delay for r in W.crawl_delays(rules).collect()}
+    assert d == {"a.com": 7.0, "c.com": 0.0}
+    s = {(r.host, r.sitemap) for r in W.sitemap_urls(rules).collect()}
+    assert s == {("a.com", "https://a.com/s.xml")}
+
+
+def test_allowed_urls_ignores_non_path_directives(spark):
+    urls = spark.createDataFrame(
+        [("https://a.com/page",)], "url string"
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "crawl-delay", "4"), ("a.com", "sitemap", "https://a.com/s")],
+        "host string, directive string, prefix string",
+    )
+    # delay/sitemap rows must not act as path prefixes
+    got = W.allowed_urls(urls, rules).collect()
+    assert len(got) == 1 and got[0].allowed is True
+
+
+def test_host_caps_weighted_budget(spark):
+    urls = spark.createDataFrame(
+        [(f"https://{h}/p{i}",) for h in ("slow.com", "fast.com") for i in range(8)],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("slow.com", "crawl-delay", "4")],
+        "host string, directive string, prefix string",
+    )
+    got = {
+        r.host: (r.crawl_delay, r.cap, r.n_docs, r.n_kept)
+        for r in W.host_caps_weighted(urls, rules, base_cap=5, budget_s=10.0).collect()
+    }
+    assert got["slow.com"] == (4.0, 2, 8, 2)   # floor(10/4) = 2
+    assert got["fast.com"] == (0.0, 5, 8, 5)   # base cap
