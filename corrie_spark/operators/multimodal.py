@@ -1918,8 +1918,9 @@ def dhash_near_pairs(
                 f"max_dist={max_dist} derives {n_bands} bands of "
                 f"{DHASH_BITS // n_bands}-{-(-DHASH_BITS // n_bands)} bits; "
                 "bands narrower than ~8 bits degenerate toward n^2/2^width "
-                "candidate pairs at corpus scale — consider a wider hash or "
-                "an exact verify for large radii",
+                "candidate pairs at corpus scale — use the 124-bit family "
+                "(image_dhash_wide + dhash_wide_near_pairs, complete with "
+                ">=8-bit bands up to max_dist 14) for large radii",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -2015,6 +2016,246 @@ def dhash_near_pairs(
     )
     pairs = fanned.unionByName(within)
     dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("dist", dist.cast("bigint"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+# --- wide (124-bit) dHash: the supported strategy for radii > 6 -------------
+
+DHASH_WIDE_BITS = 2 * DHASH_BITS  # two positive-int64 words, 124 bits
+
+IMAGE_DHASH_WIDE_DDL = (
+    "media_id bigint, dhash_lo bigint, dhash_hi bigint, n_pixels int, ok boolean"
+)
+
+
+def image_dhash_wide(df: DataFrame) -> DataFrame:
+    """124-bit perceptual gradient hash as TWO int64 words: word `lo`
+    packs gradient bits 0..61 (BIT-IDENTICAL to image_dhash, so the
+    two hash families agree wherever they overlap — pinned by test)
+    and `hi` packs bits 62..123. The wide hash exists for LARGE
+    hamming radii: banding completeness needs max_dist+1 bands, and
+    124 bits keep every band >= 8 bits up to max_dist 14, where the
+    62-bit hash degenerates past max_dist 6 (the dhash_near_pairs
+    RuntimeWarning envelope). Short images leave high bits zero
+    (defined). Same shuffle-free Arrow stage; 16 bytes/image out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                row = {
+                    "media_id": mid, "dhash_lo": None, "dhash_hi": None,
+                    "n_pixels": None, "ok": False,
+                }
+                try:
+                    d = decode_payload(mtype, bytes(payload))
+                    if d["kind"] == "image":
+                        px = np.frombuffer(d["data"], dtype=np.uint8).astype(np.int64)
+                        bits = (px[:-1] > px[1:]).astype(np.int64)[:DHASH_WIDE_BITS]
+                        lo_b = bits[:DHASH_BITS]
+                        hi_b = bits[DHASH_BITS:]
+                        lo = int((lo_b << np.arange(lo_b.size, dtype=np.int64)).sum())
+                        hi = int((hi_b << np.arange(hi_b.size, dtype=np.int64)).sum())
+                        row.update(
+                            dhash_lo=lo, dhash_hi=hi, n_pixels=int(px.size), ok=True
+                        )
+                except (ValueError, NotImplementedError, struct.error):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array([r["media_id"] for r in out], dtype="Int64"),
+                    "dhash_lo": pd.array([r["dhash_lo"] for r in out], dtype="Int64"),
+                    "dhash_hi": pd.array([r["dhash_hi"] for r in out], dtype="Int64"),
+                    "n_pixels": pd.array([r["n_pixels"] for r in out], dtype="Int64"),
+                    "ok": [r["ok"] for r in out],
+                }
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        run, IMAGE_DHASH_WIDE_DDL
+    )
+
+
+def _wide_band(lo: str, hi: str, s: int, e: int):
+    """Band value for bit range [s, e) of a 124-bit (lo, hi) hash —
+    pure int64 shift/mask arithmetic even when the band straddles the
+    word boundary."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    lo_width = 0
+    if s < DHASH_BITS:
+        lo_e = min(e, DHASH_BITS)
+        lo_width = lo_e - s
+        parts.append(
+            F.shiftright(F.col(lo), s).bitwiseAND(F.lit((1 << lo_width) - 1))
+        )
+    if e > DHASH_BITS:
+        hi_s = max(s, DHASH_BITS) - DHASH_BITS
+        width = e - max(s, DHASH_BITS)
+        hv = F.shiftright(F.col(hi), hi_s).bitwiseAND(F.lit((1 << width) - 1))
+        parts.append(F.shiftleft(hv, lo_width) if lo_width else hv)
+    return parts[0] if len(parts) == 1 else parts[0].bitwiseOR(parts[1])
+
+
+def dhash_wide_near_pairs(
+    hashes: DataFrame,
+    max_dist: int = 12,
+    bucket_cap: int | None = 256,
+) -> DataFrame:
+    """Hamming near-duplicate pairs over the 124-bit wide hash —
+    dhash_near_pairs' large-radius twin (same two hot-bucket guards:
+    exact-collapse-first on the (lo, hi) pair, band-bucket cap with
+    min-id-hub star overflow). max_dist+1 bands split EVENLY across
+    124 bits (pigeonhole completeness, see dhash_near_pairs), every
+    band >= 8 bits up to max_dist 14 — the wide-radius operating
+    envelope the 62-bit family warns about. Verify =
+    popcount(xor lo) + popcount(xor hi), one JVM expression."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    if max_dist >= DHASH_WIDE_BITS:
+        raise ValueError(
+            f"max_dist {max_dist} >= {DHASH_WIDE_BITS} hash bits: banding "
+            "cannot be complete; use an exact all-pairs verify instead"
+        )
+    n_bands = max_dist + 1
+    if DHASH_WIDE_BITS // n_bands < 8:
+        warnings.warn(
+            f"max_dist={max_dist} derives {n_bands} bands of "
+            f"{DHASH_WIDE_BITS // n_bands}+ bits over {DHASH_WIDE_BITS}; "
+            "bands narrower than ~8 bits degenerate toward n^2/2^width "
+            "candidates — wide dHash supports radii <= 14",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    bounds = [b * DHASH_WIDE_BITS // n_bands for b in range(n_bands + 1)]
+    h = hashes.filter(
+        F.col("dhash_lo").isNotNull() & F.col("dhash_hi").isNotNull()
+    ).select("media_id", "dhash_lo", "dhash_hi")
+    reps = h.groupBy("dhash_lo", "dhash_hi").agg(
+        F.min("media_id").alias("media_id")
+    )
+    bands = reps.select(
+        "media_id",
+        "dhash_lo",
+        "dhash_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        _wide_band(
+                            "dhash_lo", "dhash_hi", bounds[b], bounds[b + 1]
+                        ).alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "dhash_lo", "dhash_hi", "bb.b", "bb.bv")
+    star = None
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        bucket = Window.partitionBy("b", "bv")
+        ordered = bucket.orderBy("media_id")
+        counted = bands.withColumn("_bn", F.count(F.lit(1)).over(bucket))
+        hot = counted.where(F.col("_bn") > bucket_cap)
+        bands = counted.where(F.col("_bn") <= bucket_cap).drop("_bn")
+        star = (
+            hot.select(
+                "media_id",
+                "dhash_lo",
+                "dhash_hi",
+                F.min("media_id").over(bucket).alias("_hub"),
+                F.first("dhash_lo").over(ordered).alias("_hub_lo"),
+                F.first("dhash_hi").over(ordered).alias("_hub_hi"),
+            )
+            .where(F.col("media_id") != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("id_a"),
+                F.col("media_id").alias("id_b"),
+                F.col("_hub_lo").alias("la"),
+                F.col("_hub_hi").alias("ua"),
+                F.col("dhash_lo").alias("lb"),
+                F.col("dhash_hi").alias("ub"),
+            )
+        )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash_lo").alias("la"),
+        F.col("dhash_hi").alias("ua"),
+        "b",
+        "bv",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash_lo").alias("lb"),
+        F.col("dhash_hi").alias("ub"),
+        "b",
+        "bv",
+    )
+    joined = (
+        a.join(b, ["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "la", "ua", "lb", "ub")
+    )
+    if star is not None:
+        joined = joined.unionByName(star)
+    cand = joined.dropDuplicates(["id_a", "id_b"])
+    ma = h.select(
+        F.col("dhash_lo").alias("la"),
+        F.col("dhash_hi").alias("ua"),
+        F.col("media_id").alias("_ma"),
+    )
+    mb = h.select(
+        F.col("dhash_lo").alias("lb"),
+        F.col("dhash_hi").alias("ub"),
+        F.col("media_id").alias("_mb"),
+    )
+    fanned = (
+        cand.join(ma, ["la", "ua"])
+        .join(mb, ["lb", "ub"])
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "la",
+            "ua",
+            "lb",
+            "ub",
+        )
+    )
+    m1 = h.select(
+        "dhash_lo", "dhash_hi", F.col("media_id").alias("id_a")
+    )
+    m2 = h.select(
+        "dhash_lo", "dhash_hi", F.col("media_id").alias("id_b")
+    )
+    within = (
+        m1.join(m2, ["dhash_lo", "dhash_hi"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dhash_lo").alias("la"),
+            F.col("dhash_hi").alias("ua"),
+            F.col("dhash_lo").alias("lb"),
+            F.col("dhash_hi").alias("ub"),
+        )
+    )
+    pairs = fanned.unionByName(within)
+    dist = F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) + F.bit_count(
+        F.col("ua").bitwiseXOR(F.col("ub"))
+    )
     return (
         pairs.withColumn("dist", dist.cast("bigint"))
         .filter(F.col("dist") <= max_dist)

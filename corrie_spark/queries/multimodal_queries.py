@@ -1173,6 +1173,63 @@ def q_multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_DHASH_HI_EXPR = (
+    f"CAST(COALESCE(list_sum(list_transform("
+    f"range({_DH_BITS}, least({2 * _DH_BITS}, {_W} * {_H} - 1)), "
+    f"i -> CASE WHEN {_PX.format(i='i')} > {_PX.format(i='i + 1')} "
+    f"THEN (CAST(1 AS BIGINT) << (i - {_DH_BITS})) ELSE CAST(0 AS BIGINT) END)), 0) "
+    f"AS BIGINT)"
+)
+
+# the oracle is an ALL-PAIRS popcount filter: banding with max_dist+1
+# bands is pigeonhole-complete at max_dist, so the banded join's
+# output must EQUAL brute force — the gate proves completeness of the
+# wide family on real data, not just that two replicas agree.
+_DHASH_WIDE_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id AS media_id, {_DHASH_EXPR} AS lo, {_DHASH_HI_EXPR} AS hi
+  FROM documents WHERE doc_id % 3 = 0
+),
+cand AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS dist
+  FROM hs a JOIN hs b ON a.media_id < b.media_id
+)
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(id_a) AS min_id_a, MIN(id_b) AS min_id_b
+FROM cand WHERE dist <= 12
+GROUP BY 1 ORDER BY dist
+"""
+
+
+@register("q_multimodal_dhash_wide_pairs", oracle=_DHASH_WIDE_ORACLE)
+def q_multimodal_dhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE-radius image dedup (the strategy the 62-bit family's
+    RuntimeWarning points to): 124-bit two-word dHash, 13 evenly-split
+    >=9-bit bands at max_dist=12 — the radius where 62-bit banding
+    degenerates to 4-bit bands. The oracle is BRUTE FORCE (all-pairs
+    popcount filter), so the gate proves the banded join's pigeonhole
+    completeness on real data: banded == exhaustive at this radius.
+    bucket_cap=None here because this is the pair-LIST contract;
+    cluster consumers cap (see dhash_wide_near_pairs docstring)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    from pyspark.sql import functions as F
+
+    hashes = M.image_dhash_wide(M.synth_media(docs))
+    return (
+        M.dhash_wide_near_pairs(hashes, max_dist=12, bucket_cap=None)
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("id_a").alias("min_id_a"),
+            F.min("id_b").alias("min_id_b"),
+        )
+        .orderBy("dist")
+    )
+
+
 # --- production dHash: fixed 9x8 resample through the REAL codecs ----------
 
 # variable per-doc dimensions so the resample actually changes shape
