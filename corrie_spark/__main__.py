@@ -20,7 +20,8 @@ Commands:
                             shards) and print the manifest JSON;
                             --staged checkpoints stage tables and
                             resumes completed stages on rerun
-  ingest-warc <glob> --out O [--wet] [--html]
+  ingest-warc <glob> --out O [--wet] [--html] [--sharded] [--cdx C]
+  ingest-pdf <glob> --out O [--errors E]
                             ingest crawl files (WARC responses or
                             --wet conversion records) into a
                             documents parquet table, optionally
@@ -90,6 +91,25 @@ def _build_parser() -> argparse.ArgumentParser:
     ing.add_argument(
         "--html", action="store_true",
         help="strip HTML from the extracted text (operators/web.py)",
+    )
+    ing.add_argument(
+        "--sharded", action="store_true",
+        help="offset-sharded range reader (multi-GiB files parallelize "
+        "past the one-file-one-task ceiling)",
+    )
+    ing.add_argument(
+        "--cdx", default=None,
+        help="also write a CDX capture index parquet to this dir",
+    )
+
+    pdf = sub.add_parser(
+        "ingest-pdf", help="extract text from PDF files into a documents table"
+    )
+    pdf.add_argument("path", help="glob of *.pdf files")
+    pdf.add_argument("--out", required=True, help="documents parquet dir")
+    pdf.add_argument(
+        "--errors", default=None,
+        help="also write the DLQ (unparseable files) parquet to this dir",
     )
     return p
 
@@ -241,7 +261,10 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("corrie-spark-ingest")
         spark.sparkContext.setLogLevel("ERROR")
-        recs = W.read_warc(spark, args.path)
+        reader = W.read_warc_sharded if args.sharded else W.read_warc
+        recs = reader(spark, args.path)
+        if args.cdx:
+            W.cdx_index(recs).write.mode("overwrite").parquet(args.cdx)
         docs = (W.wet_to_documents if args.wet else W.to_documents)(recs)
         if args.html:
             from corrie_spark.operators.web import html_to_text
@@ -249,16 +272,42 @@ def main(argv: list[str] | None = None) -> int:
             docs = docs.withColumn("text", html_to_text(F.col("text")))
         docs.write.mode("overwrite").parquet(args.out)
         out = spark.read.parquet(args.out)
-        print(
-            json.dumps(
-                {
-                    "documents": out.count(),
-                    "distinct_texts": out.select(F.md5("text")).distinct().count(),
-                    "out": args.out,
-                },
-                sort_keys=True,
-            )
-        )
+        summary = {
+            "documents": out.count(),
+            "distinct_texts": out.select(F.md5("text")).distinct().count(),
+            "out": args.out,
+        }
+        if args.cdx:
+            summary["cdx_rows"] = spark.read.parquet(args.cdx).count()
+            summary["cdx"] = args.cdx
+        print(json.dumps(summary, sort_keys=True))
+        return 0
+
+    if args.cmd == "ingest-pdf":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from corrie_spark.session import get_spark
+        from corrie_spark.sources import pdf as P
+
+        spark = get_spark("corrie-spark-ingest")
+        spark.sparkContext.setLogLevel("ERROR")
+        recs = P.read_pdf(spark, args.path)
+        if args.errors:
+            recs.where(F.col("error").isNotNull()).drop("text").write.mode(
+                "overwrite"
+            ).parquet(args.errors)
+        P.pdf_to_documents(recs).write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        summary = {
+            "documents": out.count(),
+            "distinct_texts": out.select(F.md5("text")).distinct().count(),
+            "out": args.out,
+        }
+        if args.errors:
+            summary["errors"] = spark.read.parquet(args.errors).count()
+        print(json.dumps(summary, sort_keys=True))
         return 0
 
     return 2

@@ -151,6 +151,7 @@ def count_trigger_batches(
     protobuf appears, forcing this decision to be revisited.
     Re-probed 2026-08-13, 2026-08-14 (rounds 5, 7), and 2026-08-15
     (round 8): google.protobuf still absent — decision stands.
+    (round 10): re-probed, still absent — decision stands.
     (round 9): re-probed, still absent — decision stands.
 
     Input schema: (query string, data string); output adds

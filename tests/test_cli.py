@@ -77,3 +77,49 @@ def test_cli_ingest_wet(spark, tmp_path, capsys):
     assert rc == 0
     info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["documents"] == 5
+
+
+def test_cli_ingest_warc_sharded_with_cdx(spark, tmp_path, capsys):
+    import json
+
+    from corrie_spark.__main__ import main as cli_main
+    from corrie_spark.sources import warc as W
+
+    docs = [(i, f"cli doc {i} words here") for i in range(10)]
+    with open(tmp_path / "c.warc.gz", "wb") as f:
+        f.write(W.build_warc_gz("c.warc.gz", docs))
+    out = str(tmp_path / "docs")
+    cdx = str(tmp_path / "cdx")
+    rc = cli_main(
+        [
+            "ingest-warc", str(tmp_path / "c.warc.gz"),
+            "--out", out, "--sharded", "--cdx", cdx,
+        ]
+    )
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 10 docs + doc 0's DUP_MOD re-fetch = 11 response records
+    assert got["documents"] == 11
+    assert got["distinct_texts"] == 10  # the re-fetch is an exact dup
+    assert got["cdx_rows"] == 11  # one capture row per response
+
+
+def test_cli_ingest_pdf(spark, tmp_path, capsys):
+    import json
+
+    from corrie_spark.__main__ import main as cli_main
+    from corrie_spark.sources import pdf as P
+
+    for i in range(3):
+        with open(tmp_path / f"d{i}.pdf", "wb") as f:
+            f.write(P.build_pdf(i, f"pdf doc {i} " + "tok " * 30))
+    with open(tmp_path / "bad.pdf", "wb") as f:
+        f.write(b"not a pdf")
+    out = str(tmp_path / "docs")
+    err = str(tmp_path / "dlq")
+    rc = cli_main(
+        ["ingest-pdf", str(tmp_path / "*.pdf"), "--out", out, "--errors", err]
+    )
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["documents"] >= 3 and got["errors"] == 1

@@ -111,6 +111,10 @@ FAMILIES = [
     ("minhash_lsh_pairs", "q_dedup_minhash_pairs"),
     ("near_dup_clusters", "q_dedup_clusters"),
     ("embedding_near_dup", "q_dedup_embedding"),
+    # the round-9 weak item's fix target: cluster-bound consumers ride
+    # the capped UNEXPANDED edge memo, so this family's alpha must sit
+    # near 1 even where the pair-list family's rows-out go quadratic
+    ("embedding_clusters", "q_dedup_embedding_clusters"),
     ("ann_ivfpq_topk", "q_sim_ivfpq_topk"),
     ("codec_jpeg_features", "q_multimodal_jpeg_features"),
 ]
