@@ -14,10 +14,15 @@ Subset and its seams:
   - document assembly SCANS for `N G obj` headers instead of trusting
     the xref table (incremental updates append redefinitions, so
     last-definition-wins reproduces xref precedence; a broken or
-    truncated xref cannot take the text down with it). Compressed
-    object streams (/Type/ObjStm) and xref streams are a documented
-    seam: files written that way fall back to whatever objects are
-    scannable, degrading to a DLQ row when no page tree survives.
+    truncated xref cannot take the text down with it), then expands
+    COMPRESSED OBJECT STREAMS (/Type/ObjStm, §7.5.7 — where modern
+    writers put most non-stream objects): each ObjStm's
+    `num offset` header pairs are parsed and the contained objects
+    fill in around the top-level scan (top-level definitions win,
+    matching xref precedence where an update appends uncompressed
+    redefinitions). Cross-reference STREAMS themselves are never
+    needed: the scan finds ObjStms by type, and a catalog found by
+    /Type/Catalog replaces a missing classic trailer.
   - filters: FlateDecode and ASCIIHexDecode; other filters degrade
     the page to a decode-error row, never an exception.
   - text extraction walks BT..ET blocks: Tj / TJ / ' / " show text;
@@ -265,6 +270,44 @@ def parse_document(data: bytes) -> tuple[dict[int, object], dict]:
             pos = end + len(b"endstream")
         objects[num] = obj
         cursor = pos
+    # expand compressed object streams (§7.5.7): N pairs of
+    # `objnum offset` in the first /First bytes, then the objects
+    # back-to-back. Top-level scan definitions WIN over ObjStm
+    # contents (an incremental update appends uncompressed
+    # redefinitions — same precedence xref gives them); a malformed
+    # ObjStm contributes nothing instead of failing the document.
+    for s in [o for o in objects.values() if isinstance(o, Stream)]:
+        if s.d.get("Type") != "ObjStm":
+            continue
+        try:
+            body = decode_stream(objects, s)
+            n = _resolve(objects, s.d.get("N"))
+            first = _resolve(objects, s.d.get("First"))
+            if not (isinstance(n, int) and isinstance(first, int)):
+                continue
+            pos = 0
+            header: list[tuple[int, int]] = []
+            for _ in range(n):
+                pos = _skip_ws(body, pos)
+                m1 = _NUM_RE.match(body, pos)
+                if not m1:
+                    break
+                pos = _skip_ws(body, m1.end())
+                m2 = _NUM_RE.match(body, pos)
+                if not m2:
+                    break
+                pos = m2.end()
+                header.append((int(m1.group(0)), int(m2.group(0))))
+            for num, off in header:
+                if num in objects:
+                    continue  # top-level definition wins
+                try:
+                    obj, _ = parse_object(body, first + off)
+                    objects[num] = obj
+                except PdfError:
+                    continue
+        except (PdfError, zlib.error, ValueError):
+            continue
     trailer: dict = {}
     t = data.rfind(b"trailer")
     if t >= 0:
@@ -272,7 +315,7 @@ def parse_document(data: bytes) -> tuple[dict[int, object], dict]:
             trailer, _ = parse_object(data, t + len(b"trailer"))
         except PdfError:
             trailer = {}
-    if not trailer:
+    if not trailer or "Root" not in trailer:
         # no classic trailer (xref-stream file): find a catalog by type
         for num, obj in objects.items():
             if isinstance(obj, dict) and obj.get("Type") == "Catalog":
@@ -676,10 +719,64 @@ def build_pdf(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+def build_pdf_objstm(doc_id: int, text: str) -> bytes:
+    """Modern-writer fixture: every non-stream object (catalog, page
+    tree, pages, font) lives in ONE compressed object stream; content
+    streams stay top-level (streams cannot nest in an ObjStm, §7.5.7);
+    NO classic trailer — the reader must expand the ObjStm and find
+    the catalog by /Type (the xref-stream file shape). Extracted text
+    is byte-identical to build_pdf's by construction."""
+    pages = fixture_pages(text)
+    n_pages = len(pages)
+    page_ids = [10 + 2 * i for i in range(n_pages)]
+    kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_ids) + b"]"
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    for pid in page_ids:
+        packed.append(
+            (
+                pid,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % (pid + 1),
+            )
+        )
+    header = bytearray()
+    body = bytearray()
+    for num, obj in packed:
+        header += b"%d %d " % (num, len(body))
+        body += obj + b" "
+    first = len(header)
+    objstm_payload = zlib.compress(bytes(header) + bytes(body))
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    out += (
+        b"9 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n" % (len(packed), first, len(objstm_payload))
+        + objstm_payload
+        + b"\nendstream\nendobj\n"
+    )
+    for pid, lines in zip(page_ids, pages):
+        content = zlib.compress(_content_stream(lines, doc_id))
+        out += (
+            b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (pid + 1, len(content))
+            + content
+            + b"\nendstream\nendobj\n"
+        )
+    out += b"%%EOF\n"
+    return bytes(out)
+
+
 def pdf_fixture_files(docs_df: DataFrame) -> DataFrame:
     """Distributed fixture build: one PDF per document row (path,
     content) — the binaryFile shape, so the extraction path under test
-    is the real one end-to-end."""
+    is the real one end-to-end. Writers alternate by doc_id: even docs
+    get the classic-xref layout, odd docs the modern ObjStm layout
+    (build_pdf_objstm) — extraction is byte-identical by construction,
+    so ONE closed-form oracle gates both assembly paths."""
     import pandas as pd
 
     def build(batches):
@@ -687,7 +784,11 @@ def pdf_fixture_files(docs_df: DataFrame) -> DataFrame:
             out = [
                 {
                     "path": f"doc-{int(i):08d}.pdf",
-                    "content": build_pdf(int(i), str(t)),
+                    "content": (
+                        build_pdf(int(i), str(t))
+                        if int(i) % 2 == 0
+                        else build_pdf_objstm(int(i), str(t))
+                    ),
                 }
                 for i, t in zip(pdf["doc_id"], pdf["text"])
             ]

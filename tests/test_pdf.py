@@ -162,3 +162,37 @@ def test_read_pdf_from_files(spark, tmp_path):
     ok = recs.where(F.col("error").isNull())
     assert ok.count() >= 4
     assert ok.select("pdf_file").distinct().count() == 4
+
+
+def test_objstm_document_extracts_identically():
+    """Modern-writer shape: all non-stream objects in one compressed
+    ObjStm, no classic trailer — expansion + catalog-by-type must
+    reproduce the classic file's extraction byte-for-byte."""
+    text = "omega psi chi phi upsilon tau sigma rho " * 5
+    for did in range(3):
+        classic = P.pdf_text(P.build_pdf(did, text))
+        modern = P.pdf_text(P.build_pdf_objstm(did, text))
+        assert modern == classic and modern
+
+
+def test_objstm_top_level_definition_wins():
+    """xref precedence twin: an uncompressed redefinition appended by
+    an incremental update overrides the ObjStm's copy."""
+    blob = P.build_pdf_objstm(0, "one two three four five six seven eight")
+    # append a top-level redefinition of the catalog pointing nowhere
+    update = b"1 0 obj\n<< /Type /Catalog /Pages 99 0 R >>\nendobj\n"
+    objects, trailer = P.parse_document(blob + update)
+    root = objects[trailer["Root"].num]
+    assert root["Pages"].num == 99
+
+
+def test_malformed_objstm_contributes_nothing():
+    blob = P.build_pdf_objstm(0, "a b c d e f g h i")
+    # corrupt the ObjStm payload; top-level content streams survive,
+    # but the page tree is gone -> pdf_text degrades to PdfError (the
+    # row boundary catches it), never an unhandled exception type
+    bad = blob.replace(b"/Type /ObjStm", b"/Type /ObjStZ", 1)
+    import pytest
+
+    with pytest.raises(P.PdfError):
+        P.pdf_text(bad)
