@@ -129,6 +129,9 @@ def main() -> None:
         from corrie_spark.queries.warc_queries import _shared_wet_records
 
         _shared_wet_records(spark, sf_dir)  # WET fixture + ingest
+        from corrie_spark.queries.warc_queries import _shared_recrawl_records
+
+        _shared_recrawl_records(spark, sf_dir)  # snapshot-B fixture + ingest
         from corrie_spark.queries.pdf_queries import _shared_pdf_records
 
         _shared_pdf_records(spark, sf_dir)  # PDF fixture build + parse

@@ -402,3 +402,47 @@ def sitemap_urls(rules: DataFrame) -> DataFrame:
     return rules.where(F.col("directive") == "sitemap").select(
         "host", F.col("prefix").alias("sitemap")
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemap XML (sitemaps.org protocol)
+# ---------------------------------------------------------------------------
+
+# <loc> extraction in the Java/RE2 common subset (no lookaround); the
+# sitemaps.org schema forbids nested elements inside <loc>, so a
+# non-'<' body is the grammar, not an approximation.
+SITEMAP_LOC_RE = r"<loc>\s*([^<]+?)\s*</loc>"
+
+
+def sitemap_locs(c: Column | str) -> Column:
+    """Sitemap XML -> array of <loc> URLs, document order. Works for
+    both urlset (page URLs) and sitemapindex (child sitemap URLs)
+    documents — the caller routes on sitemap_kind. Pure JVM regex,
+    oracle-mirrored like html_to_text."""
+    x = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(x, F.lit(SITEMAP_LOC_RE), F.lit(1))
+
+
+def sitemap_kind(c: Column | str) -> Column:
+    """'index' for <sitemapindex> documents, 'urlset' for <urlset>,
+    'unknown' otherwise."""
+    x = F.col(c) if isinstance(c, str) else c
+    return (
+        F.when(x.contains("<sitemapindex"), F.lit("index"))
+        .when(x.contains("<urlset"), F.lit("urlset"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def sitemap_frontier(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """(host, sitemap_xml) -> one frontier row per <loc>: (host, kind,
+    loc, pos). The crawl-seed expansion stage: urlset rows feed the
+    fetch queue directly; index rows are child sitemaps to fetch and
+    re-expand. Row-local explode — free rider on the sitemap fetch
+    scan at any scale."""
+    locs = sitemap_locs(F.col(xml_col))
+    return df.select(
+        "host",
+        sitemap_kind(F.col(xml_col)).alias("kind"),
+        F.posexplode(locs).alias("pos", "loc"),
+    ).select("host", "kind", F.col("pos").cast("long").alias("pos"), "loc")

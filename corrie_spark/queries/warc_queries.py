@@ -336,3 +336,76 @@ def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+# --- incremental re-crawl diff over the CDX index ---------------------------
+
+# snapshot B rules (re-crawl of the same site, original ids per the
+# fixture discipline): doc_id % 9 == 0 pages are GONE; doc_id % 5 == 0
+# (and not gone) pages CHANGED (body gains a ' v2' suffix — still
+# ASCII, so the latin-1 charset routing is unmoved); everything else
+# is re-served byte-identical.
+_RECRAWL_GONE = 9
+_RECRAWL_CHANGED = 5
+
+_RECRAWL_ORACLE = f"""
+SELECT
+  'org,example)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+  doc_id,
+  CASE WHEN doc_id % {_RECRAWL_GONE} = 0 THEN 'gone'
+       WHEN doc_id % {_RECRAWL_CHANGED} = 0 THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM documents
+"""
+
+
+def _shared_recrawl_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-B crawl fixture -> real reader, memoized."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        docs_b = docs.where(F.col("doc_id") % _RECRAWL_GONE != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % _RECRAWL_CHANGED == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        recs = W.warc_records(W.fixture_files(docs_b, _N_FILES)).drop("payload").persist()
+        recs.count()
+        return recs
+
+    return _memo(spark, sf_dir, "warc_recrawl_records", build)
+
+
+@register("q_warc_recrawl_diff", oracle=_RECRAWL_ORACLE)
+def q_warc_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-crawl classification over the CDX index — the
+    join the capture index exists for: two crawl snapshots of the same
+    site reduce to metadata-sized (urlkey, digest) sets; a full outer
+    join on urlkey classifies every page as unchanged / changed
+    (digest moved) / gone (no capture in the re-crawl) WITHOUT
+    touching crawl bytes. Duplicate captures (the fixture re-fetches
+    doc%11 pages) collapse in the distinct, exactly as real CDX dedup
+    does. The oracle states every verdict closed-form from the
+    snapshot rules. Scale: both sides are CDX-sized; one urlkey-keyed
+    join, no payloads anywhere."""
+    a = (
+        W.cdx_index(_shared_records(spark, sf_dir))
+        .select("urlkey", "digest")
+        .distinct()
+    )
+    b = (
+        W.cdx_index(_shared_recrawl_records(spark, sf_dir))
+        .select("urlkey", F.col("digest").alias("digest_b"))
+        .distinct()
+    )
+    j = a.join(b, "urlkey", "left")
+    return j.select(
+        "urlkey",
+        F.regexp_extract("urlkey", r"/doc/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        F.when(F.col("digest_b").isNull(), F.lit("gone"))
+        .when(F.col("digest_b") != F.col("digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

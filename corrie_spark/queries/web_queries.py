@@ -250,3 +250,70 @@ def q_web_polite_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.host_caps_weighted(
         urls, rules, base_cap=5, url_col="url", budget_s=10.0
     )
+
+
+# --- sitemap XML (sitemaps.org) -------------------------------------------
+
+_SITEMAP_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+    'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.' ||
+      CASE WHEN doc_id % 4 = 1 THEN 'org'
+           WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS host
+  FROM documents
+),
+g AS (SELECT host, list_sort(list(doc_id)) AS ids FROM h GROUP BY host)
+SELECT host,
+       'urlset' AS kind,
+       CAST(len(ids) AS BIGINT) AS n_locs,
+       md5(array_to_string(
+         list_transform(ids, i -> 'https://' || host || '/doc/' || CAST(i AS VARCHAR)),
+         '|')) AS locs_md5
+FROM g
+"""
+
+
+@register("q_web_sitemap", oracle=_SITEMAP_ORACLE)
+def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML frontier expansion (sitemaps.org): per-host urlset
+    documents are BUILT in-plan (sorted <url><loc> entries with
+    whitespace padding and <lastmod> noise), then run through the real
+    extraction chain — sitemap_kind routing + <loc> regex + trim +
+    posexplode — and re-aggregated in document order. The oracle
+    states the expected loc list closed-form from the generation
+    rules, so kind detection, extraction, trimming AND ordering are
+    all gated. Scale: XML build/extract are row-local; the only
+    shuffles are the per-host groupBys the rollup needs anyway."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_TMPL.format(S="STRING"))
+    hosts = docs.select("doc_id", W.url_host(url).alias("host"))
+    xml = hosts.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                  '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda i: F.concat(
+                        F.lit("<url><loc>\n  https://"),
+                        F.col("host"),
+                        F.lit("/doc/"),
+                        i.cast("string"),
+                        F.lit(" </loc><lastmod>2026-01-01</lastmod></url>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    frontier = W.sitemap_frontier(xml)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "loc"))),
+        lambda s: s["loc"],
+    )
+    return frontier.groupBy("host").agg(
+        F.first("kind").alias("kind"),
+        F.count(F.lit(1)).alias("n_locs"),
+        F.md5(F.array_join(ordered, "|")).alias("locs_md5"),
+    )

@@ -23,8 +23,9 @@ Subset and its seams:
     redefinitions). Cross-reference STREAMS themselves are never
     needed: the scan finds ObjStms by type, and a catalog found by
     /Type/Catalog replaces a missing classic trailer.
-  - filters: FlateDecode and ASCIIHexDecode; other filters degrade
-    the page to a decode-error row, never an exception.
+  - filters: FlateDecode, ASCIIHexDecode, ASCII85Decode; other
+    filters degrade the page to a decode-error row, never an
+    exception.
   - text extraction walks BT..ET blocks: Tj / TJ / ' / " show text;
     Td, TD, T*, Tm, ', " start a new output line (the deterministic
     layout rule: one extracted line per text-positioning operation —
@@ -362,6 +363,15 @@ def decode_stream(objects: dict[int, object], s: Stream) -> bytes:
             if len(hx) % 2:
                 hx += b"0"
             raw = bytes.fromhex(hx.decode("ascii"))
+        elif f == "ASCII85Decode":
+            import base64
+
+            body = raw.split(b"~>")[0]
+            body = bytes(ch for ch in body if bytes((ch,)) not in _WS)
+            try:
+                raw = base64.a85decode(body, adobe=False)
+            except ValueError as e:
+                raise PdfError(f"bad ASCII85 stream: {e}") from None
         else:
             raise PdfError(f"unsupported filter {f}")
     return raw

@@ -196,3 +196,17 @@ def test_malformed_objstm_contributes_nothing():
 
     with pytest.raises(P.PdfError):
         P.pdf_text(bad)
+
+
+def test_ascii85_filter():
+    import base64
+
+    payload = b"Hello ASCII85 world, with binary \x00\xff bytes"
+    enc = base64.a85encode(payload) + b"~>"
+    doc = (
+        b"1 0 obj\n<< /Length %d /Filter /ASCII85Decode >>\nstream\n" % len(enc)
+        + enc
+        + b"\nendstream\nendobj\n"
+    )
+    objects, _ = P.parse_document(doc)
+    assert P.decode_stream(objects, objects[1]) == payload

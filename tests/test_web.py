@@ -210,3 +210,24 @@ def test_host_caps_weighted_budget(spark):
     }
     assert got["slow.com"] == (4.0, 2, 8, 2)   # floor(10/4) = 2
     assert got["fast.com"] == (0.0, 5, 8, 5)   # base cap
+
+
+def test_sitemap_frontier_kinds_and_order(spark):
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="x">'
+        "<url><loc> https://a.com/p1 </loc><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>https://a.com/p2</loc></url></urlset>"
+    )
+    index = (
+        '<?xml version="1.0"?><sitemapindex xmlns="x">'
+        "<sitemap><loc>https://b.com/s1.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", urlset), ("b.com", index)], "host string, sitemap_xml string"
+    )
+    rows = {(r.host, r.kind, r.pos, r.loc) for r in W.sitemap_frontier(df).collect()}
+    assert rows == {
+        ("a.com", "urlset", 0, "https://a.com/p1"),
+        ("a.com", "urlset", 1, "https://a.com/p2"),
+        ("b.com", "index", 0, "https://b.com/s1.xml"),
+    }
