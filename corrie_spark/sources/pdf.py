@@ -335,6 +335,58 @@ def _resolve(objects: dict[int, object], v):
     return v
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (§7.4.4.2): MSB-first variable-width codes 9..12,
+    Clear=256, EOD=257, EarlyChange width bump (default 1 — the
+    encoder widens one code EARLY, so the decoder must mirror it).
+    The GIF twin in operators/multimodal.py is LSB-first without
+    early change — the two bit orders are why this is its own
+    function, not a parameter."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # Clear
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfError(f"lzw: first code {code} not literal")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise PdfError(f"lzw: code {code} ahead of table")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                # the decoder's table lags the encoder's by ONE entry
+                # at read time (no add on the first code after Clear),
+                # so the width bump fires one entry before the
+                # encoder's own threshold of (1<<width) - early
+                if next_code == (1 << width) - early - 1 and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
 def decode_stream(objects: dict[int, object], s: Stream) -> bytes:
     raw = s.raw
     length = _resolve(objects, s.d.get("Length"))
@@ -372,6 +424,14 @@ def decode_stream(objects: dict[int, object], s: Stream) -> bytes:
                 raw = base64.a85decode(body, adobe=False)
             except ValueError as e:
                 raise PdfError(f"bad ASCII85 stream: {e}") from None
+        elif f == "LZWDecode":
+            early = 1
+            parms = _resolve(objects, s.d.get("DecodeParms"))
+            if isinstance(parms, dict):
+                ec = _resolve(objects, parms.get("EarlyChange"))
+                if isinstance(ec, int):
+                    early = ec
+            raw = _lzw_decode(raw, early)
         else:
             raise PdfError(f"unsupported filter {f}")
     return raw
@@ -584,6 +644,21 @@ def read_pdf(spark: SparkSession, path: str) -> DataFrame:
     """Batch reader: binaryFile scan -> per-page extraction."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return pdf_records(files)
+
+
+def read_pdf_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Continuous PDF ingestion — the read_warc_stream twin: the file
+    source watches the directory, each new .pdf lands as one row of
+    one micro-batch and runs through the same extraction stage as
+    batch (one code path). File-granular exactly-once from the file
+    source's checkpointed log; extraction is deterministic, so
+    replays re-emit identical rows."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(path)
+    )
+    return pdf_records(files.select("path", "content"))
 
 
 def pdf_to_documents(records: DataFrame) -> DataFrame:

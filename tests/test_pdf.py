@@ -210,3 +210,89 @@ def test_ascii85_filter():
     )
     objects, _ = P.parse_document(doc)
     assert P.decode_stream(objects, objects[1]) == payload
+
+
+def _lzw_encode_msb(data: bytes, early: int = 1) -> bytes:
+    """Reference MSB-first LZW encoder (test-local): Clear, codes,
+    EOD, with the EarlyChange width bump mirrored from the decoder."""
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits.append((256, width))
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - early and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    buf = 0
+    nbits = 0
+    enc = bytearray()
+    for code, cw in out_bits:
+        buf = (buf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            enc.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        enc.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(enc)
+
+
+def test_lzw_filter_roundtrip():
+    payload = (b"the quick brown fox " * 40) + bytes(range(256))
+    enc = _lzw_encode_msb(payload)
+    doc = (
+        b"1 0 obj\n<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(enc)
+        + enc
+        + b"\nendstream\nendobj\n"
+    )
+    objects, _ = P.parse_document(doc)
+    assert P.decode_stream(objects, objects[1]) == payload
+
+
+def test_lzw_kwkwk_case():
+    # 'ababab...' forces the code==next_code branch immediately
+    payload = b"ababababababababab"
+    enc = _lzw_encode_msb(payload)
+    doc = (
+        b"1 0 obj\n<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(enc)
+        + enc
+        + b"\nendstream\nendobj\n"
+    )
+    objects, _ = P.parse_document(doc)
+    assert P.decode_stream(objects, objects[1]) == payload
+
+
+def test_pdf_stream_ingestion(spark, tmp_path):
+    """Streaming twin: new .pdf files land as micro-batch rows through
+    the SAME extraction stage as batch."""
+    import os
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    for i in range(3):
+        with open(src / f"d{i}.pdf", "wb") as f:
+            f.write(P.build_pdf(i, f"streamed doc {i} " + "w " * 20))
+    q = (
+        P.read_pdf_stream(spark, str(src))
+        .where(F.col("error").isNull())
+        .writeStream.format("memory")
+        .queryName("pdf_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from pdf_stream_t").collect()
+    assert len({r.pdf_file for r in rows}) == 3
+    assert all(r.text for r in rows)
