@@ -132,6 +132,9 @@ def main() -> None:
         from corrie_spark.queries.warc_queries import _shared_recrawl_records
 
         _shared_recrawl_records(spark, sf_dir)  # snapshot-B fixture + ingest
+        from corrie_spark.queries.web_queries import _shared_robots_crawl
+
+        _shared_robots_crawl(spark, sf_dir)  # multi-host robots crawl fixture
         from corrie_spark.queries.pdf_queries import _shared_pdf_records
 
         _shared_pdf_records(spark, sf_dir)  # PDF fixture build + parse

@@ -317,3 +317,124 @@ def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_locs"),
         F.md5(F.array_join(ordered, "|")).alias("locs_md5"),
     )
+
+
+# --- the full crawl -> robots composition -----------------------------------
+
+_HOST_SQL = (
+    "'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.' || "
+    "CASE WHEN doc_id % 4 = 1 THEN 'org' "
+    "WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END"
+)
+
+_CRAWL_ROBOTS_ORACLE = f"""
+SELECT doc_id,
+  {_HOST_SQL} AS host,
+  CASE WHEN (doc_id % 40) % 2 = 0
+       THEN NOT starts_with(CAST(doc_id AS VARCHAR), '1')
+            OR starts_with(CAST(doc_id AS VARCHAR), '12')
+       ELSE TRUE END AS allowed
+FROM documents
+"""
+
+
+def _host_expr():
+    k = F.col("doc_id") % 40
+    tld = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("co.uk"))
+        .otherwise(F.lit("com"))
+    )
+    return F.concat(
+        F.lit("www.site"), k.cast("string"), F.lit(".example."), tld
+    )
+
+
+def _shared_robots_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-host crawl fixture WITH per-host robots.txt responses —
+    built from warc.py record primitives inside one applyInPandas
+    group per file, exactly the fixture_files shape — memoized."""
+    import gzip
+
+    import pandas as pd
+
+    from corrie_spark.queries.dedup_queries import _memo
+    from corrie_spark.sources import warc as Wc
+    from corrie_spark.tables import load
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def mk(key, pdf):
+            grp = int(key[0])
+            members = [Wc.warcinfo_record(f"rb-{grp:05d}.warc.gz")]
+            hosts_done = set()
+            for did, text in sorted(zip(pdf["doc_id"], pdf["text"])):
+                did = int(did)
+                k = did % 40
+                tld = "org" if did % 4 == 1 else ("co.uk" if did % 4 == 2 else "com")
+                host = f"www.site{k}.example.{tld}"
+                if host not in hosts_done:
+                    hosts_done.add(host)
+                    robots = _ROBOTS_EVEN if k % 2 == 0 else _ROBOTS_ODD
+                    members.append(
+                        Wc.plain_response_record(
+                            f"robots:{host}", f"https://{host}/robots.txt", robots
+                        )
+                    )
+                members.append(
+                    Wc.plain_response_record(
+                        f"page:{did}", f"https://{host}/Doc/{did}", str(text)
+                    )
+                )
+            blob = b"".join(gzip.compress(m, compresslevel=1) for m in members)
+            return pd.DataFrame(
+                [{"path": f"rb-{grp:05d}.warc.gz", "content": blob}]
+            )
+
+        files = (
+            docs.withColumn("_grp", F.col("doc_id") % 8)
+            .groupBy("_grp")
+            .applyInPandas(mk, "path string, content binary")
+        )
+        recs = Wc.warc_records(files).drop("payload").persist()
+        recs.count()
+        return recs
+
+    return _memo(spark, sf_dir, "robots_crawl_records", build)
+
+
+@register("q_warc_robots_pipeline", oracle=_CRAWL_ROBOTS_ORACLE)
+def q_warc_robots_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness loop closed END-TO-END from crawl bytes: a
+    multi-host fixture crawl carries each host's /robots.txt as an
+    ORDINARY response record; the pipeline extracts robots bodies from
+    the ingested frame (no side channel), parses them through the RFC
+    9309 machinery, and filters the same crawl's page records. Three
+    oracle-checked subsystems composed in one statement — WARC
+    framing, robots parsing/precedence, URL matching — with verdicts
+    stated closed-form from the fixture rules. Scale: robots rows are
+    per-host metadata extracted by a host-keyed distinct; page URLs
+    never reshuffle (broadcast rule join)."""
+    recs = _shared_robots_crawl(spark, sf_dir)
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & ~F.col("target_uri").endswith("/robots.txt")
+    ).select(
+        F.regexp_extract("target_uri", r"/Doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+    )
+    robots = (
+        recs.where(F.col("target_uri").endswith("/robots.txt"))
+        .select(
+            W.url_host("target_uri").alias("host"),
+            F.col("text").alias("robots_txt"),
+        )
+        .dropDuplicates(["host"])
+    )
+    rules = W.robots_rules(robots)
+    return W.allowed_urls(pages, rules).select(
+        "doc_id", W.url_host("url").alias("host"), "allowed"
+    )

@@ -464,6 +464,27 @@ def response_record(doc_id: int, text: str, dup: int = 0, html: bool = False) ->
     )
 
 
+def plain_response_record(salt: str, target: str, text: str) -> bytes:
+    """Generic text/plain 200 response record (fixture building block
+    for multi-host compositions: robots.txt bodies, sitemap fetches,
+    arbitrary-target pages)."""
+    body = text.encode("utf-8")
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii")
+    return _record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", f"<urn:uuid:{fixture_uuid(salt)}>"),
+            ("WARC-Date", f"{FIXTURE_DATE}T00:00:00Z"),
+            ("WARC-Target-URI", target),
+            ("Content-Type", "application/http;msgtype=response"),
+        ],
+        http + body,
+    )
+
+
 def request_record(doc_id: int) -> bytes:
     http = (
         f"GET /doc/{doc_id} HTTP/1.1\r\nHost: example.org\r\n\r\n"
