@@ -173,9 +173,21 @@ def candidate_pairs(
     sigs: DataFrame | None = None,
     collapse_exact: bool = True,
     band_cap: int | None = DEFAULT_BAND_CAP,
+    expand_members: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b) with estimated
     Jaccard = fraction of matching signature slots.
+
+    `expand_members=False` (cluster consumers only; requires
+    collapse_exact): skip the member fan-out — return rep-level
+    candidate pairs plus ONE (rep, member) star edge per collapsed
+    duplicate (jaccard_est 1.0: identical text = identical signature).
+    Connected components over this edge set equal CC over the full
+    pair list (members share their rep's bands, so every member-level
+    candidate is a rep-level candidate expanded; the star keeps each
+    exact-dup group connected through its min-id rep) at
+    O(rep-pairs + n) rows instead of O(sum group^2) — the text twin of
+    operators/similarity.embedding_near_dups' cluster mode.
 
     Scale shape — two guards keep a hot band bucket from going
     quadratic (at crawl scale templated/boilerplate pages make hot
@@ -296,7 +308,24 @@ def candidate_pairs(
     if star is not None:
         joined = joined.unionByName(star)
     pairs = joined.dropDuplicates(["id_a", "id_b"])
-    if collapse_exact:
+    if collapse_exact and not expand_members:
+        # CC-sufficient edge set: rep pairs as-is + one star edge per
+        # collapsed member (rep = group min id, so id_a < id_b holds);
+        # both sides of a star edge carry the rep's signature, so the
+        # jaccard_est projection below scores them 1.0 exactly.
+        stars = (
+            fps.join(reps.select(F.col(id_col).alias("_rid"), "_fp"), "_fp")
+            .where(F.col(id_col) != F.col("_rid"))
+            .join(rep_sigs.select("_fp", F.col("sig").alias("sig_a")), "_fp")
+            .select(
+                F.col("_rid").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                "sig_a",
+                F.col("sig_a").alias("sig_b"),
+            )
+        )
+        pairs = pairs.select("id_a", "id_b", "sig_a", "sig_b").unionByName(stars)
+    elif collapse_exact:
         # fan representative pairs back out to members: two id-keyed
         # joins on the (id, fingerprint) frame — no signature payload
         # crosses these shuffles beyond the one rep sig per pair.

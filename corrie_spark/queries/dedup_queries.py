@@ -161,6 +161,24 @@ def warm_shared_memos(spark: SparkSession, sf_dir: str) -> None:
     _shared_embedding_pairs_capped(spark, sf_dir).count()
 
 
+def _shared_cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-sufficient candidate edge frame for the CLUSTER consumers:
+    expand_members=False keeps each exact-dup group as one star
+    instead of the quadratic member fan-out (the text twin of the
+    capped embedding edge memo) — cluster labels provably identical
+    (tests/test_dedup_hotband.py pins the equality). Reuses the
+    persisted signature memo, so the extra band join costs signatures
+    nothing."""
+    docs = load(spark, sf_dir, "documents")
+
+    def build() -> DataFrame:
+        return D.candidate_pairs(
+            docs, sigs=_shared_sigs(spark, sf_dir), expand_members=False
+        ).localCheckpoint(eager=True)
+
+    return _memo(spark, sf_dir, "cc_edges", build)
+
+
 def _shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return _memo(
@@ -168,7 +186,7 @@ def _shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "clusters",
         lambda: D.connected_components(
-            _shared_pairs(spark, sf_dir).select("id_a", "id_b"),
+            _shared_cc_edges(spark, sf_dir).select("id_a", "id_b"),
             docs.select("doc_id"),
         ),
     )

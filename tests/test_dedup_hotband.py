@@ -148,3 +148,35 @@ def test_simhash_hot_bucket_guard(spark):
     ident = {(a, b) for a in range(3000, 3008) for b in range(a + 1, 3008)}
     assert ident <= set(got) and all(got[p] == 0 for p in ident)
     assert len(got) < 1200  # nothing quadratic from the hot band
+
+
+def test_candidate_pairs_cc_edges_invariant(spark):
+    """expand_members=False (the text cluster mode): connected
+    components over the CC-sufficient edge set equal CC over the full
+    expanded pair list on a duplicate-heavy corpus, at a fraction of
+    the edge count."""
+    from corrie_spark.operators import dedup as D
+
+    rows, i = [], 0
+    texts = [
+        f"unique document number {k} with several distinct words {k * 7}"
+        for k in range(20)
+    ]
+    for t in texts:
+        for _ in range(1 + (i % 5)):  # exact-dup groups up to size 5
+            rows.append((i, t))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = D.candidate_pairs(df)
+    edges = D.candidate_pairs(df, expand_members=False)
+    assert edges.count() < full.count()
+    cc1 = D.connected_components(
+        full.select("id_a", "id_b"), df.select("doc_id")
+    )
+    cc2 = D.connected_components(
+        edges.select("id_a", "id_b"), df.select("doc_id")
+    )
+    assert cc1.exceptAll(cc2).count() == 0
+    assert cc2.exceptAll(cc1).count() == 0
+    # star edges score 1.0 through the same jaccard projection
+    assert edges.where("jaccard_est > 1.0").count() == 0
