@@ -376,14 +376,83 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             if prev is not None:
                 table[next_code] = prev + entry[:1]
                 next_code += 1
-                # the decoder's table lags the encoder's by ONE entry
-                # at read time (no add on the first code after Clear),
-                # so the width bump fires one entry before the
-                # encoder's own threshold of (1<<width) - early
-                if next_code == (1 << width) - early - 1 and width < 12:
+                # standard convention (pdfminer/xpdf/libtiff; ISO
+                # 32000-1 "length increases when entry 511 is added"
+                # at EarlyChange=1): the decoder widens when its next
+                # free slot reaches (1<<width) - early — 511/1023/2047
+                # at early=1 — because its table lags the encoder's by
+                # one entry at read time
+                if next_code == (1 << width) - early and width < 12:
                     width += 1
             out += entry
             prev = entry
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    """Undo /DecodeParms /Predictor (§7.4.4.4): 1 = none, 2 = TIFF
+    horizontal differencing, >= 10 = PNG row filters (each row carries
+    its own filter-type byte, per the PNG spec). Flate/LZW streams in
+    the wild — xref streams especially — ship Predictor 12 constantly;
+    skipping this yields bytes that inflate fine but read as garbage."""
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    if not all(isinstance(v, int) and v > 0 for v in (colors, bpc, columns)):
+        raise PdfError("bad predictor parms")
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    if pred == 2:
+        if bpc != 8:
+            raise PdfError("TIFF predictor: only 8-bit components supported")
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10:
+        raise PdfError(f"unsupported predictor {pred}")
+    # PNG predictors: rows of (1 filter byte + rowlen data bytes)
+    out = bytearray()
+    prior = bytearray(rowlen)
+    pos = 0
+    n = len(data)
+    while pos + 1 <= n:
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        if len(row) < rowlen:
+            if not row:
+                break
+            raise PdfError("predictor: truncated row")
+        pos += 1 + rowlen
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            raise PdfError(f"predictor: bad PNG filter type {ft}")
+        out += row
+        prior = row
     return bytes(out)
 
 
@@ -406,9 +475,25 @@ def decode_stream(objects: dict[int, object], s: Stream) -> bytes:
         chain = [_resolve(objects, f) for f in filters]
     else:
         chain = [filters]
-    for f in chain:
+    # /DecodeParms may be one dict, or an array parallel to a /Filter
+    # array (null entries = defaults for that position) — §7.3.8.2
+    parms_raw = _resolve(
+        objects, s.d.get("DecodeParms", s.d.get("DP"))
+    )
+    if isinstance(parms_raw, list):
+        parms_chain = [
+            p if isinstance(p, dict) else {}
+            for p in (_resolve(objects, x) for x in parms_raw)
+        ]
+    elif isinstance(parms_raw, dict):
+        parms_chain = [parms_raw]
+    else:
+        parms_chain = []
+    parms_chain += [{}] * (len(chain) - len(parms_chain))
+    for f, parms in zip(chain, parms_chain):
+        parms = {k: _resolve(objects, v) for k, v in parms.items()}
         if f == "FlateDecode":
-            raw = zlib.decompress(raw)
+            raw = _apply_predictor(zlib.decompress(raw), parms)
         elif f == "ASCIIHexDecode":
             hx = raw.split(b">")[0]
             hx = bytes(ch for ch in hx if bytes((ch,)) not in _WS)
@@ -425,13 +510,9 @@ def decode_stream(objects: dict[int, object], s: Stream) -> bytes:
             except ValueError as e:
                 raise PdfError(f"bad ASCII85 stream: {e}") from None
         elif f == "LZWDecode":
-            early = 1
-            parms = _resolve(objects, s.d.get("DecodeParms"))
-            if isinstance(parms, dict):
-                ec = _resolve(objects, parms.get("EarlyChange"))
-                if isinstance(ec, int):
-                    early = ec
-            raw = _lzw_decode(raw, early)
+            ec = parms.get("EarlyChange")
+            early = ec if isinstance(ec, int) else 1
+            raw = _apply_predictor(_lzw_decode(raw, early), parms)
         else:
             raise PdfError(f"unsupported filter {f}")
     return raw

@@ -229,8 +229,19 @@ def _lzw_encode_msb(data: bytes, early: int = 1) -> bytes:
         out_bits.append((table[w], width))
         table[wc] = next_code
         next_code += 1
-        if next_code == (1 << width) - early and width < 12:
+        # encoder widens one entry LATER than the decoder: when the
+        # entry just added has index (1<<width) - early (511 at 9 bits,
+        # early=1), the decoder — whose table lags by one — has just
+        # reached its own 511 threshold, so the next code is read wide
+        if next_code == (1 << width) - early + 1 and width < 12:
             width += 1
+        elif width == 12 and next_code == (1 << 12) - early:
+            # table full at 12 bits: reinitialize with a Clear, as any
+            # real encoder must (codes >= 4096 are unrepresentable)
+            out_bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
         w = bytes([ch])
     if w:
         out_bits.append((table[w], width))
@@ -259,6 +270,172 @@ def test_lzw_filter_roundtrip():
     )
     objects, _ = P.parse_document(doc)
     assert P.decode_stream(objects, objects[1]) == payload
+
+
+def _lzw_decode_tablestyle(data: bytes) -> bytes:
+    """Independent convention witness, structured like pdfminer's
+    LZWDecoder (append-list table, widths bumped when len(table) hits
+    511/1023/2047 — the EarlyChange=1 standard). Deliberately NOT a
+    mirror of the production decoder: agreement between the two pins
+    the width-bump convention itself, not just encoder/decoder
+    symmetry."""
+    table = [bytes((c,)) for c in range(256)] + [None, None]
+    prevbuf = b""
+    nbits = 9
+    out = bytearray()
+    buf = 0
+    have = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        have += 8
+        while have >= nbits:
+            code = (buf >> (have - nbits)) & ((1 << nbits) - 1)
+            have -= nbits
+            if code == 256:
+                table = [bytes((c,)) for c in range(256)] + [None, None]
+                prevbuf = b""
+                nbits = 9
+                continue
+            if code == 257:
+                return bytes(out)
+            if not prevbuf:
+                x = prevbuf = table[code]
+            else:
+                if code < len(table):
+                    x = table[code]
+                    table.append(prevbuf + x[:1])
+                else:
+                    table.append(prevbuf + prevbuf[:1])
+                    x = table[code]
+                n = len(table)
+                if n == 511:
+                    nbits = 10
+                elif n == 1023:
+                    nbits = 11
+                elif n == 2047:
+                    nbits = 12
+                prevbuf = x
+            out += x
+    return bytes(out)
+
+
+def test_lzw_width_bump_convention():
+    """The real-world failure mode the round-10 advice flagged: streams
+    longer than ~253 codes desync if the width bump is off by one.
+    Cross two bumps (9->10->11 bits) and require the production decoder
+    to agree with the independently-written table-style decoder."""
+    import random
+
+    rng = random.Random(7)
+    # low-entropy but non-repeating text: ~2.5k distinct phrases emitted
+    # as ~4k codes, comfortably past the 511 and 1023 thresholds
+    payload = b" ".join(
+        b"tok%03d" % rng.randrange(600) for _ in range(4000)
+    )
+    enc = _lzw_encode_msb(payload)
+    assert _lzw_decode_tablestyle(enc) == payload
+    assert P._lzw_decode(enc) == payload
+
+
+def test_lzw_early_change_zero():
+    payload = b" ".join(b"w%03d" % (i % 400) for i in range(3000))
+    enc = _lzw_encode_msb(payload, early=0)
+    doc = (
+        b"1 0 obj\n<< /Length %d /Filter /LZWDecode "
+        b"/DecodeParms << /EarlyChange 0 >> >>\nstream\n" % len(enc)
+        + enc
+        + b"\nendstream\nendobj\n"
+    )
+    objects, _ = P.parse_document(doc)
+    assert P.decode_stream(objects, objects[1]) == payload
+
+
+def _png_filter_rows(plain: bytes, columns: int, ftype: int) -> bytes:
+    """Forward-apply one PNG filter type to every row (bpp=1)."""
+    out = bytearray()
+    prior = bytes(columns)
+    for r in range(0, len(plain), columns):
+        row = plain[r : r + columns]
+        out.append(ftype)
+        for i, x in enumerate(row):
+            a = row[i - 1] if i else 0
+            b = prior[i]
+            c = prior[i - 1] if i else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((x - pred) & 0xFF)
+        prior = row
+    return bytes(out)
+
+
+def test_flate_png_predictor():
+    import zlib
+
+    columns = 16
+    plain = bytes((i * 7 + (i // columns) * 3) & 0xFF for i in range(columns * 12))
+    for ftype in (0, 1, 2, 3, 4):
+        enc = zlib.compress(_png_filter_rows(plain, columns, ftype))
+        doc = (
+            b"1 0 obj\n<< /Length %d /Filter /FlateDecode "
+            b"/DecodeParms << /Predictor 12 /Columns 16 >> >>\nstream\n"
+            % len(enc)
+            + enc
+            + b"\nendstream\nendobj\n"
+        )
+        objects, _ = P.parse_document(doc)
+        assert P.decode_stream(objects, objects[1]) == plain, ftype
+
+
+def test_flate_tiff_predictor():
+    import zlib
+
+    columns = 8
+    plain = bytes((i * 13) & 0xFF for i in range(columns * 6))
+    diff = bytearray(plain)
+    for r in range(0, len(diff), columns):
+        for i in range(r + columns - 1, r, -1):
+            diff[i] = (diff[i] - diff[i - 1]) & 0xFF
+    enc = zlib.compress(bytes(diff))
+    doc = (
+        b"1 0 obj\n<< /Length %d /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 2 /Columns 8 >> >>\nstream\n" % len(enc)
+        + enc
+        + b"\nendstream\nendobj\n"
+    )
+    objects, _ = P.parse_document(doc)
+    assert P.decode_stream(objects, objects[1]) == plain
+
+
+def test_decodeparms_array_shape():
+    """Array-shaped /Filter with a parallel /DecodeParms array: null for
+    the A85 stage, a predictor dict for the Flate stage."""
+    import base64
+    import zlib
+
+    columns = 4
+    plain = bytes(range(64))
+    enc = base64.a85encode(
+        zlib.compress(_png_filter_rows(plain, columns, 2))
+    ) + b"~>"
+    doc = (
+        b"1 0 obj\n<< /Length %d /Filter [/ASCII85Decode /FlateDecode] "
+        b"/DecodeParms [null << /Predictor 10 /Columns 4 >>] >>\nstream\n"
+        % len(enc)
+        + enc
+        + b"\nendstream\nendobj\n"
+    )
+    objects, _ = P.parse_document(doc)
+    assert P.decode_stream(objects, objects[1]) == plain
 
 
 def test_lzw_kwkwk_case():

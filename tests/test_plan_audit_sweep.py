@@ -71,6 +71,8 @@ _PYTHON_OK = {
     "q_multimodal_gif_frames",  # mapInPandas animated-GIF build + composite
     "q_multimodal_audio_fingerprint",  # mapInPandas WAV build + envelope hash
     "q_multimodal_video_fingerprint",  # mapInPandas AVI build + frame-arc hash
+    "q_web_polite_caps",  # robots.txt rule parse (host-sized mapInPandas)
+    "q_web_sitemap",  # sitemap XML parse (host-sized mapInPandas)
 }
 
 
