@@ -423,13 +423,26 @@ def sitemap_locs(c: Column | str) -> Column:
     return F.regexp_extract_all(x, F.lit(SITEMAP_LOC_RE), F.lit(1))
 
 
+# the ROOT element decides the document kind — an unanchored contains()
+# misroutes a urlset whose comments/CDATA mention "<sitemapindex" back
+# into the sitemap re-fetch loop. Skip XML declaration / comments /
+# DOCTYPE, then capture the first real element name. Java/RE2 common
+# subset: inline (?s), non-greedy, no lookaround.
+SITEMAP_ROOT_RE = (
+    r"(?s)^\s*(?:<\?.*?\?>\s*|<!--.*?-->\s*|<!DOCTYPE[^>]*>\s*)*"
+    r"<(urlset|sitemapindex)[\s>]"
+)
+
+
 def sitemap_kind(c: Column | str) -> Column:
     """'index' for <sitemapindex> documents, 'urlset' for <urlset>,
-    'unknown' otherwise."""
+    'unknown' otherwise — classified by the ROOT element, not a
+    substring scan."""
     x = F.col(c) if isinstance(c, str) else c
+    root = F.regexp_extract(x, SITEMAP_ROOT_RE, 1)
     return (
-        F.when(x.contains("<sitemapindex"), F.lit("index"))
-        .when(x.contains("<urlset"), F.lit("urlset"))
+        F.when(root == "sitemapindex", F.lit("index"))
+        .when(root == "urlset", F.lit("urlset"))
         .otherwise(F.lit("unknown"))
     )
 

@@ -248,6 +248,9 @@ def warc_records(
     import pandas as pd
 
     has_offset = "offset" in bin_df.columns
+    # the sharded range reader's skipped-span sentinels: empty content
+    # with a positive `length` = bytes that never validated as a member
+    has_span_len = has_offset and "length" in bin_df.columns
 
     def _error_row(path: str, idx: int, off: int, length: int, why: str) -> dict:
         return {
@@ -272,9 +275,19 @@ def warc_records(
         for pdf in batches:
             out = []
             bases = pdf["offset"] if has_offset else [0] * len(pdf)
-            for path, blob, base in zip(pdf[file_col], pdf[content_col], bases):
-                data = bytes(blob)
+            span_lens = pdf["length"] if has_span_len else [None] * len(pdf)
+            for path, blob, base, span_len in zip(
+                pdf[file_col], pdf[content_col], bases, span_lens
+            ):
+                data = bytes(blob) if blob is not None else b""
                 base = int(base)
+                if has_span_len and not data and int(span_len) > 0:
+                    out.append(
+                        _error_row(
+                            path, 0, base, int(span_len), "x-error/gzip-range"
+                        )
+                    )
+                    continue
                 idx = 0
                 expect = base  # next byte the member walk should land on
                 for m_off, m_len, member in gzip_members_at(data, base):
@@ -585,12 +598,25 @@ def _scan_range_members(
     by decompressing — a magic that happens inside compressed data
     fails the member's CRC and the scan advances to the next
     candidate (false accept probability ~2^-32 per candidate, the
-    standard shared-nothing WARC sharding trade)."""
+    standard shared-nothing WARC sharding trade).
+
+    Observability (DLQ parity with the binaryFile path): byte spans
+    that this partition OWNS but that never validated as a member are
+    yielded as `(offset, length, b'')` sentinels, which warc_records
+    turns into `_error` marker rows. Owned = after the range's first
+    validated member (or from `start` when start == 0); the leading
+    skip of a mid-file range is NOT a sentinel — by the start-offset
+    ownership rule those bytes are the previous partition's straddling
+    member tail, and a corrupt span crossing `end` is reported by the
+    partition where it began."""
     f.seek(start)
     data = f.read(end - start)
-    pos = 0 if start == 0 else -1
-    if pos < 0:
+    if start == 0:
+        pos = 0
+        expect_abs: int | None = 0  # own the file head
+    else:
         pos = data.find(GZIP_MAGIC)
+        expect_abs = None  # leading bytes belong to the neighbour
         if pos < 0:
             return
     n = len(data)
@@ -620,12 +646,25 @@ def _scan_range_members(
         if not ok:
             nxt = data.find(GZIP_MAGIC, pos + 1)
             if nxt < 0:
-                return
+                break
             pos = nxt
             continue
+        abs_off = start + pos
+        if expect_abs is not None and abs_off > expect_abs:
+            # resynced past bytes this partition owns: observable loss
+            yield expect_abs, abs_off - expect_abs, b""
         member = buf + b"".join(extra)
-        yield start + pos, comp_len, member[:comp_len]
+        yield abs_off, comp_len, member[:comp_len]
+        expect_abs = abs_off + comp_len
         pos += comp_len
+    # owned tail that never became a member (ignore NUL padding, like
+    # the binaryFile path's gzip-tail check)
+    if (
+        expect_abs is not None
+        and expect_abs < end
+        and data[expect_abs - start :].strip(b"\x00")
+    ):
+        yield expect_abs, end - expect_abs, b""
 
 
 class _WarcRange(InputPartition):

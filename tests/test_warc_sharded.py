@@ -90,6 +90,38 @@ def test_corrupt_member_emits_error_marker_not_exception(spark, tmp_path):
     assert good.count() >= len(offs) - 2
 
 
+def test_sharded_reader_corrupt_span_emits_error_marker(spark, tmp_path):
+    """DLQ parity with the binaryFile path: a corrupt member read
+    through the RANGE reader surfaces as an `_error` marker row (the
+    round-10 advice's observability gap), and every intact member
+    still parses."""
+    docs = [(i, f"sharded corrupt test {i} " * 6) for i in range(30)]
+    blob = W.build_warc_gz("c.warc.gz", docs)
+    offs = [(o, l) for o, l, _ in W.gzip_members_at(blob)]
+    bad = bytearray(blob)
+    o5, l5 = offs[5]
+    bad[o5 + 8 : o5 + 16] = b"\x00" * 8  # corrupt the 6th member
+    p = os.path.join(str(tmp_path), "c.warc.gz")
+    with open(p, "wb") as f:
+        f.write(bytes(bad))
+
+    recs = W.read_warc_sharded(spark, p, range_bytes=2048)
+    errors = recs.where(F.col("warc_type") == W.ERROR_TYPE).collect()
+    good = recs.where(F.col("warc_type") != W.ERROR_TYPE)
+    assert len(errors) == 1
+    assert errors[0].http_content_type == "x-error/gzip-range"
+    assert errors[0].warc_offset == o5
+    assert errors[0].warc_rec_length >= 1
+    # error span + surviving members tile the file with no silent loss
+    assert good.count() == len(offs) - 1
+    # clean fixture still emits ZERO error rows through the same path
+    clean = os.path.join(str(tmp_path), "ok.warc.gz")
+    with open(clean, "wb") as f:
+        f.write(blob)
+    ok = W.read_warc_sharded(spark, clean, range_bytes=2048)
+    assert ok.where(F.col("warc_type") == W.ERROR_TYPE).count() == 0
+
+
 def test_malformed_content_length_stops_member_only():
     rec = W._record([("WARC-Type", "response")], b"xyz")
     broken = rec.replace(b"Content-Length: 3", b"Content-Length: zz")

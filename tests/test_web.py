@@ -231,3 +231,26 @@ def test_sitemap_frontier_kinds_and_order(spark):
         ("a.com", "urlset", 1, "https://a.com/p2"),
         ("b.com", "index", 0, "https://b.com/s1.xml"),
     }
+
+
+def test_sitemap_kind_root_element(spark):
+    """Classification is by ROOT element: a urlset mentioning
+    '<sitemapindex' in a comment must not be misrouted into the
+    index re-fetch loop."""
+    tricky_urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        "<!-- generated; see <sitemapindex> docs at sitemaps.org -->\n"
+        '<urlset xmlns="x"><url><loc>https://a.com/p</loc></url></urlset>'
+    )
+    tricky_index = (
+        "<!DOCTYPE sitemapindex>\n<sitemapindex xmlns='x'>"
+        "<sitemap><loc>https://b.com/u.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    not_xml = "just text mentioning <urlset nowhere near the root? no:"
+    html = "<html><body><urlset></urlset></body></html>"
+    df = spark.createDataFrame(
+        [(tricky_urlset,), (tricky_index,), (not_xml,), (html,)], "x string"
+    )
+    got = [r.k for r in df.select(W.sitemap_kind("x").alias("k")).collect()]
+    assert got == ["urlset", "index", "unknown", "unknown"]
