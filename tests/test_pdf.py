@@ -473,3 +473,189 @@ def test_pdf_stream_ingestion(spark, tmp_path):
     rows = spark.sql("select * from pdf_stream_t").collect()
     assert len({r.pdf_file for r in rows}) == 3
     assert all(r.text for r in rows)
+
+
+# --- font encodings (/Encoding, /Differences, /ToUnicode) --------------------
+
+
+def _font_doc(font_body: bytes, content: bytes, extra_objs: bytes = b"") -> bytes:
+    """Minimal single-page doc with font /F9 and raw content."""
+    return (
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [4 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj " + font_body + b" endobj\n"
+        b"4 0 obj << /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F9 3 0 R >> >> /Contents 5 0 R >> endobj\n"
+        b"5 0 obj << /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream endobj\n"
+        + extra_objs
+        + b"trailer << /Root 1 0 R >>\n"
+    )
+
+
+def test_winansi_encoding_decodes_quotes():
+    # cp1252 0x93/0x94 are curly quotes; latin-1 would give C1 controls
+    content = b"BT /F9 10 Tf (\x93quoted\x94 \x97 dash) Tj ET"
+    doc = _font_doc(
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+        b"/Encoding /WinAnsiEncoding >>",
+        content,
+    )
+    assert P.pdf_text(doc) == ["“quoted” — dash"]
+
+
+def test_differences_remap_and_uni_names():
+    # remap 0x41 ('A') -> eacute, 0x42 -> uni2603 (snowman), 0x43 -> u1F600
+    content = b"BT /F9 10 Tf (ABC plain) Tj ET"
+    doc = _font_doc(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /F "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /eacute 66 /uni2603 67 /u1F600] >> >>",
+        content,
+    )
+    assert P.pdf_text(doc) == ["é☃\U0001f600 plain"]
+
+
+def test_differences_unknown_glyph_is_detectable():
+    content = b"BT /F9 10 Tf (AB) Tj ET"
+    doc = _font_doc(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /F "
+        b"/Encoding << /Differences [65 /g123] >> >>",
+        content,
+    )
+    # unknown subset glyph -> U+FFFD (never a silently wrong base char);
+    # undiffed 'B' decodes via the Standard base table
+    assert P.pdf_text(doc) == ["�B"]
+
+
+def test_standard_encoding_quote_remaps():
+    content = b"BT /F9 10 Tf (it\x27s \x60quoted) Tj ET"
+    doc = _font_doc(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /F "
+        b"/Encoding /StandardEncoding >>",
+        content,
+    )
+    assert P.pdf_text(doc) == ["it’s ‘quoted"]
+
+
+def _tounicode_stream(pairs: dict[int, str], ranges=()) -> bytes:
+    bf = b"".join(
+        b"<%04X> <%s>\n" % (c, s.encode("utf-16-be").hex().encode())
+        for c, s in pairs.items()
+    )
+    rg = b"".join(
+        b"<%04X> <%04X> <%s>\n"
+        % (lo, hi, dst.encode("utf-16-be").hex().encode())
+        for lo, hi, dst in ranges
+    )
+    body = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        + (b"%d beginbfchar\n" % len(pairs)) + bf + b"endbfchar\n"
+        + (b"%d beginbfrange\n" % max(len(ranges), 0)) + rg + b"endbfrange\n"
+        b"end\n"
+    )
+    return body
+
+
+def test_type0_tounicode_bfchar_and_bfrange():
+    # CIDs: 1 -> "H", 2 -> "i", range 0x10..0x12 -> "a","b","c"
+    tun = _tounicode_stream({1: "H", 2: "i"}, ranges=[(0x10, 0x12, "a")])
+    content = b"BT /F9 10 Tf <00010002> Tj 0 -14 Td <001000110012> Tj ET"
+    doc = _font_doc(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub+F "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        content,
+        extra_objs=(
+            b"6 0 obj << /Length %d >>\nstream\n" % len(tun)
+            + tun
+            + b"\nendstream endobj\n"
+        ),
+    )
+    assert P.pdf_text(doc) == ["Hi\nabc"]
+
+
+def test_type0_without_tounicode_flags_not_mojibake():
+    content = b"BT /F9 10 Tf <00410042> Tj ET"
+    doc = _font_doc(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub+F "
+        b"/Encoding /Identity-H >>",
+        content,
+    )
+    # glyph ids without a ToUnicode are unknowable: detectable U+FFFD,
+    # not latin-1 pair soup
+    assert P.pdf_text(doc) == ["��"]
+
+
+def test_tounicode_multichar_ligature_target():
+    tun = _tounicode_stream({5: "ffi"})
+    content = b"BT /F9 10 Tf <0005> Tj ET"
+    doc = _font_doc(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub+F "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        content,
+        extra_objs=(
+            b"6 0 obj << /Length %d >>\nstream\n" % len(tun)
+            + tun
+            + b"\nendstream endobj\n"
+        ),
+    )
+    assert P.pdf_text(doc) == ["ffi"]
+
+
+def test_font_state_saved_restored_by_q_Q():
+    tun = _tounicode_stream({1: "X"})
+    content = (
+        b"BT /F9 10 Tf <0001> Tj ET "
+        b"q BT /F8 10 Tf (plain) Tj ET Q "
+        b"BT <0001> Tj ET"
+    )
+    doc = (
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [4 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Font /Subtype /Type0 /BaseFont /S "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n"
+        b"7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        b"4 0 obj << /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F9 3 0 R /F8 7 0 R >> >> /Contents 5 0 R >> endobj\n"
+        b"5 0 obj << /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream endobj\n"
+        b"6 0 obj << /Length %d >>\nstream\n" % len(tun)
+        + tun
+        + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n"
+    )
+    # after Q the Type0 font is current again (font is graphics state)
+    assert P.pdf_text(doc) == ["X\nplain\nX"]
+
+
+def test_resources_inherited_from_pages_node():
+    content = b"BT /F9 10 Tf (\x93q\x94) Tj ET"
+    doc = (
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [4 0 R] /Count 1 "
+        b"/Resources << /Font << /F9 3 0 R >> >> >> endobj\n"
+        b"3 0 obj << /Type /Font /Subtype /TrueType /BaseFont /A "
+        b"/Encoding /WinAnsiEncoding >> endobj\n"
+        b"4 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n"
+        b"5 0 obj << /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n"
+    )
+    assert P.pdf_text(doc) == ["“q”"]
+
+
+def test_build_pdf_fonts_roundtrip():
+    text = "The quick brown Fox jumps over the lazy dog again and again"
+    l1 = P.fixture_lines(text)[0]
+    w1 = l1.split(" ", 1)[0]
+    expect = [
+        l1 + "\n"
+        + l1.translate(str.maketrans(P._LOWER, P._LOWER.upper()))
+        + "\n“" + w1 + "”"
+    ]
+    assert P.pdf_text(P.build_pdf_fonts(3, text)) == expect
+    assert P.pdf_text(P.build_pdf_fonts(3, "")) == [""]

@@ -72,6 +72,7 @@ _PYTHON_OK = {
     "q_multimodal_audio_fingerprint",  # mapInPandas WAV build + envelope hash
     "q_multimodal_video_fingerprint",  # mapInPandas AVI build + frame-arc hash
     "q_web_polite_caps",  # robots.txt rule parse (host-sized mapInPandas)
+    "q_pdf_fonts",  # mapInPandas fixture build + font-aware PDF parse
     "q_web_sitemap",  # sitemap XML parse (host-sized mapInPandas)
 }
 
