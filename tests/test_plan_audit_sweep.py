@@ -49,6 +49,7 @@ _PYTHON_OK = {
     "q_pdf_corpus",  # consumes the same parsed page frame
     "q_multimodal_dhash_wide_pairs",  # mapInPandas 124-bit hash stage
     "q_warc_recrawl_diff",  # consumes the two ingested record memos
+    "q_warc_revisit_resolve",  # consumes the two ingested record memos
     "q_warc_robots_pipeline",  # applyInPandas fixture + mapInPandas ingest + robots parse
     "q_multimodal_dhash_resampled",  # mapInPandas decode + 9x8 resample
     "q_sim_ivfpq_refined_recall",  # partial-top-k consumer (refine re-rank)

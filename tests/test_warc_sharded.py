@@ -159,3 +159,53 @@ def test_cdx_urlkey_surt_shape(spark):
     )
     got = df.select(W.surt_urlkey(F.col("u")).alias("k")).collect()[0].k
     assert got == "org,example,site,www)/doc/9?a=1&b=2"
+
+
+def test_revisit_record_parse_and_same_crawl_resolution(spark):
+    """A deduplicated crawl resolves against itself: the dup re-fetch
+    shipped as a revisit record gets its text from the original
+    response in the SAME record frame."""
+    text = "revisit fixture body with several words here"
+    blob = (
+        gzip.compress(W.warcinfo_record("r.warc.gz"))
+        + gzip.compress(W.response_record(3, text))
+        + gzip.compress(W.revisit_record(3, text))
+    )
+    df = spark.createDataFrame(
+        [("r.warc.gz", blob)], "path string, content binary"
+    )
+    recs = W.warc_records(df)
+    rev = recs.where(F.col("warc_type") == "revisit").collect()
+    assert len(rev) == 1
+    r = rev[0]
+    assert r.text is None and r.payload_digest is None
+    assert r.declared_digest.startswith("md5:")
+    assert r.refers_to_uri == "https://example.org/doc/3"
+    assert r.refers_to  # the original capture's record id
+    resolved = W.resolve_revisits(recs).collect()
+    assert len(resolved) == 1
+    orig = recs.where(F.col("warc_type") == "response").collect()[0]
+    assert resolved[0].resolved_text == orig.text
+    assert resolved[0].resolved_charset == orig.charset
+    assert resolved[0].resolved_from == orig.record_id
+
+
+def test_unresolvable_revisit_stays_null(spark):
+    """A revisit whose referenced capture is absent (or whose digest
+    no longer matches) resolves to null — observable loss."""
+    blob = (
+        gzip.compress(W.response_record(4, "the page CHANGED since"))
+        + gzip.compress(W.revisit_record(4, "original text gone"))
+        + gzip.compress(W.revisit_record(7, "no capture at all"))
+    )
+    df = spark.createDataFrame(
+        [("r.warc.gz", blob)], "path string, content binary"
+    )
+    out = {
+        r.target_uri: r.resolved_text
+        for r in W.resolve_revisits(W.warc_records(df)).collect()
+    }
+    assert out == {
+        "https://example.org/doc/4": None,
+        "https://example.org/doc/7": None,
+    }
