@@ -1,0 +1,142 @@
+"""Oracle-checked Office/EPUB container-ingestion queries.
+
+Fixture containers are built distributed from `documents` by the SAME
+deterministic wrapping rules the PDF family uses (sources/pdf.py
+fixture_lines / fixture_pages: 8-word lines, 3-line pages), so the
+DuckDB oracle replays the extracted text closed-form from the parquet
+without touching a ZIP byte. The Spark side exercises the REAL
+reader: PKZIP central-directory walk, stored + deflate members, CRC
+validation, ECMA-376 paragraph extraction, and — for EPUB — the
+crawl pipeline's own html_to_text strip downstream of the container
+stage (one shared, oracle-mirrored code path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import web as Wb
+from corrie_spark.queries.pdf_queries import _PAGES_CTE
+from corrie_spark.queries.registry import register
+from corrie_spark.sources import ooxml as O
+from corrie_spark.tables import load
+
+
+def _fixture_frame(docs: DataFrame, builder, prefix: str) -> DataFrame:
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            out = [
+                {
+                    "path": f"{prefix}-{int(i):08d}.{prefix}",
+                    "content": builder(int(i), str(t)),
+                }
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "path string, content binary"
+    )
+
+
+def _doc_id(prefix: str):
+    return (
+        F.regexp_extract("office_file", rf"{prefix}-([0-9]+)\.", 1)
+        .cast("long")
+        .alias("doc_id")
+    )
+
+
+_DOCX_ORACLE = f"""
+WITH {_PAGES_CTE}
+SELECT doc_id,
+       'docx' AS kind,
+       md5(COALESCE(array_to_string(ls, chr(10)), '')) AS text_md5,
+       CAST(len(ls) AS BIGINT) AS n_lines
+FROM lns
+"""
+
+
+@register("q_office_docx", oracle=_DOCX_ORACLE)
+def q_office_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX ingestion through the from-spec container reader: one
+    fixture .docx per document (ZIP central directory, stored AND
+    deflate members alternating by doc_id, CRC-validated) -> ECMA-376
+    WordprocessingML paragraph extraction, one line per w:p. The
+    oracle replays the text closed-form via the shared 8-word-line
+    rule. Scale: binaryFile shape, one Arrow map stage, container
+    bytes never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    recs = O.office_records(_fixture_frame(docs, O.build_docx, "docx"))
+    n_lines = F.when(
+        F.length("text") == 0, F.lit(0)
+    ).otherwise(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("\n"))) + 1
+    )
+    return recs.where(F.col("error").isNull()).select(
+        _doc_id("docx"),
+        "kind",
+        F.md5("text").alias("text_md5"),
+        n_lines.cast("long").alias("n_lines"),
+    )
+
+
+_PPTX_ORACLE = f"""
+WITH {_PAGES_CTE}
+SELECT doc_id,
+       CAST(i AS BIGINT) AS part,
+       CAST(len(pg) AS BIGINT) AS n_parts,
+       md5(pg[i + 1]) AS text_md5
+FROM pgs, UNNEST(range(0, len(pg))) AS a(i)
+"""
+
+
+@register("q_office_pptx", oracle=_PPTX_ORACLE)
+def q_office_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX ingestion: one slide per fixture page (the PDF family's
+    3-line page rule, so ONE closed-form CTE gates both formats), one
+    a:p per line, slides ordered by their ppt/slides/slideN.xml
+    number. Empty documents still produce one empty slide — the same
+    empty-page contract the PDF fixture states."""
+    docs = load(spark, sf_dir, "documents")
+    recs = O.office_records(_fixture_frame(docs, O.build_pptx, "pptx"))
+    return recs.where(F.col("error").isNull()).select(
+        _doc_id("pptx"),
+        "part",
+        "n_parts",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+_EPUB_EXTRACT = Wb.html_to_text_sql(Wb.FIXTURE_PAGE_TMPL.format(S="VARCHAR"))
+
+_EPUB_ORACLE = f"""
+WITH ex AS (SELECT doc_id, {_EPUB_EXTRACT} AS x FROM documents)
+SELECT doc_id, md5(x) AS text_md5, CAST(length(x) AS BIGINT) AS n_chars
+FROM ex
+"""
+
+
+@register("q_office_epub", oracle=_EPUB_ORACLE)
+def q_office_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB ingestion composed with the crawl HTML pipeline: the OCF
+    container stage emits RAW chapter xhtml (kind 'epub-xhtml'), and
+    the strip is operators/web.py html_to_text — the SAME JVM chain
+    (and the same RE2 oracle mirror) the WARC HTML pipeline is gated
+    by. Each fixture epub carries one chapter built by fixture_page,
+    so container walk, OCF stored-mimetype handling and the strip are
+    all value-gated end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    recs = O.office_records(_fixture_frame(docs, O.build_epub, "epub"))
+    ok = recs.where(
+        F.col("error").isNull() & (F.col("kind") == "epub-xhtml")
+    )
+    extracted = Wb.html_to_text(F.col("text"))
+    return ok.select(
+        _doc_id("epub"),
+        F.md5(extracted).alias("text_md5"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )

@@ -1,0 +1,404 @@
+"""Office / EPUB container ingestion (ZIP + OOXML, from spec).
+
+Crawls carry .docx/.pptx/.epub as the third text-bearing family after
+HTML and PDF; the reference engine has no document readers (this is
+beyond-parity LLM-pipeline surface, like sources/pdf.py). Built from
+public formats only: the PKZIP APPNOTE container layout (local file
+headers, central directory, end-of-central-directory), DEFLATE via
+stdlib zlib (RFC 1951), ECMA-376 WordprocessingML / PresentationML
+(w:p paragraphs, w:t/w:tab/w:br runs; a:p/a:t for slides), and the
+EPUB OCF layout (OEBPS XHTML chapters — the HTML strip itself rides
+operators/web.py's oracle-mirrored chain, one code path with the
+crawl HTML pipeline).
+
+Subset and its seams:
+  - ZIP64 is not handled (the EOCD 32-bit form only) — a >4 GiB
+    member degrades to the error row; crawl-borne office files are
+    KB-to-MB sized.
+  - encrypted members (flag bit 0) and methods other than stored /
+    deflate raise OoxmlError (degrades to the DLQ row).
+  - XML is parsed with stdlib ElementTree, namespace-agnostic on
+    local names (OOXML writers vary prefixes, never local names).
+
+Scale shape mirrors sources/warc.py: binary files -> mapInPandas
+(Arrow) extraction, bytes never shuffle, every malformed input
+degrades to an error row (poison-row safety stance).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class OoxmlError(ValueError):
+    """Malformed container/part (caught at the row boundary)."""
+
+
+# ---------------------------------------------------------------------------
+# ZIP container (PKZIP APPNOTE 4.3.x structures)
+# ---------------------------------------------------------------------------
+
+_EOCD_SIG = b"PK\x05\x06"
+_CEN_SIG = b"PK\x01\x02"
+_LOC_SIG = b"PK\x03\x04"
+
+
+def zip_entries(data: bytes) -> dict[str, bytes]:
+    """Parse a ZIP archive into {name: decompressed bytes}. Reads the
+    end-of-central-directory (scanned from the tail — the comment may
+    follow it), walks the central directory for the authoritative
+    entry list, then each local header for the data start (local
+    name/extra lengths may legally differ from central). CRC32 and
+    size are validated per entry — a corrupt member is an error for
+    the WHOLE container (unlike WARC members, ZIP entries share one
+    directory; a lying directory poisons everything after it)."""
+    eocd = data.rfind(_EOCD_SIG)
+    if eocd < 0 or eocd + 22 > len(data):
+        raise OoxmlError("no end-of-central-directory")
+    n_entries, cd_size, cd_off = struct.unpack_from("<HII", data, eocd + 10)
+    if cd_off + cd_size > len(data):
+        raise OoxmlError("central directory out of range")
+    out: dict[str, bytes] = {}
+    pos = cd_off
+    for _ in range(n_entries):
+        if data[pos : pos + 4] != _CEN_SIG:
+            raise OoxmlError("bad central-directory header")
+        flags, method = struct.unpack_from("<HH", data, pos + 8)
+        crc, csize, usize = struct.unpack_from("<III", data, pos + 16)
+        nlen, elen, clen = struct.unpack_from("<HHH", data, pos + 28)
+        (lho,) = struct.unpack_from("<I", data, pos + 42)
+        name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        pos += 46 + nlen + elen + clen
+        if flags & 0x1:
+            raise OoxmlError(f"encrypted entry {name}")
+        if data[lho : lho + 4] != _LOC_SIG:
+            raise OoxmlError(f"bad local header for {name}")
+        lnlen, lelen = struct.unpack_from("<HH", data, lho + 26)
+        start = lho + 30 + lnlen + lelen
+        blob = data[start : start + csize]
+        if len(blob) != csize:
+            raise OoxmlError(f"truncated entry {name}")
+        if method == 0:
+            raw = blob
+        elif method == 8:
+            try:
+                raw = zlib.decompress(blob, -15)
+            except zlib.error as e:
+                raise OoxmlError(f"bad deflate in {name}: {e}") from None
+        else:
+            raise OoxmlError(f"unsupported method {method} in {name}")
+        if len(raw) != usize:
+            raise OoxmlError(f"size mismatch in {name}")
+        if (zlib.crc32(raw) & 0xFFFFFFFF) != crc:
+            raise OoxmlError(f"crc mismatch in {name}")
+        out[name] = raw
+    return out
+
+
+def zip_build(entries: list[tuple[str, bytes, bool]]) -> bytes:
+    """Deterministic ZIP writer (fixture twin of zip_entries): one
+    local header + data per entry, central directory, EOCD. Timestamps
+    are zero — the same inputs always produce the same bytes."""
+    out = bytearray()
+    central = bytearray()
+    for name, raw, deflate in entries:
+        nm = name.encode("utf-8")
+        crc = zlib.crc32(raw) & 0xFFFFFFFF
+        if deflate:
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            blob = c.compress(raw) + c.flush()
+            method = 8
+        else:
+            blob = raw
+            method = 0
+        off = len(out)
+        out += struct.pack(
+            "<4sHHHHHIIIHH",
+            _LOC_SIG, 20, 0, method, 0, 0x21, crc, len(blob), len(raw),
+            len(nm), 0,
+        )
+        out += nm + blob
+        central += struct.pack(
+            "<4sHHHHHHIIIHHHHHII",
+            _CEN_SIG, 20, 20, 0, method, 0, 0x21, crc, len(blob), len(raw),
+            len(nm), 0, 0, 0, 0, 0, off,
+        )
+        central += nm
+    cd_off = len(out)
+    out += central
+    out += struct.pack(
+        "<4sHHHHIIH",
+        _EOCD_SIG, 0, 0, len(entries), len(entries), len(central), cd_off, 0,
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# OOXML part extraction (ECMA-376)
+# ---------------------------------------------------------------------------
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _paragraph_lines(root, text_tag: str = "t") -> list[str]:
+    """Collect one output line per paragraph element (local name 'p' —
+    w:p in WordprocessingML, a:p in DrawingML): text runs concatenate,
+    tabs become \\t, explicit breaks become in-line newlines. Empty
+    paragraphs are dropped (corpus-text stance)."""
+    lines: list[str] = []
+    for p in root.iter():
+        if _local(p.tag) != "p":
+            continue
+        buf: list[str] = []
+        for el in p.iter():
+            ln = _local(el.tag)
+            if ln == text_tag and el.text:
+                buf.append(el.text)
+            elif ln == "tab":
+                buf.append("\t")
+            elif ln in ("br", "cr"):
+                buf.append("\n")
+        t = "".join(buf)
+        if t:
+            lines.append(t)
+    return lines
+
+
+def _parse_xml(raw: bytes):
+    import xml.etree.ElementTree as ET
+
+    try:
+        return ET.fromstring(raw)
+    except ET.ParseError as e:
+        raise OoxmlError(f"bad xml: {e}") from None
+
+
+def docx_text(data: bytes) -> str:
+    """.docx bytes -> text: word/document.xml paragraphs, one line per
+    w:p (tables contribute their cell paragraphs in document order —
+    they nest w:p like everything else in WordprocessingML)."""
+    parts = zip_entries(data)
+    xml = parts.get("word/document.xml")
+    if xml is None:
+        raise OoxmlError("no word/document.xml")
+    return "\n".join(_paragraph_lines(_parse_xml(xml)))
+
+
+_SLIDE_RE = re.compile(r"ppt/slides/slide([0-9]+)\.xml")
+
+
+def pptx_slides(data: bytes) -> list[str]:
+    """.pptx bytes -> text per slide (numeric slide order): a:p
+    paragraphs of every shape's text body."""
+    parts = zip_entries(data)
+    slides = sorted(
+        (int(m.group(1)), name)
+        for name, m in ((n, _SLIDE_RE.fullmatch(n)) for n in parts)
+        if m
+    )
+    if not slides:
+        raise OoxmlError("no ppt/slides/slideN.xml parts")
+    return [
+        "\n".join(_paragraph_lines(_parse_xml(parts[name])))
+        for _, name in slides
+    ]
+
+
+_CHAPTER_RE = re.compile(r".*\.(?:xhtml|html)")
+
+
+def epub_chapters(data: bytes) -> list[tuple[str, str]]:
+    """.epub bytes -> (part name, RAW xhtml) per chapter, name order.
+    Deliberately does NOT strip the HTML here: the strip is
+    operators/web.py html_to_text, a JVM Column chain applied
+    DOWNSTREAM — one oracle-mirrored code path shared with the crawl
+    HTML pipeline, and the part bytes leave the Arrow stage only once
+    either way."""
+    parts = zip_entries(data)
+    return [
+        (name, raw.decode("utf-8", "replace"))
+        for name, raw in sorted(parts.items())
+        if _CHAPTER_RE.fullmatch(name)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (the warc_records shape: poison-safe Arrow stage)
+# ---------------------------------------------------------------------------
+
+OFFICE_SCHEMA_DDL = (
+    "office_file string, kind string, part bigint, n_parts bigint, "
+    "text string, n_chars bigint, error string"
+)
+
+OFFICE_COLUMNS = [
+    "office_file", "kind", "part", "n_parts", "text", "n_chars", "error",
+]
+
+
+def office_records(
+    bin_df: DataFrame, file_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """(file, container bytes) -> text rows: docx = one row, pptx =
+    one row per slide, epub = one row of RAW xhtml per chapter (kind
+    'epub-xhtml'; apply operators.web.html_to_text downstream). The
+    container kind is sniffed from the entry names, not the file
+    extension (crawl filenames lie). Poison safety stance of
+    warc_records: malformed containers yield ONE error row each."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf[file_col], pdf[content_col]):
+                try:
+                    parts = zip_entries(bytes(blob))
+                    if "word/document.xml" in parts:
+                        texts = [("docx", docx_text(bytes(blob)))]
+                    elif any(_SLIDE_RE.fullmatch(n) for n in parts):
+                        texts = [
+                            ("pptx", t) for t in pptx_slides(bytes(blob))
+                        ]
+                    elif any(_CHAPTER_RE.fullmatch(n) for n in parts):
+                        texts = [
+                            ("epub-xhtml", x)
+                            for _, x in epub_chapters(bytes(blob))
+                        ]
+                    else:
+                        raise OoxmlError("unrecognized container layout")
+                    for i, (kind, t) in enumerate(texts):
+                        out.append(
+                            {
+                                "office_file": path,
+                                "kind": kind,
+                                "part": i,
+                                "n_parts": len(texts),
+                                "text": t,
+                                "n_chars": len(t),
+                                "error": None,
+                            }
+                        )
+                except Exception as e:  # noqa: BLE001 — poison row
+                    out.append(
+                        {
+                            "office_file": path,
+                            "kind": None,
+                            "part": -1,
+                            "n_parts": 0,
+                            "text": None,
+                            "n_chars": 0,
+                            "error": f"{type(e).__name__}: {e}"[:200],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=OFFICE_COLUMNS)
+
+    return bin_df.mapInPandas(run, OFFICE_SCHEMA_DDL)
+
+
+def read_office(spark: SparkSession, path: str) -> DataFrame:
+    """Batch reader: binaryFile scan -> per-part extraction."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return office_records(files)
+
+
+def office_to_documents(records: DataFrame) -> DataFrame:
+    """Part rows -> documents schema (the pdf_to_documents twin);
+    epub rows must be html-stripped by the caller first."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.dedup import hash60
+
+    return records.where(F.col("error").isNull()).select(
+        hash60(
+            F.concat_ws(":", F.col("office_file"), F.col("part")), "office-doc"
+        ).alias("doc_id"),
+        F.col("office_file").alias("url"),
+        F.col("text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture builders (python + closed-form oracle twins)
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+_W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_CT_XML = (
+    b'<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/'
+    b'package/2006/content-types"/>'
+)
+
+
+def build_docx(doc_id: int, text: str) -> bytes:
+    """One w:p per fixture line (sources/pdf.py fixture_lines — the
+    shared 8-words-per-line rule, so ONE closed-form CTE gates pdf,
+    docx and pptx). Entry compression alternates stored/deflate by
+    doc_id so both ZIP methods stay live in the gated fixture."""
+    from corrie_spark.sources.pdf import fixture_lines
+
+    body = "".join(
+        f'<w:p><w:r><w:t xml:space="preserve">{_xml_escape(ln)}</w:t>'
+        "</w:r></w:p>"
+        for ln in fixture_lines(text)
+    )
+    doc = (
+        f'<?xml version="1.0"?><w:document xmlns:w="{_W_NS}">'
+        f"<w:body>{body}</w:body></w:document>"
+    ).encode("utf-8")
+    defl = doc_id % 2 == 0
+    return zip_build(
+        [
+            ("[Content_Types].xml", _CT_XML, not defl),
+            ("word/document.xml", doc, defl),
+        ]
+    )
+
+
+def build_pptx(doc_id: int, text: str) -> bytes:
+    """One slide per fixture page (3 lines, sources/pdf.py
+    fixture_pages), one a:p per line."""
+    from corrie_spark.sources.pdf import fixture_pages
+
+    entries: list[tuple[str, bytes, bool]] = [
+        ("[Content_Types].xml", _CT_XML, True)
+    ]
+    for i, lines in enumerate(fixture_pages(text), start=1):
+        paras = "".join(
+            f"<a:p><a:r><a:t>{_xml_escape(ln)}</a:t></a:r></a:p>"
+            for ln in lines
+        )
+        sld = (
+            f'<?xml version="1.0"?><p:sld xmlns:p="x" xmlns:a="{_A_NS}">'
+            f"<p:cSld><p:spTree><p:sp><p:txBody>{paras}</p:txBody>"
+            "</p:sp></p:spTree></p:cSld></p:sld>"
+        ).encode("utf-8")
+        entries.append(
+            (f"ppt/slides/slide{i}.xml", sld, (doc_id + i) % 2 == 0)
+        )
+    return zip_build(entries)
+
+
+def build_epub(doc_id: int, text: str) -> bytes:
+    """One OEBPS chapter carrying the SAME fixture HTML page the crawl
+    pipeline uses (operators/web.py fixture_page), so the downstream
+    strip is gated by the existing html_to_text oracle twin."""
+    from corrie_spark.operators.web import fixture_page
+
+    page = fixture_page(doc_id, text).encode("utf-8")
+    return zip_build(
+        [
+            ("mimetype", b"application/epub+zip", False),  # OCF: stored
+            ("OEBPS/chapter1.xhtml", page, True),
+        ]
+    )

@@ -1,0 +1,170 @@
+"""ZIP/OOXML/EPUB container reader units and the Spark extraction
+path (poison safety, documents composition)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from pyspark.sql import functions as F
+
+from corrie_spark.sources import ooxml as O
+
+
+# --- ZIP layer ----------------------------------------------------------------
+
+
+def test_zip_roundtrip_stored_and_deflate():
+    entries = [
+        ("a.txt", b"stored bytes", False),
+        ("dir/b.bin", bytes(range(256)) * 40, True),
+        ("empty", b"", True),
+    ]
+    blob = O.zip_build(entries)
+    got = O.zip_entries(blob)
+    assert got == {n: d for n, d, _ in entries}
+
+
+def test_zip_writer_reads_under_stdlib_zipfile():
+    """Independent-reader witness: stdlib zipfile (not our code)
+    validates the writer's structures and CRCs."""
+    blob = O.zip_build([("x/y.txt", b"hello world", True)])
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.testzip() is None
+    assert zf.read("x/y.txt") == b"hello world"
+
+
+def test_zip_reader_reads_stdlib_written_archive():
+    """Independent-writer witness."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("a.txt", "alpha")
+        z.writestr("b/c.txt", "beta")
+    got = O.zip_entries(buf.getvalue())
+    assert got == {"a.txt": b"alpha", "b/c.txt": b"beta"}
+
+
+def test_zip_corruption_raises_ooxml_error():
+    import pytest
+
+    blob = O.zip_build([("a.txt", b"payload bytes here", True)])
+    with pytest.raises(O.OoxmlError):
+        O.zip_entries(b"not a zip at all")
+    with pytest.raises(O.OoxmlError):
+        O.zip_entries(blob[: len(blob) // 2])  # EOCD gone
+    bad = bytearray(blob)
+    bad[37] ^= 0xFF  # flip a compressed-data byte (after 30-byte local
+    # header + 5-byte name) -> deflate error or CRC mismatch
+    with pytest.raises(O.OoxmlError):
+        O.zip_entries(bytes(bad))
+
+
+# --- OOXML parts ----------------------------------------------------------------
+
+
+def test_docx_tabs_breaks_and_tables():
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://x/main"><w:body>'
+        "<w:p><w:r><w:t>col1</w:t></w:r><w:r><w:tab/></w:r>"
+        "<w:r><w:t>col2</w:t></w:r></w:p>"
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p>"
+        "</w:tc></w:tr></w:tbl>"
+        "<w:p><w:r><w:t>a</w:t><w:br/><w:t>b</w:t></w:r></w:p>"
+        "<w:p/>"  # empty paragraph dropped
+        "</w:body></w:document>"
+    ).encode()
+    blob = O.zip_build([("word/document.xml", doc, True)])
+    assert O.docx_text(blob) == "col1\tcol2\ncell\na\nb"
+
+
+def test_pptx_slide_numeric_order():
+    def slide(txt):
+        return (
+            '<p:sld xmlns:p="x" xmlns:a="y"><p:txBody>'
+            f"<a:p><a:r><a:t>{txt}</a:t></a:r></a:p></p:txBody></p:sld>"
+        ).encode()
+
+    blob = O.zip_build(
+        [
+            ("ppt/slides/slide10.xml", slide("ten"), True),
+            ("ppt/slides/slide2.xml", slide("two"), True),
+            ("ppt/slides/slide1.xml", slide("one"), True),
+        ]
+    )
+    assert O.pptx_slides(blob) == ["one", "two", "ten"]
+
+
+def test_xml_escape_roundtrip_through_docx():
+    text = "ampersand & angle <brackets> survive " + "x " * 12
+    blob = O.build_docx(1, text)
+    from corrie_spark.sources.pdf import fixture_lines
+
+    assert O.docx_text(blob) == "\n".join(fixture_lines(text))
+
+
+# --- Spark path ----------------------------------------------------------------
+
+
+def test_office_records_kinds_and_poison(spark):
+    rows = [
+        ("d.docx", O.build_docx(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9")),
+        ("p.pptx", O.build_pptx(1, "s1 s2 s3 s4 s5 s6 s7 s8 " * 4)),
+        ("e.epub", O.build_epub(2, "chapter body words")),
+        ("junk.docx", b"PK\x03\x04 truncated junk"),
+        ("weird.zip", O.zip_build([("readme.txt", b"no office parts", True)])),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    recs = O.office_records(df).collect()
+    by_file = {}
+    for r in recs:
+        by_file.setdefault(r.office_file, []).append(r)
+    assert by_file["d.docx"][0].kind == "docx"
+    assert by_file["d.docx"][0].n_parts == 1
+    # 32 tokens -> 4 lines -> 2 slides
+    pptx = sorted(by_file["p.pptx"], key=lambda r: r.part)
+    assert [r.kind for r in pptx] == ["pptx", "pptx"]
+    assert pptx[0].n_parts == 2
+    assert by_file["e.epub"][0].kind == "epub-xhtml"
+    assert "<html>" in by_file["e.epub"][0].text
+    for poison in ("junk.docx", "weird.zip"):
+        (row,) = by_file[poison]
+        assert row.error is not None and row.text is None
+
+
+def test_office_to_documents(spark):
+    df = spark.createDataFrame(
+        [
+            ("a.docx", O.build_docx(0, "w1 w2 w3 w4")),
+            ("bad.docx", b"nope"),
+        ],
+        "path string, content binary",
+    )
+    docs = O.office_to_documents(O.office_records(df))
+    assert docs.columns == ["doc_id", "url", "text"]
+    got = docs.collect()
+    assert len(got) == 1 and got[0].url == "a.docx"
+    assert got[0].text == "w1 w2 w3 w4"
+
+
+def test_epub_html_strip_matches_crawl_chain(spark):
+    """EPUB chapters stripped by the SAME html_to_text the crawl
+    pipeline uses — composition equality pinned on a real frame."""
+    from corrie_spark.operators import web as Wb
+    from corrie_spark.operators.web import fixture_page
+
+    text = "epub body words " * 3
+    df = spark.createDataFrame(
+        [("e.epub", O.build_epub(7, text))], "path string, content binary"
+    )
+    recs = O.office_records(df).where(F.col("kind") == "epub-xhtml")
+    got = recs.select(
+        Wb.html_to_text(F.col("text")).alias("x")
+    ).collect()[0].x
+    ref = (
+        spark.createDataFrame([(fixture_page(7, text),)], "h string")
+        .select(Wb.html_to_text(F.col("h")).alias("x"))
+        .collect()[0]
+        .x
+    )
+    assert got == ref and "epub body words" in got

@@ -74,6 +74,9 @@ _PYTHON_OK = {
     "q_multimodal_video_fingerprint",  # mapInPandas AVI build + frame-arc hash
     "q_web_polite_caps",  # robots.txt rule parse (host-sized mapInPandas)
     "q_pdf_fonts",  # mapInPandas fixture build + font-aware PDF parse
+    "q_office_docx",  # mapInPandas ZIP/OOXML build + parse
+    "q_office_pptx",  # same Arrow container stage, slide fan-out
+    "q_office_epub",  # container stage; HTML strip is the JVM chain
     "q_web_sitemap",  # sitemap XML parse (host-sized mapInPandas)
 }
 
