@@ -929,7 +929,11 @@ def _decode_pdf_string(b: bytes) -> str:
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
 
-def extract_text(content: bytes, fonts: dict[str, _Font] | None = None) -> str:
+def extract_text(
+    content: bytes,
+    fonts: dict[str, _Font] | None = None,
+    xobjects: dict[str, object] | None = None,
+) -> str:
     """Deterministic layout rule: inside BT..ET, every text-positioning
     operation (Td TD T* Tm ' \") starts a new output line; Tj/TJ/'/\"
     append their strings; TJ kerning below -250 becomes one space.
@@ -941,7 +945,13 @@ def extract_text(content: bytes, fonts: dict[str, _Font] | None = None) -> str:
     `fonts` (from page_fonts) maps resource names to decoders; Tf
     selects the current one and q/Q save/restore it with the graphics
     state (§8.4.2 lists text font in the gs). Without fonts — or for
-    strings shown before any Tf — the BOM-or-latin-1 default applies."""
+    strings shown before any Tf — the BOM-or-latin-1 default applies.
+
+    `xobjects` maps resource names to zero-arg callables returning the
+    extracted text of a Form XObject (§8.10); a `Do` flushes the
+    current line and splices the form's lines in at the invocation
+    point — headers, stamps and OCR text layers live in forms, and an
+    extractor that skips Do silently loses them."""
     lines: list[str] = []
     cur: list[str] = []
     pos = 0
@@ -1020,6 +1030,17 @@ def extract_text(content: bytes, fonts: dict[str, _Font] | None = None) -> str:
         elif op == b"Q":
             if gs_stack:
                 font = gs_stack.pop()
+        elif op == b"Do":
+            if (
+                xobjects
+                and operands
+                and isinstance(operands[-1], str)
+                and operands[-1] in xobjects
+            ):
+                flush()
+                t = xobjects[operands[-1]]()
+                if t:
+                    lines.extend(t.split("\n"))
         elif in_text:
             if op == b"Tj" and operands and isinstance(operands[-1], bytes):
                 cur.append(dec(operands[-1]))
@@ -1040,15 +1061,63 @@ def extract_text(content: bytes, fonts: dict[str, _Font] | None = None) -> str:
     return "\n".join(lines)
 
 
+def page_xobjects(
+    objects: dict[int, object],
+    resources,
+    font_cache: dict[int, _Font],
+    depth: int = 0,
+):
+    """Resolve a /Resources /XObject dict into name -> lazy extractor
+    for Form XObjects (§8.10.1). Lazy + depth-bounded: a form's text
+    is extracted only when a Do actually invokes it, a form's own
+    Resources fall back to the invoker's (the spec's inheritance
+    advice), and a malformed or cyclic form degrades to '' — never an
+    exception out of the page."""
+    res = _resolve(objects, resources)
+    if not isinstance(res, dict) or depth > 8:
+        return {}
+    xdict = _resolve(objects, res.get("XObject"))
+    if not isinstance(xdict, dict):
+        return {}
+    out = {}
+    for name, xref in xdict.items():
+
+        def run(xref=xref):
+            x = _resolve(objects, xref)
+            if not isinstance(x, Stream) or x.d.get("Subtype") != "Form":
+                return ""
+            try:
+                content = decode_stream(objects, x)
+                own = _resolve(objects, x.d.get("Resources"))
+                eff = own if isinstance(own, dict) else res
+                return extract_text(
+                    content,
+                    page_fonts(objects, eff, font_cache),
+                    page_xobjects(objects, eff, font_cache, depth + 1),
+                )
+            except (PdfError, zlib.error, ValueError, RecursionError):
+                return ""
+
+        out[name] = run
+    return out
+
+
 def pdf_text(data: bytes) -> list[str]:
     """Whole document -> extracted text per page, strings decoded
-    through each page's font resources (ToUnicode / Encoding)."""
+    through each page's font resources (ToUnicode / Encoding), Form
+    XObjects spliced in at their Do invocation points."""
     objects, root = _document_root(data)
     cache: dict[int, _Font] = {}
     out = []
     for page, res in _walk_pages(objects, root.get("Pages")):
         content = _page_content(objects, page)
-        out.append(extract_text(content, page_fonts(objects, res, cache)))
+        out.append(
+            extract_text(
+                content,
+                page_fonts(objects, res, cache),
+                page_xobjects(objects, res, cache),
+            )
+        )
     return out
 
 
@@ -1339,7 +1408,10 @@ def build_pdf_fonts(doc_id: int, text: str) -> bytes:
          (if Differences were ignored, extraction would yield the raw
          bytes and the oracle md5 would catch it);
       3. /FW: WinAnsiEncoding, 0x93/0x94 curly-quote bytes around the
-         first token -> extracts with real Unicode quotes.
+         first token -> extracts with real Unicode quotes — and this
+         line lives inside a FORM XOBJECT invoked by Do (its own
+         /Resources carry /FW), so XObject traversal is gated by the
+         same closed-form oracle.
     Empty documents produce a page with no text operators."""
     lines = fixture_lines(text)
     line1 = lines[0] if lines else ""
@@ -1364,11 +1436,15 @@ def build_pdf_fonts(doc_id: int, text: str) -> bytes:
         hex1 = "".join("%04x" % cid[c] for c in line1).encode()
         content = (
             b"BT /FT 12 Tf 72 720 Td <" + hex1 + b"> Tj\n"
-            b"0 -14 Td /FD 12 Tf (" + _esc_literal(line1) + b") Tj\n"
-            b"0 -14 Td /FW 12 Tf (\x93" + _esc_literal(w1) + b"\x94) Tj ET"
+            b"0 -14 Td /FD 12 Tf (" + _esc_literal(line1) + b") Tj ET\n"
+            b"/X1 Do"
+        )
+        form = (
+            b"BT /FW 12 Tf 72 680 Td (\x93" + _esc_literal(w1) + b"\x94) Tj ET"
         )
     else:
         content = b"BT ET"
+        form = b""
     comp = zlib.compress(content)
     diffs = b" ".join(b"/%c" % c for c in _LOWER.upper().encode())
     objs = [
@@ -1377,7 +1453,8 @@ def build_pdf_fonts(doc_id: int, text: str) -> bytes:
         (
             4,
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /FT 7 0 R /FD 8 0 R /FW 9 0 R >> >> "
+            b"/Resources << /Font << /FT 7 0 R /FD 8 0 R >> "
+            b"/XObject << /X1 10 0 R >> >> "
             b"/Contents 5 0 R >>",
         ),
         (
@@ -1408,6 +1485,13 @@ def build_pdf_fonts(doc_id: int, text: str) -> bytes:
     out += (
         b"6 0 obj\n<< /Length %d >>\nstream\n" % len(tun)
         + bytes(tun)
+        + b"\nendstream\nendobj\n"
+    )
+    out += (
+        b"10 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Resources << /Font << /FW 9 0 R >> >> /Length %d >>\nstream\n"
+        % len(form)
+        + form
         + b"\nendstream\nendobj\n"
     )
     out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"

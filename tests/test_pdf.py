@@ -659,3 +659,34 @@ def test_build_pdf_fonts_roundtrip():
     ]
     assert P.pdf_text(P.build_pdf_fonts(3, text)) == expect
     assert P.pdf_text(P.build_pdf_fonts(3, "")) == [""]
+
+
+def test_nested_form_xobjects_and_cycle_guard():
+    inner = b"BT (deep) Tj ET"
+    outer = b"(before) Tj /X2 Do"  # Do outside BT is the common shape
+    # X3 invokes itself: the depth bound must degrade it to '', not
+    # recurse forever
+    cyc = b"/X3 Do"
+    doc = (
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [4 0 R] /Count 1 >> endobj\n"
+        b"4 0 obj << /Type /Page /Parent 2 0 R "
+        b"/Resources << /XObject << /X1 5 0 R /X3 7 0 R >> >> "
+        b"/Contents 8 0 R >> endobj\n"
+        b"5 0 obj << /Type /XObject /Subtype /Form "
+        b"/Resources << /XObject << /X2 6 0 R >> >> /Length %d >>\n"
+        b"stream\n" % len(outer) + outer + b"\nendstream endobj\n"
+        b"6 0 obj << /Type /XObject /Subtype /Form /Length %d >>\n"
+        b"stream\n" % len(inner) + inner + b"\nendstream endobj\n"
+        b"7 0 obj << /Type /XObject /Subtype /Form "
+        b"/Resources << /XObject << /X3 7 0 R >> >> /Length %d >>\n"
+        b"stream\n" % len(cyc) + cyc + b"\nendstream endobj\n"
+        b"8 0 obj << /Length %d >>\nstream\n"
+        % len(b"BT (page) Tj ET /X1 Do /X3 Do")
+        + b"BT (page) Tj ET /X1 Do /X3 Do"
+        + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n"
+    )
+    # page line, then X1's text: 'before' is outside BT (not shown),
+    # X2's 'deep' IS shown; the cyclic X3 contributes nothing
+    assert P.pdf_text(doc) == ["page\ndeep"]
