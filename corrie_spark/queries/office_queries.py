@@ -111,6 +111,38 @@ def q_office_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XLSX_ORACLE = f"""
+WITH {_PAGES_CTE}
+SELECT doc_id,
+       'xlsx' AS kind,
+       md5(COALESCE(array_to_string(
+         list_transform(ls, l -> replace(l, ' ', chr(9))), chr(10)), ''))
+         AS text_md5,
+       CAST(len(ls) AS BIGINT) AS n_rows
+FROM lns
+"""
+
+
+@register("q_office_xlsx", oracle=_XLSX_ORACLE)
+def q_office_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX ingestion: SpreadsheetML cells resolve through the
+    sharedStrings index (the fixture dedups repeated words into one
+    si entry, so the indirection is genuinely live), one line per row,
+    cells joined by tab. The oracle replays the sheet text closed-form
+    as the fixture line with spaces as tabs."""
+    docs = load(spark, sf_dir, "documents")
+    recs = O.office_records(_fixture_frame(docs, O.build_xlsx, "xlsx"))
+    n_rows = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("\n"))) + 1
+    )
+    return recs.where(F.col("error").isNull()).select(
+        _doc_id("xlsx"),
+        "kind",
+        F.md5("text").alias("text_md5"),
+        n_rows.cast("long").alias("n_rows"),
+    )
+
+
 _EPUB_EXTRACT = Wb.html_to_text_sql(Wb.FIXTURE_PAGE_TMPL.format(S="VARCHAR"))
 
 _EPUB_ORACLE = f"""

@@ -210,6 +210,75 @@ def pptx_slides(data: bytes) -> list[str]:
     ]
 
 
+_SHEET_RE = re.compile(r"xl/worksheets/sheet([0-9]+)\.xml")
+
+
+def xlsx_sheets(data: bytes) -> list[str]:
+    """.xlsx bytes -> text per sheet (numeric sheet order): one line
+    per row, cells joined by \\t. SpreadsheetML stores string cells as
+    INDICES into xl/sharedStrings.xml (t="s"); inline strings
+    (t="inlineStr") and raw values (<v>) are read directly. Cells of
+    other types contribute their <v> text — a corpus pipeline wants
+    the characters, not the number format."""
+    parts = zip_entries(data)
+    shared: list[str] = []
+    ss = parts.get("xl/sharedStrings.xml")
+    if ss is not None:
+        root = _parse_xml(ss)
+        for si in root:
+            if _local(si.tag) != "si":
+                continue
+            shared.append(
+                "".join(
+                    el.text
+                    for el in si.iter()
+                    if _local(el.tag) == "t" and el.text
+                )
+            )
+    sheets = sorted(
+        (int(m.group(1)), name)
+        for name, m in ((n, _SHEET_RE.fullmatch(n)) for n in parts)
+        if m
+    )
+    if not sheets:
+        raise OoxmlError("no xl/worksheets/sheetN.xml parts")
+    out = []
+    for _, name in sheets:
+        root = _parse_xml(parts[name])
+        lines = []
+        for row in root.iter():
+            if _local(row.tag) != "row":
+                continue
+            cells = []
+            for c in row:
+                if _local(c.tag) != "c":
+                    continue
+                t = c.get("t", "")
+                v = next(
+                    (el for el in c.iter() if _local(el.tag) == "v"), None
+                )
+                if t == "s" and v is not None and v.text:
+                    idx = int(v.text)
+                    cells.append(
+                        shared[idx] if 0 <= idx < len(shared) else ""
+                    )
+                elif t == "inlineStr":
+                    cells.append(
+                        "".join(
+                            el.text
+                            for el in c.iter()
+                            if _local(el.tag) == "t" and el.text
+                        )
+                    )
+                elif v is not None and v.text:
+                    cells.append(v.text)
+            line = "\t".join(cells)
+            if line:
+                lines.append(line)
+        out.append("\n".join(lines))
+    return out
+
+
 _CHAPTER_RE = re.compile(r".*\.(?:xhtml|html)")
 
 
@@ -265,6 +334,10 @@ def office_records(
                         texts = [
                             ("pptx", t) for t in pptx_slides(bytes(blob))
                         ]
+                    elif any(_SHEET_RE.fullmatch(n) for n in parts):
+                        texts = [
+                            ("xlsx", t) for t in xlsx_sheets(bytes(blob))
+                        ]
                     elif any(_CHAPTER_RE.fullmatch(n) for n in parts):
                         texts = [
                             ("epub-xhtml", x)
@@ -305,6 +378,26 @@ def read_office(spark: SparkSession, path: str) -> DataFrame:
     """Batch reader: binaryFile scan -> per-part extraction."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return office_records(files)
+
+
+OFFICE_STREAM_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_office_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Continuous office-document ingestion — the read_pdf_stream /
+    read_warc_stream twin: the file source watches the directory, each
+    new container lands as one micro-batch row through the SAME
+    extraction stage as batch. File-granular exactly-once from the
+    file source's checkpointed log; extraction is deterministic, so
+    replays re-emit identical rows."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(OFFICE_STREAM_SCHEMA)
+        .load(path)
+    )
+    return office_records(files.select("path", "content"))
 
 
 def office_to_documents(records: DataFrame) -> DataFrame:
@@ -387,6 +480,50 @@ def build_pptx(doc_id: int, text: str) -> bytes:
             (f"ppt/slides/slide{i}.xml", sld, (doc_id + i) % 2 == 0)
         )
     return zip_build(entries)
+
+
+def build_xlsx(doc_id: int, text: str) -> bytes:
+    """One sheet; one row per fixture line; one CELL per word, every
+    cell a sharedStrings INDEX (repeated words share one si entry, so
+    the index indirection is genuinely exercised). Extracted text is
+    the line with spaces as tabs."""
+    from corrie_spark.sources.pdf import fixture_lines
+
+    lines = [ln.split(" ") for ln in fixture_lines(text)]
+    vocab: dict[str, int] = {}
+    for ws in lines:
+        for w in ws:
+            vocab.setdefault(w, len(vocab))
+    sst = (
+        '<?xml version="1.0"?><sst xmlns="x">'
+        + "".join(
+            f'<si><t xml:space="preserve">{_xml_escape(w)}</t></si>'
+            for w in vocab
+        )
+        + "</sst>"
+    ).encode("utf-8")
+    rows = "".join(
+        "<row r=\"%d\">%s</row>"
+        % (
+            r + 1,
+            "".join(
+                f'<c r="x" t="s"><v>{vocab[w]}</v></c>' for w in ws
+            ),
+        )
+        for r, ws in enumerate(lines)
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="x">'
+        f"<sheetData>{rows}</sheetData></worksheet>"
+    ).encode("utf-8")
+    defl = doc_id % 2 == 1
+    return zip_build(
+        [
+            ("[Content_Types].xml", _CT_XML, True),
+            ("xl/sharedStrings.xml", sst, defl),
+            ("xl/worksheets/sheet1.xml", sheet, not defl),
+        ]
+    )
 
 
 def build_epub(doc_id: int, text: str) -> bytes:

@@ -168,3 +168,61 @@ def test_epub_html_strip_matches_crawl_chain(spark):
         .x
     )
     assert got == ref and "epub body words" in got
+
+
+def test_xlsx_shared_and_inline_strings():
+    sst = (
+        '<sst xmlns="x"><si><t>alpha</t></si>'
+        "<si><t>be</t><t>ta</t></si></sst>"  # split runs concatenate
+    ).encode()
+    sheet = (
+        '<worksheet xmlns="x"><sheetData>'
+        '<row r="1"><c t="s"><v>1</v></c><c t="s"><v>0</v></c>'
+        '<c t="inlineStr"><is><t>inline</t></is></c>'
+        '<c><v>42</v></c></row>'
+        '<row r="2"><c t="s"><v>0</v></c></row>'
+        "</sheetData></worksheet>"
+    ).encode()
+    blob = O.zip_build(
+        [
+            ("xl/sharedStrings.xml", sst, True),
+            ("xl/worksheets/sheet1.xml", sheet, True),
+        ]
+    )
+    assert O.xlsx_sheets(blob) == ["beta\talpha\tinline\t42\nalpha"]
+
+
+def test_build_xlsx_roundtrip():
+    from corrie_spark.sources.pdf import fixture_lines
+
+    text = "one two three four five six seven eight nine ten one two"
+    blob = O.build_xlsx(4, text)
+    expect = "\n".join(
+        ln.replace(" ", "\t") for ln in fixture_lines(text)
+    )
+    assert O.xlsx_sheets(blob) == [expect]
+    assert O.build_xlsx(4, "") and O.xlsx_sheets(O.build_xlsx(4, "")) == [""]
+
+
+def test_office_stream_ingestion(spark, tmp_path):
+    import os
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    for i in range(2):
+        with open(src / f"d{i}.docx", "wb") as f:
+            f.write(O.build_docx(i, f"streamed doc {i} " + "w " * 12))
+    with open(src / "s.xlsx", "wb") as f:
+        f.write(O.build_xlsx(7, "a b c d e f g h i j"))
+    q = (
+        O.read_office_stream(spark, str(src))
+        .where(F.col("error").isNull())
+        .writeStream.format("memory")
+        .queryName("office_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from office_stream_t").collect()
+    kinds = sorted(r.kind for r in rows)
+    assert kinds == ["docx", "docx", "xlsx"]

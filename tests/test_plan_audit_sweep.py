@@ -76,6 +76,7 @@ _PYTHON_OK = {
     "q_pdf_fonts",  # mapInPandas fixture build + font-aware PDF parse
     "q_office_docx",  # mapInPandas ZIP/OOXML build + parse
     "q_office_pptx",  # same Arrow container stage, slide fan-out
+    "q_office_xlsx",  # same Arrow container stage, sharedStrings index
     "q_office_epub",  # container stage; HTML strip is the JVM chain
     "q_web_sitemap",  # sitemap XML parse (host-sized mapInPandas)
 }
