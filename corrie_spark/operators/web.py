@@ -211,9 +211,10 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, str]]:
     user-agent lines followed by rules; the group whose user-agent
     most specifically matches `agent` applies (exact match beats '*');
     comments stripped; empty-prefix allow/disallow ignored (an empty
-    Disallow means allow-all). Wildcards (*, $) inside rule paths are
-    NOT interpreted — prefixes only (documented seam; the fixture and
-    most real robots files are prefix-shaped).
+    Disallow means allow-all). Rule paths pass through VERBATIM —
+    wildcard interpretation ('*' any-sequence, trailing '$' anchor,
+    RFC 9309 §2.2.3) happens in allowed_urls via rule_pattern, so the
+    rule table stays a plain (host, directive, prefix) frame.
 
     Beyond the core protocol, the two publicly-documented de-facto
     extensions a polite crawler consumes:
@@ -286,12 +287,35 @@ def robots_rules(
     return df.select(host_col, robots_col).mapInPandas(run, ROBOTS_RULES_DDL)
 
 
+def rule_pattern(prefix: Column) -> Column:
+    """RFC 9309 rule path -> anchored regex Column: '*' matches any
+    character sequence, ONE trailing '$' anchors the end of the path,
+    every other regex metacharacter is literal. Built as JVM
+    expressions so the rule table needs no schema change and the
+    conversion rides the broadcast."""
+    anchored = prefix.endswith(F.lit("$"))
+    body = F.when(
+        anchored, F.regexp_replace(prefix, r"\$$", "")
+    ).otherwise(prefix)
+    esc = F.regexp_replace(body, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    return F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
 def allowed_urls(
     urls: DataFrame, rules: DataFrame, url_col: str = "url"
 ) -> DataFrame:
     """Per-URL robots verdict: host-keyed join against the rule table,
-    longest-prefix match wins, allow wins length ties (RFC 9309
-    precedence), no matching rule = allowed. Adds `allowed` boolean.
+    most-specific match wins (longest rule by octet length — wildcard
+    characters count, per RFC 9309 §2.2.2), allow wins length ties,
+    no matching rule = allowed. Adds `allowed` boolean.
+
+    Rules without wildcards match as plain prefixes (the fast path);
+    rules carrying '*' or a trailing '$' match via rule_pattern — both
+    shapes participate in the same length-precedence window.
 
     The verdict is computed over DISTINCT (host, path) pairs and
     joined back onto the input, so duplicate URLs (re-fetches are
@@ -309,12 +333,20 @@ def allowed_urls(
     )
     paths = u.select("_host", "_path").distinct()
     r = rules.where(F.col("directive").isin("allow", "disallow")).select(
-        F.col("host").alias("_rhost"), "directive", "prefix"
+        F.col("host").alias("_rhost"),
+        "directive",
+        "prefix",
+        (
+            F.col("prefix").contains("*") | F.col("prefix").endswith("$")
+        ).alias("_wild"),
+        rule_pattern(F.col("prefix")).alias("_re"),
     )
+    match = F.when(
+        F.col("_wild"), F.regexp_like(F.col("_path"), F.col("_re"))
+    ).otherwise(F.col("_path").startswith(F.col("prefix")))
     m = paths.join(
         F.broadcast(r),
-        (F.col("_host") == F.col("_rhost"))
-        & F.col("_path").startswith(F.col("prefix")),
+        (F.col("_host") == F.col("_rhost")) & match,
         "left",
     )
     w = Window.partitionBy("_host", "_path").orderBy(

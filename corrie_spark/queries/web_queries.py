@@ -154,8 +154,11 @@ SELECT doc_id,
     CASE WHEN doc_id % 4 = 1 THEN 'org'
          WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS host,
   CASE WHEN (doc_id % 40) % 2 = 0
-       THEN NOT starts_with(CAST(doc_id AS VARCHAR), '1')
-            OR starts_with(CAST(doc_id AS VARCHAR), '12')
+       THEN CASE WHEN ends_with(CAST(doc_id AS VARCHAR), '77') THEN TRUE
+            WHEN ends_with(CAST(doc_id AS VARCHAR), '7') THEN FALSE
+            WHEN starts_with(CAST(doc_id AS VARCHAR), '12') THEN TRUE
+            WHEN starts_with(CAST(doc_id AS VARCHAR), '1') THEN FALSE
+            ELSE TRUE END
        ELSE TRUE END AS allowed,
   CAST(CASE WHEN (doc_id % 40) % 2 = 0 THEN 4.0 ELSE 0.0 END AS DOUBLE)
     AS crawl_delay
@@ -167,6 +170,7 @@ FROM documents
 _ROBOTS_EVEN = (
     "User-agent: megabot\nDisallow: /\n\n"
     "User-agent: *\n# block list\nDisallow: /Doc/1\nAllow: /Doc/12\n"
+    "Disallow: /Doc/*7$\nAllow: /Doc/*77$\n"
     "Crawl-delay: 4\nSitemap: https://example.com/sitemap.xml\n"
 )
 _ROBOTS_ODD = "User-agent: *\nDisallow:\n"  # empty Disallow = allow all
@@ -177,13 +181,16 @@ def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots filtering through the real parser and matcher:
     per-host robots.txt (group selection past a megabot-specific
     group, comments, an empty Disallow meaning allow-all) -> rule
-    table -> broadcast longest-prefix match with allow-wins-ties
-    ('/Doc/12' overrides 'Disallow: /Doc/1'), plus the selected
-    group's Crawl-delay surfaced per host (the de-facto politeness
-    extension). The oracle states the expected verdicts AND delays
-    closed-form from the fixture rules — parser, group selection and
-    precedence are all checked against ground truth. Scale: the rule
-    table is per-host metadata (broadcast); URLs never reshuffle."""
+    table -> broadcast most-specific-rule match with allow-wins-ties
+    ('/Doc/12' overrides 'Disallow: /Doc/1'), INCLUDING the §2.2.3
+    wildcard forms: 'Disallow: /Doc/*7$' anchors ids ending in 7 and
+    the longer 'Allow: /Doc/*77$' overrides it by octet length. The
+    selected group's Crawl-delay is surfaced per host (the de-facto
+    politeness extension). The oracle states the expected verdicts AND
+    delays closed-form from the fixture rules — parser, group
+    selection, wildcard matching and precedence are all checked
+    against ground truth. Scale: the rule table is per-host metadata
+    (broadcast); URLs never reshuffle."""
     docs = load(spark, sf_dir, "documents")
     url = F.expr(_URL_TMPL.format(S="STRING"))
     urls = docs.select("doc_id", url.alias("url"))
@@ -331,8 +338,11 @@ _CRAWL_ROBOTS_ORACLE = f"""
 SELECT doc_id,
   {_HOST_SQL} AS host,
   CASE WHEN (doc_id % 40) % 2 = 0
-       THEN NOT starts_with(CAST(doc_id AS VARCHAR), '1')
-            OR starts_with(CAST(doc_id AS VARCHAR), '12')
+       THEN CASE WHEN ends_with(CAST(doc_id AS VARCHAR), '77') THEN TRUE
+            WHEN ends_with(CAST(doc_id AS VARCHAR), '7') THEN FALSE
+            WHEN starts_with(CAST(doc_id AS VARCHAR), '12') THEN TRUE
+            WHEN starts_with(CAST(doc_id AS VARCHAR), '1') THEN FALSE
+            ELSE TRUE END
        ELSE TRUE END AS allowed
 FROM documents
 """

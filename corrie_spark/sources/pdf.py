@@ -556,6 +556,11 @@ def _page_content(objects: dict[int, object], page: dict) -> bytes:
 
 def _document_root(data: bytes) -> tuple[dict[int, object], dict]:
     objects, trailer = parse_document(data)
+    if "Encrypt" in trailer:
+        # encrypted strings/streams would "extract" as silent garbage;
+        # degrade to the DLQ row instead (standard-security decryption
+        # is out of scope by design)
+        raise PdfError("encrypted document")
     root = _resolve(objects, trailer.get("Root"))
     if not isinstance(root, dict):
         raise PdfError("no document catalog")

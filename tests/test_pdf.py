@@ -690,3 +690,17 @@ def test_nested_form_xobjects_and_cycle_guard():
     # page line, then X1's text: 'before' is outside BT (not shown),
     # X2's 'deep' IS shown; the cyclic X3 contributes nothing
     assert P.pdf_text(doc) == ["page\ndeep"]
+
+
+def test_encrypted_pdf_degrades_to_error():
+    import pytest
+
+    blob = P.build_pdf(0, "secret words one two three four five six")
+    bad = blob.replace(
+        b"trailer\n<< /Size",
+        b"9 0 obj\n<< /Filter /Standard /V 2 >>\nendobj\n"
+        b"trailer\n<< /Encrypt 9 0 R /Size",
+        1,
+    )
+    with pytest.raises(P.PdfError, match="encrypted"):
+        P.pdf_text(bad)

@@ -254,3 +254,49 @@ def test_sitemap_kind_root_element(spark):
     )
     got = [r.k for r in df.select(W.sitemap_kind("x").alias("k")).collect()]
     assert got == ["urlset", "index", "unknown", "unknown"]
+
+
+def test_robots_wildcard_and_anchor_matching(spark):
+    """RFC 9309 §2.2.3 special characters: '*' any-sequence, trailing
+    '$' end-anchor, precedence by rule octet length (wildcards count),
+    other regex metachars literal."""
+    urls = spark.createDataFrame(
+        [
+            (f"https://h.example.com{p}",)
+            for p in [
+                "/fish", "/fish.html", "/fishheads/yummy.html",
+                "/Fish.asp",  # case-sensitive: no rule matches
+                "/fish/salmon.php",  # longer allow overrides
+                "/docs/page.htm", "/docs/page.html",  # anchor holds
+                "/a/b.php", "/a/b.php.bak",
+                "/x(1).txt",  # parens are literal in rules
+            ]
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h.example.com", "disallow", "/fish*"),
+            ("h.example.com", "allow", "/fish/salmon*"),
+            ("h.example.com", "disallow", "/*.htm$"),
+            ("h.example.com", "disallow", "/a/*.php$"),
+            ("h.example.com", "disallow", "/x(1).txt"),
+        ],
+        "host string, directive string, prefix string",
+    )
+    got = {
+        r.url.split(".com", 1)[1]: r.allowed
+        for r in W.allowed_urls(urls, rules).collect()
+    }
+    assert got == {
+        "/fish": False,
+        "/fish.html": False,
+        "/fishheads/yummy.html": False,
+        "/Fish.asp": True,
+        "/fish/salmon.php": True,
+        "/docs/page.htm": False,
+        "/docs/page.html": True,
+        "/a/b.php": False,
+        "/a/b.php.bak": True,
+        "/x(1).txt": False,
+    }
