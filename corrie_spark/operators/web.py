@@ -74,6 +74,72 @@ def html_to_text_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Markdown -> text (READMEs / docs — the third markup family after
+# HTML and the office formats)
+# ---------------------------------------------------------------------------
+
+# ordered (pattern, replacement) chain; $1 backreferences are Spark
+# regexp_replace syntax (JVM-side only — the gated fixture is built in
+# python and the oracle states expected text closed-form, so no RE2
+# twin is needed). Fences/emphasis strip their MARKERS and keep the
+# text (a training corpus wants the characters); order matters: bold
+# markers die before bullet markers so '**a' can't be read as a list.
+MD_STEPS: list[tuple[str, str]] = [
+    (r"(?m)^```[^\n]*$", " "),          # fence lines (keep code text)
+    (r"(?m)^#{1,6}\s+", ""),            # ATX headers
+    (r"(?m)^>\s?", ""),                 # blockquote markers
+    (r"(?m)^[-*_]{3,}\s*$", " "),       # horizontal rules
+    (r"!\[([^\]]*)\]\([^)]*\)", "$1"),  # images -> alt text
+    (r"\[([^\]]*)\]\([^)]*\)", "$1"),   # links -> link text
+    (r"`([^`]*)`", "$1"),               # inline code spans
+    (r"\*\*([^*]*)\*\*", "$1"),         # bold
+    (r"__([^_]*)__", "$1"),
+    (r"(?m)^[*+-]\s+", ""),             # list bullets
+]
+
+
+def markdown_to_text(c: Column | str) -> Column:
+    """Strip Markdown structure, keep the characters: fence/emphasis
+    markers, ATX headers, blockquotes, bullets, link/image syntax
+    (keeping text/alt), inline-code backticks; whitespace collapses to
+    single spaces. Deterministic and total — malformed markdown
+    degrades to extra whitespace, never an exception (the crawl-safe
+    stance html_to_text states)."""
+    out = F.col(c) if isinstance(c, str) else c
+    for pat, rep in MD_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def fixture_markdown(doc_id: int, text: str) -> str:
+    """Deterministic markdown doc whose EXTRACTED text equals the
+    token stream re-joined with single spaces: each fixture line gets
+    one decoration rotating by (doc_id + index) — header, bold first
+    word, link-wrapped first word, inline-code first word, bullet,
+    blockquote — every one an exact inverse of one MD_STEPS rule."""
+    from corrie_spark.sources.pdf import fixture_lines
+
+    out = []
+    for i, line in enumerate(fixture_lines(text)):
+        mode = (doc_id + i) % 6
+        w = line.split(" ", 1)
+        rest = " " + w[1] if len(w) == 2 else ""
+        if mode == 0:
+            out.append("## " + line)
+        elif mode == 1:
+            out.append(f"**{w[0]}**{rest}")
+        elif mode == 2:
+            out.append(f"[{w[0]}](https://example.org/doc/{doc_id}){rest}")
+        elif mode == 3:
+            out.append(f"`{w[0]}`{rest}")
+        elif mode == 4:
+            out.append("- " + line)
+        else:
+            out.append("> " + line)
+    return "\n\n".join(out)
+
+
+# ---------------------------------------------------------------------------
 # URLs
 # ---------------------------------------------------------------------------
 

@@ -448,3 +448,62 @@ def q_warc_robots_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.allowed_urls(pages, rules).select(
         "doc_id", W.url_host("url").alias("host"), "allowed"
     )
+
+
+# --- Markdown -> text --------------------------------------------------------
+
+_MD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(t, ' ')) AS text_md5,
+       CAST(strlen(array_to_string(t, ' '))
+            - strlen(replace(array_to_string(t, ' '), ' ', ''))
+            + CASE WHEN len(t) = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_words
+FROM toks WHERE len(t) > 0
+"""
+
+
+@register("q_text_markdown", oracle=_MD_ORACLE)
+def q_text_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown structure strip through the real chain: each document
+    becomes a fixture .md (headers, bold, links, inline code, bullets,
+    blockquotes rotating per line — every decoration the exact inverse
+    of one MD_STEPS rule), built in an Arrow stage, stripped by the
+    JVM regex chain. The oracle states the expected text closed-form:
+    the token stream re-joined with single spaces — so marker
+    stripping, link-text retention and whitespace collapse are all
+    value-gated against ground truth. Scale: row-local projection,
+    free rider on the scan."""
+    import pandas as pd
+
+    from corrie_spark.tables import load as _load
+
+    docs = _load(spark, sf_dir, "documents")
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(
+                        [int(i) for i in pdf["doc_id"]], dtype="Int64"
+                    ),
+                    "md": [
+                        W.fixture_markdown(int(i), str(t))
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    md = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, md string"
+    )
+    extracted = W.markdown_to_text(F.col("md"))
+    words = F.size(F.split(F.trim(extracted), r" +"))
+    return md.where(F.length("md") > 0).select(
+        "doc_id",
+        F.md5(extracted).alias("text_md5"),
+        words.cast("long").alias("n_words"),
+    )

@@ -78,6 +78,7 @@ _PYTHON_OK = {
     "q_office_pptx",  # same Arrow container stage, slide fan-out
     "q_office_xlsx",  # same Arrow container stage, sharedStrings index
     "q_office_epub",  # container stage; HTML strip is the JVM chain
+    "q_text_markdown",  # Arrow fixture build; strip is the JVM chain
     "q_web_sitemap",  # sitemap XML parse (host-sized mapInPandas)
 }
 

@@ -300,3 +300,28 @@ def test_robots_wildcard_and_anchor_matching(spark):
         "/a/b.php.bak": True,
         "/x(1).txt": False,
     }
+
+
+def test_markdown_to_text_strips_structure(spark):
+    md = (
+        "# Title here\n\n"
+        "Some **bold** and __also bold__ text with [a link](https://x/y) "
+        "and ![an image](https://x/i.png) plus `inline code`.\n\n"
+        "```python\nprint('kept')\n```\n\n"
+        "- item one\n* item two\n+ item three\n\n"
+        "> quoted line\n\n---\n\nend"
+    )
+    out = _one(spark, W.markdown_to_text(F.lit(md)))
+    assert out == (
+        "Title here Some bold and also bold text with a link and an image "
+        "plus inline code. print('kept') item one item two item three "
+        "quoted line end"
+    )
+
+
+def test_fixture_markdown_extracts_to_token_stream(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota " * 3
+    for did in range(6):  # every decoration mode leads at least once
+        md = W.fixture_markdown(did, text)
+        out = _one(spark, W.markdown_to_text(F.lit(md)))
+        assert out == " ".join(t for t in text.split(" ") if t)
