@@ -79,6 +79,7 @@ _PYTHON_OK = {
     "q_office_xlsx",  # same Arrow container stage, sharedStrings index
     "q_office_epub",  # container stage; HTML strip is the JVM chain
     "q_text_markdown",  # Arrow fixture build; strip is the JVM chain
+    "q_wds_ingest",  # applyInPandas shard build + mapInPandas tar walk
     "q_web_sitemap",  # sitemap XML parse (host-sized mapInPandas)
 }
 
