@@ -254,6 +254,130 @@ def wds_to_documents(records: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WebDataset shard WRITER (the sink half: corpus -> training shards)
+# ---------------------------------------------------------------------------
+
+WDS_MANIFEST_DDL = (
+    "shard string, n_samples bigint, n_bytes bigint, keys_md5 string"
+)
+
+
+def write_wds(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    gz: bool = False,
+    key_col: str = "key",
+    txt_col: str = "txt",
+    json_col: str | None = None,
+    payload_col: str | None = None,
+    payload_ext: str = "bin",
+) -> DataFrame:
+    """Write a frame as WebDataset tar shards and return the
+    materialized manifest (one row per shard: path, sample count,
+    byte size, md5 of the sorted key list — the completeness marker a
+    training job checks before consuming).
+
+    Sharding is deterministic — crc32(key) % n_shards — and samples
+    sort by key INSIDE each shard, so the same input always produces
+    byte-identical shards (idempotent re-runs overwrite with the same
+    bytes). One shard = one applyInPandas group = one written file;
+    `out_dir` must be storage every executor can reach (true on
+    local[n]; a shared filesystem or mounted object store on a
+    cluster)."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [key_col, txt_col] + (
+        [json_col] if json_col else []
+    ) + ([payload_col] if payload_col else [])
+
+    def build(skey, pdf):
+        grp = int(skey[0])
+        ext = "tar.gz" if gz else "tar"
+        name = f"shard-{grp:05d}.{ext}"
+        path = os.path.join(out_dir, name)
+        entries: list[tuple[str, bytes]] = []
+        keys = sorted(str(k) for k in pdf[key_col])
+        order = pdf.sort_values(key_col)
+        for _, row in order.iterrows():
+            k = str(row[key_col])
+            t = row[txt_col]
+            if t is not None:
+                entries.append((f"{k}.txt", str(t).encode("utf-8")))
+            if json_col and row[json_col] is not None:
+                entries.append(
+                    (f"{k}.json", str(row[json_col]).encode("utf-8"))
+                )
+            if payload_col and row[payload_col] is not None:
+                entries.append(
+                    (f"{k}.{payload_ext}", bytes(row[payload_col]))
+                )
+        blob = tar_build(entries)
+        if gz:
+            # mtime=0 for deterministic bytes across re-runs
+            import io as _io
+
+            buf = _io.BytesIO()
+            with gzip.GzipFile(
+                fileobj=buf, mode="wb", compresslevel=1, mtime=0
+            ) as g:
+                g.write(blob)
+            blob = buf.getvalue()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic publish
+        import hashlib
+
+        return pd.DataFrame(
+            [
+                {
+                    "shard": path,
+                    "n_samples": len(keys),
+                    "n_bytes": len(blob),
+                    "keys_md5": hashlib.md5(
+                        "|".join(keys).encode()
+                    ).hexdigest(),
+                }
+            ]
+        )
+
+    manifest = (
+        df.select(*cols)
+        .withColumn(
+            "_shard", F.pmod(F.crc32(F.col(key_col).cast("string")), n_shards)
+        )
+        .groupBy("_shard")
+        .applyInPandas(build, WDS_MANIFEST_DDL)
+        .persist()
+    )
+    manifest.count()  # materialize: the write IS the action
+    return manifest
+
+
+def documents_to_wds(
+    docs: DataFrame, out_dir: str, n_shards: int = 8, gz: bool = False
+) -> DataFrame:
+    """documents schema -> WebDataset shards: key = zero-padded
+    doc_id, `.txt` = text, `.json` = {"id", "url"} sidecar."""
+    from pyspark.sql import functions as F
+
+    framed = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("key"),
+        F.col("text").alias("txt"),
+        F.to_json(F.struct("doc_id", "url")).alias("json"),
+    )
+    return write_wds(
+        framed, out_dir, n_shards=n_shards, gz=gz, json_col="json"
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic fixture builder
 # ---------------------------------------------------------------------------
 
