@@ -1005,6 +1005,343 @@ def _decode_gif_animation(payload: bytes) -> dict:
     }
 
 
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits (the Apple RLE scheme TIFF §9 adopts): runs of
+    >=2 equal bytes become (257-n, byte); literals become (n-1,
+    bytes). Deterministic greedy runs."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal run up to the next 2-byte repeat
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 1 < n and data[j] == data[j + 1])
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes((data[i],)) * (257 - c)
+            i += 1
+        # c == 128: no-op per spec
+    if len(out) < expect:
+        raise ValueError("short PackBits strip")
+    return bytes(out[:expect])
+
+
+def _lzw_encode_msb(data: bytes) -> bytes:
+    """TIFF-convention LZW encoder (§7.4.4 twin of the PDF decoder:
+    MSB-first variable 9..12-bit codes, Clear=256/EOD=257, EarlyChange
+    width bump when the entry just added has index (1<<width)-1, Clear
+    emitted when the 12-bit table fills). Used by the TIFF fixture
+    builder; decode goes through sources.pdf._lzw_decode — the SAME
+    public convention, so the gated fixture cross-checks both."""
+    out_bits: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits.append((256, width))
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif width == 12 and next_code == (1 << 12) - 1:
+            out_bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    buf = 0
+    nbits = 0
+    enc = bytearray()
+    for code, cw in out_bits:
+        buf = (buf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            enc.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        enc.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(enc)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    data: bytes,
+    compression: int = 1,
+    predictor: int = 1,
+    samples: int = 1,
+    rows_per_strip: int = 2,
+    big_endian: bool = False,
+) -> bytes:
+    """REAL encoder: baseline TIFF 6.0, 8-bit gray (samples=1) or RGB
+    (samples=3), MULTIPLE strips (rows_per_strip), compression 1=none
+    / 5=LZW / 32773=PackBits, optional horizontal-differencing
+    predictor (2) on compressed strips, either byte order."""
+    if len(data) != width * height * samples:
+        raise ValueError("pixel buffer does not match dims")
+    e = ">" if big_endian else "<"
+    strips: list[bytes] = []
+    for r0 in range(0, height, rows_per_strip):
+        rows = min(rows_per_strip, height - r0)
+        raw = data[
+            r0 * width * samples : (r0 + rows) * width * samples
+        ]
+        if predictor == 2:
+            a = np.frombuffer(raw, dtype=np.uint8).reshape(
+                rows, width, samples
+            ).astype(np.int16)
+            d = a.copy()
+            d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+            raw = (d.astype(np.uint8)).tobytes()
+        if compression == 5:
+            strips.append(_lzw_encode_msb(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    n_strips = len(strips)
+    phot = 1 if samples == 1 else 2
+
+    entries: list[tuple[int, int, int, int]] = []  # tag, type, count, value
+
+    def _short_or_long(v: int) -> tuple[int, int]:
+        return (3, v) if v < 0x10000 else (4, v)
+
+    # layout: header(8) + IFD + arrays + strip data
+    n_entries = 10 + (1 if predictor == 2 else 0)
+    ifd_at = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    arrays_at = ifd_at + ifd_size
+    arrays = bytearray()
+
+    def arr_long(values: list[int]) -> int:
+        off = arrays_at + len(arrays)
+        for v in values:
+            arrays.extend(struct.pack(e + "I", v))
+        return off
+
+    def arr_short(values: list[int]) -> int:
+        off = arrays_at + len(arrays)
+        for v in values:
+            arrays.extend(struct.pack(e + "H", v))
+        return off
+
+    # strip offsets need the data start; compute after arrays we know:
+    # reserve the two n_strips-long arrays up front when n_strips > 2
+    counts = [len(s) for s in strips]
+    # BitsPerSample (per sample)
+    bps_val = 8
+    if samples == 3:
+        bps_off = arr_short([8, 8, 8])
+    data_at_holder: list[int] = []
+
+    def build_entries(strip_offsets: list[int]) -> bytes:
+        ent = bytearray()
+        wt, wv = _short_or_long(width)
+        ht, hv = _short_or_long(height)
+        items: list[tuple[int, int, int, int]] = [
+            (256, wt, 1, wv),
+            (257, ht, 1, hv),
+        ]
+        if samples == 3:
+            items.append((258, 3, 3, bps_off))
+        else:
+            items.append((258, 3, 1, bps_val))
+        items.append((259, 3, 1, compression))
+        items.append((262, 3, 1, phot))
+        if n_strips == 1:
+            items.append((273, 4, 1, strip_offsets[0]))
+        else:
+            items.append((273, 4, n_strips, so_off))
+        items.append((277, 3, 1, samples))
+        items.append((278, 3, 1, rows_per_strip))
+        if n_strips == 1:
+            items.append((279, 4, 1, counts[0]))
+        else:
+            items.append((279, 4, n_strips, sc_off))
+        items.append((282, 3, 1, 72))  # XResolution as SHORT (lenient)
+        if predictor == 2:
+            items.append((317, 3, 1, 2))
+        items.sort()
+        for tag, typ, cnt, val in items:
+            ent += struct.pack(e + "HHI", tag, typ, cnt)
+            if typ == 3 and cnt == 1:
+                ent += struct.pack(e + "HH", val, 0)
+            else:
+                ent += struct.pack(e + "I", val)
+        return bytes(ent)
+
+    if n_strips > 1:
+        so_off = arr_long([0] * n_strips)  # patched below
+        sc_off = arr_long(counts)
+    data_at = arrays_at + len(arrays)
+    offs = []
+    pos = data_at
+    for c in counts:
+        offs.append(pos)
+        pos += c
+    if n_strips > 1:
+        # patch the reserved strip-offset array
+        rel = so_off - arrays_at
+        for i, o in enumerate(offs):
+            arrays[rel + 4 * i : rel + 4 * i + 4] = struct.pack(e + "I", o)
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II")
+    out += struct.pack(e + "H", 42)
+    out += struct.pack(e + "I", ifd_at)
+    ent = build_entries(offs)
+    out += struct.pack(e + "H", n_entries)
+    out += ent
+    out += struct.pack(e + "I", 0)  # no next IFD
+    assert len(out) == arrays_at, (len(out), arrays_at)
+    out += arrays
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def _decode_tiff(payload: bytes) -> dict:
+    """REAL codec: baseline TIFF 6.0 from the public spec — II/MM
+    byte order, IFD walk, strip assembly (RowsPerStrip), compression
+    1 (none), 5 (LZW — the SAME MSB-first EarlyChange convention the
+    PDF filter implements; reused from sources/pdf.py) and 32773
+    (PackBits), horizontal-differencing predictor (317=2), 8-bit
+    grayscale (photometric 0/1) and RGB (photometric 2). Returns the
+    top-down pixel bytes like the other image codecs."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    (ifd_at,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_at + 2 > len(payload):
+        raise ValueError("truncated IFD offset")
+    (n_ent,) = struct.unpack_from(e + "H", payload, ifd_at)
+    if ifd_at + 2 + 12 * n_ent + 4 > len(payload):
+        raise ValueError("truncated IFD")
+    tags: dict[int, list[int]] = {}
+    for i in range(n_ent):
+        at = ifd_at + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, at)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        vat = at + 8 if total <= 4 else struct.unpack_from(e + "I", payload, at + 8)[0]
+        if vat + total > len(payload):
+            raise ValueError(f"tag {tag} value out of range")
+        vals: list[int] = []
+        for k in range(cnt):
+            if typ == 3:
+                vals.append(struct.unpack_from(e + "H", payload, vat + 2 * k)[0])
+            elif typ == 4:
+                vals.append(struct.unpack_from(e + "I", payload, vat + 4 * k)[0])
+            elif typ in (1, 2):
+                vals.append(payload[vat + k])
+            else:  # RATIONAL: keep numerator (resolutions, unused)
+                vals.append(struct.unpack_from(e + "I", payload, vat + 8 * k)[0])
+        tags[tag] = vals
+    try:
+        width = tags[256][0]
+        height = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as k:
+        raise ValueError(f"missing required TIFF tag {k}") from None
+    comp = tags.get(259, [1])[0]
+    phot = tags.get(262, [1])[0]
+    samples = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    rows_per_strip = tags.get(278, [height])[0] or height
+    if any(b != 8 for b in bps) or samples not in (1, 3) or phot not in (0, 1, 2):
+        raise ValueError(
+            f"unsupported TIFF shape (bps={bps}, spp={samples}, phot={phot})"
+        )
+    if len(offsets) != len(counts):
+        raise ValueError("strip offset/count length mismatch")
+    out = bytearray()
+    row_bytes = width * samples
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rows_per_strip, height - si * rows_per_strip)
+        if rows <= 0:
+            break
+        expect = rows * row_bytes
+        blob = payload[off : off + cnt]
+        if len(blob) < cnt:
+            raise ValueError("truncated strip")
+        if comp == 1:
+            raw = blob[:expect]
+            if len(raw) < expect:
+                raise ValueError("short uncompressed strip")
+        elif comp == 5:
+            from corrie_spark.sources.pdf import _lzw_decode
+
+            raw = _lzw_decode(blob)[:expect]
+            if len(raw) < expect:
+                raise ValueError("short LZW strip")
+        elif comp == 32773:
+            raw = _packbits_decode(blob, expect)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+        if tags.get(317, [1])[0] == 2:
+            a = np.frombuffer(raw, dtype=np.uint8).reshape(
+                rows, width, samples
+            )
+            raw = np.cumsum(a, axis=1, dtype=np.uint32).astype(
+                np.uint8
+            ).tobytes()
+        out += raw
+    if len(out) != height * row_bytes:
+        raise ValueError("assembled pixel size mismatch")
+    data = bytes(out)
+    if phot == 0:  # WhiteIsZero: invert to the BlackIsZero convention
+        data = bytes(255 - b for b in data)
+    return {"kind": "image", "width": width, "height": height, "data": data}
+
+
 def _decode_wav(payload: bytes) -> dict:
     """REAL codec: RIFF/WAVE PCM (8- or 16-bit, any channel count)
     from the public container layout — 'RIFF' <size> 'WAVE', then
@@ -1443,6 +1780,8 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
         return _decode_png(payload)
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
         return _decode_ppm(payload)
+    if media_type in ("image/tiff", "image/tif"):
+        return _decode_tiff(payload)
     if media_type == "image/gif":
         # animations (>1 image block) are inter-frame VIDEO: composite
         # under the GCE state machine; stills keep the image shape

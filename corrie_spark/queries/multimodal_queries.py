@@ -1623,3 +1623,81 @@ def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
     return M.jpeg_metadata(media)
+
+
+# --- baseline TIFF through the oracle gate ----------------------------------
+
+_TW = "(6 + doc_id % 5)"
+_TH = "(5 + doc_id % 4)"
+
+_TIFF_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  'image/tiff' AS media_type,
+  CAST({_TW} AS BIGINT) AS width,
+  CAST({_TH} AS BIGINT) AS height,
+  CAST({_TW} * {_TH} AS BIGINT) AS n_bytes,
+  CAST(list_sum(list_transform(range(0, {_TW} * {_TH}),
+       k -> (doc_id * 11 + k * 3) % 256))
+       AS DOUBLE) / ({_TW} * {_TH}) AS mean_pixel,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_tiff", oracle=_TIFF_ORACLE)
+def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF 6.0 through the oracle gate: per-doc 8-bit gray
+    images with closed-form pixels (doc_id*11 + k*3) % 256, rotating
+    doc_id % 3 across compression none / LZW / PackBits (LZW rides the
+    SAME MSB-first EarlyChange convention the PDF filter decodes —
+    reused, so the gate cross-checks both call sites), horizontal-
+    differencing predictor on the LZW third, byte order alternating
+    II/MM, multi-strip assembly (RowsPerStrip=2). DuckDB replays the
+    pixel formula, so IFD parsing, strip assembly, both decompressors
+    and the predictor are all value-gated. Same shuffle-free Arrow map
+    shape as the other codec queries."""
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 5, 5 + did % 4
+                data = bytes((did * 11 + k * 3) % 256 for k in range(w * h))
+                comp = (1, 5, 32773)[did % 3]
+                payload = M.encode_tiff(
+                    w, h, data,
+                    compression=comp,
+                    predictor=2 if comp == 5 else 1,
+                    rows_per_strip=2,
+                    big_endian=did % 2 == 1,
+                )
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "image/tiff",
+                        "payload": payload,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    from pyspark.sql import functions as F
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.image_features(media).select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "mean_pixel",
+        "ok",
+    )

@@ -80,6 +80,7 @@ _PYTHON_OK = {
     "q_office_epub",  # container stage; HTML strip is the JVM chain
     "q_text_markdown",  # Arrow fixture build; strip is the JVM chain
     "q_wds_ingest",  # applyInPandas shard build + mapInPandas tar walk
+    "q_multimodal_tiff",  # mapInPandas TIFF build + decode
     "q_web_sitemap",  # sitemap XML parse (host-sized mapInPandas)
 }
 
