@@ -419,3 +419,177 @@ def q_multimodal_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+# --- mixed-format crawl -> unified corpus ------------------------------------
+
+# what a real crawl ingest actually faces: ONE archive stream carrying
+# HTML pages, PDFs and Office documents, routed by Content-Type into
+# format-specific extractors and landing in one documents-shaped frame.
+
+
+def _mixed_oracle() -> str:
+    from corrie_spark.operators import web as Wb
+    from corrie_spark.sources import pdf as P
+
+    html_chain = Wb.html_to_text_sql(Wb.FIXTURE_PAGE_TMPL.format(S="VARCHAR"))
+    wpl = P.WORDS_PER_LINE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+lns AS (
+  SELECT doc_id, text,
+    CASE WHEN len(t) = 0 THEN []
+         ELSE list_transform(
+           range(0, (len(t) + {wpl - 1}) // {wpl}),
+           i -> array_to_string(
+             list_slice(t, i * {wpl} + 1, i * {wpl} + {wpl}), ' '))
+    END AS ls
+  FROM toks
+)
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' ELSE 'docx' END AS fmt,
+  CASE WHEN doc_id % 3 = 0 THEN md5({html_chain})
+       ELSE md5(COALESCE(array_to_string(ls, chr(10)), '')) END AS text_md5
+FROM lns
+"""
+
+
+def _shared_mixed_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format crawl fixture (payload column KEPT — the binary
+    bodies are the point) -> real WARC reader, memoized."""
+    import gzip
+
+    import pandas as pd
+
+    from corrie_spark.operators.web import fixture_page
+    from corrie_spark.sources import ooxml as O
+    from corrie_spark.sources import pdf as P
+    from corrie_spark.sources import warc as Wc
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def mk(key, pdf):
+            grp = int(key[0])
+            members = [Wc.warcinfo_record(f"mx-{grp:05d}.warc.gz")]
+            for did, text in sorted(zip(pdf["doc_id"], pdf["text"])):
+                did, text = int(did), str(text)
+                target = f"https://example.org/doc/{did}"
+                if did % 3 == 0:
+                    body = fixture_page(did, text).encode("utf-8")
+                    ctype = "text/html; charset=utf-8"
+                elif did % 3 == 1:
+                    body = P.build_pdf(did, text)
+                    ctype = "application/pdf"
+                else:
+                    body = O.build_docx(did, text)
+                    ctype = (
+                        "application/vnd.openxmlformats-officedocument"
+                        ".wordprocessingml.document"
+                    )
+                members.append(
+                    Wc.binary_response_record(
+                        f"mixed:{did}", target, body, ctype
+                    )
+                )
+            blob = b"".join(
+                gzip.compress(m, compresslevel=1) for m in members
+            )
+            return pd.DataFrame(
+                [{"path": f"mx-{grp:05d}.warc.gz", "content": blob}]
+            )
+
+        files = (
+            docs.withColumn("_grp", F.col("doc_id") % 8)
+            .groupBy("_grp")
+            .applyInPandas(mk, "path string, content binary")
+        )
+        recs = Wc.warc_records(files).persist()
+        recs.count()
+        return recs
+
+    from corrie_spark.queries.dedup_queries import _memo
+
+    return _memo(spark, sf_dir, "mixed_crawl_records", build)
+
+
+@register("q_warc_mixed_formats", oracle=_mixed_oracle())
+def q_warc_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real crawl-ingest shape, END-TO-END: one WARC stream whose
+    responses carry HTML pages, real PDFs and real DOCX containers
+    behind their Content-Types; the pipeline routes by type — HTML
+    through the JVM strip chain, application/pdf payloads through the
+    from-spec PDF reader (pages re-joined in page order), the OOXML
+    type through the ZIP/WordprocessingML reader — and lands all three
+    in one (doc_id, fmt, text_md5) frame. FOUR oracle-checked
+    subsystems compose in one gated statement (WARC framing + three
+    extractors); the oracle replays each format's expected text
+    closed-form. Scale: each branch is a row-local Arrow stage over
+    the SAME ingested memo; payload bytes reach exactly the branch
+    that needs them and never shuffle (the pdf page re-join shuffles
+    page TEXT, grouped per source file)."""
+    from corrie_spark.operators import web as Wb
+    from corrie_spark.sources import ooxml as O
+    from corrie_spark.sources import pdf as P
+
+    recs = _shared_mixed_crawl(spark, sf_dir).where(
+        F.col("warc_type") == "response"
+    )
+    did = (
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id")
+    )
+    html = recs.where(F.col("http_content_type").startswith("text/html")).select(
+        did,
+        F.lit("html").alias("fmt"),
+        F.md5(Wb.html_to_text(F.col("text"))).alias("text_md5"),
+    )
+    pdf_pages = P.pdf_records(
+        recs.where(F.col("http_content_type") == "application/pdf").select(
+            F.col("target_uri").alias("path"),
+            F.col("payload").alias("content"),
+        ),
+        file_col="path",
+        content_col="content",
+    )
+    pdf = (
+        pdf_pages.where(F.col("error").isNull())
+        .groupBy("pdf_file")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("page", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("_t")
+        )
+        .select(
+            F.regexp_extract("pdf_file", r"/doc/([0-9]+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.lit("pdf").alias("fmt"),
+            F.md5("_t").alias("text_md5"),
+        )
+    )
+    docx = O.office_records(
+        recs.where(
+            F.col("http_content_type").contains("wordprocessingml")
+        ).select(
+            F.col("target_uri").alias("path"),
+            F.col("payload").alias("content"),
+        )
+    )
+    docx = docx.where(F.col("error").isNull()).select(
+        F.regexp_extract("office_file", r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.lit("docx").alias("fmt"),
+        F.md5("text").alias("text_md5"),
+    )
+    return html.unionByName(pdf).unionByName(docx)

@@ -582,6 +582,28 @@ def revisit_record(doc_id: int, text: str, html: bool = False) -> bytes:
     )
 
 
+def binary_response_record(
+    salt: str, target: str, body: bytes, ctype: str
+) -> bytes:
+    """Generic binary 200 response record (fixture building block for
+    mixed-format crawls: PDF/DOCX/image payloads behind their real
+    Content-Types)."""
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii")
+    return _record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", f"<urn:uuid:{fixture_uuid(salt)}>"),
+            ("WARC-Date", f"{FIXTURE_DATE}T00:00:00Z"),
+            ("WARC-Target-URI", target),
+            ("Content-Type", "application/http;msgtype=response"),
+        ],
+        http + body,
+    )
+
+
 def request_record(doc_id: int) -> bytes:
     http = (
         f"GET /doc/{doc_id} HTTP/1.1\r\nHost: example.org\r\n\r\n"

@@ -81,6 +81,7 @@ _PYTHON_OK = {
     "q_text_markdown",  # Arrow fixture build; strip is the JVM chain
     "q_wds_ingest",  # applyInPandas shard build + mapInPandas tar walk
     "q_multimodal_tiff",  # mapInPandas TIFF build + decode
+    "q_warc_mixed_formats",  # WARC ingest + PDF + OOXML Arrow stages
     "q_web_sitemap",  # sitemap XML parse (host-sized mapInPandas)
 }
 
