@@ -22,11 +22,18 @@ Commands:
                             resumes completed stages on rerun
   ingest-warc <glob> --out O [--wet] [--html] [--sharded] [--cdx C]
   ingest-pdf <glob> --out O [--errors E]
+  ingest-office <glob> --out O [--errors E]
                             ingest crawl files (WARC responses or
-                            --wet conversion records) into a
-                            documents parquet table, optionally
-                            stripping HTML — the front door for
-                            `build` over a real crawl
+                            --wet conversion records), PDFs, or
+                            Office/EPUB containers into a documents
+                            parquet table, optionally stripping HTML
+                            — the front door for `build` over a real
+                            crawl
+  wds <docs-parquet> --out O [--shards N] [--gz]
+  wds <shard-glob> --out O --extract
+                            pack a documents table into WebDataset
+                            .tar shards (deterministic, manifested) /
+                            extract shards back into documents
 """
 
 from __future__ import annotations
@@ -111,6 +118,29 @@ def _build_parser() -> argparse.ArgumentParser:
         "--errors", default=None,
         help="also write the DLQ (unparseable files) parquet to this dir",
     )
+
+    off = sub.add_parser(
+        "ingest-office",
+        help="extract text from docx/pptx/xlsx/epub into a documents table",
+    )
+    off.add_argument("path", help="glob of office/epub container files")
+    off.add_argument("--out", required=True, help="documents parquet dir")
+    off.add_argument(
+        "--errors", default=None,
+        help="also write the DLQ (unparseable files) parquet to this dir",
+    )
+
+    wds = sub.add_parser(
+        "wds",
+        help="WebDataset shards: pack a documents table into .tar shards, "
+        "or extract shards back into a documents table",
+    )
+    wds.add_argument("path", help="documents parquet dir (pack) / shard glob (extract)")
+    wds.add_argument("--out", required=True, help="output dir")
+    wds.add_argument("--extract", action="store_true",
+                     help="read shards -> documents instead of packing")
+    wds.add_argument("--shards", type=int, default=8, help="shard count (pack)")
+    wds.add_argument("--gz", action="store_true", help="gzip shards (pack)")
     return p
 
 
@@ -308,6 +338,75 @@ def main(argv: list[str] | None = None) -> int:
         if args.errors:
             summary["errors"] = spark.read.parquet(args.errors).count()
         print(json.dumps(summary, sort_keys=True))
+        return 0
+
+    if args.cmd == "ingest-office":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from corrie_spark.operators.web import html_to_text
+        from corrie_spark.session import get_spark
+        from corrie_spark.sources import ooxml as O
+
+        spark = get_spark("corrie-spark-ingest")
+        spark.sparkContext.setLogLevel("ERROR")
+        recs = O.read_office(spark, args.path)
+        if args.errors:
+            recs.where(F.col("error").isNotNull()).drop("text").write.mode(
+                "overwrite"
+            ).parquet(args.errors)
+        # epub chapters carry raw xhtml: strip through the crawl chain
+        stripped = recs.withColumn(
+            "text",
+            F.when(
+                F.col("kind") == "epub-xhtml", html_to_text(F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        O.office_to_documents(stripped).write.mode("overwrite").parquet(
+            args.out
+        )
+        out = spark.read.parquet(args.out)
+        summary = {
+            "documents": out.count(),
+            "distinct_texts": out.select(F.md5("text")).distinct().count(),
+            "out": args.out,
+        }
+        if args.errors:
+            summary["errors"] = spark.read.parquet(args.errors).count()
+        print(json.dumps(summary, sort_keys=True))
+        return 0
+
+    if args.cmd == "wds":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from corrie_spark.session import get_spark
+        from corrie_spark.sources import tar_wds as T
+
+        spark = get_spark("corrie-spark-wds")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.extract:
+            docs = T.wds_to_documents(T.read_wds(spark, args.path))
+            docs.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+            print(json.dumps({"documents": out.count(), "out": args.out},
+                             sort_keys=True))
+            return 0
+        docs = spark.read.parquet(args.path)
+        man = T.documents_to_wds(docs, args.out, n_shards=args.shards,
+                                 gz=args.gz)
+        rows = man.collect()
+        print(json.dumps(
+            {
+                "shards": len(rows),
+                "samples": sum(r.n_samples for r in rows),
+                "bytes": sum(r.n_bytes for r in rows),
+                "out": args.out,
+            },
+            sort_keys=True,
+        ))
         return 0
 
     return 2

@@ -123,3 +123,59 @@ def test_cli_ingest_pdf(spark, tmp_path, capsys):
     assert rc == 0
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got["documents"] >= 3 and got["errors"] == 1
+
+
+def test_cli_ingest_office(spark, tmp_path, capsys):
+    import json as _json
+
+    from corrie_spark.__main__ import main as cli_main
+    from corrie_spark.sources import ooxml as O
+
+    (tmp_path / "a.docx").write_bytes(O.build_docx(1, "w1 w2 w3 w4"))
+    (tmp_path / "b.epub").write_bytes(O.build_epub(2, "epub words here"))
+    (tmp_path / "bad.docx").write_bytes(b"junk")
+    out = str(tmp_path / "docs")
+    errs = str(tmp_path / "dlq")
+    rc = cli_main(
+        [
+            "ingest-office",
+            str(tmp_path / "*.docx") if False else str(tmp_path) + "/*.*",
+            "--out", out, "--errors", errs,
+        ]
+    )
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["documents"] == 2 and info["errors"] == 1
+    texts = {r.text for r in spark.read.parquet(out).collect()}
+    assert "w1 w2 w3 w4" in texts
+    # the epub chapter went through the HTML strip (markup gone; the
+    # literal '<tag>' from the entity-decode fixture is CONTENT)
+    assert any(
+        "epub words here" in t and "<html>" not in t and "<p>" not in t
+        for t in texts
+    )
+
+
+def test_cli_wds_pack_and_extract(spark, tmp_path, capsys):
+    import json as _json
+
+    from corrie_spark.__main__ import main as cli_main
+
+    docs = spark.createDataFrame(
+        [(i, f"u{i}", f"wds text {i}") for i in range(12)],
+        "doc_id long, url string, text string",
+    )
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    shards = str(tmp_path / "shards")
+    rc = cli_main(["wds", src, "--out", shards, "--shards", "3"])
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["shards"] == 3 and info["samples"] == 12
+    back = str(tmp_path / "docs_back")
+    rc = cli_main(["wds", shards + "/*.tar", "--out", back, "--extract"])
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["documents"] == 12
+    texts = {r.text for r in spark.read.parquet(back).collect()}
+    assert texts == {f"wds text {i}" for i in range(12)}
