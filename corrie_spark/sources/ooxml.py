@@ -283,18 +283,48 @@ _CHAPTER_RE = re.compile(r".*\.(?:xhtml|html)")
 
 
 def epub_chapters(data: bytes) -> list[tuple[str, str]]:
-    """.epub bytes -> (part name, RAW xhtml) per chapter, name order.
-    Deliberately does NOT strip the HTML here: the strip is
+    """.epub bytes -> (part name, RAW xhtml) per chapter, in OPF SPINE
+    order when a .opf package document is present (the EPUB reading
+    order: <spine> idrefs resolved through the <manifest> id->href
+    map, hrefs relative to the opf's directory), falling back to name
+    order. Deliberately does NOT strip the HTML here: the strip is
     operators/web.py html_to_text, a JVM Column chain applied
     DOWNSTREAM — one oracle-mirrored code path shared with the crawl
     HTML pipeline, and the part bytes leave the Arrow stage only once
     either way."""
     parts = zip_entries(data)
-    return [
-        (name, raw.decode("utf-8", "replace"))
-        for name, raw in sorted(parts.items())
+    chapters = {
+        name: raw.decode("utf-8", "replace")
+        for name, raw in parts.items()
         if _CHAPTER_RE.fullmatch(name)
-    ]
+    }
+    opf_name = next(
+        (n for n in sorted(parts) if n.endswith(".opf")), None
+    )
+    ordered: list[str] = []
+    if opf_name is not None:
+        try:
+            root = _parse_xml(parts[opf_name])
+            hrefs: dict[str, str] = {}
+            for el in root.iter():
+                if _local(el.tag) == "item":
+                    iid, href = el.get("id"), el.get("href")
+                    if iid and href:
+                        hrefs[iid] = href
+            base = (
+                opf_name.rsplit("/", 1)[0] + "/" if "/" in opf_name else ""
+            )
+            for el in root.iter():
+                if _local(el.tag) == "itemref":
+                    href = hrefs.get(el.get("idref") or "")
+                    if href and base + href in chapters:
+                        ordered.append(base + href)
+        except OoxmlError:
+            ordered = []
+    for name in sorted(chapters):
+        if name not in ordered:
+            ordered.append(name)
+    return [(n, chapters[n]) for n in ordered]
 
 
 # ---------------------------------------------------------------------------

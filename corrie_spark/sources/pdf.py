@@ -1018,7 +1018,14 @@ def extract_text(
             continue
         op = m.group(0)
         pos = m.end()
-        if op == b"BT":
+        if op == b"BI":
+            # inline image (§8.9.7): binary sample data follows up to a
+            # whitespace-delimited EI — it can contain byte sequences
+            # that LOOK like text operators (even 'BT'), so it must be
+            # skipped as a block, never scanned
+            m_ei = re.search(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)", content[pos:])
+            pos = n if m_ei is None else pos + m_ei.end()
+        elif op == b"BT":
             in_text = True
         elif op == b"ET":
             flush()

@@ -226,3 +226,27 @@ def test_office_stream_ingestion(spark, tmp_path):
     rows = spark.sql("select * from office_stream_t").collect()
     kinds = sorted(r.kind for r in rows)
     assert kinds == ["docx", "docx", "xlsx"]
+
+
+def test_epub_spine_order_overrides_name_order():
+    opf = (
+        '<?xml version="1.0"?><package xmlns="x"><manifest>'
+        '<item id="c1" href="zz_last_by_name.xhtml" media-type="t"/>'
+        '<item id="c2" href="aa_first_by_name.xhtml" media-type="t"/>'
+        "</manifest><spine>"
+        '<itemref idref="c1"/><itemref idref="c2"/>'
+        "</spine></package>"
+    ).encode()
+    blob = O.zip_build(
+        [
+            ("mimetype", b"application/epub+zip", False),
+            ("OEBPS/content.opf", opf, True),
+            ("OEBPS/aa_first_by_name.xhtml", b"<p>second</p>", True),
+            ("OEBPS/zz_last_by_name.xhtml", b"<p>first</p>", True),
+        ]
+    )
+    got = [n for n, _ in O.epub_chapters(blob)]
+    assert got == [
+        "OEBPS/zz_last_by_name.xhtml",
+        "OEBPS/aa_first_by_name.xhtml",
+    ]

@@ -704,3 +704,15 @@ def test_encrypted_pdf_degrades_to_error():
     )
     with pytest.raises(P.PdfError, match="encrypted"):
         P.pdf_text(bad)
+
+
+def test_inline_image_data_is_skipped_as_a_block():
+    # BI..EI sample data containing fake 'BT (evil) Tj ET' bytes must
+    # not leak into extraction; real text resumes after EI
+    fake = b"BT (evil) Tj ET \xff\x00"
+    content = (
+        b"BT (before) Tj ET "
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + fake + b" EI "
+        b"BT (after) Tj ET"
+    )
+    assert P.extract_text(content) == "before\nafter"
