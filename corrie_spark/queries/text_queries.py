@@ -2523,3 +2523,132 @@ def q_text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.expr(keep), "keep").otherwise("drop").alias("pred_cls"),
     )
     return EV.classification_report(pairs, "label_cls", "pred_cls")
+
+
+# --- chat-template rendering + loss-mask spans (SFT prep) -------------------
+
+_CHAT_SYS = "You are a helpful assistant."
+
+_CHAT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+    list_transform(range(0, (len(t) + 7) // 8),
+      i -> array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')) AS ls,
+    1 + doc_id % 3 AS n
+  FROM toks WHERE len(t) > 0
+),
+built AS (
+  SELECT doc_id, n,
+    '<|system|>' || chr(10) || '{_CHAT_SYS}' || '<|end|>' || chr(10) AS sys_part,
+    ls
+  FROM lns
+),
+parts AS (
+  SELECT doc_id, n, sys_part, ls,
+    list_transform(range(0, n), j ->
+      '<|user|>' || chr(10) || ls[(j % len(ls)) + 1] || '<|end|>' || chr(10) ||
+      '<|assistant|>' || chr(10) || 'Echo: ' || ls[(j % len(ls)) + 1] ||
+      '<|end|>' || chr(10)) AS rounds
+  FROM built
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_turns,
+  md5(sys_part || array_to_string(rounds, '')) AS render_md5,
+  CAST(length(sys_part || array_to_string(rounds, '')) AS BIGINT) AS n_chars,
+  md5(array_to_string(
+    list_transform(range(0, n), i ->
+      CAST(length(sys_part ||
+             COALESCE(array_to_string(list_slice(rounds, 1, i), ''), '') ||
+             '<|user|>' || chr(10) || ls[(i % len(ls)) + 1] ||
+             '<|end|>' || chr(10) || '<|assistant|>' || chr(10))
+           AS VARCHAR)
+      || ':' ||
+      CAST(length(sys_part ||
+             COALESCE(array_to_string(list_slice(rounds, 1, i), ''), '') ||
+             '<|user|>' || chr(10) || ls[(i % len(ls)) + 1] ||
+             '<|end|>' || chr(10) || '<|assistant|>' || chr(10) ||
+             'Echo: ' || ls[(i % len(ls)) + 1])
+           AS VARCHAR)),
+    '|')) AS spans_md5
+FROM parts
+"""
+
+
+@register("q_chat_render", oracle=_CHAT_ORACLE)
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-data prep end-to-end: per document a deterministic
+    multi-turn conversation (system + 1..3 user/assistant rounds over
+    the 8-word fixture lines, assistant echoing), rendered through the
+    REAL chat_fold operator — one JVM aggregate producing the training
+    string AND the assistant-content loss-mask spans in the same fold.
+    The oracle restates the rendered string and every span boundary
+    closed-form by prefix-length arithmetic, so template layout, span
+    starts/ends and turn cycling are all value-gated. Scale: pure
+    Column expressions, row-local, a free rider on the corpus scan."""
+    from corrie_spark.functions.core import bind
+    from corrie_spark.operators import chat as C
+
+    docs = load(spark, sf_dir, "documents")
+    toks_e = F.filter(F.split("text", " "), lambda t: t != "")
+
+    def with_lines(toks):
+        n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * 8 + 1, 8), " "
+            ),
+        )
+
+    def build_messages(ls):
+        n = (F.col("doc_id") % 3 + 1).cast("int")
+
+        def li(i):
+            return F.element_at(
+                ls, (i % F.size(ls) + 1).cast("int")
+            )
+
+        rounds = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.array(
+                    F.struct(
+                        F.lit("user").alias("role"),
+                        li(i).alias("content"),
+                    ),
+                    F.struct(
+                        F.lit("assistant").alias("role"),
+                        F.concat(F.lit("Echo: "), li(i)).alias("content"),
+                    ),
+                ),
+            )
+        )
+        return F.concat(
+            F.array(
+                F.struct(
+                    F.lit("system").alias("role"),
+                    F.lit(_CHAT_SYS).alias("content"),
+                )
+            ),
+            rounds,
+        )
+
+    msgs = bind(bind(toks_e, with_lines), build_messages)
+    fold = bind(msgs, C.chat_fold)
+    return (
+        docs.where(F.size(toks_e) > 0)
+        .select("doc_id", fold.alias("_f"))
+        .select(
+            "doc_id",
+            ((F.col("doc_id") % 3) + 1).cast("long").alias("n_turns"),
+            F.md5(F.col("_f")["s"]).alias("render_md5"),
+            F.length(F.col("_f")["s"]).cast("long").alias("n_chars"),
+            F.md5(
+                C.spans_fingerprint(F.col("_f")["spans"])
+            ).alias("spans_md5"),
+        )
+    )

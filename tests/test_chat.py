@@ -1,0 +1,65 @@
+"""Chat-template rendering + loss-mask spans (operators/chat.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import chat as C
+
+_DDL = "messages array<struct<role string, content string>>"
+
+
+def _one(spark, msgs):
+    df = spark.createDataFrame([(msgs,)], _DDL)
+    return df.select(
+        C.render_chat("messages").alias("s"),
+        C.assistant_spans("messages").alias("sp"),
+    ).collect()[0]
+
+
+def test_render_and_spans_slice_exactly(spark):
+    r = _one(
+        spark,
+        [
+            ("system", "Be good."),
+            ("user", "hi"),
+            ("assistant", "hello!"),
+            ("user", "more, please"),
+            ("assistant", "ok — done"),
+        ],
+    )
+    assert r.s.startswith("<|system|>\nBe good.<|end|>\n<|user|>\nhi<|end|>\n")
+    assert len(r.sp) == 2
+    assert [r.s[sp.start : sp.end] for sp in r.sp] == ["hello!", "ok — done"]
+
+
+def test_no_assistant_messages_empty_spans(spark):
+    r = _one(spark, [("system", "x"), ("user", "y")])
+    assert r.sp == []
+    assert r.s == "<|system|>\nx<|end|>\n<|user|>\ny<|end|>\n"
+
+
+def test_empty_conversation(spark):
+    r = _one(spark, [])
+    assert r.s == "" and r.sp == []
+
+
+def test_unicode_offsets_are_characters(spark):
+    r = _one(spark, [("user", "héllo ☃"), ("assistant", "çool ☃☃")])
+    (sp,) = r.sp
+    assert r.s[sp.start : sp.end] == "çool ☃☃"
+
+
+def test_chat_query_plan_is_jvm_only(spark):
+    """The SFT prep stage must stay whole-stage-codegen: no Python."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import audit
+
+    from corrie_spark.queries.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["q_chat_render"](spark, SF_SMOKE)
+    a = audit(df._jdf.queryExecution().executedPlan().toString())
+    assert not a["python"] and not a["cartesian"]

@@ -117,6 +117,12 @@ FAMILIES = [
     ("embedding_clusters", "q_dedup_embedding_clusters"),
     ("ann_ivfpq_topk", "q_sim_ivfpq_topk"),
     ("codec_jpeg_features", "q_multimodal_jpeg_features"),
+    # round-11 families: container extraction must stay row-local
+    # (alpha ~1) and revisit resolution is a metadata x distinct join
+    ("warc_revisit_resolve", "q_warc_revisit_resolve"),
+    ("office_container", "q_office_docx"),
+    ("wds_shards", "q_wds_ingest"),
+    ("mixed_format_crawl", "q_warc_mixed_formats"),
 ]
 
 
