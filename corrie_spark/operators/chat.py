@@ -68,6 +68,40 @@ def assistant_spans(messages: Column | str) -> Column:
     return chat_fold(messages)["spans"]
 
 
+FIM_PRE = "<|fim_prefix|>"
+FIM_SUF = "<|fim_suffix|>"
+FIM_MID = "<|fim_middle|>"
+
+
+def fim_transform(
+    text: Column | str,
+    lo: Column,
+    hi: Column,
+) -> Column:
+    """Fill-in-the-middle transformation (the PSM layout code models
+    train on): split `text` at character positions [lo, hi) into
+    prefix / middle / suffix and render
+        <|fim_prefix|>{prefix}<|fim_suffix|>{suffix}<|fim_middle|>{middle}
+    so the model learns to produce the middle conditioned on both
+    sides. Split points are CALLER-SUPPLIED integer columns (exact-int
+    arithmetic survives cross-engine comparison; a fraction would ride
+    IEEE rounding) — determinism is the caller's policy: a hash-derived
+    position in the gated query, a seeded random in a training job.
+    Pure Column expressions, row-local."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    lo_i = lo.cast("int")
+    hi_i = hi.cast("int")
+    prefix = F.substring(t, F.lit(1), lo_i)
+    middle = F.substring(t, lo_i + 1, hi_i - lo_i)
+    suffix = F.substring(t, hi_i + 1, n.cast("int") - hi_i)
+    return F.concat(
+        F.lit(FIM_PRE), prefix,
+        F.lit(FIM_SUF), suffix,
+        F.lit(FIM_MID), middle,
+    )
+
+
 def spans_fingerprint(spans: Column) -> Column:
     """Deterministic 'start:end|start:end' string of a spans array —
     the compare/join-friendly form the gated queries hash."""

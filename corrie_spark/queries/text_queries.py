@@ -2652,3 +2652,48 @@ def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spans_md5"),
         )
     )
+
+
+# --- fill-in-the-middle transformation (code-model training) ----------------
+
+# exact-int split points: lo = len*(id%5) DIV 10, hi = len*(id%5+3) DIV 10
+_FIM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         (length(text) * (doc_id % 5)) // 10 AS lo,
+         (length(text) * (doc_id % 5 + 3)) // 10 AS hi
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+  md5('<|fim_prefix|>' || substring(text, 1, lo) ||
+      '<|fim_suffix|>' || substring(text, hi + 1, n - hi) ||
+      '<|fim_middle|>' || substring(text, lo + 1, hi - lo)) AS fim_md5,
+  CAST(n + 42 AS BIGINT) AS n_chars,
+  CAST(hi - lo AS BIGINT) AS middle_len
+FROM d
+"""
+
+
+@register("q_text_fim", oracle=_FIM_ORACLE)
+def q_text_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (PSM) transformation through the real
+    operator: per document an exact-int split window ([len*(id%5)/10,
+    len*(id%5+3)/10), integer division both engines) renders
+    prefix/suffix/middle under the FIM sentinels. The oracle restates
+    the transformed string closed-form with the same substring
+    arithmetic, so sentinel layout, boundary indexing (1-based
+    substring, end-exclusive middle) and length conservation (n + 3
+    sentinels = 42 chars) are value-gated. Row-local JVM projection."""
+    from corrie_spark.operators import chat as C
+
+    docs = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    # exact INTEGER division on both engines (Spark `div` == DuckDB `//`)
+    lo = F.expr("(length(text) * (doc_id % 5)) div 10")
+    hi = F.expr("(length(text) * (doc_id % 5 + 3)) div 10")
+    fim = C.fim_transform(F.col("text"), lo, hi)
+    return docs.select(
+        "doc_id",
+        F.md5(fim).alias("fim_md5"),
+        F.length(fim).cast("long").alias("n_chars"),
+        (hi - lo).cast("long").alias("middle_len"),
+    )

@@ -63,3 +63,32 @@ def test_chat_query_plan_is_jvm_only(spark):
     df = all_queries()["q_chat_render"](spark, SF_SMOKE)
     a = audit(df._jdf.queryExecution().executedPlan().toString())
     assert not a["python"] and not a["cartesian"]
+
+
+def test_fim_reassembles_to_original(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "short"), (3, "x")], "doc_id long, t string"
+    )
+    lo = F.lit(3)
+    hi = F.lit(7)
+    out = df.select("t", C.fim_transform(F.col("t"), lo, hi).alias("f")).collect()
+    for r in out:
+        pre = r.f.split("<|fim_prefix|>")[1].split("<|fim_suffix|>")[0]
+        suf = r.f.split("<|fim_suffix|>")[1].split("<|fim_middle|>")[0]
+        mid = r.f.split("<|fim_middle|>")[1]
+        assert pre + mid + suf == r.t  # PSM permutation, nothing lost
+
+
+def test_fim_degenerate_windows(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("hello",)], "t string")
+    # lo == hi: empty middle; lo=0: empty prefix; hi=len: empty suffix
+    r = df.select(
+        C.fim_transform(F.col("t"), F.lit(2), F.lit(2)).alias("a"),
+        C.fim_transform(F.col("t"), F.lit(0), F.lit(5)).alias("b"),
+    ).collect()[0]
+    assert r.a == "<|fim_prefix|>he<|fim_suffix|>llo<|fim_middle|>"
+    assert r.b == "<|fim_prefix|><|fim_suffix|><|fim_middle|>hello"
