@@ -150,6 +150,35 @@ def pack_shards(
     ).drop("_before", "_h")
 
 
+def pack_with_offsets(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """pack_shards plus each row's CONCATENATION OFFSET inside its
+    shard (`offset_in_shard` = this row's exclusive running size minus
+    the shard's first row's) — what sequence-packing needs to re-base
+    per-document annotations (loss-mask spans, char-level labels) into
+    packed-sequence coordinates. The min window rides the shard
+    exchange the packer's consumers need anyway."""
+    from pyspark.sql import Window
+
+    from corrie_spark.operators.dedup import hash60
+
+    keyed = df.withColumn("_h", hash60(F.col(id_col).cast("string"), salt=salt))
+    summed = distributed_cumsum(keyed, "_h", size_col, out_col="_before")
+    sharded = summed.withColumn(
+        "shard", F.floor(F.col("_before") / F.lit(budget)).cast("long")
+    )
+    w = Window.partitionBy("shard")
+    return sharded.withColumn(
+        "offset_in_shard",
+        (F.col("_before") - F.min("_before").over(w)).cast("long"),
+    ).drop("_before")
+
+
 def token_budget_sample(
     df: DataFrame,
     budget: int,

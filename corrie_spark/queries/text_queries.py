@@ -2697,3 +2697,158 @@ def q_text_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(fim).cast("long").alias("n_chars"),
         (hi - lo).cast("long").alias("middle_len"),
     )
+
+
+# --- packed chat sequences: spans re-based into shard coordinates -----------
+
+_CHATPACK_BUDGET = 4000  # chars per packed training sequence
+
+_CHATPACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+    list_transform(range(0, (len(t) + 7) // 8),
+      i -> array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')) AS ls,
+    1 + doc_id % 3 AS n
+  FROM toks WHERE len(t) > 0
+),
+rend AS (
+  SELECT doc_id,
+    '<|system|>' || chr(10) || '{_CHAT_SYS}' || '<|end|>' || chr(10) AS sys_part,
+    ls, n,
+    length('<|system|>' || chr(10) || '{_CHAT_SYS}' || '<|end|>' || chr(10) ||
+      array_to_string(list_transform(range(0, n), j ->
+        '<|user|>' || chr(10) || ls[(j % len(ls)) + 1] || '<|end|>' || chr(10) ||
+        '<|assistant|>' || chr(10) || 'Echo: ' || ls[(j % len(ls)) + 1] ||
+        '<|end|>' || chr(10)), '')) AS n_chars,
+    length('<|system|>' || chr(10) || '{_CHAT_SYS}' || '<|end|>' || chr(10) ||
+      '<|user|>' || chr(10) || ls[1] || '<|end|>' || chr(10) ||
+      '<|assistant|>' || chr(10)) AS first_start,
+    ('0x' || substr(md5('chatpack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lns
+),
+c AS (
+  SELECT doc_id, n_chars, first_start, h,
+         COALESCE(SUM(n_chars) OVER (ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM rend
+),
+s AS (
+  SELECT *,
+         CAST(floor(cum_before / {_CHATPACK_BUDGET}.0) AS BIGINT) AS shard,
+         cum_before - MIN(cum_before) OVER (
+           PARTITION BY CAST(floor(cum_before / {_CHATPACK_BUDGET}.0) AS BIGINT)
+         ) AS off
+  FROM c
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+       md5(string_agg(
+         CAST(doc_id AS VARCHAR) || ':' || CAST(off AS VARCHAR) || ':' ||
+         CAST(off + first_start AS VARCHAR), '|' ORDER BY h)) AS layout_md5
+FROM s
+GROUP BY shard
+"""
+
+
+@register("q_chat_pack", oracle=_CHATPACK_ORACLE)
+def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing COMPOSED with chat rendering: each document's
+    rendered conversation (chat_fold) packs into ~4000-char training
+    sequences via the two-phase distributed prefix sum, and every
+    document's FIRST assistant loss-mask span re-bases into packed
+    coordinates (offset_in_shard + span start). The oracle replays the
+    hash order, the naive global-window prefix sum, the shard split,
+    the in-shard offsets AND the re-based span starts closed-form —
+    the full chain a packed-SFT data loader depends on. Scale: the
+    prefix sum is the distributed one (never a single-partition
+    window); the min-offset window rides the shard exchange."""
+    from corrie_spark.functions.core import bind
+    from corrie_spark.operators import chat as C
+    from corrie_spark.operators.packing import pack_with_offsets
+
+    docs = load(spark, sf_dir, "documents")
+    toks_e = F.filter(F.split("text", " "), lambda t: t != "")
+
+    def with_lines(toks):
+        n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        )
+
+    def build_messages(ls):
+        n = (F.col("doc_id") % 3 + 1).cast("int")
+
+        def li(i):
+            return F.element_at(ls, (i % F.size(ls) + 1).cast("int"))
+
+        rounds = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.array(
+                    F.struct(
+                        F.lit("user").alias("role"), li(i).alias("content")
+                    ),
+                    F.struct(
+                        F.lit("assistant").alias("role"),
+                        F.concat(F.lit("Echo: "), li(i)).alias("content"),
+                    ),
+                ),
+            )
+        )
+        return F.concat(
+            F.array(
+                F.struct(
+                    F.lit("system").alias("role"),
+                    F.lit(_CHAT_SYS).alias("content"),
+                )
+            ),
+            rounds,
+        )
+
+    fold = bind(bind(bind(toks_e, with_lines), build_messages), C.chat_fold)
+    # localCheckpoint: the cumsum's two consumers (offsets aggregation
+    # + the main pass) would otherwise re-run the whole fold lineage,
+    # and CollapseProject re-inlines the fold per column reference
+    rendered = (
+        docs.where(F.size(toks_e) > 0)
+        .select(
+            "doc_id",
+            fold["s"].alias("_s"),
+            fold["spans"].alias("_spans"),
+        )
+        .withColumn("n_chars", F.length("_s").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    packed = pack_with_offsets(
+        rendered, "doc_id", "n_chars", budget=_CHATPACK_BUDGET,
+        salt="chatpack",
+    )
+    # re-base the first assistant span into packed coordinates
+    first_start = (
+        F.col("offset_in_shard") + F.element_at("_spans", 1)["start"]
+    ).cast("long")
+    layout = F.concat_ws(
+        ":",
+        F.col("doc_id").cast("string"),
+        F.col("offset_in_shard").cast("string"),
+        first_start.cast("string"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("_h").alias("h"),
+                                             layout.alias("l")))),
+        lambda s: s["l"],
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_chars"),
+            F.md5(F.array_join(ordered, "|")).alias("layout_md5"),
+        )
+    )

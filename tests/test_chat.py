@@ -92,3 +92,27 @@ def test_fim_degenerate_windows(spark):
     ).collect()[0]
     assert r.a == "<|fim_prefix|>he<|fim_suffix|>llo<|fim_middle|>"
     assert r.b == "<|fim_prefix|><|fim_suffix|><|fim_middle|>hello"
+
+
+def test_pack_with_offsets_tiles_each_shard(spark):
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.packing import pack_with_offsets
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 50) for i in range(40)], "doc_id long, sz long"
+    )
+    out = pack_with_offsets(df, "doc_id", "sz", budget=500, salt="t").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    total = 0
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.offset_in_shard)
+        # offsets tile: each row starts where the previous ended
+        pos = 0
+        for r in rows:
+            assert r.offset_in_shard == pos
+            pos += r.sz
+        total += len(rows)
+    assert total == 40
