@@ -59,17 +59,34 @@ def gzip_members_at(data: bytes, base: int = 0) -> Iterator[tuple[int, int, byte
     next RFC 1952 member magic and continues, so one bad member costs
     its own bytes, never the rest of the file. Callers detect skipped
     spans by comparing consecutive offsets (warc_records emits an
-    error-marker row per gap)."""
+    error-marker row per gap).
+
+    The decompressor is fed CHUNKED MEMORYVIEWS (small first chunk for
+    the 1-record-per-member crawl shape, larger follow-ups for big
+    members): passing `data[pos:]` per member would copy the whole
+    remaining buffer into the call AND back out via unused_data —
+    O(members x file size), measured 16x super-linear at 4x data on
+    the fixture crawl. Chunking bounds per-member copying to the
+    member itself plus one small chunk."""
     pos = 0
     n = len(data)
+    mv = memoryview(data)
+    first_chunk = 16 << 10
+    next_chunk = 256 << 10
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        parts: list[bytes] = []
+        p = pos
+        size = first_chunk
         try:
-            out = d.decompress(data[pos:])
-            out += d.flush()
+            while p < n and not d.eof:
+                chunk = mv[p : p + size]
+                p += len(chunk)
+                parts.append(d.decompress(chunk))
+                size = next_chunk
             if not d.eof:
                 raise zlib.error("truncated gzip member")
-            consumed = (n - pos) - len(d.unused_data)
+            consumed = (p - pos) - len(d.unused_data)
             if consumed <= 0:  # trailing garbage that is not a member
                 return
         except zlib.error:
@@ -78,7 +95,7 @@ def gzip_members_at(data: bytes, base: int = 0) -> Iterator[tuple[int, int, byte
                 return
             pos = nxt
             continue
-        yield base + pos, consumed, out
+        yield base + pos, consumed, b"".join(parts)
         pos += consumed
 
 
@@ -749,25 +766,34 @@ def _scan_range_members(
         if pos < 0:
             return
     n = len(data)
+    mv = memoryview(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        buf = data[pos:]
-        comp_len = 0
+        # chunked feed (same O(n^2)-copy avoidance as gzip_members_at):
+        # raw compressed chunks are kept so the member's compressed
+        # bytes can be yielded without re-slicing the whole range
+        fed: list[bytes] = []
+        p = pos
+        size = 16 << 10
+        read_at = end
         ok = True
-        extra: list[bytes] = []
         try:
-            d.decompress(buf)
-            comp_len = len(buf) - len(d.unused_data)
-            read_at = end
-            while not d.eof and read_at < file_size:
-                f.seek(read_at)
-                chunk = f.read(1 << 20)
-                if not chunk:
+            while not d.eof:
+                if p < n:
+                    chunk: bytes | memoryview = mv[p : p + size]
+                    p += len(chunk)
+                elif read_at < file_size:
+                    # member straddles the range: finish by tail reads
+                    f.seek(read_at)
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        break
+                    read_at += len(chunk)
+                else:
                     break
-                extra.append(chunk)
-                read_at += len(chunk)
+                fed.append(bytes(chunk))
                 d.decompress(chunk)
-                comp_len = len(buf) + sum(len(c) for c in extra) - len(d.unused_data)
+                size = 256 << 10
             if not d.eof:
                 ok = False  # truncated at EOF
         except zlib.error:
@@ -778,12 +804,13 @@ def _scan_range_members(
                 break
             pos = nxt
             continue
+        raw = b"".join(fed)
+        comp_len = len(raw) - len(d.unused_data)
         abs_off = start + pos
         if expect_abs is not None and abs_off > expect_abs:
             # resynced past bytes this partition owns: observable loss
             yield expect_abs, abs_off - expect_abs, b""
-        member = buf + b"".join(extra)
-        yield abs_off, comp_len, member[:comp_len]
+        yield abs_off, comp_len, raw[:comp_len]
         expect_abs = abs_off + comp_len
         pos += comp_len
     # owned tail that never became a member (ignore NUL padding, like
