@@ -932,6 +932,7 @@ def _decode_pdf_string(b: bytes) -> str:
 
 
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 
 
 def extract_text(
@@ -1023,8 +1024,8 @@ def extract_text(
             # whitespace-delimited EI — it can contain byte sequences
             # that LOOK like text operators (even 'BT'), so it must be
             # skipped as a block, never scanned
-            m_ei = re.search(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)", content[pos:])
-            pos = n if m_ei is None else pos + m_ei.end()
+            m_ei = _EI_RE.search(content, pos)  # no remaining-buffer copy
+            pos = n if m_ei is None else m_ei.end()
         elif op == b"BT":
             in_text = True
         elif op == b"ET":
