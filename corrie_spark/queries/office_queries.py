@@ -172,3 +172,37 @@ def q_office_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(extracted).alias("text_md5"),
         F.length(extracted).cast("long").alias("n_chars"),
     )
+
+
+_RTF_ORACLE = f"""
+WITH {_PAGES_CTE}
+SELECT doc_id,
+       'rtf' AS kind,
+       md5(COALESCE(array_to_string(ls, chr(10)), '')) AS text_md5,
+       CAST(len(ls) AS BIGINT) AS n_lines
+FROM lns
+"""
+
+
+@register("q_office_rtf", oracle=_RTF_ORACLE)
+def q_office_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF extraction through the control-word state machine: one
+    paragraph per fixture line behind a real header (font/color
+    tables, a starred generator destination — all skipped by group),
+    the first char of every third line riding a \\uN escape with a
+    \\uc fallback byte. The oracle is the docx family's closed-form
+    line replay — RTF, DOCX and XLSX all reduce to the same ground
+    truth, which is exactly the multi-format ingest contract."""
+    from corrie_spark.sources.rtf import build_rtf
+
+    docs = load(spark, sf_dir, "documents")
+    recs = O.office_records(_fixture_frame(docs, build_rtf, "rtf"))
+    n_lines = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("\n"))) + 1
+    )
+    return recs.where(F.col("error").isNull()).select(
+        _doc_id("rtf"),
+        "kind",
+        F.md5("text").alias("text_md5"),
+        n_lines.cast("long").alias("n_lines"),
+    )

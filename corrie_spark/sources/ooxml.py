@@ -357,6 +357,23 @@ def office_records(
             out = []
             for path, blob in zip(pdf[file_col], pdf[content_col]):
                 try:
+                    if bytes(blob[:5]) == b"{\\rtf":
+                        from corrie_spark.sources.rtf import rtf_text
+
+                        texts = [("rtf", rtf_text(bytes(blob)))]
+                        for i, (kind, t) in enumerate(texts):
+                            out.append(
+                                {
+                                    "office_file": path,
+                                    "kind": kind,
+                                    "part": i,
+                                    "n_parts": len(texts),
+                                    "text": t,
+                                    "n_chars": len(t),
+                                    "error": None,
+                                }
+                            )
+                        continue
                     parts = zip_entries(bytes(blob))
                     if "word/document.xml" in parts:
                         texts = [("docx", docx_text(bytes(blob)))]
