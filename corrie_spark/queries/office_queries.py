@@ -206,3 +206,36 @@ def q_office_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         n_lines.cast("long").alias("n_lines"),
     )
+
+
+_DOC_ORACLE = f"""
+WITH {_PAGES_CTE}
+SELECT doc_id,
+       'doc' AS kind,
+       md5(COALESCE(array_to_string(ls, chr(10)), '')) AS text_md5,
+       CAST(len(ls) AS BIGINT) AS n_lines
+FROM lns
+"""
+
+
+@register("q_office_doc", oracle=_DOC_ORACLE)
+def q_office_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy binary .doc through the from-spec MS-CFB + MS-DOC
+    reader: compound-file FAT/mini-FAT walk -> FIB -> table stream ->
+    Clx piece table with BOTH fc encodings live (the fixture splits
+    each document into a compressed cp1252 piece and a UTF-16LE
+    piece), paragraph marks normalized. Same closed-form line replay
+    as docx/rtf — four formats, one ground truth."""
+    from corrie_spark.sources.doc import build_doc
+
+    docs = load(spark, sf_dir, "documents")
+    recs = O.office_records(_fixture_frame(docs, build_doc, "doc"))
+    n_lines = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("\n"))) + 1
+    )
+    return recs.where(F.col("error").isNull()).select(
+        _doc_id("doc"),
+        "kind",
+        F.md5("text").alias("text_md5"),
+        n_lines.cast("long").alias("n_lines"),
+    )

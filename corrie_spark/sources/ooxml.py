@@ -357,41 +357,36 @@ def office_records(
             out = []
             for path, blob in zip(pdf[file_col], pdf[content_col]):
                 try:
-                    if bytes(blob[:5]) == b"{\\rtf":
+                    blob_b = bytes(blob)
+                    if blob_b[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+                        from corrie_spark.sources.doc import doc_text
+
+                        texts = [("doc", doc_text(blob_b))]
+                    elif blob_b[:5] == b"{\\rtf":
                         from corrie_spark.sources.rtf import rtf_text
 
-                        texts = [("rtf", rtf_text(bytes(blob)))]
-                        for i, (kind, t) in enumerate(texts):
-                            out.append(
-                                {
-                                    "office_file": path,
-                                    "kind": kind,
-                                    "part": i,
-                                    "n_parts": len(texts),
-                                    "text": t,
-                                    "n_chars": len(t),
-                                    "error": None,
-                                }
-                            )
-                        continue
-                    parts = zip_entries(bytes(blob))
-                    if "word/document.xml" in parts:
-                        texts = [("docx", docx_text(bytes(blob)))]
-                    elif any(_SLIDE_RE.fullmatch(n) for n in parts):
-                        texts = [
-                            ("pptx", t) for t in pptx_slides(bytes(blob))
-                        ]
-                    elif any(_SHEET_RE.fullmatch(n) for n in parts):
-                        texts = [
-                            ("xlsx", t) for t in xlsx_sheets(bytes(blob))
-                        ]
-                    elif any(_CHAPTER_RE.fullmatch(n) for n in parts):
-                        texts = [
-                            ("epub-xhtml", x)
-                            for _, x in epub_chapters(bytes(blob))
-                        ]
+                        texts = [("rtf", rtf_text(blob_b))]
                     else:
-                        raise OoxmlError("unrecognized container layout")
+                        parts = zip_entries(blob_b)
+                        if "word/document.xml" in parts:
+                            texts = [("docx", docx_text(blob_b))]
+                        elif any(_SLIDE_RE.fullmatch(n) for n in parts):
+                            texts = [
+                                ("pptx", t) for t in pptx_slides(blob_b)
+                            ]
+                        elif any(_SHEET_RE.fullmatch(n) for n in parts):
+                            texts = [
+                                ("xlsx", t) for t in xlsx_sheets(blob_b)
+                            ]
+                        elif any(_CHAPTER_RE.fullmatch(n) for n in parts):
+                            texts = [
+                                ("epub-xhtml", x)
+                                for _, x in epub_chapters(blob_b)
+                            ]
+                        else:
+                            raise OoxmlError(
+                                "unrecognized container layout"
+                            )
                     for i, (kind, t) in enumerate(texts):
                         out.append(
                             {
