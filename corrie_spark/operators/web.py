@@ -140,6 +140,41 @@ def fixture_markdown(doc_id: int, text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# sentence segmentation (rule-based, oracle-mirrored)
+# ---------------------------------------------------------------------------
+
+# one sentence = shortest run ending in terminal punctuation (with
+# optional closing quotes/brackets) followed by whitespace or end; the
+# final fragment without terminal punctuation is its own sentence.
+# Java/RE2 common subset: no lookaround, non-greedy + anchored classes.
+SENTENCE_RE = r"""[^.!?]*(?:[.!?]+['")\]]*|$)"""
+
+
+def sentences(c: Column | str) -> Column:
+    """Text -> array of trimmed sentences (rule-based segmentation for
+    packing/chunking/sentence-level dedup — deterministic and mirrored
+    in SQL, NOT a learned segmenter: abbreviations split, which is the
+    documented trade every regex segmenter makes). Empty fragments
+    drop."""
+    x = F.col(c) if isinstance(c, str) else c
+    raw = F.regexp_extract_all(x, F.lit(SENTENCE_RE), F.lit(0))
+    # NOTE: F.transform(raw, F.trim) would bind trim's optional second
+    # parameter to the element INDEX — always pass an explicit lambda
+    return F.filter(
+        F.transform(raw, lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
+def sentences_sql(expr: str) -> str:
+    """The IDENTICAL segmentation as DuckDB SQL (RE2)."""
+    p = SENTENCE_RE.replace("'", "''")
+    return (
+        f"list_filter(list_transform("
+        f"regexp_extract_all({expr}, '{p}'), s -> trim(s)), s -> s <> '')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # URLs
 # ---------------------------------------------------------------------------
 

@@ -2852,3 +2852,82 @@ def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(ordered, "|")).alias("layout_md5"),
         )
     )
+
+
+# --- sentence segmentation ---------------------------------------------------
+
+_SENT_ORACLE_TMPL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+    list_transform(range(0, (len(t) + 7) // 8),
+      i -> array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')) AS ls
+  FROM toks WHERE len(t) > 0
+),
+src AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, len(ls)),
+      i -> ls[i + 1] ||
+           ['. ', '! ', '? '][((doc_id + i) % 3) + 1]), '') AS s
+  FROM lns
+)
+SELECT doc_id,
+       CAST(len({SENT}) AS BIGINT) AS n_sentences,
+       md5(array_to_string({SENT}, '|')) AS sent_md5
+FROM src
+"""
+
+
+def _sent_oracle() -> str:
+    from corrie_spark.operators import web as Wb
+
+    return _SENT_ORACLE_TMPL.replace("{SENT}", Wb.sentences_sql("s"))
+
+
+@register("q_text_sentences", oracle=_sent_oracle())
+def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence segmentation (packing/chunking/sentence-
+    level-dedup food): per document a deterministically punctuated
+    source string (fixture lines terminated by rotating . ! ?), split
+    by the SAME regex chain in both engines — the Java-vs-RE2
+    agreement gate, the q_web_html_text shape. Row-local projection,
+    free rider on the scan."""
+    from corrie_spark.functions.core import bind
+    from corrie_spark.operators import web as Wb
+
+    docs = load(spark, sf_dir, "documents")
+    toks_e = F.filter(F.split("text", " "), lambda t: t != "")
+
+    def with_lines(toks):
+        n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        )
+
+    def mk_src(ls):
+        terms = F.array(F.lit(". "), F.lit("! "), F.lit("? "))
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ls) - 1),
+                lambda i: F.concat(
+                    F.element_at(ls, (i + 1).cast("int")),
+                    F.element_at(
+                        terms,
+                        ((F.col("doc_id") + i) % 3 + 1).cast("int"),
+                    ),
+                ),
+            ),
+            "",
+        )
+
+    src = bind(bind(toks_e, with_lines), mk_src)
+    sent = bind(src, Wb.sentences)
+    return docs.where(F.size(toks_e) > 0).select(
+        "doc_id",
+        F.size(sent).cast("long").alias("n_sentences"),
+        F.md5(F.array_join(sent, "|")).alias("sent_md5"),
+    )

@@ -325,3 +325,26 @@ def test_fixture_markdown_extracts_to_token_stream(spark):
         md = W.fixture_markdown(did, text)
         out = _one(spark, W.markdown_to_text(F.lit(md)))
         assert out == " ".join(t for t in text.split(" ") if t)
+
+
+def test_sentences_rule_and_cross_engine(spark):
+    import duckdb
+
+    cases = [
+        "One. Two! Three? Done",
+        'He said "stop." Then left.',
+        "No terminal punctuation here",
+        "Ellipsis... then more.  Double  spaces. ",
+        "(Bracketed.) [Sq.] End",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r.s for r in df.select(W.sentences("t").alias("s")).collect()]
+    assert got[0] == ["One.", "Two!", "Three?", "Done"]
+    assert got[1] == ['He said "stop."', "Then left."]
+    assert got[3] == ["Ellipsis...", "then more.", "Double  spaces."]
+    assert got[5] == []
+    con = duckdb.connect()
+    for c, g in zip(cases, got):
+        o = con.execute("SELECT " + W.sentences_sql("$1"), [c]).fetchone()[0]
+        assert list(o) == list(g), c
