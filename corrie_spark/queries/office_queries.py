@@ -37,8 +37,12 @@ def _fixture_frame(docs: DataFrame, builder, prefix: str) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["path", "content"])
 
-    return docs.select("doc_id", "text").mapInPandas(
-        build, "path string, content binary"
+    # a single-file documents scan is ONE partition: spread the
+    # container builds (and the parse stage fed by them) across cores
+    return (
+        docs.select("doc_id", "text")
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(build, "path string, content binary")
     )
 
 

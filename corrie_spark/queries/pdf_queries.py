@@ -185,8 +185,10 @@ def q_pdf_fonts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["path", "content"])
 
-    files = docs.select("doc_id", "text").mapInPandas(
-        build, "path string, content binary"
+    files = (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(build, "path string, content binary")
     )
     recs = P.pdf_records(files)
     return recs.where(

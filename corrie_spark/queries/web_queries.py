@@ -497,8 +497,10 @@ def q_text_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    md = docs.select("doc_id", "text").mapInPandas(
-        build, "doc_id long, md string"
+    md = (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(build, "doc_id long, md string")
     )
     extracted = W.markdown_to_text(F.col("md"))
     words = F.size(F.split(F.trim(extracted), r" +"))
