@@ -243,3 +243,67 @@ def q_office_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         n_lines.cast("long").alias("n_lines"),
     )
+
+
+# --- kind sniffing over a mixed container frame -------------------------------
+
+_SNIFF_ORACLE = f"""
+WITH {_PAGES_CTE}
+SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+       WHEN 2 THEN 'xlsx' WHEN 3 THEN 'rtf' ELSE 'doc' END AS kind,
+  md5(CASE
+    WHEN doc_id % 5 = 1 THEN COALESCE(pg[1], '')
+    WHEN doc_id % 5 = 2 THEN COALESCE(array_to_string(
+      list_transform(ls, l -> replace(l, ' ', chr(9))), chr(10)), '')
+    ELSE COALESCE(array_to_string(ls, chr(10)), '')
+  END) AS first_part_md5
+FROM pgs JOIN lns USING (doc_id)
+"""
+
+
+@register("q_office_sniff", oracle=_SNIFF_ORACLE)
+def q_office_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-kind SNIFFING under fire: one mixed frame where each
+    document is written as docx/pptx/xlsx/rtf/legacy-doc by doc_id%5
+    with a LYING file extension (every path ends .bin — crawl
+    filenames lie, the router must go by magic/entry names), and the
+    gate checks both the detected kind and the first part's extracted
+    text per format. Five readers, one routing contract, one
+    closed-form oracle."""
+    import pandas as pd
+
+    from corrie_spark.sources.doc import build_doc
+    from corrie_spark.sources.rtf import build_rtf
+
+    builders = [O.build_docx, O.build_pptx, O.build_xlsx, build_rtf,
+                build_doc]
+
+    docs = load(spark, sf_dir, "documents")
+
+    def build(batches):
+        for pdf in batches:
+            out = [
+                {
+                    "path": f"blob-{int(i):08d}.bin",
+                    "content": builders[int(i) % 5](int(i), str(t)),
+                }
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(build, "path string, content binary")
+    )
+    recs = O.office_records(files)
+    return recs.where(
+        F.col("error").isNull() & (F.col("part") == 0)
+    ).select(
+        F.regexp_extract("office_file", r"blob-([0-9]+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "kind",
+        F.md5("text").alias("first_part_md5"),
+    )
