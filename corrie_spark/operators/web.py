@@ -140,6 +140,59 @@ def fixture_markdown(doc_id: int, text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# outlink extraction + reference resolution (crawl frontier discovery)
+# ---------------------------------------------------------------------------
+
+# href attribute of anchor tags; fragment-only refs excluded at the
+# class level. Java/RE2 common subset (no lookaround).
+HREF_RE = r"""(?i)<a[^>]*\shref\s*=\s*["']([^"'#>][^"'>]*)["']"""
+
+
+def html_links(c: Column | str) -> Column:
+    """HTML -> array of raw href values, document order (anchor tags
+    with quoted hrefs — the crawl-frontier shape; unquoted/javascript
+    hrefs are noise a frontier drops anyway)."""
+    x = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(x, F.lit(HREF_RE), F.lit(1))
+
+
+def resolve_url(base: Column, ref: Column) -> Column:
+    """RFC 3986 reference resolution, the subset crawl frontiers need:
+    absolute refs pass through; '//host/p' takes the base scheme;
+    '/p' takes the base origin; anything else joins the base path's
+    directory. Dot-segment normalization ('../') is NOT performed
+    (documented seam — canonical_url is the dedup key, and frontiers
+    re-canonicalize after fetch)."""
+    scheme = url_scheme(base)
+    origin = F.concat(scheme, F.lit("://"), url_host(base))
+    bdir = F.regexp_extract(
+        F.when(url_path(base) == "", F.lit("/")).otherwise(url_path(base)),
+        r"^(.*/)", 1,
+    )
+    return (
+        F.when(ref.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(ref.startswith("/"), F.concat(origin, ref))
+        .otherwise(F.concat(origin, bdir, ref))
+    )
+
+
+def outlinks(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    """(page url, html) -> one row per resolved outlink: (src, dst,
+    pos). Row-local explode — the frontier-expansion stage rides the
+    fetch scan at any scale; dedup/canonicalize downstream."""
+    refs = html_links(F.col(html_col))
+    return df.select(
+        F.col(url_col).alias("src"),
+        F.posexplode(refs).alias("pos", "_ref"),
+    ).select(
+        "src",
+        F.col("pos").cast("long").alias("pos"),
+        resolve_url(F.col("src"), F.col("_ref")).alias("dst"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sentence segmentation (rule-based, oracle-mirrored)
 # ---------------------------------------------------------------------------
 

@@ -509,3 +509,82 @@ def q_text_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(extracted).alias("text_md5"),
         words.cast("long").alias("n_words"),
     )
+
+
+# --- outlink extraction + resolution ------------------------------------------
+
+# per doc: four links, one per reference shape, params closed-form
+_OUTLINKS_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+    'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.' ||
+      CASE WHEN doc_id % 4 = 1 THEN 'org'
+           WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS host,
+    doc_id % 7 AS k
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+    ['https://ext.example.com/abs/' || CAST(k AS VARCHAR),
+     'https://' || host || '/deep/' || CAST(k AS VARCHAR),
+     'https://' || host || '/Doc/rel-' || CAST(k AS VARCHAR),
+     'https://cdn.example.net/c/' || CAST(k AS VARCHAR)] AS dsts
+  FROM b
+)
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS n_links,
+       md5(array_to_string(dsts, '|')) AS dsts_md5
+FROM l
+"""
+
+
+@register("q_web_outlinks", oracle=_OUTLINKS_ORACLE)
+def q_web_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + RFC 3986 reference resolution — the crawl
+    frontier-expansion stage: each fixture page carries one link per
+    reference shape (absolute, path-absolute '/deep/k', relative
+    'rel-k' against the /Doc/ directory, protocol-relative
+    '//cdn...'), extracted by the real href chain and resolved against
+    the page's own URL. The oracle states every resolved URL
+    closed-form from the generation rules — extraction order,
+    origin/directory arithmetic and scheme adoption are all gated.
+    Row-local explode; no shuffle beyond the rollup."""
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("www.site"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("co.uk"))
+        .otherwise(F.lit("com")),
+    )
+    k = (F.col("doc_id") % 7).cast("string")
+    page_url = F.concat(
+        F.lit("https://"), host, F.lit("/Doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><p>text</p><a class="x" href="https://ext.example.com/abs/'),
+        k, F.lit('">a</a><a href="/deep/'), k,
+        F.lit("'>b</a><a href='rel-").cast("string"), k,
+        F.lit('\'>c</a><a href="//cdn.example.net/c/'), k,
+        F.lit('">d</a><a href="#frag">skip</a></body></html>'),
+    )
+    pages = docs.select(
+        "doc_id", page_url.alias("url"), html.alias("html")
+    )
+    links = W.outlinks(pages, "url", "html")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "dst"))),
+        lambda s: s["dst"],
+    )
+    return (
+        links.withColumn(
+            "doc_id",
+            F.regexp_extract("src", r"/Doc/([0-9]+)$", 1).cast("long"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.md5(F.array_join(ordered, "|")).alias("dsts_md5"),
+        )
+    )

@@ -348,3 +348,27 @@ def test_sentences_rule_and_cross_engine(spark):
     for c, g in zip(cases, got):
         o = con.execute("SELECT " + W.sentences_sql("$1"), [c]).fetchone()[0]
         assert list(o) == list(g), c
+
+
+def test_outlinks_resolution_shapes(spark):
+    html = (
+        '<html><a href="https://other.org/x">abs</a>'
+        '<a href="/root/y">pathabs</a>'
+        "<a href='sub/z'>rel</a>"
+        '<a href="//cdn.net/c">proto</a>'
+        '<a href="#frag">skip</a>'
+        "<a name='no-href'>skip too</a></html>"
+    )
+    df = spark.createDataFrame(
+        [("https://www.h.example.com/dir/page", html)], "url string, h string"
+    )
+    got = [
+        (r.pos, r.dst)
+        for r in W.outlinks(df, "url", "h").orderBy("pos").collect()
+    ]
+    assert got == [
+        (0, "https://other.org/x"),
+        (1, "https://www.h.example.com/root/y"),
+        (2, "https://www.h.example.com/dir/sub/z"),
+        (3, "https://cdn.net/c"),
+    ]
