@@ -200,3 +200,65 @@ def q_pdf_fonts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.col("n_chars"),
     )
+
+
+_PDF_LINKS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(0 AS BIGINT) AS page,
+       CAST(2 AS BIGINT) AS n_links,
+       md5('https://example.org/doc/' || CAST(doc_id AS VARCHAR) ||
+           '/next|https://ref.example.net/cite/' ||
+           CAST(doc_id % 13 AS VARCHAR)) AS uris_md5
+FROM toks WHERE len(t) > 0
+"""
+
+
+@register("q_pdf_links", oracle=_PDF_LINKS_ORACLE)
+def q_pdf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL discovery from PDFs — the frontier stage HTML pages get
+    from q_web_outlinks: /Annots -> /Link -> URI actions walked
+    through the object graph (indirect annotation refs, literal-string
+    URIs), per page in annotation order. Rides the SAME fixture the
+    font gate uses (two deterministic links per document), so one
+    build feeds both. Oracle states every URI closed-form."""
+    docs = load(spark, sf_dir, "documents")
+
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            out = [
+                {
+                    "path": f"fontdoc-{int(i):08d}.pdf",
+                    "content": P.build_pdf_fonts(int(i), str(t)),
+                }
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(build, "path string, content binary")
+    )
+    links = P.pdf_link_records(files).where(F.col("error").isNull())
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "uri"))),
+        lambda s: s["uri"],
+    )
+    return (
+        links.withColumn(
+            "doc_id",
+            F.regexp_extract("pdf_file", r"fontdoc-([0-9]+)\.pdf", 1)
+            .cast("long"),
+        )
+        .groupBy("doc_id", "page")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.md5(F.array_join(ordered, "|")).alias("uris_md5"),
+        )
+    )

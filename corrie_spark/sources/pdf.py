@@ -1115,6 +1115,30 @@ def page_xobjects(
     return out
 
 
+def pdf_links(data: bytes) -> list[list[str]]:
+    """Whole document -> per page, the URI targets of /Link
+    annotations (§12.5.6.5 + §12.6.4.7 URI actions) — URL discovery
+    for the crawl frontier: PDFs carry outlinks exactly like HTML
+    pages, and a frontier that skips them under-crawls every document-
+    heavy site."""
+    objects, root = _document_root(data)
+    out: list[list[str]] = []
+    for page, _res in _walk_pages(objects, root.get("Pages")):
+        uris: list[str] = []
+        annots = _resolve(objects, page.get("Annots"))
+        for aref in annots if isinstance(annots, list) else []:
+            a = _resolve(objects, aref)
+            if not (isinstance(a, dict) and a.get("Subtype") == "Link"):
+                continue
+            act = _resolve(objects, a.get("A"))
+            if isinstance(act, dict) and act.get("S") == "URI":
+                uri = _resolve(objects, act.get("URI"))
+                if isinstance(uri, bytes):
+                    uris.append(_decode_pdf_string(uri))
+        out.append(uris)
+    return out
+
+
 def pdf_text(data: bytes) -> list[str]:
     """Whole document -> extracted text per page, strings decoded
     through each page's font resources (ToUnicode / Encoding), Form
@@ -1189,6 +1213,50 @@ def pdf_records(
             yield pd.DataFrame(out, columns=PDF_COLUMNS)
 
     return bin_df.mapInPandas(run, PDF_SCHEMA_DDL)
+
+
+PDF_LINKS_DDL = "pdf_file string, page bigint, pos bigint, uri string, error string"
+
+
+def pdf_link_records(
+    bin_df: DataFrame, file_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """(file, pdf-bytes) -> one row per /Link URI annotation (the
+    frontier-expansion stage for document corpora). Poison safety as
+    pdf_records: a malformed file yields one error row."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf[file_col], pdf[content_col]):
+                try:
+                    for pg, uris in enumerate(pdf_links(bytes(blob))):
+                        for i, u in enumerate(uris):
+                            out.append(
+                                {
+                                    "pdf_file": path,
+                                    "page": pg,
+                                    "pos": i,
+                                    "uri": u,
+                                    "error": None,
+                                }
+                            )
+                except Exception as e:  # noqa: BLE001 — poison row
+                    out.append(
+                        {
+                            "pdf_file": path,
+                            "page": -1,
+                            "pos": -1,
+                            "uri": None,
+                            "error": f"{type(e).__name__}: {e}"[:200],
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["pdf_file", "page", "pos", "uri", "error"]
+            )
+
+    return bin_df.mapInPandas(run, PDF_LINKS_DDL)
 
 
 def read_pdf(spark: SparkSession, path: str) -> DataFrame:
@@ -1468,7 +1536,20 @@ def build_pdf_fonts(doc_id: int, text: str) -> bytes:
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /FT 7 0 R /FD 8 0 R >> "
             b"/XObject << /X1 10 0 R >> >> "
+            b"/Annots [11 0 R 12 0 R] "
             b"/Contents 5 0 R >>",
+        ),
+        (
+            11,
+            b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] "
+            b"/A << /S /URI /URI (https://example.org/doc/%d/next) >> >>"
+            % doc_id,
+        ),
+        (
+            12,
+            b"<< /Type /Annot /Subtype /Link /Rect [0 30 100 50] "
+            b"/A << /S /URI /URI (https://ref.example.net/cite/%d) >> >>"
+            % (doc_id % 13),
         ),
         (
             7,

@@ -716,3 +716,14 @@ def test_inline_image_data_is_skipped_as_a_block():
         b"BT (after) Tj ET"
     )
     assert P.extract_text(content) == "before\nafter"
+
+
+def test_pdf_links_extraction():
+    blob = P.build_pdf_fonts(9, "alpha beta gamma delta")
+    (uris,) = P.pdf_links(blob)
+    assert uris == [
+        "https://example.org/doc/9/next",
+        "https://ref.example.net/cite/9",
+    ]
+    # a doc with no annotations yields an empty list per page
+    assert P.pdf_links(P.build_pdf(1, "w1 w2 w3")) == [[]]
