@@ -588,3 +588,69 @@ def q_web_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(ordered, "|")).alias("dsts_md5"),
         )
     )
+
+
+# --- the frontier composition: outlinks filtered by robots -------------------
+
+_FRONTIER_ORACLE = """
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS n_links,
+       CAST(CASE WHEN (doc_id % 40) % 2 = 0 AND (doc_id % 20) % 10 = 7
+                 THEN 3 ELSE 4 END AS BIGINT) AS n_allowed
+FROM documents
+"""
+
+
+@register("q_web_frontier", oracle=_FRONTIER_ORACLE)
+def q_web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier loop COMPOSED: page -> outlink extraction ->
+    RFC 3986 resolution -> per-link robots verdict (the wildcard rule
+    'Disallow: /Doc/*7$' fires on relative links 'rel-7'/'rel-17' of
+    even hosts; external cdn/abs hosts have no rules and default to
+    allowed) -> per-page allowed counts. Three gated subsystems in one
+    statement, every verdict stated closed-form. Scale: extraction and
+    resolution are row-local; the robots join is the broadcast
+    distinct-(host,path) shape of allowed_urls."""
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("www.site"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("co.uk"))
+        .otherwise(F.lit("com")),
+    )
+    k = (F.col("doc_id") % 20).cast("string")
+    page_url = F.concat(
+        F.lit("https://"), host, F.lit("/Doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://ext.example.com/abs/'), k,
+        F.lit('">a</a><a href="/deep/'), k,
+        F.lit('">b</a><a href="rel-'), k,
+        F.lit('">c</a><a href="//cdn.example.net/c/'), k,
+        F.lit('">d</a>'),
+    )
+    pages = docs.select(
+        "doc_id", page_url.alias("url"), html.alias("html")
+    )
+    links = W.outlinks(pages, "url", "html")
+    hosts = pages.select(W.url_host("url").alias("host")).distinct()
+    kk = F.regexp_extract("host", r"site([0-9]+)\.", 1).cast("long")
+    robots = hosts.withColumn(
+        "robots_txt",
+        F.when(kk % 2 == 0, F.lit(_ROBOTS_EVEN)).otherwise(F.lit(_ROBOTS_ODD)),
+    )
+    rules = W.robots_rules(robots)
+    verdicts = W.allowed_urls(links, rules, url_col="dst")
+    return (
+        verdicts.withColumn(
+            "doc_id",
+            F.regexp_extract("src", r"/Doc/([0-9]+)$", 1).cast("long"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        )
+    )
