@@ -80,3 +80,82 @@ def q_wds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("json", "$.n").cast("long").alias("n_from_json"),
         F.col("n_parts"),
     )
+
+
+# --- multimodal shards: TIFF payloads through the codec gate ----------------
+
+_TW = "(6 + doc_id % 5)"
+_TH = "(5 + doc_id % 4)"
+
+_WDS_MEDIA_ORACLE = f"""
+SELECT doc_id AS media_id,
+       'image/tiff' AS media_type,
+       CAST({_TW} AS BIGINT) AS width,
+       CAST({_TH} AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(0, {_TW} * {_TH}),
+            k -> (doc_id * 11 + k * 3) % 256))
+            AS DOUBLE) / ({_TW} * {_TH}) AS mean_pixel,
+       TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_wds_media", oracle=_WDS_MEDIA_ORACLE)
+def q_wds_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal-training-shard shape END-TO-END: WebDataset tar
+    shards whose samples carry {key}.txt + {key}.tiff pairs; the
+    ustar walk + sample grouping deliver the image bytes in `payload`,
+    and the from-spec TIFF decoder (rotating compression, predictor,
+    both byte orders) turns them into the closed-form pixel stats the
+    oracle replays. Two gated subsystems composed — shard container
+    and image codec — exactly how image-text training data actually
+    arrives. Bytes never shuffle; one Arrow build + one Arrow decode
+    stage."""
+    import pandas as pd
+
+    from corrie_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk(key, pdf):
+        grp = int(key[0])
+        entries = []
+        for did, t in sorted(zip(pdf["doc_id"], pdf["text"])):
+            did = int(did)
+            k = f"{did:08d}"
+            w, h = 6 + did % 5, 5 + did % 4
+            data = bytes((did * 11 + j * 3) % 256 for j in range(w * h))
+            comp = (1, 5, 32773)[did % 3]
+            tiff = M.encode_tiff(
+                w, h, data, compression=comp,
+                predictor=2 if comp == 5 else 1,
+                rows_per_strip=2, big_endian=did % 2 == 1,
+            )
+            entries.append((f"{k}.txt", str(t).encode("utf-8")))
+            entries.append((f"{k}.tiff", tiff))
+        blob = T.tar_build(entries)
+        return pd.DataFrame(
+            [{"path": f"media-{grp:05d}.tar", "content": blob}]
+        )
+
+    files = (
+        docs.withColumn("_grp", F.col("doc_id") % _N_SHARDS)
+        .groupBy("_grp")
+        .applyInPandas(mk, "path string, content binary")
+    )
+    samples = T.wds_records(files).where(
+        F.col("error").isNull() & F.col("payload").isNotNull()
+    )
+    media = samples.select(
+        F.col("key").cast("long").alias("media_id"),
+        F.lit("image/tiff").alias("media_type"),
+        F.col("payload"),
+    )
+    return M.image_features(media).select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_pixel",
+        "ok",
+    )
