@@ -307,3 +307,73 @@ def q_office_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.md5("text").alias("first_part_md5"),
     )
+
+
+_XFMT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * 3 AS BIGINT) AS n_files,
+       CAST(1 AS BIGINT) AS max_texts_per_doc
+FROM documents
+"""
+
+
+@register("q_office_crossformat_dedup", oracle=_XFMT_ORACLE)
+def q_office_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format extraction IDENTITY, the capstone gate: every
+    document is written as docx AND rtf AND legacy .doc, all three run
+    through office_records, and exact text-hash dedup must collapse
+    each document to ONE group of exactly three copies — a divergence
+    in ANY extractor (paragraph joining, escape decode, piece-table
+    arithmetic) breaks the count. This is also the real dedup scenario:
+    the same report circulating in three formats must cost the corpus
+    one copy."""
+    import pandas as pd
+
+    from corrie_spark.sources.doc import build_doc
+    from corrie_spark.sources.rtf import build_rtf
+
+    docs = load(spark, sf_dir, "documents")
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i, t = int(i), str(t)
+                for ext, builder in (
+                    ("docx", O.build_docx),
+                    ("rtf", build_rtf),
+                    ("doc", build_doc),
+                ):
+                    out.append(
+                        {
+                            "path": f"x-{i:08d}.{ext}",
+                            "content": builder(i, t),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(build, "path string, content binary")
+    )
+    recs = O.office_records(files).where(F.col("error").isNull())
+    # per SOURCE doc: three files, ONE distinct extracted text (keyed
+    # by filename, not text hash — the corpus legitimately contains a
+    # few doc pairs with identical text, which must not merge groups)
+    per_doc = (
+        recs.withColumn(
+            "_src",
+            F.regexp_extract("office_file", r"x-([0-9]+)\.", 1).cast("long"),
+        )
+        .groupBy("_src")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.count_distinct(F.md5("text")).alias("n_texts"),
+        )
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_files").cast("long").alias("n_files"),
+        F.max("n_texts").cast("long").alias("max_texts_per_doc"),
+    ).where((F.col("max_texts_per_doc") == 1) & (F.col("n_files") == F.col("n_docs") * 3))

@@ -83,6 +83,7 @@ _PYTHON_OK = {
     "q_pdf_links",  # mapInPandas fixture build + annotation walk
     "q_web_frontier",  # robots.txt parse stage (host-sized mapInPandas)
     "q_wds_media",  # applyInPandas shard build + tar walk + TIFF decode
+    "q_office_crossformat_dedup",  # triple-format Arrow build + parse
     "q_office_epub",  # container stage; HTML strip is the JVM chain
     "q_text_markdown",  # Arrow fixture build; strip is the JVM chain
     "q_wds_ingest",  # applyInPandas shard build + mapInPandas tar walk
