@@ -131,8 +131,13 @@ def test_cli_ingest_office(spark, tmp_path, capsys):
     from corrie_spark.__main__ import main as cli_main
     from corrie_spark.sources import ooxml as O
 
+    from corrie_spark.sources.doc import build_doc
+    from corrie_spark.sources.rtf import build_rtf
+
     (tmp_path / "a.docx").write_bytes(O.build_docx(1, "w1 w2 w3 w4"))
     (tmp_path / "b.epub").write_bytes(O.build_epub(2, "epub words here"))
+    (tmp_path / "c.rtf").write_bytes(build_rtf(3, "rtf body words"))
+    (tmp_path / "d.doc").write_bytes(build_doc(4, "legacy body words"))
     (tmp_path / "bad.docx").write_bytes(b"junk")
     out = str(tmp_path / "docs")
     errs = str(tmp_path / "dlq")
@@ -145,9 +150,10 @@ def test_cli_ingest_office(spark, tmp_path, capsys):
     )
     assert rc == 0
     info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert info["documents"] == 2 and info["errors"] == 1
+    assert info["documents"] == 4 and info["errors"] == 1
     texts = {r.text for r in spark.read.parquet(out).collect()}
     assert "w1 w2 w3 w4" in texts
+    assert "rtf body words" in texts and "legacy body words" in texts
     # the epub chapter went through the HTML strip (markup gone; the
     # literal '<tag>' from the entity-decode fixture is CONTENT)
     assert any(
