@@ -645,3 +645,100 @@ def sitemap_frontier(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
         sitemap_kind(F.col(xml_col)).alias("kind"),
         F.posexplode(locs).alias("pos", "loc"),
     ).select("host", "kind", F.col("pos").cast("long").alias("pos"), "loc")
+
+
+# ---------------------------------------------------------------------------
+# sitemap trees: gzipped payloads + nested sitemapindex (bounded)
+# ---------------------------------------------------------------------------
+
+
+def sitemap_decode(
+    df: DataFrame, content_col: str = "content", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Fetched sitemap payload bytes -> XML text. `sitemap.xml.gz` is
+    the dominant wild form (sitemaps.org allows gzip; crawlers MUST
+    accept it), so payloads opening with the RFC 1952 magic are routed
+    through the same member machinery the WARC reader uses
+    (sources/warc.gzip_members — a whole-file single-member gzip is
+    one member); plain XML passes through. Corrupt gzip degrades to
+    an empty document (sitemap_kind 'unknown'), never an exception —
+    the crawl-safe total-function stance. One Arrow stage, row-local;
+    at 100 TB it rides the fetch scan like the WARC ingest decode."""
+    import pandas as pd
+
+    from corrie_spark.sources.warc import gzip_members
+
+    cols = [c for c in df.columns if c != content_col]
+
+    def decode(batches):
+        for pdf in batches:
+            xml = []
+            for raw in pdf[content_col]:
+                data = bytes(raw) if raw is not None else b""
+                if data[:2] == b"\x1f\x8b":
+                    data = b"".join(gzip_members(data))
+                xml.append(data.decode("utf-8", errors="replace"))
+            out = pdf[cols].copy()
+            out[xml_col] = xml
+            yield out
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name in cols]
+        + [f"{xml_col} string"]
+    )
+    return df.mapInPandas(decode, schema)
+
+
+def resolve_sitemap_tree(
+    sitemaps: DataFrame,
+    roots: DataFrame,
+    max_depth: int = 4,
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Depth-bounded sitemapindex expansion: starting from per-host
+    root sitemaps (the robots `Sitemap:` directives), repeatedly
+    fetch-and-expand — urlset <loc>s are page URLs (emitted with the
+    level that produced them), sitemapindex <loc>s are child sitemaps
+    to fetch next level. `sitemaps` is the fetched table
+    (host, url, sitemap_xml); `roots` is (host, url).
+
+    Bounded by construction: exactly `max_depth` join+explode levels
+    (sitemaps.org convention is 1-2; the cap is the defense against
+    hostile nesting), and a visited-set anti-join makes cycles — an
+    index listing itself or an ancestor — contribute nothing instead
+    of looping. No driver-side actions: the loop unrolls into one
+    declarative plan, each level one broadcast-able join of a
+    frontier (per-host metadata) against the sitemap table keyed by
+    (host, url) plus a row-local explode; page bytes are never
+    touched. Returns (host, loc, depth) — one row per page URL."""
+    frontier = roots.select("host", "url")
+    visited = frontier
+    page_parts: list[DataFrame] = []
+    for depth in range(max_depth):
+        # the frontier (and the visited set it accumulates into) is
+        # per-host URL metadata — broadcast it so each level is a
+        # map-side probe of the sitemap table, no shuffle per level
+        fetched = sitemaps.join(F.broadcast(frontier), ["host", "url"])
+        ex = fetched.select(
+            "host",
+            sitemap_kind(F.col(xml_col)).alias("kind"),
+            F.explode(sitemap_locs(F.col(xml_col))).alias("loc"),
+        )
+        page_parts.append(
+            ex.where(F.col("kind") == "urlset").select(
+                "host", "loc", F.lit(depth).cast("long").alias("depth")
+            )
+        )
+        if depth + 1 == max_depth:
+            break
+        children = (
+            ex.where(F.col("kind") == "index")
+            .select("host", F.col("loc").alias("url"))
+            .distinct()
+        )
+        frontier = children.join(F.broadcast(visited), ["host", "url"], "left_anti")
+        visited = visited.unionByName(frontier)
+    out = page_parts[0]
+    for p in page_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -326,6 +326,159 @@ def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sitemap TREES: gzip payloads + nested sitemapindex ----------------------
+
+# Per host k = doc_id % 40 (the q_web_sitemap host family):
+#   root sitemap.xml  = sitemapindex listing c0.xml (plain urlset),
+#                       c1.xml.gz (GZIPPED urlset), and — even k only —
+#                       nested.xml.gz (a GZIPPED sitemapindex) that
+#                       lists c2.xml.gz AND the root itself (a cycle).
+#   page partition: even k by doc_id % 3 across c0/c1/c2 (c2 pages are
+#   therefore depth 2); odd k by doc_id % 2 across c0/c1 (all depth 1).
+_SITEMAP_TREE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, doc_id % 40 AS k,
+    'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.' ||
+      CASE WHEN doc_id % 4 = 1 THEN 'org'
+           WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS host
+  FROM documents
+),
+g AS (
+  SELECT host, k,
+         CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(SUM(CASE WHEN k % 2 = 0 AND doc_id % 3 = 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_depth2,
+         md5(array_to_string(
+           list_sort(list('https://' || host || '/doc/'
+                          || CAST(doc_id AS VARCHAR))), '|')) AS pages_md5
+  FROM h GROUP BY host, k
+)
+SELECT host, n_pages, n_depth2, pages_md5 FROM g ORDER BY host
+"""
+
+
+def _build_sitemap_tree(host: str, ids: list[int]) -> list[tuple[str, bytes]]:
+    """One host's sitemap file set as (url, payload-bytes) rows; gz
+    members via the plain gzip module (fixture side of the RFC 1952
+    contract sitemap_decode consumes)."""
+    import gzip
+
+    base = f"https://{host}"
+    k = int(host.split(".example.")[0].removeprefix("www.site"))
+
+    def urlset(page_ids: list[int]) -> bytes:
+        body = "".join(
+            f"<url><loc>\n  {base}/doc/{i} </loc>"
+            f"<lastmod>2026-01-01</lastmod></url>"
+            for i in sorted(page_ids)
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{body}</urlset>"
+        ).encode()
+
+    def index(child_urls: list[str]) -> bytes:
+        body = "".join(
+            f"<sitemap><loc> {u}\n</loc></sitemap>" for u in child_urls
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            "<!-- mentions <sitemapindex> in a comment -->"
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{body}</sitemapindex>"
+        ).encode()
+
+    gz = lambda b: gzip.compress(b, compresslevel=1)  # noqa: E731
+    rows: list[tuple[str, bytes]] = []
+    if k % 2 == 0:
+        rows.append(
+            (
+                f"{base}/sitemap.xml",
+                index(
+                    [f"{base}/c0.xml", f"{base}/c1.xml.gz", f"{base}/nested.xml.gz"]
+                ),
+            )
+        )
+        rows.append((f"{base}/c0.xml", urlset([i for i in ids if i % 3 == 0])))
+        rows.append((f"{base}/c1.xml.gz", gz(urlset([i for i in ids if i % 3 == 1]))))
+        # gzipped NESTED index; lists the root again (cycle) — the
+        # visited anti-join must make it contribute nothing
+        rows.append(
+            (
+                f"{base}/nested.xml.gz",
+                gz(index([f"{base}/c2.xml.gz", f"{base}/sitemap.xml"])),
+            )
+        )
+        rows.append((f"{base}/c2.xml.gz", gz(urlset([i for i in ids if i % 3 == 2]))))
+    else:
+        rows.append(
+            (f"{base}/sitemap.xml", index([f"{base}/c0.xml", f"{base}/c1.xml.gz"]))
+        )
+        rows.append((f"{base}/c0.xml", urlset([i for i in ids if i % 2 == 0])))
+        rows.append((f"{base}/c1.xml.gz", gz(urlset([i for i in ids if i % 2 == 1]))))
+    return rows
+
+
+@register("q_web_sitemap_index", oracle=_SITEMAP_TREE_ORACLE)
+def q_web_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap TREE resolution — the wild-form sitemap stack the flat
+    q_web_sitemap doesn't cover: per-host fixture trees whose root is
+    a sitemapindex, children alternate plain / GZIPPED (.xml.gz, the
+    dominant deployed form), even-k hosts add a gzipped NESTED index
+    (depth-2 pages) that also lists the root back (a cycle the
+    visited anti-join must neutralize). The resolver is depth-bounded
+    and declarative (resolve_sitemap_tree); the oracle states every
+    host's full page set, the depth-2 population, and the cycle's
+    no-double-count closed-form. Scale: sitemap tables are per-host
+    metadata — each level is a broadcast-able (host,url) join + a
+    row-local explode; page bytes never appear."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_TMPL.format(S="STRING"))
+    # single-file scan = one partition; spread it before the regex
+    # projection + fixture build (the verify-skill repartition lesson)
+    hosts = (
+        docs.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", W.url_host(url).alias("host"))
+    )
+
+    def mk(key, pdf):
+        host = str(key[0])
+        rows = _build_sitemap_tree(host, [int(i) for i in pdf["doc_id"]])
+        return pd.DataFrame(
+            [{"host": host, "url": u, "content": b} for u, b in rows]
+        )
+
+    files = hosts.groupBy("host").applyInPandas(
+        mk, "host string, url string, content binary"
+    )
+    # the decoded sitemap table is per-host metadata (<=5 small rows a
+    # host) consumed by every unrolled resolver level — checkpoint it
+    # so the fixture-build lineage runs once, not once per level (the
+    # AQE-reuse-doesn't-fire-across-pruned-consumers lesson)
+    sitemaps = W.sitemap_decode(files).localCheckpoint(eager=True)
+    roots = (
+        sitemaps.select("host").distinct().withColumn(
+            "url", F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml"))
+        )
+    )
+    pages = W.resolve_sitemap_tree(sitemaps, roots, max_depth=4)
+    return (
+        pages.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum((F.col("depth") == 2).cast("long")).alias("n_depth2"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("loc")), "|")
+            ).alias("pages_md5"),
+        )
+        .orderBy("host")
+    )
+
+
 # --- the full crawl -> robots composition -----------------------------------
 
 _HOST_SQL = (

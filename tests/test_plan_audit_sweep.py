@@ -90,6 +90,7 @@ _PYTHON_OK = {
     "q_multimodal_tiff",  # mapInPandas TIFF build + decode
     "q_warc_mixed_formats",  # WARC ingest + PDF + OOXML Arrow stages
     "q_web_sitemap",  # sitemap XML parse (host-sized mapInPandas)
+    "q_web_sitemap_index",  # host-sized tree fixture build + gz decode Arrow stages
 }
 
 

@@ -372,3 +372,68 @@ def test_outlinks_resolution_shapes(spark):
         (2, "https://www.h.example.com/dir/sub/z"),
         (3, "https://cdn.net/c"),
     ]
+
+
+def test_sitemap_decode_gz_and_corrupt(spark):
+    import gzip
+
+    xml = b'<?xml version="1.0"?><urlset><url><loc>https://h/x</loc></url></urlset>'
+    rows = [
+        ("h", "https://h/plain.xml", xml),
+        ("h", "https://h/ok.xml.gz", gzip.compress(xml)),
+        ("h", "https://h/bad.xml.gz", b"\x1f\x8b\x08" + b"\x00" * 20),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, content binary")
+    got = {r.url: r.sitemap_xml for r in W.sitemap_decode(df).collect()}
+    assert got["https://h/plain.xml"] == xml.decode()
+    assert got["https://h/ok.xml.gz"] == xml.decode()
+    # corrupt gzip degrades to an empty document, never raises
+    assert got["https://h/bad.xml.gz"] == ""
+    kinds = W.sitemap_decode(df).select(
+        "url", W.sitemap_kind(F.col("sitemap_xml")).alias("k")
+    )
+    assert {r.url: r.k for r in kinds.collect()}["https://h/bad.xml.gz"] == "unknown"
+
+
+def test_resolve_sitemap_tree_cycle_and_depth_bound(spark):
+    def index(children):
+        return "<sitemapindex>" + "".join(
+            f"<sitemap><loc>{c}</loc></sitemap>" for c in children
+        ) + "</sitemapindex>"
+
+    def urlset(pages):
+        return "<urlset>" + "".join(
+            f"<url><loc>{p}</loc></url>" for p in pages
+        ) + "</urlset>"
+
+    # root -> (a, cycle-back-to-root) ; a -> (b) ; b -> pages ; plus a
+    # LONG chain root2 -> i1 -> i2 -> i3 -> deep pages (i3's urlset is
+    # fetched at level 3, so max_depth=3 cuts it and max_depth=4 keeps it)
+    rows = [
+        ("h", "https://h/sitemap.xml", index(["https://h/a.xml", "https://h/sitemap.xml"])),
+        ("h", "https://h/a.xml", index(["https://h/b.xml"])),
+        ("h", "https://h/b.xml", urlset(["https://h/p1", "https://h/p2"])),
+        ("g", "https://g/sitemap.xml", index(["https://g/i1.xml"])),
+        ("g", "https://g/i1.xml", index(["https://g/i2.xml"])),
+        ("g", "https://g/i2.xml", index(["https://g/i3.xml"])),
+        ("g", "https://g/i3.xml", urlset(["https://g/deep"])),
+    ]
+    sitemaps = spark.createDataFrame(
+        rows, "host string, url string, sitemap_xml string"
+    )
+    roots = spark.createDataFrame(
+        [("h", "https://h/sitemap.xml"), ("g", "https://g/sitemap.xml")],
+        "host string, url string",
+    )
+    got = sorted(
+        (r.host, r.loc, r.depth)
+        for r in W.resolve_sitemap_tree(sitemaps, roots, max_depth=3).collect()
+    )
+    # the cycle double-counts nothing; g's depth-3 urlset is cut by the bound
+    assert got == [("h", "https://h/p1", 2), ("h", "https://h/p2", 2)]
+    # one level deeper and g's chain resolves
+    got4 = sorted(
+        (r.host, r.loc, r.depth)
+        for r in W.resolve_sitemap_tree(sitemaps, roots, max_depth=4).collect()
+    )
+    assert ("g", "https://g/deep", 3) in got4 and len(got4) == 3
