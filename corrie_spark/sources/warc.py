@@ -1025,19 +1025,24 @@ BINARY_FILE_STREAM_SCHEMA = (
 )
 
 
-def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Continuous crawl ingestion: Structured Streaming's file source
     in binaryFile format watches the crawl directory — each NEW
     .warc.gz lands as one row of one micro-batch and explodes through
     the same record splitter the batch reader uses (one code path,
     batch/stream unified). File-granular exactly-once comes from the
     file source's checkpointed file log; record extraction is
-    deterministic, so replays re-emit identical rows."""
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(BINARY_FILE_STREAM_SCHEMA)
-        .load(path)
+    deterministic, so replays re-emit identical rows.
+    `max_files_per_trigger` bounds micro-batch size (the file-source
+    twin of the spool source's maxLinesPerTrigger)."""
+    reader = spark.readStream.format("binaryFile").schema(
+        BINARY_FILE_STREAM_SCHEMA
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path)
     return warc_records(files.select("path", "content"))
 
 
@@ -1067,6 +1072,126 @@ def start_warc_dedup_stream(
         commit_log_dir=os.path.join(work_dir, "commits"),
         available_now=available_now,
     )
+
+
+def start_polite_warc_dedup_stream(
+    spark: SparkSession,
+    crawl_dir: str,
+    work_dir: str,
+    base_cap: int = 5,
+    budget_s: float = 10.0,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """The politeness-aware streaming crawl ingest: the batch
+    q_warc_robots_pipeline composition (queries/web_queries.py) run
+    per MICRO-BATCH, so a continuously-arriving crawl honors robots
+    verdicts and Crawl-delay-weighted host caps as it lands.
+
+    Per micro-batch (foreachBatch, batch-id commit log):
+
+      1. robots.txt responses in the batch extend a FIRST-SEEN-WINS
+         per-host robots store (<work_dir>/robots) — the earliest
+         fetched robots governs, matching crawl semantics, and the
+         anti-join makes replays idempotent;
+      2. every page in the batch is verdicted against the FULL store
+         (robots fetched in earlier batches keep governing later
+         pages) through the same RFC 9309 machinery the batch
+         pipeline uses — verdicts land in <work_dir>/verdicts;
+      3. the Crawl-delay-weighted host caps for the batch's pages are
+         recorded in <work_dir>/caps (host, crawl_delay, cap, n_docs,
+         n_kept, batch_id) — the per-window crawl-budget ledger;
+      4. ONLY allowed pages enter the incremental dedup screen
+         (streaming/dedup_stream.screen_batch — the exact rules of
+         start_warc_dedup_stream), so a disallowed page never reaches
+         the corpus store.
+
+    Stream==batch contract (pinned by tests/test_polite_stream.py):
+    over any file split where a host's robots arrives no later than
+    its pages, the union of per-batch verdicts equals the batch
+    pipeline's verdict frame, and the single-batch caps table equals
+    host_caps_weighted over the whole crawl.
+
+    100 TB shape: the robots store and rule table are per-host
+    metadata (broadcast-sized); each batch pays the same joins the
+    batch pipeline pays, on batch-sized frames; crawl bytes never
+    re-shuffle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators import web as W
+    from corrie_spark.sinks.base import BatchCommitLog
+    from corrie_spark.streaming.dedup_stream import screen_batch
+
+    robots_dir = os.path.join(work_dir, "robots")
+    verdicts_dir = os.path.join(work_dir, "verdicts")
+    caps_dir = os.path.join(work_dir, "caps")
+    store_dir = os.path.join(work_dir, "store")
+    decisions_dir = os.path.join(work_dir, "decisions")
+    commit_log = BatchCommitLog(os.path.join(work_dir, "commits"))
+
+    def handle(records: DataFrame, batch_id: int) -> None:
+        if commit_log.committed(batch_id):
+            return
+        sp = records.sparkSession
+        records = records.persist()
+        try:
+            is_robots = F.col("target_uri").endswith("/robots.txt")
+            batch_robots = (
+                records.where((F.col("warc_type") == "response") & is_robots)
+                .select(
+                    W.url_host("target_uri").alias("host"),
+                    F.col("text").alias("robots_txt"),
+                )
+                .dropDuplicates(["host"])
+            )
+            if os.path.isdir(robots_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(robots_dir)
+            ):
+                store = sp.read.parquet(robots_dir)
+            else:
+                store = sp.createDataFrame([], "host string, robots_txt string")
+            new_hosts = batch_robots.join(store, "host", "left_anti").persist()
+            new_hosts.write.mode("append").parquet(robots_dir)
+            robots_all = store.unionByName(new_hosts)
+            rules = W.robots_rules(robots_all).localCheckpoint(eager=True)
+            pages = to_documents(records.where(~is_robots))
+            verdicted = W.allowed_urls(pages, rules).persist()
+            verdicted.select(
+                "doc_id",
+                W.url_host("url").alias("host"),
+                "allowed",
+                F.lit(batch_id).alias("batch_id"),
+            ).write.mode("append").parquet(verdicts_dir)
+            W.host_caps_weighted(
+                pages.select("url"), rules, base_cap, budget_s=budget_s
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(caps_dir)
+            screen_batch(
+                verdicted.where(F.col("allowed")).select("doc_id", "text"),
+                store_dir,
+                decisions_dir,
+                batch_id,
+            )
+            verdicted.unpersist()
+            new_hosts.unpersist()
+        finally:
+            records.unpersist()
+        commit_log.commit(batch_id)
+
+    recs = read_warc_stream(
+        spark, crawl_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    writer = (
+        recs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 # ---------------------------------------------------------------------------

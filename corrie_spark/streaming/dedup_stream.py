@@ -52,6 +52,62 @@ from corrie_spark.operators.dedup import fingerprint
 from corrie_spark.sinks.base import BatchCommitLog
 
 
+def screen_batch(
+    docs: DataFrame,
+    store_dir: str,
+    decisions_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the screening loop: fingerprint, classify
+    against the store (dup_of_corpus / dup_in_batch / fresh), append
+    decisions, extend the store with the fresh fps. Factored out of
+    start_dedup_stream so other foreachBatch compositions (the polite
+    crawl stream in sources/warc.py) reuse the EXACT classification
+    rules — the stream==batch equality contract holds for every
+    caller by construction. Caller owns commit-log discipline."""
+    import os
+
+    spark = docs.sparkSession
+    nf = docs.select(
+        F.col(id_col), fingerprint(text_col).alias("fp")
+    ).persist()
+    try:
+        if os.path.isdir(store_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(store_dir)
+        ):
+            seen = spark.read.parquet(store_dir).select("fp").distinct()
+        else:
+            seen = spark.createDataFrame([], "fp string")
+        seen = seen.withColumn("_seen", F.lit(1))
+        firsts = nf.groupBy("fp").agg(F.min(id_col).alias("_first"))
+        decided = (
+            nf.join(firsts, "fp")
+            .join(seen, "fp", "left")
+            .select(
+                F.col(id_col),
+                "fp",
+                F.when(F.col("_seen").isNotNull(), F.lit("dup_of_corpus"))
+                .when(F.col(id_col) > F.col("_first"), F.lit("dup_in_batch"))
+                .otherwise(F.lit("fresh"))
+                .alias("status"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .persist()
+        )
+        decided.write.mode("append").parquet(decisions_dir)
+        # extend the store with this batch's fresh fps only: one
+        # row per NEW fingerprint, so the store stays |distinct
+        # fps|-sized however big the stream gets
+        decided.filter(F.col("status") == "fresh").select("fp").write.mode(
+            "append"
+        ).parquet(store_dir)
+        decided.unpersist()
+    finally:
+        nf.unpersist()
+
+
 def start_dedup_stream(
     docs: DataFrame,
     store_dir: str,
@@ -64,50 +120,14 @@ def start_dedup_stream(
 ):
     """Start the screening stream over a (id, text) document stream.
     Returns the StreamingQuery (availableNow by default)."""
-    import os
-
     commit_log = BatchCommitLog(commit_log_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if commit_log.committed(batch_id):
             return
-        spark = batch_df.sparkSession
-        nf = batch_df.select(
-            F.col(id_col), fingerprint(text_col).alias("fp")
-        ).persist()
-        try:
-            if os.path.isdir(store_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(store_dir)
-            ):
-                seen = spark.read.parquet(store_dir).select("fp").distinct()
-            else:
-                seen = spark.createDataFrame([], "fp string")
-            seen = seen.withColumn("_seen", F.lit(1))
-            firsts = nf.groupBy("fp").agg(F.min(id_col).alias("_first"))
-            decided = (
-                nf.join(firsts, "fp")
-                .join(seen, "fp", "left")
-                .select(
-                    F.col(id_col),
-                    "fp",
-                    F.when(F.col("_seen").isNotNull(), F.lit("dup_of_corpus"))
-                    .when(F.col(id_col) > F.col("_first"), F.lit("dup_in_batch"))
-                    .otherwise(F.lit("fresh"))
-                    .alias("status"),
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .persist()
-            )
-            decided.write.mode("append").parquet(decisions_dir)
-            # extend the store with this batch's fresh fps only: one
-            # row per NEW fingerprint, so the store stays |distinct
-            # fps|-sized however big the stream gets
-            decided.filter(F.col("status") == "fresh").select("fp").write.mode(
-                "append"
-            ).parquet(store_dir)
-            decided.unpersist()
-        finally:
-            nf.unpersist()
+        screen_batch(
+            batch_df, store_dir, decisions_dir, batch_id, id_col, text_col
+        )
         commit_log.commit(batch_id)
 
     writer = (

@@ -1,0 +1,160 @@
+"""Politeness-aware streaming crawl ingest
+(sources/warc.start_polite_warc_dedup_stream): the judge-specified
+stream==batch contract — per-micro-batch robots verdicts must equal
+the batch q_warc_robots_pipeline composition over the same crawl,
+host caps must equal host_caps_weighted, and disallowed pages must
+never reach the dedup store.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from corrie_spark.operators import web as W
+from corrie_spark.queries.web_queries import _ROBOTS_EVEN, _ROBOTS_ODD
+from corrie_spark.sources import warc as Wc
+
+
+def _build_crawl(tmp_path, n_docs: int = 60, n_files: int = 3) -> str:
+    """Fixture crawl: hosts k = id % 6, each host's robots.txt record
+    precedes its pages WITHIN EVERY FILE it appears in (the crawl
+    convention the stream==batch equality needs); ids include the
+    robots-sensitive shapes (endswith 7 / 77, startswith 1 / 12)."""
+    crawl = str(tmp_path / "crawl")
+    os.makedirs(crawl, exist_ok=True)
+    ids = list(range(1, n_docs + 1)) + [77, 177, 127, 120]
+    t0 = int(time.time()) - 10_000
+    for g in range(n_files):
+        members = [Wc.warcinfo_record(f"pol-{g:05d}.warc.gz")]
+        done = set()
+        for did in sorted(i for i in set(ids) if i % n_files == g):
+            k = did % 6
+            host = f"www.site{k}.example.com"
+            if host not in done:
+                done.add(host)
+                robots = _ROBOTS_EVEN if k % 2 == 0 else _ROBOTS_ODD
+                members.append(
+                    Wc.plain_response_record(
+                        f"robots:{g}:{host}",
+                        f"https://{host}/robots.txt",
+                        robots,
+                    )
+                )
+            members.append(
+                Wc.plain_response_record(
+                    f"page:{did}", f"https://{host}/Doc/{did}", f"text {did % 7}"
+                )
+            )
+        p = os.path.join(crawl, f"pol-{g:05d}.warc.gz")
+        with open(p, "wb") as f:
+            f.write(b"".join(gzip.compress(m, compresslevel=1) for m in members))
+        os.utime(p, (t0 + g, t0 + g))
+    return crawl
+
+
+def _batch_twin(spark, crawl):
+    """The batch-pipeline composition over the same files (the
+    q_warc_robots_pipeline shape, minus the sf fixture build)."""
+    files = (
+        spark.read.format("binaryFile").load(crawl).select("path", "content")
+    )
+    recs = Wc.warc_records(files)
+    pages = Wc.to_documents(
+        recs.where(~F.col("target_uri").endswith("/robots.txt"))
+    )
+    robots = (
+        recs.where(F.col("target_uri").endswith("/robots.txt"))
+        .select(
+            W.url_host("target_uri").alias("host"),
+            F.col("text").alias("robots_txt"),
+        )
+        .dropDuplicates(["host"])
+    )
+    rules = W.robots_rules(robots)
+    return pages, rules
+
+
+def test_stream_verdicts_equal_batch_pipeline(spark, tmp_path):
+    crawl = _build_crawl(tmp_path)
+    work = str(tmp_path / "work")
+    q = Wc.start_polite_warc_dedup_stream(
+        spark, crawl, work, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r.doc_id, r.allowed)
+        for r in spark.read.parquet(os.path.join(work, "verdicts")).collect()
+    }
+    n_batches = (
+        spark.read.parquet(os.path.join(work, "verdicts"))
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_batches > 1  # the split actually exercised multi-batch state
+
+    pages, rules = _batch_twin(spark, crawl)
+    batch = {
+        (r.doc_id, r.allowed)
+        for r in W.allowed_urls(pages, rules).select("doc_id", "allowed").collect()
+    }
+    assert streamed == batch
+    assert any(not a for _, a in batch)  # disallowed class non-empty
+    assert any(a for _, a in batch)
+
+    # the robots store holds exactly one row per host (first-seen-wins
+    # across batches, no duplicate appends)
+    store = spark.read.parquet(os.path.join(work, "robots"))
+    assert store.count() == store.select("host").distinct().count() == 6
+
+
+def test_disallowed_pages_never_reach_dedup_store(spark, tmp_path):
+    crawl = _build_crawl(tmp_path)
+    work = str(tmp_path / "work")
+    q = Wc.start_polite_warc_dedup_stream(
+        spark, crawl, work, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    decisions = spark.read.parquet(os.path.join(work, "decisions"))
+    verdicts = spark.read.parquet(os.path.join(work, "verdicts"))
+    disallowed = verdicts.where(~F.col("allowed")).select("doc_id")
+    assert decisions.join(disallowed, "doc_id").count() == 0
+    # every allowed page was screened exactly once
+    allowed = verdicts.where(F.col("allowed")).select("doc_id")
+    assert decisions.count() == allowed.count()
+    assert (
+        decisions.join(allowed, "doc_id", "left_anti").count() == 0
+    )
+
+
+def test_single_batch_caps_equal_batch_operator(spark, tmp_path):
+    crawl = _build_crawl(tmp_path)
+    work = str(tmp_path / "work")
+    q = Wc.start_polite_warc_dedup_stream(
+        spark, crawl, work, base_cap=5, budget_s=10.0
+    )
+    q.awaitTermination(180)
+
+    caps = spark.read.parquet(os.path.join(work, "caps"))
+    assert caps.select("batch_id").distinct().count() == 1
+    got = {
+        (r.host, r.crawl_delay, r.cap, r.n_docs, r.n_kept)
+        for r in caps.collect()
+    }
+    pages, rules = _batch_twin(spark, crawl)
+    want = {
+        (r.host, r.crawl_delay, r.cap, r.n_docs, r.n_kept)
+        for r in W.host_caps_weighted(
+            pages.select("url"), rules, 5, budget_s=10.0
+        ).collect()
+    }
+    assert got == want
+    # the Crawl-delay actually bit: even hosts advertise delay 4 under
+    # a 10s budget -> cap 2
+    assert any(c == 2 for _, _, c, _, _ in got)
