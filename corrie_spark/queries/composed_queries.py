@@ -54,7 +54,7 @@ FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
     )
 
 
-@register("q_sim_hard_negatives", oracle=_hardneg_oracle())
+@register("q_sim_hard_negatives", oracle=_hardneg_oracle(), python_stages="partial-top-k consumer (cluster-excluded)")
 def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: each query's
     top-10 most-similar vectors EXCLUDING anything in the query's own
@@ -347,7 +347,7 @@ FROM bucketed GROUP BY size_bucket ORDER BY size_bucket""",
     )
 
 
-@register("q_multimodal_text_quality", oracle=_mm_text_quality_oracle())
+@register("q_multimodal_text_quality", oracle=_mm_text_quality_oracle(), python_stages="rides the dhash-cluster memo (Arrow decode)")
 def q_multimodal_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-text pair quality — the FOURTH cross-subsystem
     composition proof (round-7 verdict #7): per IMAGE-dedup-cluster
@@ -517,7 +517,7 @@ def _shared_mixed_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "mixed_crawl_records", build)
 
 
-@register("q_warc_mixed_formats", oracle=_mixed_oracle())
+@register("q_warc_mixed_formats", oracle=_mixed_oracle(), python_stages="WARC ingest + PDF + OOXML Arrow stages")
 def q_warc_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real crawl-ingest shape, END-TO-END: one WARC stream whose
     responses carry HTML pages, real PDFs and real DOCX containers

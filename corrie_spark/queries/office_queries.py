@@ -64,7 +64,7 @@ FROM lns
 """
 
 
-@register("q_office_docx", oracle=_DOCX_ORACLE)
+@register("q_office_docx", oracle=_DOCX_ORACLE, python_stages="mapInPandas ZIP/OOXML build + parse")
 def q_office_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOCX ingestion through the from-spec container reader: one
     fixture .docx per document (ZIP central directory, stored AND
@@ -98,7 +98,7 @@ FROM pgs, UNNEST(range(0, len(pg))) AS a(i)
 """
 
 
-@register("q_office_pptx", oracle=_PPTX_ORACLE)
+@register("q_office_pptx", oracle=_PPTX_ORACLE, python_stages="same Arrow container stage, slide fan-out")
 def q_office_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPTX ingestion: one slide per fixture page (the PDF family's
     3-line page rule, so ONE closed-form CTE gates both formats), one
@@ -127,7 +127,7 @@ FROM lns
 """
 
 
-@register("q_office_xlsx", oracle=_XLSX_ORACLE)
+@register("q_office_xlsx", oracle=_XLSX_ORACLE, python_stages="same Arrow container stage, sharedStrings index")
 def q_office_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLSX ingestion: SpreadsheetML cells resolve through the
     sharedStrings index (the fixture dedups repeated words into one
@@ -156,7 +156,7 @@ FROM ex
 """
 
 
-@register("q_office_epub", oracle=_EPUB_ORACLE)
+@register("q_office_epub", oracle=_EPUB_ORACLE, python_stages="container stage; HTML strip is the JVM chain")
 def q_office_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPUB ingestion composed with the crawl HTML pipeline: the OCF
     container stage emits RAW chapter xhtml (kind 'epub-xhtml'), and
@@ -188,7 +188,7 @@ FROM lns
 """
 
 
-@register("q_office_rtf", oracle=_RTF_ORACLE)
+@register("q_office_rtf", oracle=_RTF_ORACLE, python_stages="same Arrow stage, control-word state machine")
 def q_office_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RTF extraction through the control-word state machine: one
     paragraph per fixture line behind a real header (font/color
@@ -222,7 +222,7 @@ FROM lns
 """
 
 
-@register("q_office_doc", oracle=_DOC_ORACLE)
+@register("q_office_doc", oracle=_DOC_ORACLE, python_stages="same Arrow stage, CFB + piece-table walk")
 def q_office_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy binary .doc through the from-spec MS-CFB + MS-DOC
     reader: compound-file FAT/mini-FAT walk -> FIB -> table stream ->
@@ -262,7 +262,7 @@ FROM pgs JOIN lns USING (doc_id)
 """
 
 
-@register("q_office_sniff", oracle=_SNIFF_ORACLE)
+@register("q_office_sniff", oracle=_SNIFF_ORACLE, python_stages="mixed-kind Arrow stage, routing by magic")
 def q_office_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-kind SNIFFING under fire: one mixed frame where each
     document is written as docx/pptx/xlsx/rtf/legacy-doc by doc_id%5
@@ -317,7 +317,7 @@ FROM documents
 """
 
 
-@register("q_office_crossformat_dedup", oracle=_XFMT_ORACLE)
+@register("q_office_crossformat_dedup", oracle=_XFMT_ORACLE, python_stages="triple-format Arrow build + parse")
 def q_office_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format extraction IDENTITY, the capstone gate: every
     document is written as docx AND rtf AND legacy .doc, all three run

@@ -78,7 +78,7 @@ def _shared_pdf_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "pdf_records", build)
 
 
-@register("q_pdf_ingest", oracle=_PDF_INGEST_ORACLE)
+@register("q_pdf_ingest", oracle=_PDF_INGEST_ORACLE, python_stages="mapInPandas fixture build + from-spec PDF parse")
 def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF ingestion through the full from-spec reader: distributed
     fixture build (one deterministic PDF per document; FlateDecode
@@ -113,7 +113,7 @@ FROM pgs
 """
 
 
-@register("q_pdf_corpus", oracle=_PDF_CORPUS_ORACLE)
+@register("q_pdf_corpus", oracle=_PDF_CORPUS_ORACLE, python_stages="consumes the same parsed page frame")
 def q_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-build composition over the PDF crawl: page rows ->
     documents-schema accounting (page counts, multi-page docs, total
@@ -158,7 +158,7 @@ FROM l
 """
 
 
-@register("q_pdf_fonts", oracle=_PDF_FONTS_ORACLE)
+@register("q_pdf_fonts", oracle=_PDF_FONTS_ORACLE, python_stages="mapInPandas fixture build + font-aware PDF parse")
 def q_pdf_fonts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Font-encoding machinery end-to-end (the round-10 verdict's #1
     missing item): each document becomes a PDF showing its first
@@ -217,7 +217,7 @@ FROM toks WHERE len(t) > 0
 """
 
 
-@register("q_pdf_links", oracle=_PDF_LINKS_ORACLE)
+@register("q_pdf_links", oracle=_PDF_LINKS_ORACLE, python_stages="mapInPandas fixture build + annotation walk")
 def q_pdf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL discovery from PDFs — the frontier stage HTML pages get
     from q_web_outlinks: /Annots -> /Link -> URI actions walked

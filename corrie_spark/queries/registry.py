@@ -32,6 +32,13 @@ class Query:
     spark: SparkQuery
     oracle: str | None
     doc: str = ""
+    # one-line justification for every Python/Arrow stage this query's
+    # executed plan legitimately contains (None = plan must be pure
+    # JVM). THE single source of truth: tests/test_plan_audit_sweep.py
+    # derives its allowlist from this field and tools/plan_audit.py
+    # prints it — a new query cannot carry an undocumented Python
+    # stage without failing the sweep.
+    python_stages: str | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -59,8 +66,15 @@ def _widen_ints(df: DataFrame) -> DataFrame:
     return df.withColumns({c: F.col(c).cast("long") for c in narrow})
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator: register a Spark query fn under `name`."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    python_stages: str | None = None,
+):
+    """Decorator: register a Spark query fn under `name`.
+    `python_stages` documents (and thereby allows) any Python/Arrow
+    stage in the query's executed plan — see Query.python_stages."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         def widened(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +82,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
         widened.__name__ = fn.__name__
         widened.__doc__ = fn.__doc__
-        _REGISTRY[name] = Query(name=name, spark=widened, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = Query(
+            name=name,
+            spark=widened,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            python_stages=python_stages,
+        )
         return fn
 
     return deco
@@ -87,6 +107,17 @@ def all_queries() -> dict[str, SparkQuery]:
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
     return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+def all_python_stage_notes() -> dict[str, str]:
+    """name -> declared Python-stage justification, for every query
+    that registered one (the plan-sweep allowlist, derived)."""
+    _ensure_loaded()
+    return {
+        name: q.python_stages
+        for name, q in _REGISTRY.items()
+        if q.python_stages is not None
+    }
 
 
 _loaded = False

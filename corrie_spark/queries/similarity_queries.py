@@ -63,7 +63,7 @@ def _bf_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "bf_truth_k10", build)
 
 
-@register("q_sim_cosine_topk", oracle=_TOPK_ORACLE)
+@register("q_sim_cosine_topk", oracle=_TOPK_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 neighbors by (quantized) cosine for 5 query
     vectors: broadcast queries x corpus scan, partial per-partition
@@ -119,7 +119,7 @@ SELECT query_id, neighbor_id, rnk, dot FROM r WHERE rnk <= 10
 """
 
 
-@register("q_sim_ann_lsh", oracle=_ANN_ORACLE)
+@register("q_sim_ann_lsh", oracle=_ANN_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH buckets (8 planes)
     + exact re-rank inside buckets — the 100 TB path: cost per bucket,
@@ -164,7 +164,7 @@ SELECT query_id, neighbor_id, rnk, dot FROM r WHERE rnk <= 10
 """
 
 
-@register("q_sim_ann_multiprobe", oracle=_MULTIPROBE_ORACLE)
+@register("q_sim_ann_multiprobe", oracle=_MULTIPROBE_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified ANN: 2 independent 10-plane hash tables, candidate
     = collision in ANY table, exact re-rank once per distinct pair.
@@ -225,7 +225,7 @@ SELECT query_id, neighbor_id, rnk, dot FROM r WHERE rnk <= 10
 """
 
 
-@register("q_sim_ivf", oracle=_IVF_ORACLE)
+@register("q_sim_ivf", oracle=_IVF_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: per-cell integer centroids (floor-mean), probe
     the top-2 cells per query by centroid dot product, exact re-rank
@@ -314,7 +314,7 @@ ORDER BY t.query_id
 """
 
 
-@register("q_sim_ivf_recall", oracle=_RECALL_ORACLE)
+@register("q_sim_ivf_recall", oracle=_RECALL_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the IVF path against brute-force ground truth, per
     query — the metric you tune nprobe against before trusting ANN at
@@ -469,7 +469,7 @@ ORDER BY t.query_id
 """
 
 
-@register("q_sim_ivf_trained_recall", oracle=_TRAINED_RECALL_ORACLE)
+@register("q_sim_ivf_trained_recall", oracle=_TRAINED_RECALL_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of IVF over Lloyd-TRAINED cells vs brute-force truth
     — the end-to-end gate for the in-engine trainer
@@ -594,7 +594,7 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _memo(spark, sf_dir, "pq_index", build)
 
 
-@register("q_sim_pq_topk", oracle=_PQ_TOPK_ORACLE)
+@register("q_sim_pq_topk", oracle=_PQ_TOPK_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 by product quantization + asymmetric
     distance: 8 subspaces x 16 codes (8-byte codes, 64x compression),
@@ -639,7 +639,7 @@ ORDER BY t.query_id
 """
 
 
-@register("q_sim_pq_recall", oracle=_PQ_RECALL_ORACLE)
+@register("q_sim_pq_recall", oracle=_PQ_RECALL_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the PQ/ADC path against brute-force truth — how
     much ranking quality 64x compression costs, per query. Reuses the
@@ -709,7 +709,7 @@ SELECT query_id, neighbor_id, rnk, approx_dot FROM ipq_r WHERE rnk <= 10
 """
 
 
-@register("q_sim_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+@register("q_sim_ivfpq_topk", oracle=_IVFPQ_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ: probe the top-2 coarse cells by centroid dot, then
     ADC-score only the 8-byte PQ codes inside probed cells — the
@@ -782,7 +782,7 @@ ORDER BY cell, id_a, id_b
 """
 
 
-@register("q_semdedup_pairs", oracle=_SEMDEDUP_PAIRS_ORACLE)
+@register("q_semdedup_pairs", oracle=_SEMDEDUP_PAIRS_ORACLE, python_stages="per-cell numpy Gram block (applyInPandas)")
 def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dup pairs: cosine >= 0.35 restricted to
     within-Lloyd-cell blocks — the clustering bound that replaces
@@ -807,7 +807,7 @@ ORDER BY c.cell
 """
 
 
-@register("q_semdedup_survivors", oracle=_SEMDEDUP_REPORT_ORACLE)
+@register("q_semdedup_survivors", oracle=_SEMDEDUP_REPORT_ORACLE, python_stages="consumes the same Gram pair frame")
 def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell SemDeDup pruning report under the deterministic
     keep-min-id representative policy — what fraction of each
@@ -854,7 +854,7 @@ LIMIT {_COV_TOPK}
 """
 
 
-@register("q_emb_covariance", oracle=_COV_ORACLE)
+@register("q_emb_covariance", oracle=_COV_ORACLE, python_stages="gram_cells: one numpy X^T X per Arrow batch")
 def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed covariance: the strongest 15 off-diagonal
     entries of the embedding covariance matrix as EXACT integers
@@ -1082,7 +1082,7 @@ def _res_pq_index(spark: SparkSession, sf_dir: str):
     return _memo(spark, sf_dir, "res_pq_index", build)
 
 
-@register("q_sim_ivfpq_res_recall", oracle=_IVFPQ_RES_RECALL_ORACLE)
+@register("q_sim_ivfpq_res_recall", oracle=_IVFPQ_RES_RECALL_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of RESIDUAL IVF-PQ (codebooks over vector-minus-
     centroid residuals, ADC = probe-time cell dot + residual lookups
@@ -1165,7 +1165,7 @@ SELECT query_id, neighbor_id, rnk, approx_dot FROM rr WHERE rnk <= 10
 """
 
 
-@register("q_sim_ivfpq_res_topk", oracle=_IVFPQ_RES_TOPK_ORACLE)
+@register("q_sim_ivfpq_res_topk", oracle=_IVFPQ_RES_TOPK_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ top-10 (the value-level twin of the recall
     gate): probed cells' decomposed ADC scores checked row-for-row
@@ -1210,7 +1210,7 @@ _IVFPQ_REFINED_ORACLE = _IVFPQ_RES_RECALL_ORACLE.replace(
 )
 
 
-@register("q_sim_ivfpq_refined_recall", oracle=_IVFPQ_REFINED_ORACLE)
+@register("q_sim_ivfpq_refined_recall", oracle=_IVFPQ_REFINED_ORACLE, python_stages="partial-top-k consumer (refine re-rank)")
 def q_sim_ivfpq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of residual IVF-PQ + REFINE (exact integer re-rank of
     the top-40 ADC candidates against raw vectors fetched by id-keyed
@@ -1364,7 +1364,7 @@ ORDER BY t.query_id
 """
 
 
-@register("q_sim_matryoshka_recall", oracle=_MAT_ORACLE)
+@register("q_sim_matryoshka_recall", oracle=_MAT_ORACLE, python_stages="partial-top-k consumer (prefix dims)")
 def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of retrieval over the FIRST {_MAT_DIM} embedding
     dimensions vs full-dim ground truth — the Matryoshka-representation
@@ -1463,7 +1463,7 @@ def _sq8_index(spark: SparkSession, sf_dir: str):
     return _memo(spark, sf_dir, "sq8_index", build)
 
 
-@register("q_sim_sq8_topk", oracle=_SQ8_TOPK_ORACLE)
+@register("q_sim_sq8_topk", oracle=_SQ8_TOPK_ORACLE, python_stages="partial-top-k consumer (SQ8 ADC)")
 def q_sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 by SQ8 scalar quantization + ADC: per-dim
     [min, max] split into 256 cells, 1 byte per dimension (8x
@@ -1509,7 +1509,7 @@ ORDER BY t.query_id
 """
 
 
-@register("q_sim_sq8_recall", oracle=_SQ8_RECALL_ORACLE)
+@register("q_sim_sq8_recall", oracle=_SQ8_RECALL_ORACLE, python_stages="same")
 def q_sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the SQ8/ADC path against brute-force truth — what
     8x compression costs in ranking quality (expected near-1.0: SQ8
@@ -1794,7 +1794,7 @@ WITH base AS (
 """
 
 
-@register("q_sim_seeding_quality", oracle=_SEEDING_ORACLE)
+@register("q_sim_seeding_quality", oracle=_SEEDING_ORACLE, python_stages="rides the trained/kcenter memos (local_topk lineage)")
 def q_sim_seeding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-cell quantization error (SSE to the floor-mean centroid)
     for the three coarse-quantizer initializations side by side —
@@ -2040,7 +2040,7 @@ ORDER BY t.query_id
 """
 
 
-@register("q_sim_matryoshka_cascade", oracle=_CASCADE_ORACLE)
+@register("q_sim_matryoshka_cascade", oracle=_CASCADE_ORACLE, python_stages="two partial-top-k stages (beam + re-rank)")
 def q_sim_matryoshka_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Matryoshka serving cascade: generate a {C}-candidate beam
     with the FIRST {16} dims only (4x less memory bandwidth per

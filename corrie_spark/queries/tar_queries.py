@@ -62,7 +62,7 @@ def _shared_wds_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "wds_records", build)
 
 
-@register("q_wds_ingest", oracle=_WDS_ORACLE)
+@register("q_wds_ingest", oracle=_WDS_ORACLE, python_stages="applyInPandas shard build + mapInPandas tar walk")
 def q_wds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset shard ingestion through the from-spec ustar reader:
     distributed shard build (txt/json/cls triple per sample, half the
@@ -100,7 +100,7 @@ FROM documents
 """
 
 
-@register("q_wds_media", oracle=_WDS_MEDIA_ORACLE)
+@register("q_wds_media", oracle=_WDS_MEDIA_ORACLE, python_stages="applyInPandas shard build + tar walk + TIFF decode")
 def q_wds_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal-training-shard shape END-TO-END: WebDataset tar
     shards whose samples carry {key}.txt + {key}.tiff pairs; the

@@ -2210,7 +2210,7 @@ ORDER BY source
 """
 
 
-@register("q_text_zipf", oracle=_ZIPF_ORACLE)
+@register("q_text_zipf", oracle=_ZIPF_ORACLE, python_stages="partial-top-k head cut before the regression")
 def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit per source: regress quantized ln(term frequency)
     on quantized ln(rank) over each source's top-{k} terms. The slope
@@ -2300,7 +2300,7 @@ ORDER BY source, rnk
 """
 
 
-@register("q_mix_weighted_sample", oracle=_WRS_ORACLE)
+@register("q_mix_weighted_sample", oracle=_WRS_ORACLE, python_stages="partial-top-k consumer (A-ES keys)")
 def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional sample WITHOUT replacement, {k} docs per
     source, weight = n_chars + 1 (longer docs proportionally more

@@ -108,7 +108,7 @@ def _shared_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "warc_records", build)
 
 
-@register("q_warc_ingest", oracle=_INGEST_ORACLE)
+@register("q_warc_ingest", oracle=_INGEST_ORACLE, python_stages="applyInPandas fixture build + mapInPandas gzip/WARC split")
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl ingestion through the full reader: distributed fixture
     build (one .warc.gz per applyInPandas group, every record its own
@@ -149,7 +149,7 @@ FROM b
 """
 
 
-@register("q_warc_corpus", oracle=_CORPUS_ORACLE)
+@register("q_warc_corpus", oracle=_CORPUS_ORACLE, python_stages="consumes the same ingested record frame")
 def q_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-build composition over the crawl: ingested records ->
     documents schema (to_documents) -> exact-dedup accounting. The
@@ -216,7 +216,7 @@ FROM ex WHERE doc_id % {W.DUP_MOD} = 0
 """
 
 
-@register("q_warc_html_pipeline", oracle=_HTML_PIPE_ORACLE)
+@register("q_warc_html_pipeline", oracle=_HTML_PIPE_ORACLE, python_stages="same WARC Arrow ingest stage, HTML fixture")
 def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-to-text composition, three oracle-checked subsystems
     in one gated statement: WARC framing (gzip members, record
@@ -267,7 +267,7 @@ FROM resp
 """
 
 
-@register("q_warc_cdx", oracle=_CDX_ORACLE)
+@register("q_warc_cdx", oracle=_CDX_ORACLE, python_stages="consumes the same ingested record frame (CDX projection)")
 def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture-index emission (the IIPC/Common Crawl shape) from
     the ingested record frame: SURT urlkey (reversed host labels +
@@ -318,7 +318,7 @@ def _shared_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "wet_records", build)
 
 
-@register("q_wet_ingest", oracle=_WET_ORACLE)
+@register("q_wet_ingest", oracle=_WET_ORACLE, python_stages="same WARC Arrow ingest stage, WET fixture")
 def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET extracted-text ingestion (the *.warc.wet.gz layout most
     text pipelines actually consume): conversion records carry the
@@ -378,7 +378,7 @@ def _shared_recrawl_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "warc_recrawl_records", build)
 
 
-@register("q_warc_recrawl_diff", oracle=_RECRAWL_ORACLE)
+@register("q_warc_recrawl_diff", oracle=_RECRAWL_ORACLE, python_stages="consumes the two ingested record memos")
 def q_warc_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-crawl classification over the CDX index — the
     join the capture index exists for: two crawl snapshots of the same
@@ -465,7 +465,7 @@ def _shared_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "warc_revisit_records", build)
 
 
-@register("q_warc_revisit_resolve", oracle=_REVISIT_ORACLE)
+@register("q_warc_revisit_resolve", oracle=_REVISIT_ORACLE, python_stages="consumes the two ingested record memos")
 def q_warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revisit-record resolution — the round-10 verdict's missing item
     #2: snapshot B arrives DEDUPLICATED (unchanged pages are revisit

@@ -176,7 +176,7 @@ _ROBOTS_EVEN = (
 _ROBOTS_ODD = "User-agent: *\nDisallow:\n"  # empty Disallow = allow all
 
 
-@register("q_web_robots_filter", oracle=_ROBOTS_ORACLE)
+@register("q_web_robots_filter", oracle=_ROBOTS_ORACLE, python_stages="robots.txt rule parse (tiny mapInPandas, host-sized)")
 def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots filtering through the real parser and matcher:
     per-host robots.txt (group selection past a megabot-specific
@@ -234,7 +234,7 @@ FROM rules GROUP BY host, slow
 """
 
 
-@register("q_web_polite_caps", oracle=_POLITE_ORACLE)
+@register("q_web_polite_caps", oracle=_POLITE_ORACLE, python_stages="robots.txt rule parse (host-sized mapInPandas)")
 def q_web_polite_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl caps weighted by the robots Crawl-delay: a host
     asking for d seconds between fetches yields at most budget/d pages
@@ -280,7 +280,7 @@ FROM g
 """
 
 
-@register("q_web_sitemap", oracle=_SITEMAP_ORACLE)
+@register("q_web_sitemap", oracle=_SITEMAP_ORACLE, python_stages="sitemap XML parse (host-sized mapInPandas)")
 def q_web_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap XML frontier expansion (sitemaps.org): per-host urlset
     documents are BUILT in-plan (sorted <url><loc> entries with
@@ -420,7 +420,7 @@ def _build_sitemap_tree(host: str, ids: list[int]) -> list[tuple[str, bytes]]:
     return rows
 
 
-@register("q_web_sitemap_index", oracle=_SITEMAP_TREE_ORACLE)
+@register("q_web_sitemap_index", oracle=_SITEMAP_TREE_ORACLE, python_stages="host-sized tree fixture build + gz decode Arrow stages")
 def q_web_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap TREE resolution — the wild-form sitemap stack the flat
     q_web_sitemap doesn't cover: per-host fixture trees whose root is
@@ -567,7 +567,7 @@ def _shared_robots_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "robots_crawl_records", build)
 
 
-@register("q_warc_robots_pipeline", oracle=_CRAWL_ROBOTS_ORACLE)
+@register("q_warc_robots_pipeline", oracle=_CRAWL_ROBOTS_ORACLE, python_stages="applyInPandas fixture + mapInPandas ingest + robots parse")
 def q_warc_robots_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The politeness loop closed END-TO-END from crawl bytes: a
     multi-host fixture crawl carries each host's /robots.txt as an
@@ -619,7 +619,7 @@ FROM toks WHERE len(t) > 0
 """
 
 
-@register("q_text_markdown", oracle=_MD_ORACLE)
+@register("q_text_markdown", oracle=_MD_ORACLE, python_stages="Arrow fixture build; strip is the JVM chain")
 def q_text_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown structure strip through the real chain: each document
     becomes a fixture .md (headers, bold, links, inline code, bullets,
@@ -754,7 +754,7 @@ FROM documents
 """
 
 
-@register("q_web_frontier", oracle=_FRONTIER_ORACLE)
+@register("q_web_frontier", oracle=_FRONTIER_ORACLE, python_stages="robots.txt parse stage (host-sized mapInPandas)")
 def q_web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frontier loop COMPOSED: page -> outlink extraction ->
     RFC 3986 resolution -> per-link robots verdict (the wildcard rule
