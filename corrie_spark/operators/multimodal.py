@@ -1758,6 +1758,277 @@ def _decode_mp4_mjpeg(payload: bytes) -> dict:
     }
 
 
+# --- MPEG audio (MP3): frame-header scan + ID3 tags -------------------------
+# ISO/IEC 11172-3 §2.4.1.3 frame-header layout (+ the 13818-3 LSF
+# halved-frame variant) and the public id3.org ID3v2.3/2.4 and ID3v1
+# layouts. METADATA ONLY — frame headers are parsed and stepped over
+# by their computed byte length; the Huffman-coded granule payload is
+# never decoded (the decode seam in decode_payload stays the
+# documented external-decoder stub). This is the header-only walk the
+# jpeg_metadata stage does for images, for audio: duration, bitrate,
+# VBR-ness and tags per file at header-bytes cost.
+
+# Layer III bitrate tables, kbit/s (index 0 = "free format", 15 = bad)
+MP3_BITRATES_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+MP3_BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+# sampling-rate tables by version bits (11=MPEG1, 10=MPEG2, 00=MPEG2.5)
+MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _id3_syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _id3v2_parse(data: bytes) -> tuple[dict, int]:
+    """ID3v2 tag at offset 0 -> ({tag frame id -> text}, total tag
+    bytes consumed). Returns ({}, 0) when no tag. Text frames decode
+    by their encoding byte (0 latin-1, 1 UTF-16+BOM, 3 UTF-8)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}, 0
+    major = data[3]
+    flags = data[5]
+    size = _id3_syncsafe(data[6:10])
+    total = 10 + size + (10 if flags & 0x10 else 0)
+    tags: dict[str, str] = {}
+    pos, end = 10, min(10 + size, len(data))
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        fsz = (
+            _id3_syncsafe(data[pos + 4 : pos + 8])
+            if major >= 4
+            else int.from_bytes(data[pos + 4 : pos + 8], "big")
+        )
+        body = data[pos + 10 : pos + 10 + fsz]
+        pos += 10 + fsz
+        if fid.startswith(b"T") and body:
+            enc, text = body[0], body[1:]
+            try:
+                if enc == 0:
+                    s = text.decode("latin-1")
+                elif enc == 1:
+                    s = text.decode("utf-16")
+                elif enc == 3:
+                    s = text.decode("utf-8")
+                else:
+                    continue
+            except UnicodeDecodeError:
+                continue
+            tags[fid.decode("ascii")] = s.rstrip("\x00")
+    return tags, total
+
+
+def _mp3_header(b: bytes) -> dict | None:
+    """Parse 4 header bytes; None unless a valid Layer III header."""
+    if len(b) < 4 or b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
+        return None
+    version = (b[1] >> 3) & 0x3  # 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+    layer = (b[1] >> 1) & 0x3  # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    bidx = (b[2] >> 4) & 0xF
+    sidx = (b[2] >> 2) & 0x3
+    if bidx in (0, 15) or sidx == 3:
+        return None
+    kbps = (MP3_BITRATES_V1 if version == 3 else MP3_BITRATES_V2)[bidx]
+    sr = MP3_RATES[version][sidx]
+    pad = (b[2] >> 1) & 0x1
+    mode = (b[3] >> 6) & 0x3  # 3 = mono
+    # Layer III frame length incl. header (+CRC when protected):
+    # MPEG1 144 bytes/kbit, LSF versions half that (§2.4.2.3 / 13818-3)
+    factor = 144_000 if version == 3 else 72_000
+    return {
+        "version": version,
+        "kbps": kbps,
+        "sr": sr,
+        "channels": 1 if mode == 3 else 2,
+        "spf": 1152 if version == 3 else 576,
+        "frame_len": factor * kbps // sr + pad,
+    }
+
+
+def mp3_scan_bytes(data: bytes) -> dict:
+    """Whole-file MP3 scan: ID3v2 tags, frame walk with byte-wise
+    resync (junk between tag and first frame, or after the last
+    frame, costs its own bytes only — the gzip_members_at stance),
+    ID3v1 trailer detection. Returns file-level stats; a file with
+    zero valid frames reports ok=False."""
+    tags, pos = _id3v2_parse(data)
+    end = len(data)
+    has_id3v1 = end >= 128 and data[end - 128 : end - 125] == b"TAG"
+    if has_id3v1:
+        if not tags:
+            v1 = data[end - 128 :]
+            tags = {
+                "TIT2": v1[3:33].rstrip(b"\x00 ").decode("latin-1"),
+                "TPE1": v1[33:63].rstrip(b"\x00 ").decode("latin-1"),
+                "TALB": v1[63:93].rstrip(b"\x00 ").decode("latin-1"),
+            }
+        end -= 128
+    n_frames = 0
+    kbps_sum = 0
+    kbps_set: set[int] = set()
+    first: dict | None = None
+    while pos + 4 <= end:
+        h = _mp3_header(data[pos : pos + 4])
+        if h is None or pos + h["frame_len"] > end:
+            pos += 1  # resync
+            continue
+        if first is None:
+            first = h
+        elif (h["version"], h["sr"]) != (first["version"], first["sr"]):
+            pos += 1  # stray sync inside payload bytes, not our stream
+            continue
+        n_frames += 1
+        kbps_sum += h["kbps"]
+        kbps_set.add(h["kbps"])
+        pos += h["frame_len"]
+    if first is None:
+        return {"ok": False}
+    return {
+        "ok": True,
+        "mpeg_version": "mpeg1" if first["version"] == 3 else "mpeg2",
+        "sample_rate": first["sr"],
+        "channels": first["channels"],
+        "n_frames": n_frames,
+        "bitrate_kbps": kbps_sum / n_frames,
+        "is_vbr": len(kbps_set) > 1,
+        "duration_s": (n_frames * first["spf"]) / first["sr"],
+        "title": tags.get("TIT2"),
+        "artist": tags.get("TPE1"),
+        "album": tags.get("TALB"),
+        "has_id3v1": has_id3v1,
+    }
+
+
+def _mp3_frame(version: int, bidx: int, sidx: int, mode: int, pad: int,
+               protected: bool, seed: bytes) -> bytes:
+    """One fixture frame: header assembled from the same bit layout
+    the scanner parses, payload = deterministic filler bytes."""
+    b1 = 0xFF
+    b2 = 0xE0 | (version << 3) | (1 << 1) | (0 if protected else 1)
+    b3 = (bidx << 4) | (sidx << 2) | (pad << 1)
+    b4 = mode << 6
+    kbps = (MP3_BITRATES_V1 if version == 3 else MP3_BITRATES_V2)[bidx]
+    sr = MP3_RATES[version][sidx]
+    factor = 144_000 if version == 3 else 72_000
+    flen = factor * kbps // sr + pad
+    body = bytearray([b1, b2, b3, b4])
+    if protected:
+        body += b"\x00\x00"  # CRC16 placeholder (inside flen)
+    import hashlib
+
+    filler = hashlib.md5(seed).digest()
+    while len(body) < flen:
+        body += filler
+    return bytes(body[:flen])
+
+
+def encode_mp3(
+    doc_id: int,
+    n_frames: int,
+    version: int = 3,
+    bidx: int = 5,
+    sidx: int = 0,
+    mode: int = 0,
+    vbr: bool = False,
+    id3_major: int = 3,
+    title: str | None = None,
+    artist: str | None = None,
+    album: str | None = None,
+    id3v1: bool = False,
+    junk_prefix: bytes = b"",
+    junk_suffix: bytes = b"",
+) -> bytes:
+    """Deterministic fixture MP3 (oracle-twin builder): optional
+    ID3v2.3/2.4 tag, junk between tag and audio, Layer III frames
+    with alternating padding (and alternating bitrate when vbr),
+    optional ID3v1 trailer."""
+    out = bytearray()
+    if title is not None:
+        frames = bytearray()
+        for fid, text in (("TIT2", title), ("TPE1", artist), ("TALB", album)):
+            if text is None:
+                continue
+            body = (b"\x03" + text.encode("utf-8")
+                    if id3_major >= 4 else b"\x00" + text.encode("latin-1"))
+            sz = (bytes([(len(body) >> s) & 0x7F for s in (21, 14, 7, 0)])
+                  if id3_major >= 4 else len(body).to_bytes(4, "big"))
+            frames += fid.encode() + sz + b"\x00\x00" + body
+        out += (b"ID3" + bytes([id3_major, 0, 0])
+                + bytes([(len(frames) >> s) & 0x7F for s in (21, 14, 7, 0)])
+                + frames)
+    out += junk_prefix
+    for i in range(n_frames):
+        bi = bidx + (i % 2) if vbr else bidx
+        out += _mp3_frame(
+            version, bi, sidx, mode, (doc_id + i) % 2,
+            protected=(doc_id % 7 == 0), seed=f"mp3:{doc_id}:{i}".encode(),
+        )
+    out += junk_suffix
+    if id3v1:
+        v1 = bytearray(b"TAG")
+        v1 += (title or "").encode("latin-1")[:30].ljust(30, b"\x00")
+        v1 += (artist or "").encode("latin-1")[:30].ljust(30, b"\x00")
+        v1 += (album or "").encode("latin-1")[:30].ljust(30, b"\x00")
+        v1 += b"2026" + b"\x00" * 30 + b"\xff"
+        out += v1
+    return bytes(out)
+
+
+MP3_SCAN_DDL = (
+    "doc_id long, ok boolean, mpeg_version string, sample_rate long, "
+    "channels long, n_frames long, bitrate_kbps double, is_vbr boolean, "
+    "duration_s double, title string, artist string, album string, "
+    "has_id3v1 boolean"
+)
+
+
+def mp3_scan(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Crawl-scale MP3 metadata extraction (the audio twin of
+    jpeg_metadata): duration, bitrate, VBR-ness, channel count and
+    ID3 tags from a header-only frame walk — audio payload bytes are
+    stepped over, never decoded. Arrow map stage, zero shuffle; at
+    100 TB it rides the media scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    "doc_id": int(did), "ok": False, "mpeg_version": None,
+                    "sample_rate": None, "channels": None, "n_frames": None,
+                    "bitrate_kbps": None, "is_vbr": None, "duration_s": None,
+                    "title": None, "artist": None, "album": None,
+                    "has_id3v1": None,
+                }
+                try:
+                    row.update(mp3_scan_bytes(bytes(payload)))
+                except Exception:  # noqa: BLE001 — total function
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r["doc_id"] for r in out], dtype="Int64"),
+                    "ok": [r["ok"] for r in out],
+                    "mpeg_version": [r["mpeg_version"] for r in out],
+                    "sample_rate": pd.array([r["sample_rate"] for r in out], dtype="Int64"),
+                    "channels": pd.array([r["channels"] for r in out], dtype="Int64"),
+                    "n_frames": pd.array([r["n_frames"] for r in out], dtype="Int64"),
+                    "bitrate_kbps": [r["bitrate_kbps"] for r in out],
+                    "is_vbr": [r["is_vbr"] for r in out],
+                    "duration_s": [r["duration_s"] for r in out],
+                    "title": [r["title"] for r in out],
+                    "artist": [r["artist"] for r in out],
+                    "album": [r["album"] for r in out],
+                    "has_id3v1": [r["has_id3v1"] for r in out],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, MP3_SCAN_DDL)
+
+
 def decode_payload(media_type: str, payload: bytes) -> dict:
     """Decode seam. `fake/*` types use the deterministic codec;
     image/bmp, image/png (8-bit grey/RGB/palette, zlib-inflated +

@@ -43,7 +43,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_image_features", oracle=_IMG_ORACLE)
+@register("q_multimodal_image_features", oracle=_IMG_ORACLE, python_stages="multimodal codec decode (mapInPandas over binary payloads)")
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode + feature extraction over the synthetic media
     corpus; non-image rows surface as ok=false (K7-style per-row
@@ -69,7 +69,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_audio_features", oracle=_AUD_ORACLE)
+@register("q_multimodal_audio_features", oracle=_AUD_ORACLE, python_stages="multimodal codec decode (mapInPandas over binary payloads)")
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode + features (sample rate, duration, mean amplitude)
     over the same corpus; image/video rows -> ok=false."""
@@ -93,7 +93,7 @@ WHERE doc_id % 3 = 2
 """
 
 
-@register("q_multimodal_frame_stats", oracle=_FRAME_ORACLE)
+@register("q_multimodal_frame_stats", oracle=_FRAME_ORACLE, python_stages="multimodal codec decode (mapInPandas over binary payloads)")
 def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sample (every 2nd of 4 frames) fused with per-frame
     pixel stats — the explode-then-featurize stage of a video
@@ -129,7 +129,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_real_codecs", oracle=_REAL_CODEC_ORACLE)
+@register("q_multimodal_real_codecs", oracle=_REAL_CODEC_ORACLE, python_stages="multimodal codec decode (mapInPandas over binary payloads)")
 def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container codecs through the whole oracle gate, routed
     by doc_id % 4: 8-bpp BMPs (odd width, so the spec's 4-byte row
@@ -266,7 +266,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_jpeg_features", oracle=_JPEG_ORACLE)
+@register("q_multimodal_jpeg_features", oracle=_JPEG_ORACLE, python_stages="mapInPandas JPEG encode fixtures + decode")
 def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-image codec through the whole oracle gate: per-doc
     baseline JPEGs (the dominant crawl image format, closing the
@@ -375,7 +375,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_palette_codecs", oracle=_PALETTE_ORACLE)
+@register("q_multimodal_palette_codecs", oracle=_PALETTE_ORACLE, python_stages="mapInPandas GIF/palette-PNG build + decode")
 def q_multimodal_palette_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Palette-indexed image formats through the oracle gate:
     doc_id % 2 routes GIF89a (the repo's own variable-width LZW
@@ -481,7 +481,7 @@ FROM dec WHERE k = {_ADPCM_N}
 """
 
 
-@register("q_multimodal_adpcm_features", oracle=_ADPCM_ORACLE)
+@register("q_multimodal_adpcm_features", oracle=_ADPCM_ORACLE, python_stages="mapInPandas ADPCM build + state-machine decode")
 def q_multimodal_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-audio codec through the oracle gate: per-doc mono
     IMA ADPCM WAVs (format tag 0x0011 — 4-bit codes, the public IMA
@@ -558,7 +558,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_g711_features", oracle=_G711_ORACLE)
+@register("q_multimodal_g711_features", oracle=_G711_ORACLE, python_stages="mapInPandas G.711 build + table expand")
 def q_multimodal_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 telephony audio (format tags 7 mu-law / 6 A-law — the
     OTHER canonical compressed WAV next to ADPCM) through the oracle
@@ -625,7 +625,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_audio_fingerprint", oracle=_AFP_ORACLE)
+@register("q_multimodal_audio_fingerprint", oracle=_AFP_ORACLE, python_stages="mapInPandas WAV build + envelope hash")
 def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AUDIO dedup fingerprint through the oracle gate: the
     audio twin of the image dHash family — per-doc PCM WAVs (varying
@@ -683,7 +683,7 @@ FROM documents, (SELECT CAST(unnest([0, 2]) AS BIGINT) AS f) f
 """
 
 
-@register("q_multimodal_mjpeg_frames", oracle=_MJPEG_ORACLE)
+@register("q_multimodal_mjpeg_frames", oracle=_MJPEG_ORACLE, python_stages="mapInPandas AVI build + per-frame JPEG decode")
 def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-video codec through the oracle gate, closing the
     video half of the media seam: per-doc MJPEG AVIs (RIFF container
@@ -753,7 +753,7 @@ FROM documents, (SELECT CAST(unnest([0, 2, 4]) AS BIGINT) AS f) f
 """
 
 
-@register("q_multimodal_mp4_frames", oracle=_MP4_ORACLE)
+@register("q_multimodal_mp4_frames", oracle=_MP4_ORACLE, python_stages="mapInPandas ISO-BMFF build + demux + JPEG decode")
 def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP4 through the oracle gate — the LAST named container of the
     media seam: per-doc ISO-BMFF files (ftyp/mdat/moov box walk,
@@ -830,7 +830,7 @@ FROM documents, (SELECT CAST(unnest([0, 2]) AS BIGINT) AS f) f
 """
 
 
-@register("q_multimodal_gif_frames", oracle=_GIFA_ORACLE)
+@register("q_multimodal_gif_frames", oracle=_GIFA_ORACLE, python_stages="mapInPandas animated-GIF build + composite")
 def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTER-FRAME video through the oracle gate: per-doc animated
     GIF89a clips — each of 4 frames is a 3x3 rect DELTA composited
@@ -903,7 +903,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_video_fingerprint", oracle=_VFP_ORACLE)
+@register("q_multimodal_video_fingerprint", oracle=_VFP_ORACLE, python_stages="mapInPandas AVI build + frame-arc hash")
 def q_multimodal_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual VIDEO dedup fingerprint completing the modality
     set (image dHash / audio envelope / video brightness-arc): per-doc
@@ -997,7 +997,7 @@ GROUP BY 1
 """
 
 
-@register("q_multimodal_cross_container", oracle=_XC_ORACLE)
+@register("q_multimodal_cross_container", oracle=_XC_ORACLE, python_stages="mapInPandas AVI+MP4 twin build + arc hash")
 def q_multimodal_cross_container(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-CONTAINER duplicate detection — the crawl reality that
     the same video circulates re-wrapped (one upload as MJPEG AVI,
@@ -1107,7 +1107,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_image_dhash", oracle=_DHASH_ORACLE)
+@register("q_multimodal_image_dhash", oracle=_DHASH_ORACLE, python_stages="mapInPandas decode + bit pack")
 def q_multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual gradient hash (dHash family) for every image in the
     media corpus — 8 bytes per image that downstream dedup moves
@@ -1147,7 +1147,7 @@ GROUP BY 1 ORDER BY dist
 """
 
 
-@register("q_multimodal_dhash_pairs", oracle=_DHASH_PAIRS_ORACLE)
+@register("q_multimodal_dhash_pairs", oracle=_DHASH_PAIRS_ORACLE, python_stages="same Arrow stage feeds the band join")
 def q_multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE census by perceptual-hash hamming distance:
     the multimodal twin of the text SimHash pipeline — 16-bit band
@@ -1204,7 +1204,7 @@ GROUP BY 1 ORDER BY dist
 """
 
 
-@register("q_multimodal_dhash_wide_pairs", oracle=_DHASH_WIDE_ORACLE)
+@register("q_multimodal_dhash_wide_pairs", oracle=_DHASH_WIDE_ORACLE, python_stages="mapInPandas 124-bit hash stage")
 def q_multimodal_dhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WIDE-radius image dedup (the strategy the 62-bit family's
     RuntimeWarning points to): 124-bit two-word dHash, 13 evenly-split
@@ -1322,7 +1322,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_dhash_resampled", oracle=_DHASH_RS_ORACLE)
+@register("q_multimodal_dhash_resampled", oracle=_DHASH_RS_ORACLE, python_stages="mapInPandas decode + 9x8 resample")
 def q_multimodal_dhash_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION dHash (round-6 verdict item 5): every image is
     nearest-neighbor resampled to the classic 9x8 grayscale grid
@@ -1376,7 +1376,7 @@ FROM r WHERE rnk <= 5
 """
 
 
-@register("q_multimodal_semantic_topk", oracle=_SEM_ORACLE)
+@register("q_multimodal_semantic_topk", oracle=_SEM_ORACLE, python_stages="mapInPandas codec build + embedding extract")
 def q_multimodal_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image SEMANTIC similarity end to end: the real container codecs
     (shared 3-container corpus) -> visual feature extraction
@@ -1519,7 +1519,7 @@ def _dhash_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _qmemo(spark, sf_dir, "dhash_clusters", build)
 
 
-@register("q_multimodal_dhash_clusters", oracle=_DHASH_CLUSTERS_ORACLE)
+@register("q_multimodal_dhash_clusters", oracle=_DHASH_CLUSTERS_ORACLE, python_stages="mapInPandas decode feeds the hash grouping")
 def q_multimodal_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE dedup clusters: exact-duplicate hashes collapse FIRST
     (one groupBy to (dhash, representative, count)), then the hamming
@@ -1574,7 +1574,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_exif", oracle=_EXIF_ORACLE)
+@register("q_multimodal_exif", oracle=_EXIF_ORACLE, python_stages="header-only APPn metadata walk (mapInPandas)")
 def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF/APPn metadata extraction without pixel decode: per-doc
     JPEGs (baseline or progressive by doc_id % 3) carrying an APP1
@@ -1645,7 +1645,7 @@ FROM documents
 """
 
 
-@register("q_multimodal_tiff", oracle=_TIFF_ORACLE)
+@register("q_multimodal_tiff", oracle=_TIFF_ORACLE, python_stages="mapInPandas TIFF build + decode")
 def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline TIFF 6.0 through the oracle gate: per-doc 8-bit gray
     images with closed-form pixels (doc_id*11 + k*3) % 256, rotating
@@ -1701,3 +1701,110 @@ def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_pixel",
         "ok",
     )
+
+
+# --- MP3 frame-header scan + ID3 tags ----------------------------------------
+
+# Fixture rules (all id-keyed, replayed closed-form by the oracle):
+#   version  : mpeg2 when id%5=4 else mpeg1 (spf 576 vs 1152)
+#   bidx     : 1 + id%13 ; VBR docs (id%4=0) alternate bidx / bidx+1
+#   sidx     : id%3 over the version's sampling-rate table
+#   mode     : id%4 (3 = mono -> channels 1)
+#   n_frames : 4 + id%5 ; padding bit (id+i)%2 ; CRC when id%7=0
+#   ID3v2.3 (latin-1 text) for even ids, ID3v2.4 (syncsafe, utf-8)
+#   for odd; ID3v1 trailer when id%5=0; resync junk before the first
+#   frame when id%6=0 and after the last when id%6=3.
+_MP3_V1_RATES = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+_MP3_V2_RATES = "[8,16,24,32,40,48,56,64,80,96,112,128,144,160]"
+
+_MP3_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 5 = 4 AS lsf,
+         CAST(1 + doc_id % 13 AS BIGINT) AS bidx,
+         CAST(doc_id % 3 AS BIGINT) AS sidx,
+         CAST(doc_id % 4 AS BIGINT) AS mode,
+         CAST(4 + doc_id % 5 AS BIGINT) AS nf,
+         doc_id % 4 = 0 AS vbr
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lsf, mode, nf, vbr,
+    CASE WHEN lsf THEN list_extract({_MP3_V2_RATES}, CAST(bidx AS INT))
+         ELSE list_extract({_MP3_V1_RATES}, CAST(bidx AS INT)) END AS rate_lo,
+    CASE WHEN lsf THEN list_extract({_MP3_V2_RATES}, CAST(bidx + 1 AS INT))
+         ELSE list_extract({_MP3_V1_RATES}, CAST(bidx + 1 AS INT)) END AS rate_hi,
+    CASE WHEN lsf THEN list_extract([22050,24000,16000], CAST(sidx + 1 AS INT))
+         ELSE list_extract([44100,48000,32000], CAST(sidx + 1 AS INT)) END AS sr,
+    CASE WHEN lsf THEN 576 ELSE 1152 END AS spf
+  FROM p
+)
+SELECT doc_id,
+       TRUE AS ok,
+       CASE WHEN lsf THEN 'mpeg2' ELSE 'mpeg1' END AS mpeg_version,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN mode = 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+       nf AS n_frames,
+       CASE WHEN vbr
+            THEN CAST((nf + 1) // 2 * rate_lo + nf // 2 * rate_hi AS DOUBLE) / nf
+            ELSE CAST(rate_lo AS DOUBLE) END AS bitrate_kbps,
+       vbr AS is_vbr,
+       CAST(nf * spf AS DOUBLE) / sr AS duration_s,
+       'Title ' || CAST(doc_id AS VARCHAR) AS title,
+       'Artist ' || CAST(doc_id % 13 AS VARCHAR) AS artist,
+       'Album ' || CAST(doc_id % 7 AS VARCHAR) AS album,
+       doc_id % 5 = 0 AS has_id3v1
+FROM r
+"""
+
+
+@register("q_multimodal_mp3_scan", oracle=_MP3_ORACLE,
+          python_stages="header-only MP3 frame walk + ID3 parse (mapInPandas)")
+def q_multimodal_mp3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 corpus metadata without audio decode (the audio twin of
+    q_multimodal_exif): per-doc fixture MP3s exercising both MPEG
+    versions, CBR and VBR bitrate sequences, per-frame padding, CRC
+    frames, ID3v2.3 (latin-1) vs ID3v2.4 (syncsafe/utf-8) tags, an
+    ID3v1 trailer, and resync junk before/after the audio — scanned
+    by the header-only frame walk (operators/multimodal.mp3_scan).
+    Every output field is replayed closed-form by the oracle, so the
+    frame-length arithmetic (the stepping!), the VBR mean, the
+    duration formula and both tag decoders are all value-gated.
+    Scale: one Arrow stage over executor-local bytes, zero shuffle —
+    payload cost is header bytes per frame, not audio."""
+    import pandas as pd
+
+    from corrie_spark.operators import multimodal as M
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payload = M.encode_mp3(
+                    did,
+                    n_frames=4 + did % 5,
+                    version=2 if did % 5 == 4 else 3,
+                    bidx=1 + did % 13,
+                    sidx=did % 3,
+                    mode=did % 4,
+                    vbr=did % 4 == 0,
+                    id3_major=3 if did % 2 == 0 else 4,
+                    title=f"Title {did}",
+                    artist=f"Artist {did % 13}",
+                    album=f"Album {did % 7}",
+                    id3v1=did % 5 == 0,
+                    junk_prefix=b"\x00\x12\x34" if did % 6 == 0 else b"",
+                    junk_suffix=b"\x00" * 5 if did % 6 == 3 else b"",
+                )
+                out.append({"doc_id": did, "payload": payload})
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(build, "doc_id long, payload binary")
+    return M.mp3_scan(media)

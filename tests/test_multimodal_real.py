@@ -53,3 +53,45 @@ def test_tiff_poison_degrades():
     b2[idx + 8] = 7
     with pytest.raises(ValueError):
         M._decode_tiff(bytes(b2))
+
+
+def test_mp3_scan_edge_cases():
+    from corrie_spark.operators.multimodal import encode_mp3, mp3_scan_bytes
+
+    # no frames at all -> ok=False, never raises
+    assert mp3_scan_bytes(b"") == {"ok": False}
+    assert mp3_scan_bytes(b"\xff\xfb\x00") == {"ok": False}
+    # a truncated final frame is dropped (frame_len beyond EOF)
+    full = encode_mp3(1, n_frames=3, title="t", artist="a", album="b")
+    cut = mp3_scan_bytes(full[:-10])
+    assert cut["ok"] and cut["n_frames"] == 2
+    # ID3v1-only tags (no v2) surface through the fallback
+    v1only = encode_mp3(2, n_frames=2, id3v1=True, title=None)
+    blob = bytearray(v1only)
+    # encode_mp3 writes no v2 when title=None but then v1 fields are
+    # empty; build one with explicit v1 text instead
+    v1 = bytearray(b"TAG")
+    v1 += b"Solo Title".ljust(30, b"\x00")
+    v1 += b"Solo Artist".ljust(30, b"\x00")
+    v1 += b"Solo Album".ljust(30, b"\x00")
+    v1 += b"2026" + b"\x00" * 30 + b"\xff"
+    got = mp3_scan_bytes(bytes(blob) + bytes(v1))
+    assert got["title"] == "Solo Title" and got["artist"] == "Solo Artist"
+    assert got["has_id3v1"] is True
+    # stray sync bytes inside junk do not fabricate frames of another
+    # version/sample-rate stream
+    j = encode_mp3(3, n_frames=2)
+    other = encode_mp3(9, n_frames=1, version=2, sidx=1)  # different sr
+    mixed = mp3_scan_bytes(j + other)
+    assert mixed["n_frames"] == 2  # the second stream's frame is rejected
+
+
+def test_mp3_id3v2_4_syncsafe_and_utf8():
+    from corrie_spark.operators.multimodal import encode_mp3, mp3_scan_bytes
+
+    blob = encode_mp3(
+        5, n_frames=2, id3_major=4, title="Tïtle", artist="Ärtist", album="Älbum"
+    )
+    got = mp3_scan_bytes(blob)
+    assert got["title"] == "Tïtle" and got["artist"] == "Ärtist"
+    assert got["n_frames"] == 2
