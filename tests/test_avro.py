@@ -1,0 +1,137 @@
+"""Avro OCF source (sources/avro.py): binary-encoding round trips,
+both codecs, the offset-sharded range reader's sharded==whole
+contract (incl. sync markers straddling range starts), and poison
+safety (corrupt blocks cost their own span, observably).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+
+from corrie_spark.sources import avro as A
+
+SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "c", "type": ["null", "string"]},
+            {"name": "a", "type": {"type": "array", "items": "int"}},
+            {"name": "b", "type": "bytes"},
+            {"name": "f", "type": "boolean"},
+        ],
+    }
+)
+
+
+def _recs(n: int = 200) -> list[dict]:
+    return [
+        {
+            "k": i * 7 - 3,
+            "s": f"st-{i % 3} é",
+            "d": i * 1.25,
+            "day": datetime.date(1970, 1, 1) + datetime.timedelta(days=i * 13 - 5),
+            "c": None if i % 5 == 0 else f"c{i}",
+            "a": [i, -i, 2**31 - 1][: (i % 4)],
+            "b": bytes([i % 256]) * 3,
+            "f": i % 2 == 0,
+        }
+        for i in range(n)
+    ]
+
+
+def test_zigzag_edges():
+    for v in (0, -1, 1, 63, -64, 2**62, -(2**63), 2**63 - 1):
+        enc = A.zigzag_encode(v)
+        dec, pos = A.zigzag_decode(memoryview(enc), 0)
+        assert dec == v and pos == len(enc)
+    with pytest.raises(A.AvroError):
+        A.zigzag_decode(memoryview(b"\x80\x80"), 0)  # truncated
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_roundtrip(codec):
+    recs = _recs()
+    blob = A.encode_ocf(SCHEMA, recs, codec=codec, name="rt", block_size=17)
+    got = [r for _, rows in A.iter_ocf(blob) for r in rows or ()]
+    assert got == recs
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_sharded_equals_whole_all_range_sizes(tmp_path, codec):
+    recs = _recs()
+    blob = A.encode_ocf(SCHEMA, recs, codec=codec, name="sh", block_size=13)
+    p = str(tmp_path / "t.avro")
+    with open(p, "wb") as f:
+        f.write(blob)
+    whole = [r for _, rows in A.iter_ocf(blob) for r in rows]
+    # tiny ranges force sync markers to straddle range starts
+    for rb in (17, 64, 150, 999, 10**9):
+        out = []
+        s = 0
+        while s < len(blob):
+            for off, rows in A.scan_avro_range(p, s, rb):
+                assert rows is not None, (rb, off)
+                out.append((off, rows))
+            s += rb
+        out.sort()
+        offs = [o for o, _ in out]
+        assert len(offs) == len(set(offs)), (rb, "block owned twice")
+        assert [r for _, rows in out for r in rows] == whole, rb
+
+
+def test_corrupt_block_costs_its_own_span():
+    recs = _recs()
+    blob = A.encode_ocf(SCHEMA, recs, codec="deflate", name="px", block_size=13)
+    sync = blob[-16:]
+    i2 = blob.find(sync, blob.find(sync) + 1)
+    bad = bytearray(blob)
+    bad[i2 + 20] ^= 0xFF  # corrupt the second block's payload
+    res = list(A.iter_ocf(bytes(bad)))
+    n_err = sum(1 for _, rows in res if rows is None)
+    n_ok = sum(len(rows) for _, rows in res if rows is not None)
+    assert n_err == 1 and n_ok == len(recs) - 13
+    # not-an-OCF raises at the header, cleanly
+    with pytest.raises(A.AvroError):
+        A.read_header(b"PAR1whatever")
+
+
+def test_unsupported_schema_rejected_at_parse():
+    for bad in (
+        {"type": "record", "name": "X", "fields": [{"name": "m", "type": {"type": "map", "values": "int"}}]},
+        {"type": "record", "name": "X", "fields": [{"name": "u", "type": ["int", "string"]}]},
+        {"type": "enum", "name": "E", "symbols": ["A"]},
+    ):
+        with pytest.raises(A.AvroError):
+            A.parse_schema(json.dumps(bad))
+
+
+def test_avro_records_error_rows(spark, tmp_path):
+    recs = _recs(40)
+    blob = A.encode_ocf(SCHEMA, recs, codec="null", name="sp", block_size=10)
+    df = spark.createDataFrame(
+        [("good.avro", bytearray(blob)), ("bad.avro", bytearray(b"nope"))],
+        "path string, content binary",
+    )
+    rows = A.avro_records(
+        df,
+        "k long, s string, d double, day date, c string, "
+        "a array<int>, b binary, f boolean",
+    )
+    got = rows.collect()
+    errs = [r for r in got if r._error]
+    ok = [r for r in got if not r._error]
+    assert len(errs) == 1 and errs[0]._path == "bad.avro"
+    assert len(ok) == 40
+    by_k = {r.k: r for r in ok}
+    assert by_k[-3].c is None and by_k[-3].f is True  # i=0: null comment
+    assert by_k[4].c == "c1" and by_k[4].f is False  # i=1
+    assert by_k[-3].day == datetime.date(1969, 12, 27)  # i=0: -5 days
