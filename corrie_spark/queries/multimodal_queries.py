@@ -1808,3 +1808,130 @@ def q_multimodal_mp3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "doc_id long, payload binary")
     return M.mp3_scan(media)
+
+
+# --- FLAC lossless audio through the oracle gate ------------------------------
+
+# Fixture rules (id-keyed, oracle-replayed):
+#   n        : 256 + (id%3)*64 samples ; block_size 128
+#   sr       : [8000, 16000, 24000][id%3]
+#   channel 0: s_k = (id*31 + k*17) % 4001 - 2000
+#   channel 1 (odd ids only): s_k = (id*13 + k*11) % 4001 - 2000
+#   stereo decorrelation cycles left_side/right_side/mid_side/
+#   independent by id%4. LOSSLESSNESS IS THE GATE: the oracle states
+#   the exact input samples (md5 of channel 0, exact |s| sum), so any
+#   bit drift anywhere in encode->decode fails the hash.
+_FLAC_CH0 = "(doc_id * 31 + k * 17) % 4001 - 2000"
+_FLAC_CH1 = "(doc_id * 13 + k * 11) % 4001 - 2000"
+_FLAC_N = "(256 + (doc_id % 3) * 64)"
+
+_FLAC_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         CAST({_FLAC_N} AS BIGINT) AS n,
+         CAST(list_extract([8000,16000,24000],
+              CAST(doc_id % 3 + 1 AS INT)) AS BIGINT) AS sr,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS ch
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, sr, ch,
+    list_sum(list_transform(range(0, CAST(n AS INT)),
+             k -> abs({_FLAC_CH0}))) AS abs0,
+    CASE WHEN ch = 2 THEN
+      list_sum(list_transform(range(0, CAST(n AS INT)),
+               k -> abs({_FLAC_CH1}))) ELSE 0 END AS abs1,
+    md5(array_to_string(list_transform(range(0, CAST(n AS INT)),
+        k -> CAST({_FLAC_CH0} AS VARCHAR)), ',')) AS pcm0_md5
+  FROM p
+)
+SELECT doc_id, TRUE AS ok, sr AS sample_rate, ch AS channels,
+       n AS n_samples,
+       CAST(n AS DOUBLE) / sr AS duration_s,
+       CAST(abs0 + abs1 AS DOUBLE) / (n * ch) AS mean_abs,
+       pcm0_md5
+FROM s
+"""
+
+
+@register("q_multimodal_flac", oracle=_FLAC_ORACLE,
+          python_stages="from-spec FLAC encode fixture + bit-exact decode (mapInPandas)")
+def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode through the oracle gate: per-doc fixture streams
+    (mono/stereo, all three stereo decorrelations + independent,
+    three sample rates, multi-frame block splits) are encoded and
+    decoded by the from-spec codec (operators/flac.py — fixed
+    predictors, Rice partitions, wasted bits, CRC-8/16 verified), and
+    the oracle states the EXACT input samples closed-form: the md5
+    over channel 0's sample string plus the exact |s| sum, so decode
+    must be bit-perfect to pass — the losslessness contract as a
+    value gate. Completes the compressed-audio story next to the
+    header-only MP3 scan: ADPCM/G.711 (lossy telephony), FLAC
+    (lossless). Scale: one Arrow stage over executor-local bytes,
+    zero shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    from corrie_spark.operators import flac as FL
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 256 + (did % 3) * 64
+                sr = [8000, 16000, 24000][did % 3]
+                ch0 = [(did * 31 + k * 17) % 4001 - 2000 for k in range(n)]
+                if did % 2 == 0:
+                    chans = [ch0]
+                    mode = "independent"
+                else:
+                    chans = [ch0, [(did * 13 + k * 11) % 4001 - 2000 for k in range(n)]]
+                    mode = ["left_side", "right_side", "mid_side", "independent"][did % 4]
+                blob = FL.encode_flac(chans, sr, bps=16, block_size=128, stereo_mode=mode)
+                row = {"doc_id": did, "ok": False, "sample_rate": None,
+                       "channels": None, "n_samples": None, "duration_s": None,
+                       "mean_abs": None, "pcm0_md5": None}
+                try:
+                    dec = FL.decode_flac(blob)
+                    pcm = dec["pcm"]
+                    total_abs = sum(abs(v) for c in pcm for v in c)
+                    row.update(
+                        ok=True,
+                        sample_rate=dec["sample_rate"],
+                        channels=dec["channels"],
+                        n_samples=dec["total"],
+                        duration_s=dec["total"] / dec["sample_rate"],
+                        mean_abs=total_abs / (dec["total"] * dec["channels"]),
+                        pcm0_md5=hashlib.md5(
+                            ",".join(str(v) for v in pcm[0]).encode()
+                        ).hexdigest(),
+                    )
+                except FL.FlacError:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r["doc_id"] for r in out], dtype="Int64"),
+                    "ok": [r["ok"] for r in out],
+                    "sample_rate": pd.array([r["sample_rate"] for r in out], dtype="Int64"),
+                    "channels": pd.array([r["channels"] for r in out], dtype="Int64"),
+                    "n_samples": pd.array([r["n_samples"] for r in out], dtype="Int64"),
+                    "duration_s": [r["duration_s"] for r in out],
+                    "mean_abs": [r["mean_abs"] for r in out],
+                    "pcm0_md5": [r["pcm0_md5"] for r in out],
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, ok boolean, sample_rate long, channels long, "
+        "n_samples long, duration_s double, mean_abs double, pcm0_md5 string",
+    )

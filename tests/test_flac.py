@@ -1,0 +1,161 @@
+"""FLAC codec (operators/flac.py): lossless round-trip matrix, the
+HAND-WRITTEN bit-level fixture (a restatement of RFC 9639's frame
+layout independent of the module's BitWriter — guards the unary /
+Rice-fold / layout conventions against shared-convention drift, the
+LZW lesson), LPC subframe decode, and corruption/CRC behavior.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from corrie_spark.operators import flac as FL
+
+
+def _bits_to_bytes(bits: str) -> bytes:
+    bits = bits + "0" * (-len(bits) % 8)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_hand_written_frame_bits_decode():
+    """Minimal stream stated bit-by-bit from the spec text: STREAMINFO
+    (8 kHz mono 16-bit, 4 samples) + one frame holding a FIXED order-1
+    subframe for samples [10, 12, 13, 11] (warmup 10; residuals
+    [2, 1, -2]; Rice k=1: fold 2->4, 1->2, -2->3; quotient in unary =
+    q ZEROS then a ONE, then k remainder bits)."""
+    si = (
+        "1" + "0000000"  # last block, type STREAMINFO
+        + format(34, "024b")
+        + format(4, "016b") + format(4, "016b")  # min/max block
+        + "0" * 24 + "0" * 24  # frame sizes unknown
+        + format(8000, "020b")
+        + "000"  # channels - 1
+        + format(15, "05b")  # bps - 1
+        + format(4, "036b")  # total samples
+        + "0" * 128  # md5 unset
+    )
+    header = (
+        "11111111111110" + "0" + "0"  # sync, reserved, fixed blocking
+        + "0110"  # block size: 8-bit at frame end
+        + "0100"  # sample rate: 8000
+        + "0000"  # 1 channel, independent
+        + "100"  # 16 bps
+        + "0"
+        + format(0, "08b")  # coded frame number 0
+        + format(4 - 1, "08b")  # block size - 1
+    )
+    head_bytes = _bits_to_bytes(header)
+    head_bytes += bytes([FL.crc8(head_bytes)])
+    sub = (
+        "0" + "001001" + "0"  # reserved, FIXED order 1, no wasted bits
+        + format(10, "016b")  # warmup sample
+        + "00" + "0000"  # Rice method 0, partition order 0
+        + "0001"  # k = 1
+        # residual 2 -> u=4: q=2 -> "001", remainder 0 -> "0"
+        + "001" + "0"
+        # residual 1 -> u=2: q=1 -> "01", remainder 0 -> "0"
+        + "01" + "0"
+        # residual -2 -> u=3: q=1 -> "01", remainder 1 -> "1"
+        + "01" + "1"
+    )
+    frame = head_bytes + _bits_to_bytes(sub)
+    frame += FL.crc16(frame).to_bytes(2, "big")
+    blob = b"fLaC" + _bits_to_bytes(si) + frame
+    got = FL.decode_flac(blob)
+    assert got["pcm"] == [[10, 12, 13, 11]]
+    assert got["sample_rate"] == 8000 and got["bits"] == 16
+    # the module's own encoder agrees with the hand layout byte for
+    # byte on the subframe it would also choose (fixed order varies
+    # by cost, so compare decode-of-encode instead of raw bytes)
+    re = FL.decode_flac(FL.encode_flac([[10, 12, 13, 11]], 8000, block_size=4))
+    assert re["pcm"] == [[10, 12, 13, 11]]
+
+
+def test_hand_written_lpc_subframe():
+    """LPC subframe stated by hand: order 1, precision 4, shift 1,
+    coefficient 2 — predictor (2 * prev) >> 1 = prev, so samples
+    [7, 9, 8] carry residuals [2, -1]."""
+    si = (
+        "1" + "0000000" + format(34, "024b")
+        + format(3, "016b") + format(3, "016b") + "0" * 48
+        + format(8000, "020b") + "000" + format(15, "05b")
+        + format(3, "036b") + "0" * 128
+    )
+    header = (
+        "11111111111110" + "00" + "0110" + "0100" + "0000" + "100" + "0"
+        + format(0, "08b") + format(3 - 1, "08b")
+    )
+    head_bytes = _bits_to_bytes(header)
+    head_bytes += bytes([FL.crc8(head_bytes)])
+    sub = (
+        "0" + "100000" + "0"  # LPC order (t & 0x1F) + 1 = 1
+        + format(7, "016b")  # warmup
+        + format(4 - 1, "04b")  # precision - 1
+        + format(1, "05b")  # shift (signed 5-bit, positive)
+        + format(2, "04b")  # coefficient +2 in 4 bits
+        + "00" + "0000" + "0001"  # Rice method / porder 0 / k=1
+        + "001" + "0"  # +2: fold 4, q=2 "001", remainder 0
+        + "1" + "1"  # -1: fold 1, q=0 "1", remainder 1
+    )
+    frame = head_bytes + _bits_to_bytes(sub)
+    frame += FL.crc16(frame).to_bytes(2, "big")
+    blob = b"fLaC" + _bits_to_bytes(si) + frame
+    assert FL.decode_flac(blob)["pcm"] == [[7, 9, 8]]
+
+
+def _noise(n: int, amp: int, seed: int) -> list[int]:
+    rng = random.Random(seed)
+    s, out = 0, []
+    for _ in range(n):
+        s = max(-30000, min(30000, s + rng.randint(-amp, amp)))
+        out.append(s)
+    return out
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_stereo_roundtrip_lossless(mode):
+    left = _noise(700, 500, 1)
+    right = [v - ((i * 7) % 90 - 45) for i, v in enumerate(left)]
+    blob = FL.encode_flac([left, right], 48000, block_size=256, stereo_mode=mode)
+    assert FL.decode_flac(blob)["pcm"] == [left, right]
+
+
+def test_mono_shapes_roundtrip():
+    cases = [
+        [0] * 400,  # constant zero
+        [123] * 400,  # constant
+        [i * 3 - 600 for i in range(400)],  # ramp (fixed order 2 exact)
+        _noise(999, 900, 2),  # noisy, non-multiple block tail
+        [(i % 50 - 25) * 8 for i in range(512)],  # wasted bits
+    ]
+    big = [0] * 300
+    big[150], big[151] = 29000, -29000  # escape partition
+    cases.append(big)
+    for s in cases:
+        blob = FL.encode_flac([s], 8000, block_size=256)
+        assert FL.decode_flac(blob)["pcm"] == [s]
+    # 12-bit samples
+    s12 = [(i * 37) % 2048 - 1024 for i in range(500)]
+    blob = FL.encode_flac([s12], 16000, bps=12, block_size=250)
+    got = FL.decode_flac(blob)
+    assert got["pcm"] == [s12] and got["bits"] == 12
+
+
+def test_crc_catches_corruption():
+    blob = FL.encode_flac([_noise(400, 400, 3)], 8000)
+    bad = bytearray(blob)
+    bad[-10] ^= 0x40
+    with pytest.raises(FL.FlacError):
+        FL.decode_flac(bytes(bad))
+    with pytest.raises(FL.FlacError):
+        FL.decode_flac(b"fLaX" + blob[4:])
+    # header corruption -> CRC-8
+    bad2 = bytearray(blob)
+    # find the first frame (after 4 + 4 + 34 bytes of magic+streaminfo)
+    bad2[42 + 4] ^= 0x01  # inside the frame header
+    with pytest.raises(FL.FlacError):
+        FL.decode_flac(bytes(bad2))
