@@ -130,6 +130,23 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also write the DLQ (unparseable files) parquet to this dir",
     )
 
+    av = sub.add_parser(
+        "ingest-avro",
+        help="ingest Avro object container files into a parquet table "
+        "(schema derived from the files' own avro.schema header)",
+    )
+    av.add_argument("path", help="glob of *.avro files")
+    av.add_argument("--out", required=True, help="output parquet dir")
+    av.add_argument(
+        "--sharded", action="store_true",
+        help="offset-sharded range reader (multi-GiB files parallelize "
+        "past the one-file-one-task ceiling; sync-marker resync)",
+    )
+    av.add_argument(
+        "--errors", default=None,
+        help="also write the DLQ (corrupt block spans) parquet to this dir",
+    )
+
     wds = sub.add_parser(
         "wds",
         help="WebDataset shards: pack a documents table into .tar shards, "
@@ -372,6 +389,31 @@ def main(argv: list[str] | None = None) -> int:
             "distinct_texts": out.select(F.md5("text")).distinct().count(),
             "out": args.out,
         }
+        if args.errors:
+            summary["errors"] = spark.read.parquet(args.errors).count()
+        print(json.dumps(summary, sort_keys=True))
+        return 0
+
+    if args.cmd == "ingest-avro":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from corrie_spark.session import get_spark
+        from corrie_spark.sources import avro as A
+
+        spark = get_spark("corrie-spark-ingest")
+        spark.sparkContext.setLogLevel("ERROR")
+        rows = A.read_avro(spark, args.path, sharded=args.sharded)
+        if args.errors:
+            rows.where(F.col("_error")).select(
+                "_path", "_block_offset"
+            ).write.mode("overwrite").parquet(args.errors)
+        rows.where(~F.col("_error")).drop("_error").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        out = spark.read.parquet(args.out)
+        summary = {"rows": out.count(), "out": args.out}
         if args.errors:
             summary["errors"] = spark.read.parquet(args.errors).count()
         print(json.dumps(summary, sort_keys=True))

@@ -2034,13 +2034,15 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
     image/bmp, image/png (8-bit grey/RGB/palette, zlib-inflated +
     unfiltered natively), image/ppm (P6), image/gif (LZW),
     image/jpeg (baseline T.81), audio/wav (PCM, IMA ADPCM, G.711
-    mu-law/A-law), video/avi (MJPEG) and video/mp4 (ISO-BMFF demux,
-    MJPEG-family sample entries) are REAL decoders implemented here
-    from the public format specs (struct + zlib + numpy, no external
-    libs); the remaining compressed formats (inter-frame video —
-    H.26x/MP4V —, MP3/AAC audio, exotic PNG variants) would dispatch
-    to PIL/soundfile/av — unavailable in this environment, so they
-    raise (clearly-marked stub)."""
+    mu-law/A-law), audio/flac (operators/flac.py, lossless bit-exact),
+    video/avi (MJPEG) and video/mp4 (ISO-BMFF demux, MJPEG-family
+    sample entries) are REAL decoders implemented here from the
+    public format specs (struct + zlib + numpy, no external libs);
+    MP3 gets a header-only metadata scan (mp3_scan — duration/
+    bitrate/tags without decode); the remaining compressed formats
+    (inter-frame video — H.26x/MP4V —, MP3/AAC sample decode, exotic
+    PNG variants) would dispatch to PIL/soundfile/av — unavailable in
+    this environment, so they raise (clearly-marked stub)."""
     if media_type in ("image/jpeg", "image/jpg"):
         from corrie_spark.operators.jpeg import decode_jpeg
 
@@ -2061,6 +2063,22 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
         return _decode_gif(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _decode_wav(payload)
+    if media_type in ("audio/flac", "audio/x-flac"):
+        import numpy as np
+
+        from corrie_spark.operators.flac import decode_flac
+
+        d = decode_flac(payload)
+        # interleave channels into the WAV-decoder sample shape
+        s = np.array(d["pcm"], dtype=np.int64).T.reshape(-1)
+        return {
+            "kind": "audio",
+            "sample_rate": d["sample_rate"],
+            "n_samples": d["total"],
+            "channels": d["channels"],
+            "samples": s,
+            "data": s.astype("<i4").tobytes(),
+        }
     if media_type in ("video/avi", "video/x-msvideo"):
         return _decode_avi_mjpeg(payload)
     if media_type in ("video/mp4", "video/quicktime"):

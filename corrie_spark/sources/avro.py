@@ -548,3 +548,60 @@ def avro_ranges(
     return tdf.repartition(
         max(len(tasks), spark.sparkContext.defaultParallelism)
     ).mapInPandas(run, full_ddl)
+
+
+# ---------------------------------------------------------------------------
+# schema-derived Spark DDL + the file-reading front door (CLI surface)
+# ---------------------------------------------------------------------------
+
+_KIND_DDL = {
+    "null": "string",  # always-null field
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+    "date": "date",
+}
+
+
+def ddl_for_plan(plan: list[tuple[str, dict]]) -> str:
+    """Field plan -> Spark DDL string (unions map to their nullable
+    inner type; arrays to array<inner>)."""
+
+    def one(p: dict) -> str:
+        k = p["kind"]
+        if k == "union":
+            return one(p["inner"])
+        if k == "array":
+            return f"array<{one(p['items'])}>"
+        return _KIND_DDL[k]
+
+    return ", ".join(f"{name} {one(p)}" for name, p in plan)
+
+
+def read_avro(
+    spark, path_glob: str, sharded: bool = False, range_bytes: int = 128 << 20
+) -> DataFrame:
+    """Read OCF files into typed rows, schema DERIVED from the first
+    file's own avro.schema header (all files of one ingest share a
+    schema — the OCF contract). `sharded=True` fans each file out as
+    offset ranges (local/NFS paths; the binaryFile path handles any
+    Hadoop-visible store). Rows lead with (_path, _block_offset,
+    _error) — see avro_records."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(path_glob))
+    if not paths:
+        raise AvroError(f"no files match {path_glob!r}")
+    with open(paths[0], "rb") as f:
+        plan, _, _, _ = read_header(f.read(4096))
+    ddl = ddl_for_plan(plan)
+    if sharded:
+        return avro_ranges(spark, paths, range_bytes=range_bytes, out_ddl=ddl)
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+    return avro_records(files, ddl)

@@ -185,3 +185,52 @@ def test_cli_wds_pack_and_extract(spark, tmp_path, capsys):
     assert info["documents"] == 12
     texts = {r.text for r in spark.read.parquet(back).collect()}
     assert texts == {f"wds text {i}" for i in range(12)}
+
+
+def test_cli_ingest_avro(spark, tmp_path, capsys):
+    import json as _json
+
+    from corrie_spark.__main__ import main as cli_main
+    from corrie_spark.sources import avro as A
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "s", "type": "string"},
+                {"name": "c", "type": ["null", "string"]},
+            ],
+        }
+    )
+    recs = [
+        {"k": i, "s": f"row {i}", "c": None if i % 3 == 0 else f"c{i}"}
+        for i in range(30)
+    ]
+    for g in range(2):
+        blob = A.encode_ocf(
+            schema, recs[g * 15 : (g + 1) * 15],
+            codec="deflate" if g else "null", name=f"f{g}", block_size=7,
+        )
+        (tmp_path / f"f{g}.avro").write_bytes(blob)
+    # a corrupt block in a third file -> DLQ span, good rows survive
+    blob = A.encode_ocf(schema, recs[:10], codec="null", name="f2", block_size=5)
+    sync = blob[-16:]
+    bad = bytearray(blob)
+    bad[blob.find(sync, blob.find(sync) + 1) + 18] ^= 0xFF
+    (tmp_path / "f2.avro").write_bytes(bytes(bad))
+
+    out = str(tmp_path / "rows")
+    errs = str(tmp_path / "dlq")
+    for extra in ([], ["--sharded"]):
+        rc = cli_main(
+            ["ingest-avro", str(tmp_path) + "/*.avro", "--out", out,
+             "--errors", errs, *extra]
+        )
+        assert rc == 0
+        info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["rows"] == 30 + 5 and info["errors"] == 1, extra
+        got = spark.read.parquet(out)
+        assert got.where("c IS NULL").count() == 10 + 2
+        assert {r.s for r in got.where("k = 7").collect()} == {"row 7"}

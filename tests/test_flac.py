@@ -159,3 +159,17 @@ def test_crc_catches_corruption():
     bad2[42 + 4] ^= 0x01  # inside the frame header
     with pytest.raises(FL.FlacError):
         FL.decode_flac(bytes(bad2))
+
+
+def test_flac_routes_through_decode_payload():
+    from corrie_spark.operators.multimodal import decode_payload
+
+    left = [i % 100 - 50 for i in range(300)]
+    right = [v // 2 for v in left]
+    blob = FL.encode_flac([left, right], 16000, stereo_mode="mid_side")
+    d = decode_payload("audio/flac", blob)
+    assert d["kind"] == "audio" and d["sample_rate"] == 16000
+    assert d["n_samples"] == 300 and d["channels"] == 2
+    inter = d["samples"]
+    assert list(inter[0:2]) == [left[0], right[0]]
+    assert list(inter[-2:]) == [left[-1], right[-1]]

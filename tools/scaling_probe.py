@@ -105,6 +105,37 @@ def gen_corpus(out_dir: str, scale: int) -> None:
         os.path.join(out_dir, "embeddings.parquet"),
     )
 
+    # a minimal orders table (the avro_ingest family's source): same
+    # column names/types as the driver testdata
+    import datetime
+
+    n_ord = n_docs * 3
+    statuses = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_ord), pa.int64()),
+                "o_custkey": pa.array([_u("ck", i) % 1500 for i in range(n_ord)], pa.int64()),
+                "o_orderstatus": [statuses[_u("st", i) % 3] for i in range(n_ord)],
+                "o_totalprice": pa.array(
+                    [(_u("tp", i) % 10_000_000) / 100.0 for i in range(n_ord)],
+                    pa.float64(),
+                ),
+                "o_orderdate": pa.array(
+                    [
+                        datetime.datetime(2025, 1, 1)
+                        + datetime.timedelta(days=_u("od", i) % 365)
+                        for i in range(n_ord)
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": [prios[_u("pr", i) % 5] for i in range(n_ord)],
+            }
+        ),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+
 
 FAMILIES = [
     # (label, registry query) — one per family the verdict named
@@ -123,6 +154,12 @@ FAMILIES = [
     ("office_container", "q_office_docx"),
     ("wds_shards", "q_wds_ingest"),
     ("mixed_format_crawl", "q_warc_mixed_formats"),
+    # round-12 families: every new ingestion surface gets a measured
+    # exponent the same round it lands (the round-9 lesson)
+    ("sitemap_tree", "q_web_sitemap_index"),
+    ("avro_ingest", "q_avro_ingest"),
+    ("mp3_scan", "q_multimodal_mp3_scan"),
+    ("flac_codec", "q_multimodal_flac"),
 ]
 
 
