@@ -130,6 +130,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also write the DLQ (unparseable files) parquet to this dir",
     )
 
+    wik = sub.add_parser(
+        "ingest-wiki",
+        help="ingest MediaWiki multistream .xml.bz2 dumps into a "
+        "documents table (wikitext stripped)",
+    )
+    wik.add_argument("path", help="glob of *-multistream*.xml.bz2 dumps")
+    wik.add_argument("--out", required=True, help="documents parquet dir")
+    wik.add_argument(
+        "--redirects", default=None,
+        help="also write the redirect map (page_id, title, target) here",
+    )
+    wik.add_argument(
+        "--keep-ns", type=int, default=0,
+        help="namespace to keep (0 = articles, the default)",
+    )
+
     av = sub.add_parser(
         "ingest-avro",
         help="ingest Avro object container files into a parquet table "
@@ -391,6 +407,37 @@ def main(argv: list[str] | None = None) -> int:
         }
         if args.errors:
             summary["errors"] = spark.read.parquet(args.errors).count()
+        print(json.dumps(summary, sort_keys=True))
+        return 0
+
+    if args.cmd == "ingest-wiki":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from corrie_spark.session import get_spark
+        from corrie_spark.sources import wikipedia as Wk
+
+        spark = get_spark("corrie-spark-ingest")
+        spark.sparkContext.setLogLevel("ERROR")
+        files = spark.read.format("binaryFile").load(args.path).select(
+            "path", "content"
+        )
+        pages = Wk.wiki_pages(files).where(F.col("ns") == args.keep_ns)
+        if args.redirects:
+            pages.where(F.col("is_redirect")).select(
+                "page_id", "title", "redirect_target"
+            ).write.mode("overwrite").parquet(args.redirects)
+        arts = pages.where(~F.col("is_redirect"))
+        arts.select(
+            F.col("page_id").alias("doc_id"),
+            "title",
+            Wk.wikitext_to_text(F.col("wikitext")).alias("text"),
+        ).write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        summary = {"documents": out.count(), "out": args.out}
+        if args.redirects:
+            summary["redirects"] = spark.read.parquet(args.redirects).count()
         print(json.dumps(summary, sort_keys=True))
         return 0
 

@@ -1,0 +1,104 @@
+"""Oracle-checked Wikipedia-dump ingestion (sources/wikipedia.py):
+fixture multistream .xml.bz2 dumps are built IN-PLAN from the
+documents table, parsed back through the real stream split + page
+scan, wikitext is stripped by the JVM regex chain, and the oracle
+states every page's clean text closed-form from the fixture's
+invertible decorations (the q_text_markdown gate shape) — stream
+framing, XML unescape, redirect classification AND the whole strip
+chain are value-gated in one loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.queries.registry import register
+from corrie_spark.tables import load
+
+# clean text closed-form (wiki_fixture_text's contract):
+#   'Section {id} ' + tokens joined by ' ' + ' x<y&z'
+_WIKI_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+clean AS (
+  SELECT doc_id,
+    'Section ' || CAST(doc_id AS VARCHAR) || ' '
+      || COALESCE(NULLIF(array_to_string(t, ' '), '') || ' ', '')
+      || 'x<y&z' AS txt
+  FROM toks
+)
+SELECT c.doc_id AS page_id,
+       'Page ' || CAST(c.doc_id AS VARCHAR) AS title,
+       c.doc_id % 11 = 0 AS is_redirect,
+       CASE WHEN c.doc_id % 11 = 0
+            THEN 'Page ' || CAST(c.doc_id + 1 AS VARCHAR) END AS redirect_target,
+       CASE WHEN c.doc_id % 11 = 0 THEN NULL ELSE md5(c.txt) END AS text_md5,
+       CAST(CASE WHEN c.doc_id % 11 = 0 THEN NULL
+                 ELSE length(c.txt) END AS BIGINT) AS n_chars
+FROM clean c
+"""
+
+
+@register("q_wiki_ingest", oracle=_WIKI_ORACLE,
+          python_stages="applyInPandas multistream-bz2 dump build + page scan (mapInPandas); strip chain is the JVM regex pipeline")
+def q_wiki_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikipedia `pages-articles-multistream.xml.bz2` ingestion
+    end-to-end: documents -> 32 fixture dumps (header stream +
+    3-page streams + closing stream, exactly the published layout),
+    split on bz2 stream boundaries, <page> elements parsed with XML
+    unescape, #REDIRECT pages classified with their targets, and
+    article wikitext (headings, nested templates, refs, tables,
+    piped/plain/external links, bold/italic, an entity-escaped
+    token) stripped by the pure-JVM chain — every page's clean text
+    stated closed-form by the oracle. Scale: dump bytes live in one
+    Arrow stage and never shuffle; for single multi-GiB dumps the
+    offset-sharded range reader (scan_dump_range) plus the companion
+    index (offset:page_id:title, also built here) remove the
+    1-file-1-task ceiling — sharded==whole pinned by
+    tests/test_wikipedia.py."""
+    import pandas as pd
+
+    from corrie_spark.sources import wikipedia as Wk
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(key, pdf):
+        grp = int(key[0])
+        pages = []
+        for did, text in sorted(zip(pdf["doc_id"], pdf["text"])):
+            did = int(did)
+            wt = (
+                f"#REDIRECT [[Page {did + 1}]]"
+                if did % 11 == 0
+                else Wk.wiki_fixture_text(did, str(text))
+            )
+            pages.append((did, f"Page {did}", wt))
+        dump, _index = Wk.build_dump(pages, pages_per_stream=3)
+        return pd.DataFrame(
+            [{"path": f"wiki-{grp:03d}.xml.bz2", "content": dump}]
+        )
+
+    files = (
+        docs.withColumn("_grp", F.col("doc_id") % 32)
+        .groupBy("_grp")
+        .applyInPandas(mk, "path string, content binary")
+    )
+    pages = Wk.wiki_pages(files)
+    clean = Wk.wikitext_to_text(F.col("wikitext"))
+    return pages.select(
+        "page_id",
+        "title",
+        "is_redirect",
+        "redirect_target",
+        F.when(~F.col("is_redirect"), F.md5(clean)).alias("text_md5"),
+        F.when(~F.col("is_redirect"), F.length(clean))
+        .cast("long")
+        .alias("n_chars"),
+    )

@@ -234,3 +234,36 @@ def test_cli_ingest_avro(spark, tmp_path, capsys):
         got = spark.read.parquet(out)
         assert got.where("c IS NULL").count() == 10 + 2
         assert {r.s for r in got.where("k = 7").collect()} == {"row 7"}
+
+
+def test_cli_ingest_wiki(spark, tmp_path, capsys):
+    import json as _json
+
+    from corrie_spark.__main__ import main as cli_main
+    from corrie_spark.sources import wikipedia as Wk
+
+    pages = []
+    for i in range(1, 13):
+        wt = (
+            f"#REDIRECT [[Page {i + 1}]]"
+            if i % 5 == 0
+            else Wk.wiki_fixture_text(i, f"tok{i} common")
+        )
+        pages.append((i, f"Page {i}", wt))
+    dump, _ = Wk.build_dump(pages, pages_per_stream=3)
+    (tmp_path / "w.xml.bz2").write_bytes(dump)
+
+    out = str(tmp_path / "docs")
+    reds = str(tmp_path / "redirects")
+    rc = cli_main(
+        ["ingest-wiki", str(tmp_path) + "/*.xml.bz2", "--out", out,
+         "--redirects", reds]
+    )
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["documents"] == 10 and info["redirects"] == 2
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert got[1] == "Section 1 tok1 common x<y&z"
+    rmap = {r.page_id: r.redirect_target
+            for r in spark.read.parquet(reds).collect()}
+    assert rmap == {5: "Page 6", 10: "Page 11"}

@@ -160,6 +160,7 @@ FAMILIES = [
     ("avro_ingest", "q_avro_ingest"),
     ("mp3_scan", "q_multimodal_mp3_scan"),
     ("flac_codec", "q_multimodal_flac"),
+    ("wiki_dump", "q_wiki_ingest"),
 ]
 
 
