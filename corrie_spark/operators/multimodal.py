@@ -221,37 +221,19 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(
-    width: int,
-    height: int,
-    pixels: bytes,
-    color_type: int = 0,
-    filters: list[int] | None = None,
-    palette: bytes | None = None,
-) -> bytes:
-    """REAL encoder: PNG (RFC 2083) with 8-bit greyscale (color_type
-    0), RGB (2), palette-indexed (3, `pixels` are indices and
-    `palette` is the PLTE body — RGB triples), grey+alpha (4) or
-    RGBA (6), no interlace — stdlib zlib deflate over per-row
-    filtered scanlines.
-    `filters` picks the filter type (0=None 1=Sub 2=Up 3=Average
-    4=Paeth) per row so fixtures can exercise every unfilter branch
-    of the decoder; default all-None."""
-    import zlib
+# Adam7 pass grid (ISO 15948 §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if color_type == 3:
-        if palette is None or len(palette) % 3 or not 3 <= len(palette) <= 768:
-            raise ValueError("palette PNG needs a PLTE body of RGB triples")
-    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = width * ch
-    if len(pixels) != stride * height:
-        raise ValueError("pixel buffer does not match dims")
-    if filters is None:
-        filters = [0] * height
-    px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64).reshape(height, stride)
-    prev = np.zeros(stride, dtype=np.int64)
+
+def _png_filter_rows(px: "np.ndarray", ch: int, filters: list[int]) -> bytes:
+    """Filter a (rows, stride) int64 pixel block into PNG scanlines
+    (one filter-type byte + filtered row each)."""
+    prev = np.zeros(px.shape[1], dtype=np.int64)
     out = []
-    for r in range(height):
+    for r in range(px.shape[0]):
         raw = px[r]
         ft = filters[r]
         if ft == 0:
@@ -272,8 +254,100 @@ def encode_png(
             raise ValueError(f"unknown PNG filter type {ft}")
         out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
         prev = raw
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    idat = zlib.compress(b"".join(out))
+    return b"".join(out)
+
+
+def _png_unfilter_rows(scan: "np.ndarray", w: int, ch: int) -> "np.ndarray":
+    """Invert _png_filter_rows: (rows, stride+1) int64 scanlines ->
+    flat uint8 pixels. Exact by construction (mod-256 arithmetic)."""
+    stride = w * ch
+    prev = np.zeros(stride, dtype=np.int64)
+    rows = []
+    for r in range(scan.shape[0]):
+        ft, frow = int(scan[r, 0]), scan[r, 1:]
+        if ft == 0:
+            rec = frow % 256
+        elif ft == 1:  # Sub: per-channel cumsum undoes the left-delta
+            rec = np.cumsum(frow.reshape(w, ch), axis=0).ravel() % 256
+        elif ft == 2:  # Up
+            rec = (frow + prev) % 256
+        elif ft == 3:  # Average (left is a row recurrence)
+            f2, p2 = frow.reshape(w, ch), prev.reshape(w, ch)
+            rec2 = np.empty((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            for i in range(w):
+                left = (f2[i] + (left + p2[i]) // 2) % 256
+                rec2[i] = left
+            rec = rec2.ravel()
+        elif ft == 4:  # Paeth (left/upper-left row recurrence)
+            f2, p2 = frow.reshape(w, ch), prev.reshape(w, ch)
+            rec2 = np.empty((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for i in range(w):
+                left = (f2[i] + _paeth(left, p2[i], upleft)) % 256
+                rec2[i] = left
+                upleft = p2[i]
+            rec = rec2.ravel()
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        rows.append(rec.astype(np.uint8))
+        prev = rec
+    return (
+        np.concatenate(rows) if rows else np.zeros(0, dtype=np.uint8)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    filters: list[int] | None = None,
+    palette: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """REAL encoder: PNG (RFC 2083 / ISO 15948) with 8-bit greyscale
+    (color_type 0), RGB (2), palette-indexed (3, `pixels` are indices
+    and `palette` is the PLTE body — RGB triples), grey+alpha (4) or
+    RGBA (6) — stdlib zlib deflate over per-row filtered scanlines.
+    `filters` picks the filter type (0=None 1=Sub 2=Up 3=Average
+    4=Paeth) per row so fixtures can exercise every unfilter branch
+    of the decoder; default all-None. `interlace=True` emits the
+    Adam7 layout: seven sub-images in pass order, each independently
+    filtered (filter rotating by pass+row so every branch stays
+    live), pixels scattered on the §8.2 grid."""
+    import zlib
+
+    if color_type == 3:
+        if palette is None or len(palette) % 3 or not 3 <= len(palette) <= 768:
+            raise ValueError("palette PNG needs a PLTE body of RGB triples")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dims")
+    px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+    if interlace:
+        px3 = px.reshape(height, width, ch)
+        parts = []
+        for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = px3[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * ch)
+            parts.append(
+                _png_filter_rows(flat, ch, [(p + r) % 5 for r in range(ph)])
+            )
+        body = b"".join(parts)
+    else:
+        if filters is None:
+            filters = [0] * height
+        body = _png_filter_rows(px.reshape(height, stride), ch, filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    idat = zlib.compress(body)
     plte = _png_chunk(b"PLTE", palette) if color_type == 3 else b""
     return (
         PNG_SIG
@@ -329,10 +403,10 @@ def _decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (0, 2, 3, 4, 6) or comp != 0 or filt_m != 0 or interlace != 0:
+    if depth != 8 or color not in (0, 2, 3, 4, 6) or comp != 0 or filt_m != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace}); "
-            "only 8-bit grey/RGB/palette/alpha non-interlaced decoded natively"
+            "only 8-bit grey/RGB/palette/alpha (non-interlaced or Adam7) decoded natively"
         )
     if color == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG missing/malformed PLTE chunk")
@@ -343,42 +417,40 @@ def _decode_png(payload: bytes) -> dict:
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * ch
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG scanline data does not match dims")
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1).astype(np.int64)
-    prev = np.zeros(stride, dtype=np.int64)
-    rows = []
-    for r in range(h):
-        ft, frow = int(scan[r, 0]), scan[r, 1:]
-        if ft == 0:
-            rec = frow % 256
-        elif ft == 1:  # Sub: per-channel cumsum undoes the left-delta
-            rec = np.cumsum(frow.reshape(w, ch), axis=0).ravel() % 256
-        elif ft == 2:  # Up
-            rec = (frow + prev) % 256
-        elif ft == 3:  # Average (left is a row recurrence)
-            f2, p2 = frow.reshape(w, ch), prev.reshape(w, ch)
-            rec2 = np.empty((w, ch), dtype=np.int64)
-            left = np.zeros(ch, dtype=np.int64)
-            for i in range(w):
-                left = (f2[i] + (left + p2[i]) // 2) % 256
-                rec2[i] = left
-            rec = rec2.ravel()
-        elif ft == 4:  # Paeth (left/upper-left row recurrence)
-            f2, p2 = frow.reshape(w, ch), prev.reshape(w, ch)
-            rec2 = np.empty((w, ch), dtype=np.int64)
-            left = np.zeros(ch, dtype=np.int64)
-            upleft = np.zeros(ch, dtype=np.int64)
-            for i in range(w):
-                left = (f2[i] + _paeth(left, p2[i], upleft)) % 256
-                rec2[i] = left
-                upleft = p2[i]
-            rec = rec2.ravel()
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        rows.append(rec.astype(np.uint8))
-        prev = rec
-    out = np.concatenate(rows) if rows else np.zeros(0, dtype=np.uint8)
+    if interlace == 1:
+        # Adam7 (§8.2): seven independently-filtered sub-images in
+        # pass order, scattered back onto the (x0 + j*dx, y0 + i*dy)
+        # grid — each pass unfilters with ITS OWN row recurrence
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = (pw * ch + 1) * ph
+            if pos + need > len(raw):
+                raise ValueError("PNG Adam7 pass data truncated")
+            scan = (
+                np.frombuffer(raw[pos : pos + need], dtype=np.uint8)
+                .reshape(ph, pw * ch + 1)
+                .astype(np.int64)
+            )
+            pos += need
+            rec = _png_unfilter_rows(scan, pw, ch).reshape(ph, pw, ch)
+            img[y0::dy, x0::dx] = rec
+        if pos != len(raw):
+            raise ValueError("PNG Adam7 data does not match dims")
+        out = img.ravel()
+    else:
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("PNG scanline data does not match dims")
+        scan = (
+            np.frombuffer(raw, dtype=np.uint8)
+            .reshape(h, stride + 1)
+            .astype(np.int64)
+        )
+        out = _png_unfilter_rows(scan, w, ch)
     if color == 3:
         # palette lookup: indices -> RGB triples (one numpy gather)
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
@@ -2027,6 +2099,251 @@ def mp3_scan(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, MP3_SCAN_DDL)
+
+
+# --- Ogg container (RFC 3533) + Vorbis/Opus headers --------------------------
+# Page-level metadata scan, the Ogg twin of mp3_scan: codec id,
+# channels, rates, duration from the final granule position, and the
+# VorbisComment/OpusTags fields — audio packets are never decoded
+# (the decode seam stays the documented stub). Page CRCs verified:
+# Ogg uses a NON-reflected CRC-32, poly 0x04c11db7, init/xorout 0.
+
+_OGG_CRC_TABLE: list[int] = []
+
+
+def _ogg_crc(data: bytes) -> int:
+    if not _OGG_CRC_TABLE:
+        for b in range(256):
+            r = b << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 else (r << 1) & 0xFFFFFFFF
+            _OGG_CRC_TABLE.append(r)
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((r >> 24) ^ b) & 0xFF]
+    return r
+
+
+def _ogg_page(
+    serial: int, seq: int, granule: int, packets: list[bytes], header_type: int
+) -> bytes:
+    """One Ogg page: lacing splits each packet into 255-byte segments
+    with a final short segment (a 255-multiple packet gets a 0 lace)."""
+    lacing = bytearray()
+    body = bytearray()
+    for p in packets:
+        q, r = divmod(len(p), 255)
+        lacing += b"\xff" * q + bytes([r])
+        body += p
+    head = (
+        b"OggS\x00"
+        + bytes([header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", serial)
+        + struct.pack("<I", seq)
+        + b"\x00\x00\x00\x00"  # CRC placeholder
+        + bytes([len(lacing)])
+        + bytes(lacing)
+    )
+    page = bytearray(head + body)
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+def _comment_block(tags: dict[str, str]) -> bytes:
+    out = struct.pack("<I", 7) + b"fixture"  # vendor string
+    out += struct.pack("<I", len(tags))
+    for k, v in tags.items():
+        kv = f"{k}={v}".encode()
+        out += struct.pack("<I", len(kv)) + kv
+    return out
+
+
+def encode_ogg(
+    doc_id: int,
+    codec: str,
+    channels: int,
+    sample_rate: int,
+    n_audio_pages: int,
+    samples_per_page: int,
+    tags: dict[str, str],
+    preskip: int = 312,
+) -> bytes:
+    """Deterministic fixture Ogg stream: BOS page with the codec id
+    header, a comment page (VorbisComment / OpusTags), then
+    `n_audio_pages` audio pages with monotone granule positions —
+    one >255-byte packet per audio page so segment lacing is live —
+    and EOS on the last."""
+    import hashlib
+
+    serial = 0x1000 + doc_id % 977
+    if codec == "opus":
+        idh = (
+            b"OpusHead\x01"
+            + bytes([channels])
+            + struct.pack("<H", preskip)
+            + struct.pack("<I", sample_rate)
+            + b"\x00\x00"  # output gain
+            + b"\x00"  # channel mapping family 0
+        )
+        cmt = b"OpusTags" + _comment_block(tags)
+    else:
+        idh = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)
+            + bytes([channels])
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<iii", 0, 0, 0)
+            + b"\xb8\x01"
+        )
+        cmt = b"\x03vorbis" + _comment_block(tags) + b"\x01"
+    pages = [
+        _ogg_page(serial, 0, 0, [idh], 0x02),
+        _ogg_page(serial, 1, 0, [cmt], 0x00),
+    ]
+    base = preskip if codec == "opus" else 0
+    for i in range(n_audio_pages):
+        filler = hashlib.md5(f"ogg:{doc_id}:{i}".encode()).digest()
+        pkt = (filler * 25)[: 300 + (doc_id + i) % 64]
+        granule = base + (i + 1) * samples_per_page
+        eos = 0x04 if i + 1 == n_audio_pages else 0x00
+        pages.append(_ogg_page(serial, 2 + i, granule, [pkt], eos))
+    return b"".join(pages)
+
+
+def ogg_scan_bytes(data: bytes) -> dict:
+    """Whole-file Ogg scan: page walk with CRC verification and
+    byte-wise resync (a corrupt page costs its own bytes), codec id
+    from the BOS packet, tags from the comment packet, duration from
+    the final granule (Opus granules run at 48 kHz less pre-skip,
+    per RFC 7845 §4; Vorbis at the stream sample rate)."""
+    pos = 0
+    n_pages = 0
+    codec = None
+    channels = None
+    sample_rate = None
+    preskip = 0
+    last_granule = 0
+    tags: dict[str, str] = {}
+    while pos + 27 <= len(data):
+        if data[pos : pos + 4] != b"OggS":
+            nxt = data.find(b"OggS", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        nseg = data[pos + 26]
+        head_end = pos + 27 + nseg
+        if head_end > len(data):
+            break
+        body_len = sum(data[pos + 27 : head_end])
+        page_end = head_end + body_len
+        if page_end > len(data):
+            break
+        page = bytearray(data[pos:page_end])
+        stored = struct.unpack_from("<I", page, 22)[0]
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != stored:
+            nxt = data.find(b"OggS", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        header_type = data[pos + 5]
+        granule = struct.unpack_from("<q", data, pos + 6)[0]
+        body = data[head_end:page_end]
+        if header_type & 0x02:  # BOS: codec id header
+            if body.startswith(b"OpusHead"):
+                codec = "opus"
+                channels = body[9]
+                preskip = struct.unpack_from("<H", body, 10)[0]
+                sample_rate = struct.unpack_from("<I", body, 12)[0]
+            elif body.startswith(b"\x01vorbis"):
+                codec = "vorbis"
+                channels = body[11]
+                sample_rate = struct.unpack_from("<I", body, 12)[0]
+        elif body.startswith((b"OpusTags", b"\x03vorbis")):
+            off = 8 if body.startswith(b"OpusTags") else 7
+            try:
+                (vlen,) = struct.unpack_from("<I", body, off)
+                p = off + 4 + vlen
+                (ntags,) = struct.unpack_from("<I", body, p)
+                p += 4
+                for _ in range(ntags):
+                    (ln,) = struct.unpack_from("<I", body, p)
+                    p += 4
+                    kv = body[p : p + ln].decode("utf-8", errors="replace")
+                    p += ln
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        tags[k.upper()] = v
+            except struct.error:
+                pass
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+        n_pages += 1
+        pos = page_end
+    if codec is None:
+        return {"ok": False}
+    if codec == "opus":
+        duration = max(last_granule - preskip, 0) / 48_000
+    else:
+        duration = last_granule / sample_rate if sample_rate else 0.0
+    return {
+        "ok": True,
+        "codec": codec,
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_pages": n_pages,
+        "duration_s": duration,
+        "title": tags.get("TITLE"),
+        "artist": tags.get("ARTIST"),
+    }
+
+
+OGG_SCAN_DDL = (
+    "doc_id long, ok boolean, codec string, channels long, "
+    "sample_rate long, n_pages long, duration_s double, "
+    "title string, artist string"
+)
+
+
+def ogg_scan(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Crawl-scale Ogg metadata extraction (Vorbis + Opus): duration,
+    channels, rates and tags from a page-header walk — audio packets
+    are stepped over by the lacing table, never decoded. Arrow map
+    stage, zero shuffle; the mp3_scan shape for the Ogg family."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {
+                    "doc_id": int(did), "ok": False, "codec": None,
+                    "channels": None, "sample_rate": None, "n_pages": None,
+                    "duration_s": None, "title": None, "artist": None,
+                }
+                try:
+                    row.update(ogg_scan_bytes(bytes(payload)))
+                except Exception:  # noqa: BLE001 — total function
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r["doc_id"] for r in out], dtype="Int64"),
+                    "ok": [r["ok"] for r in out],
+                    "codec": [r["codec"] for r in out],
+                    "channels": pd.array([r["channels"] for r in out], dtype="Int64"),
+                    "sample_rate": pd.array([r["sample_rate"] for r in out], dtype="Int64"),
+                    "n_pages": pd.array([r["n_pages"] for r in out], dtype="Int64"),
+                    "duration_s": [r["duration_s"] for r in out],
+                    "title": [r["title"] for r in out],
+                    "artist": [r["artist"] for r in out],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, OGG_SCAN_DDL)
 
 
 def decode_payload(media_type: str, payload: bytes) -> dict:

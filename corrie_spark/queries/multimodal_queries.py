@@ -411,9 +411,15 @@ def q_multimodal_palette_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if did % 2 == 0:
                     payload, mt = M.encode_gif(w, h, idx, pal), "image/gif"
                 else:
+                    # a third of the PNGs take the Adam7 interlaced
+                    # layout — the oracle is pixel-valued, so the gate
+                    # proves interlaced == progressive-scan decode
                     filts = [(did + r) % 5 for r in range(h)]
                     payload, mt = (
-                        M.encode_png(w, h, idx, color_type=3, filters=filts, palette=pal),
+                        M.encode_png(
+                            w, h, idx, color_type=3, filters=filts,
+                            palette=pal, interlace=did % 3 == 1,
+                        ),
                         "image/png",
                     )
                 out.append({"media_id": did, "media_type": mt, "payload": payload})
@@ -1935,3 +1941,81 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, ok boolean, sample_rate long, channels long, "
         "n_samples long, duration_s double, mean_abs double, pcm0_md5 string",
     )
+
+
+# --- Ogg (Vorbis/Opus) page-level metadata ------------------------------------
+
+# Fixture rules (id-keyed, oracle-replayed):
+#   codec opus on odd ids (granules at 48 kHz less the 312 pre-skip),
+#   vorbis on even (granules at the stream rate); channels 1+id%2;
+#   sample_rate [8000,16000,44100][id%3]; 3+id%4 audio pages (+2
+#   header pages); samples/page (960|1024)*(1+id%5); TITLE/ARTIST
+#   comment tags. Duration falls out of the FINAL granule position.
+_OGG_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2 = 1 AS opus,
+         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+         CAST(list_extract([8000,16000,44100],
+              CAST(doc_id % 3 + 1 AS INT)) AS BIGINT) AS sr,
+         CAST(3 + doc_id % 4 AS BIGINT) AS npg,
+         CAST(CASE WHEN doc_id % 2 = 1 THEN 960 ELSE 1024 END
+              * (1 + doc_id % 5) AS BIGINT) AS spp
+  FROM documents
+)
+SELECT doc_id, TRUE AS ok,
+       CASE WHEN opus THEN 'opus' ELSE 'vorbis' END AS codec,
+       ch AS channels, sr AS sample_rate,
+       npg + 2 AS n_pages,
+       CASE WHEN opus THEN CAST(npg * spp AS DOUBLE) / 48000
+            ELSE CAST(npg * spp AS DOUBLE) / sr END AS duration_s,
+       'Ogg ' || CAST(doc_id AS VARCHAR) AS title,
+       'A' || CAST(doc_id % 7 AS VARCHAR) AS artist
+FROM p
+"""
+
+
+@register("q_multimodal_ogg_scan", oracle=_OGG_ORACLE,
+          python_stages="Ogg page-header walk + comment parse (mapInPandas)")
+def q_multimodal_ogg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container metadata without audio decode (RFC 3533 pages +
+    the Vorbis/Opus id and comment headers): per-doc fixture streams
+    — both codecs, segment lacing over >255-byte packets, page CRCs
+    (non-reflected CRC-32) verified on every page — scanned by the
+    header walk; duration comes from the final granule position
+    (Opus at 48 kHz less pre-skip per RFC 7845 §4, Vorbis at the
+    stream rate), tags from VorbisComment/OpusTags. Every field
+    closed-form in the oracle. With mp3_scan this covers the two
+    audio container families a crawl actually carries; FLAC is the
+    decoded third. One Arrow stage, zero shuffle."""
+    import pandas as pd
+
+    from corrie_spark.operators import multimodal as M
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codec = "opus" if did % 2 else "vorbis"
+                payload = M.encode_ogg(
+                    did,
+                    codec,
+                    channels=1 + did % 2,
+                    sample_rate=[8000, 16000, 44100][did % 3],
+                    n_audio_pages=3 + did % 4,
+                    samples_per_page=(960 if codec == "opus" else 1024)
+                    * (1 + did % 5),
+                    tags={"TITLE": f"Ogg {did}", "ARTIST": f"A{did % 7}"},
+                )
+                out.append({"doc_id": did, "payload": payload})
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(build, "doc_id long, payload binary")
+    return M.ogg_scan(media)

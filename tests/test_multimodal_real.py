@@ -95,3 +95,56 @@ def test_mp3_id3v2_4_syncsafe_and_utf8():
     got = mp3_scan_bytes(blob)
     assert got["title"] == "Tïtle" and got["artist"] == "Ärtist"
     assert got["n_frames"] == 2
+
+
+def test_png_adam7_equals_plain_scan():
+    import numpy as np
+
+    from corrie_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(3)
+    for (w, h) in [(1, 1), (7, 5), (8, 8), (9, 9), (33, 17)]:
+        for ct in (0, 2, 4, 6):
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+            px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+            plain = M._decode_png(M.encode_png(w, h, px, color_type=ct))
+            adam = M._decode_png(
+                M.encode_png(w, h, px, color_type=ct, interlace=True)
+            )
+            assert plain["data"] == adam["data"], (w, h, ct)
+    idx = rng.integers(0, 4, size=15 * 11, dtype=np.uint8).tobytes()
+    pal = bytes(range(12))
+    a = M._decode_png(
+        M.encode_png(15, 11, idx, color_type=3, palette=pal, interlace=True)
+    )
+    b = M._decode_png(M.encode_png(15, 11, idx, color_type=3, palette=pal))
+    assert a["data"] == b["data"]
+    # truncated pass data degrades to ValueError, never a crash
+    blob = M.encode_png(9, 9, bytes(81), color_type=0, interlace=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M._decode_png(blob[:60] + blob[60:][:-30])
+
+
+def test_ogg_scan_edge_cases():
+    from corrie_spark.operators.multimodal import encode_ogg, ogg_scan_bytes
+
+    assert ogg_scan_bytes(b"") == {"ok": False}
+    assert ogg_scan_bytes(b"OggS\x00garbage") == {"ok": False}
+    blob = encode_ogg(9, "opus", 2, 48000, 4, 960, {"TITLE": "t", "X": "y"})
+    got = ogg_scan_bytes(blob)
+    assert got["ok"] and got["n_pages"] == 6
+    assert got["duration_s"] == 4 * 960 / 48000
+    # a corrupt page fails its CRC, costs only itself (resync)
+    idxs, i = [], 0
+    while (i := blob.find(b"OggS", i)) >= 0:
+        idxs.append(i)
+        i += 4
+    bad = bytearray(blob)
+    bad[idxs[3] + 40] ^= 0xFF
+    cut = ogg_scan_bytes(bytes(bad))
+    assert cut["ok"] and cut["n_pages"] == 5
+    # vorbis granules run at the stream rate, not 48k
+    v = ogg_scan_bytes(encode_ogg(4, "vorbis", 1, 16000, 3, 2048, {"TITLE": "v"}))
+    assert v["duration_s"] == 3 * 2048 / 16000 and v["codec"] == "vorbis"
