@@ -810,3 +810,95 @@ def q_web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
         )
     )
+
+
+# --- sitemap DISCOVERY: robots Sitemap directive -> tree resolution ----------
+
+# even-k hosts advertise their sitemap in robots.txt; odd-k hosts do
+# not, so only even hosts contribute pages — the discovery loop
+# (robots parse -> Sitemap directive -> tree resolve) is gated end to
+# end, with the even-host tree shape from _build_sitemap_tree
+# (c0/c1/c2 by id%3, nested gz index, root cycle).
+_SITEMAP_DISCOVERY_ORACLE = """
+WITH h AS (
+  SELECT doc_id, doc_id % 40 AS k,
+    'www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.' ||
+      CASE WHEN doc_id % 4 = 1 THEN 'org'
+           WHEN doc_id % 4 = 2 THEN 'co.uk' ELSE 'com' END AS host
+  FROM documents
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       md5(array_to_string(
+         list_sort(list('https://' || host || '/doc/'
+                        || CAST(doc_id AS VARCHAR))), '|')) AS pages_md5
+FROM h WHERE k % 2 = 0
+GROUP BY host ORDER BY host
+"""
+
+
+@register("q_web_sitemap_discovery", oracle=_SITEMAP_DISCOVERY_ORACLE,
+          python_stages="robots parse + host-sized tree fixture build + gz decode Arrow stages")
+def q_web_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-seed DISCOVERY loop composed end to end: per-host
+    robots.txt (only even-k hosts carry a `Sitemap:` directive) ->
+    RFC 9309 rule parse -> sitemap_urls seeds -> depth-bounded tree
+    resolution over the same gz/nested/cyclic fixture trees
+    q_web_sitemap_index gates. Hosts that don't advertise a sitemap
+    contribute NOTHING (the discovery filter is the directive, not
+    the fixture) — the oracle states exactly the even-host page
+    sets. Scale: robots and sitemap tables are per-host metadata;
+    every stage is broadcast-join + row-local parse."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_TMPL.format(S="STRING"))
+    hosts = (
+        docs.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", W.url_host(url).alias("host"))
+    )
+
+    def mk(key, pdf):
+        host = str(key[0])
+        rows = _build_sitemap_tree(host, [int(i) for i in pdf["doc_id"]])
+        return pd.DataFrame(
+            [{"host": host, "url": u, "content": b} for u, b in rows]
+        )
+
+    files = hosts.groupBy("host").applyInPandas(
+        mk, "host string, url string, content binary"
+    )
+    sitemaps = W.sitemap_decode(files).localCheckpoint(eager=True)
+
+    k = F.regexp_extract("host", r"site([0-9]+)\.", 1).cast("long")
+    robots = sitemaps.select("host").distinct().withColumn(
+        "robots_txt",
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow:\nSitemap: https://"),
+                F.col("host"),
+                F.lit("/sitemap.xml\n"),
+            ),
+        ).otherwise(F.lit("User-agent: *\nDisallow:\n")),
+    )
+    # the discovered seed list is per-host metadata consumed by every
+    # resolver level (joins AND the growing visited anti-join side) —
+    # checkpoint it so the robots Arrow parse runs once, not per level
+    roots = (
+        W.sitemap_urls(W.robots_rules(robots))
+        .select("host", F.col("sitemap").alias("url"))
+        .localCheckpoint(eager=True)
+    )
+    pages = W.resolve_sitemap_tree(sitemaps, roots, max_depth=3)
+    return (
+        pages.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("loc")), "|")
+            ).alias("pages_md5"),
+        )
+        .orderBy("host")
+    )
