@@ -1863,6 +1863,16 @@ def _id3v2_parse(data: bytes) -> tuple[dict, int]:
     total = 10 + size + (10 if flags & 0x10 else 0)
     tags: dict[str, str] = {}
     pos, end = 10, min(10 + size, len(data))
+    if flags & 0x40 and pos + 4 <= end:
+        # extended header precedes the frames (id3.org §3.2): skip it,
+        # else its bytes get misread as a frame id/size and every tag
+        # frame is silently dropped. v2.4 counts the whole ext header
+        # in its (syncsafe) size; v2.3's (plain) size excludes the
+        # 4 size bytes themselves.
+        if major >= 4:
+            pos += max(_id3_syncsafe(data[pos : pos + 4]), 6)
+        else:
+            pos += 4 + int.from_bytes(data[pos : pos + 4], "big")
     while pos + 10 <= end:
         fid = data[pos : pos + 4]
         if fid == b"\x00\x00\x00\x00":

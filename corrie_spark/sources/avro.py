@@ -238,9 +238,16 @@ def _read_map(buf: memoryview, pos: int) -> tuple[dict[str, bytes], int]:
             _, pos = zigzag_decode(buf, pos)
         for _ in range(n):
             kl, pos = zigzag_decode(buf, pos)
+            # negative/overlong lengths would walk the cursor backwards
+            # (`pos += kl` with kl < 0) and cycle the outer loop forever
+            # on a crafted header — same guards _read_datum already has
+            if kl < 0 or pos + kl > len(buf):
+                raise AvroError("bad map key length")
             key = bytes(buf[pos : pos + kl]).decode()
             pos += kl
             vl, pos = zigzag_decode(buf, pos)
+            if vl < 0 or pos + vl > len(buf):
+                raise AvroError("bad map value length")
             pairs[key] = bytes(buf[pos : pos + vl])
             pos += vl
 
@@ -285,21 +292,58 @@ def encode_ocf(
 
 
 def read_header(data: bytes) -> tuple[list[tuple[str, dict]], str, bytes, int]:
-    """OCF header -> (field plan, codec, sync marker, body offset)."""
+    """OCF header -> (field plan, codec, sync marker, body offset).
+
+    Every corrupt-metadata shape (non-UTF-8 key/codec/schema bytes,
+    invalid schema JSON) surfaces as AvroError so callers' poison
+    catches hold — a file with valid magic but garbage metadata must
+    cost one _error row, never a task death."""
     if data[:4] != AVRO_MAGIC:
         raise AvroError("not an Avro object container file")
     mv = memoryview(data)
-    meta, pos = _read_map(mv, 4)
-    schema = meta.get("avro.schema")
-    if schema is None:
-        raise AvroError("missing avro.schema")
-    codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise AvroError(f"unsupported codec {codec}")
-    sync = bytes(mv[pos : pos + 16])
-    if len(sync) != 16:
-        raise AvroError("truncated header sync")
-    return parse_schema(schema.decode()), codec, sync, pos + 16
+    try:
+        meta, pos = _read_map(mv, 4)
+        schema = meta.get("avro.schema")
+        if schema is None:
+            raise AvroError("missing avro.schema")
+        codec = meta.get("avro.codec", b"null").decode()
+        if codec not in ("null", "deflate"):
+            raise AvroError(f"unsupported codec {codec}")
+        sync = bytes(mv[pos : pos + 16])
+        if len(sync) != 16:
+            raise AvroError("truncated header sync")
+        return parse_schema(schema.decode()), codec, sync, pos + 16
+    except AvroError:
+        raise
+    except (UnicodeDecodeError, ValueError) as e:  # json.JSONDecodeError is a ValueError
+        raise AvroError(f"corrupt header metadata: {e}") from e
+
+
+_MAX_HEADER = 16 << 20  # growth cap: no sane OCF header exceeds 16 MiB
+
+
+def read_header_from_file(f) -> tuple[list[tuple[str, dict]], str, bytes, int]:
+    """Parse the OCF header from an open file, growing the read
+    incrementally: real headers routinely exceed 4 KiB (wide record
+    schemas, extra metadata keys), so a fixed-size head read would
+    reject legitimate files with 'truncated varint'. Starts at 4 KiB
+    and doubles on AvroError until the parse succeeds, EOF, or the
+    16 MiB cap (a corrupt-but-valid-magic file costs at most ~12
+    bounded retries before the original error is re-raised)."""
+    f.seek(0)
+    data = f.read(4096)
+    if data[:4] != AVRO_MAGIC:  # growth can't fix bad magic
+        raise AvroError("not an Avro object container file")
+    while True:
+        try:
+            return read_header(data)
+        except AvroError:
+            if len(data) >= _MAX_HEADER:
+                raise
+            more = f.read(len(data))
+            if not more:
+                raise
+            data += more
 
 
 def _iter_blocks(
@@ -334,7 +378,7 @@ def _iter_blocks(
                 raise AvroError("trailing bytes in block")
             yield start, rows
             pos = p + blen + 16
-        except (AvroError, zlib.error):
+        except (AvroError, zlib.error, UnicodeDecodeError):
             nxt = data.find(sync, start + 1)
             if nxt < 0:
                 yield start, None  # rest of range unreadable
@@ -415,8 +459,7 @@ def scan_avro_range(path: str, start: int, length: int) -> list[tuple[int, list 
     Returns [(block_offset, rows|None)] — None marks a corrupt span,
     same observability stance as the whole-file path."""
     with open(path, "rb") as f:
-        head = f.read(4096)
-        plan, codec, sync, body = read_header(head)
+        plan, codec, sync, body = read_header_from_file(f)
         f.seek(0, io.SEEK_END)
         file_end = f.tell()
         hi = min(start + length, file_end)
@@ -487,7 +530,7 @@ def scan_avro_range(path: str, start: int, length: int) -> list[tuple[int, list 
                     raise AvroError("trailing bytes in block")
                 out.append((block_start, rows))
                 pos = p + blen + 16
-            except (AvroError, zlib.error):
+            except (AvroError, zlib.error, UnicodeDecodeError):
                 out.append((block_start, None))
                 ensure(hi + 16)
                 nxt = bytes(buf).find(sync, pos + 1)
@@ -597,7 +640,7 @@ def read_avro(
     if not paths:
         raise AvroError(f"no files match {path_glob!r}")
     with open(paths[0], "rb") as f:
-        plan, _, _, _ = read_header(f.read(4096))
+        plan, _, _, _ = read_header_from_file(f)
     ddl = ddl_for_plan(plan)
     if sharded:
         return avro_ranges(spark, paths, range_bytes=range_bytes, out_ddl=ddl)

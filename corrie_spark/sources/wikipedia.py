@@ -361,17 +361,10 @@ def scan_dump_range(path: str, start: int, length: int) -> list[dict]:
     hi = min(start + length, file_end)
     if start >= hi:
         return []
+    CHUNK = 1 << 20
     with open(path, "rb") as f:
         f.seek(start)
-        buf = bytearray(f.read(min(file_end, hi + (1 << 20)) - start))
-
-        def ensure_all() -> None:
-            while start + len(buf) < file_end:
-                f.seek(start + len(buf))
-                chunk = f.read(1 << 20)
-                if not chunk:
-                    break
-                buf.extend(chunk)
+        buf = bytearray(f.read(min(file_end, hi + CHUNK) - start))
 
         # resync to the first stream starting in-range
         pos = 0
@@ -385,17 +378,35 @@ def scan_dump_range(path: str, start: int, length: int) -> list[dict]:
             pos = nxt
         out = []
         while start + pos < hi:
+            # feed the decompressor fixed-size slices instead of one
+            # whole-tail copy: the naive `decompress(buf[pos:])` is
+            # O(n_streams × range_bytes) memcpy (~16 GB of copying for
+            # a 128 MiB range of ~1 MiB streams); chunk feeding is
+            # O(range_bytes) total, and a straddling final stream
+            # grows the buffer one chunk at a time — only as far as
+            # that stream actually needs, never to end-of-file.
             d = bz2.BZ2Decompressor()
+            parts = []
+            fed = pos
             try:
-                blob = d.decompress(bytes(buf[pos:]))
+                while not d.eof:
+                    if fed >= len(buf):
+                        if start + len(buf) >= file_end:
+                            break  # truncated file
+                        f.seek(start + len(buf))
+                        chunk = f.read(CHUNK)
+                        if not chunk:
+                            break
+                        buf.extend(chunk)
+                    feed_end = min(fed + CHUNK, len(buf))
+                    parts.append(d.decompress(bytes(buf[fed:feed_end])))
+                    fed = feed_end
                 if not d.eof:
-                    # stream straddles the buffered tail: pull the rest
-                    ensure_all()
-                    d = bz2.BZ2Decompressor()
-                    blob = d.decompress(bytes(buf[pos:]))
-                    if not d.eof:
-                        break  # truncated file
-                consumed = (len(buf) - pos) - len(d.unused_data)
+                    break  # truncated file
+                consumed = (fed - pos) - len(d.unused_data)
+                if consumed <= 0:
+                    break
+                blob = b"".join(parts)
             except OSError:
                 data = bytes(buf)
                 nxt = data.find(BZ2_MAGIC, pos + 1)

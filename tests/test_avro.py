@@ -135,3 +135,66 @@ def test_avro_records_error_rows(spark, tmp_path):
     assert by_k[-3].c is None and by_k[-3].f is True  # i=0: null comment
     assert by_k[4].c == "c1" and by_k[4].f is False  # i=1
     assert by_k[-3].day == datetime.date(1969, 12, 27)  # i=0: -5 days
+
+def test_header_larger_than_4k(tmp_path):
+    """Real OCF headers routinely exceed 4 KiB (wide schemas, extra
+    metadata keys); the file-backed readers grow the header read
+    incrementally instead of failing on a fixed-size head."""
+    recs = _recs(30)
+    base = A.encode_ocf(SCHEMA, recs, codec="null", name="big", block_size=10)
+    plan, _codec, sync, body = A.read_header(base)
+    meta = A._write_map(
+        {
+            "avro.schema": SCHEMA.encode(),
+            "avro.codec": b"null",
+            "corp.padding": b"x" * 20_000,
+        }
+    )
+    blob = A.AVRO_MAGIC + meta + sync + base[body:]
+    p = str(tmp_path / "big.avro")
+    with open(p, "wb") as f:
+        f.write(blob)
+    with open(p, "rb") as f:
+        plan2, codec2, sync2, body2 = A.read_header_from_file(f)
+    assert plan2 == plan and sync2 == sync and body2 > 20_000
+    assert [r for _, rows in A.iter_ocf(blob) for r in rows] == recs
+    out = []
+    s = 0
+    while s < len(blob):
+        out.extend(A.scan_avro_range(p, s, 5000))
+        s += 5000
+    out.sort()
+    assert [r for _, rows in out for r in rows] == recs
+
+
+def test_corrupt_header_metadata_is_avro_error():
+    sync = b"s" * 16
+    # garbage-JSON schema: AvroError, never a bare JSONDecodeError
+    bad_json = A.AVRO_MAGIC + A._write_map({"avro.schema": b"{not json"}) + sync
+    with pytest.raises(A.AvroError):
+        A.read_header(bad_json)
+    # non-UTF-8 schema bytes: AvroError, never UnicodeDecodeError
+    bad_utf8 = A.AVRO_MAGIC + A._write_map({"avro.schema": b"\xff\xfe\x00{"}) + sync
+    with pytest.raises(A.AvroError):
+        A.read_header(bad_utf8)
+    # negative map-entry length: AvroError, never a backwards-cursor
+    # infinite loop
+    evil = A.AVRO_MAGIC + A.zigzag_encode(1) + A.zigzag_encode(-5) + b"\x00" * 64
+    with pytest.raises(A.AvroError):
+        A.read_header(evil)
+
+
+def test_corrupt_metadata_costs_one_error_row(spark):
+    """Valid magic + corrupt metadata must degrade to one _error row,
+    not a task death (the poison contract of avro_records)."""
+    sync = b"s" * 16
+    bad = (
+        A.AVRO_MAGIC
+        + A._write_map({"avro.schema": b"{nope", "avro.codec": b"null"})
+        + sync
+    )
+    df = spark.createDataFrame(
+        [("bad.avro", bytearray(bad))], "path string, content binary"
+    )
+    got = A.avro_records(df, "k long").collect()
+    assert len(got) == 1 and got[0]._error

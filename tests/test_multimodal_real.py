@@ -148,3 +148,42 @@ def test_ogg_scan_edge_cases():
     # vorbis granules run at the stream rate, not 48k
     v = ogg_scan_bytes(encode_ogg(4, "vorbis", 1, 16000, 3, 2048, {"TITLE": "v"}))
     assert v["duration_s"] == 3 * 2048 / 16000 and v["codec"] == "vorbis"
+
+def _syncsafe4(n: int) -> bytes:
+    return bytes([(n >> s) & 0x7F for s in (21, 14, 7, 0)])
+
+
+def test_mp3_id3v2_extended_header():
+    """The 0x40 flag interposes an extended header before the frames
+    (id3.org §3.2); the scan must skip it, not misread its bytes as a
+    frame id/size. v2.3 sizes it excluding the 4 size bytes; v2.4
+    syncsafe-sizes the whole thing."""
+    from corrie_spark.operators.multimodal import (
+        _id3v2_parse,
+        encode_mp3,
+        mp3_scan_bytes,
+    )
+
+    audio = encode_mp3(4, n_frames=2)  # untagged frames
+    # --- v2.3: ext header = size(4, excl. itself) + flags(2) + pad(4)
+    body = b"\x00" + b"Ext Title"
+    frame = b"TIT2" + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+    ext23 = (6).to_bytes(4, "big") + b"\x00\x00" + (0).to_bytes(4, "big")
+    size = len(ext23) + len(frame)
+    tag23 = b"ID3" + bytes([3, 0, 0x40]) + _syncsafe4(size) + ext23 + frame
+    tags, consumed = _id3v2_parse(tag23 + audio)
+    assert tags.get("TIT2") == "Ext Title"
+    assert consumed == 10 + size
+    got = mp3_scan_bytes(tag23 + audio)
+    assert got["title"] == "Ext Title" and got["n_frames"] == 2
+    # --- v2.4: ext header = syncsafe size(4, incl. itself) + nflags(1) + flags(1)
+    body4 = b"\x03" + "Ext Tïtle".encode("utf-8")
+    frame4 = b"TIT2" + _syncsafe4(len(body4)) + b"\x00\x00" + body4
+    ext24 = _syncsafe4(6) + b"\x01\x00"
+    size4 = len(ext24) + len(frame4)
+    tag24 = b"ID3" + bytes([4, 0, 0x40]) + _syncsafe4(size4) + ext24 + frame4
+    tags4, consumed4 = _id3v2_parse(tag24 + audio)
+    assert tags4.get("TIT2") == "Ext Tïtle"
+    assert consumed4 == 10 + size4
+    got4 = mp3_scan_bytes(tag24 + audio)
+    assert got4["title"] == "Ext Tïtle" and got4["n_frames"] == 2

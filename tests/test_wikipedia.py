@@ -128,3 +128,26 @@ def test_wiki_pages_spark_stage(spark):
     )
     one = {r.page_id: r.t for r in clean.collect()}
     assert one[1] == "Section 1 alpha beta1 gamma delta1 x<y&z"
+
+def test_large_straddling_stream_chunked_growth(tmp_path):
+    """A multi-MiB stream owned by a tiny range: the decompressor is
+    fed fixed-size slices and the tail buffer grows only as far as
+    the straddling stream needs (the whole-tail-copy path was
+    O(n_streams x range_bytes) memcpy on real dumps)."""
+    import hashlib
+
+    big = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(100_000)
+    )
+    pages = [(1, "Big", big), (2, "After", "tail page")]
+    dump, index = W.build_dump(pages, pages_per_stream=1)
+    p = str(tmp_path / "big.xml.bz2")
+    with open(p, "wb") as f:
+        f.write(dump)
+    off1 = int(index[0].split(":")[0])
+    # sanity: the stream really is bigger than the 1 MiB initial tail
+    off2 = int(index[1].split(":")[0])
+    assert off2 - off1 > (1 << 20) + 64
+    rows = W.scan_dump_range(p, off1, 64)
+    assert [r["page_id"] for r in rows] == [1]
+    assert rows[0]["wikitext"] == big
