@@ -69,15 +69,33 @@ _DATE_SQL = (
     "lpad(CAST((doc_id % 86400) % 60 AS VARCHAR), 2, '0') || 'Z'"
 )
 
+# chunked-framing arithmetic (fixture chunk size 512 = 3 hex digits):
+# per full chunk '200\r\n' + 512 bytes + '\r\n' = 519; tail chunk pays
+# its own hex-digit count; terminal '0\r\n\r\n' = 5.
+_REM = "(body_bytes % 512)"
+_CHUNKED_LEN = f"""
+  strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+         'Content-Type: text/html; charset=' || charset ||
+         chr(13) || chr(10) ||
+         'Transfer-Encoding: chunked' || chr(13) || chr(10) ||
+         chr(13) || chr(10))
+  + (body_bytes // 512) * 519
+  + CASE WHEN {_REM} > 0 THEN
+      (CASE WHEN {_REM} >= 256 THEN 3 WHEN {_REM} >= 16 THEN 2 ELSE 1 END)
+      + 4 + {_REM}
+    ELSE 0 END
+  + 5
+"""
+
 _INGEST_ORACLE = f"""
 WITH {_BASE},
 resp AS (
   SELECT {_uuid_sql("md5('warc-resp:' || CAST(doc_id AS VARCHAR))")} AS record_id,
-         doc_id, charset, body, content_length
+         doc_id, charset, body, body_bytes, content_length
   FROM hdr
   UNION ALL
   SELECT {_uuid_sql("md5('warc-resp-dup:' || CAST(doc_id AS VARCHAR))")} AS record_id,
-         doc_id, charset, body, content_length
+         doc_id, charset, body, body_bytes, content_length
   FROM hdr WHERE doc_id % {W.DUP_MOD} = 0
 )
 SELECT record_id,
@@ -85,7 +103,12 @@ SELECT record_id,
   {_DATE_SQL} AS warc_date,
   CAST(200 AS BIGINT) AS http_status,
   charset,
-  CAST(content_length AS BIGINT) AS content_length,
+  CAST(CASE WHEN doc_id % {W.ENC_MOD} IN (3, 4) THEN NULL
+            WHEN doc_id % {W.ENC_MOD} = 2 THEN {_CHUNKED_LEN}
+            ELSE content_length END AS BIGINT) AS content_length,
+  CASE WHEN doc_id % {W.ENC_MOD} = 2 THEN 'chunked'
+       WHEN doc_id % {W.ENC_MOD} = 3 THEN 'gzip'
+       WHEN doc_id % {W.ENC_MOD} = 4 THEN 'deflate' END AS http_encoding,
   md5(body) AS text_md5,
   CAST(length(body) AS BIGINT) AS n_chars
 FROM resp
@@ -113,10 +136,16 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl ingestion through the full reader: distributed fixture
     build (one .warc.gz per applyInPandas group, every record its own
     gzip member) -> gzip member split -> WARC/1.0 header parse ->
-    HTTP response framing -> charset-sniffed text decode. The oracle
-    replays every field closed-form from `documents` (deterministic
-    fixture rules), so record ids, byte-exact Content-Lengths across
-    the charset boundary, and payload text hashes are all gated."""
+    HTTP response framing -> transfer/content decoding (chunked
+    de-framing, gzip/deflate decompression — the self-crawled-WARC
+    shape) -> charset-sniffed text decode. The oracle replays every
+    field closed-form from `documents` (deterministic fixture rules):
+    record ids, byte-exact record Content-Lengths across the charset
+    boundary AND across chunked framing (519 bytes per full chunk),
+    the applied-encoding label, and payload text hashes. Compressed
+    bodies' record lengths are not SQL-expressible (gzip output size)
+    and are masked on both sides; their text hashes still gate that
+    decompression recovered the exact page."""
     recs = _shared_records(spark, sf_dir)
     return recs.where(F.col("warc_type") == "response").select(
         "record_id",
@@ -124,7 +153,13 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_date",
         "http_status",
         "charset",
-        "content_length",
+        F.when(
+            F.col("http_encoding").isin("gzip", "deflate"),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.col("content_length"))
+        .alias("content_length"),
+        "http_encoding",
         F.md5("text").alias("text_md5"),
         F.length("text").cast("long").alias("n_chars"),
     )

@@ -45,6 +45,7 @@ pipeline runs on.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 from collections.abc import Iterator
@@ -70,11 +71,15 @@ class Ref:
 
 
 class Stream:
-    __slots__ = ("d", "raw")
+    # `crypt` is (handler, obj_num) on streams of an encrypted
+    # document — decode_stream decrypts lazily, after the /Length
+    # extent is resolved (None = plaintext document)
+    __slots__ = ("d", "raw", "crypt")
 
     def __init__(self, d: dict, raw: bytes):
         self.d = d
         self.raw = raw
+        self.crypt = None
 
 
 def _skip_ws(data: bytes, pos: int) -> int:
@@ -271,12 +276,32 @@ def parse_document(data: bytes) -> tuple[dict[int, object], dict]:
             pos = end + len(b"endstream")
         objects[num] = obj
         cursor = pos
+    _expand_objstms(objects)
+    trailer: dict = {}
+    t = data.rfind(b"trailer")
+    if t >= 0:
+        try:
+            trailer, _ = parse_object(data, t + len(b"trailer"))
+        except PdfError:
+            trailer = {}
+    if not trailer or "Root" not in trailer:
+        # no classic trailer (xref-stream file): find a catalog by type
+        for num, obj in objects.items():
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                trailer = {"Root": Ref(num)}
+                break
+    return objects, trailer
+
+
+def _expand_objstms(objects: dict[int, object]) -> None:
     # expand compressed object streams (§7.5.7): N pairs of
     # `objnum offset` in the first /First bytes, then the objects
     # back-to-back. Top-level scan definitions WIN over ObjStm
     # contents (an incremental update appends uncompressed
     # redefinitions — same precedence xref gives them); a malformed
     # ObjStm contributes nothing instead of failing the document.
+    # Called again after decryption: an encrypted ObjStm is opaque on
+    # the first pass and expandable once its bytes are decrypted.
     for s in [o for o in objects.values() if isinstance(o, Stream)]:
         if s.d.get("Type") != "ObjStm":
             continue
@@ -309,20 +334,6 @@ def parse_document(data: bytes) -> tuple[dict[int, object], dict]:
                     continue
         except (PdfError, zlib.error, ValueError):
             continue
-    trailer: dict = {}
-    t = data.rfind(b"trailer")
-    if t >= 0:
-        try:
-            trailer, _ = parse_object(data, t + len(b"trailer"))
-        except PdfError:
-            trailer = {}
-    if not trailer or "Root" not in trailer:
-        # no classic trailer (xref-stream file): find a catalog by type
-        for num, obj in objects.items():
-            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
-                trailer = {"Root": Ref(num)}
-                break
-    return objects, trailer
 
 
 def _resolve(objects: dict[int, object], v):
@@ -468,6 +479,17 @@ def decode_stream(objects: dict[int, object], s: Stream) -> bytes:
             raw = raw[:-2]
         elif raw.endswith((b"\n", b"\r")):
             raw = raw[:-1]
+    # standard-security decryption happens AFTER the /Length
+    # truncation (an AES body is only block-aligned within its
+    # declared extent) and BEFORE the filter chain (§7.6.2: crypt
+    # is conceptually the first filter)
+    crypt = getattr(s, "crypt", None)
+    if crypt is not None:
+        handler, num = crypt
+        try:
+            raw = handler.decrypt(num, 0, raw)
+        except ValueError as e:
+            raise PdfError(f"stream decrypt failed: {e}") from None
     filters = _resolve(objects, s.d.get("Filter"))
     if filters is None:
         chain = []
@@ -554,13 +576,71 @@ def _page_content(objects: dict[int, object], page: dict) -> bytes:
     return b"\n".join(parts)
 
 
+def _decrypt_obj(handler, num: int, obj):
+    """Decrypt strings eagerly, tag streams for lazy decryption in
+    decode_stream (the /Length extent must be resolved first)."""
+    if isinstance(obj, Stream):
+        s = Stream(
+            {k: _decrypt_obj(handler, num, v) for k, v in obj.d.items()},
+            obj.raw,
+        )
+        s.crypt = (handler, num)
+        return s
+    if isinstance(obj, bytes):  # PDF strings parse to bytes
+        try:
+            return handler.decrypt(num, 0, obj)
+        except ValueError:
+            return obj  # keep undecryptable strings verbatim (poison)
+    if isinstance(obj, list):
+        return [_decrypt_obj(handler, num, x) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _decrypt_obj(handler, num, v) for k, v in obj.items()}
+    return obj
+
+
+def _decrypt_document(objects: dict[int, object], trailer: dict) -> None:
+    """§7.6.3 standard security handler, empty-user-password case
+    (owner-password-only documents — they open in any viewer, so they
+    must extract here too). Generation numbers: the scan layer keys
+    objects by number with last-wins precedence, so per-object keys
+    use gen 0 — the overwhelmingly dominant case in real files; a
+    nonzero-gen encrypted object decrypts wrong and degrades at the
+    stream/page level, never as a task death. Unsupported schemes
+    (AES-256, non-Standard filters) and wrong-password documents
+    raise the distinct encrypted-document PdfError -> DLQ row."""
+    from corrie_spark.sources.pdf_crypt import PdfCryptError, StdSecurityHandler
+
+    enc_ref = trailer.get("Encrypt")
+    enc = _resolve(objects, enc_ref)
+    if not isinstance(enc, dict):
+        raise PdfError("encrypted document (bad /Encrypt)")
+    enc = {k: _resolve(objects, v) for k, v in enc.items()}
+    ids = trailer.get("ID")
+    id0 = (
+        ids[0]
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes)
+        else b""
+    )
+    try:
+        handler = StdSecurityHandler(enc, id0)
+    except PdfCryptError as e:
+        raise PdfError(f"encrypted document ({e})") from None
+    if not handler.authenticate():
+        raise PdfError("encrypted document (password required)")
+    skip = {enc_ref.num} if isinstance(enc_ref, Ref) else set()
+    for num, obj in list(objects.items()):
+        if num in skip:
+            continue
+        objects[num] = _decrypt_obj(handler, num, obj)
+    # encrypted ObjStms were opaque on the parse-time pass; their
+    # members become reachable once the container bytes decrypt
+    _expand_objstms(objects)
+
+
 def _document_root(data: bytes) -> tuple[dict[int, object], dict]:
     objects, trailer = parse_document(data)
     if "Encrypt" in trailer:
-        # encrypted strings/streams would "extract" as silent garbage;
-        # degrade to the DLQ row instead (standard-security decryption
-        # is out of scope by design)
-        raise PdfError("encrypted document")
+        _decrypt_document(objects, trailer)
     root = _resolve(objects, trailer.get("Root"))
     if not isinstance(root, dict):
         raise PdfError("no document catalog")
@@ -1361,26 +1441,73 @@ def _content_stream(lines: list[str], doc_id: int) -> bytes:
     return b"\n".join(parts)
 
 
-def build_pdf(doc_id: int, text: str) -> bytes:
+def _serialize_encrypt_dict(enc: dict) -> bytes:
+    """Resolved /Encrypt dict (pdf_crypt.build_standard_encrypt) ->
+    PDF object body. O/U as hex strings; V4 adds the /StdCF filter."""
+    body = (
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s>"
+        % (
+            enc["V"],
+            enc["R"],
+            enc["Length"],
+            enc["P"],
+            enc["O"].hex().encode(),
+            enc["U"].hex().encode(),
+        )
+    )
+    if enc["V"] == 4:
+        cfm = enc["CF"]["StdCF"]["CFM"]
+        body += (
+            b" /CF << /StdCF << /CFM /%s /AuthEvent /DocOpen >> >>"
+            b" /StmF /StdCF /StrF /StdCF" % cfm.encode()
+        )
+    return body + b" >>"
+
+
+def build_pdf(doc_id: int, text: str, encrypt: str | None = None) -> bytes:
     """Deterministic single-doc PDF: catalog -> pages -> LINES_PER_PAGE
     lines per page, FlateDecode content streams, classic xref with
     byte-exact offsets, /Length as an INDIRECT reference on page 0
-    (the resolver path) and direct elsewhere."""
+    (the resolver path) and direct elsewhere. `encrypt` in {'rc4-40',
+    'rc4-128', 'aes-128'} wraps every content stream in §7.6.3
+    standard security with an EMPTY user password (the
+    owner-password-only shape): extracted text must equal the
+    unencrypted twin's byte-for-byte."""
+    handler = None
+    extra_objs: list[tuple[int, bytes]] = []
+    trailer_extra = b""
     pages = fixture_pages(text)
     n_pages = len(pages)
     objs: list[tuple[int, bytes]] = []
     page_ids = [4 + 2 * i for i in range(n_pages)]
+    next_id = 4 + 2 * n_pages
+    if encrypt is not None:
+        from corrie_spark.sources.pdf_crypt import build_standard_encrypt
+
+        id0 = hashlib.md5(f"pdf-id:{doc_id}".encode()).digest()
+        enc_dict, handler = build_standard_encrypt(encrypt, id0)
+        enc_id = next_id + (1 if n_pages else 0)
+        extra_objs.append((enc_id, _serialize_encrypt_dict(enc_dict)))
+        id_hex = id0.hex().encode()
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_id,
+            id_hex,
+            id_hex,
+        )
     kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_ids) + b"]"
     objs.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
     objs.append(
         (2, b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages)
     )
     objs.append((3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
-    next_id = 4 + 2 * n_pages
+    first_len = None
     for i, (pid, lines) in enumerate(zip(page_ids, pages)):
         content = zlib.compress(_content_stream(lines, doc_id))
+        if handler is not None:
+            content = handler.encrypt(pid + 1, 0, content)
         if i == 0:
             len_ref = b"%d 0 R" % next_id
+            first_len = len(content)
         else:
             len_ref = b"%d" % len(content)
         objs.append(
@@ -1400,8 +1527,8 @@ def build_pdf(doc_id: int, text: str) -> bytes:
             )
         )
     if n_pages:
-        first_len = len(zlib.compress(_content_stream(pages[0], doc_id)))
         objs.append((next_id, b"%d" % first_len))
+    objs.extend(extra_objs)
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num, body in sorted(objs):
@@ -1417,8 +1544,8 @@ def build_pdf(doc_id: int, text: str) -> bytes:
         else:
             out += b"0000000000 65535 f \n"
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_id, xref_at)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_id, trailer_extra, xref_at)
     )
     return bytes(out)
 
@@ -1592,13 +1719,28 @@ def build_pdf_fonts(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+# doc_id % 10 routes even docs through §7.6.3 standard security with
+# an empty user password (the owner-password-only crawl shape) — the
+# extracted text is identical by construction, so the same closed-form
+# oracle gates the decryption paths for free.
+PDF_ENCRYPT_ROUTE = {2: "rc4-40", 4: "rc4-128", 6: "aes-128"}
+
+
+def _build_fixture_pdf(doc_id: int, text: str) -> bytes:
+    if doc_id % 2:
+        return build_pdf_objstm(doc_id, text)
+    return build_pdf(doc_id, text, encrypt=PDF_ENCRYPT_ROUTE.get(doc_id % 10))
+
+
 def pdf_fixture_files(docs_df: DataFrame) -> DataFrame:
     """Distributed fixture build: one PDF per document row (path,
     content) — the binaryFile shape, so the extraction path under test
-    is the real one end-to-end. Writers alternate by doc_id: even docs
-    get the classic-xref layout, odd docs the modern ObjStm layout
-    (build_pdf_objstm) — extraction is byte-identical by construction,
-    so ONE closed-form oracle gates both assembly paths."""
+    is the real one end-to-end. Writers alternate by doc_id: odd docs
+    get the modern ObjStm layout (build_pdf_objstm), even docs the
+    classic-xref layout, with doc_id % 10 in {2, 4, 6} additionally
+    encrypted (RC4-40 / RC4-128 / AES-128, empty user password) —
+    extraction is byte-identical by construction, so ONE closed-form
+    oracle gates every assembly and decryption path."""
     import pandas as pd
 
     def build(batches):
@@ -1606,11 +1748,7 @@ def pdf_fixture_files(docs_df: DataFrame) -> DataFrame:
             out = [
                 {
                     "path": f"doc-{int(i):08d}.pdf",
-                    "content": (
-                        build_pdf(int(i), str(t))
-                        if int(i) % 2 == 0
-                        else build_pdf_objstm(int(i), str(t))
-                    ),
+                    "content": _build_fixture_pdf(int(i), str(t)),
                 }
                 for i, t in zip(pdf["doc_id"], pdf["text"])
             ]

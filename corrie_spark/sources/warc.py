@@ -177,6 +177,122 @@ def split_http_response(content: bytes) -> tuple[int, dict[str, str], bytes]:
     return status, headers, body
 
 
+class HttpBodyError(ValueError):
+    """Corrupt HTTP body framing (bad chunked framing, corrupt
+    gzip/deflate content coding). Callers degrade the record to an
+    `_error` marker row — never a task death."""
+
+
+def dechunk_http_body(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding: hex chunk-size line
+    (chunk extensions after ';' ignored), chunk data, CRLF, repeated
+    until the 0-size chunk; trailer fields after it are ignored. Any
+    framing violation raises HttpBodyError."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(CRLF, pos)
+        if eol < 0:
+            raise HttpBodyError("chunk size line missing CRLF")
+        line = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(line, 16)
+        except ValueError:
+            raise HttpBodyError(f"bad chunk size {line[:16]!r}") from None
+        if size < 0:
+            raise HttpBodyError("negative chunk size")
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size > n:
+            raise HttpBodyError("chunk data truncated")
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] != CRLF:
+            raise HttpBodyError("chunk data missing terminating CRLF")
+        pos += 2
+
+
+def chunk_http_body(body: bytes, chunk: int = 512) -> bytes:
+    """Fixture twin of dechunk_http_body (invertible by construction;
+    the oracle replays the framed byte count closed-form from the
+    body length and the fixed chunk size)."""
+    out = bytearray()
+    for i in range(0, len(body), chunk):
+        piece = body[i : i + chunk]
+        out += format(len(piece), "x").encode("ascii") + CRLF + piece + CRLF
+    out += b"0" + CRLF + CRLF
+    return bytes(out)
+
+
+def _gunzip_strict(body: bytes) -> bytes:
+    """Content-Encoding: gzip — decode through the RFC 1952 member
+    machinery, but STRICTLY: unlike the crawl-file splitter, a
+    partially-valid HTTP body is corrupt, not resync-able (there is
+    no record boundary to resync to)."""
+    parts = []
+    end = 0
+    for off, clen, blob in gzip_members_at(body):
+        if off != end:
+            raise HttpBodyError("corrupt gzip content coding")
+        parts.append(blob)
+        end = off + clen
+    if not parts or end != len(body):
+        raise HttpBodyError("corrupt gzip content coding")
+    return b"".join(parts)
+
+
+def _inflate(body: bytes) -> bytes:
+    """Content-Encoding: deflate — RFC 9110 says zlib-wrapped
+    (RFC 1950), but real servers routinely send raw deflate; accept
+    both (the tolerant-reader convention every browser applies)."""
+    for wbits in (15, -15):
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(body)
+            if d.eof and not d.unused_data:
+                return out + d.flush()
+        except zlib.error:
+            continue
+    raise HttpBodyError("corrupt deflate content coding")
+
+
+def decode_http_body(
+    http_headers: dict[str, str], body: bytes
+) -> tuple[bytes, list[str], bool]:
+    """Apply Transfer-Encoding (RFC 9112 §7.1) then Content-Encoding
+    (RFC 9110 §8.4) to an HTTP response body, the order the wire
+    applies them in reverse. Returns (payload, applied_codings,
+    textual_ok): textual_ok=False means an unsupported content coding
+    (br — no brotli in this environment, the documented seam) was left
+    in place, so the charset sniff must not run on those bytes.
+    Corrupt framing raises HttpBodyError (callers emit an _error
+    row)."""
+    applied: list[str] = []
+    te = http_headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        body = dechunk_http_body(body)
+        applied.append("chunked")
+    ce = http_headers.get("content-encoding", "").strip().lower()
+    codings = [c.strip() for c in ce.split(",") if c.strip()]
+    # multiple codings apply left-to-right at encode time; decode in
+    # reverse order
+    for coding in reversed(codings):
+        if coding in ("gzip", "x-gzip"):
+            body = _gunzip_strict(body)
+            applied.append("gzip")
+        elif coding == "deflate":
+            body = _inflate(body)
+            applied.append("deflate")
+        elif coding == "identity":
+            continue
+        else:  # br, zstd, ... — undecodable here: leave bytes as-is
+            applied.append(coding + "?")
+            return body, applied, False
+    return body, applied, True
+
+
 def sniff_charset(content_type: str, body: bytes) -> str:
     """charset= parameter, else BOM, else utf-8 (the crawl default)."""
     ct = (content_type or "").lower()
@@ -224,6 +340,7 @@ WARC_COLUMNS = [
     "declared_digest",
     "refers_to",
     "refers_to_uri",
+    "http_encoding",
 ]
 
 WARC_SCHEMA_DDL = (
@@ -232,7 +349,8 @@ WARC_SCHEMA_DDL = (
     "http_status bigint, http_content_type string, charset string, "
     "payload binary, text string, "
     "warc_offset bigint, warc_rec_length bigint, payload_digest string, "
-    "declared_digest string, refers_to string, refers_to_uri string"
+    "declared_digest string, refers_to string, refers_to_uri string, "
+    "http_encoding string"
 )
 
 # warc_type of the poison-marker rows the splitter emits for byte
@@ -293,6 +411,7 @@ def warc_records(
             "declared_digest": None,
             "refers_to": None,
             "refers_to_uri": None,
+            "http_encoding": None,
         }
 
     def split(batches):
@@ -341,13 +460,31 @@ def warc_records(
                         text = None
                         charset = None
                         ctype = None
+                        encoding = None
                         digest: str | None = None
                         if wtype == "response" and "application/http" in h.get(
                             "content-type", ""
                         ):
                             status, http_h, body = split_http_response(rec["content"])
                             ctype = http_h.get("content-type", "")
-                            if ctype.split(";")[0].strip() in _TEXTUAL:
+                            try:
+                                body, applied, textual_ok = decode_http_body(
+                                    http_h, body
+                                )
+                            except HttpBodyError as e:
+                                out.append(
+                                    _error_row(
+                                        path, idx, m_off, m_len,
+                                        f"x-error/http-body:{e}",
+                                    )
+                                )
+                                idx += 1
+                                continue
+                            encoding = "+".join(applied) or None
+                            if (
+                                textual_ok
+                                and ctype.split(";")[0].strip() in _TEXTUAL
+                            ):
                                 charset = sniff_charset(ctype, body)
                                 text = decode_text(body, charset)
                         elif wtype == "revisit":
@@ -404,6 +541,7 @@ def warc_records(
                                 "refers_to_uri": h.get(
                                     "warc-refers-to-target-uri"
                                 ),
+                                "http_encoding": encoding,
                             }
                         )
                         idx += 1
@@ -466,6 +604,15 @@ LATIN1_SUFFIX = " café"
 # record with identical body and a different record id (exact-dup food
 # for the corpus composition).
 DUP_MOD = 11
+# doc_id % 5 routes the HTTP body encoding (self-crawled/mirrored WARCs
+# routinely store chunked/compressed bodies; Common Crawl pre-decodes):
+#   2 -> Transfer-Encoding: chunked (512-byte chunks, closed-form
+#        framing arithmetic for the oracle)
+#   3 -> Content-Encoding: gzip
+#   4 -> Content-Encoding: deflate (zlib-wrapped, the RFC 9110 form)
+#   0, 1 -> identity (Content-Length framing, the Common Crawl shape)
+ENC_MOD = 5
+CHUNK_SIZE = 512
 
 
 def fixture_uuid(salt: str) -> str:
@@ -512,10 +659,20 @@ def response_record(doc_id: int, text: str, dup: int = 0, html: bool = False) ->
     else:
         charset, body_s = fixture_body(doc_id, text)
     body = body_s.encode(charset)
-    http = (
-        f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={charset}\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode("ascii")
+    head = f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={charset}\r\n"
+    enc = doc_id % ENC_MOD
+    if enc == 2:
+        body = chunk_http_body(body, CHUNK_SIZE)
+        head += "Transfer-Encoding: chunked\r\n"
+    elif enc == 3:
+        body = gzip.compress(body, compresslevel=1, mtime=0)
+        head += f"Content-Encoding: gzip\r\nContent-Length: {len(body)}\r\n"
+    elif enc == 4:
+        body = zlib.compress(body, 6)
+        head += f"Content-Encoding: deflate\r\nContent-Length: {len(body)}\r\n"
+    else:
+        head += f"Content-Length: {len(body)}\r\n"
+    http = (head + "\r\n").encode("ascii")
     salt = f"warc-resp:{doc_id}" if not dup else f"warc-resp-dup:{doc_id}"
     return _record(
         [

@@ -727,3 +727,75 @@ def test_pdf_links_extraction():
     ]
     # a doc with no annotations yields an empty list per page
     assert P.pdf_links(P.build_pdf(1, "w1 w2 w3")) == [[]]
+
+# --- standard security handler (ISO 32000-1 §7.6.3) --------------------------
+
+def test_pdf_crypt_primitives():
+    from corrie_spark.sources import pdf_crypt as C
+
+    # FIPS-197 Appendix C.1 vector
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = C._cipher_block(pt, C._expand_key(key))
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert C._decipher_block(ct, C._expand_key(key)) == pt
+    # CBC + PKCS#5 roundtrip at padding boundaries
+    iv = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes((i * 7) % 256 for i in range(n))
+        assert C.aes128_cbc_decrypt(key, C.aes128_cbc_encrypt(key, iv, data)) == data
+    # public RC4 test vectors
+    assert C.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert C.rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    # corrupt AES framing raises, never returns garbage
+    import pytest
+
+    with pytest.raises(C.PdfCryptError):
+        C.aes128_cbc_decrypt(key, b"short")
+    with pytest.raises(C.PdfCryptError):
+        C.aes128_cbc_decrypt(key, bytes(48).replace(b"\x00", b"\x07"))
+
+
+def test_encrypted_pdf_extracts_hash_equal():
+    """Owner-password-only fixtures (empty user password) extract
+    text byte-identical to their unencrypted twins — RC4-40, RC4-128
+    and AES-128 crypt-filter paths."""
+    text = " ".join(f"tok{i}" for i in range(150))
+    plain = P.pdf_text(P.build_pdf(12, text))
+    assert len(plain) > 1  # multi-page, so multiple streams decrypt
+    for scheme in ("rc4-40", "rc4-128", "aes-128"):
+        assert P.pdf_text(P.build_pdf(12, text, encrypt=scheme)) == plain, scheme
+
+
+def test_encrypted_pdf_wrong_password_and_unsupported_dlq():
+    import hashlib
+
+    import pytest
+
+    from corrie_spark.sources import pdf_crypt as C
+
+    text = "alpha beta gamma delta"
+    enc = P.build_pdf(5, text, encrypt="rc4-128")
+    id0 = hashlib.md5(b"pdf-id:5").digest()
+    u_hex = C.build_standard_encrypt("rc4-128", id0)[0]["U"].hex().encode()
+    # a real (non-empty) user password presents as a /U that the
+    # empty-password recompute cannot match
+    bad_u = enc.replace(b"/U <" + u_hex, b"/U <" + b"00" * 32)
+    with pytest.raises(P.PdfError, match="password required"):
+        P.pdf_text(bad_u)
+    # AES-256 (V5/R6) stays a distinct encrypted-DLQ reason
+    with pytest.raises(P.PdfError, match="encrypted document"):
+        P.pdf_text(enc.replace(b"/V 2 /R 3", b"/V 5 /R 6"))
+    # non-Standard security filters too
+    with pytest.raises(P.PdfError, match="encrypted document"):
+        P.pdf_text(enc.replace(b"/Filter /Standard", b"/Filter /AcmeDRM"))
+
+
+def test_fixture_routing_covers_all_schemes():
+    """doc_id % 10 in {2,4,6} builds encrypted twins whose extraction
+    equals the plain build — the routing q_pdf_ingest's oracle rides."""
+    for doc_id, scheme in P.PDF_ENCRYPT_ROUTE.items():
+        text = f"scheme {scheme} body " * 20
+        blob = P._build_fixture_pdf(doc_id, text)
+        assert b"/Encrypt" in blob, scheme
+        assert P.pdf_text(blob) == P.pdf_text(P.build_pdf(doc_id, text)), scheme

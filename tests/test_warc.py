@@ -31,8 +31,16 @@ def test_parse_warc_record_roundtrip():
     assert h["warc-target-uri"] == "https://example.org/doc/43"
     status, hh, body = W.split_http_response(parsed[0]["content"])
     assert status == 200
-    assert body.decode("utf-8") == "hello world page"
     assert int(hh["content-length"]) == len(body)
+    # doc 43 % ENC_MOD == 3 -> the fixture ships a gzip content coding
+    assert hh["content-encoding"] == "gzip"
+    body, applied, ok = W.decode_http_body(hh, body)
+    assert body.decode("utf-8") == "hello world page"
+    assert applied == ["gzip"] and ok
+    # an identity doc (40 % 5 == 0) stays plain
+    rec0 = W.response_record(40, "plain page")
+    _, hh0, body0 = W.split_http_response(list(W.parse_warc(rec0))[0]["content"])
+    assert W.decode_http_body(hh0, body0) == (b"plain page", [], True)
 
 
 def test_parse_warc_multi_record_stream():
@@ -50,6 +58,8 @@ def test_latin1_charset_roundtrip():
     rec = W.response_record(7, "plain ascii text")
     parsed = next(iter(W.parse_warc(rec)))
     status, hh, body = W.split_http_response(parsed["content"])
+    body, applied, _ok = W.decode_http_body(hh, body)  # doc 7%5==2: chunked
+    assert applied == ["chunked"]
     cs = W.sniff_charset(hh["content-type"], body)
     assert cs == "iso-8859-1"
     assert W.decode_text(body, cs) == "plain ascii text caf\xe9"
@@ -169,3 +179,93 @@ def test_wet_conversion_records(spark, tmp_path):
     assert r7.charset == "iso-8859-1" and r7.text.endswith("caf\xe9")
     d = W.wet_to_documents(recs)
     assert d.columns == ["doc_id", "url", "text"] and d.count() == 9
+
+# --- HTTP body transfer/content decoding (RFC 9112 §7.1 / 9110 §8.4) --------
+
+def test_dechunk_roundtrip_and_extensions():
+    body = b"x" * 1300
+    assert W.dechunk_http_body(W.chunk_http_body(body)) == body
+    assert W.dechunk_http_body(W.chunk_http_body(b"")) == b""
+    # chunk extensions after ';' are ignored; trailers after 0-chunk too
+    wire = b"5;ext=1\r\nhello\r\n0\r\nTrailer: v\r\n\r\n"
+    assert W.dechunk_http_body(wire) == b"hello"
+
+
+def test_dechunk_poison_framing():
+    import pytest
+
+    for bad in (
+        b"zz\r\nabc\r\n0\r\n\r\n",      # non-hex size
+        b"10\r\nshort\r\n",             # chunk data truncated
+        b"3\r\nabcXX0\r\n\r\n",         # missing terminating CRLF
+        b"5\r\nhello",                  # no next size line
+    ):
+        with pytest.raises(W.HttpBodyError):
+            W.dechunk_http_body(bad)
+
+
+def test_content_coding_decode_paths():
+    import gzip as G
+    import zlib
+
+    import pytest
+
+    body = b"page body " * 100
+    assert W.decode_http_body({"content-encoding": "gzip"}, G.compress(body))[0] == body
+    # deflate: zlib-wrapped (spec) and raw (real servers) both decode
+    assert W.decode_http_body({"content-encoding": "deflate"}, zlib.compress(body))[0] == body
+    raw = zlib.compress(body)[2:-4]
+    assert W.decode_http_body({"content-encoding": "deflate"}, raw)[0] == body
+    # chunked + gzip composition (TE outermost on the wire)
+    wire = W.chunk_http_body(G.compress(body), 333)
+    out, applied, ok = W.decode_http_body(
+        {"transfer-encoding": "chunked", "content-encoding": "gzip"}, wire
+    )
+    assert out == body and ok and applied == ["chunked", "gzip"]
+    # br: undecodable seam — bytes left in place, textual flag off
+    out, applied, ok = W.decode_http_body({"content-encoding": "br"}, b"\x00br")
+    assert out == b"\x00br" and not ok
+    # corrupt codings raise
+    with pytest.raises(W.HttpBodyError):
+        W.decode_http_body({"content-encoding": "gzip"}, b"\x1f\x8b\x08 garbage")
+    with pytest.raises(W.HttpBodyError):
+        W.decode_http_body({"content-encoding": "deflate"}, b"garbage")
+
+
+def test_encoded_responses_through_reader(spark):
+    """Fixture docs routed through chunked/gzip/deflate bodies decode
+    to the same text as identity framing; corrupt chunk framing
+    degrades to one _error row."""
+    import gzip as G
+
+    docs = [(i, f"body text number {i} " * 30) for i in range(10, 20)]
+    blob = W.build_warc_gz("enc.warc.gz", docs, with_dups=False)
+    # one extra member with corrupt chunked framing
+    bad_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nzz\r\nnope"
+    )
+    bad_rec = W._record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", f"<urn:uuid:{W.fixture_uuid('bad-chunk')}>"),
+            ("WARC-Date", "2026-01-01T00:00:00Z"),
+            ("WARC-Target-URI", "https://example.org/bad"),
+            ("Content-Type", "application/http;msgtype=response"),
+        ],
+        bad_http,
+    )
+    blob += G.compress(bad_rec, compresslevel=1)
+    df = spark.createDataFrame(
+        [("enc.warc.gz", bytearray(blob))], "path string, content binary"
+    )
+    rows = W.warc_records(df).collect()
+    resp = {r.target_uri: r for r in rows if r.warc_type == "response"}
+    for i, text in docs:
+        got = resp[f"https://example.org/doc/{i}"]
+        assert got.text == W.fixture_body(i, text)[1], i
+        expect_enc = {2: "chunked", 3: "gzip", 4: "deflate"}.get(i % W.ENC_MOD)
+        assert got.http_encoding == expect_enc, i
+    errs = [r for r in rows if r.warc_type == W.ERROR_TYPE]
+    assert len(errs) == 1
+    assert errs[0].http_content_type.startswith("x-error/http-body")
