@@ -1,0 +1,263 @@
+"""Cross-source DLQ error-kind accounting (round-11 verdict ask #4).
+
+One fixture family per ingestion reader (pdf / avro / warc / office /
+wds / wiki), each id routed through a DETERMINISTIC corruption rule
+chosen to surface exactly one taxonomy kind (corrie_spark/errors.py)
+through the REAL reader — locked encryption, truncated streams,
+unknown codecs, scrambled containers, broken framing. The oracle
+restates the whole (source, error_kind, count) table closed-form from
+the same % rules, so both the poison-row emission and the uniform
+`error_kind` classification are value-gated across every reader in
+one statement.
+
+Scale shape: six tiny Arrow build+read stages (fixed N ids each — an
+accounting gate, not a throughput path) -> union -> one groupBy to a
+handful of rows.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corrie_spark.queries.registry import register
+
+_N = 60  # ids per source; every count below is a closed-form of this
+
+_AVRO_SCHEMA = json.dumps(
+    {"type": "record", "name": "T", "fields": [{"name": "k", "type": "long"}]}
+)
+
+
+def _pdf_blob(i: int) -> bytes:
+    from corrie_spark.sources import pdf as P
+
+    text = " ".join(f"w{j}" for j in range(40))
+    r = i % 4
+    if r == 0:
+        return P.build_pdf(i, text, encrypt="locked")  # encrypted
+    return P.corrupt_pdf(
+        P.build_pdf(i, text),
+        {1: "truncated", 2: "unsupported-codec", 3: "bad-container"}[r],
+    )
+
+
+def _avro_blob(i: int) -> bytes:
+    from corrie_spark.sources import avro as A
+
+    recs = [{"k": j} for j in range(40)]
+    r = i % 3
+    if r == 0:  # bad magic -> bad-container
+        return b"NOPE" + A.encode_ocf(_AVRO_SCHEMA, recs)[4:]
+    if r == 1:  # known-but-unsupported codec -> unsupported-codec
+        return (
+            A.AVRO_MAGIC
+            + A._write_map(
+                {"avro.schema": _AVRO_SCHEMA.encode(), "avro.codec": b"snappy"}
+            )
+            + b"s" * 16
+        )
+    # one corrupt deflate block -> exactly one bad-framing marker
+    blob = A.encode_ocf(_AVRO_SCHEMA, recs, codec="deflate", name=f"e{i}", block_size=10)
+    sync = blob[-16:]
+    i2 = blob.find(sync, blob.find(sync) + 1)
+    bad = bytearray(blob)
+    bad[i2 + 20] ^= 0xFF
+    return bytes(bad)
+
+
+def _warc_blob(i: int) -> bytes:
+    import gzip
+
+    from corrie_spark.sources import warc as W
+
+    m1 = gzip.compress(W.warcinfo_record(f"err-{i}.warc.gz"), 1)
+    m2 = gzip.compress(W.request_record(i), 1)
+    m3 = gzip.compress(W.response_record(10 + (i % 3), "page body text"), 1)
+    r = i % 3
+    if r == 0:  # corrupt middle member -> resync gap -> bad-framing
+        bad = bytearray(m1 + m2 + m3)
+        bad[len(m1) + len(m2) // 2] ^= 0xFF
+        return bytes(bad)
+    if r == 1:  # tail that never became a member -> truncated
+        return m1 + m3 + b"#trailing bytes, not a gzip member#"
+    # chunked response with garbage framing -> bad-framing
+    bad_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nzz\r\nnope"
+    )
+    rec = W._record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", f"<urn:uuid:{W.fixture_uuid(f'err-chunk:{i}')}>"),
+            ("WARC-Date", "2026-01-01T00:00:00Z"),
+            ("WARC-Target-URI", f"https://example.org/err/{i}"),
+            ("Content-Type", "application/http;msgtype=response"),
+        ],
+        bad_http,
+    )
+    return m1 + gzip.compress(rec, 1)
+
+
+def _office_blob(i: int) -> bytes:
+    from corrie_spark.sources import doc as D
+    from corrie_spark.sources import ooxml as O
+
+    text = " ".join(f"w{j}" for j in range(40))
+    r = i % 3
+    if r == 0:  # EOCD gone -> bad-container
+        return O.build_docx(2 * i, text)[:-10]
+    if r == 1:  # deflate flip inside word/document.xml -> bad-framing
+        blob = O.build_docx(2 * i, text)  # even id => deflated entry
+        j = blob.find(b"word/document.xml")
+        bad = bytearray(blob)
+        bad[j + len(b"word/document.xml") + 8] ^= 0xFF
+        return bytes(bad)
+    # FIB fEncrypted bit set -> encrypted
+    blob = bytearray(D.build_doc(i, text))
+    j = bytes(blob).find(b"\xec\xa5")
+    blob[j + 0x0B] |= 0x01
+    return bytes(blob)
+
+
+def _wds_blob(i: int) -> bytes:
+    from corrie_spark.sources import tar_wds as T
+
+    r = i % 2
+    if r == 0:  # body cut mid-member -> truncated
+        return T.build_wds_shard([(i, "x" * 600)])[:612]
+    shard = bytearray(T.build_wds_shard([(i, f"text {i}")]))
+    shard[148] ^= 0x01  # checksum field -> bad-framing
+    return bytes(shard)
+
+
+def _wiki_blob(i: int) -> bytes:
+    from corrie_spark.sources import wikipedia as Wk
+
+    pages = [(10 * i + j, f"Page {i}-{j}", f"body {i} {j}") for j in range(3)]
+    dump, _ = Wk.build_dump(pages, pages_per_stream=1)
+    starts = [off for off, _, _ in Wk.bz2_streams_at(dump)]
+    bad = bytearray(dump)
+    if i % 2 == 0:  # corrupt a middle stream -> gap marker, bad-framing
+        bad[starts[2] + 30] ^= 0xFF
+        return bytes(bad)
+    # cut inside the final stream -> tail marker, truncated
+    return bytes(bad[: starts[-1] + 10])
+
+
+_BUILDERS = {
+    "pdf": _pdf_blob,
+    "avro": _avro_blob,
+    "warc": _warc_blob,
+    "office": _office_blob,
+    "wds": _wds_blob,
+    "wiki": _wiki_blob,
+}
+
+
+def _files(spark: SparkSession, source: str) -> DataFrame:
+    import pandas as pd
+
+    build = _BUILDERS[source]
+
+    def run(batches):
+        for pdf in batches:
+            out = [
+                {"path": f"{source}-{int(i):04d}", "content": build(int(i))}
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    return (
+        spark.range(_N)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(run, "path string, content binary")
+    )
+
+
+# the oracle states the same routing closed-form: one row per fixture
+# id per source, kind by the identical % rule the builders apply
+_ERROR_KINDS_ORACLE = f"""
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {_N})),
+all_rows AS (
+  SELECT 'pdf' AS source,
+    CASE i % 4 WHEN 0 THEN 'encrypted' WHEN 1 THEN 'truncated'
+               WHEN 2 THEN 'unsupported-codec' ELSE 'bad-container' END
+      AS error_kind
+  FROM ids
+  UNION ALL
+  SELECT 'avro',
+    CASE i % 3 WHEN 0 THEN 'bad-container' WHEN 1 THEN 'unsupported-codec'
+               ELSE 'bad-framing' END
+  FROM ids
+  UNION ALL
+  SELECT 'warc',
+    CASE i % 3 WHEN 1 THEN 'truncated' ELSE 'bad-framing' END
+  FROM ids
+  UNION ALL
+  SELECT 'office',
+    CASE i % 3 WHEN 0 THEN 'bad-container' WHEN 1 THEN 'bad-framing'
+               ELSE 'encrypted' END
+  FROM ids
+  UNION ALL
+  SELECT 'wds',
+    CASE i % 2 WHEN 0 THEN 'truncated' ELSE 'bad-framing' END
+  FROM ids
+  UNION ALL
+  SELECT 'wiki',
+    CASE i % 2 WHEN 0 THEN 'bad-framing' ELSE 'truncated' END
+  FROM ids
+)
+SELECT source, error_kind, CAST(COUNT(*) AS BIGINT) AS n
+FROM all_rows GROUP BY source, error_kind
+"""
+
+
+@register(
+    "q_error_kinds",
+    oracle=_ERROR_KINDS_ORACLE,
+    python_stages="six fixture-build + reader Arrow stages (one per source)",
+)
+def q_error_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DLQ dashboard query: every ingestion reader's poison rows,
+    grouped by the uniform error_kind taxonomy. Each source ingests a
+    fixture family whose ids route through deterministic corruption
+    rules (module docstring); the oracle replays the full
+    (source, kind, count) table from the same rules — gating that
+    each reader (a) degrades the corruption to a DLQ row instead of a
+    task death and (b) classifies it into the shared vocabulary."""
+    from corrie_spark.sources import avro as A
+    from corrie_spark.sources import ooxml as O
+    from corrie_spark.sources import pdf as P
+    from corrie_spark.sources import tar_wds as T
+    from corrie_spark.sources import warc as W
+    from corrie_spark.sources import wikipedia as Wk
+
+    parts = [
+        P.pdf_records(_files(spark, "pdf"))
+        .where(F.col("error").isNotNull())
+        .select(F.lit("pdf").alias("source"), "error_kind"),
+        A.avro_records(_files(spark, "avro"), "k long")
+        .where(F.col("_error"))
+        .select(F.lit("avro").alias("source"), F.col("_error_kind").alias("error_kind")),
+        W.warc_records(_files(spark, "warc"))
+        .where(F.col("warc_type") == W.ERROR_TYPE)
+        .select(F.lit("warc").alias("source"), "error_kind"),
+        O.office_records(_files(spark, "office"))
+        .where(F.col("error").isNotNull())
+        .select(F.lit("office").alias("source"), "error_kind"),
+        T.wds_records(_files(spark, "wds"))
+        .where(F.col("error").isNotNull())
+        .select(F.lit("wds").alias("source"), "error_kind"),
+        Wk.wiki_pages(_files(spark, "wiki"))
+        .where(F.col("error_kind").isNotNull())
+        .select(F.lit("wiki").alias("source"), "error_kind"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("source", "error_kind").agg(
+        F.count(F.lit(1)).alias("n")
+    )

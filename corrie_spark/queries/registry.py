@@ -149,5 +149,6 @@ def _ensure_loaded() -> None:
     import corrie_spark.queries.tar_queries  # noqa: F401
     import corrie_spark.queries.avro_queries  # noqa: F401
     import corrie_spark.queries.wiki_queries  # noqa: F401
+    import corrie_spark.queries.errors_queries  # noqa: F401
 
     _loaded = True

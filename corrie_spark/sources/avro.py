@@ -406,13 +406,19 @@ def avro_records(
 ) -> DataFrame:
     """(path, content) frame -> typed rows. `out_ddl` must name the
     schema's fields (plus the implicit lead columns `_path string,
-    _block_offset long, _error boolean` this reader prepends — an
-    unreadable block emits ONE row with _error=true and null fields,
-    the observable-data-loss marker). One Arrow stage; bytes stay
-    executor-local and never shuffle."""
+    _block_offset long, _error boolean, _error_kind string` this
+    reader prepends — an unreadable block emits ONE row with
+    _error=true, a taxonomy kind, and null fields: the observable-
+    data-loss marker). One Arrow stage; bytes stay executor-local and
+    never shuffle."""
     import pandas as pd
 
-    full_ddl = "_path string, _block_offset long, _error boolean, " + out_ddl
+    from corrie_spark.errors import classify_error
+
+    full_ddl = (
+        "_path string, _block_offset long, _error boolean, "
+        "_error_kind string, " + out_ddl
+    )
     names = [c.strip().split(" ")[0] for c in out_ddl.split(",")]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -424,22 +430,42 @@ def avro_records(
                     blocks = iter_ocf(data)
                     for off, rows in blocks:
                         if rows is None:
+                            # block-level corruption: located container,
+                            # broken member framing
                             out.append(
-                                {"_path": path, "_block_offset": off, "_error": True}
+                                {
+                                    "_path": path,
+                                    "_block_offset": off,
+                                    "_error": True,
+                                    "_error_kind": "bad-framing",
+                                }
                             )
                             continue
                         for rec in rows:
-                            r = {"_path": path, "_block_offset": off, "_error": False}
+                            r = {
+                                "_path": path,
+                                "_block_offset": off,
+                                "_error": False,
+                                "_error_kind": None,
+                            }
                             r.update(rec)
                             out.append(r)
-                except AvroError:
-                    out.append({"_path": path, "_block_offset": 0, "_error": True})
+                except AvroError as e:
+                    out.append(
+                        {
+                            "_path": path,
+                            "_block_offset": 0,
+                            "_error": True,
+                            "_error_kind": classify_error(str(e)),
+                        }
+                    )
             cols: dict = {
                 "_path": [r["_path"] for r in out],
                 "_block_offset": pd.array(
                     [r["_block_offset"] for r in out], dtype="Int64"
                 ),
                 "_error": [r["_error"] for r in out],
+                "_error_kind": [r["_error_kind"] for r in out],
             }
             for n in names:
                 vals = [r.get(n) for r in out]
@@ -561,7 +587,10 @@ def avro_ranges(
             s += range_bytes
     tdf = spark.createDataFrame(tasks, "path string, start long, length long")
     names = [c.strip().split(" ")[0] for c in out_ddl.split(",")]
-    full_ddl = "_path string, _block_offset long, _error boolean, " + out_ddl
+    full_ddl = (
+        "_path string, _block_offset long, _error boolean, "
+        "_error_kind string, " + out_ddl
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -570,11 +599,21 @@ def avro_ranges(
                 for off, rows in scan_avro_range(str(path), int(start), int(length)):
                     if rows is None:
                         out.append(
-                            {"_path": path, "_block_offset": off, "_error": True}
+                            {
+                                "_path": path,
+                                "_block_offset": off,
+                                "_error": True,
+                                "_error_kind": "bad-framing",
+                            }
                         )
                         continue
                     for rec in rows:
-                        r = {"_path": path, "_block_offset": off, "_error": False}
+                        r = {
+                            "_path": path,
+                            "_block_offset": off,
+                            "_error": False,
+                            "_error_kind": None,
+                        }
                         r.update(rec)
                         out.append(r)
             cols: dict = {
@@ -583,6 +622,7 @@ def avro_ranges(
                     [r["_block_offset"] for r in out], dtype="Int64"
                 ),
                 "_error": [r["_error"] for r in out],
+                "_error_kind": [r["_error_kind"] for r in out],
             }
             for n in names:
                 cols[n] = [r.get(n) for r in out]

@@ -12,9 +12,11 @@ operators/web.py's oracle-mirrored chain, one code path with the
 crawl HTML pipeline).
 
 Subset and its seams:
-  - ZIP64 is not handled (the EOCD 32-bit form only) — a >4 GiB
-    member degrades to the error row; crawl-borne office files are
-    KB-to-MB sized.
+  - ZIP64 (APPNOTE 4.5) is handled: EOCD64 locator + record when the
+    EOCD fields are maxed, per-entry 0x0001 extras in the central
+    directory; corrupt ZIP64 structures degrade to the DLQ row. The
+    fixture writer can FORCE the layout at small sizes so the path
+    stays oracle-gated.
   - encrypted members (flag bit 0) and methods other than stored /
     deflate raise OoxmlError (degrades to the DLQ row).
   - XML is parsed with stdlib ElementTree, namespace-agnostic on
@@ -33,6 +35,8 @@ import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
+from corrie_spark.errors import classify_error
+
 
 class OoxmlError(ValueError):
     """Malformed container/part (caught at the row boundary)."""
@@ -45,26 +49,68 @@ class OoxmlError(ValueError):
 _EOCD_SIG = b"PK\x05\x06"
 _CEN_SIG = b"PK\x01\x02"
 _LOC_SIG = b"PK\x03\x04"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
+_MAX16, _MAX32 = 0xFFFF, 0xFFFFFFFF
+
+
+def _zip64_extra(extra: bytes, usize: int, csize: int, lho: int) -> tuple[int, int, int]:
+    """APPNOTE 4.5.3: the 0x0001 extra field carries 64-bit values
+    for exactly the central-directory fields that are maxed, in
+    uncompressed-size, compressed-size, offset order."""
+    ep = 0
+    while ep + 4 <= len(extra):
+        hid, hsz = struct.unpack_from("<HH", extra, ep)
+        if hid != 0x0001:
+            ep += 4 + hsz
+            continue
+        vals = extra[ep + 4 : ep + 4 + hsz]
+        vp = 0
+        try:
+            if usize == _MAX32:
+                (usize,) = struct.unpack_from("<Q", vals, vp)
+                vp += 8
+            if csize == _MAX32:
+                (csize,) = struct.unpack_from("<Q", vals, vp)
+                vp += 8
+            if lho == _MAX32:
+                (lho,) = struct.unpack_from("<Q", vals, vp)
+                vp += 8
+        except struct.error:
+            raise OoxmlError("bad zip64 extra field") from None
+        return usize, csize, lho
+    raise OoxmlError("zip64 extra field missing")
 
 
 def zip_entries(data: bytes) -> dict[str, bytes]:
     """Parse a ZIP archive into {name: decompressed bytes}. Reads the
     end-of-central-directory (scanned from the tail — the comment may
-    follow it), walks the central directory for the authoritative
-    entry list, then each local header for the data start (local
-    name/extra lengths may legally differ from central). CRC32 and
-    size are validated per entry — a corrupt member is an error for
-    the WHOLE container (unlike WARC members, ZIP entries share one
-    directory; a lying directory poisons everything after it)."""
+    follow it), following the ZIP64 EOCD locator + record (APPNOTE
+    4.5) when any EOCD field is maxed, then walks the central
+    directory for the authoritative entry list (per-entry 0x0001
+    ZIP64 extras honored), then each local header for the data start
+    (local name/extra lengths may legally differ from central). CRC32
+    and size are validated per entry — a corrupt member is an error
+    for the WHOLE container (unlike WARC members, ZIP entries share
+    one directory; a lying directory poisons everything after it)."""
     eocd = data.rfind(_EOCD_SIG)
     if eocd < 0 or eocd + 22 > len(data):
         raise OoxmlError("no end-of-central-directory")
     n_entries, cd_size, cd_off = struct.unpack_from("<HII", data, eocd + 10)
+    n_entries64: int = n_entries
+    if n_entries == _MAX16 or cd_size == _MAX32 or cd_off == _MAX32:
+        loc = data.rfind(_EOCD64_LOC_SIG, 0, eocd)
+        if loc < 0 or loc + 20 > len(data):
+            raise OoxmlError("zip64 locator missing")
+        (e64,) = struct.unpack_from("<Q", data, loc + 8)
+        if e64 + 56 > len(data) or data[e64 : e64 + 4] != _EOCD64_SIG:
+            raise OoxmlError("bad zip64 end-of-central-directory")
+        n_entries64, cd_size, cd_off = struct.unpack_from("<QQQ", data, e64 + 32)
     if cd_off + cd_size > len(data):
         raise OoxmlError("central directory out of range")
     out: dict[str, bytes] = {}
     pos = cd_off
-    for _ in range(n_entries):
+    for _ in range(n_entries64):
         if data[pos : pos + 4] != _CEN_SIG:
             raise OoxmlError("bad central-directory header")
         flags, method = struct.unpack_from("<HH", data, pos + 8)
@@ -72,6 +118,9 @@ def zip_entries(data: bytes) -> dict[str, bytes]:
         nlen, elen, clen = struct.unpack_from("<HHH", data, pos + 28)
         (lho,) = struct.unpack_from("<I", data, pos + 42)
         name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        if _MAX32 in (csize, usize, lho):
+            extra = data[pos + 46 + nlen : pos + 46 + nlen + elen]
+            usize, csize, lho = _zip64_extra(extra, usize, csize, lho)
         pos += 46 + nlen + elen + clen
         if flags & 0x1:
             raise OoxmlError(f"encrypted entry {name}")
@@ -99,10 +148,15 @@ def zip_entries(data: bytes) -> dict[str, bytes]:
     return out
 
 
-def zip_build(entries: list[tuple[str, bytes, bool]]) -> bytes:
+def zip_build(
+    entries: list[tuple[str, bytes, bool]], force_zip64: bool = False
+) -> bytes:
     """Deterministic ZIP writer (fixture twin of zip_entries): one
     local header + data per entry, central directory, EOCD. Timestamps
-    are zero — the same inputs always produce the same bytes."""
+    are zero — the same inputs always produce the same bytes.
+    `force_zip64` writes the APPNOTE 4.5 layout (maxed EOCD + EOCD64
+    record/locator, per-entry 0x0001 extras) even at small sizes, so
+    the ZIP64 read path is oracle-gated without a 4 GiB fixture."""
     out = bytearray()
     central = bytearray()
     for name, raw, deflate in entries:
@@ -122,18 +176,47 @@ def zip_build(entries: list[tuple[str, bytes, bool]]) -> bytes:
             len(nm), 0,
         )
         out += nm + blob
-        central += struct.pack(
-            "<4sHHHHHHIIIHHHHHII",
-            _CEN_SIG, 20, 20, 0, method, 0, 0x21, crc, len(blob), len(raw),
-            len(nm), 0, 0, 0, 0, 0, off,
-        )
-        central += nm
+        if force_zip64:
+            # maxed central fields + the 0x0001 extra carrying the
+            # real 64-bit values (the modern-writer shape a >4 GiB
+            # docx would have, forced at small size so the structures
+            # are exercised under the same oracle)
+            extra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(raw), len(blob), off
+            )
+            central += struct.pack(
+                "<4sHHHHHHIIIHHHHHII",
+                _CEN_SIG, 45, 45, 0, method, 0, 0x21, crc,
+                _MAX32, _MAX32, len(nm), len(extra), 0, 0, 0, 0, _MAX32,
+            )
+            central += nm + extra
+        else:
+            central += struct.pack(
+                "<4sHHHHHHIIIHHHHHII",
+                _CEN_SIG, 20, 20, 0, method, 0, 0x21, crc, len(blob),
+                len(raw), len(nm), 0, 0, 0, 0, 0, off,
+            )
+            central += nm
     cd_off = len(out)
     out += central
-    out += struct.pack(
-        "<4sHHHHIIH",
-        _EOCD_SIG, 0, 0, len(entries), len(entries), len(central), cd_off, 0,
-    )
+    if force_zip64:
+        e64_off = len(out)
+        out += struct.pack(
+            "<4sQHHIIQQQQ",
+            _EOCD64_SIG, 44, 45, 45, 0, 0,
+            len(entries), len(entries), len(central), cd_off,
+        )
+        out += struct.pack("<4sIQI", _EOCD64_LOC_SIG, 0, e64_off, 1)
+        out += struct.pack(
+            "<4sHHHHIIH",
+            _EOCD_SIG, 0, 0, _MAX16, _MAX16, _MAX32, _MAX32, 0,
+        )
+    else:
+        out += struct.pack(
+            "<4sHHHHIIH",
+            _EOCD_SIG, 0, 0, len(entries), len(entries), len(central),
+            cd_off, 0,
+        )
     return bytes(out)
 
 
@@ -333,11 +416,12 @@ def epub_chapters(data: bytes) -> list[tuple[str, str]]:
 
 OFFICE_SCHEMA_DDL = (
     "office_file string, kind string, part bigint, n_parts bigint, "
-    "text string, n_chars bigint, error string"
+    "text string, n_chars bigint, error string, error_kind string"
 )
 
 OFFICE_COLUMNS = [
     "office_file", "kind", "part", "n_parts", "text", "n_chars", "error",
+    "error_kind",
 ]
 
 
@@ -397,9 +481,11 @@ def office_records(
                                 "text": t,
                                 "n_chars": len(t),
                                 "error": None,
+                                "error_kind": None,
                             }
                         )
                 except Exception as e:  # noqa: BLE001 — poison row
+                    reason = f"{type(e).__name__}: {e}"[:200]
                     out.append(
                         {
                             "office_file": path,
@@ -408,7 +494,8 @@ def office_records(
                             "n_parts": 0,
                             "text": None,
                             "n_chars": 0,
-                            "error": f"{type(e).__name__}: {e}"[:200],
+                            "error": reason,
+                            "error_kind": classify_error(reason),
                         }
                     )
             yield pd.DataFrame(out, columns=OFFICE_COLUMNS)
@@ -479,7 +566,10 @@ def build_docx(doc_id: int, text: str) -> bytes:
     """One w:p per fixture line (sources/pdf.py fixture_lines — the
     shared 8-words-per-line rule, so ONE closed-form CTE gates pdf,
     docx and pptx). Entry compression alternates stored/deflate by
-    doc_id so both ZIP methods stay live in the gated fixture."""
+    doc_id so both ZIP methods stay live in the gated fixture, and
+    doc_id % 5 == 3 writes the forced-ZIP64 container layout —
+    extraction is identical by construction, so the same oracle gates
+    the EOCD64/extra read path."""
     from corrie_spark.sources.pdf import fixture_lines
 
     body = "".join(
@@ -496,7 +586,8 @@ def build_docx(doc_id: int, text: str) -> bytes:
         [
             ("[Content_Types].xml", _CT_XML, not defl),
             ("word/document.xml", doc, defl),
-        ]
+        ],
+        force_zip64=doc_id % 5 == 3,
     )
 
 

@@ -52,6 +52,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+from corrie_spark.errors import classify_error
+
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -1244,10 +1246,12 @@ def pdf_text(data: bytes) -> list[str]:
 
 PDF_SCHEMA_DDL = (
     "pdf_file string, page bigint, n_pages bigint, text string, "
-    "n_chars bigint, error string"
+    "n_chars bigint, error string, error_kind string"
 )
 
-PDF_COLUMNS = ["pdf_file", "page", "n_pages", "text", "n_chars", "error"]
+PDF_COLUMNS = [
+    "pdf_file", "page", "n_pages", "text", "n_chars", "error", "error_kind",
+]
 
 
 def pdf_records(
@@ -1277,9 +1281,11 @@ def pdf_records(
                                 "text": text,
                                 "n_chars": len(text),
                                 "error": None,
+                                "error_kind": None,
                             }
                         )
                 except Exception as e:  # noqa: BLE001 — poison row, not task death
+                    reason = f"{type(e).__name__}: {e}"[:200]
                     out.append(
                         {
                             "pdf_file": path,
@@ -1287,7 +1293,8 @@ def pdf_records(
                             "n_pages": 0,
                             "text": None,
                             "n_chars": 0,
-                            "error": f"{type(e).__name__}: {e}"[:200],
+                            "error": reason,
+                            "error_kind": classify_error(reason),
                         }
                     )
             yield pd.DataFrame(out, columns=PDF_COLUMNS)
@@ -1485,7 +1492,13 @@ def build_pdf(doc_id: int, text: str, encrypt: str | None = None) -> bytes:
         from corrie_spark.sources.pdf_crypt import build_standard_encrypt
 
         id0 = hashlib.md5(f"pdf-id:{doc_id}".encode()).digest()
-        enc_dict, handler = build_standard_encrypt(encrypt, id0)
+        if encrypt == "locked":  # a real (non-empty) user password:
+            # must DLQ as 'encrypted', never extract
+            enc_dict, handler = build_standard_encrypt(
+                "rc4-128", id0, user_pw=b"secret"
+            )
+        else:
+            enc_dict, handler = build_standard_encrypt(encrypt, id0)
         enc_id = next_id + (1 if n_pages else 0)
         extra_objs.append((enc_id, _serialize_encrypt_dict(enc_dict)))
         id_hex = id0.hex().encode()
@@ -1725,8 +1738,48 @@ def build_pdf_fonts(doc_id: int, text: str) -> bytes:
 # oracle gates the decryption paths for free.
 PDF_ENCRYPT_ROUTE = {2: "rc4-40", 4: "rc4-128", 6: "aes-128"}
 
+# doc_id % 31 routes a slice of the corpus through DETERMINISTIC
+# corruption, one rule per DLQ error_kind, so the corpus accounting
+# oracle replays the taxonomy column closed-form:
+#   7  -> locked encryption (real user password)    -> 'encrypted'
+#   14 -> first content stream's tail bytes removed -> 'truncated'
+#   21 -> /FlateDecode renamed to an unknown filter -> 'unsupported-codec'
+#   28 -> every byte XOR 0x5A (no object survives)  -> 'bad-container'
+PDF_CORRUPT_MOD = 31
+PDF_CORRUPT_KINDS = {
+    7: "encrypted",
+    14: "truncated",
+    21: "unsupported-codec",
+    28: "bad-container",
+}
+
+
+def corrupt_pdf(blob: bytes, kind: str) -> bytes:
+    """Apply one deterministic corruption rule to a built fixture PDF
+    (classic layout). Each rule is chosen so the scanning parser —
+    which is deliberately tolerant — still surfaces exactly the
+    intended error kind."""
+    if kind == "truncated":
+        # keep the stream's head, drop its tail: zlib reports an
+        # incomplete/truncated stream (cutting the MIDDLE would read
+        # as invalid data, a different kind)
+        s = blob.find(b"stream\n") + len(b"stream\n")
+        e = blob.find(b"\nendstream", s)
+        return blob[: s + (e - s) // 2] + blob[e:]
+    if kind == "unsupported-codec":
+        return blob.replace(b"FlateDecode", b"JPXDecodeXX")
+    if kind == "bad-container":
+        return bytes(b ^ 0x5A for b in blob)
+    raise ValueError(kind)
+
 
 def _build_fixture_pdf(doc_id: int, text: str) -> bytes:
+    kind = PDF_CORRUPT_KINDS.get(doc_id % PDF_CORRUPT_MOD)
+    if kind == "encrypted":
+        return build_pdf(doc_id, text, encrypt="locked")
+    if kind is not None:
+        # corruption rules assume the classic layout's byte shape
+        return corrupt_pdf(build_pdf(doc_id, text), kind)
     if doc_id % 2:
         return build_pdf_objstm(doc_id, text)
     return build_pdf(doc_id, text, encrypt=PDF_ENCRYPT_ROUTE.get(doc_id % 10))

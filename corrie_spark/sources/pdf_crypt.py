@@ -244,12 +244,18 @@ def compute_o(owner_pw: bytes, user_pw: bytes, r: int, nkey: int) -> bytes:
 
 
 def build_standard_encrypt(
-    scheme: str, id0: bytes, owner_pw: bytes = b"owner-secret"
+    scheme: str,
+    id0: bytes,
+    owner_pw: bytes = b"owner-secret",
+    user_pw: bytes = b"",
 ) -> tuple[dict, "StdSecurityHandler"]:
     """Fixture/writer twin: a resolved /Encrypt dictionary (plus its
-    matching handler) for an EMPTY user password under `scheme` in
-    {'rc4-40', 'rc4-128', 'aes-128'} — the owner-password-only layout
-    this module exists to open."""
+    matching handler) under `scheme` in {'rc4-40', 'rc4-128',
+    'aes-128'}. With the default empty `user_pw` this is the
+    owner-password-only layout this module exists to open; a
+    non-empty `user_pw` builds a genuinely LOCKED document (the
+    returned handler encrypts with the real user key, and the
+    empty-password reader must fail authentication on it)."""
     if scheme == "rc4-40":
         v, r, length = 1, 2, 40
     elif scheme == "rc4-128":
@@ -264,19 +270,21 @@ def build_standard_encrypt(
         "R": r,
         "Length": length,
         "P": -3904,
-        "O": compute_o(owner_pw, b"", r, length // 8),
+        "O": compute_o(owner_pw, user_pw, r, length // 8),
         "U": b"\x00" * 32,
     }
     if v == 4:
         enc["CF"] = {"StdCF": {"CFM": "AESV2", "AuthEvent": "DocOpen"}}
         enc["StmF"] = enc["StrF"] = "StdCF"
     h = StdSecurityHandler(enc, id0)
+    if user_pw:
+        h.key = h._file_key(user_pw)  # the real file key
     u = h._compute_u()
     if r >= 3:
         u = (u + b"\x00" * 16)[:32]  # 16 real bytes + arbitrary tail
     enc["U"] = u
     h.u = u[:32]
-    if not h.authenticate():  # construction invariant, not input-dependent
+    if not user_pw and not h.authenticate():  # construction invariant
         raise PdfCryptError("self-check failed")
     return enc, h
 

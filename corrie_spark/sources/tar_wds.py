@@ -32,6 +32,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+from corrie_spark.errors import classify_error
+
 
 class TarError(ValueError):
     """Malformed archive (caught at the row boundary)."""
@@ -143,11 +145,13 @@ def tar_build(entries: list[tuple[str, bytes]]) -> bytes:
 
 WDS_SCHEMA_DDL = (
     "shard string, key string, exts array<string>, txt string, "
-    "json string, payload binary, n_parts bigint, error string"
+    "json string, payload binary, n_parts bigint, error string, "
+    "error_kind string"
 )
 
 WDS_COLUMNS = [
     "shard", "key", "exts", "txt", "json", "payload", "n_parts", "error",
+    "error_kind",
 ]
 
 
@@ -209,9 +213,11 @@ def wds_records(
                                 "payload": s["payload"],
                                 "n_parts": len(s["exts"]),
                                 "error": None,
+                                "error_kind": None,
                             }
                         )
                 except Exception as e:  # noqa: BLE001 — poison row
+                    reason = f"{type(e).__name__}: {e}"[:200]
                     out.append(
                         {
                             "shard": path,
@@ -221,7 +227,8 @@ def wds_records(
                             "json": None,
                             "payload": None,
                             "n_parts": 0,
-                            "error": f"{type(e).__name__}: {e}"[:200],
+                            "error": reason,
+                            "error_kind": classify_error(reason),
                         }
                     )
             yield pd.DataFrame(out, columns=WDS_COLUMNS)

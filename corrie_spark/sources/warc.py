@@ -37,6 +37,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from corrie_spark.errors import classify_error
+
 CRLF = b"\r\n"
 
 # ---------------------------------------------------------------------------
@@ -341,6 +343,7 @@ WARC_COLUMNS = [
     "refers_to",
     "refers_to_uri",
     "http_encoding",
+    "error_kind",
 ]
 
 WARC_SCHEMA_DDL = (
@@ -350,7 +353,7 @@ WARC_SCHEMA_DDL = (
     "payload binary, text string, "
     "warc_offset bigint, warc_rec_length bigint, payload_digest string, "
     "declared_digest string, refers_to string, refers_to_uri string, "
-    "http_encoding string"
+    "http_encoding string, error_kind string"
 )
 
 # warc_type of the poison-marker rows the splitter emits for byte
@@ -412,6 +415,7 @@ def warc_records(
             "refers_to": None,
             "refers_to_uri": None,
             "http_encoding": None,
+            "error_kind": classify_error(why),
         }
 
     def split(batches):
@@ -542,6 +546,7 @@ def warc_records(
                                     "warc-refers-to-target-uri"
                                 ),
                                 "http_encoding": encoding,
+                                "error_kind": None,
                             }
                         )
                         idx += 1

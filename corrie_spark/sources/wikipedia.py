@@ -307,7 +307,7 @@ def build_dump(
 WIKI_PAGE_DDL = (
     "path string, stream_offset long, page_id long, title string, "
     "ns long, timestamp string, wikitext string, is_redirect boolean, "
-    "redirect_target string"
+    "redirect_target string, error_kind string"
 )
 
 
@@ -317,7 +317,13 @@ def wiki_pages(
     """(path, multistream-bz2 bytes) -> one row per <page>, carrying
     the owning stream's byte offset (the index locator — a range
     request of that stream replays the page). One Arrow stage; dump
-    bytes never shuffle."""
+    bytes never shuffle.
+
+    DLQ parity with warc_records: byte spans the stream walk skipped
+    (corrupt bz2 streams, a tail that never completed) emit one
+    marker row each — null page_id, `error_kind` set ('bad-framing'
+    for a mid-file resync, 'truncated' for the tail) — so data loss
+    is observable downstream, never silent."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -325,24 +331,46 @@ def wiki_pages(
             out = []
             for path, content in zip(pdf[file_col], pdf[content_col]):
                 data = bytes(content)
-                for off, _, blob in bz2_streams_at(data):
+                expect = 0
+                for off, clen, blob in bz2_streams_at(data):
+                    if off > expect:
+                        out.append(
+                            {
+                                "path": path,
+                                "stream_offset": expect,
+                                "error_kind": "bad-framing",
+                            }
+                        )
+                    expect = off + clen
                     for p in parse_pages(blob.decode("utf-8", errors="replace")):
                         p["path"] = path
                         p["stream_offset"] = off
+                        p["error_kind"] = None
                         out.append(p)
+                if expect < len(data) and data[expect:].strip(b"\x00"):
+                    out.append(
+                        {
+                            "path": path,
+                            "stream_offset": expect,
+                            "error_kind": "truncated",
+                        }
+                    )
             yield pd.DataFrame(
                 {
                     "path": [r["path"] for r in out],
                     "stream_offset": pd.array(
                         [r["stream_offset"] for r in out], dtype="Int64"
                     ),
-                    "page_id": pd.array([r["page_id"] for r in out], dtype="Int64"),
-                    "title": [r["title"] for r in out],
-                    "ns": pd.array([r["ns"] for r in out], dtype="Int64"),
-                    "timestamp": [r["timestamp"] for r in out],
-                    "wikitext": [r["wikitext"] for r in out],
-                    "is_redirect": [r["is_redirect"] for r in out],
-                    "redirect_target": [r["redirect_target"] for r in out],
+                    "page_id": pd.array(
+                        [r.get("page_id") for r in out], dtype="Int64"
+                    ),
+                    "title": [r.get("title") for r in out],
+                    "ns": pd.array([r.get("ns") for r in out], dtype="Int64"),
+                    "timestamp": [r.get("timestamp") for r in out],
+                    "wikitext": [r.get("wikitext") for r in out],
+                    "is_redirect": [r.get("is_redirect") for r in out],
+                    "redirect_target": [r.get("redirect_target") for r in out],
+                    "error_kind": [r["error_kind"] for r in out],
                 }
             )
 

@@ -35,7 +35,7 @@ def test_registry_contract():
     # generated constant grids (no input table by design) — the oracle
     # still independently re-derives every value, which is the point
     # of the table rule for data queries.
-    tableless = {"q_dedup_lsh_tuning"}
+    tableless = {"q_dedup_lsh_tuning", "q_error_kinds"}
     for name, sql in os_.items():
         assert isinstance(sql, str) and sql.strip(), name
         if name not in tableless:

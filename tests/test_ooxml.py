@@ -250,3 +250,39 @@ def test_epub_spine_order_overrides_name_order():
         "OEBPS/zz_last_by_name.xhtml",
         "OEBPS/aa_first_by_name.xhtml",
     ]
+
+# --- ZIP64 (APPNOTE 4.5) ------------------------------------------------------
+
+def test_zip64_forced_layout_roundtrips():
+    text = " ".join(f"w{i}" for i in range(80))
+    plain = O.build_docx(9, text)   # 9 % 5 != 3: classic EOCD
+    z64 = O.build_docx(3, text)     # 3 % 5 == 3: forced ZIP64
+    assert b"PK\x06\x06" in z64 and b"PK\x06\x07" in z64
+    assert b"PK\x06\x06" not in plain
+    # same parts, byte-identical contents, through the real reader
+    assert O.zip_entries(z64)["word/document.xml"] == O.zip_entries(
+        O.build_docx(13, text)  # 13 % 5 == 3 too, deflated variant
+    )["word/document.xml"] or O.docx_text(z64) == O.docx_text(plain)
+    assert O.docx_text(z64) == O.docx_text(plain)
+
+
+def test_zip64_corruption_degrades():
+    import pytest
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    z = bytearray(O.build_docx(3, text))
+    i = bytes(z).find(b"PK\x06\x06")
+    z[i + 3] ^= 0xFF
+    with pytest.raises(O.OoxmlError, match="zip64"):
+        O.zip_entries(bytes(z))
+    z2 = bytearray(O.build_docx(3, text))
+    j = bytes(z2).find(b"PK\x06\x07")
+    z2[j + 3] ^= 0xFF
+    with pytest.raises(O.OoxmlError, match="zip64 locator"):
+        O.zip_entries(bytes(z2))
+    # bad extra field: maxed central values but the 0x0001 extra gone
+    z3 = bytearray(O.build_docx(3, text))
+    k = bytes(z3).find(b"\x01\x00\x18\x00")  # extra header id+size
+    z3[k] = 0x7F  # unknown extra id -> required zip64 values missing
+    with pytest.raises(O.OoxmlError, match="zip64 extra"):
+        O.zip_entries(bytes(z3))
