@@ -515,11 +515,12 @@ def scan_avro_range(path: str, start: int, length: int) -> list[tuple[int, list 
             pos = 0
         else:
             # first sync whose END (= a block start) lands in
-            # [own_from, hi)
-            window = bytes(buf[: hi - lo + 16])
-            i = window.find(sync)
+            # [own_from, hi) — bytearray.find is copy-free, bounded
+            # to the range window
+            end = hi - lo + 16
+            i = buf.find(sync, 0, end)
             while i >= 0 and lo + i + 16 < own_from:
-                i = window.find(sync, i + 1)
+                i = buf.find(sync, i + 1, end)
             if i < 0 or lo + i + 16 >= hi:
                 return []  # no block starts inside this range
             pos = i + 16
@@ -559,7 +560,12 @@ def scan_avro_range(path: str, start: int, length: int) -> list[tuple[int, list 
             except (AvroError, zlib.error, UnicodeDecodeError):
                 out.append((block_start, None))
                 ensure(hi + 16)
-                nxt = bytes(buf).find(sync, pos + 1)
+                # copy-free resync: bytes(buf).find copied the whole
+                # range buffer PER corrupt block — O(range_bytes x
+                # n_corrupt) memcpy, measured 298 s for one 58 MiB
+                # corrupt-heavy range before this probe-driven fix
+                # (SCALE.md section 22); bytearray.find scans in place
+                nxt = buf.find(sync, pos + 1)
                 if nxt < 0 or lo + nxt + 16 >= hi:
                     break
                 pos = nxt + 16

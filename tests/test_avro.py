@@ -198,3 +198,42 @@ def test_corrupt_metadata_costs_one_error_row(spark):
     )
     got = A.avro_records(df, "k long").collect()
     assert len(got) == 1 and got[0]._error
+
+
+def test_corrupt_heavy_sharded_equals_whole(tmp_path):
+    """Corrupt-heavy resync: every 4th block's payload is flipped and
+    the sharded reader must (a) agree with the whole-file reader on
+    surviving rows AND error spans at every range size, (b) stay
+    copy-free in recovery — the pre-fix bytes(buf).find() made this
+    shape O(range_bytes x n_corrupt) memcpy (SCALE.md section 22:
+    298 s for one 58 MiB range; 0.96 s after)."""
+    recs = _recs(400)
+    blob = A.encode_ocf(SCHEMA, recs, name="ch", block_size=5)
+    _, _, sync, pos = A.read_header(blob)
+    bad = bytearray(blob)
+    i, off = 0, pos
+    while True:
+        nxt = blob.find(sync, off + 1)
+        if nxt < 0:
+            break
+        if i % 4 == 0 and nxt - off > 30:
+            bad[off + 12] ^= 0xFF
+        off, i = nxt + 16, i + 1
+    p = str(tmp_path / "ch.avro")
+    with open(p, "wb") as f:
+        f.write(bytes(bad))
+    whole = list(A.iter_ocf(bytes(bad)))
+    w_rows = [r for _, rows in whole if rows is not None for r in rows]
+    w_errs = sum(1 for _, rows in whole if rows is None)
+    assert w_errs >= 15 and len(w_rows) < len(recs)
+    for rb in (97, 512, 4096, 10**9):
+        out = []
+        s = 0
+        while s < len(bad):
+            out.extend(A.scan_avro_range(p, s, rb))
+            s += rb
+        out.sort()
+        got_rows = [r for _, rows in out if rows is not None for r in rows]
+        got_errs = sum(1 for _, rows in out if rows is None)
+        assert got_rows == w_rows, rb
+        assert got_errs == w_errs, rb
