@@ -608,8 +608,9 @@ def _decrypt_document(objects: dict[int, object], trailer: dict) -> None:
     use gen 0 — the overwhelmingly dominant case in real files; a
     nonzero-gen encrypted object decrypts wrong and degrades at the
     stream/page level, never as a task death. Unsupported schemes
-    (AES-256, non-Standard filters) and wrong-password documents
-    raise the distinct encrypted-document PdfError -> DLQ row."""
+    (non-Standard filters) and wrong-password documents raise the
+    distinct encrypted-document PdfError -> DLQ row. Covers RC4-40/
+    128, AES-128 (R2-R4) and AES-256 (R5/R6, ISO 32000-2)."""
     from corrie_spark.sources.pdf_crypt import PdfCryptError, StdSecurityHandler
 
     enc_ref = trailer.get("Encrypt")
@@ -1450,7 +1451,8 @@ def _content_stream(lines: list[str], doc_id: int) -> bytes:
 
 def _serialize_encrypt_dict(enc: dict) -> bytes:
     """Resolved /Encrypt dict (pdf_crypt.build_standard_encrypt) ->
-    PDF object body. O/U as hex strings; V4 adds the /StdCF filter."""
+    PDF object body. O/U as hex strings; V4/V5 add the /StdCF
+    filter, V5 additionally /OE //UE //Perms (48/32/16 bytes)."""
     body = (
         b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s>"
         % (
@@ -1462,7 +1464,13 @@ def _serialize_encrypt_dict(enc: dict) -> bytes:
             enc["U"].hex().encode(),
         )
     )
-    if enc["V"] == 4:
+    if enc["V"] == 5:
+        body += b" /OE <%s> /UE <%s> /Perms <%s>" % (
+            enc["OE"].hex().encode(),
+            enc["UE"].hex().encode(),
+            enc["Perms"].hex().encode(),
+        )
+    if enc["V"] in (4, 5):
         cfm = enc["CF"]["StdCF"]["CFM"]
         body += (
             b" /CF << /StdCF << /CFM /%s /AuthEvent /DocOpen >> >>"
@@ -1736,7 +1744,7 @@ def build_pdf_fonts(doc_id: int, text: str) -> bytes:
 # an empty user password (the owner-password-only crawl shape) — the
 # extracted text is identical by construction, so the same closed-form
 # oracle gates the decryption paths for free.
-PDF_ENCRYPT_ROUTE = {2: "rc4-40", 4: "rc4-128", 6: "aes-128"}
+PDF_ENCRYPT_ROUTE = {2: "rc4-40", 4: "rc4-128", 6: "aes-128", 8: "aes-256"}
 
 # doc_id % 31 routes a slice of the corpus through DETERMINISTIC
 # corruption, one rule per DLQ error_kind, so the corpus accounting

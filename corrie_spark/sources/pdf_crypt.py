@@ -17,10 +17,14 @@ Reference behavior: kak-tus/corrie has no document-ingestion surface;
 this closes the round-11 verdict's missing item #3 for sources/pdf.py.
 
 Revision support: R2 (V1, 40-bit RC4), R3 (V2, 40..128-bit RC4), R4
-(V4 crypt filters: /V2 RC4 and /AESV2). R5/R6 (AES-256, the 2.0
-extension) and non-Standard filters raise PdfCryptError -> the caller
-keeps its distinct encrypted-DLQ row. Documents whose USER password is
-non-empty fail authentication and stay DLQ'd the same way.
+(V4 crypt filters: /V2 RC4 and /AESV2), and R5/R6 (V5 /AESV3,
+AES-256 — ISO 32000-2 §7.6.4: SHA-256 (R5) / Algorithm-2.B iterated
+(R6) password hashes over the /U//O validation salts, file key
+recovered by AES-256-CBC-decrypting /UE//OE with the key-salt hash,
+/Perms cross-checked via ECB). Non-Standard filters raise
+PdfCryptError -> the caller keeps its distinct encrypted-DLQ row.
+Documents whose USER password is non-empty fail authentication and
+stay DLQ'd the same way.
 """
 
 from __future__ import annotations
@@ -115,19 +119,27 @@ _SBOX, _INV_SBOX = _make_sbox()
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
-def _expand_key(key: bytes) -> list[list[int]]:
-    """128-bit key -> 44 four-byte words (11 round keys)."""
-    if len(key) != 16:
-        raise PdfCryptError("AES-128 key must be 16 bytes")
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+def _expand_key(key: bytes) -> tuple[list[list[int]], int]:
+    """AES key schedule (FIPS-197 §5.2) for Nk in {4, 8}: returns
+    (4*(Nr+1) four-byte words, Nr). AES-256 adds the extra SubWord
+    at i % Nk == 4."""
+    if len(key) == 16:
+        nk, nr = 4, 10
+    elif len(key) == 32:
+        nk, nr = 8, 14
+    else:
+        raise PdfCryptError("AES key must be 16 or 32 bytes")
+    words = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]  # RotWord
             t = [_SBOX[b] for b in t]  # SubWord
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
-    return words
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]  # AES-256 extra SubWord
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return words, nr
 
 
 def _add_round_key(state: list[int], words, rnd: int) -> None:
@@ -137,15 +149,15 @@ def _add_round_key(state: list[int], words, rnd: int) -> None:
             state[r + 4 * c] ^= w[r]
 
 
-def _cipher_block(block: bytes, words) -> bytes:
+def _cipher_block(block: bytes, words, nr: int = 10) -> bytes:
     # state laid out column-major: state[r + 4c]
     s = list(block)
     _add_round_key(s, words, 0)
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = [_SBOX[b] for b in s]  # SubBytes
         # ShiftRows: row r rotates left by r (column-major state)
         s = [s[r + 4 * ((c + r) % 4)] for c in range(4) for r in range(4)]
-        if rnd < 10:  # MixColumns
+        if rnd < nr:  # MixColumns
             t = list(s)
             for c in range(4):
                 a = t[4 * c : 4 * c + 4]
@@ -157,10 +169,10 @@ def _cipher_block(block: bytes, words) -> bytes:
     return bytes(s)
 
 
-def _decipher_block(block: bytes, words) -> bytes:
+def _decipher_block(block: bytes, words, nr: int = 10) -> bytes:
     s = list(block)
-    _add_round_key(s, words, 10)
-    for rnd in range(9, -1, -1):
+    _add_round_key(s, words, nr)
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows: row r rotates right by r
         s = [s[r + 4 * ((c - r) % 4)] for c in range(4) for r in range(4)]
         s = [_INV_SBOX[b] for b in s]  # InvSubBytes
@@ -184,38 +196,146 @@ def _decipher_block(block: bytes, words) -> bytes:
     return bytes(s)
 
 
-def aes128_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
-    """PKCS#5-padded CBC encrypt; output is iv + ciphertext (the PDF
-    §7.6.2 AESV2 layout). Fixture/writer twin of the decrypt path."""
-    words = _expand_key(key)
-    pad = 16 - (len(plain) % 16)
-    plain = plain + bytes([pad]) * pad
-    out = bytearray(iv)
+# AES engine dispatch: the pure-python FIPS-197 core above is the
+# from-spec reference (pinned to official KAT vectors and, when the
+# independent `cryptography` package is present, cross-validated
+# against it in tests/test_pdf.py) — but at ~30 us/block it makes the
+# R6 Algorithm-2.B hash (>=64 rounds x 256 CBC blocks) cost seconds
+# per document. When `cryptography` is importable we route the bulk
+# CBC/ECB calls through it; the pure core is the always-available
+# fallback, so the module has no hard dependency.
+try:
+    from cryptography.hazmat.primitives.ciphers import (  # type: ignore
+        Cipher as _CgCipher,
+        algorithms as _cg_alg,
+        modes as _cg_modes,
+    )
+
+    _HAVE_CRYPTOGRAPHY = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _HAVE_CRYPTOGRAPHY = False
+
+
+def _py_cbc_encrypt_raw(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    words, nr = _expand_key(key)
     prev = iv
+    out = bytearray()
     for i in range(0, len(plain), 16):
         block = bytes(a ^ b for a, b in zip(plain[i : i + 16], prev))
-        prev = _cipher_block(block, words)
+        prev = _cipher_block(block, words, nr)
         out += prev
     return bytes(out)
 
 
+def _py_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    words, nr = _expand_key(key)
+    prev = iv
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_decipher_block(block, words, nr), prev)
+        )
+        prev = block
+    return bytes(out)
+
+
+def _py_ecb_encrypt(key: bytes, plain: bytes) -> bytes:
+    words, nr = _expand_key(key)
+    return b"".join(
+        _cipher_block(plain[i : i + 16], words, nr)
+        for i in range(0, len(plain), 16)
+    )
+
+
+def _py_ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    words, nr = _expand_key(key)
+    return b"".join(
+        _decipher_block(data[i : i + 16], words, nr)
+        for i in range(0, len(data), 16)
+    )
+
+
+def _cbc_encrypt_raw(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """Unpadded CBC encrypt (len(plain) must be a block multiple) —
+    the Algorithm-2.B inner cipher and the /UE//OE layout."""
+    if len(key) not in (16, 32):
+        raise PdfCryptError("AES key must be 16 or 32 bytes")
+    if _HAVE_CRYPTOGRAPHY:
+        enc = _CgCipher(_cg_alg.AES(key), _cg_modes.CBC(iv)).encryptor()
+        return enc.update(plain) + enc.finalize()
+    return _py_cbc_encrypt_raw(key, iv, plain)
+
+
+def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Unpadded CBC decrypt — the /UE//OE file-key recovery."""
+    if len(data) % 16:
+        raise PdfCryptError("bad AES stream length")
+    if len(key) not in (16, 32):
+        raise PdfCryptError("AES key must be 16 or 32 bytes")
+    if _HAVE_CRYPTOGRAPHY:
+        dec = _CgCipher(_cg_alg.AES(key), _cg_modes.CBC(iv)).decryptor()
+        return dec.update(data) + dec.finalize()
+    return _py_cbc_decrypt_raw(key, iv, data)
+
+
+def _ecb_encrypt(key: bytes, plain: bytes) -> bytes:
+    """Single-shot ECB (the /Perms entry is exactly one block)."""
+    if _HAVE_CRYPTOGRAPHY:
+        enc = _CgCipher(_cg_alg.AES(key), _cg_modes.ECB()).encryptor()
+        return enc.update(plain) + enc.finalize()
+    return _py_ecb_encrypt(key, plain)
+
+
+def _ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    if _HAVE_CRYPTOGRAPHY:
+        dec = _CgCipher(_cg_alg.AES(key), _cg_modes.ECB()).decryptor()
+        return dec.update(data) + dec.finalize()
+    return _py_ecb_decrypt(key, data)
+
+
+def aes128_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """PKCS#5-padded CBC encrypt; output is iv + ciphertext (the PDF
+    §7.6.2 AESV2/AESV3 layout — the same framing carries 16- and
+    32-byte keys). Fixture/writer twin of the decrypt path."""
+    pad = 16 - (len(plain) % 16)
+    return iv + _cbc_encrypt_raw(key, iv, plain + bytes([pad]) * pad)
+
+
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 layout: first 16 bytes IV, PKCS#5 padding stripped.
-    Bad framing/padding raises PdfCryptError (callers DLQ)."""
+    """PDF AESV2/AESV3 layout: first 16 bytes IV, PKCS#5 padding
+    stripped. Bad framing/padding raises PdfCryptError (callers
+    DLQ)."""
     if len(data) < 32 or len(data) % 16:
         raise PdfCryptError("bad AES stream length")
-    words = _expand_key(key)
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        block = data[i : i + 16]
-        plain = _decipher_block(block, words)
-        out += bytes(a ^ b for a, b in zip(plain, prev))
-        prev = block
+    out = _cbc_decrypt_raw(key, data[:16], data[16:])
     pad = out[-1]
     if not 1 <= pad <= 16 or len(out) < pad:
         raise PdfCryptError("bad AES padding")
     return bytes(out[:-pad])
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 password hash: R5 is a single SHA-256;
+    R6 is the iterated Algorithm 2.B — at least 64 rounds of
+    64x-repeated (password ‖ K ‖ udata) through AES-128-CBC keyed by
+    the running hash, the digest width itself data-driven (SHA-256/
+    384/512 by sum(E[:16]) mod 3), terminating once the last cipher
+    byte <= rounds-32. `udata` is /U[:48] for owner-side hashes,
+    empty for user-side."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    e = b"\x00"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_raw(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+    return k[:32]
 
 
 # --- standard security handler ---------------------------------------------
@@ -251,11 +371,15 @@ def build_standard_encrypt(
 ) -> tuple[dict, "StdSecurityHandler"]:
     """Fixture/writer twin: a resolved /Encrypt dictionary (plus its
     matching handler) under `scheme` in {'rc4-40', 'rc4-128',
-    'aes-128'}. With the default empty `user_pw` this is the
-    owner-password-only layout this module exists to open; a
-    non-empty `user_pw` builds a genuinely LOCKED document (the
-    returned handler encrypts with the real user key, and the
-    empty-password reader must fail authentication on it)."""
+    'aes-128', 'aes-256', 'aes-256-r5'}. With the default empty
+    `user_pw` this is the owner-password-only layout this module
+    exists to open; a non-empty `user_pw` builds a genuinely LOCKED
+    document (the returned handler encrypts with the real user key,
+    and the empty-password reader must fail authentication on it)."""
+    if scheme in ("aes-256", "aes-256-r5"):
+        return _build_v5_encrypt(
+            5 if scheme.endswith("r5") else 6, id0, owner_pw, user_pw
+        )
     if scheme == "rc4-40":
         v, r, length = 1, 2, 40
     elif scheme == "rc4-128":
@@ -289,6 +413,51 @@ def build_standard_encrypt(
     return enc, h
 
 
+def _build_v5_encrypt(
+    r: int, id0: bytes, owner_pw: bytes, user_pw: bytes
+) -> tuple[dict, "StdSecurityHandler"]:
+    """§7.6.4 Algorithms 8/9/10 (writer side): salts and the file key
+    are id0-derived so fixture builds are deterministic."""
+    p = -3904
+    seed = hashlib.sha256(b"v5:%d:" % r + id0).digest()
+    vs_u, ks_u = seed[:8], seed[8:16]
+    vs_o, ks_o = seed[16:24], seed[24:32]
+    file_key = hashlib.sha256(b"v5key:" + id0).digest()
+    u = hash_2b(user_pw, vs_u, b"", r) + vs_u + ks_u
+    ue = _cbc_encrypt_raw(
+        hash_2b(user_pw, ks_u, b"", r), b"\x00" * 16, file_key
+    )
+    o = hash_2b(owner_pw, vs_o, u, r) + vs_o + ks_o
+    oe = _cbc_encrypt_raw(
+        hash_2b(owner_pw, ks_o, u, r), b"\x00" * 16, file_key
+    )
+    perms = _ecb_encrypt(
+        file_key,
+        struct.pack("<i", p) + b"\xff\xff\xff\xffTadb" + seed[:4],
+    )
+    enc: dict = {
+        "Filter": "Standard",
+        "V": 5,
+        "R": r,
+        "Length": 256,
+        "P": p,
+        "O": o,
+        "U": u,
+        "OE": oe,
+        "UE": ue,
+        "Perms": perms,
+        "CF": {"StdCF": {"CFM": "AESV3", "AuthEvent": "DocOpen"}},
+        "StmF": "StdCF",
+        "StrF": "StdCF",
+    }
+    h = StdSecurityHandler(enc, id0)
+    if user_pw:
+        h.key = file_key  # the writer encrypts with the real key
+    elif not h.authenticate() or h.key != file_key:  # invariant
+        raise PdfCryptError("self-check failed")
+    return enc, h
+
+
 class StdSecurityHandler:
     """§7.6.3 /Standard handler for the empty-user-password case.
 
@@ -304,6 +473,9 @@ class StdSecurityHandler:
             raise PdfCryptError(f"unsupported security filter {enc.get('Filter')!r}")
         self.v = int(enc.get("V", 0))
         self.r = int(enc.get("R", 2))
+        if self.v == 5 and self.r in (5, 6):
+            self._init_v5(enc)
+            return
         if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
             raise PdfCryptError(f"unsupported V={self.v} R={self.r}")
         o, u = enc.get("O"), enc.get("U")
@@ -345,6 +517,37 @@ class StdSecurityHandler:
             self.identity = False
         self.key = self._file_key(b"")
 
+    def _init_v5(self, enc: dict) -> None:
+        """AES-256 (R5/R6): /O and /U are 48 bytes (32-byte hash +
+        8-byte validation salt + 8-byte key salt); /OE//UE hold the
+        file key under the key-salt hash; no per-object keys."""
+        o, u = enc.get("O"), enc.get("U")
+        ue = enc.get("UE")
+        if not (isinstance(o, bytes) and isinstance(u, bytes)) or len(
+            o
+        ) < 48 or len(u) < 48:
+            raise PdfCryptError("missing/short O/U entries")
+        if not isinstance(ue, bytes) or len(ue) < 32:
+            raise PdfCryptError("missing UE entry")
+        self.o, self.u, self.ue = o[:48], u[:48], ue[:32]
+        self.perms = enc.get("Perms")
+        self.p = int(enc.get("P", -1))
+        self.encrypt_metadata = bool(enc.get("EncryptMetadata", True))
+        cf = enc.get("CF") or {}
+        stmf = enc.get("StmF", "Identity")
+        strf = enc.get("StrF", "Identity")
+        if stmf != strf:
+            raise PdfCryptError("split StmF/StrF filters unsupported")
+        self.identity = stmf == "Identity"
+        if not self.identity:
+            cfd = cf.get(stmf)
+            cfm = cfd.get("CFM") if isinstance(cfd, dict) else None
+            if cfm != "AESV3":
+                raise PdfCryptError(f"unsupported CFM {cfm!r}")
+        self.aes = not self.identity
+        self.nkey = 32
+        self.key = b""  # recovered by authenticate()
+
     def _file_key(self, user_pw: bytes) -> bytes:
         """Algorithm 2."""
         h = hashlib.md5()
@@ -373,14 +576,33 @@ class StdSecurityHandler:
 
 
     def authenticate(self) -> bool:
-        """True iff the empty user password opens this document
-        (Algorithm 6: compare the recomputed /U; R>=3 compares only
-        the first 16 bytes — the tail is arbitrary padding)."""
+        """True iff the empty user password opens this document.
+        R2-R4: Algorithm 6 (recompute /U; R>=3 compares the first 16
+        bytes — the tail is arbitrary padding). R5/R6: Algorithm 11
+        (hash over the validation salt vs /U[:32]); on success the
+        file key is recovered from /UE and cross-checked against
+        /Perms when present."""
+        if self.v == 5:
+            return self._authenticate_v5(b"")
         mine = self._compute_u()
         return mine[:16] == self.u[:16] if self.r >= 3 else mine == self.u[:32]
 
+    def _authenticate_v5(self, pw: bytes) -> bool:
+        if hash_2b(pw, self.u[32:40], b"", self.r) != self.u[:32]:
+            return False
+        ikey = hash_2b(pw, self.u[40:48], b"", self.r)
+        self.key = _cbc_decrypt_raw(ikey, b"\x00" * 16, self.ue)
+        if isinstance(self.perms, bytes) and len(self.perms) >= 16:
+            dec = _ecb_decrypt(self.key, self.perms[:16])
+            if dec[9:12] != b"adb":
+                raise PdfCryptError("Perms validation failed")
+        return True
+
     def _object_key(self, num: int, gen: int) -> bytes:
-        """Algorithm 1."""
+        """Algorithm 1 (R2-R4). V5 uses the file key for every
+        object (Algorithm 1.A) — no per-object derivation."""
+        if self.v == 5:
+            return self.key
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<I", num & 0xFFFFFF)[:3])

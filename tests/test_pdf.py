@@ -736,9 +736,16 @@ def test_pdf_crypt_primitives():
     # FIPS-197 Appendix C.1 vector
     key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
     pt = bytes.fromhex("00112233445566778899aabbccddeeff")
-    ct = C._cipher_block(pt, C._expand_key(key))
+    words, nr = C._expand_key(key)
+    ct = C._cipher_block(pt, words, nr)
     assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
-    assert C._decipher_block(ct, C._expand_key(key)) == pt
+    assert C._decipher_block(ct, words, nr) == pt
+    # FIPS-197 Appendix C.3 (AES-256) vector
+    w256, nr256 = C._expand_key(bytes(range(32)))
+    assert nr256 == 14
+    ct256 = C._cipher_block(pt, w256, nr256)
+    assert ct256.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert C._decipher_block(ct256, w256, nr256) == pt
     # CBC + PKCS#5 roundtrip at padding boundaries
     iv = bytes(range(16))
     for n in (0, 1, 15, 16, 17, 100):
@@ -791,8 +798,77 @@ def test_encrypted_pdf_wrong_password_and_unsupported_dlq():
         P.pdf_text(enc.replace(b"/Filter /Standard", b"/Filter /AcmeDRM"))
 
 
+def test_aes256_crossvalidated_against_cryptography():
+    """The pure-python AES core checked against an INDEPENDENT
+    implementation (the `cryptography` package, when present) for
+    both key sizes, CBC and ECB, across padding shapes."""
+    pytest = __import__("pytest")
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+    except ImportError:
+        pytest.skip("cryptography not available")
+    from corrie_spark.sources import pdf_crypt as C
+
+    iv = bytes(range(16))
+    for klen in (16, 32):
+        key = bytes((i * 13 + klen) % 256 for i in range(klen))
+        data = bytes((i * 7) % 256 for i in range(25 * 16))
+        ref = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        expect = ref.update(data) + ref.finalize()
+        # the _py_ variants are the from-spec core (the dispatchers
+        # route through cryptography when present — comparing those
+        # would be circular)
+        assert C._py_cbc_encrypt_raw(key, iv, data) == expect, klen
+        assert C._py_cbc_decrypt_raw(key, iv, expect) == data, klen
+        ref = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+        expect = ref.update(data) + ref.finalize()
+        assert C._py_ecb_encrypt(key, data) == expect, klen
+        assert C._py_ecb_decrypt(key, expect) == data, klen
+
+
+def test_pdf_aes256_v5_handler():
+    """AES-256 (R5/R6): fixture round-trip equals the plain twin,
+    the recovered file key matches the writer's, a real user
+    password fails empty-password auth, and a tampered /Perms is a
+    hard PdfCryptError (the ECB cross-check)."""
+    import hashlib
+
+    import pytest
+
+    from corrie_spark.sources import pdf_crypt as C
+
+    text = " ".join(f"tok{i}" for i in range(150))
+    plain = P.pdf_text(P.build_pdf(12, text))
+    for scheme in ("aes-256", "aes-256-r5"):
+        assert P.pdf_text(P.build_pdf(12, text, encrypt=scheme)) == plain, scheme
+
+    id0 = hashlib.md5(b"v5test").digest()
+    enc, h = C.build_standard_encrypt("aes-256", id0)
+    # hash_2b: R5 is one SHA-256; R6 iterates and must differ
+    salt = enc["U"][32:40]
+    import hashlib as H
+
+    assert C.hash_2b(b"", salt, b"", 5) == H.sha256(salt).digest()
+    assert C.hash_2b(b"", salt, b"", 6) != C.hash_2b(b"", salt, b"", 5)
+    # locked: the empty password must not authenticate
+    enc_l, _ = C.build_standard_encrypt("aes-256", id0, user_pw=b"secret")
+    assert not C.StdSecurityHandler(enc_l, id0).authenticate()
+    # owner-side derivation recovers the same file key
+    ikey = C.hash_2b(b"owner-secret", enc["O"][40:48], enc["U"], 6)
+    assert C._cbc_decrypt_raw(ikey, b"\x00" * 16, enc["OE"]) == h.key
+    # tampered Perms -> hard error at authenticate
+    bad = dict(enc)
+    bad["Perms"] = bytes(16)
+    with pytest.raises(C.PdfCryptError, match="Perms"):
+        C.StdSecurityHandler(bad, id0).authenticate()
+
+
 def test_fixture_routing_covers_all_schemes():
-    """doc_id % 10 in {2,4,6} builds encrypted twins whose extraction
+    """doc_id % 10 in {2,4,6,8} builds encrypted twins whose extraction
     equals the plain build — the routing q_pdf_ingest's oracle rides."""
     for doc_id, scheme in P.PDF_ENCRYPT_ROUTE.items():
         text = f"scheme {scheme} body " * 20
