@@ -103,10 +103,11 @@ SELECT record_id,
   {_DATE_SQL} AS warc_date,
   CAST(200 AS BIGINT) AS http_status,
   charset,
-  CAST(CASE WHEN doc_id % {W.ENC_MOD} IN (3, 4) THEN NULL
+  CAST(CASE WHEN doc_id % {W.ENC_MOD} IN (1, 3, 4) THEN NULL
             WHEN doc_id % {W.ENC_MOD} = 2 THEN {_CHUNKED_LEN}
             ELSE content_length END AS BIGINT) AS content_length,
-  CASE WHEN doc_id % {W.ENC_MOD} = 2 THEN 'chunked'
+  CASE WHEN doc_id % {W.ENC_MOD} = 1 THEN 'zstd'
+       WHEN doc_id % {W.ENC_MOD} = 2 THEN 'chunked'
        WHEN doc_id % {W.ENC_MOD} = 3 THEN 'gzip'
        WHEN doc_id % {W.ENC_MOD} = 4 THEN 'deflate' END AS http_encoding,
   md5(body) AS text_md5,
@@ -154,7 +155,42 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         "charset",
         F.when(
-            F.col("http_encoding").isin("gzip", "deflate"),
+            F.col("http_encoding").isin("gzip", "deflate", "zstd"),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.col("content_length"))
+        .alias("content_length"),
+        "http_encoding",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "q_warc_zstd",
+    oracle=_INGEST_ORACLE,
+    python_stages="applyInPandas zst fixture build + mapInPandas zstd-frame/WARC split",
+)
+def q_warc_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.warc.zst crawl ingestion (the warcio layout: one record per
+    RFC 8878 zstd frame, a leading skippable frame in the dictionary
+    slot) through the SAME reader as the gzip path — warc_records
+    dispatches the member walk by container magic, so the oracle that
+    gates q_warc_ingest gates this byte-identical record set too.
+    Every frame round-trips the from-spec sources/zstd.py codec
+    (encode on the fixture side, decode + XXH64 verify on ingest),
+    and enc-routed bodies additionally carry Content-Encoding: zstd
+    inside the frames. One Arrow stage; frames never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    recs = W.warc_records(W.zst_fixture_files(docs, _N_FILES)).drop("payload")
+    return recs.where(F.col("warc_type") == "response").select(
+        "record_id",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "charset",
+        F.when(
+            F.col("http_encoding").isin("gzip", "deflate", "zstd"),
             F.lit(None).cast("long"),
         )
         .otherwise(F.col("content_length"))

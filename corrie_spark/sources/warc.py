@@ -47,6 +47,7 @@ CRLF = b"\r\n"
 
 
 GZIP_MAGIC = b"\x1f\x8b\x08"  # RFC 1952 magic + CM=deflate
+ZSTD_FRAME_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878, little-endian
 
 
 def gzip_members_at(data: bytes, base: int = 0) -> Iterator[tuple[int, int, bytes]]:
@@ -99,6 +100,34 @@ def gzip_members_at(data: bytes, base: int = 0) -> Iterator[tuple[int, int, byte
             continue
         yield base + pos, consumed, b"".join(parts)
         pos += consumed
+
+
+def zstd_members_at(
+    data: bytes, base: int = 0
+) -> Iterator[tuple[int, int, bytes]]:
+    """The .warc.zst twin of gzip_members_at: (absolute_offset,
+    frame_length, decompressed) per zstd frame — warcio's convention
+    is one record per frame, mirroring the gzip-member layout.
+    Skippable frames (the out-of-band dictionary carrier) yield an
+    EMPTY blob so the caller's gap accounting stays exact; frames
+    needing that dictionary fail with ZstdError and the walk resyncs
+    to the next frame magic, the same poison stance as the gzip
+    path."""
+    from corrie_spark.sources.zstd import ZstdError, decode_frame
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        try:
+            blob, end = decode_frame(data, pos)
+        except ZstdError:
+            nxt = data.find(ZSTD_FRAME_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        yield base + pos, end - pos, blob
+        pos = end
 
 
 def gzip_members(data: bytes) -> Iterator[bytes]:
@@ -245,6 +274,18 @@ def _gunzip_strict(body: bytes) -> bytes:
     return b"".join(parts)
 
 
+def _unzstd_strict(body: bytes) -> bytes:
+    """Content-Encoding: zstd (RFC 8878 content coding) — the body is
+    one-or-more complete frames; anything else is corrupt (same
+    strict stance as the gzip coding)."""
+    from corrie_spark.sources.zstd import ZstdError, decompress
+
+    try:
+        return decompress(body)
+    except ZstdError as e:
+        raise HttpBodyError(f"corrupt zstd content coding ({e})") from None
+
+
 def _inflate(body: bytes) -> bytes:
     """Content-Encoding: deflate — RFC 9110 says zlib-wrapped
     (RFC 1950), but real servers routinely send raw deflate; accept
@@ -267,8 +308,10 @@ def decode_http_body(
     (RFC 9110 §8.4) to an HTTP response body, the order the wire
     applies them in reverse. Returns (payload, applied_codings,
     textual_ok): textual_ok=False means an unsupported content coding
-    (br — no brotli in this environment, the documented seam) was left
-    in place, so the charset sniff must not run on those bytes.
+    (br — brotli's 122 KiB static dictionary ships out-of-band and is
+    unavailable here, the documented seam) was left in place, so the
+    charset sniff must not run on those bytes. gzip/deflate/zstd all
+    decode (zstd via the from-spec RFC 8878 reader, sources/zstd.py).
     Corrupt framing raises HttpBodyError (callers emit an _error
     row)."""
     applied: list[str] = []
@@ -287,6 +330,9 @@ def decode_http_body(
         elif coding == "deflate":
             body = _inflate(body)
             applied.append("deflate")
+        elif coding == "zstd":
+            body = _unzstd_strict(body)
+            applied.append("zstd")
         elif coding == "identity":
             continue
         else:  # br, zstd, ... — undecodable here: leave bytes as-is
@@ -437,7 +483,18 @@ def warc_records(
                     continue
                 idx = 0
                 expect = base  # next byte the member walk should land on
-                for m_off, m_len, member in gzip_members_at(data, base):
+                # container dispatch by magic: .warc.zst files walk
+                # zstd frames, everything else the gzip member path
+                if data[:4] == ZSTD_FRAME_MAGIC or (
+                    len(data) >= 4
+                    and 0x184D2A50
+                    <= int.from_bytes(data[:4], "little")
+                    <= 0x184D2A5F
+                ):
+                    walker = zstd_members_at(data, base)
+                else:
+                    walker = gzip_members_at(data, base)
+                for m_off, m_len, member in walker:
                     if m_off > expect:  # resynced past corrupt bytes
                         out.append(
                             _error_row(
@@ -446,6 +503,8 @@ def warc_records(
                         )
                         idx += 1
                     expect = m_off + m_len
+                    if not member:  # zstd skippable frame: no records
+                        continue
                     try:
                         recs = list(parse_warc(member))
                     except Exception as e:  # noqa: BLE001 — poison row, not task death
@@ -611,11 +670,12 @@ LATIN1_SUFFIX = " café"
 DUP_MOD = 11
 # doc_id % 5 routes the HTTP body encoding (self-crawled/mirrored WARCs
 # routinely store chunked/compressed bodies; Common Crawl pre-decodes):
+#   1 -> Content-Encoding: zstd (RFC 8878 frames, sources/zstd.py)
 #   2 -> Transfer-Encoding: chunked (512-byte chunks, closed-form
 #        framing arithmetic for the oracle)
 #   3 -> Content-Encoding: gzip
 #   4 -> Content-Encoding: deflate (zlib-wrapped, the RFC 9110 form)
-#   0, 1 -> identity (Content-Length framing, the Common Crawl shape)
+#   0 -> identity (Content-Length framing, the Common Crawl shape)
 ENC_MOD = 5
 CHUNK_SIZE = 512
 
@@ -666,7 +726,12 @@ def response_record(doc_id: int, text: str, dup: int = 0, html: bool = False) ->
     body = body_s.encode(charset)
     head = f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={charset}\r\n"
     enc = doc_id % ENC_MOD
-    if enc == 2:
+    if enc == 1:
+        from corrie_spark.sources.zstd import encode_frame
+
+        body = encode_frame(body)
+        head += f"Content-Encoding: zstd\r\nContent-Length: {len(body)}\r\n"
+    elif enc == 2:
         body = chunk_http_body(body, CHUNK_SIZE)
         head += "Transfer-Encoding: chunked\r\n"
     elif enc == 3:
@@ -835,6 +900,49 @@ def build_warc_gz(
         if with_dups and doc_id % DUP_MOD == 0:
             members.append(response_record(doc_id, text, dup=1, html=html))
     return b"".join(gzip.compress(m, compresslevel=1) for m in members)
+
+
+def build_warc_zst(name: str, docs: list[tuple[int, str]]) -> bytes:
+    """One fixture .warc.zst crawl file (the warcio layout): an
+    8-byte skippable frame standing in for the out-of-band dictionary
+    slot, then warcinfo + request + response per doc, each record its
+    own zstd frame with a content checksum. Exercises the full
+    frame-walk ingest path end-to-end."""
+    import struct as _struct
+
+    from corrie_spark.sources.zstd import encode_frame
+
+    members = [warcinfo_record(name)]
+    for doc_id, text in sorted(docs):
+        members.append(request_record(doc_id))
+        members.append(response_record(doc_id, text))
+        if doc_id % DUP_MOD == 0:
+            members.append(response_record(doc_id, text, dup=1))
+    skip = _struct.pack("<II", 0x184D2A5D, 0)  # empty skippable frame
+    return skip + b"".join(encode_frame(m) for m in members)
+
+
+def zst_fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
+    """Distributed .warc.zst fixture build (same shape as
+    fixture_files: one applyInPandas group = one crawl file row)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def build(key, pdf):
+        grp = int(key[0])
+        name = f"crawl-{grp:05d}.warc.zst"
+        blob = build_warc_zst(
+            name, list(zip((int(i) for i in pdf["doc_id"]), pdf["text"]))
+        )
+        return pd.DataFrame([{"path": name, "content": blob}])
+
+    return (
+        docs_df.select("doc_id", "text")
+        .withColumn("_grp", F.col("doc_id") % n_files)
+        .groupBy("_grp")
+        .applyInPandas(build, "path string, content binary")
+    )
 
 
 def fixture_files(

@@ -264,7 +264,9 @@ def test_encoded_responses_through_reader(spark):
     for i, text in docs:
         got = resp[f"https://example.org/doc/{i}"]
         assert got.text == W.fixture_body(i, text)[1], i
-        expect_enc = {2: "chunked", 3: "gzip", 4: "deflate"}.get(i % W.ENC_MOD)
+        expect_enc = {1: "zstd", 2: "chunked", 3: "gzip", 4: "deflate"}.get(
+            i % W.ENC_MOD
+        )
         assert got.http_encoding == expect_enc, i
     errs = [r for r in rows if r.warc_type == W.ERROR_TYPE]
     assert len(errs) == 1

