@@ -112,22 +112,34 @@ def zstd_members_at(
     EMPTY blob so the caller's gap accounting stays exact; frames
     needing that dictionary fail with ZstdError and the walk resyncs
     to the next frame magic, the same poison stance as the gzip
-    path."""
+    path.
+
+    Resync-found frames must additionally decompress to WARC bytes
+    (`WARC/` prefix): response bodies carrying Content-Encoding: zstd
+    are complete frames stored VERBATIM inside raw-block members, so
+    an embedded frame decodes validly — record-grammar validation is
+    what rejects it (the gzip layout is immune only because member
+    compression obscures embedded magics)."""
     from corrie_spark.sources.zstd import ZstdError, decode_frame
 
     pos = 0
     n = len(data)
+    chained = True  # position 0 is authoritative, not a resync guess
     while pos < n:
         try:
             blob, end = decode_frame(data, pos)
+            if not chained and blob and not blob.startswith(b"WARC/"):
+                raise ZstdError("embedded frame (not a WARC member)")
         except ZstdError:
             nxt = data.find(ZSTD_FRAME_MAGIC, pos + 1)
             if nxt < 0:
                 return
             pos = nxt
+            chained = False
             continue
         yield base + pos, end - pos, blob
         pos = end
+        chained = True
 
 
 def gzip_members(data: bytes) -> Iterator[bytes]:
@@ -1093,6 +1105,100 @@ def _scan_range_members(
         yield expect_abs, end - expect_abs, b""
 
 
+def _scan_range_frames_zst(
+    f, start: int, end: int, file_size: int
+) -> Iterator[tuple[int, int, bytes]]:
+    """The .warc.zst twin of _scan_range_members: yield
+    (absolute_offset, frame_length, compressed_frame) for every zstd
+    frame that STARTS in [start, end) — same start-offset ownership
+    rule, same resync-by-magic with decode validation (a frame is
+    believed only if it fully decodes; Common Crawl .warc.zst ships
+    checksummed frames, so false accepts die on XXH64), same
+    straddling-frame completion by on-demand tail reads, and the same
+    `(offset, length, b'')` sentinel for owned bytes that never
+    validated. Skippable frames are valid members (warc_records skips
+    their empty decode).
+
+    Resync candidates (the range head, and any post-corruption scan)
+    must decompress to WARC bytes: zstd-encoded HTTP bodies are
+    complete frames stored verbatim inside raw-block members, and
+    such an embedded frame decodes validly — only the record grammar
+    tells a member from a payload (see zstd_members_at)."""
+    from corrie_spark.sources.zstd import ZstdError, decode_frame
+
+    f.seek(start)
+    # `data` is refreshed ONLY on growth (rare: one straddling frame
+    # per range), never per frame — the avro-resync lesson (SCALE.md
+    # section 22): a per-frame bytes(buf) copy is O(frames x range)
+    data = f.read(end - start)
+
+    def grow(cur: bytes) -> bytes | None:
+        have = start + len(cur)
+        if have >= file_size:
+            return None
+        f.seek(have)
+        chunk = f.read(1 << 20)
+        return cur + chunk if chunk else None
+
+    if start == 0:
+        pos = 0
+        expect_abs: int | None = 0
+        chained = True
+    else:
+        pos = data.find(ZSTD_FRAME_MAGIC)
+        expect_abs = None
+        chained = False
+        if pos < 0:
+            return
+    while pos < end - start:
+        try:
+            blob, fend = decode_frame(data, pos)
+            if not chained and blob and not blob.startswith(b"WARC/"):
+                raise ZstdError("embedded frame (not a WARC member)")
+        except ZstdError as e:
+            if str(e).startswith("truncated"):
+                grown = grow(data)
+                if grown is not None:
+                    data = grown
+                    continue  # frame straddles the buffered tail
+            nxt = data.find(ZSTD_FRAME_MAGIC, pos + 1, end - start)
+            if nxt < 0:
+                break
+            pos = nxt
+            chained = False
+            continue
+        abs_off = start + pos
+        if expect_abs is not None and abs_off > expect_abs:
+            yield expect_abs, abs_off - expect_abs, b""
+        yield abs_off, fend - pos, data[pos:fend]
+        expect_abs = abs_off + (fend - pos)
+        pos = fend
+        chained = True
+    if (
+        expect_abs is not None
+        and expect_abs < end
+        and data[expect_abs - start : end - start].strip(b"\x00")
+    ):
+        yield expect_abs, end - expect_abs, b""
+
+
+def _scan_range_auto(
+    f, start: int, end: int, file_size: int
+) -> Iterator[tuple[int, int, bytes]]:
+    """Container dispatch for the sharded reader: sniff the FILE head
+    (not the range head — a mid-file range has no magic at its start)
+    and walk gzip members or zstd frames accordingly."""
+    f.seek(0)
+    head = f.read(4)
+    f.seek(start)
+    is_zst = head[:4] == ZSTD_FRAME_MAGIC or (
+        len(head) == 4
+        and 0x184D2A50 <= int.from_bytes(head, "little") <= 0x184D2A5F
+    )
+    scan = _scan_range_frames_zst if is_zst else _scan_range_members
+    yield from scan(f, start, end, file_size)
+
+
 class _WarcRange(InputPartition):
     def __init__(self, path: str, start: int, end: int, file_size: int):
         self.path = path
@@ -1122,7 +1228,7 @@ class _WarcRangeReader(DataSourceReader):
 
     def read(self, partition: _WarcRange) -> Iterator[tuple]:
         with open(partition.path, "rb") as f:
-            for off, length, comp in _scan_range_members(
+            for off, length, comp in _scan_range_auto(
                 f, partition.start, partition.end, partition.file_size
             ):
                 yield (partition.path, off, length, comp)

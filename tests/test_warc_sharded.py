@@ -209,3 +209,62 @@ def test_unresolvable_revisit_stays_null(spark):
         "https://example.org/doc/4": None,
         "https://example.org/doc/7": None,
     }
+
+
+def test_sharded_zst_hash_identical_to_binaryfile(spark, tmp_path):
+    """.warc.zst through the range reader: frame-boundary resync at
+    range sizes small enough that most frames straddle a boundary,
+    hash-identical to the whole-file path (container dispatch by
+    FILE-head magic, not range head)."""
+    paths = []
+    for g in range(2):
+        docs = [
+            (i, f"zst doc {i} body words " * 4) for i in range(40) if i % 2 == g
+        ]
+        p = os.path.join(str(tmp_path), f"crawl-{g:05d}.warc.zst")
+        with open(p, "wb") as f:
+            f.write(W.build_warc_zst(os.path.basename(p), docs))
+        paths.append(p)
+    glob = os.path.join(str(tmp_path), "*.warc.zst")
+    whole = W.read_warc(spark, glob).select(*_IDENTITY_COLS)
+    norm = lambda df: df.withColumn(  # noqa: E731
+        "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+    )
+    W.register_warc_ranges(spark)
+    for range_bytes in (700, 4096):
+        sharded_rows = (
+            spark.read.format("warc_ranges")
+            .option("path", glob)
+            .option("rangeBytes", str(range_bytes))
+            .load()
+        )
+        assert sharded_rows.rdd.getNumPartitions() > 2
+        sharded = W.warc_records(sharded_rows).select(*_IDENTITY_COLS)
+        a, b = norm(whole), norm(sharded)
+        assert a.count() == b.count() > 0, range_bytes
+        assert a.exceptAll(b).count() == 0, range_bytes
+
+
+def test_sharded_zst_corrupt_frame_sentinel(spark, tmp_path):
+    """A corrupt frame inside a range costs its own error span and
+    later frames in the same and following ranges still extract."""
+    docs = [(i, f"body {i} " * 8) for i in range(1, 13)]
+    blob = bytearray(W.build_warc_zst("c.warc.zst", docs))
+    first = blob.find(W.ZSTD_FRAME_MAGIC)
+    second = blob.find(W.ZSTD_FRAME_MAGIC, first + 4)
+    blob[second + 4] |= 0x08  # reserved FHD bit
+    p = os.path.join(str(tmp_path), "c.warc.zst")
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    W.register_warc_ranges(spark)
+    rows = W.warc_records(
+        spark.read.format("warc_ranges")
+        .option("path", p)
+        .option("rangeBytes", "600")
+        .load()
+    ).collect()
+    errs = [r for r in rows if r.warc_type == W.ERROR_TYPE]
+    resp = [r for r in rows if r.warc_type == "response"]
+    assert len(resp) == 12 + sum(1 for i, _ in docs if i % W.DUP_MOD == 0)
+    assert len(errs) >= 1
+    assert all(r.error_kind in ("bad-framing", "bad-container") for r in errs)

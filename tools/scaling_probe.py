@@ -159,6 +159,8 @@ FAMILIES = [
     ("sitemap_tree", "q_web_sitemap_index"),
     ("avro_ingest", "q_avro_ingest"),
     ("mp3_scan", "q_multimodal_mp3_scan"),
+    # round-12b: .warc.zst ingestion (zstd codec + frame walk)
+    ("warc_zstd", "q_warc_zstd"),
     ("flac_codec", "q_multimodal_flac"),
     ("wiki_dump", "q_wiki_ingest"),
 ]
