@@ -103,10 +103,12 @@ SELECT record_id,
   {_DATE_SQL} AS warc_date,
   CAST(200 AS BIGINT) AS http_status,
   charset,
-  CAST(CASE WHEN doc_id % {W.ENC_MOD} IN (1, 3, 4) THEN NULL
+  CAST(CASE WHEN doc_id % {W.ENC_MOD} IN (1, 3, 4)
+                 OR doc_id % {W.BR_MOD} = 5 THEN NULL
             WHEN doc_id % {W.ENC_MOD} = 2 THEN {_CHUNKED_LEN}
             ELSE content_length END AS BIGINT) AS content_length,
-  CASE WHEN doc_id % {W.ENC_MOD} = 1 THEN 'zstd'
+  CASE WHEN doc_id % {W.BR_MOD} = 5 THEN 'br'
+       WHEN doc_id % {W.ENC_MOD} = 1 THEN 'zstd'
        WHEN doc_id % {W.ENC_MOD} = 2 THEN 'chunked'
        WHEN doc_id % {W.ENC_MOD} = 3 THEN 'gzip'
        WHEN doc_id % {W.ENC_MOD} = 4 THEN 'deflate' END AS http_encoding,
@@ -155,7 +157,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         "charset",
         F.when(
-            F.col("http_encoding").isin("gzip", "deflate", "zstd"),
+            F.col("http_encoding").isin("gzip", "deflate", "zstd", "br"),
             F.lit(None).cast("long"),
         )
         .otherwise(F.col("content_length"))
@@ -190,7 +192,7 @@ def q_warc_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         "charset",
         F.when(
-            F.col("http_encoding").isin("gzip", "deflate", "zstd"),
+            F.col("http_encoding").isin("gzip", "deflate", "zstd", "br"),
             F.lit(None).cast("long"),
         )
         .otherwise(F.col("content_length"))

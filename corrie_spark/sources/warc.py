@@ -286,6 +286,19 @@ def _gunzip_strict(body: bytes) -> bytes:
     return b"".join(parts)
 
 
+def _unbrotli(body: bytes) -> bytes:
+    """Content-Encoding: br (RFC 7932, decoded by the from-spec
+    sources/brotli.py reader — dictionary, transforms and context
+    tables included, differentially validated against the reference
+    implementation)."""
+    from corrie_spark.sources.brotli import BrotliError, decompress
+
+    try:
+        return decompress(body)
+    except BrotliError as e:
+        raise HttpBodyError(f"corrupt br content coding ({e})") from None
+
+
 def _unzstd_strict(body: bytes) -> bytes:
     """Content-Encoding: zstd (RFC 8878 content coding) — the body is
     one-or-more complete frames; anything else is corrupt (same
@@ -319,11 +332,11 @@ def decode_http_body(
     """Apply Transfer-Encoding (RFC 9112 §7.1) then Content-Encoding
     (RFC 9110 §8.4) to an HTTP response body, the order the wire
     applies them in reverse. Returns (payload, applied_codings,
-    textual_ok): textual_ok=False means an unsupported content coding
-    (br — brotli's 122 KiB static dictionary ships out-of-band and is
-    unavailable here, the documented seam) was left in place, so the
-    charset sniff must not run on those bytes. gzip/deflate/zstd all
-    decode (zstd via the from-spec RFC 8878 reader, sources/zstd.py).
+    textual_ok): textual_ok=False means an unknown content coding was
+    left in place, so the charset sniff must not run on those bytes.
+    gzip/deflate/zstd/br all decode (zstd via the from-spec RFC 8878
+    reader, br via the from-spec RFC 7932 reader — the former
+    "brotli seam" is closed).
     Corrupt framing raises HttpBodyError (callers emit an _error
     row)."""
     applied: list[str] = []
@@ -345,9 +358,12 @@ def decode_http_body(
         elif coding == "zstd":
             body = _unzstd_strict(body)
             applied.append("zstd")
+        elif coding == "br":
+            body = _unbrotli(body)
+            applied.append("br")
         elif coding == "identity":
             continue
-        else:  # br, zstd, ... — undecodable here: leave bytes as-is
+        else:  # compress, or unknown codings: leave bytes as-is
             applied.append(coding + "?")
             return body, applied, False
     return body, applied, True
@@ -687,8 +703,11 @@ DUP_MOD = 11
 #        framing arithmetic for the oracle)
 #   3 -> Content-Encoding: gzip
 #   4 -> Content-Encoding: deflate (zlib-wrapped, the RFC 9110 form)
-#   0 -> identity (Content-Length framing, the Common Crawl shape)
+#   0 -> identity (Content-Length framing, the Common Crawl shape),
+#        EXCEPT doc_id % 10 == 5 -> Content-Encoding: br (RFC 7932
+#        uncompressed-metablock twin, sources/brotli.py)
 ENC_MOD = 5
+BR_MOD = 10  # doc_id % BR_MOD == 5 routes through brotli
 CHUNK_SIZE = 512
 
 
@@ -738,7 +757,12 @@ def response_record(doc_id: int, text: str, dup: int = 0, html: bool = False) ->
     body = body_s.encode(charset)
     head = f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={charset}\r\n"
     enc = doc_id % ENC_MOD
-    if enc == 1:
+    if enc == 0 and doc_id % BR_MOD == 5:
+        from corrie_spark.sources.brotli import encode_uncompressed
+
+        body = encode_uncompressed(body)
+        head += f"Content-Encoding: br\r\nContent-Length: {len(body)}\r\n"
+    elif enc == 1:
         from corrie_spark.sources.zstd import encode_frame
 
         body = encode_frame(body)

@@ -222,9 +222,16 @@ def test_content_coding_decode_paths():
         {"transfer-encoding": "chunked", "content-encoding": "gzip"}, wire
     )
     assert out == body and ok and applied == ["chunked", "gzip"]
-    # br: undecodable seam — bytes left in place, textual flag off
-    out, applied, ok = W.decode_http_body({"content-encoding": "br"}, b"\x00br")
-    assert out == b"\x00br" and not ok
+    # br decodes via the from-spec RFC 7932 reader (the former seam)
+    from corrie_spark.sources.brotli import encode_uncompressed
+
+    out, applied, ok = W.decode_http_body(
+        {"content-encoding": "br"}, encode_uncompressed(body)
+    )
+    assert out == body and ok and applied == ["br"]
+    # genuinely unknown codings stay the textual-off seam
+    out, applied, ok = W.decode_http_body({"content-encoding": "compress"}, b"\x1f\x9d")
+    assert out == b"\x1f\x9d" and not ok
     # corrupt codings raise
     with pytest.raises(W.HttpBodyError):
         W.decode_http_body({"content-encoding": "gzip"}, b"\x1f\x8b\x08 garbage")
@@ -267,6 +274,8 @@ def test_encoded_responses_through_reader(spark):
         expect_enc = {1: "zstd", 2: "chunked", 3: "gzip", 4: "deflate"}.get(
             i % W.ENC_MOD
         )
+        if i % W.BR_MOD == 5:
+            expect_enc = "br"
         assert got.http_encoding == expect_enc, i
     errs = [r for r in rows if r.warc_type == W.ERROR_TYPE]
     assert len(errs) == 1
