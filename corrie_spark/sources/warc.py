@@ -119,15 +119,22 @@ def zstd_members_at(
     are complete frames stored VERBATIM inside raw-block members, so
     an embedded frame decodes validly — record-grammar validation is
     what rejects it (the gzip layout is immune only because member
-    compression obscures embedded magics)."""
+    compression obscures embedded magics).
+
+    Dictionary skippable frames (magic 0x184D2A5D, the warcio
+    convention — possibly themselves zstd-compressed) are parsed into
+    the store as the walk passes them, so later frames naming the
+    dictionary's ID decode against its entropy defaults and content
+    window."""
     from corrie_spark.sources.zstd import ZstdError, decode_frame
 
+    dicts = _collect_zst_dictionaries(data)
     pos = 0
     n = len(data)
     chained = True  # position 0 is authoritative, not a resync guess
     while pos < n:
         try:
-            blob, end = decode_frame(data, pos)
+            blob, end = decode_frame(data, pos, dicts)
             if not chained and blob and not blob.startswith(b"WARC/"):
                 raise ZstdError("embedded frame (not a WARC member)")
         except ZstdError:
@@ -140,6 +147,49 @@ def zstd_members_at(
         yield base + pos, end - pos, blob
         pos = end
         chained = True
+
+
+def _parse_zst_dictionary_payload(payload: bytes):
+    """A warcio dictionary payload: the §5 dictionary, optionally
+    itself wrapped in a plain zstd frame. Returns ZstdDict or None."""
+    from corrie_spark.sources.zstd import (
+        ZSTD_MAGIC as _ZM,
+        ZstdError,
+        decompress,
+        parse_dictionary,
+    )
+
+    try:
+        if payload[:4] == _ZM:
+            payload = decompress(payload)
+        if not payload:
+            return None
+        return parse_dictionary(payload)
+    except ZstdError:
+        return None  # a bad dictionary: dependent frames DLQ, not die
+
+
+def _collect_zst_dictionaries(head: bytes) -> dict:
+    """Scan the leading skippable frames (the warcio layout keeps the
+    dictionary at the file head) for 0x184D2A5D dictionary carriers."""
+    import struct as _struct
+
+    dicts: dict = {}
+    pos = 0
+    while pos + 8 <= len(head):
+        magic = int.from_bytes(head[pos : pos + 4], "little")
+        if not 0x184D2A50 <= magic <= 0x184D2A5F:
+            break
+        (size,) = _struct.unpack_from("<I", head, pos + 4)
+        end = pos + 8 + size
+        if end > len(head):
+            break
+        if magic == 0x184D2A5D:
+            zd = _parse_zst_dictionary_payload(head[pos + 8 : end])
+            if zd is not None and zd.did:
+                dicts[zd.did] = zd
+        pos = end
+    return dicts
 
 
 def gzip_members(data: bytes) -> Iterator[bytes]:
@@ -512,8 +562,18 @@ def warc_records(
                 idx = 0
                 expect = base  # next byte the member walk should land on
                 # container dispatch by magic: .warc.zst files walk
-                # zstd frames, everything else the gzip member path
-                if data[:4] == ZSTD_FRAME_MAGIC or (
+                # zstd frames; bare `WARC/` bytes are ALREADY decoded
+                # (plain uncompressed .warc files, and the sharded
+                # zst scanner's pre-decoded members); everything else
+                # takes the gzip member path
+                if data[:5] == b"WARC/":
+                    mlen = (
+                        int(span_len)
+                        if has_span_len and span_len is not None
+                        else len(data)
+                    )
+                    walker = iter([(base, mlen, data)])
+                elif data[:4] == ZSTD_FRAME_MAGIC or (
                     len(data) >= 4
                     and 0x184D2A50
                     <= int.from_bytes(data[:4], "little")
@@ -938,15 +998,18 @@ def build_warc_gz(
     return b"".join(gzip.compress(m, compresslevel=1) for m in members)
 
 
-def build_warc_zst(name: str, docs: list[tuple[int, str]]) -> bytes:
-    """One fixture .warc.zst crawl file (the warcio layout): an
-    8-byte skippable frame standing in for the out-of-band dictionary
-    slot, then warcinfo + request + response per doc, each record its
-    own zstd frame with a content checksum. Exercises the full
-    frame-walk ingest path end-to-end."""
+def build_warc_zst(
+    name: str, docs: list[tuple[int, str]], with_dict: bool = False
+) -> bytes:
+    """One fixture .warc.zst crawl file (the warcio layout): a
+    skippable frame in the dictionary slot, then warcinfo + request +
+    response per doc, each record its own zstd frame with a content
+    checksum. With `with_dict`, the skippable frame carries a REAL §5
+    dictionary (the writer twin) and every record frame names its ID
+    — the reader must parse the dictionary to decode anything."""
     import struct as _struct
 
-    from corrie_spark.sources.zstd import encode_frame
+    from corrie_spark.sources.zstd import build_dictionary, encode_frame
 
     members = [warcinfo_record(name)]
     for doc_id, text in sorted(docs):
@@ -954,13 +1017,22 @@ def build_warc_zst(name: str, docs: list[tuple[int, str]]) -> bytes:
         members.append(response_record(doc_id, text))
         if doc_id % DUP_MOD == 0:
             members.append(response_record(doc_id, text, dup=1))
+    if with_dict:
+        did = 7001
+        dic = build_dictionary(b"WARC/1.0\r\nWARC-Type: response\r\n", did)
+        skip = _struct.pack("<II", 0x184D2A5D, len(dic)) + dic
+        return skip + b"".join(encode_frame(m, dict_id=did) for m in members)
     skip = _struct.pack("<II", 0x184D2A5D, 0)  # empty skippable frame
     return skip + b"".join(encode_frame(m) for m in members)
 
 
 def zst_fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
     """Distributed .warc.zst fixture build (same shape as
-    fixture_files: one applyInPandas group = one crawl file row)."""
+    fixture_files: one applyInPandas group = one crawl file row).
+    Odd-numbered files carry a REAL dictionary in the skippable slot
+    with every frame naming its ID, so the oracle gates the
+    dictionary-resolution path too (the record set is identical
+    either way)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -969,7 +1041,9 @@ def zst_fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
         grp = int(key[0])
         name = f"crawl-{grp:05d}.warc.zst"
         blob = build_warc_zst(
-            name, list(zip((int(i) for i in pdf["doc_id"]), pdf["text"]))
+            name,
+            list(zip((int(i) for i in pdf["doc_id"]), pdf["text"])),
+            with_dict=grp % 2 == 1,
         )
         return pd.DataFrame([{"path": name, "content": blob}])
 
@@ -1130,7 +1204,7 @@ def _scan_range_members(
 
 
 def _scan_range_frames_zst(
-    f, start: int, end: int, file_size: int
+    f, start: int, end: int, file_size: int, dicts: dict | None = None
 ) -> Iterator[tuple[int, int, bytes]]:
     """The .warc.zst twin of _scan_range_members: yield
     (absolute_offset, frame_length, compressed_frame) for every zstd
@@ -1147,7 +1221,16 @@ def _scan_range_frames_zst(
     must decompress to WARC bytes: zstd-encoded HTTP bodies are
     complete frames stored verbatim inside raw-block members, and
     such an embedded frame decodes validly — only the record grammar
-    tells a member from a payload (see zstd_members_at)."""
+    tells a member from a payload (see zstd_members_at).
+
+    Unlike the gzip scanner (which yields compressed members for the
+    record splitter to re-inflate), this one yields DECOMPRESSED
+    member bytes: dictionary-compressed frames cannot be re-decoded
+    downstream without re-shipping the dictionary per row, so the
+    decode happens here where the dictionary is in hand —
+    warc_records recognizes the `WARC/` head and skips the member
+    walk. Valid skippable frames are consumed silently (no row);
+    `length` stays the COMPRESSED frame length (the CDX locator)."""
     from corrie_spark.sources.zstd import ZstdError, decode_frame
 
     f.seek(start)
@@ -1176,7 +1259,7 @@ def _scan_range_frames_zst(
             return
     while pos < end - start:
         try:
-            blob, fend = decode_frame(data, pos)
+            blob, fend = decode_frame(data, pos, dicts)
             if not chained and blob and not blob.startswith(b"WARC/"):
                 raise ZstdError("embedded frame (not a WARC member)")
         except ZstdError as e:
@@ -1194,7 +1277,8 @@ def _scan_range_frames_zst(
         abs_off = start + pos
         if expect_abs is not None and abs_off > expect_abs:
             yield expect_abs, abs_off - expect_abs, b""
-        yield abs_off, fend - pos, data[pos:fend]
+        if blob:
+            yield abs_off, fend - pos, blob
         expect_abs = abs_off + (fend - pos)
         pos = fend
         chained = True
@@ -1214,13 +1298,38 @@ def _scan_range_auto(
     and walk gzip members or zstd frames accordingly."""
     f.seek(0)
     head = f.read(4)
-    f.seek(start)
     is_zst = head[:4] == ZSTD_FRAME_MAGIC or (
         len(head) == 4
         and 0x184D2A50 <= int.from_bytes(head, "little") <= 0x184D2A5F
     )
-    scan = _scan_range_frames_zst if is_zst else _scan_range_members
-    yield from scan(f, start, end, file_size)
+    if not is_zst:
+        f.seek(start)
+        yield from _scan_range_members(f, start, end, file_size)
+        return
+    # the warcio dictionary lives in leading skippable frames: every
+    # partition reads that (small) head span once so mid-file ranges
+    # can decode dictionary-compressed members
+    import struct as _struct
+
+    dicts: dict = {}
+    pos0 = 0
+    while True:
+        f.seek(pos0)
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        magic = int.from_bytes(hdr[:4], "little")
+        if not 0x184D2A50 <= magic <= 0x184D2A5F:
+            break
+        (size,) = _struct.unpack_from("<I", hdr, 4)
+        if magic == 0x184D2A5D and size <= (64 << 20):
+            payload = f.read(size)
+            zd = _parse_zst_dictionary_payload(payload)
+            if zd is not None and zd.did:
+                dicts[zd.did] = zd
+        pos0 += 8 + size
+    f.seek(start)
+    yield from _scan_range_frames_zst(f, start, end, file_size, dicts)
 
 
 class _WarcRange(InputPartition):

@@ -590,8 +590,11 @@ def _decode_sequences(
     window: int,
     rep: list[int],
     prev_tables: dict,
+    ext: bytes = b"",
 ) -> None:
-    """Sequences section (RFC 8878 §3.1.1.3.2): appends to `out`."""
+    """Sequences section (RFC 8878 §3.1.1.3.2): appends to `out`.
+    `ext` is the attached dictionary's content — the virtual window
+    prefix matches may reach into (§5)."""
     if pos >= end:
         raise ZstdError("missing sequences header")
     b0 = data[pos]
@@ -677,16 +680,25 @@ def _decode_sequences(
             raise ZstdError("literal run past literals buffer")
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
-        if offset > len(out) or offset > window:
+        if offset > len(out) + len(ext):
             raise ZstdError(
                 "offset past window start (external dictionary?)"
             )
-        if offset >= ml:
-            start = len(out) - offset
-            out += out[start : start + ml]
-        else:
-            for _ in range(ml):
-                out.append(out[-offset])
+        need = ml
+        if offset > len(out):
+            # the match begins inside the dictionary content: copy
+            # its part, then fall through to the in-output copy
+            k = offset - len(out)
+            take = min(need, k)
+            out += ext[len(ext) - k : len(ext) - k + take]
+            need -= take
+        if need:
+            if offset >= need:
+                start = len(out) - offset
+                out += out[start : start + need]
+            else:
+                for _ in range(need):
+                    out.append(out[-offset])
         if i + 1 < nseq:
             ll_state = ll_tab[ll_state][2] + bits.read(ll_tab[ll_state][1])
             ml_state = ml_tab[ml_state][2] + bits.read(ml_tab[ml_state][1])
@@ -697,14 +709,63 @@ def _decode_sequences(
 
 
 # ---------------------------------------------------------------------------
+# dictionaries (RFC 8878 §5)
+# ---------------------------------------------------------------------------
+
+DICT_MAGIC = b"\x37\xa4\x30\xec"  # 0xEC30A437 little-endian
+
+
+class ZstdDict:
+    """Parsed dictionary: entropy defaults (Huffman literals table,
+    FSE tables in OF/ML/LL order), starting repeat offsets, and the
+    content prefix that extends the match window backwards."""
+
+    __slots__ = ("did", "huf", "tables", "rep", "content")
+
+    def __init__(self, did, huf, tables, rep, content):
+        self.did = did
+        self.huf = huf
+        self.tables = tables
+        self.rep = rep
+        self.content = content
+
+
+def parse_dictionary(data: bytes) -> ZstdDict:
+    """§5 dictionary format; bytes without the magic are a raw
+    content-only dictionary (no entropy defaults, DID 0)."""
+    if data[:4] != DICT_MAGIC:
+        return ZstdDict(0, None, {}, [1, 4, 8], data)
+    if len(data) < 8:
+        raise ZstdError("truncated dictionary header")
+    did = int.from_bytes(data[4:8], "little")
+    table, max_bits, pos = _read_huffman_desc(data, 8)
+    tables = {}
+    for name, maxsym, maxlog in (("of", 31, 8), ("ml", 52, 9), ("ll", 35, 9)):
+        counts, al, pos = read_ncount(data, pos, maxsym)
+        if al > maxlog:
+            raise ZstdError(f"dictionary {name} accuracy log too large")
+        tables[name] = (build_fse_table(counts, al), al)
+    if pos + 12 > len(data):
+        raise ZstdError("truncated dictionary repeat offsets")
+    rep = list(struct.unpack_from("<III", data, pos))
+    if min(rep) == 0:
+        raise ZstdError("zero dictionary repeat offset")
+    return ZstdDict(did, (table, max_bits), tables, rep, data[pos + 12 :])
+
+
+# ---------------------------------------------------------------------------
 # frames
 # ---------------------------------------------------------------------------
 
 
-def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
+def decode_frame(
+    data: bytes, pos: int = 0, dicts: dict[int, "ZstdDict"] | None = None
+) -> tuple[bytes, int]:
     """One zstd frame at `pos` -> (decompressed, end_pos). Skippable
-    frames return (b'', end). Raises ZstdError on corruption, nonzero
-    dictionary IDs, or window/byte-budget violations."""
+    frames return (b'', end). `dicts` maps dictionary IDs to parsed
+    dictionaries (ZstdDict); a frame naming an ID not in the map
+    raises — the out-of-band seam stays observable. Raises ZstdError
+    on corruption or window/byte-budget violations."""
     if pos + 4 > len(data):
         raise ZstdError("truncated magic")
     magic = struct.unpack_from("<I", data, pos)[0]
@@ -739,13 +800,16 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
         window = base + (base // 8) * (wd & 7)
         if window > 1 << 30:
             raise ZstdError("window size too large")
+    zd: ZstdDict | None = None
     if did_size:
         if pos + did_size > len(data):
             raise ZstdError("truncated dictionary id")
         did = int.from_bytes(data[pos : pos + did_size], "little")
         pos += did_size
         if did:
-            raise ZstdError(f"external dictionary {did} required")
+            zd = (dicts or {}).get(did)
+            if zd is None:
+                raise ZstdError(f"external dictionary {did} required")
     fcs = None
     fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_flag]
     if fcs_bytes:
@@ -758,9 +822,16 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     if single:
         window = fcs if fcs is not None else 0
     out = bytearray()
-    prev_huf: tuple | None = None
-    rep = [1, 4, 8]
-    prev_tables: dict = {}
+    if zd is not None:
+        prev_huf = zd.huf
+        rep = list(zd.rep)
+        prev_tables = dict(zd.tables)
+        ext = zd.content
+    else:
+        prev_huf = None
+        rep = [1, 4, 8]
+        prev_tables = {}
+        ext = b""
     block_max = min(window or (1 << 17), 1 << 17)
     while True:
         if pos + 3 > len(data):
@@ -790,7 +861,7 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
             _decode_sequences(
                 data, lpos, end, literals, out,
                 window if window is not None else 1 << 30,
-                rep, prev_tables,
+                rep, prev_tables, ext,
             )
             pos = end
         else:
@@ -811,12 +882,14 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     return bytes(out), pos
 
 
-def decompress(data: bytes) -> bytes:
+def decompress(
+    data: bytes, dicts: dict[int, "ZstdDict"] | None = None
+) -> bytes:
     """All concatenated frames (the .zst file convention)."""
     out = bytearray()
     pos = 0
     while pos < len(data):
-        part, pos = decode_frame(data, pos)
+        part, pos = decode_frame(data, pos, dicts)
         out += part
     return bytes(out)
 
@@ -921,6 +994,31 @@ def _encode_huffman_literals(lits: bytes) -> bytes | None:
     return bytes([b0, b1, b2]) + body
 
 
+def build_dictionary(content: bytes, did: int) -> bytes:
+    """Writer twin of parse_dictionary: a §5 dictionary whose entropy
+    sections are minimal-but-valid (2-symbol Huffman, single-symbol
+    FSE tables — only consulted by treeless/repeat-mode frames, which
+    the frame twin never emits) and whose `content` extends the match
+    window. Round-trips through parse_dictionary and the reference
+    implementation."""
+    if did == 0:
+        raise ZstdError("dictionary id 0 is reserved")
+    # direct-weight Huffman over symbols 0 and 1, weight 1 each
+    huf = bytes([127 + 1, 0x11])
+    # single-symbol FSE (symbol 0, count 32 = full table at AL 5):
+    # AL nibble 0, then the 6-bit raw value 63 (33 after the
+    # large-value fold; count = value - 1 = 32), LSB-first
+    ncount1 = bytes([0xF0, 0x03])
+    return (
+        DICT_MAGIC
+        + did.to_bytes(4, "little")
+        + huf
+        + ncount1 * 3  # OF, ML, LL
+        + struct.pack("<III", 1, 4, 8)
+        + content
+    )
+
+
 def encode_frame(
     data: bytes,
     sequences: list[tuple[int, int, int]] | None = None,
@@ -928,6 +1026,8 @@ def encode_frame(
     checksum: bool = True,
     huffman: bool = False,
     rle_block: bool = False,
+    dict_id: int | None = None,
+    ext: bytes = b"",
 ) -> bytes:
     """Writer twin. Default: one raw (or RLE when uniform) block per
     128 KiB. With `sequences`, emits ONE compressed block whose
@@ -941,6 +1041,8 @@ def encode_frame(
     fhd = 0x20  # single segment
     if checksum:
         fhd |= 0x04
+    if dict_id is not None:
+        fhd |= 3  # 4-byte dictionary id field
     n = len(data)
     if n < 256:
         fcs_bytes, fcs_flag = 1, 0
@@ -950,13 +1052,16 @@ def encode_frame(
         fcs_bytes, fcs_flag = 4, 2
     fhd |= fcs_flag << 6
     header.append(fhd)
+    if dict_id is not None:
+        header += dict_id.to_bytes(4, "little")
     v = n - 256 if fcs_bytes == 2 else n
     header += v.to_bytes(fcs_bytes, "little")
     body = bytearray()
     if sequences is not None:
         if literals is None:
             raise ZstdError("sequences need literals")
-        # verify the expansion
+        # verify the expansion (offsets may reach into `ext`, the
+        # attached dictionary's content, mirroring the decoder)
         if sum(ll for ll, _, _ in sequences) > len(literals):
             raise ZstdError("literal runs exceed the literals buffer")
         out = bytearray()
@@ -964,9 +1069,15 @@ def encode_frame(
         for ll, ml, off in sequences:
             out += literals[lp : lp + ll]
             lp += ll
-            if off > len(out):
+            if off > len(out) + len(ext):
                 raise ZstdError("fixture offset past start")
-            for _ in range(ml):
+            need = ml
+            if off > len(out):
+                k = off - len(out)
+                take = min(need, k)
+                out += ext[len(ext) - k : len(ext) - k + take]
+                need -= take
+            for _ in range(need):
                 out.append(out[-off])
         out += literals[lp:]
         if bytes(out) != data:

@@ -280,3 +280,21 @@ def test_encoded_responses_through_reader(spark):
     errs = [r for r in rows if r.warc_type == W.ERROR_TYPE]
     assert len(errs) == 1
     assert errs[0].http_content_type.startswith("x-error/http-body")
+
+
+def test_plain_uncompressed_warc_file(spark, tmp_path):
+    """Bare .warc files (no container at all) parse via the WARC/
+    head fast path — one 'member' spanning the file."""
+    import os
+
+    docs = [(i, f"plain doc {i} text") for i in range(1, 7)]
+    members = [W.warcinfo_record("p.warc")]
+    for i, t in docs:
+        members.append(W.response_record(i, t))
+    p = os.path.join(str(tmp_path), "p.warc")
+    with open(p, "wb") as f:
+        f.write(b"".join(members))
+    rows = W.read_warc(spark, p).where("warc_type = 'response'").collect()
+    assert {r.target_uri for r in rows} == {
+        f"https://example.org/doc/{i}" for i, _ in docs
+    }

@@ -268,3 +268,27 @@ def test_sharded_zst_corrupt_frame_sentinel(spark, tmp_path):
     assert len(resp) == 12 + sum(1 for i, _ in docs if i % W.DUP_MOD == 0)
     assert len(errs) >= 1
     assert all(r.error_kind in ("bad-framing", "bad-container") for r in errs)
+
+
+def test_sharded_zst_with_dictionary(spark, tmp_path):
+    """Mid-file ranges of a dictionary-bearing .warc.zst must decode:
+    every partition probes the leading skippable frames for the
+    dictionary before walking its own range."""
+    docs = [(i, f"dict doc {i} body words " * 4) for i in range(30)]
+    p = os.path.join(str(tmp_path), "d.warc.zst")
+    with open(p, "wb") as f:
+        f.write(W.build_warc_zst("d.warc.zst", docs, with_dict=True))
+    whole = W.read_warc(spark, p).select(*_IDENTITY_COLS)
+    norm = lambda df: df.withColumn(  # noqa: E731
+        "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+    )
+    W.register_warc_ranges(spark)
+    sharded = W.warc_records(
+        spark.read.format("warc_ranges")
+        .option("path", p)
+        .option("rangeBytes", "900")
+        .load()
+    ).select(*_IDENTITY_COLS)
+    a, b = norm(whole), norm(sharded)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0

@@ -290,3 +290,111 @@ def test_content_encoding_zstd_body():
         {"content-encoding": "gzip, zstd"}, wire2
     )
     assert ok2 and applied2 == ["zstd", "gzip"] and out2.decode() == body
+
+
+# ---------------------------------------------------------------------------
+# dictionaries (RFC 8878 §5)
+# ---------------------------------------------------------------------------
+
+
+def test_twin_dictionary_roundtrip():
+    content = b"the shared prefix content " * 20
+    dic = Z.build_dictionary(content, did=42)
+    d = Z.parse_dictionary(dic)
+    assert d.did == 42 and d.content == content and d.rep == [1, 4, 8]
+    assert set(d.tables) == {"ll", "of", "ml"}
+    # raw content-only dictionaries parse too (no magic)
+    raw = Z.parse_dictionary(b"just raw bytes")
+    assert raw.did == 0 and raw.content == b"just raw bytes"
+
+
+def test_dict_frame_requires_store_and_ext_copy():
+    content = b"0123456789abcdef" * 20
+    d = Z.parse_dictionary(Z.build_dictionary(content, did=9))
+    data = content[-100:] + b" tail literals"
+    f = Z.encode_frame(
+        data,
+        sequences=[(0, 100, 100)],
+        literals=b" tail literals",
+        dict_id=9,
+        ext=content,
+    )
+    assert Z.decompress(f, {9: d}) == data
+    with pytest.raises(Z.ZstdError, match="dictionary"):
+        Z.decompress(f)
+
+
+@needs_cli
+def test_real_trained_dictionary(tmp_path):
+    """Train a real dictionary with the reference CLI, compress with
+    it at two levels, decode with the from-spec reader — treeless
+    literals, repeat-mode tables and dictionary-content matches all
+    exercised by real encoder output."""
+    import os
+
+    samples = []
+    for i in range(40):
+        s = ("<doc id=%d>" % i + " ".join(
+            "w%d" % (_u(f"s{i}", j) % 500) for j in range(300)
+        ) + "</doc>").encode()
+        p = tmp_path / f"s{i}.txt"
+        p.write_bytes(s)
+        samples.append((str(p), s))
+    dpath = str(tmp_path / "dict.bin")
+    subprocess.run(
+        [ZSTD_CLI, "--train", *[p for p, _ in samples], "-o", dpath],
+        capture_output=True, check=True,
+    )
+    d = Z.parse_dictionary(open(dpath, "rb").read())
+    assert d.did != 0 and len(d.content) > 100
+    dicts = {d.did: d}
+    for path, raw in samples[:6]:
+        for lvl in ("-3", "-19"):
+            comp = subprocess.run(
+                [ZSTD_CLI, lvl, "-D", dpath, "-c", path],
+                capture_output=True, check=True,
+            ).stdout
+            assert Z.decompress(comp, dicts) == raw, (path, lvl)
+
+
+@needs_cli
+def test_reference_decodes_twin_dictionary(tmp_path):
+    content = b"common header material " * 30
+    dic = Z.build_dictionary(content, did=77)
+    dpath = tmp_path / "twin.dict"
+    dpath.write_bytes(dic)
+    body = content[-150:] + b" record-specific tail"
+    f = Z.encode_frame(
+        body,
+        sequences=[(0, 150, 150)],
+        literals=b" record-specific tail",
+        dict_id=77,
+        ext=content,
+    )
+    got = subprocess.run(
+        [ZSTD_CLI, "-d", "-D", str(dpath), "-c"],
+        input=f, capture_output=True, check=True,
+    ).stdout
+    assert got == body
+
+
+def test_warc_zst_with_dictionary(spark):
+    from corrie_spark.sources import warc as W
+
+    docs = [(i, f"dict doc {i} body " * 6) for i in range(1, 17)]
+    plain = W.build_warc_zst("p.warc.zst", docs)
+    withd = W.build_warc_zst("d.warc.zst", docs, with_dict=True)
+    df = spark.createDataFrame(
+        [("p.warc.zst", plain), ("d.warc.zst", withd)],
+        "path string, content binary",
+    )
+    rows = W.warc_records(df).where("warc_type = 'response'").collect()
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r.warc_file, []).append(
+            (r.record_id, r.target_uri, r.text)
+        )
+    assert sorted(by_file["p.warc.zst"]) == sorted(by_file["d.warc.zst"])
+    assert len(by_file["d.warc.zst"]) == 16 + sum(
+        1 for i, _ in docs if i % W.DUP_MOD == 0
+    )
