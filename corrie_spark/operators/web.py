@@ -140,6 +140,99 @@ def fixture_markdown(doc_id: int, text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# LaTeX -> text (arXiv-style sources — the fourth markup family)
+# ---------------------------------------------------------------------------
+
+# ordered (pattern, replacement) chain, Spark regexp_replace syntax.
+# The detex convention a training corpus wants: keep prose, keep the
+# argument text of sectioning/emphasis macros, DROP math bodies,
+# references, comments and preamble machinery. Order is load-bearing:
+# escaped \% hides behind a sentinel before comment stripping;
+# drop-content macros (cite/ref/url/usepackage...) die before the
+# generic keep-argument rule; bare commands (\item, \LaTeX) die after
+# both so their braces-bearing forms are already resolved.
+LATEX_STEPS: list[tuple[str, str]] = [
+    (r"\\%", "\x01"),                        # escaped percent -> sentinel
+    (r"(?m)%[^\n]*", " "),                   # comments
+    ("\x01", "%"),
+    (r"\$\$[^$]*\$\$", " "),                 # display math
+    (r"\$[^$\n]*\$", " "),                   # inline math
+    (r"\\\[[\s\S]*?\\\]", " "),              # \[ ... \] display math
+    (r"\\\(([\s\S]*?)\\\)", " "),            # \( ... \) inline math
+    (r"\\(?:begin|end)\{[^{}]*\}(?:\[[^\]]*\])?", " "),
+    (r"\\href\{[^{}]*\}\{([^{}]*)\}", "$1"),  # keep link text
+    (
+        r"\\(?:cite[pt]?|ref|eqref|pageref|label|autoref|cref|url|"
+        r"footnote|usepackage|documentclass|input|include|"
+        r"includegraphics|bibliography|bibliographystyle|vspace|hspace)"
+        r"\*?(?:\[[^\]]*\])?\{[^{}]*\}",
+        " ",
+    ),
+    (r"\\[a-zA-Z]+\*?(?:\[[^\]]*\])?\{([^{}]*)\}", "$1"),  # keep argument
+    (r"\\([&#_{}$])", "$1"),                 # escaped specials
+    (r"\\\\\*?(?:\[[^\]]*\])?", " "),        # line breaks
+    (r"\\[a-zA-Z]+\*?", " "),                # bare commands (\item, \LaTeX)
+    (r"~", " "),                             # non-breaking space
+    (r"[{}]", ""),                           # leftover grouping braces
+]
+
+
+def latex_to_text(c: Column | str) -> Column:
+    """Strip LaTeX structure, keep the prose (the detex stance):
+    comments, math bodies, reference/preamble macros and grouping
+    vanish; sectioning/emphasis arguments and escaped specials keep
+    their text; whitespace collapses. Deterministic and total —
+    malformed/nested input degrades to extra whitespace or leftover
+    literal text, never an exception (the crawl-safe stance the
+    HTML/Markdown chains state)."""
+    out = F.col(c) if isinstance(c, str) else c
+    for pat, rep in LATEX_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def fixture_latex(doc_id: int, text: str) -> str:
+    """Deterministic .tex source whose EXTRACTED text equals the token
+    stream re-joined with single spaces: a standard preamble (strips
+    to nothing), then one decoration per fixture line rotating by
+    (doc_id + index) — sectioning, bold, citation tail, trailing
+    comment, itemize wrapping, inline math insertion, href, grouping
+    braces — every one the exact inverse of one LATEX_STEPS rule."""
+    from corrie_spark.sources.pdf import fixture_lines
+
+    out = [
+        "\\documentclass[11pt]{article}",
+        "\\usepackage{amsmath}",
+        "%% fixture doc %d" % doc_id,
+        "\\begin{document}",
+    ]
+    for i, line in enumerate(fixture_lines(text)):
+        mode = (doc_id + i) % 8
+        w = line.split(" ", 1)
+        rest = " " + w[1] if len(w) == 2 else ""
+        if mode == 0:
+            out.append("\\section{%s}" % line)
+        elif mode == 1:
+            out.append("\\textbf{%s}%s" % (w[0], rest))
+        elif mode == 2:
+            out.append("%s \\cite{ref%d}" % (line, doc_id))
+        elif mode == 3:
+            out.append("%s %% trailing comment %d" % (line, i))
+        elif mode == 4:
+            out.append("\\begin{itemize}\n\\item %s\n\\end{itemize}" % line)
+        elif mode == 5:
+            out.append("%s $e_{%d}^2 = \\alpha$%s" % (w[0], i, rest))
+        elif mode == 6:
+            out.append(
+                "\\href{https://example.org/doc/%d}{%s}%s" % (doc_id, w[0], rest)
+            )
+        else:
+            out.append("{%s}%s" % (w[0], rest))
+    out.append("\\end{document}")
+    return "\n\n".join(out)
+
+
+# ---------------------------------------------------------------------------
 # outlink extraction + reference resolution (crawl frontier discovery)
 # ---------------------------------------------------------------------------
 

@@ -667,6 +667,60 @@ def q_text_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LaTeX -> text -----------------------------------------------------------
+
+
+@register(
+    "q_text_latex",
+    oracle=_MD_ORACLE,
+    python_stages="Arrow fixture build; strip is the JVM chain",
+)
+def q_text_latex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX structure strip (the arXiv-source stance): each document
+    becomes a fixture .tex (preamble + per-line decorations rotating
+    through sectioning, bold, citations, comments, itemize, inline
+    math, href and grouping braces — every one the exact inverse of
+    one LATEX_STEPS rule), built in an Arrow stage, stripped by the
+    JVM regex chain (latex_to_text). The oracle states the expected
+    text closed-form — the token stream re-joined with single spaces,
+    identical ground truth to the Markdown family — so comment/math
+    dropping, argument-text retention and whitespace collapse are all
+    value-gated. Scale: row-local projection, free rider on the
+    scan."""
+    import pandas as pd
+
+    from corrie_spark.tables import load as _load
+
+    docs = _load(spark, sf_dir, "documents")
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(
+                        [int(i) for i in pdf["doc_id"]], dtype="Int64"
+                    ),
+                    "tex": [
+                        W.fixture_latex(int(i), str(t))
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    tex = (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(build, "doc_id long, tex string")
+    )
+    extracted = W.latex_to_text(F.col("tex"))
+    words = F.size(F.split(F.trim(extracted), r" +"))
+    return tex.where(F.length("tex") > 0).select(
+        "doc_id",
+        F.md5(extracted).alias("text_md5"),
+        words.cast("long").alias("n_words"),
+    )
+
+
 # --- outlink extraction + resolution ------------------------------------------
 
 # per doc: four links, one per reference shape, params closed-form

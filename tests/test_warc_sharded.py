@@ -292,3 +292,35 @@ def test_sharded_zst_with_dictionary(spark, tmp_path):
     a, b = norm(whole), norm(sharded)
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0
+
+
+def test_cdx_offsets_zst_range_request_roundtrip(spark, tmp_path):
+    """The CDX contract extends to .warc.zst: [warc_offset,
+    +warc_rec_length) slices one zstd frame; decoding it (with the
+    file's dictionary when present) replays the indexed record."""
+    from corrie_spark.sources.zstd import decode_frame
+
+    for with_dict, fname in ((False, "p.warc.zst"), (True, "d.warc.zst")):
+        docs = [(i, f"cdx doc {i} body") for i in range(10)]
+        p = os.path.join(str(tmp_path), fname)
+        with open(p, "wb") as f:
+            f.write(W.build_warc_zst(fname, docs, with_dict=with_dict))
+        head = open(p, "rb").read()
+        dicts = W._collect_zst_dictionaries(head)
+        recs = W.read_warc(spark, p)
+        cdx = W.cdx_index(recs).collect()
+        assert cdx, fname
+        for row in cdx:
+            path = row.warc_file.removeprefix("file:")
+            with open(path, "rb") as f:
+                f.seek(row.warc_offset)
+                comp = f.read(row.warc_rec_length)
+            blob, end = decode_frame(comp, 0, dicts)
+            assert end == len(comp), fname
+            (rec,) = list(W.parse_warc(blob))
+            rid = (
+                rec["headers"]["warc-record-id"]
+                .strip("<>")
+                .removeprefix("urn:uuid:")
+            )
+            assert rid == row.record_id, fname

@@ -437,3 +437,46 @@ def test_resolve_sitemap_tree_cycle_and_depth_bound(spark):
         for r in W.resolve_sitemap_tree(sitemaps, roots, max_depth=4).collect()
     )
     assert ("g", "https://g/deep", 3) in got4 and len(got4) == 3
+
+
+def test_latex_to_text_rules(spark):
+    """Each LATEX_STEPS rule pinned on a hand-written case, plus the
+    poison stance (malformed input never raises)."""
+    cases = [
+        ("\\section{Intro}", "Intro"),
+        ("\\textbf{bold} text", "bold text"),
+        ("a \\cite{x} b", "a b"),
+        ("keep 50\\% off", "keep 50% off"),
+        ("line % a comment\nnext", "line next"),
+        ("pre $x^2+y$ post", "pre post"),
+        ("pre $$\\int f$$ post", "pre post"),
+        ("pre \\[ e=mc^2 \\] post", "pre post"),
+        ("\\begin{itemize}\\item one\\end{itemize}", "one"),
+        ("\\href{https://x.org}{link text} t", "link text t"),
+        ("\\usepackage[utf8]{inputenc}body", "body"),
+        ("a\\\\b", "a b"),
+        ("Tom \\& Jerry \\_x", "Tom & Jerry _x"),
+        ("{grouped} words", "grouped words"),
+        ("\\emph{kept}~word", "kept word"),
+        ("\\documentclass[11pt]{article}x", "x"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "tex string")
+    got = [r[0] for r in df.select(W.latex_to_text("tex")).collect()]
+    for (src, want), g in zip(cases, got):
+        assert g == want, (src, g, want)
+    # poison: unbalanced/degenerate inputs degrade, never raise
+    bad = ["\\begin{x", "$unclosed", "\\cmd{a{b}}", "%" * 5, "\\", ""]
+    bdf = spark.createDataFrame([(b,) for b in bad], "tex string")
+    assert len(bdf.select(W.latex_to_text("tex")).collect()) == len(bad)
+
+
+def test_fixture_latex_extraction_identity(spark):
+    """The fixture twin contract: extracted text == token stream for
+    every decoration mode (ids sweep all 8 rotations)."""
+    text = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, text, W.fixture_latex(i, text)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tex string")
+    got = df.select("doc_id", W.latex_to_text("tex").alias("ex")).collect()
+    want = " ".join(text.split())
+    for r in got:
+        assert r.ex == want, r.doc_id
