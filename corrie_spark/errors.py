@@ -60,11 +60,12 @@ def classify_error(reason: str | None) -> str | None:
         return "encrypted"
     if "unsupported" in r and any(h in r for h in _CODEC_HINTS):
         return "unsupported-codec"
-    # WARC splitter reasons: a tail that never became a member is a
-    # truncation; a resynced mid-file span is member-level framing
-    if "gzip-tail" in r:
+    # WARC splitter reasons (gzip / zstd / plain containers): a tail
+    # that never became a member is a truncation; a resynced mid-file
+    # span is member-level framing
+    if "gzip-tail" in r or "zstd-tail" in r or "warc-tail" in r:
         return "truncated"
-    if "x-error/gzip" in r:
+    if "x-error/gzip" in r or "x-error/zstd" in r:
         return "bad-framing"
     if "truncat" in r or "incomplete" in r:
         return "truncated"

@@ -573,6 +573,7 @@ def warc_records(
                         else len(data)
                     )
                     walker = iter([(base, mlen, data)])
+                    container = "warc"
                 elif data[:4] == ZSTD_FRAME_MAGIC or (
                     len(data) >= 4
                     and 0x184D2A50
@@ -580,13 +581,16 @@ def warc_records(
                     <= 0x184D2A5F
                 ):
                     walker = zstd_members_at(data, base)
+                    container = "zstd"
                 else:
                     walker = gzip_members_at(data, base)
+                    container = "gzip"
                 for m_off, m_len, member in walker:
                     if m_off > expect:  # resynced past corrupt bytes
                         out.append(
                             _error_row(
-                                path, idx, expect, m_off - expect, "x-error/gzip"
+                                path, idx, expect, m_off - expect,
+                                f"x-error/{container}",
                             )
                         )
                         idx += 1
@@ -702,7 +706,8 @@ def warc_records(
                     # trailing bytes that never became a member
                     out.append(
                         _error_row(
-                            path, idx, expect, tail - expect, "x-error/gzip-tail"
+                            path, idx, expect, tail - expect,
+                            f"x-error/{container}-tail",
                         )
                     )
             yield pd.DataFrame(out, columns=WARC_COLUMNS)

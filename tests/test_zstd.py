@@ -398,3 +398,27 @@ def test_warc_zst_with_dictionary(spark):
     assert len(by_file["d.warc.zst"]) == 16 + sum(
         1 for i, _ in docs if i % W.DUP_MOD == 0
     )
+
+
+def test_streaming_crawl_ingest_zst(spark, tmp_path):
+    """The streaming crawl watcher ingests .warc.zst snapshots
+    through the same container dispatch — the batch/stream-unified
+    record splitter needs no zst-specific wiring."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.sources import warc as W
+    from corrie_spark.streaming.dedup_stream import dedup_decisions
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    docs = [(i, f"zst page {i}") for i in range(12)]
+    (crawl / "snap1.warc.zst").write_bytes(
+        W.build_warc_zst("snap1.warc.zst", docs, with_dict=True)
+    )
+    work = str(tmp_path / "work")
+    q = W.start_warc_dedup_stream(spark, str(crawl / "*.warc.zst"), work)
+    q.awaitTermination(120)
+    d = dedup_decisions(spark, work + "/decisions")
+    n_dups = sum(1 for i, _ in docs if i % W.DUP_MOD == 0)
+    assert d.count() == 12 + n_dups
+    assert d.where(F.col("status") == "dup_in_batch").count() == n_dups
