@@ -501,14 +501,14 @@ def decompress(data: bytes, max_output: int | None = None) -> bytes:
             continue
         _decode_metablock(bits, mlen, out, window, dist_ring)
     bits.align()
+    if bits.pos < len(data) * 8:
+        raise BrotliError("trailing bytes after stream end")
     return bytes(out)
 
 
 def _decode_metablock(
     bits: _Bits, mlen: int, out: bytearray, window: int, dist_ring: list[int]
 ) -> None:
-    from corrie_spark.sources.brotli_data import context_lut
-
     lut = _CONTEXT_LUT_CACHE or _load_lut()
     blocks = [_BlockState(bits) for _ in range(3)]  # L, I, D
     npostfix = bits.read(2)
