@@ -267,3 +267,27 @@ def test_cli_ingest_wiki(spark, tmp_path, capsys):
     rmap = {r.page_id: r.redirect_target
             for r in spark.read.parquet(reds).collect()}
     assert rmap == {5: "Page 6", 10: "Page 11"}
+
+
+def test_cli_ingest_warc_zst(spark, tmp_path, capsys):
+    """ingest-warc needs NO zst flag: the reader dispatches on the
+    container magic, so .warc.zst crawls (dictionary included) flow
+    through the same CLI surface."""
+    import json as _json
+
+    from corrie_spark.__main__ import main as cli_main
+    from corrie_spark.sources import warc as W
+
+    docs = [(i, f"zst cli body {i}") for i in range(1, 8)]
+    (tmp_path / "c.warc.zst").write_bytes(
+        W.build_warc_zst("c.warc.zst", docs, with_dict=True)
+    )
+    out = str(tmp_path / "docs")
+    rc = cli_main(["ingest-warc", str(tmp_path / "c.warc.zst"), "--out", out])
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["documents"] == 7 + sum(
+        1 for i, _ in docs if i % W.DUP_MOD == 0
+    )
+    rows = {r.text for r in spark.read.parquet(out).collect()}
+    assert "zst cli body 3" in rows
