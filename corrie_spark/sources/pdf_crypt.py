@@ -593,9 +593,18 @@ class StdSecurityHandler:
         ikey = hash_2b(pw, self.u[40:48], b"", self.r)
         self.key = _cbc_decrypt_raw(ikey, b"\x00" * 16, self.ue)
         if isinstance(self.perms, bytes) and len(self.perms) >= 16:
+            # ISO 32000-2 Algorithm 13: the decrypted /Perms must echo
+            # the marker ("adb"), the signed P value (bytes 0-3,
+            # little-endian) and the EncryptMetadata flag (byte 8,
+            # 'T'/'F') — a tampered P with an intact marker must NOT
+            # authenticate silently.
             dec = _ecb_decrypt(self.key, self.perms[:16])
             if dec[9:12] != b"adb":
                 raise PdfCryptError("Perms validation failed")
+            if dec[0:4] != struct.pack("<i", self.p):
+                raise PdfCryptError("Perms P mismatch")
+            if dec[8:9] != (b"T" if self.encrypt_metadata else b"F"):
+                raise PdfCryptError("Perms EncryptMetadata mismatch")
         return True
 
     def _object_key(self, num: int, gen: int) -> bytes:

@@ -702,6 +702,15 @@ def warc_records(
                         )
                         idx += 1
                 tail = base + len(data)
+                if container == "warc" and has_span_len and span_len is not None:
+                    # pre-decoded member (the sharded .warc.zst
+                    # scanner): `expect` tracks base + COMPRESSED span
+                    # (kept for warc_rec_length, the CDX locator) while
+                    # `data` is the DECOMPRESSED bytes — comparing the
+                    # two would flag every frame that actually
+                    # compresses as a truncated tail. Tail accounting
+                    # for zst ranges lives in _scan_range_frames_zst.
+                    tail = expect
                 if expect < tail and data[expect - base :].strip(b"\x00"):
                     # trailing bytes that never became a member
                     out.append(
@@ -1236,7 +1245,7 @@ def _scan_range_frames_zst(
     warc_records recognizes the `WARC/` head and skips the member
     walk. Valid skippable frames are consumed silently (no row);
     `length` stays the COMPRESSED frame length (the CDX locator)."""
-    from corrie_spark.sources.zstd import ZstdError, decode_frame
+    from corrie_spark.sources.zstd import ZstdError, ZstdTruncated, decode_frame
 
     f.seek(start)
     # `data` is refreshed ONLY on growth (rare: one straddling frame
@@ -1268,7 +1277,7 @@ def _scan_range_frames_zst(
             if not chained and blob and not blob.startswith(b"WARC/"):
                 raise ZstdError("embedded frame (not a WARC member)")
         except ZstdError as e:
-            if str(e).startswith("truncated"):
+            if isinstance(e, ZstdTruncated):
                 grown = grow(data)
                 if grown is not None:
                     data = grown

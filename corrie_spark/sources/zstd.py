@@ -37,6 +37,7 @@ import struct
 
 __all__ = [
     "ZstdError",
+    "ZstdTruncated",
     "decompress",
     "decode_frame",
     "encode_frame",
@@ -50,6 +51,15 @@ SKIPPABLE_LO = 0x184D2A50  # magics 0x184D2A50..5F
 
 class ZstdError(ValueError):
     pass
+
+
+class ZstdTruncated(ZstdError):
+    """The buffer ended mid-frame — more bytes would complete it.
+
+    A dedicated type (not message matching) so the sharded range
+    scanner can distinguish "grow the buffer, the frame straddles the
+    range tail" from "corrupt frame, resync" without depending on the
+    wording of any error message."""
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +201,7 @@ def read_ncount(data: bytes, pos: int, max_symbol: int) -> tuple[list[int], int,
         return (window >> (bitpos - first * 8)) & ((1 << n) - 1)
 
     if bitpos + 4 > total_bits:
-        raise ZstdError("truncated FSE header")
+        raise ZstdTruncated("truncated FSE header")
     accuracy_log = peek(4) + 5
     bitpos += 4
     if accuracy_log > 9:
@@ -208,7 +218,7 @@ def read_ncount(data: bytes, pos: int, max_symbol: int) -> tuple[list[int], int,
             # another pair
             while True:
                 if bitpos + 2 > total_bits:
-                    raise ZstdError("truncated FSE repeat flags")
+                    raise ZstdTruncated("truncated FSE repeat flags")
                 rep = peek(2)
                 bitpos += 2
                 counts.extend([0] * rep)
@@ -370,7 +380,7 @@ def _read_huffman_desc(data: bytes, pos: int) -> tuple[list[tuple[int, int]], in
     weights (two interleaved states); >= 128 -> direct 4-bit weights
     for (header-127) symbols. Returns (table, max_bits, new_pos)."""
     if pos >= len(data):
-        raise ZstdError("truncated Huffman description")
+        raise ZstdTruncated("truncated Huffman description")
     header = data[pos]
     pos += 1
     weights: list[int] = []
@@ -378,7 +388,7 @@ def _read_huffman_desc(data: bytes, pos: int) -> tuple[list[tuple[int, int]], in
         n = header - 127
         nbytes = (n + 1) // 2
         if pos + nbytes > len(data):
-            raise ZstdError("truncated direct Huffman weights")
+            raise ZstdTruncated("truncated direct Huffman weights")
         for i in range(n):
             b = data[pos + i // 2]
             weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
@@ -386,7 +396,7 @@ def _read_huffman_desc(data: bytes, pos: int) -> tuple[list[tuple[int, int]], in
     else:
         comp = data[pos : pos + header]
         if len(comp) != header:
-            raise ZstdError("truncated FSE Huffman weights")
+            raise ZstdTruncated("truncated FSE Huffman weights")
         counts, al, hpos = read_ncount(comp, 0, 255)
         if al > 6:
             raise ZstdError("Huffman weight accuracy log > 6")
@@ -462,7 +472,7 @@ def _decode_literals(
 ) -> tuple[bytes, int, tuple | None]:
     """Literals section -> (literals, new_pos, huffman_state)."""
     if pos >= len(data):
-        raise ZstdError("truncated literals section")
+        raise ZstdTruncated("truncated literals section")
     b0 = data[pos]
     ltype = b0 & 3
     sf = (b0 >> 2) & 3
@@ -472,53 +482,53 @@ def _decode_literals(
             pos += 1
         elif sf == 1:
             if pos + 2 > len(data):
-                raise ZstdError("truncated literals header")
+                raise ZstdTruncated("truncated literals header")
             regen = (b0 >> 4) | (data[pos + 1] << 4)
             pos += 2
         else:
             if pos + 3 > len(data):
-                raise ZstdError("truncated literals header")
+                raise ZstdTruncated("truncated literals header")
             regen = (b0 >> 4) | (data[pos + 1] << 4) | (data[pos + 2] << 12)
             pos += 3
         if ltype == 0:
             if pos + regen > len(data):
-                raise ZstdError("truncated raw literals")
+                raise ZstdTruncated("truncated raw literals")
             return data[pos : pos + regen], pos + regen, prev_huf
         if pos >= len(data):
-            raise ZstdError("truncated RLE literal")
+            raise ZstdTruncated("truncated RLE literal")
         return bytes([data[pos]]) * regen, pos + 1, prev_huf
     # compressed (2) / treeless (3)
     if sf == 0:
         streams = 1
         if pos + 3 > len(data):
-            raise ZstdError("truncated literals header")
+            raise ZstdTruncated("truncated literals header")
         regen = (b0 >> 4) | ((data[pos + 1] & 0x3F) << 4)
         comp = (data[pos + 1] >> 6) | (data[pos + 2] << 2)
         pos += 3
     elif sf == 1:
         streams = 4
         if pos + 3 > len(data):
-            raise ZstdError("truncated literals header")
+            raise ZstdTruncated("truncated literals header")
         regen = (b0 >> 4) | ((data[pos + 1] & 0x3F) << 4)
         comp = (data[pos + 1] >> 6) | (data[pos + 2] << 2)
         pos += 3
     elif sf == 2:
         streams = 4
         if pos + 4 > len(data):
-            raise ZstdError("truncated literals header")
+            raise ZstdTruncated("truncated literals header")
         regen = (b0 >> 4) | (data[pos + 1] << 4) | ((data[pos + 2] & 3) << 12)
         comp = (data[pos + 2] >> 2) | (data[pos + 3] << 6)
         pos += 4
     else:
         streams = 4
         if pos + 5 > len(data):
-            raise ZstdError("truncated literals header")
+            raise ZstdTruncated("truncated literals header")
         regen = (b0 >> 4) | (data[pos + 1] << 4) | ((data[pos + 2] & 0x3F) << 12)
         comp = (data[pos + 2] >> 6) | (data[pos + 3] << 2) | (data[pos + 4] << 10)
         pos += 5
     end = pos + comp
     if end > len(data):
-        raise ZstdError("truncated compressed literals")
+        raise ZstdTruncated("truncated compressed literals")
     if ltype == 2:
         table, max_bits, pos = _read_huffman_desc(data, pos)
         huf = (table, max_bits)
@@ -530,7 +540,7 @@ def _decode_literals(
     if streams == 1:
         return _huf_decode_stream(data[pos:end], table, max_bits, regen), end, huf
     if pos + 6 > end:
-        raise ZstdError("truncated stream jump table")
+        raise ZstdTruncated("truncated stream jump table")
     s1, s2, s3 = struct.unpack_from("<HHH", data, pos)
     pos += 6
     sizes = [s1, s2, s3, end - pos - s1 - s2 - s3]
@@ -569,7 +579,7 @@ def _seq_table(
         return default, default_al, pos, (default, default_al)
     if mode == 1:
         if pos >= len(data):
-            raise ZstdError(f"truncated {name} RLE byte")
+            raise ZstdTruncated(f"truncated {name} RLE byte")
         sym = data[pos]
         if sym > max_symbol:
             raise ZstdError(f"{name} RLE symbol {sym} out of range")
@@ -616,16 +626,16 @@ def _decode_sequences(
         pos += 1
     elif b0 < 255:
         if pos + 2 > end:
-            raise ZstdError("truncated sequence count")
+            raise ZstdTruncated("truncated sequence count")
         nseq = ((b0 - 128) << 8) + data[pos + 1]
         pos += 2
     else:
         if pos + 3 > end:
-            raise ZstdError("truncated sequence count")
+            raise ZstdTruncated("truncated sequence count")
         nseq = struct.unpack_from("<H", data, pos + 1)[0] + 0x7F00
         pos += 3
     if pos >= end:
-        raise ZstdError("truncated sequence modes")
+        raise ZstdTruncated("truncated sequence modes")
     modes = data[pos]
     pos += 1
     if modes & 3:
@@ -742,7 +752,7 @@ def parse_dictionary(data: bytes) -> ZstdDict:
     if data[:4] != DICT_MAGIC:
         return ZstdDict(0, None, {}, [1, 4, 8], data)
     if len(data) < 8:
-        raise ZstdError("truncated dictionary header")
+        raise ZstdTruncated("truncated dictionary header")
     did = int.from_bytes(data[4:8], "little")
     table, max_bits, pos = _read_huffman_desc(data, 8)
     tables = {}
@@ -752,7 +762,7 @@ def parse_dictionary(data: bytes) -> ZstdDict:
             raise ZstdError(f"dictionary {name} accuracy log too large")
         tables[name] = (build_fse_table(counts, al), al)
     if pos + 12 > len(data):
-        raise ZstdError("truncated dictionary repeat offsets")
+        raise ZstdTruncated("truncated dictionary repeat offsets")
     rep = list(struct.unpack_from("<III", data, pos))
     if min(rep) == 0:
         raise ZstdError("zero dictionary repeat offset")
@@ -773,21 +783,21 @@ def decode_frame(
     raises — the out-of-band seam stays observable. Raises ZstdError
     on corruption or window/byte-budget violations."""
     if pos + 4 > len(data):
-        raise ZstdError("truncated magic")
+        raise ZstdTruncated("truncated magic")
     magic = struct.unpack_from("<I", data, pos)[0]
     if SKIPPABLE_LO <= magic <= SKIPPABLE_LO + 0xF:
         if pos + 8 > len(data):
-            raise ZstdError("truncated skippable frame")
+            raise ZstdTruncated("truncated skippable frame")
         size = struct.unpack_from("<I", data, pos + 4)[0]
         end = pos + 8 + size
         if end > len(data):
-            raise ZstdError("truncated skippable frame body")
+            raise ZstdTruncated("truncated skippable frame body")
         return b"", end
     if data[pos : pos + 4] != ZSTD_MAGIC:
         raise ZstdError("bad magic")
     pos += 4
     if pos >= len(data):
-        raise ZstdError("truncated frame header")
+        raise ZstdTruncated("truncated frame header")
     fhd = data[pos]
     pos += 1
     if fhd & 0x08:
@@ -799,7 +809,7 @@ def decode_frame(
     window = None
     if not single:
         if pos >= len(data):
-            raise ZstdError("truncated window descriptor")
+            raise ZstdTruncated("truncated window descriptor")
         wd = data[pos]
         pos += 1
         base = 1 << (10 + (wd >> 3))
@@ -809,7 +819,7 @@ def decode_frame(
     zd: ZstdDict | None = None
     if did_size:
         if pos + did_size > len(data):
-            raise ZstdError("truncated dictionary id")
+            raise ZstdTruncated("truncated dictionary id")
         did = int.from_bytes(data[pos : pos + did_size], "little")
         pos += did_size
         if did:
@@ -820,7 +830,7 @@ def decode_frame(
     fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_flag]
     if fcs_bytes:
         if pos + fcs_bytes > len(data):
-            raise ZstdError("truncated frame content size")
+            raise ZstdTruncated("truncated frame content size")
         fcs = int.from_bytes(data[pos : pos + fcs_bytes], "little")
         if fcs_bytes == 2:
             fcs += 256
@@ -841,7 +851,7 @@ def decode_frame(
     block_max = min(window or (1 << 17), 1 << 17)
     while True:
         if pos + 3 > len(data):
-            raise ZstdError("truncated block header")
+            raise ZstdTruncated("truncated block header")
         bh = int.from_bytes(data[pos : pos + 3], "little")
         pos += 3
         last = bh & 1
@@ -849,12 +859,12 @@ def decode_frame(
         bsize = bh >> 3
         if btype == 0:  # raw
             if pos + bsize > len(data):
-                raise ZstdError("truncated raw block")
+                raise ZstdTruncated("truncated raw block")
             out += data[pos : pos + bsize]
             pos += bsize
         elif btype == 1:  # RLE
             if pos >= len(data):
-                raise ZstdError("truncated RLE block")
+                raise ZstdTruncated("truncated RLE block")
             out += bytes([data[pos]]) * bsize
             pos += 1
         elif btype == 2:
@@ -862,7 +872,7 @@ def decode_frame(
                 raise ZstdError("compressed block exceeds maximum")
             end = pos + bsize
             if end > len(data):
-                raise ZstdError("truncated compressed block")
+                raise ZstdTruncated("truncated compressed block")
             literals, lpos, prev_huf = _decode_literals(data, pos, prev_huf)
             _decode_sequences(
                 data, lpos, end, literals, out,
@@ -880,7 +890,7 @@ def decode_frame(
         )
     if checksum:
         if pos + 4 > len(data):
-            raise ZstdError("truncated content checksum")
+            raise ZstdTruncated("truncated content checksum")
         want = struct.unpack_from("<I", data, pos)[0]
         pos += 4
         if xxh64(bytes(out)) & 0xFFFFFFFF != want:

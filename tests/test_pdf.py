@@ -865,6 +865,17 @@ def test_pdf_aes256_v5_handler():
     bad["Perms"] = bytes(16)
     with pytest.raises(C.PdfCryptError, match="Perms"):
         C.StdSecurityHandler(bad, id0).authenticate()
+    # ISO 32000-2 Algorithm 13: a tampered P with an INTACT "adb"
+    # marker must also fail (the decrypted Perms echoes P bytes 0-3
+    # and the EncryptMetadata flag at byte 8)
+    bad_p = dict(enc)
+    bad_p["P"] = -44
+    with pytest.raises(C.PdfCryptError, match="Perms P"):
+        C.StdSecurityHandler(bad_p, id0).authenticate()
+    bad_m = dict(enc)
+    bad_m["EncryptMetadata"] = False
+    with pytest.raises(C.PdfCryptError, match="EncryptMetadata"):
+        C.StdSecurityHandler(bad_m, id0).authenticate()
 
 
 def test_fixture_routing_covers_all_schemes():

@@ -324,3 +324,85 @@ def test_cdx_offsets_zst_range_request_roundtrip(spark, tmp_path):
                 .removeprefix("urn:uuid:")
             )
             assert rid == row.record_id, fname
+
+
+# ---------------------------------------------------------------------------
+# regression: frames that actually COMPRESS (decompressed > compressed,
+# i.e. every real-world .warc.zst) must not emit spurious tail errors
+# from the pre-decoded branch's accounting (ADVICE r12: expect was
+# base + compressed span, tail was base + decompressed length).
+# ---------------------------------------------------------------------------
+
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+ZSTD_CLI = shutil.which("zstd")
+
+
+def test_predecoded_member_compressed_span_no_tail_error(spark):
+    """Unit-shape pin (no CLI needed): a pre-decoded member row whose
+    `length` (compressed frame span) is SHORTER than its decompressed
+    content — the exact shape _scan_range_frames_zst yields for any
+    compressing frame — produces the record and ZERO error rows, and
+    warc_rec_length stays the compressed span (the CDX locator)."""
+    member = W.response_record(3, "compressible body words " * 30)
+    comp_len = len(member) // 3  # any value < len(member)
+    rows = spark.createDataFrame(
+        [("f.warc.zst", bytearray(member), 100, comp_len)],
+        "path string, content binary, offset long, length long",
+    )
+    recs = W.warc_records(rows).collect()
+    errs = [r for r in recs if r.warc_type == W.ERROR_TYPE]
+    assert errs == [], [r.http_content_type for r in errs]
+    assert len(recs) == 1
+    assert recs[0].warc_offset == 100
+    assert recs[0].warc_rec_length == comp_len
+
+
+@pytest.mark.skipif(ZSTD_CLI is None, reason="no zstd CLI")
+def test_sharded_zst_real_compression_end_to_end(spark, tmp_path):
+    """End-to-end with REAL zstd-CLI-compressed frames (the raw-block
+    writer-twin fixtures expand rather than compress, which is how the
+    tail bug hid): zero error rows, and the sharded path is
+    hash-identical to the whole-file path."""
+
+    def cli_frame(m: bytes) -> bytes:
+        return subprocess.run(
+            [ZSTD_CLI, "-3", "-c"], input=m, capture_output=True, check=True
+        ).stdout
+
+    members = [W.warcinfo_record("real.warc.zst")]
+    for i in range(12):
+        members.append(W.request_record(i))
+        members.append(W.response_record(i, f"cli-compressed body {i} " * 40))
+    blob = struct.pack("<II", 0x184D2A5D, 0) + b"".join(
+        cli_frame(m) for m in members
+    )
+    assert len(blob) < sum(len(m) for m in members)  # it really compresses
+    p = os.path.join(str(tmp_path), "real.warc.zst")
+    with open(p, "wb") as f:
+        f.write(blob)
+
+    norm = lambda df: df.withColumn(  # noqa: E731
+        "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+    )
+    whole = W.read_warc(spark, p).cache()
+    assert whole.where(F.col("warc_type") == W.ERROR_TYPE).count() == 0
+    W.register_warc_ranges(spark)
+    for range_bytes in (700, 4096):
+        rows = (
+            spark.read.format("warc_ranges")
+            .option("path", p)
+            .option("rangeBytes", str(range_bytes))
+            .load()
+        )
+        sharded = W.warc_records(rows).cache()
+        errs = sharded.where(F.col("warc_type") == W.ERROR_TYPE).collect()
+        assert errs == [], [r.http_content_type for r in errs]
+        a = norm(whole.select(*_IDENTITY_COLS))
+        b = norm(sharded.select(*_IDENTITY_COLS))
+        assert a.count() == b.count() > 0, range_bytes
+        assert a.exceptAll(b).count() == 0, range_bytes
