@@ -26,7 +26,7 @@ ingestion component, same stance as the RFC 1952/8878 readers.
 
 from __future__ import annotations
 
-__all__ = ["BrotliError", "decompress", "encode_uncompressed"]
+__all__ = ["BrotliError", "decompress", "decompress_py", "encode_uncompressed"]
 
 
 class BrotliError(ValueError):
@@ -438,6 +438,19 @@ def _ensure_dict() -> None:
 
 
 def decompress(data: bytes, max_output: int | None = None) -> bytes:
+    """Dispatching entry: the system libbrotlidec when loadable
+    (sources/native.py; env CORRIE_NATIVE_CODECS=off forces the
+    from-spec reader below). Same contract either way: one RFC 7932
+    stream, trailing bytes ignored, BrotliError on truncation or
+    corruption, `max_output` bounds the decoded size."""
+    from corrie_spark.sources import native
+
+    if native.brotli_enabled():
+        return native.brotli_decompress(data, max_output)
+    return decompress_py(data, max_output)
+
+
+def decompress_py(data: bytes, max_output: int | None = None) -> bytes:
     bits = _Bits(data)
     # stream header: WBITS (§9.1)
     if bits.read(1) == 0:

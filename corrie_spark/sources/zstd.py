@@ -736,21 +736,24 @@ class ZstdDict:
     FSE tables in OF/ML/LL order), starting repeat offsets, and the
     content prefix that extends the match window backwards."""
 
-    __slots__ = ("did", "huf", "tables", "rep", "content")
+    __slots__ = ("did", "huf", "tables", "rep", "content", "raw", "native_ddict")
 
-    def __init__(self, did, huf, tables, rep, content):
+    def __init__(self, did, huf, tables, rep, content, raw=b""):
         self.did = did
         self.huf = huf
         self.tables = tables
         self.rep = rep
         self.content = content
+        self.raw = raw  # original dictionary bytes (the native path
+        # feeds these to ZSTD_createDDict; pure python re-parses)
+        self.native_ddict = None
 
 
 def parse_dictionary(data: bytes) -> ZstdDict:
     """§5 dictionary format; bytes without the magic are a raw
     content-only dictionary (no entropy defaults, DID 0)."""
     if data[:4] != DICT_MAGIC:
-        return ZstdDict(0, None, {}, [1, 4, 8], data)
+        return ZstdDict(0, None, {}, [1, 4, 8], data, raw=data)
     if len(data) < 8:
         raise ZstdTruncated("truncated dictionary header")
     did = int.from_bytes(data[4:8], "little")
@@ -766,7 +769,7 @@ def parse_dictionary(data: bytes) -> ZstdDict:
     rep = list(struct.unpack_from("<III", data, pos))
     if min(rep) == 0:
         raise ZstdError("zero dictionary repeat offset")
-    return ZstdDict(did, (table, max_bits), tables, rep, data[pos + 12 :])
+    return ZstdDict(did, (table, max_bits), tables, rep, data[pos + 12 :], raw=data)
 
 
 # ---------------------------------------------------------------------------
@@ -775,6 +778,35 @@ def parse_dictionary(data: bytes) -> ZstdDict:
 
 
 def decode_frame(
+    data: bytes, pos: int = 0, dicts: dict[int, "ZstdDict"] | None = None
+) -> tuple[bytes, int]:
+    """One zstd frame at `pos` -> (decompressed, end_pos) — the
+    dispatching entry: skippable frames parse here (8-byte header,
+    python is already optimal), content frames go to the system
+    libzstd when loadable (sources/native.py; env
+    CORRIE_NATIVE_CODECS=off forces the from-spec reader). Both paths
+    share the exception contract: ZstdTruncated = more bytes would
+    complete the frame (the range scanner grows its buffer),
+    ZstdError = corrupt (resync)."""
+    if pos + 4 > len(data):
+        raise ZstdTruncated("truncated magic")
+    magic = struct.unpack_from("<I", data, pos)[0]
+    if SKIPPABLE_LO <= magic <= SKIPPABLE_LO + 0xF:
+        if pos + 8 > len(data):
+            raise ZstdTruncated("truncated skippable frame")
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        end = pos + 8 + size
+        if end > len(data):
+            raise ZstdTruncated("truncated skippable frame body")
+        return b"", end
+    from corrie_spark.sources import native
+
+    if native.zstd_enabled():
+        return native.zstd_decode_frame(data, pos, dicts)
+    return decode_frame_py(data, pos, dicts)
+
+
+def decode_frame_py(
     data: bytes, pos: int = 0, dicts: dict[int, "ZstdDict"] | None = None
 ) -> tuple[bytes, int]:
     """One zstd frame at `pos` -> (decompressed, end_pos). Skippable
