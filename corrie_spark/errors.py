@@ -63,9 +63,9 @@ def classify_error(reason: str | None) -> str | None:
     # WARC splitter reasons (gzip / zstd / plain containers): a tail
     # that never became a member is a truncation; a resynced mid-file
     # span is member-level framing
-    if "gzip-tail" in r or "zstd-tail" in r or "warc-tail" in r:
+    if "gzip-tail" in r or "zstd-tail" in r or "xz-tail" in r or "warc-tail" in r:
         return "truncated"
-    if "x-error/gzip" in r or "x-error/zstd" in r:
+    if "x-error/gzip" in r or "x-error/zstd" in r or "x-error/xz" in r:
         return "bad-framing"
     if "truncat" in r or "incomplete" in r:
         return "truncated"

@@ -30,9 +30,9 @@ FROM documents
 
 
 def _shared_wds_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture shards -> real reader, memoized. Shards alternate plain
-    .tar / gzipped .tar.gz by group so both container paths stay live
-    under the one gate."""
+    """Fixture shards -> real reader, memoized. Shards rotate plain
+    .tar / gzipped .tar.gz / xz'd .tar.xz by group so all three
+    container paths stay live under the one gate."""
     import pandas as pd
 
     def build() -> DataFrame:
@@ -40,12 +40,14 @@ def _shared_wds_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def mk(key, pdf):
             grp = int(key[0])
-            gz = grp % 2 == 1
+            gz = grp % 3 == 1
+            xz = grp % 3 == 2
             blob = T.build_wds_shard(
                 list(zip((int(i) for i in pdf["doc_id"]), pdf["text"])),
                 gz=gz,
+                xz=xz,
             )
-            ext = "tar.gz" if gz else "tar"
+            ext = "tar.gz" if gz else ("tar.xz" if xz else "tar")
             return pd.DataFrame(
                 [{"path": f"shard-{grp:05d}.{ext}", "content": blob}]
             )
@@ -65,8 +67,8 @@ def _shared_wds_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_wds_ingest", oracle=_WDS_ORACLE, python_stages="applyInPandas shard build + mapInPandas tar walk")
 def q_wds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset shard ingestion through the from-spec ustar reader:
-    distributed shard build (txt/json/cls triple per sample, half the
-    shards gzipped) -> member walk (checksums validated) -> basename-
+    distributed shard build (txt/json/cls triple per sample, shards
+    rotating plain/.gz/.xz containers) -> member walk (checksums validated) -> basename-
     key sample grouping -> one row per sample with txt decoded, the
     json sidecar parseable (gated via get_json_object) and the opaque
     part's bytes in `payload`. The oracle replays every field

@@ -104,10 +104,12 @@ SELECT record_id,
   CAST(200 AS BIGINT) AS http_status,
   charset,
   CAST(CASE WHEN doc_id % {W.ENC_MOD} IN (1, 3, 4)
-                 OR doc_id % {W.BR_MOD} = 5 THEN NULL
+                 OR doc_id % {W.BR_MOD} = 5
+                 OR doc_id % {W.XZ_MOD} = 10 THEN NULL
             WHEN doc_id % {W.ENC_MOD} = 2 THEN {_CHUNKED_LEN}
             ELSE content_length END AS BIGINT) AS content_length,
   CASE WHEN doc_id % {W.BR_MOD} = 5 THEN 'br'
+       WHEN doc_id % {W.XZ_MOD} = 10 THEN 'xz'
        WHEN doc_id % {W.ENC_MOD} = 1 THEN 'zstd'
        WHEN doc_id % {W.ENC_MOD} = 2 THEN 'chunked'
        WHEN doc_id % {W.ENC_MOD} = 3 THEN 'gzip'
@@ -157,7 +159,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         "charset",
         F.when(
-            F.col("http_encoding").isin("gzip", "deflate", "zstd", "br"),
+            F.col("http_encoding").isin("gzip", "deflate", "zstd", "br", "xz"),
             F.lit(None).cast("long"),
         )
         .otherwise(F.col("content_length"))
@@ -185,6 +187,13 @@ def q_warc_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the frames. One Arrow stage; frames never shuffle."""
     docs = load(spark, sf_dir, "documents")
     recs = W.warc_records(W.zst_fixture_files(docs, _N_FILES)).drop("payload")
+    return _response_projection(recs)
+
+
+def _response_projection(recs: DataFrame) -> DataFrame:
+    """The shared q_warc_ingest/zstd/xz output shape (all three
+    containers carry the identical record set, gated by the same
+    oracle)."""
     return recs.where(F.col("warc_type") == "response").select(
         "record_id",
         "target_uri",
@@ -192,7 +201,7 @@ def q_warc_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         "charset",
         F.when(
-            F.col("http_encoding").isin("gzip", "deflate", "zstd", "br"),
+            F.col("http_encoding").isin("gzip", "deflate", "zstd", "br", "xz"),
             F.lit(None).cast("long"),
         )
         .otherwise(F.col("content_length"))
@@ -201,6 +210,27 @@ def q_warc_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "q_warc_xz",
+    oracle=_INGEST_ORACLE,
+    python_stages="applyInPandas xz fixture build + mapInPandas xz-stream/WARC split",
+)
+def q_warc_xz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.warc.xz crawl ingestion: one WARC record per .xz stream
+    (mirroring the gzip-member / zstd-frame layouts) through the SAME
+    reader — warc_records dispatches the member walk on the xz stream
+    magic and stdlib lzma does the byte work at C speed, so this
+    container adds no pure-python decode seam. Record set is
+    byte-identical to the gzip/zst builds: the q_warc_ingest oracle
+    gates it unchanged, including the doc_id%20==10 docs whose HTTP
+    bodies additionally carry Content-Encoding: xz (decoded by
+    decode_http_body's lzma path). One Arrow stage; bytes never
+    shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    recs = W.warc_records(W.xz_fixture_files(docs, _N_FILES)).drop("payload")
+    return _response_projection(recs)
 
 
 _CORPUS_ORACLE = f"""

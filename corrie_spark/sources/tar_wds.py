@@ -27,6 +27,7 @@ an error row.
 from __future__ import annotations
 
 import gzip
+import lzma
 import json
 from collections.abc import Iterator
 
@@ -164,6 +165,8 @@ def wds_samples(data: bytes) -> list[dict]:
     multimodal column); all extensions are listed in order."""
     if data[:3] == b"\x1f\x8b\x08":
         data = gzip.decompress(data)
+    elif data[:6] == b"\xfd7zXZ\x00":  # .tar.xz shard
+        data = lzma.decompress(data, format=lzma.FORMAT_XZ)
     samples: dict[str, dict] = {}
     order: list[str] = []
     for name, body in tar_members(data):
@@ -390,7 +393,7 @@ def documents_to_wds(
 
 
 def build_wds_shard(
-    docs: list[tuple[int, str]], gz: bool = False
+    docs: list[tuple[int, str]], gz: bool = False, xz: bool = False
 ) -> bytes:
     """One WebDataset shard: per doc a `{key}.txt` + `{key}.json` +
     `{key}.cls` triple, keys zero-padded doc ids in sorted order (the
@@ -409,4 +412,12 @@ def build_wds_shard(
         )
         entries.append((f"{key}.cls", str(doc_id % 10).encode("ascii")))
     blob = tar_build(entries)
+    if xz:
+        # 64 KiB-dict filter chain: cheap per-shard encoder init (the
+        # warc.py fixture-encoder measurement), identical output size
+        return lzma.compress(
+            blob,
+            format=lzma.FORMAT_XZ,
+            filters=[{"id": lzma.FILTER_LZMA2, "preset": 1, "dict_size": 1 << 16}],
+        )
     return gzip.compress(blob, compresslevel=1) if gz else blob

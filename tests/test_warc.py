@@ -276,6 +276,8 @@ def test_encoded_responses_through_reader(spark):
         )
         if i % W.BR_MOD == 5:
             expect_enc = "br"
+        elif i % W.XZ_MOD == 10:
+            expect_enc = "xz"
         assert got.http_encoding == expect_enc, i
     errs = [r for r in rows if r.warc_type == W.ERROR_TYPE]
     assert len(errs) == 1
@@ -298,3 +300,53 @@ def test_plain_uncompressed_warc_file(spark, tmp_path):
     assert {r.target_uri for r in rows} == {
         f"https://example.org/doc/{i}" for i, _ in docs
     }
+
+
+# ---------------------------------------------------------------------------
+# xz/lzma codings (round 13)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_xz_record_set_identical_to_gzip():
+    """The same docs through build_warc_gz and build_warc_xz parse to
+    the same record set (ids, text, encodings) — only offsets differ."""
+    import lzma
+
+    from corrie_spark.sources import warc as W
+
+    docs = [(i, f"doc {i} body words " * 3) for i in range(25)]
+    gz = W.build_warc_gz("a.warc", docs)
+    xz = W.build_warc_xz("a.warc", docs)  # same name: warcinfo ids match
+    assert xz[:6] == W.XZ_MAGIC
+
+    def parse_all(blob, walker):
+        out = []
+        for _, _, member in walker(blob):
+            for rec in W.parse_warc(member):
+                h = rec["headers"]
+                out.append((h.get("warc-record-id"), len(rec["content"])))
+        return out
+
+    a = parse_all(gz, W.gzip_members_at)
+    b = parse_all(xz, W.xz_members_at)
+    assert a == b and len(a) >= 2 * len(docs)
+    # a doc_id%20==10 response body carries Content-Encoding: xz and
+    # decode_http_body recovers the page
+    rec10 = W.response_record(10, "xz body " * 30)
+    (r,) = list(W.parse_warc(rec10))
+    status, hh, body = W.split_http_response(r["content"])
+    assert hh.get("content-encoding") == "xz"
+    decoded, applied, ok = W.decode_http_body(hh, body)
+    assert ok and applied == ["xz"]
+    assert decoded.decode("utf-8") == "xz body " * 30
+    # lzma (legacy alone container) coding decodes too
+    legacy = lzma.compress(b"legacy body", format=lzma.FORMAT_ALONE)
+    d2, a2, ok2 = W.decode_http_body(
+        {"content-encoding": "lzma"}, legacy
+    )
+    assert ok2 and a2 == ["lzma"] and d2 == b"legacy body"
+    # corrupt xz framing raises HttpBodyError (DLQ path)
+    import pytest
+
+    with pytest.raises(W.HttpBodyError):
+        W.decode_http_body({"content-encoding": "xz"}, b"\xfd7zXZ\x00garbage")

@@ -406,3 +406,55 @@ def test_sharded_zst_real_compression_end_to_end(spark, tmp_path):
         b = norm(sharded.select(*_IDENTITY_COLS))
         assert a.count() == b.count() > 0, range_bytes
         assert a.exceptAll(b).count() == 0, range_bytes
+
+
+# ---------------------------------------------------------------------------
+# .warc.xz: one record per .xz stream, sharded == whole-file
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_xz_hash_identical_to_binaryfile(spark, tmp_path):
+    paths = []
+    for g in range(2):
+        docs = [
+            (i, f"xz doc {i} body words " * 4) for i in range(40) if i % 2 == g
+        ]
+        p = os.path.join(str(tmp_path), f"crawl-{g:05d}.warc.xz")
+        with open(p, "wb") as f:
+            f.write(W.build_warc_xz(os.path.basename(p), docs))
+        paths.append(p)
+    glob = os.path.join(str(tmp_path), "*.warc.xz")
+    whole = W.read_warc(spark, glob).select(*_IDENTITY_COLS)
+    norm = lambda df: df.withColumn(  # noqa: E731
+        "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+    )
+    W.register_warc_ranges(spark)
+    for range_bytes in (700, 4096):
+        sharded_rows = (
+            spark.read.format("warc_ranges")
+            .option("path", glob)
+            .option("rangeBytes", str(range_bytes))
+            .load()
+        )
+        assert sharded_rows.rdd.getNumPartitions() > 2
+        sharded = W.warc_records(sharded_rows).select(*_IDENTITY_COLS)
+        a, b = norm(whole), norm(sharded)
+        assert a.count() == b.count() > 0, range_bytes
+        assert a.exceptAll(b).count() == 0, range_bytes
+
+
+def test_sharded_xz_corrupt_stream_sentinel(spark, tmp_path):
+    docs = [(i, f"cx doc {i} body") for i in range(12)]
+    blob = bytearray(W.build_warc_xz("c.warc.xz", docs))
+    members = list(W.xz_members_at(bytes(blob)))
+    off, ln, _ = members[4]
+    blob[off + 20] ^= 0xFF  # corrupt one stream body
+    p = os.path.join(str(tmp_path), "c.warc.xz")
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    recs = W.read_warc(spark, p).collect()
+    errs = [r for r in recs if r.warc_type == W.ERROR_TYPE]
+    good = [r for r in recs if r.warc_type != W.ERROR_TYPE]
+    assert len(errs) >= 1
+    assert errs[0].error_kind in ("bad-framing", "truncated")
+    assert len(good) >= len(members) - 2
