@@ -213,27 +213,66 @@ def main() -> None:
 
     # full-pipe streaming throughput (AMQP broker -> sharded source ->
     # micro-batch writer -> native-TCP -> in-process ClickHouse-protocol
-    # server), recorded round-over-round like the queries
+    # server), recorded round-over-round like the queries — WITH the
+    # movers discipline the query bench already applies: the two
+    # numbers swung 20.2k -> 29.9k -> 18.1k rows/s across three driver
+    # rounds on host noise alone, so a >1.5x swing vs the prior
+    # BENCH_FULL gets up to two extra probes and the BEST rep is the
+    # record (throughput twin of min-of-reps), with prior/ratio always
+    # carried for the next round's comparison.
+    def _stream_probe(label: str, fn, prior_rps: float | None) -> dict:
+        try:
+            rec = fn()
+        except Exception as e:
+            print(f"bench: {label} throughput FAILED: {e}", file=sys.stderr)
+            return {"error": str(e)}
+        reps_rps = [rec.get("rows_per_s")]
+        if prior_rps and reps_rps[0]:
+            swing = max(reps_rps[0] / prior_rps, prior_rps / reps_rps[0])
+            if swing > 1.5:
+                for _ in range(2):
+                    try:
+                        reps_rps.append(fn().get("rows_per_s"))
+                    except Exception:
+                        break
+        best_rps = max(r for r in reps_rps if r) if any(reps_rps) else None
+        if best_rps and best_rps != rec.get("rows_per_s"):
+            rec["rows_per_s"] = best_rps
+        rec["reps_rows_per_s"] = [round(r, 1) for r in reps_rps if r]
+        if prior_rps:
+            rec["prior_rows_per_s"] = round(prior_rps, 1)
+            if best_rps:
+                rec["ratio_vs_prior"] = round(best_rps / prior_rps, 2)
+        return rec
+
+    prior_stream = None
+    prior_spool = None
     try:
+        with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
+            _pf = json.load(f)
+        prior_stream = (_pf.get("streaming") or {}).get("rows_per_s")
+        prior_spool = (_pf.get("streaming_spool") or {}).get("rows_per_s")
+    except Exception:
+        pass
+
+    def _stream_fn(n_rows=8000, n_shards=4):
         from corrie_spark.streaming.bench import stream_throughput
 
-        streaming = stream_throughput(spark, n_rows=8000, n_shards=4)
-    except Exception as e:
-        print(f"bench: streaming throughput FAILED: {e}", file=sys.stderr)
-        streaming = {"error": str(e)}
+        return stream_throughput(spark, n_rows=n_rows, n_shards=n_shards)
+
+    def _spool_fn(n_rows=64000, n_shards=16):
+        from corrie_spark.streaming.bench import spool_throughput
+
+        return spool_throughput(spark, n_rows=n_rows, n_shards=n_shards)
+
+    streaming = _stream_probe("streaming", _stream_fn, prior_stream)
     # executor-parallel twin: the DataSourceV2 spool source (one
     # InputPartition per shard) into the same writer + native-TCP
     # sink — the scale path; the AMQP number above is driver-bound by
     # the SimpleDataSourceStreamReader API for non-seekable brokers.
     # 64k rows so per-drain fixed costs (stream init, census jobs)
     # amortize and the number measures steady-state row flow.
-    try:
-        from corrie_spark.streaming.bench import spool_throughput
-
-        streaming_spool = spool_throughput(spark, n_rows=64000, n_shards=16)
-    except Exception as e:
-        print(f"bench: spool throughput FAILED: {e}", file=sys.stderr)
-        streaming_spool = {"error": str(e)}
+    streaming_spool = _stream_probe("spool", _spool_fn, prior_spool)
 
     sf_s = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_s) if sf_s.replace(".", "").isdigit() else sf_s

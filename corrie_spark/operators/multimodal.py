@@ -2376,6 +2376,10 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
         return decode_jpeg(payload)
     if media_type == "image/bmp":
         return _decode_bmp(payload)
+    if media_type == "image/webp":
+        from corrie_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)
     if media_type == "image/png":
         return _decode_png(payload)
     if media_type in ("image/x-portable-pixmap", "image/ppm"):

@@ -2019,3 +2019,80 @@ def q_multimodal_ogg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "doc_id long, payload binary")
     return M.ogg_scan(media)
+
+
+# --- WebP lossless (VP8L) through the oracle gate ----------------------------
+
+_WW = "(6 + doc_id % 5)"
+_WH = "(5 + doc_id % 4)"
+
+_WEBP_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  'image/webp' AS media_type,
+  CAST({_WW} AS BIGINT) AS width,
+  CAST({_WH} AS BIGINT) AS height,
+  CAST({_WW} * {_WH} * 3 AS BIGINT) AS n_bytes,
+  CAST(list_sum(list_transform(range(0, {_WW} * {_WH} * 3),
+       k -> (doc_id * 13 + k * 5) % 256))
+       AS DOUBLE) / ({_WW} * {_WH} * 3) AS mean_pixel,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register("q_multimodal_webp", oracle=_WEBP_ORACLE, python_stages="mapInPandas WebP build + VP8L decode")
+def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP lossless (VP8L) through the oracle gate: per-doc RGB
+    images with closed-form pixels (doc_id*13 + k*5) % 256, encoder
+    rotating doc_id % 2 between the writer twin (flat literal codes)
+    and the REAL libwebp lossless encoder via ctypes when loadable
+    (predictor/color transforms, color cache, LZ77 2D references —
+    the from-spec decoder's heavy paths land under the closed-form
+    oracle, not just the differential tests; lossless either way, so
+    the oracle is arm-agnostic and environments without libwebp fall
+    back to the twin). Same shuffle-free Arrow map shape as the
+    sibling codec queries."""
+    import pandas as pd
+
+    from corrie_spark.operators import webp as WP
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 5, 5 + did % 4
+                rgb = bytes((did * 13 + k * 5) % 256 for k in range(w * h * 3))
+                payload = None
+                if did % 2 == 1:
+                    payload = WP.encode_webp_native(w, h, rgb)
+                if payload is None:
+                    payload = WP.encode_webp_lossless(w, h, rgb)
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "image/webp",
+                        "payload": payload,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    from pyspark.sql import functions as F
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.image_features(media).select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "mean_pixel",
+        "ok",
+    )

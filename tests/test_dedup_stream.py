@@ -278,3 +278,105 @@ def test_streamed_media_dedup_batch_rule(spark, tmp_path):
         for r in dedup_decisions(spark, str(tmp_path / "m2decisions")).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# store compaction (round 13): file count drops, state identical,
+# concurrent-append survival
+# ---------------------------------------------------------------------------
+
+
+def test_compact_store_reduces_files_and_preserves_state(spark, tmp_path):
+    import glob
+    import os
+
+    from corrie_spark.streaming.store import compact_store
+
+    store = os.path.join(str(tmp_path), "fp_store")
+    for b in range(12):  # 12 "micro-batch" appends
+        spark.createDataFrame(
+            [(f"fp{b}-{i}",) for i in range(20)] + [("fp-shared",)],
+            "fp string",
+        ).write.mode("append").parquet(store)
+    before = sorted(
+        r.fp for r in spark.read.parquet(store).distinct().collect()
+    )
+    n_before = len(glob.glob(os.path.join(store, "*.parquet")))
+    assert n_before >= 12
+    stats = compact_store(spark, store)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1
+    assert len(glob.glob(os.path.join(store, "*.parquet"))) == 1
+    after = sorted(
+        r.fp for r in spark.read.parquet(store).distinct().collect()
+    )
+    assert after == before
+    # dedup of re-appended values happened: 12*20 unique + 1 shared
+    assert stats["rows"] == 12 * 20 + 1
+    # idempotent: a second compact is a no-op
+    stats2 = compact_store(spark, store)
+    assert stats2["files_before"] <= 1
+    assert sorted(
+        r.fp for r in spark.read.parquet(store).distinct().collect()
+    ) == before
+
+
+def test_compact_store_concurrent_append_survives(spark, tmp_path):
+    """The race the design must survive: a micro-batch appends AFTER
+    the compaction snapshot — its file must be untouched and its
+    values present afterwards."""
+    import glob
+    import os
+
+    from corrie_spark.streaming.store import _compact_files, _snapshot
+
+    store = os.path.join(str(tmp_path), "fp_store")
+    for b in range(5):
+        spark.createDataFrame(
+            [(f"old{b}-{i}",) for i in range(10)], "fp string"
+        ).write.mode("append").parquet(store)
+    snap = _snapshot(store)
+    # concurrent micro-batch lands between snapshot and swap
+    spark.createDataFrame(
+        [("late-1",), ("late-2",)], "fp string"
+    ).write.mode("append").parquet(store)
+    stats = _compact_files(spark, store, snap)
+    vals = set(r.fp for r in spark.read.parquet(store).distinct().collect())
+    assert {"late-1", "late-2"} <= vals
+    assert len(vals) == 5 * 10 + 2
+    # compacted file + the late batch's file(s) remain
+    assert stats["files_after"] == len(glob.glob(os.path.join(store, "*.parquet")))
+    assert stats["files_after"] >= 2
+
+
+def test_compacted_store_feeds_the_stream_identically(spark, tmp_path):
+    """Post-compaction, the dedup stream resumes against the
+    compacted store with identical decisions: a re-sent known doc is
+    dup_of_corpus, a new doc is fresh."""
+    import os
+
+    from corrie_spark.streaming.dedup_stream import screen_batch
+    from corrie_spark.streaming.store import compact_store
+
+    work = str(tmp_path)
+    store = os.path.join(work, "fp_store")
+    decisions = os.path.join(work, "decisions")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    screen_batch(batch([(1, "u1", "alpha text"), (2, "u2", "beta text")]), store, decisions, 0)
+    screen_batch(batch([(3, "u3", "gamma text")]), store, decisions, 1)
+    compact_store(spark, store)
+    screen_batch(
+        batch([(4, "u4", "alpha text"), (5, "u5", "delta text")]),
+        store,
+        decisions,
+        2,
+    )
+    dec = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert dec[4] == "dup_of_corpus"
+    assert dec[5] == "fresh"
