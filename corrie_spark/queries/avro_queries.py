@@ -154,3 +154,128 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("blob").cast("long").alias("blob_len"),
         "ok_flag",
     )
+
+
+# --- corpus-level accounting with error-kind rollup --------------------------
+
+# o_orderkey % 32 keys file groups; groups {3, 9, 15} route WHOLE-FILE
+# corruption so record loss stays closed-form (0 records per corrupt
+# file, one kind-tagged DLQ row each): 3 -> bad magic (bad-container),
+# 9 -> header declares snappy (unsupported-codec), 15 -> file cut just
+# after the header (truncated).
+_AVRO_GRP_MOD = 32
+_AVRO_CORRUPT = {3: "bad-container", 9: "unsupported-codec", 15: "truncated"}
+
+_AVRO_CORPUS_ORACLE = f"""
+WITH good AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+  FROM orders WHERE o_orderkey % {_AVRO_GRP_MOD} NOT IN (3, 9, 15)
+),
+errs AS (
+  SELECT
+    CAST(MAX(CASE WHEN o_orderkey % {_AVRO_GRP_MOD} = 3 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_err_bad_container,
+    CAST(MAX(CASE WHEN o_orderkey % {_AVRO_GRP_MOD} = 9 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_err_unsupported_codec,
+    CAST(MAX(CASE WHEN o_orderkey % {_AVRO_GRP_MOD} = 15 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_err_truncated
+  FROM orders
+)
+SELECT good.*, errs.* FROM good, errs
+"""
+
+
+@register(
+    "q_avro_corpus",
+    oracle=_AVRO_CORPUS_ORACLE,
+    python_stages="applyInPandas OCF build (kind-routed corruption) + block walk",
+)
+def q_avro_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Avro ingestion accounting, DLQ PINNED BY KIND
+    (q_pdf_corpus pattern, round-13 ask #6): orders rows group into
+    32 OCF files by o_orderkey % 32; groups {3, 9, 15} are corrupted
+    whole-file (bad magic / declared-snappy header / cut after
+    header) so the oracle replays surviving record counts AND one
+    DLQ row per corrupt file by kind. Deterministic groupBy build
+    (file membership IS the contract here, unlike q_avro_ingest's
+    batch-shaped build)."""
+    import pandas as pd
+
+    from corrie_spark.sources import avro as A
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_odate"),
+    )
+
+    def mk(key, pdf):
+        grp = int(key[0])
+        pdf = pdf.sort_values("o_orderkey")
+        recs = [
+            avro_fixture_rec(
+                int(r.o_orderkey),
+                int(r.o_custkey),
+                str(r.o_orderstatus),
+                float(r.o_totalprice),
+                r.o_odate,
+            )
+            for r in pdf.itertuples()
+        ]
+        blob = A.encode_ocf(
+            AVRO_FIXTURE_SCHEMA,
+            recs,
+            codec="null" if grp % 2 == 0 else "deflate",
+            name=f"corpus-{grp}",
+            block_size=50,
+        )
+        if grp == 3:  # bad magic -> bad-container
+            blob = b"NOPE" + blob[4:]
+        elif grp == 9:  # declared snappy -> unsupported-codec
+            blob = (
+                A.AVRO_MAGIC
+                + A._write_map(
+                    {
+                        "avro.schema": AVRO_FIXTURE_SCHEMA.encode(),
+                        "avro.codec": b"snappy",
+                    }
+                )
+                + b"s" * 16
+            )
+        elif grp == 15:  # cut inside the header sync -> truncated
+            hdr_len = len(
+                A.encode_ocf(
+                    AVRO_FIXTURE_SCHEMA, [], codec="deflate", name="corpus-15"
+                )
+            )
+            blob = blob[: hdr_len - 8]
+        return pd.DataFrame(
+            [{"path": f"corpus-{grp}.avro", "content": blob}]
+        )
+
+    files = (
+        orders.withColumn("_grp", F.col("o_orderkey") % _AVRO_GRP_MOD)
+        .groupBy("_grp")
+        .applyInPandas(mk, "path string, content binary")
+    )
+    rows = A.avro_records(
+        files,
+        "orderkey long, custkey long, status string, total double, "
+        "odate date, comment string, flags array<int>, blob binary, "
+        "ok_flag boolean",
+    )
+    good = ~F.col("_error")
+    kind_agg = [
+        F.sum((F.col("_error_kind") == k).cast("long")).alias(
+            f"n_err_{k.replace('-', '_')}"
+        )
+        for k in ("bad-container", "unsupported-codec", "truncated")
+    ]
+    return rows.agg(
+        F.sum(good.cast("long")).alias("n_records"),
+        F.sum(F.when(good, F.col("orderkey"))).alias("sum_orderkey"),
+        *kind_agg,
+    )

@@ -102,3 +102,121 @@ def q_wiki_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_chars"),
     )
+
+
+# --- corpus-level accounting with error-kind rollup --------------------------
+
+# doc_id % 24 keys file groups: group 4's dump is cut to 10 bytes
+# (one `truncated` DLQ row, every page lost), group 11's FIRST page
+# stream is bit-flipped (one `bad-framing` gap row; with one page per
+# stream exactly the group's MIN doc_id is lost — closed-form).
+_WIKI_GRP_MOD = 24
+
+_WIKI_CORPUS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+lost AS (
+  SELECT doc_id FROM documents WHERE doc_id % {_WIKI_GRP_MOD} = 4
+  UNION ALL
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  WHERE doc_id % {_WIKI_GRP_MOD} = 11
+),
+surv AS (
+  SELECT doc_id,
+    'Section ' || CAST(doc_id AS VARCHAR) || ' '
+      || COALESCE(NULLIF(array_to_string(t, ' '), '') || ' ', '')
+      || 'x<y&z' AS txt,
+    doc_id % 11 = 0 AS is_redirect
+  FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM lost)
+),
+good AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(SUM(CASE WHEN is_redirect THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_redirects,
+         CAST(SUM(CASE WHEN is_redirect THEN 0 ELSE length(txt) END)
+           AS BIGINT) AS total_chars
+  FROM surv
+),
+errs AS (
+  SELECT
+    CAST(MAX(CASE WHEN doc_id % {_WIKI_GRP_MOD} = 4 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_err_truncated,
+    CAST(MAX(CASE WHEN doc_id % {_WIKI_GRP_MOD} = 11 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_err_bad_framing
+  FROM documents
+)
+SELECT good.*, errs.* FROM good, errs
+"""
+
+
+@register(
+    "q_wiki_corpus",
+    oracle=_WIKI_CORPUS_ORACLE,
+    python_stages="applyInPandas dump build (kind-routed corruption) + page scan",
+)
+def q_wiki_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Wikipedia-dump ingestion accounting, DLQ PINNED BY
+    KIND (q_pdf_corpus pattern, round-13 ask #6): 24 fixture dumps,
+    group 4 truncated whole-file, group 11's first page stream
+    bit-flipped — the oracle replays surviving page/redirect counts,
+    total clean-text chars AND the per-kind DLQ rows closed-form
+    (one page per stream makes the framing loss exactly the group's
+    MIN doc_id)."""
+    import pandas as pd
+
+    from corrie_spark.sources import wikipedia as Wk
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mk(key, pdf):
+        grp = int(key[0])
+        pages = []
+        for did, text in sorted(zip(pdf["doc_id"], pdf["text"])):
+            did = int(did)
+            wt = (
+                f"#REDIRECT [[Page {did + 1}]]"
+                if did % 11 == 0
+                else Wk.wiki_fixture_text(did, str(text))
+            )
+            pages.append((did, f"Page {did}", wt))
+        dump, _ = Wk.build_dump(pages, pages_per_stream=1)
+        if grp == 4:
+            dump = dump[:10]  # mid-stream cut -> one truncated row
+        elif grp == 11:
+            starts = [off for off, _, _ in Wk.bz2_streams_at(dump)]
+            bad = bytearray(dump)
+            bad[starts[1] + 20] ^= 0xFF  # first PAGE stream (0 = header)
+            dump = bytes(bad)
+        return pd.DataFrame(
+            [{"path": f"wc-{grp:03d}.xml.bz2", "content": dump}]
+        )
+
+    files = (
+        docs.withColumn("_grp", F.col("doc_id") % _WIKI_GRP_MOD)
+        .groupBy("_grp")
+        .applyInPandas(mk, "path string, content binary")
+    )
+    pages = Wk.wiki_pages(files)
+    good = F.col("error_kind").isNull()
+    clean = Wk.wikitext_to_text(F.col("wikitext"))
+    return pages.agg(
+        F.sum(good.cast("long")).alias("n_pages"),
+        F.sum((good & F.col("is_redirect")).cast("long")).alias("n_redirects"),
+        F.sum(
+            F.when(good & ~F.col("is_redirect"), F.length(clean)).otherwise(
+                F.lit(0)
+            )
+        ).alias("total_chars"),
+        F.sum((F.col("error_kind") == "truncated").cast("long")).alias(
+            "n_err_truncated"
+        ),
+        F.sum((F.col("error_kind") == "bad-framing").cast("long")).alias(
+            "n_err_bad_framing"
+        ),
+    )
