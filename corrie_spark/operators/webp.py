@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["decode_webp", "encode_webp_lossless", "WebpError"]
+__all__ = ["decode_webp", "decode_webp_py", "encode_webp_lossless", "WebpError"]
 
 
 class WebpError(ValueError):
@@ -602,7 +602,29 @@ def decode_vp8l(body: bytes) -> tuple[int, int, list[int]]:
 
 def decode_webp(payload: bytes) -> dict:
     """RIFF WebP -> the multimodal decoder contract (RGB triples,
-    top-down; alpha stripped like the PNG path)."""
+    top-down; alpha stripped like the PNG path). Dispatching entry:
+    the container walk (and the lossy-VP8/animation seam decision)
+    stays in python, then VP8L pixel decode goes to libwebp when
+    loadable (sources/native.py policy env applies) with the
+    from-spec decoder as fallback and differential twin — the same
+    dispatch shape as zstd/brotli."""
+    body = _find_vp8l(payload)  # typed errors + seam policy here
+    from corrie_spark.sources import native
+
+    if native.webp_enabled():
+        res = native.webp_decode_rgba(payload)
+        if res is None:
+            raise WebpError("corrupt VP8L stream (native)")
+        w, h, rgba = res
+        data = bytearray(w * h * 3)
+        for i in range(w * h):
+            data[3 * i : 3 * i + 3] = rgba[4 * i : 4 * i + 3]
+        return {"kind": "image", "width": w, "height": h, "data": bytes(data)}
+    return decode_webp_py(payload)
+
+
+def decode_webp_py(payload: bytes) -> dict:
+    """The from-spec path (always available; the differential twin)."""
     w, h, pix = decode_vp8l(_find_vp8l(payload))
     data = bytearray(w * h * 3)
     for i, px in enumerate(pix):

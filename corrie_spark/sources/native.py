@@ -393,3 +393,102 @@ def native_versions() -> dict[str, str | None]:
         v = _brotli_lib.BrotliDecoderVersion()
         out["brotli"] = f"{v >> 24}.{(v >> 12) & 0xFFF}.{v & 0xFFF}"
     return out
+
+
+def zstd_compress(data: bytes, level: int = 3) -> bytes | None:
+    """Real-encoder fixture arm: libzstd's ZSTD_compress when
+    loadable (None otherwise — callers fall back to the raw-block
+    writer twin). Raw-block twin frames EXPAND rather than compress,
+    which is exactly how the round-12 pre-decoded-tail bug hid from
+    the fixtures: routing half the fixture frames through real
+    compression keeps compressed-shorter-than-content members under
+    the closed-form oracles continuously."""
+    lib = _load_zstd()
+    if lib is None or _mode() == "off":
+        return None
+    if not hasattr(lib, "_compress_bound_ready"):
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+        ]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib._compress_bound_ready = True
+    if not isinstance(data, bytes):
+        data = bytes(data)
+    bound = lib.ZSTD_compressBound(len(data))
+    buf = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(
+        ctypes.addressof(buf), bound, _addr(data), len(data), level
+    )
+    if lib.ZSTD_isError(n):
+        return None
+    return buf[:n]
+
+
+# ---------------------------------------------------------------------------
+# libwebp (decode only — operators/webp.py dispatches VP8L payloads)
+# ---------------------------------------------------------------------------
+
+_webp_lib = None
+_webp_tried = False
+
+
+def _load_webp():
+    global _webp_lib, _webp_tried
+    if _webp_tried:
+        return _webp_lib
+    _webp_tried = True
+    name = ctypes.util.find_library("webp")
+    if not name:
+        return None
+    try:
+        lib = ctypes.CDLL(name)
+        lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _webp_lib = lib
+    except OSError:
+        _webp_lib = None
+    return _webp_lib
+
+
+def webp_enabled() -> bool:
+    mode = _mode()
+    if mode == "off":
+        return False
+    ok = _load_webp() is not None
+    if not ok and mode == "require":
+        raise RuntimeError("CORRIE_NATIVE_CODECS=require but libwebp not loadable")
+    return ok
+
+
+def webp_decode_rgba(payload: bytes) -> tuple[int, int, bytes] | None:
+    """One WebP payload -> (width, height, RGBA bytes), or None when
+    libwebp rejects it (the caller raises its own typed error). The
+    caller guarantees the payload is VP8L — lossy VP8 stays the
+    documented cross-environment seam even though libwebp could
+    decode it, so query results never depend on which image the
+    cluster happens to have installed."""
+    lib = _load_webp()
+    if lib is None:
+        raise RuntimeError("libwebp not loadable")
+    if not isinstance(payload, bytes):
+        payload = bytes(payload)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = lib.WebPDecodeRGBA(payload, len(payload), ctypes.byref(w), ctypes.byref(h))
+    if not p:
+        return None
+    try:
+        return w.value, h.value, ctypes.string_at(p, w.value * h.value * 4)
+    finally:
+        lib.WebPFree(p)

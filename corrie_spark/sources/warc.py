@@ -1114,7 +1114,21 @@ def build_warc_zst(
         skip = _struct.pack("<II", 0x184D2A5D, len(dic)) + dic
         return skip + b"".join(encode_frame(m, dict_id=did) for m in members)
     skip = _struct.pack("<II", 0x184D2A5D, 0)  # empty skippable frame
-    return skip + b"".join(encode_frame(m) for m in members)
+    # alternate writer-twin frames (raw blocks: EXPAND) with REAL
+    # libzstd-compressed frames (SHRINK) when the library is loadable
+    # — compressed-shorter-than-content members live under the
+    # closed-form oracles continuously (the round-12 tail bug hid
+    # precisely because twin frames never compress)
+    from corrie_spark.sources.native import zstd_compress
+
+    def frame(i: int, m: bytes) -> bytes:
+        if i % 2 == 1:
+            c = zstd_compress(m, level=3)
+            if c is not None:
+                return c
+        return encode_frame(m)
+
+    return skip + b"".join(frame(i, m) for i, m in enumerate(members))
 
 
 def zst_fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:

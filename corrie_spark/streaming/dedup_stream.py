@@ -117,9 +117,16 @@ def start_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Start the screening stream over a (id, text) document stream.
-    Returns the StreamingQuery (availableNow by default)."""
+    Returns the StreamingQuery (availableNow by default).
+    `compact_every=N` folds the fingerprint store back to one part
+    file every N batches (streaming/store.py — publish-then-retire
+    swap, safe by the store's value-idempotent union contract), so a
+    long-lived stream never accumulates the 10^4-file listing cost
+    SCALE.md §22A names; decisions are unaffected (the compaction is
+    value-identity)."""
     commit_log = BatchCommitLog(commit_log_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -129,6 +136,10 @@ def start_dedup_stream(
             batch_df, store_dir, decisions_dir, batch_id, id_col, text_col
         )
         commit_log.commit(batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from corrie_spark.streaming.store import compact_store
+
+            compact_store(batch_df.sparkSession, store_dir)
 
     writer = (
         docs.writeStream.foreachBatch(handle)

@@ -380,3 +380,45 @@ def test_compacted_store_feeds_the_stream_identically(spark, tmp_path):
     }
     assert dec[4] == "dup_of_corpus"
     assert dec[5] == "fresh"
+
+
+def test_compact_every_in_stream_preserves_decisions(spark, tmp_path):
+    """compact_every=2: decisions identical to the uncompacted control
+    and the store ends with a bounded file count."""
+    import glob
+    import os
+
+    srcA, n_rows, n_files = _doc_stream(spark, tmp_path / "a", chunk=25)
+    q = start_dedup_stream(
+        srcA,
+        str(tmp_path / "a" / "store"),
+        str(tmp_path / "a" / "decisions"),
+        str(tmp_path / "a" / "ckpt"),
+        str(tmp_path / "a" / "commits"),
+        compact_every=2,
+    )
+    q.awaitTermination(180)
+    srcB, _, _ = _doc_stream(spark, tmp_path / "b", chunk=25)
+    q2 = start_dedup_stream(
+        srcB,
+        str(tmp_path / "b" / "store"),
+        str(tmp_path / "b" / "decisions"),
+        str(tmp_path / "b" / "ckpt"),
+        str(tmp_path / "b" / "commits"),
+    )
+    q2.awaitTermination(180)
+    a = {
+        (r.doc_id, r.status)
+        for r in dedup_decisions(spark, str(tmp_path / "a" / "decisions")).collect()
+    }
+    b = {
+        (r.doc_id, r.status)
+        for r in dedup_decisions(spark, str(tmp_path / "b" / "decisions")).collect()
+    }
+    assert a == b and len(a) == n_rows
+    # store state identical by value, with fewer files than batches
+    fa = sorted(r.fp for r in spark.read.parquet(str(tmp_path / "a" / "store")).distinct().collect())
+    fb = sorted(r.fp for r in spark.read.parquet(str(tmp_path / "b" / "store")).distinct().collect())
+    assert fa == fb
+    n_store_files = len(glob.glob(os.path.join(str(tmp_path / "a" / "store"), "*.parquet")))
+    assert n_store_files < n_files

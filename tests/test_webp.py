@@ -91,7 +91,7 @@ def test_twin_roundtrip():
     for w, h in ((1, 1), (7, 5), (16, 9), (31, 2), (64, 64)):
         rgb = bytes((i * 7 + 3) % 256 for i in range(w * h * 3))
         blob = WP.encode_webp_lossless(w, h, rgb)
-        d = WP.decode_webp(blob)
+        d = WP.decode_webp_py(blob)
         assert (d["kind"], d["width"], d["height"]) == ("image", w, h)
         assert d["data"] == rgb
 
@@ -162,9 +162,10 @@ def test_decode_real_libwebp_streams(mode):
         rgb = _rgb(mode, w, h, mode)
         rgba = b"".join(rgb[3 * i : 3 * i + 3] + b"\xff" for i in range(w * h))
         blob = ref_encode(rgba, w, h)
-        d = WP.decode_webp(blob)
+        d = WP.decode_webp_py(blob)
         assert (d["width"], d["height"]) == (w, h), (mode, w, h)
         assert d["data"] == rgb, (mode, w, h)
+        assert WP.decode_webp(blob) == d  # dispatching entry agrees
 
 
 @needs_ref
@@ -189,7 +190,7 @@ def test_decode_fuzz_vs_reference():
         rgb = _rgb(f"f{trial}", w, h, ("noise", "palette", "gradient", "repeats")[trial % 4])
         rgba = b"".join(rgb[3 * i : 3 * i + 3] + b"\xff" for i in range(w * h))
         blob = ref_encode(rgba, w, h)
-        got = WP.decode_webp(blob)
+        got = WP.decode_webp_py(blob)
         assert got["data"] == rgb, trial
 
 
@@ -201,10 +202,21 @@ def test_decode_payload_dispatch():
     assert d["kind"] == "image" and d["data"] == rgb
 
 
+def test_native_decode_dispatch_parity(monkeypatch):
+    """decode_webp (libwebp when loadable) == decode_webp_py on twin
+    and real streams, and CORRIE_NATIVE_CODECS=off forces the pure
+    path through the dispatching entry."""
+    rgb = _rgb("dsp", 11, 8, "gradient")
+    blob = WP.encode_webp_lossless(11, 8, rgb)
+    assert WP.decode_webp(blob) == WP.decode_webp_py(blob)
+    monkeypatch.setenv("CORRIE_NATIVE_CODECS", "off")
+    assert WP.decode_webp(blob)["data"] == rgb
+
+
 def test_native_encoder_arm_matches_twin():
     rgb = _rgb("arm", 9, 6, "repeats")
-    twin = WP.decode_webp(WP.encode_webp_lossless(9, 6, rgb))["data"]
+    twin = WP.decode_webp_py(WP.encode_webp_lossless(9, 6, rgb))["data"]
     native = WP.encode_webp_native(9, 6, rgb)
     if native is None:
         pytest.skip("no libwebp")
-    assert WP.decode_webp(native)["data"] == twin == rgb
+    assert WP.decode_webp_py(native)["data"] == twin == rgb

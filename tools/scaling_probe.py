@@ -163,6 +163,9 @@ FAMILIES = [
     ("warc_zstd", "q_warc_zstd"),
     ("flac_codec", "q_multimodal_flac"),
     ("wiki_dump", "q_wiki_ingest"),
+    # round-13: .warc.xz (stdlib-lzma stream walk) and VP8L decode
+    ("warc_xz", "q_warc_xz"),
+    ("webp_vp8l", "q_multimodal_webp"),
 ]
 
 
