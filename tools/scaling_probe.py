@@ -171,6 +171,10 @@ FAMILIES = [
 
 def main() -> int:
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:  # optional comma-separated family filter
+        only = set(sys.argv[2].split(","))
+        global FAMILIES
+        FAMILIES = [f for f in FAMILIES if f[0] in only]
 
     from corrie_spark.queries.registry import all_queries
     from corrie_spark.session import get_spark
