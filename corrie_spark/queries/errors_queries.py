@@ -133,6 +133,25 @@ def _wds_blob(i: int) -> bytes:
     return bytes(shard)
 
 
+def _warc_xz_blob(i: int) -> bytes:
+    import lzma
+
+    from corrie_spark.sources import warc as W
+
+    members = [
+        W.warcinfo_record(f"x-{i}.warc.xz"),
+        W.request_record(i),
+        W.response_record(100 + (i % 3), "xz page body text"),
+    ]
+    comp = [lzma.compress(m, format=lzma.FORMAT_XZ, preset=1) for m in members]
+    if i % 2 == 0:  # corrupt the middle stream -> resync gap -> bad-framing
+        bad = bytearray(b"".join(comp))
+        bad[len(comp[0]) + 20] ^= 0xFF
+        return bytes(bad)
+    # trailing bytes that never became a stream -> xz-tail -> truncated
+    return b"".join(comp) + b"#trailing bytes, not an xz stream#"
+
+
 def _wiki_blob(i: int) -> bytes:
     from corrie_spark.sources import wikipedia as Wk
 
@@ -154,6 +173,7 @@ _BUILDERS = {
     "office": _office_blob,
     "wds": _wds_blob,
     "wiki": _wiki_blob,
+    "warc_xz": _warc_xz_blob,
 }
 
 
@@ -209,6 +229,10 @@ all_rows AS (
   SELECT 'wiki',
     CASE i % 2 WHEN 0 THEN 'bad-framing' ELSE 'truncated' END
   FROM ids
+  UNION ALL
+  SELECT 'warc_xz',
+    CASE i % 2 WHEN 0 THEN 'bad-framing' ELSE 'truncated' END
+  FROM ids
 )
 SELECT source, error_kind, CAST(COUNT(*) AS BIGINT) AS n
 FROM all_rows GROUP BY source, error_kind
@@ -218,7 +242,7 @@ FROM all_rows GROUP BY source, error_kind
 @register(
     "q_error_kinds",
     oracle=_ERROR_KINDS_ORACLE,
-    python_stages="six fixture-build + reader Arrow stages (one per source)",
+    python_stages="seven fixture-build + reader Arrow stages (one per source)",
 )
 def q_error_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DLQ dashboard query: every ingestion reader's poison rows,
@@ -245,6 +269,9 @@ def q_error_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.warc_records(_files(spark, "warc"))
         .where(F.col("warc_type") == W.ERROR_TYPE)
         .select(F.lit("warc").alias("source"), "error_kind"),
+        W.warc_records(_files(spark, "warc_xz"))
+        .where(F.col("warc_type") == W.ERROR_TYPE)
+        .select(F.lit("warc_xz").alias("source"), "error_kind"),
         O.office_records(_files(spark, "office"))
         .where(F.col("error").isNotNull())
         .select(F.lit("office").alias("source"), "error_kind"),

@@ -458,3 +458,30 @@ def test_sharded_xz_corrupt_stream_sentinel(spark, tmp_path):
     assert len(errs) >= 1
     assert errs[0].error_kind in ("bad-framing", "truncated")
     assert len(good) >= len(members) - 2
+
+
+def test_cdx_offsets_xz_range_request_roundtrip(spark, tmp_path):
+    """The CDX contract extends to .warc.xz: [warc_offset,
+    +warc_rec_length) slices one .xz stream; decompressing it replays
+    the indexed record."""
+    import lzma
+
+    docs = [(i, f"cdx xz doc {i} body") for i in range(10)]
+    p = os.path.join(str(tmp_path), "p.warc.xz")
+    with open(p, "wb") as f:
+        f.write(W.build_warc_xz("p.warc.xz", docs))
+    recs = W.read_warc(spark, p)
+    cdx = W.cdx_index(recs).collect()
+    assert cdx
+    for row in cdx:
+        path = row.warc_file.removeprefix("file:")
+        with open(path, "rb") as f:
+            f.seek(row.warc_offset)
+            comp = f.read(row.warc_rec_length)
+        (rec,) = list(W.parse_warc(lzma.decompress(comp, format=lzma.FORMAT_XZ)))
+        rid = (
+            rec["headers"]["warc-record-id"]
+            .strip("<>")
+            .removeprefix("urn:uuid:")
+        )
+        assert rid == row.record_id
