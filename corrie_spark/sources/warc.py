@@ -446,9 +446,9 @@ def decode_http_body(
     applies them in reverse. Returns (payload, applied_codings,
     textual_ok): textual_ok=False means an unknown content coding was
     left in place, so the charset sniff must not run on those bytes.
-    gzip/deflate/zstd/br all decode (zstd via the from-spec RFC 8878
-    reader, br via the from-spec RFC 7932 reader — the former
-    "brotli seam" is closed).
+    gzip/deflate/zstd/br/xz/lzma all decode (zstd via decode_frame's
+    native-or-from-spec dispatch, br via brotli.decompress's same
+    dispatch, xz/lzma via stdlib lzma).
     Corrupt framing raises HttpBodyError (callers emit an _error
     row)."""
     applied: list[str] = []
