@@ -99,10 +99,13 @@ def screen_batch(
         decided.write.mode("append").parquet(decisions_dir)
         # extend the store with this batch's fresh fps only: one
         # row per NEW fingerprint, so the store stays |distinct
-        # fps|-sized however big the stream gets
-        decided.filter(F.col("status") == "fresh").select("fp").write.mode(
-            "append"
-        ).parquet(store_dir)
+        # fps|-sized however big the stream gets. coalesce(1): the
+        # per-batch fresh set is metadata-sized, and writing one
+        # part file per shuffle partition (up to 32) per micro-batch
+        # IS the small-files growth term at its source
+        decided.filter(F.col("status") == "fresh").select("fp").coalesce(
+            1
+        ).write.mode("append").parquet(store_dir)
         decided.unpersist()
     finally:
         nf.unpersist()
@@ -290,9 +293,9 @@ def start_media_dedup_stream(
                 .persist()
             )
             decided.write.mode("append").parquet(decisions_dir)
-            decided.filter(F.col("status") == "fresh").select("dhash").distinct().write.mode(
-                "append"
-            ).parquet(store_dir)
+            decided.filter(F.col("status") == "fresh").select(
+                "dhash"
+            ).distinct().coalesce(1).write.mode("append").parquet(store_dir)
             decided.unpersist()
         finally:
             hashes.unpersist()

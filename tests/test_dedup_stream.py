@@ -420,5 +420,11 @@ def test_compact_every_in_stream_preserves_decisions(spark, tmp_path):
     fa = sorted(r.fp for r in spark.read.parquet(str(tmp_path / "a" / "store")).distinct().collect())
     fb = sorted(r.fp for r in spark.read.parquet(str(tmp_path / "b" / "store")).distinct().collect())
     assert fa == fb
-    n_store_files = len(glob.glob(os.path.join(str(tmp_path / "a" / "store"), "*.parquet")))
-    assert n_store_files < n_files
+    # file-count bound relative to the UNCOMPACTED control (absolute
+    # thresholds are partition-count-sensitive: the in-suite flake)
+    files_a = len(glob.glob(os.path.join(str(tmp_path / "a" / "store"), "*.parquet")))
+    files_b = len(glob.glob(os.path.join(str(tmp_path / "b" / "store"), "*.parquet")))
+    assert files_a < files_b
+    # with the per-batch coalesce(1) append, post-compaction residue
+    # is the compacted file plus at most compact_every appends
+    assert files_a <= 3
