@@ -730,6 +730,34 @@ def encode_webp_lossless(width: int, height: int, rgb: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
+_ENC_LIB: list = []  # memoized [handle-or-None]; loaded once per process
+
+
+def _enc_lib():
+    if _ENC_LIB:
+        return _ENC_LIB[0]
+    import ctypes
+    import ctypes.util
+
+    lib = None
+    name = ctypes.util.find_library("webp")
+    if name:
+        try:
+            lib = ctypes.CDLL(name)
+            lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+            lib.WebPEncodeLosslessRGBA.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_void_p),
+            ]
+        except (OSError, AttributeError):
+            lib = None
+    _ENC_LIB.append(lib)
+    return lib
+
+
 def encode_webp_native(width: int, height: int, rgb: bytes) -> bytes | None:
     """Real-encoder fixture arm: libwebp's lossless encoder via ctypes
     when loadable (returns None otherwise — callers fall back to the
@@ -738,22 +766,9 @@ def encode_webp_native(width: int, height: int, rgb: bytes) -> bytes | None:
     through this arm puts the decoder's heavy paths under the
     closed-form oracle, not just under the differential tests."""
     import ctypes
-    import ctypes.util
 
-    name = ctypes.util.find_library("webp")
-    if not name:
-        return None
-    try:
-        lib = ctypes.CDLL(name)
-        lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
-        lib.WebPEncodeLosslessRGBA.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_void_p),
-        ]
-    except (OSError, AttributeError):
+    lib = _enc_lib()
+    if lib is None:
         return None
     rgba = bytearray()
     for i in range(width * height):
