@@ -409,8 +409,14 @@ def avro_records(
     _block_offset long, _error boolean, _error_kind string` this
     reader prepends — an unreadable block emits ONE row with
     _error=true, a taxonomy kind, and null fields: the observable-
-    data-loss marker). One Arrow stage; bytes stay executor-local and
-    never shuffle."""
+    data-loss marker). Kind stance: header-level failures classify by
+    message (bad magic -> bad-container, declared-unknown codec ->
+    unsupported-codec, cut inside the header -> truncated);
+    BLOCK-level corruption uniformly reports `bad-framing`, including
+    a block cut at EOF — the walk cannot distinguish a truncated tail
+    from a corrupt member without trusting the very length field that
+    failed, so it does not guess. One Arrow stage; bytes stay
+    executor-local and never shuffle."""
     import pandas as pd
 
     from corrie_spark.errors import classify_error

@@ -492,3 +492,54 @@ def webp_decode_rgba(payload: bytes) -> tuple[int, int, bytes] | None:
         return w.value, h.value, ctypes.string_at(p, w.value * h.value * 4)
     finally:
         lib.WebPFree(p)
+
+
+_brotli_enc_lib = None
+_brotli_enc_tried = False
+
+
+def brotli_compress(data: bytes, quality: int = 5) -> bytes | None:
+    """Real-encoder fixture arm: libbrotlienc when loadable (None
+    otherwise — callers fall back to the uncompressed-metablock
+    writer twin). Real streams carry compressed metablocks, context
+    modeling and dictionary references, so routing half the br-coded
+    fixture bodies through this arm keeps the heavy decode paths
+    under the closed-form oracles, mirroring the zstd/webp arms."""
+    global _brotli_enc_lib, _brotli_enc_tried
+    if _mode() == "off":
+        return None
+    if not _brotli_enc_tried:
+        _brotli_enc_tried = True
+        common = ctypes.util.find_library("brotlicommon")
+        enc = ctypes.util.find_library("brotlienc")
+        if enc:
+            try:
+                if common:
+                    ctypes.CDLL(common, mode=ctypes.RTLD_GLOBAL)
+                lib = ctypes.CDLL(enc)
+                lib.BrotliEncoderCompress.argtypes = [
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_size_t,
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_size_t),
+                    ctypes.c_char_p,
+                ]
+                lib.BrotliEncoderCompress.restype = ctypes.c_int
+                _brotli_enc_lib = lib
+            except OSError:
+                _brotli_enc_lib = None
+    lib = _brotli_enc_lib
+    if lib is None:
+        return None
+    if not isinstance(data, bytes):
+        data = bytes(data)
+    n = ctypes.c_size_t(len(data) + 1024 + len(data) // 2)
+    buf = ctypes.create_string_buffer(n.value)
+    ok = lib.BrotliEncoderCompress(
+        quality, 22, 0, len(data), data, ctypes.byref(n), buf
+    )
+    if not ok:
+        return None
+    return buf[: n.value]

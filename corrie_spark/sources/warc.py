@@ -907,8 +907,15 @@ def response_record(doc_id: int, text: str, dup: int = 0, html: bool = False) ->
     enc = doc_id % ENC_MOD
     if enc == 0 and doc_id % BR_MOD == 5:
         from corrie_spark.sources.brotli import encode_uncompressed
+        from corrie_spark.sources.native import brotli_compress
 
-        body = encode_uncompressed(body)
+        # doc_id % 4 routes half the br bodies through the REAL
+        # libbrotlienc when loadable (compressed metablocks, context
+        # modeling, dictionary refs under the same oracle); the
+        # uncompressed-metablock twin covers the rest and every
+        # environment without the library
+        comp = brotli_compress(body, quality=5) if doc_id % 4 == 1 else None
+        body = comp if comp is not None else encode_uncompressed(body)
         head += f"Content-Encoding: br\r\nContent-Length: {len(body)}\r\n"
     elif enc == 0 and doc_id % XZ_MOD == 10:
         body = lzma.compress(body, format=lzma.FORMAT_XZ, filters=_XZ_FIXTURE_FILTERS)

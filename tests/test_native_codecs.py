@@ -243,3 +243,29 @@ def test_brotli_parity_poison_and_budget():
 def test_native_versions_shape():
     v = N.native_versions()
     assert set(v) == {"zstd", "brotli"}
+
+
+def test_brotli_compress_fixture_arm_parity():
+    """The libbrotlienc fixture arm's streams decode identically on
+    both decode paths (and actually compress)."""
+    data = _corpus("bc", 8000)
+    c = N.brotli_compress(data, quality=5)
+    if c is None:
+        pytest.skip("no libbrotlienc")
+    assert len(c) < len(data)
+    assert brotli_decompress_py(c) == data
+    if N.brotli_enabled():
+        assert N.brotli_decompress(c) == data
+
+
+def test_zstd_compress_fixture_arm_parity():
+    """The libzstd fixture arm's frames decode identically on both
+    decode paths (and actually compress)."""
+    data = _corpus("zc", 8000)
+    c = N.zstd_compress(data, level=3)
+    if c is None:
+        pytest.skip("no libzstd")
+    assert len(c) < len(data)
+    assert Z.decode_frame_py(c, 0, None) == (data, len(c))
+    if N.zstd_enabled():
+        assert N.zstd_decode_frame(c, 0, None) == (data, len(c))
