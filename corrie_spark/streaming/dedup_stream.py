@@ -190,6 +190,7 @@ def start_media_dedup_stream(
     commit_log_dir: str,
     max_dist: int = 2,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Streaming IMAGE dedup: the multimodal twin of the fingerprint
     screen, composing the real codecs (BMP/PNG/GIF/JPEG/... behind
@@ -300,6 +301,10 @@ def start_media_dedup_stream(
         finally:
             hashes.unpersist()
         commit_log.commit(batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from corrie_spark.streaming.store import compact_store
+
+            compact_store(batch_df.sparkSession, store_dir)
 
     writer = (
         media.writeStream.foreachBatch(handle)

@@ -428,3 +428,64 @@ def test_compact_every_in_stream_preserves_decisions(spark, tmp_path):
     # with the per-batch coalesce(1) append, post-compaction residue
     # is the compacted file plus at most compact_every appends
     assert files_a <= 3
+
+
+def test_media_stream_compact_every(spark, tmp_path):
+    """compact_every on the MEDIA dedup stream: same decisions as the
+    uncompacted control, fewer store files."""
+    import glob
+    import os
+    import struct
+
+    from corrie_spark.streaming.dedup_stream import start_media_dedup_stream
+
+    def media_files(root):
+        src = os.path.join(str(root), "src")
+        os.makedirs(src, exist_ok=True)
+        import json as _json
+        import time as _time
+
+        t0 = int(_time.time()) - 10_000
+        for b in range(6):
+            p = os.path.join(src, f"{b:04d}.json")
+            with open(p, "w") as f:
+                for k in range(4):
+                    mid = b * 4 + k
+                    w, h = 8, 8
+                    payload = b"IMGFAKE" + struct.pack("<ii", w, h) + bytes(
+                        (mid % 3) * 40 for _ in range(w * h)
+                    )
+                    f.write(_json.dumps({
+                        "media_id": mid,
+                        "media_type": "fake/image",
+                        "payload": payload.hex(),
+                    }) + "\n")
+            os.utime(p, (t0 + b, t0 + b))
+        raw = (
+            spark.readStream.schema("media_id long, media_type string, payload string")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        return raw.select(
+            "media_id", "media_type", F.unhex("payload").alias("payload")
+        )
+
+    outs = {}
+    for name, ce in (("a", 2), ("b", None)):
+        q = start_media_dedup_stream(
+            media_files(tmp_path / name),
+            str(tmp_path / name / "store"),
+            str(tmp_path / name / "dec"),
+            str(tmp_path / name / "ck"),
+            str(tmp_path / name / "cm"),
+            compact_every=ce,
+        )
+        q.awaitTermination(180)
+        outs[name] = {
+            (r.media_id, r.status)
+            for r in spark.read.parquet(str(tmp_path / name / "dec")).collect()
+        }
+    assert outs["a"] == outs["b"] and len(outs["a"]) == 24
+    fa = len(glob.glob(os.path.join(str(tmp_path / "a" / "store"), "*.parquet")))
+    fb = len(glob.glob(os.path.join(str(tmp_path / "b" / "store"), "*.parquet")))
+    assert fa < fb
