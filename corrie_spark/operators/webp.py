@@ -20,11 +20,12 @@ operators/multimodal.py: {"kind": "image", "width", "height",
 PNG path).
 
 Scale shape: runs inside the existing mapInPandas image stages —
-per-payload local work, bytes never shuffle. Fixture images are
-record-sized; bulk real-world WebP decode would dispatch to libwebp
-the way sources/native.py does for zstd/brotli (seam, not wired —
-crawl image payloads route through feature extraction at fixture
-scale here).
+per-payload local work, bytes never shuffle. Bulk decode IS wired to
+libwebp: `decode_webp` dispatches the VP8L pixel path through
+`sources/native.py` (policy env CORRIE_NATIVE_CODECS) when the
+library loads, with this from-spec decoder as the always-available
+fallback and differential twin — see `decode_webp` below and
+tests/test_webp.py's native==pure parity cases.
 """
 
 from __future__ import annotations

@@ -118,10 +118,14 @@ WITH toks AS (
   FROM documents
 ),
 lost AS (
+  -- the MIN branch is wrapped so an empty group 11 yields zero rows,
+  -- not a single NULL (NOT IN vs NULL would empty surv entirely)
   SELECT doc_id FROM documents WHERE doc_id % {_WIKI_GRP_MOD} = 4
   UNION ALL
-  SELECT MIN(doc_id) AS doc_id FROM documents
-  WHERE doc_id % {_WIKI_GRP_MOD} = 11
+  SELECT doc_id FROM (
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    WHERE doc_id % {_WIKI_GRP_MOD} = 11
+  ) WHERE doc_id IS NOT NULL
 ),
 surv AS (
   SELECT doc_id,

@@ -218,7 +218,16 @@ def zstd_decode_frame(
 
     # frame-header DID parse in python (an extra FFI round trip per
     # record-sized frame is measurable); truncation raises the
-    # growable type
+    # growable type. Magic checks FIRST, mirroring decode_frame_py's
+    # order — garbage near a range tail must raise ZstdError (resync),
+    # not ZstdTruncated (grow), or the sharded scanner re-reads the
+    # tail before resyncing.
+    if n < 4:
+        raise ZstdTruncated("truncated magic")
+    from corrie_spark.sources.zstd import ZSTD_MAGIC
+
+    if data[pos : pos + 4] != ZSTD_MAGIC:
+        raise ZstdError("bad magic")
     if n < 5:
         raise ZstdTruncated("truncated frame header")
     fhd = data[pos + 4]

@@ -621,10 +621,19 @@ def warc_records(
                 data = bytes(blob) if blob is not None else b""
                 base = int(base)
                 if has_span_len and not data and int(span_len) > 0:
+                    # sentinel blobs are empty so the container can't
+                    # be sniffed — derive it from the path so .warc.xz
+                    # / .warc.zst shards aren't mislabeled as gzip
+                    # (classify_error maps all three to bad-framing)
+                    pl = str(path).lower()
+                    if pl.endswith(".xz"):
+                        why = "x-error/xz-range"
+                    elif pl.endswith((".zst", ".zstd")):
+                        why = "x-error/zstd-range"
+                    else:
+                        why = "x-error/gzip-range"
                     out.append(
-                        _error_row(
-                            path, 0, base, int(span_len), "x-error/gzip-range"
-                        )
+                        _error_row(path, 0, base, int(span_len), why)
                     )
                     continue
                 idx = 0

@@ -16,8 +16,9 @@ point-in-time snapshot:
 
   1. snapshot the *.parquet files present NOW;
   2. read exactly those files, dropDuplicates, write ONE part file
-     to a temp dir, fsync-rename it INTO the store (same-directory
-     rename is atomic on POSIX);
+     to a temp dir, fsync it, rename it INTO the store, fsync the
+     store directory (rename within one filesystem is atomic on
+     POSIX; the fsyncs make it durable across power loss);
   3. delete the snapshot inputs.
 
 Any reader listing the directory between 2 and 3 sees some values
@@ -28,6 +29,15 @@ value; re-running compact converges. This is the same
 publish-then-retire order TxnTable's manifest swap encodes, reduced
 to the filesystem because the value algebra makes the manifest
 unnecessary.
+
+Reader discipline: the union contract covers duplicate VALUES, not a
+list-then-read race — an external reader that listed the directory
+before step 3 and opens a retired file after it gets
+FileNotFoundException. The stores' own consumers are safe because
+compaction runs from the stream's foreachBatch thread (reads of the
+store and compaction are serialized per micro-batch); any
+out-of-band reader of a live store must set
+``spark.sql.files.ignoreMissingFiles=true`` or read a quiesced copy.
 """
 
 from __future__ import annotations
@@ -79,11 +89,22 @@ def _compact_files(spark, store_dir: str, inputs: list[str]) -> dict:
         ]
         assert len(parts) == 1, parts
         rows = spark.read.parquet(parts[0]).count()
-        # publish BEFORE retiring: rename the compacted file into the
-        # store (atomic), then delete the snapshot inputs — any
+        # publish BEFORE retiring: fsync the compacted file, rename
+        # it into the store (atomic), fsync the store dir so the new
+        # entry is durable, then delete the snapshot inputs — any
         # point-in-time listing holds every value at least once
+        fd = os.open(parts[0], os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         dest = os.path.join(store_dir, f"compact-{uuid.uuid4().hex}.parquet")
         os.rename(parts[0], dest)
+        dfd = os.open(store_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         for p in inputs:
             try:
                 os.remove(p)

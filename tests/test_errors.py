@@ -38,6 +38,8 @@ def test_classifier_over_reader_vocabulary():
         # warc splitter reasons
         "x-error/gzip": "bad-framing",
         "x-error/gzip-range": "bad-framing",
+        "x-error/zstd-range": "bad-framing",
+        "x-error/xz-range": "bad-framing",
         "x-error/gzip-tail": "truncated",
         "x-error/http-body:bad chunk size b'zz'": "bad-framing",
         "x-error/ValueError": "bad-container",

@@ -268,6 +268,14 @@ def test_sharded_zst_corrupt_frame_sentinel(spark, tmp_path):
     assert len(resp) == 12 + sum(1 for i, _ in docs if i % W.DUP_MOD == 0)
     assert len(errs) >= 1
     assert all(r.error_kind in ("bad-framing", "bad-container") for r in errs)
+    # the sentinel reason names the ACTUAL container (round-13 advice:
+    # .warc.zst spans were mislabeled x-error/gzip-range)
+    range_errs = [
+        r for r in errs if r.http_content_type.endswith("-range")
+    ]
+    assert all(
+        r.http_content_type == "x-error/zstd-range" for r in range_errs
+    )
 
 
 def test_sharded_zst_with_dictionary(spark, tmp_path):
