@@ -623,10 +623,52 @@ def _decode_progressive(payload: bytes) -> dict:
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Decode a baseline/extended-sequential huffman JPEG. Returns
-    {"kind": "image", "width", "height", "channels": 1|3,
-     "data": bytes}  (gray stream or RGB triples, top-down — the same
-    shape the PNG/PPM decoders hand back)."""
+    """Dispatching entry: decode a JPEG to {"kind": "image", "width",
+    "height", "channels": 1|3, "data": bytes} (gray stream or RGB
+    triples, top-down — the same shape the PNG/PPM decoders return).
+
+    The pixel path goes to the system libjpeg through the compiled
+    error-capturing shim (sources/native_image.py; policy env
+    CORRIE_NATIVE_CODECS) when buildable — color conversion and
+    chroma upsampling stay HERE (the shim returns gray samples or
+    replicated-upsampled interleaved YCbCr) so the codec's exact
+    double-precision JFIF arithmetic applies on both paths. On the
+    DC-only fixture class every oracle gate uses, native == pure
+    bit-exact (tests/test_native_image.py); on AC-bearing blocks
+    libjpeg's scaled-integer IDCT may differ from the from-spec
+    float IDCT by 1 LSB per component (T.81 conformance is
+    tolerance-based — there is no bit-exact cross-decoder ground
+    truth). Any native failure falls back to decode_jpeg_py, which
+    raises the house-typed error the DLQ accounting keys on."""
+    from corrie_spark.sources import native_image as NI
+
+    if NI.image_shim_enabled():
+        try:
+            w, h, ch, raw = NI.jpeg_decode_native(payload)
+        except NI.NativeImageError:
+            return decode_jpeg_py(payload)
+        if ch == 1:
+            return {
+                "kind": "image", "width": w, "height": h,
+                "channels": 1, "data": raw,
+            }
+        ycc = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        rgb = ycbcr_to_rgb(
+            ycc[..., 0].astype(np.float64),
+            ycc[..., 1].astype(np.float64),
+            ycc[..., 2].astype(np.float64),
+        )
+        return {
+            "kind": "image", "width": w, "height": h,
+            "channels": 3, "data": rgb.tobytes(),
+        }
+    return decode_jpeg_py(payload)
+
+
+def decode_jpeg_py(payload: bytes) -> dict:
+    """From-spec decoder (baseline/extended-sequential/progressive
+    huffman): the always-available fallback and the native path's
+    differential twin. Returns the decode_jpeg contract dict."""
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     pos = 2

@@ -359,6 +359,27 @@ def encode_png(
 
 
 def _decode_png(payload: bytes) -> dict:
+    """Dispatching entry: PNG pixel decode goes to the system libpng
+    through the compiled error-capturing shim (sources/
+    native_image.py, policy env CORRIE_NATIVE_CODECS) when buildable.
+    PNG is lossless, so native == pure BIT-EXACT across the whole
+    supported envelope (gray/RGB/palette/alpha-strip/Adam7 — pinned
+    by tests/test_native_image.py); the shim mirrors the pure
+    decoder's strictness (every chunk CRC fatal, 8-bit only). Any
+    native failure falls back to _decode_png_py for the house-typed
+    error."""
+    from corrie_spark.sources import native_image as NI
+
+    if NI.image_shim_enabled():
+        try:
+            w, h, ch, raw = NI.png_decode_native(payload)
+        except NI.NativeImageError:
+            return _decode_png_py(payload)
+        return {"kind": "image", "width": w, "height": h, "data": raw}
+    return _decode_png_py(payload)
+
+
+def _decode_png_py(payload: bytes) -> dict:
     """REAL codec: PNG (RFC 2083 / ISO 15948) — implemented from the
     public spec with stdlib zlib + numpy only, closing half the
     compressed-media seam natively (round-7 verdict #1). Supported:

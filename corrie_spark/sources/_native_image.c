@@ -1,0 +1,280 @@
+/* corrie_spark native image-codec shim: a thin, error-capturing C
+ * wrapper around the system libjpeg / libpng, compiled lazily by
+ * sources/native_image.py (gcc is probed at runtime; absence of a
+ * compiler or the headers simply disables the fast path — the
+ * from-spec pure-python decoders in operators/jpeg.py and
+ * operators/multimodal.py remain the always-available fallback and
+ * the differential twins).
+ *
+ * Why a compiled shim instead of pure ctypes (the zstd/brotli
+ * pattern): libjpeg's error contract is an `error_exit` callback
+ * that MUST NOT return — the library state is undefined if it does,
+ * and the default handler calls exit(). A ctypes callback cannot
+ * longjmp (setjmp needs a live C frame), so poison input would
+ * either kill the Python worker or run libjpeg past a fatal error.
+ * The shim owns the setjmp/longjmp pair, so every libjpeg/libpng
+ * fatal error surfaces as an ordinary return code + message, and the
+ * Python caller falls back to the pure decoder (which raises the
+ * house-typed error the DLQ accounting keys on).
+ *
+ * Return codes (shared by both decoders):
+ *   0  decoded; *w/*h/*channels and out[0..*need) valid
+ *   1  outside the pure decoders' support envelope — the caller
+ *      falls back SILENTLY so native-on vs native-off environments
+ *      agree on which inputs decode
+ *   2  decode error (message in err); caller falls back to pure,
+ *      which raises the typed error
+ *   3  out buffer too small; *need holds the required size
+ *
+ * Determinism stance (documented in SCALE.md and the callers):
+ * JPEG decode has no bit-exact cross-decoder ground truth — ITU-T
+ * T.81 Annex A conformance is tolerance-based, and libjpeg's scaled
+ * integer IDCT differs from the from-spec float IDCT by <=1 LSB on
+ * AC-bearing blocks. On the DC-only fixture class every oracle gate
+ * uses, the two agree bit-exactly (pinned by tests). Color
+ * conversion and chroma upsampling are kept OUT of libjpeg
+ * (JCS_YCbCr output + do_fancy_upsampling=FALSE) so the Python side
+ * applies the codec's exact double-precision YCbCr->RGB and
+ * pixel-replication rules, which removes those two divergence
+ * sources entirely.  PNG is lossless: native == pure bit-exact on
+ * the full supported envelope.
+ */
+
+#include <setjmp.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include <jpeglib.h>
+#include <png.h>
+
+#define SHIM_VERSION "1"
+
+const char *corrie_image_shim_version(void) { return SHIM_VERSION; }
+
+static void set_err(char *err, int32_t errcap, const char *msg) {
+    if (err && errcap > 0) {
+        strncpy(err, msg, (size_t)errcap - 1);
+        err[errcap - 1] = '\0';
+    }
+}
+
+/* ----------------------------------------------------------------- jpeg -- */
+
+struct cj_err_mgr {
+    struct jpeg_error_mgr pub;
+    jmp_buf jb;
+    char msg[JMSG_LENGTH_MAX];
+};
+
+static void cj_error_exit(j_common_ptr cinfo) {
+    struct cj_err_mgr *e = (struct cj_err_mgr *)cinfo->err;
+    (*cinfo->err->format_message)(cinfo, e->msg);
+    longjmp(e->jb, 1);
+}
+
+static void cj_output_message(j_common_ptr cinfo) { (void)cinfo; }
+
+int corrie_jpeg_decode(const uint8_t *buf, size_t len, uint8_t *out,
+                       size_t cap, size_t *need, int32_t *w, int32_t *h,
+                       int32_t *ch, char *err, int32_t errcap) {
+    struct jpeg_decompress_struct ci;
+    struct cj_err_mgr jerr;
+    int i, hmax, vmax;
+
+    memset(&ci, 0, sizeof(ci));
+    ci.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = cj_error_exit;
+    jerr.pub.output_message = cj_output_message;
+    jerr.msg[0] = '\0';
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&ci);
+        set_err(err, errcap, jerr.msg);
+        return 2;
+    }
+    jpeg_create_decompress(&ci);
+    jpeg_mem_src(&ci, (const unsigned char *)buf, (unsigned long)len);
+    jpeg_read_header(&ci, TRUE);
+
+    /* pure-envelope gate: operators/jpeg.py decodes 8-bit huffman
+     * 1- or 3-component frames with integer chroma ratios; anything
+     * else must take the pure path so the DLQ verdict is identical
+     * in native-on and native-off environments */
+    if (ci.data_precision != 8 ||
+        (ci.num_components != 1 && ci.num_components != 3) ||
+        ci.arith_code) {
+        jpeg_destroy_decompress(&ci);
+        return 1;
+    }
+    hmax = vmax = 1;
+    for (i = 0; i < ci.num_components; i++) {
+        if (ci.comp_info[i].h_samp_factor > hmax)
+            hmax = ci.comp_info[i].h_samp_factor;
+        if (ci.comp_info[i].v_samp_factor > vmax)
+            vmax = ci.comp_info[i].v_samp_factor;
+    }
+    for (i = 0; i < ci.num_components; i++) {
+        if (hmax % ci.comp_info[i].h_samp_factor ||
+            vmax % ci.comp_info[i].v_samp_factor) {
+            jpeg_destroy_decompress(&ci);
+            return 1;
+        }
+    }
+
+    /* keep color conversion and upsampling rules on the Python side:
+     * gray stays gray; color comes out as replicated-upsampled
+     * interleaved YCbCr for the caller's exact double-precision
+     * JFIF conversion */
+    ci.out_color_space =
+        ci.num_components == 1 ? JCS_GRAYSCALE : JCS_YCbCr;
+    ci.do_fancy_upsampling = FALSE;
+    ci.dct_method = JDCT_ISLOW;
+    jpeg_start_decompress(&ci);
+
+    *w = (int32_t)ci.output_width;
+    *h = (int32_t)ci.output_height;
+    *ch = (int32_t)ci.output_components;
+    *need = (size_t)ci.output_width * ci.output_height *
+            (size_t)ci.output_components;
+    if (cap < *need) {
+        jpeg_destroy_decompress(&ci);
+        return 3;
+    }
+    {
+        size_t stride = (size_t)ci.output_width * ci.output_components;
+        while (ci.output_scanline < ci.output_height) {
+            JSAMPROW row = (JSAMPROW)(out + stride * ci.output_scanline);
+            jpeg_read_scanlines(&ci, &row, 1);
+        }
+    }
+    jpeg_finish_decompress(&ci);
+    /* the pure decoder RAISES on corrupt entropy data; libjpeg warns
+     * and zero-pads — treat any warning as a decode failure so both
+     * environments DLQ the same inputs */
+    if (ci.err->num_warnings > 0) {
+        jpeg_destroy_decompress(&ci);
+        set_err(err, errcap, "corrupt JPEG data (decode warnings)");
+        return 2;
+    }
+    jpeg_destroy_decompress(&ci);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ png -- */
+
+struct cp_read {
+    const uint8_t *data;
+    size_t len, pos;
+};
+
+struct cp_err {
+    jmp_buf jb;
+    char msg[256];
+};
+
+static void cp_error_fn(png_structp p, png_const_charp msg) {
+    struct cp_err *e = (struct cp_err *)png_get_error_ptr(p);
+    strncpy(e->msg, msg, sizeof(e->msg) - 1);
+    e->msg[sizeof(e->msg) - 1] = '\0';
+    longjmp(e->jb, 1);
+}
+
+static void cp_warn_fn(png_structp p, png_const_charp msg) {
+    (void)p;
+    (void)msg;
+}
+
+static void cp_read_fn(png_structp p, png_bytep out, png_size_t n) {
+    struct cp_read *r = (struct cp_read *)png_get_io_ptr(p);
+    if (r->pos + n > r->len)
+        png_error(p, "truncated PNG stream");
+    memcpy(out, r->data + r->pos, n);
+    r->pos += n;
+}
+
+int corrie_png_decode(const uint8_t *buf, size_t len, uint8_t *out,
+                      size_t cap, size_t *need, int32_t *w, int32_t *h,
+                      int32_t *ch, char *err, int32_t errcap) {
+    png_structp png = NULL;
+    png_infop info = NULL;
+    struct cp_read rd = {buf, len, 0};
+    struct cp_err es;
+    png_uint_32 iw, ih, y;
+    int depth, color, passes;
+    size_t rowbytes;
+    png_bytep *volatile rows_heap = NULL; /* freed on the longjmp path */
+
+    es.msg[0] = '\0';
+    png = png_create_read_struct(PNG_LIBPNG_VER_STRING, &es, cp_error_fn,
+                                 cp_warn_fn);
+    if (!png) {
+        set_err(err, errcap, "png_create_read_struct failed");
+        return 2;
+    }
+    info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_read_struct(&png, NULL, NULL);
+        set_err(err, errcap, "png_create_info_struct failed");
+        return 2;
+    }
+    if (setjmp(es.jb)) {
+        free((void *)rows_heap);
+        png_destroy_read_struct(&png, &info, NULL);
+        set_err(err, errcap, es.msg);
+        return 2;
+    }
+    png_set_read_fn(png, &rd, cp_read_fn);
+    /* the pure decoder verifies EVERY chunk CRC — make ancillary CRC
+     * failures fatal here too so the poison verdicts agree */
+    png_set_crc_action(png, PNG_CRC_ERROR_QUIT, PNG_CRC_ERROR_QUIT);
+    png_read_info(png, info);
+    png_get_IHDR(png, info, &iw, &ih, &depth, &color, NULL, NULL, NULL);
+    if (depth != 8) { /* pure envelope: 8-bit only */
+        png_destroy_read_struct(&png, &info, NULL);
+        return 1;
+    }
+    if (color == PNG_COLOR_TYPE_PALETTE)
+        png_set_palette_to_rgb(png);
+    /* the pure decoder ignores tRNS (no alpha synthesis) and strips
+     * any true alpha channel after unfiltering */
+    if (color & PNG_COLOR_MASK_ALPHA ||
+        png_get_valid(png, info, PNG_INFO_tRNS))
+        png_set_strip_alpha(png);
+    passes = png_set_interlace_handling(png);
+    (void)passes;
+    png_read_update_info(png, info);
+    rowbytes = png_get_rowbytes(png, info);
+    *w = (int32_t)iw;
+    *h = (int32_t)ih;
+    *ch = (int32_t)(rowbytes / iw);
+    *need = rowbytes * ih;
+    if (cap < *need) {
+        png_destroy_read_struct(&png, &info, NULL);
+        return 3;
+    }
+    {
+        /* interlaced images need all rows addressable per pass, so
+         * png_read_image takes a full row-pointer table; small images
+         * use the stack, tall ones a heap table freed on both paths */
+        png_bytep stack_rows[512];
+        png_bytep *rows = stack_rows;
+        if (ih > 512) {
+            rows_heap = (png_bytep *)malloc(ih * sizeof(png_bytep));
+            if (!rows_heap) {
+                png_destroy_read_struct(&png, &info, NULL);
+                set_err(err, errcap, "row table allocation failed");
+                return 2;
+            }
+            rows = rows_heap;
+        }
+        for (y = 0; y < ih; y++)
+            rows[y] = (png_bytep)(out + rowbytes * y);
+        png_read_image(png, rows);
+        free((void *)rows_heap);
+        rows_heap = NULL;
+    }
+    png_read_end(png, NULL);
+    png_destroy_read_struct(&png, &info, NULL);
+    return 0;
+}

@@ -1,0 +1,190 @@
+"""Native image-codec shim (sources/native_image.py + _native_image.c):
+per-fixture-class parity between the libjpeg/libpng dispatch and the
+from-spec pure decoders, the round-13 verdict's ask #1.
+
+Parity contract being pinned:
+- JPEG, DC-only class (what every oracle-gated fixture uses):
+  BIT-EXACT, gray and 4:2:0 color, all five fixture qualities,
+  baseline AND progressive.
+- JPEG, AC-bearing class: libjpeg's scaled-integer IDCT is allowed
+  1 LSB per YCbCr component vs the from-spec float IDCT (T.81
+  conformance is tolerance-based); after the shared double-precision
+  RGB conversion that bounds RGB divergence at 2.
+- PNG (lossless): BIT-EXACT everywhere — gray/RGB/alpha-strip/
+  palette, every filter type, Adam7 interlace.
+- Poison: the dispatcher falls back to the pure decoder, so error
+  TYPES AND MESSAGES are always the pure decoder's (DLQ parity by
+  construction).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from corrie_spark.operators import jpeg as J
+from corrie_spark.operators import multimodal as M
+from corrie_spark.sources import native_image as NI
+
+pytestmark = pytest.mark.skipif(
+    not NI.image_shim_enabled(),
+    reason="native image shim not buildable in this environment",
+)
+
+QUALITIES = (40, 55, 70, 85, 100)
+
+
+def _dc_gray(seed: int) -> np.ndarray:
+    img = np.zeros((16, 24), dtype=np.uint8)
+    for b in range(6):
+        r, c = divmod(b, 3)
+        img[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (seed * 11 + b * 37) % 256
+    return img
+
+
+def _dc_color(seed: int) -> np.ndarray:
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    for t in range(2):
+        img[:, t * 16 : t * 16 + 16] = [
+            (seed * 13 + t * 29) % 256,
+            (seed * 17 + t * 41) % 256,
+            (seed * 19 + t * 53) % 256,
+        ]
+    return img
+
+
+def test_jpeg_dc_only_bit_exact_all_qualities():
+    """The oracle fixture class: native must equal pure byte-for-byte
+    or the driver's correctness gates would depend on the env."""
+    for q in QUALITIES:
+        for enc in (J.encode_jpeg_baseline, J.encode_jpeg_progressive):
+            p = enc(_dc_gray(q), quality=q)
+            assert J.decode_jpeg(p) == J.decode_jpeg_py(p), (q, enc)
+            p = enc(_dc_color(q), quality=q, subsampling=(2, 2))
+            assert J.decode_jpeg(p) == J.decode_jpeg_py(p), (q, enc)
+
+
+def test_jpeg_dc_only_444_bit_exact():
+    for q in (40, 100):
+        p = J.encode_jpeg_baseline(_dc_color(q), quality=q, subsampling=(1, 1))
+        assert J.decode_jpeg(p) == J.decode_jpeg_py(p)
+
+
+def test_jpeg_ac_parity_within_one_lsb():
+    rng = np.random.RandomState(7)
+    for q in (40, 85):
+        p = J.encode_jpeg_baseline(
+            rng.randint(0, 256, (24, 40), dtype=np.uint8), quality=q
+        )
+        a = np.frombuffer(J.decode_jpeg(p)["data"], dtype=np.uint8)
+        b = np.frombuffer(J.decode_jpeg_py(p)["data"], dtype=np.uint8)
+        assert a.shape == b.shape
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 1, q
+        p = J.encode_jpeg_baseline(
+            rng.randint(0, 256, (24, 40, 3), dtype=np.uint8), quality=q
+        )
+        a = np.frombuffer(J.decode_jpeg(p)["data"], dtype=np.uint8)
+        b = np.frombuffer(J.decode_jpeg_py(p)["data"], dtype=np.uint8)
+        # RGB conversion amplifies a 1-LSB luma/chroma step by <= 1.772
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 2, q
+
+
+def test_jpeg_poison_raises_pure_typed_errors():
+    rng = np.random.RandomState(9)
+    good = J.encode_jpeg_baseline(
+        rng.randint(0, 256, (16, 16), dtype=np.uint8), quality=70
+    )
+    for bad in (good[: len(good) // 2], b"\x12\x34" * 100, b"\x00\x01"):
+        with pytest.raises(ValueError) as ei_d:
+            J.decode_jpeg(bad)
+        with pytest.raises(ValueError) as ei_p:
+            J.decode_jpeg_py(bad)
+        # the fallback design makes the dispatcher surface the PURE
+        # decoder's message — DLQ reasons are env-independent
+        assert str(ei_d.value) == str(ei_p.value)
+
+
+def test_jpeg_corrupt_entropy_matches_pure_verdict():
+    """libjpeg only WARNS on corrupt entropy data; the shim turns
+    warnings into errors and the dispatcher re-runs pure — so the
+    final verdict (decode vs raise, and the exact pixels when pure
+    decodes) is always the pure decoder's."""
+    rng = np.random.RandomState(5)
+    good = J.encode_jpeg_baseline(
+        rng.randint(0, 256, (16, 16), dtype=np.uint8), quality=70
+    )
+    bad = good[:-10] + bytes([good[-10] ^ 0xFF]) + good[-9:]
+    try:
+        want = J.decode_jpeg_py(bad)
+    except ValueError as e:
+        with pytest.raises(ValueError) as ei:
+            J.decode_jpeg(bad)
+        assert str(ei.value) == str(e)
+    else:
+        assert J.decode_jpeg(bad) == want
+
+
+def test_png_bit_exact_full_envelope():
+    rng = np.random.RandomState(3)
+    for ct, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for interlace in (False, True):
+            w, h = 13, 9
+            px = rng.randint(0, 256, w * h * nch, dtype=np.uint8).tobytes()
+            filters = None if interlace else [i % 5 for i in range(h)]
+            p = M.encode_png(
+                w, h, px, color_type=ct, filters=filters, interlace=interlace
+            )
+            assert M._decode_png(p) == M._decode_png_py(p), (ct, interlace)
+
+
+def test_png_palette_bit_exact():
+    rng = np.random.RandomState(4)
+    pal = rng.randint(0, 256, 3 * 16, dtype=np.uint8).tobytes()
+    idx = rng.randint(0, 16, 13 * 9, dtype=np.uint8).tobytes()
+    p = M.encode_png(13, 9, idx, color_type=3, palette=pal)
+    assert M._decode_png(p) == M._decode_png_py(p)
+
+
+def test_png_poison_raises_pure_typed_errors():
+    rng = np.random.RandomState(6)
+    good = M.encode_png(8, 8, rng.randint(0, 256, 64, dtype=np.uint8).tobytes())
+    bad_crc = bytearray(good)
+    bad_crc[30] ^= 0xFF
+    for bad in (bytes(bad_crc), good[:40], b"\x00" * 64, b"GIF89a"):
+        with pytest.raises(ValueError) as ei_d:
+            M._decode_png(bad)
+        with pytest.raises(ValueError) as ei_p:
+            M._decode_png_py(bad)
+        assert str(ei_d.value) == str(ei_p.value)
+
+
+def test_decode_payload_routes_through_dispatch():
+    """End-to-end through the media seam both dispatchers sit behind."""
+    q = 70
+    p = J.encode_jpeg_baseline(_dc_gray(q), quality=q)
+    assert M.decode_payload("image/jpeg", p) == J.decode_jpeg_py(p)
+    rng = np.random.RandomState(8)
+    png = M.encode_png(8, 8, rng.randint(0, 256, 64, dtype=np.uint8).tobytes())
+    assert M.decode_payload("image/png", png) == M._decode_png_py(png)
+
+
+def test_off_mode_uses_pure(monkeypatch):
+    monkeypatch.setenv("CORRIE_NATIVE_CODECS", "off")
+    assert not NI.image_shim_enabled()
+    q = 55
+    p = J.encode_jpeg_baseline(_dc_gray(q), quality=q)
+    assert J.decode_jpeg(p) == J.decode_jpeg_py(p)
+
+
+def test_require_mode_passes_when_buildable(monkeypatch):
+    monkeypatch.setenv("CORRIE_NATIVE_CODECS", "require")
+    assert NI.image_shim_enabled()
+
+
+def test_shim_cached_on_disk():
+    path = NI.shim_path()
+    assert path is not None and os.path.exists(path)
+    # sha-keyed name: editing the C source invalidates cleanly
+    assert "corrie_native_image-" in os.path.basename(path)
