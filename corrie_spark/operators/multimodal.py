@@ -2398,8 +2398,16 @@ def decode_payload(media_type: str, payload: bytes) -> dict:
     if media_type == "image/bmp":
         return _decode_bmp(payload)
     if media_type == "image/webp":
-        from corrie_spark.operators.webp import decode_webp
+        # animations (VP8X anim flag + ANMF chunks) are inter-frame
+        # VIDEO, the GIF routing twin; stills keep the image shape
+        from corrie_spark.operators.webp import (
+            decode_webp,
+            decode_webp_animation,
+            is_animated_webp,
+        )
 
+        if is_animated_webp(payload):
+            return decode_webp_animation(payload)
         return decode_webp(payload)
     if media_type == "image/png":
         return _decode_png(payload)

@@ -10,9 +10,13 @@ Decoder coverage: the full VP8L feature set — all four transforms
 (predictor / color / subtract-green / color-indexing incl. pixel
 bundling), color cache, meta prefix codes (the "huffman image"),
 simple and normal prefix codes with the code-length code, LZ77
-backward references through the 120-entry 2D distance map. Lossy VP8
-and animations stay the documented external seam (ValueError ->
-poison row upstream, same stance as exotic PNG variants).
+backward references through the 120-entry 2D distance map — plus the
+extended container's ANIMATION walk (VP8X/ANIM/ANMF: frame metadata,
+durations, loop count, background-dispose compositing of VP8L
+sub-frames onto the canvas, the GIF89a-path twin). Lossy VP8 pixel
+decode (still or animation frame) stays the documented external seam
+(ValueError -> poison row upstream, same stance as exotic PNG
+variants).
 
 Output contract matches the sibling decoders in
 operators/multimodal.py: {"kind": "image", "width", "height",
@@ -32,7 +36,15 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["decode_webp", "decode_webp_py", "encode_webp_lossless", "WebpError"]
+__all__ = [
+    "decode_webp",
+    "decode_webp_py",
+    "decode_webp_animation",
+    "encode_webp_lossless",
+    "encode_webp_animation",
+    "is_animated_webp",
+    "WebpError",
+]
 
 
 class WebpError(ValueError):
@@ -695,9 +707,9 @@ def _write_flat8_code(bw: _BitWriter) -> None:
         left -= take
 
 
-def encode_webp_lossless(width: int, height: int, rgb: bytes) -> bytes:
-    """Writer twin: one VP8L stream, literal pixels under flat 8-bit
-    codes, alpha 255. `rgb` is width*height RGB triples."""
+def _vp8l_chunk(width: int, height: int, rgb: bytes) -> bytes:
+    """The writer twin's VP8L chunk (fourcc + size + body + pad) —
+    shared by the still-image wrapper and the ANMF frame embedder."""
     if len(rgb) != width * height * 3:
         raise ValueError("pixel buffer does not match width*height*3")
     if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
@@ -728,7 +740,198 @@ def encode_webp_lossless(width: int, height: int, rgb: bytes) -> bytes:
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) & 1:
         chunk += b"\x00"
+    return chunk
+
+
+def encode_webp_lossless(width: int, height: int, rgb: bytes) -> bytes:
+    """Writer twin: one VP8L stream, literal pixels under flat 8-bit
+    codes, alpha 255. `rgb` is width*height RGB triples."""
+    chunk = _vp8l_chunk(width, height, rgb)
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# --------------------------------------------------------------------------
+# animation: the extended container's ANIM/ANMF chunk walk (the
+# round-13 verdict's ask #2). Frame METADATA + VP8L sub-frame decode
+# + canvas compositing are deterministic pure python, exactly like
+# the GIF89a animation path in operators/multimodal.py; lossy VP8
+# pixel decode inside a frame stays the documented external seam.
+# Layouts from the public "WebP Container Specification": VP8X
+# (flags byte bit 1 = animation, canvas w-1/h-1 as 24-bit LE), ANIM
+# (background color in [B,G,R,A] byte order + u16 loop count), ANMF
+# (x/2, y/2, w-1, h-1, duration ms as 24-bit LE, flags byte with
+# blending=bit1 / disposal=bit0, then the frame's image chunks).
+# --------------------------------------------------------------------------
+
+
+def _u24(v: int) -> bytes:
+    return struct.pack("<I", v)[:3]
+
+
+def _r24(data: bytes, off: int) -> int:
+    return data[off] | (data[off + 1] << 8) | (data[off + 2] << 16)
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    return (
+        fourcc + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def encode_webp_animation(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list,
+    bg_rgb: tuple = (255, 255, 255),
+    loop_count: int = 0,
+) -> bytes:
+    """Writer twin: animated WebP. `frames` is a list of
+    (x, y, fw, fh, rgb_bytes, duration_ms, dispose_to_bg) — x and y
+    must be even (the container stores them divided by 2). Frames are
+    written no-blend (opaque VP8L sub-frames make blend/no-blend
+    composite identically anyway)."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    vp8x = bytes([0x02]) + b"\x00\x00\x00" + _u24(canvas_w - 1) + _u24(canvas_h - 1)
+    r, g, b = bg_rgb
+    anim = bytes([b, g, r, 255]) + struct.pack("<H", loop_count)
+    chunks = [_riff_chunk(b"VP8X", vp8x), _riff_chunk(b"ANIM", anim)]
+    for x, y, fw, fh, rgb_f, dur, dispose in frames:
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        if x + fw > canvas_w or y + fh > canvas_h:
+            raise ValueError("frame rect outside canvas")
+        hdr = (
+            _u24(x // 2) + _u24(y // 2) + _u24(fw - 1) + _u24(fh - 1)
+            + _u24(int(dur)) + bytes([(1 << 1) | (1 if dispose else 0)])
+        )
+        chunks.append(_riff_chunk(b"ANMF", hdr + _vp8l_chunk(fw, fh, rgb_f)))
+    payload = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def is_animated_webp(payload: bytes) -> bool:
+    """Cheap top-level routing probe (the GIF image-block-count
+    twin): VP8X animation flag set AND an ANMF chunk present."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return False
+    pos = 12
+    flagged = False
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if fourcc == b"VP8X" and size >= 1:
+            flagged = bool(payload[pos + 8] & 0x02)
+        elif fourcc == b"ANMF":
+            return flagged
+        pos += 8 + size + (size & 1)
+    return False
+
+
+def decode_webp_animation(payload: bytes) -> dict:
+    """Animated WebP -> the video decoder contract (full canvas RGB
+    snapshots, top-down, one per frame — the same shape the GIF89a /
+    AVI / MP4 paths emit, so frame_stats / video fingerprints / the
+    media dedup screens consume animations unchanged), plus
+    `durations_ms` and `loop_count` from the container. Compositing
+    per spec: paint the frame rect at (x, y) — sub-frames here are
+    opaque VP8L so blend and no-blend coincide — snapshot, then
+    disposal 1 restores the rect to the ANIM background color.
+    Each sub-frame's VP8L chunk decodes through decode_webp (so the
+    native libwebp dispatch applies per frame); lossy VP8 sub-frames
+    raise the documented-seam error."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise WebpError("not a WebP file")
+    pos = 12
+    canvas_w = canvas_h = None
+    bg = (255, 255, 255)
+    loop_count = 0
+    saw_anim = False
+    frames: list[tuple] = []
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise WebpError("truncated WebP chunk")
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise WebpError("short VP8X chunk")
+            if not body[0] & 0x02:
+                raise WebpError("VP8X animation flag not set")
+            canvas_w = _r24(body, 4) + 1
+            canvas_h = _r24(body, 7) + 1
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise WebpError("short ANIM chunk")
+            bg = (body[2], body[1], body[0])  # stored B,G,R,A
+            (loop_count,) = struct.unpack_from("<H", body, 4)
+            saw_anim = True
+        elif fourcc == b"ANMF":
+            if size < 16:
+                raise WebpError("short ANMF chunk")
+            fx = _r24(body, 0) * 2
+            fy = _r24(body, 3) * 2
+            fw = _r24(body, 6) + 1
+            fh = _r24(body, 9) + 1
+            dur = _r24(body, 12)
+            flags = body[15]
+            frames.append((fx, fy, fw, fh, dur, flags, body[16:]))
+        pos += 8 + size + (size & 1)
+    if canvas_w is None or not saw_anim:
+        raise WebpError("animated WebP missing VP8X/ANIM chunk")
+    if not frames:
+        raise WebpError("animated WebP has no ANMF frames")
+
+    import numpy as np
+
+    canvas = np.empty((canvas_h, canvas_w, 3), dtype=np.uint8)
+    canvas[:] = bg
+    snaps: list[bytes] = []
+    durations: list[int] = []
+    for fx, fy, fw, fh, dur, flags, sub in frames:
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise WebpError("ANMF frame rect outside canvas")
+        # frame image chunks: find the VP8L (skipping ALPH etc.);
+        # re-wrap it as a standalone RIFF so the still-image
+        # dispatcher (native libwebp when loadable) decodes it
+        spos = 0
+        vp8l = None
+        while spos + 8 <= len(sub):
+            sc = sub[spos : spos + 4]
+            (ssize,) = struct.unpack_from("<I", sub, spos + 4)
+            if sc == b"VP8L":
+                vp8l = sub[spos : spos + 8 + ssize + (ssize & 1)]
+                break
+            if sc == b"VP8 ":
+                raise WebpError(
+                    "lossy VP8 animation frame not decoded natively "
+                    "(external seam)"
+                )
+            spos += 8 + ssize + (ssize & 1)
+        if vp8l is None:
+            raise WebpError("ANMF frame has no VP8L chunk")
+        still = b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+        d = decode_webp(still)
+        if d["width"] != fw or d["height"] != fh:
+            raise WebpError("ANMF frame dims disagree with VP8L stream")
+        rect = np.frombuffer(d["data"], dtype=np.uint8).reshape(fh, fw, 3)
+        canvas[fy : fy + fh, fx : fx + fw] = rect
+        snaps.append(canvas.tobytes())
+        durations.append(dur)
+        if flags & 1:  # disposal: restore rect to background color
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+    return {
+        "kind": "video",
+        "n_frames": len(snaps),
+        "frame_size": canvas_w * canvas_h * 3,
+        "width": canvas_w,
+        "height": canvas_h,
+        "data": b"".join(snaps),
+        "durations_ms": durations,
+        "loop_count": loop_count,
+    }
 
 
 _ENC_LIB: list = []  # memoized [handle-or-None]; loaded once per process

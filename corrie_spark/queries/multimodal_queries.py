@@ -2096,3 +2096,116 @@ def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_pixel",
         "ok",
     )
+
+
+# --- animated WebP (ANIM/ANMF container walk) through the oracle gate ------
+
+_WA_G0 = "((doc_id * 13 + 7) % 256)"  # ANIM background gray
+
+
+def _wa_v(j: str) -> str:
+    """Gray painted by ANMF frame j (4x4 rect at x = 4*j)."""
+    return f"((doc_id * 17 + ({j}) * 29 + 11) % 256)"
+
+
+_WEBPA_ORACLE = f"""
+SELECT doc_id AS media_id, f.f AS frame_idx,
+  CAST(20 + 10 * ((doc_id + f.f) % 5) AS BIGINT) AS duration_ms,
+  CAST(192 AS BIGINT) AS frame_bytes,
+  CAST(3 * (16 * list_sum(list_transform(range(0, f.f + 1), j -> {_wa_v('j')}))
+       + (64 - 16 * (f.f + 1)) * {_WA_G0}) AS DOUBLE) / 192 AS mean_val,
+  CAST(CASE WHEN f.f < 3 THEN least({_WA_G0},
+            list_min(list_transform(range(0, f.f + 1), j -> {_wa_v('j')})))
+       ELSE list_min(list_transform(range(0, 4), j -> {_wa_v('j')}))
+       END AS BIGINT) AS min_val,
+  CAST(CASE WHEN f.f < 3 THEN greatest({_WA_G0},
+            list_max(list_transform(range(0, f.f + 1), j -> {_wa_v('j')})))
+       ELSE list_max(list_transform(range(0, 4), j -> {_wa_v('j')}))
+       END AS BIGINT) AS max_val,
+  CAST(doc_id % 4 AS BIGINT) AS loop_count
+FROM documents, (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS f) f
+"""
+
+
+@register(
+    "q_multimodal_webp_frames",
+    oracle=_WEBPA_ORACLE,
+    python_stages="mapInPandas animated-WebP build + ANMF walk + composite",
+)
+def q_multimodal_webp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated WebP (the round-13 verdict's ask #2) through the
+    oracle gate, in the q_multimodal_gif_frames mold: per-doc
+    extended-container animations — VP8X (anim flag, canvas dims),
+    ANIM (background color, loop count doc_id % 4), four ANMF frames
+    each painting a 4x4 VP8L rect at x = 4*f onto the 16x4 canvas
+    with a closed-form per-frame duration. The decoder walks the
+    chunk grammar, decodes each VP8L sub-frame through the
+    still-image dispatcher (native libwebp when loadable), composites
+    under the background-dispose state machine, and emits per-frame
+    canvas stats + container metadata in ONE Arrow stage. The oracle
+    replays composition, durations, and loop count in closed form
+    (frame 3 covers the last background pixels, so min/max drop the
+    background term exactly there). Lossy VP8 sub-frame pixels stay
+    the documented external seam."""
+    import numpy as np
+    import pandas as pd
+
+    from corrie_spark.operators import webp as WP
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g0 = (did * 13 + 7) % 256
+                frames = []
+                for f in range(4):
+                    v = (did * 17 + f * 29 + 11) % 256
+                    frames.append(
+                        (4 * f, 0, 4, 4, bytes([v] * 48),
+                         20 + 10 * ((did + f) % 5), 0)
+                    )
+                payload = WP.encode_webp_animation(
+                    16, 4, frames, bg_rgb=(g0, g0, g0), loop_count=did % 4
+                )
+                d = WP.decode_webp_animation(payload)
+                fs = d["frame_size"]
+                arr = np.frombuffer(d["data"], dtype=np.uint8).reshape(
+                    d["n_frames"], fs
+                )
+                for k in range(d["n_frames"]):
+                    fr = arr[k]
+                    out.append(
+                        {
+                            "media_id": did,
+                            "frame_idx": k,
+                            "duration_ms": d["durations_ms"][k],
+                            "frame_bytes": fs,
+                            "mean_val": float(
+                                fr.sum(dtype=np.int64) / fr.size
+                            ),
+                            "min_val": int(fr.min()),
+                            "max_val": int(fr.max()),
+                            "loop_count": d["loop_count"],
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "duration_ms", "frame_bytes",
+                    "mean_val", "min_val", "max_val", "loop_count",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, frame_idx long, duration_ms long, "
+        "frame_bytes long, mean_val double, min_val long, "
+        "max_val long, loop_count long",
+    )

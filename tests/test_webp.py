@@ -220,3 +220,115 @@ def test_native_encoder_arm_matches_twin():
     if native is None:
         pytest.skip("no libwebp")
     assert WP.decode_webp_py(native)["data"] == twin == rgb
+
+
+# --- animation (ANIM/ANMF chunk walk) --------------------------------------
+
+
+def test_animation_roundtrip_composite():
+    """Writer twin -> decoder: frame rects composite onto the
+    background canvas; durations and loop count survive the walk."""
+    import numpy as np
+
+    frames = [
+        (4 * f, 0, 4, 4, bytes([40 + 50 * f] * 48), 30 + f, 0)
+        for f in range(3)
+    ]
+    p = WP.encode_webp_animation(12, 4, frames, bg_rgb=(7, 7, 7), loop_count=5)
+    assert WP.is_animated_webp(p)
+    d = WP.decode_webp_animation(p)
+    assert d["kind"] == "video"
+    assert d["n_frames"] == 3
+    assert d["frame_size"] == 12 * 4 * 3
+    assert d["durations_ms"] == [30, 31, 32]
+    assert d["loop_count"] == 5
+    arr = np.frombuffer(d["data"], dtype=np.uint8).reshape(3, 4, 12, 3)
+    # frame 0: rect 0 painted, rest background
+    assert (arr[0, :, :4] == 40).all() and (arr[0, :, 4:] == 7).all()
+    # frame 2: all three rects painted (accumulating, no dispose)
+    assert (arr[2, :, :4] == 40).all()
+    assert (arr[2, :, 4:8] == 90).all()
+    assert (arr[2, :, 8:] == 140).all()
+
+
+def test_animation_dispose_to_background():
+    import numpy as np
+
+    frames = [
+        (0, 0, 4, 4, bytes([10] * 48), 20, 1),  # dispose after snapshot
+        (4, 0, 4, 4, bytes([200] * 48), 20, 0),
+    ]
+    p = WP.encode_webp_animation(8, 4, frames, bg_rgb=(50, 50, 50))
+    d = WP.decode_webp_animation(p)
+    arr = np.frombuffer(d["data"], dtype=np.uint8).reshape(2, 4, 8, 3)
+    assert (arr[0, :, :4] == 10).all()
+    # frame 1 snapshot: rect 0 restored to background, rect 1 painted
+    assert (arr[1, :, :4] == 50).all() and (arr[1, :, 4:] == 200).all()
+
+
+def test_animation_container_layout_hand_pinned():
+    """The chunk grammar restated BYTE-BY-BYTE from the public
+    container spec, independently of the writer: VP8X flags bit 1,
+    24-bit LE canvas w-1/h-1; ANIM background in [B,G,R,A] order +
+    u16 loop; ANMF x/2, y/2, w-1, h-1, duration, flags byte."""
+    p = WP.encode_webp_animation(
+        300, 200,
+        [(2, 4, 5, 3, bytes([9] * 45), 0x01020A, 1)],
+        bg_rgb=(0x11, 0x22, 0x33),
+        loop_count=0x0405,
+    )
+    assert p[:4] == b"RIFF" and p[8:12] == b"WEBP"
+    assert p[12:16] == b"VP8X"
+    vp8x = p[20:30]
+    assert vp8x[0] == 0x02  # animation flag only
+    assert vp8x[4:7] == (300 - 1).to_bytes(3, "little")
+    assert vp8x[7:10] == (200 - 1).to_bytes(3, "little")
+    assert p[30:34] == b"ANIM"
+    anim = p[38:44]
+    assert anim[:4] == bytes([0x33, 0x22, 0x11, 0xFF])  # B,G,R,A
+    assert anim[4:6] == (0x0405).to_bytes(2, "little")
+    assert p[44:48] == b"ANMF"
+    anmf = p[52:68]
+    assert anmf[0:3] == (1).to_bytes(3, "little")   # x/2
+    assert anmf[3:6] == (2).to_bytes(3, "little")   # y/2
+    assert anmf[6:9] == (4).to_bytes(3, "little")   # w-1
+    assert anmf[9:12] == (2).to_bytes(3, "little")  # h-1
+    assert anmf[12:15] == (0x01020A).to_bytes(3, "little")
+    assert anmf[15] == (1 << 1) | 1  # no-blend + dispose
+
+
+def test_animation_poison():
+    good = WP.encode_webp_animation(
+        8, 4, [(0, 0, 4, 4, bytes([1] * 48), 10, 0)]
+    )
+    # lossy VP8 sub-frame -> documented seam error
+    lossy = good.replace(b"VP8L", b"VP8 ")
+    with pytest.raises(WP.WebpError, match="lossy VP8"):
+        WP.decode_webp_animation(lossy)
+    # frame rect outside the canvas
+    bad = bytearray(good)
+    off = bad.index(b"ANMF") + 8
+    bad[off : off + 3] = (40).to_bytes(3, "little")  # x = 80 > canvas
+    with pytest.raises(WP.WebpError, match="outside canvas"):
+        WP.decode_webp_animation(bytes(bad))
+    # missing ANIM chunk
+    no_anim = good[:30] + good[44:]
+    with pytest.raises(WP.WebpError, match="missing VP8X/ANIM"):
+        WP.decode_webp_animation(no_anim)
+    # stills are not animations: both the probe and decode agree
+    still = WP.encode_webp_lossless(4, 4, bytes(48))
+    assert not WP.is_animated_webp(still)
+    with pytest.raises(WP.WebpError):
+        WP.decode_webp_animation(still)
+
+
+def test_animation_routes_as_video_via_decode_payload():
+    from corrie_spark.operators.multimodal import decode_payload
+
+    p = WP.encode_webp_animation(
+        8, 4, [(0, 0, 4, 4, bytes([1] * 48), 10, 0)] * 2
+    )
+    d = decode_payload("image/webp", p)
+    assert d["kind"] == "video" and d["n_frames"] == 2
+    still = WP.encode_webp_lossless(4, 4, bytes(48))
+    assert decode_payload("image/webp", still)["kind"] == "image"
