@@ -1831,6 +1831,7 @@ def start_polite_warc_dedup_stream(
     budget_s: float = 10.0,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
     """The politeness-aware streaming crawl ingest: the batch
     q_warc_robots_pipeline composition (queries/web_queries.py) run
@@ -1864,7 +1865,12 @@ def start_polite_warc_dedup_stream(
     100 TB shape: the robots store and rule table are per-host
     metadata (broadcast-sized); each batch pays the same joins the
     batch pipeline pays, on batch-sized frames; crawl bytes never
-    re-shuffle."""
+    re-shuffle. `compact_every=N` folds the robots store AND the
+    dedup fingerprint store back to one part file every N batches
+    (streaming/store.py publish-then-retire swap — safe for the
+    robots store because the anti-join keeps hosts unique, so the
+    store is value-idempotent by host), closing the third store
+    named by streaming/store.py's listing-cost note."""
     import os
 
     from pyspark.sql import functions as F
@@ -1929,6 +1935,11 @@ def start_polite_warc_dedup_stream(
         finally:
             records.unpersist()
         commit_log.commit(batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from corrie_spark.streaming.store import compact_store
+
+            compact_store(sp, robots_dir)
+            compact_store(sp, store_dir)
 
     recs = read_warc_stream(
         spark, crawl_dir, max_files_per_trigger=max_files_per_trigger

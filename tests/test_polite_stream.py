@@ -158,3 +158,51 @@ def test_single_batch_caps_equal_batch_operator(spark, tmp_path):
     # the Crawl-delay actually bit: even hosts advertise delay 4 under
     # a 10s budget -> cap 2
     assert any(c == 2 for _, _, c, _, _ in got)
+
+
+def test_compacted_robots_store_identical_verdicts(spark, tmp_path):
+    """compact_every on the polite stream (round-13 verdict ask #3):
+    the robots + fingerprint stores fold to one part file each, file
+    counts drop, and verdicts/decisions are IDENTICAL to an
+    uncompacted control — compaction is value-identity."""
+    import glob
+
+    crawl = _build_crawl(tmp_path)
+    work_c = str(tmp_path / "work_compact")
+    work_u = str(tmp_path / "work_plain")
+    for work, every in ((work_c, 1), (work_u, None)):
+        q = Wc.start_polite_warc_dedup_stream(
+            spark, crawl, work, max_files_per_trigger=1, compact_every=every
+        )
+        q.awaitTermination(180)
+
+    def snap(work):
+        verdicts = {
+            (r.doc_id, r.allowed)
+            for r in spark.read.parquet(
+                os.path.join(work, "verdicts")
+            ).collect()
+        }
+        decisions = {
+            (r.doc_id, r.status)
+            for r in spark.read.parquet(
+                os.path.join(work, "decisions")
+            ).collect()
+        }
+        robots = {
+            (r.host, r.robots_txt)
+            for r in spark.read.parquet(
+                os.path.join(work, "robots")
+            ).collect()
+        }
+        return verdicts, decisions, robots
+
+    assert snap(work_c) == snap(work_u)
+    n_files = lambda w, d: len(
+        glob.glob(os.path.join(w, d, "*.parquet"))
+    )
+    # 3 files -> 3 batches -> per-batch appends; the compacted run's
+    # stores end smaller than the control's, robots at exactly one
+    assert n_files(work_c, "robots") == 1
+    assert n_files(work_c, "robots") < n_files(work_u, "robots")
+    assert n_files(work_c, "store") < n_files(work_u, "store")
