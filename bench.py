@@ -138,6 +138,20 @@ def main() -> None:
         from corrie_spark.queries.pdf_queries import _shared_pdf_records
 
         _shared_pdf_records(spark, sf_dir)  # PDF fixture build + parse
+        from corrie_spark.queries.avro_queries import _shared_avro_corpus_rows
+        from corrie_spark.queries.errors_queries import _shared_error_rows
+        from corrie_spark.queries.office_queries import (
+            _shared_office_corpus_rows,
+        )
+        from corrie_spark.queries.wiki_queries import _shared_wiki_corpus_rows
+
+        # corpus-gate fixture builds (round-13 verdict ask #4): the
+        # poison-reader arms run once untimed; timed reps measure the
+        # closed-form aggregates
+        _shared_error_rows(spark, sf_dir)
+        _shared_avro_corpus_rows(spark, sf_dir)
+        _shared_office_corpus_rows(spark, sf_dir)
+        _shared_wiki_corpus_rows(spark, sf_dir)
         for _q in ("q_text_bpe_merges", "q_text_bpe_subword"):
             queries[_q](spark, sf_dir).collect()
     except Exception as e:

@@ -419,22 +419,13 @@ SELECT good.*, errs.* FROM good, errs
 """
 
 
-@register(
-    "q_office_corpus",
-    oracle=_OFFICE_CORPUS_ORACLE,
-    python_stages="mapInPandas office build (kind-routed corruption) + parse",
-)
-def q_office_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level office ingestion accounting, DLQ PINNED BY KIND
-    (the q_pdf_corpus pattern extended to this source): doc_id % 29
-    routes {5, 12, 19} through deterministic corruption rules — EOCD
-    cut, deflate bit-flip, MS-DOC encryption bit — and the oracle
-    replays good-doc counts/chars AND per-error_kind counts
-    closed-form, so one dashboard query per source pins both the
-    extraction totals and the taxonomy. One Arrow build+parse stage,
-    one aggregate to a single row."""
+def _shared_office_corpus_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_office_corpus's fixture build + parse, memoized per session
+    and projected to the aggregate's inputs (the _shared_records
+    pattern, round-13 verdict ask #4) — bit-identical, pure caching."""
     import pandas as pd
 
+    from corrie_spark.queries.dedup_queries import _memo
     from corrie_spark.sources import doc as D
 
     docs = load(spark, sf_dir, "documents")
@@ -467,7 +458,35 @@ def q_office_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(build, "path string, content binary")
     )
-    recs = O.office_records(files)
+
+    def memo_build() -> DataFrame:
+        recs = (
+            O.office_records(files)
+            .select("error", "error_kind", F.length("text").alias("_n_chars"))
+            .persist()
+        )
+        recs.count()
+        return recs
+
+    return _memo(spark, sf_dir, "office_corpus_rows", memo_build)
+
+
+@register(
+    "q_office_corpus",
+    oracle=_OFFICE_CORPUS_ORACLE,
+    python_stages="mapInPandas office build (kind-routed corruption) + parse",
+)
+def q_office_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level office ingestion accounting, DLQ PINNED BY KIND
+    (the q_pdf_corpus pattern extended to this source): doc_id % 29
+    routes {5, 12, 19} through deterministic corruption rules — EOCD
+    cut, deflate bit-flip, MS-DOC encryption bit — and the oracle
+    replays good-doc counts/chars AND per-error_kind counts
+    closed-form, so one dashboard query per source pins both the
+    extraction totals and the taxonomy. One Arrow build+parse stage
+    (session-memoized via _shared_office_corpus_rows), one aggregate
+    to a single row."""
+    recs = _shared_office_corpus_rows(spark, sf_dir)
     good = F.col("error").isNull()
     kind_agg = [
         F.sum((F.col("error_kind") == k).cast("long")).alias(
@@ -477,6 +496,6 @@ def q_office_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return recs.agg(
         F.sum(good.cast("long")).alias("n_docs"),
-        F.sum(F.when(good, F.length("text"))).alias("total_chars"),
+        F.sum(F.when(good, F.col("_n_chars"))).alias("total_chars"),
         *kind_agg,
     )

@@ -155,21 +155,14 @@ SELECT good.*, errs.* FROM good, errs
 """
 
 
-@register(
-    "q_wiki_corpus",
-    oracle=_WIKI_CORPUS_ORACLE,
-    python_stages="applyInPandas dump build (kind-routed corruption) + page scan",
-)
-def q_wiki_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level Wikipedia-dump ingestion accounting, DLQ PINNED BY
-    KIND (q_pdf_corpus pattern, round-13 ask #6): 24 fixture dumps,
-    group 4 truncated whole-file, group 11's first page stream
-    bit-flipped — the oracle replays surviving page/redirect counts,
-    total clean-text chars AND the per-kind DLQ rows closed-form
-    (one page per stream makes the framing loss exactly the group's
-    MIN doc_id)."""
+def _shared_wiki_corpus_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_wiki_corpus's dump build + bz2 page scan, memoized per
+    session and projected to the aggregate's inputs (the
+    _shared_records pattern, round-13 verdict ask #4) — bit-identical,
+    pure caching."""
     import pandas as pd
 
+    from corrie_spark.queries.dedup_queries import _memo
     from corrie_spark.sources import wikipedia as Wk
 
     docs = (
@@ -206,14 +199,45 @@ def q_wiki_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_grp")
         .applyInPandas(mk, "path string, content binary")
     )
-    pages = Wk.wiki_pages(files)
+
+    def memo_build() -> DataFrame:
+        clean = Wk.wikitext_to_text(F.col("wikitext"))
+        pages = (
+            Wk.wiki_pages(files)
+            .select(
+                "error_kind",
+                "is_redirect",
+                F.length(clean).alias("_n_chars"),
+            )
+            .persist()
+        )
+        pages.count()
+        return pages
+
+    return _memo(spark, sf_dir, "wiki_corpus_rows", memo_build)
+
+
+@register(
+    "q_wiki_corpus",
+    oracle=_WIKI_CORPUS_ORACLE,
+    python_stages="applyInPandas dump build (kind-routed corruption) + page scan",
+)
+def q_wiki_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Wikipedia-dump ingestion accounting, DLQ PINNED BY
+    KIND (q_pdf_corpus pattern, round-13 ask #6): 24 fixture dumps,
+    group 4 truncated whole-file, group 11's first page stream
+    bit-flipped — the oracle replays surviving page/redirect counts,
+    total clean-text chars AND the per-kind DLQ rows closed-form
+    (one page per stream makes the framing loss exactly the group's
+    MIN doc_id). Dump build + scan session-memoized
+    (_shared_wiki_corpus_rows)."""
+    pages = _shared_wiki_corpus_rows(spark, sf_dir)
     good = F.col("error_kind").isNull()
-    clean = Wk.wikitext_to_text(F.col("wikitext"))
     return pages.agg(
         F.sum(good.cast("long")).alias("n_pages"),
         F.sum((good & F.col("is_redirect")).cast("long")).alias("n_redirects"),
         F.sum(
-            F.when(good & ~F.col("is_redirect"), F.length(clean)).otherwise(
+            F.when(good & ~F.col("is_redirect"), F.col("_n_chars")).otherwise(
                 F.lit(0)
             )
         ).alias("total_chars"),
