@@ -1,9 +1,16 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) codec — pure stdlib + numpy.
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec — from-spec stdlib + numpy
+decoder/encoder, with the DECODE hot path dispatched to the system
+libjpeg via the compiled shim (sources/native_image.py,
+CORRIE_NATIVE_CODECS policy env; measured ~287x — SCALE.md §24). The
+from-spec decoder remains the always-available fallback, the
+differential twin, and the semantics reference (bit-exact on the
+DC-only oracle class; libjpeg may differ by 1 LSB on AC blocks, which
+T.81's tolerance-based conformance allows).
 
 Closes the remaining compressed-IMAGE half of the media-codec seam
 (round-7 verdict "What's missing #1"): JPEG is the dominant image
 format in any web crawl, and this decoder lets real crawl bytes flow
-through the multimodal pipeline (features, dHash, dedup) with no
+through the multimodal pipeline (features, dHash, dedup) even with no
 external library. Everything here is implemented from the PUBLIC
 spec: ITU-T T.81 (marker grammar, huffman entropy coding, DCT
 scaling, Annex K example tables) and the JFIF 1.02 note (YCbCr

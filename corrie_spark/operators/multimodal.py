@@ -2380,17 +2380,23 @@ def ogg_scan(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 def decode_payload(media_type: str, payload: bytes) -> dict:
     """Decode seam. `fake/*` types use the deterministic codec;
     image/bmp, image/png (8-bit grey/RGB/palette, zlib-inflated +
-    unfiltered natively), image/ppm (P6), image/gif (LZW),
-    image/jpeg (baseline T.81), audio/wav (PCM, IMA ADPCM, G.711
-    mu-law/A-law), audio/flac (operators/flac.py, lossless bit-exact),
-    video/avi (MJPEG) and video/mp4 (ISO-BMFF demux, MJPEG-family
-    sample entries) are REAL decoders implemented here from the
-    public format specs (struct + zlib + numpy, no external libs);
-    MP3 gets a header-only metadata scan (mp3_scan — duration/
-    bitrate/tags without decode); the remaining compressed formats
-    (inter-frame video — H.26x/MP4V —, MP3/AAC sample decode, exotic
-    PNG variants) would dispatch to PIL/soundfile/av — unavailable in
-    this environment, so they raise (clearly-marked stub)."""
+    unfiltered natively), image/ppm (P6), image/gif (LZW, stills AND
+    GCE-composited animations), image/webp (VP8L stills and ANIM/ANMF
+    animations via operators/webp.py), image/jpeg (baseline +
+    progressive T.81), audio/wav (PCM, IMA ADPCM, G.711 mu-law/A-law),
+    audio/flac (operators/flac.py, lossless bit-exact), video/avi
+    (MJPEG) and video/mp4 (ISO-BMFF demux, MJPEG-family sample
+    entries) are REAL decoders implemented from the public format
+    specs. JPEG and PNG pixel decode DISPATCH to the system
+    libjpeg/libpng through the compiled shim (sources/native_image.py,
+    CORRIE_NATIVE_CODECS policy; the from-spec decoders stay as
+    fallback + differential twins), the same pattern as the
+    zstd/brotli/webp fast paths. MP3 gets a header-only metadata scan
+    (mp3_scan — duration/bitrate/tags without decode); the remaining
+    compressed formats (inter-frame video — H.26x/MP4V —, MP3/AAC
+    sample decode, lossy VP8, exotic PNG variants) would dispatch to
+    PIL/soundfile/av — unavailable in this environment, so they raise
+    (clearly-marked stub)."""
     if media_type in ("image/jpeg", "image/jpg"):
         from corrie_spark.operators.jpeg import decode_jpeg
 
