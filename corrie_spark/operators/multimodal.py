@@ -2621,6 +2621,76 @@ def frame_stats(df: DataFrame, every_k: int = 2) -> DataFrame:
     return df.select("media_id", "media_type", "payload").mapInPandas(run, FRAME_STATS_DDL)
 
 
+AUDIO_SPECTRUM_DDL = (
+    "media_id long, sample_rate long, n_samples long, "
+    "dominant_bin long, dominant_hz double, energy long"
+)
+
+
+def audio_spectrum(df: DataFrame) -> DataFrame:
+    """Frequency-domain audio analysis: decode each clip, mix to
+    mono by channel sum (exact integer arithmetic), run one numpy
+    rfft, and report the dominant non-DC bin, its frequency, and the
+    exact time-domain signal energy (= spectrum energy by Parseval,
+    but computed on the integer samples so it is exact). One Arrow
+    stage, per-clip local work — the FFT is O(N log N) on
+    clip-length windows, vectorized in numpy, bytes never shuffle.
+
+    The integer outputs (bin index, energy) make the op oracle-able
+    without cross-engine libm risk: for periodic fixtures the
+    dominant bin is closed-form (N / period) and the energy is an
+    integer sum of squares — no float spectrum value ever crosses
+    the comparison boundary. Undecodable or non-audio payloads are
+    skipped (the frame_stats convention)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                try:
+                    d = decode_payload(mtype, bytes(payload))
+                except Exception:
+                    continue
+                if d.get("kind") != "audio":
+                    continue
+                s = np.asarray(d["samples"], dtype=np.int64)
+                # interleaved multi-channel (samples = frames * nch):
+                # mix to mono by exact integer channel sum
+                nf = int(d.get("n_samples", 0) or 0)
+                nch = s.size // nf if nf else 1
+                if nch > 1 and s.size == nf * nch:
+                    s = s.reshape(-1, nch).sum(axis=1)
+                n = int(s.size)
+                if n < 2:
+                    continue
+                spec = np.abs(np.fft.rfft(s.astype(np.float64)))
+                k = 1 + int(np.argmax(spec[1:]))
+                sr = int(d["sample_rate"])
+                out.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "dominant_bin": k,
+                        "dominant_hz": float(k * sr) / n,
+                        "energy": int((s * s).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "dominant_bin", "dominant_hz", "energy",
+                ],
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        run, AUDIO_SPECTRUM_DDL
+    )
+
+
 # ---------------------------------------------------------------------------
 # synthetic corpus builder (tests / demos; expression-level, no python)
 # ---------------------------------------------------------------------------

@@ -2209,3 +2209,75 @@ def q_multimodal_webp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_bytes long, mean_val double, min_val long, "
         "max_val long, loop_count long",
     )
+
+
+# --- frequency-domain audio analysis (FFT) through the oracle gate ---------
+
+_ASP_N = 2048  # samples per clip (power of two: clean FFT bins)
+_ASP_A = "(1000 + (doc_id % 50) * 100)"  # square-wave amplitude
+_ASP_SR = "(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)"
+# period 8 << (doc_id % 4) -> fundamental bin N/period = 256 >> (doc_id % 4)
+_ASP_BIN = "(256 // (1 << (doc_id % 4)))"
+
+_AUDIO_SPECTRUM_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  CAST({_ASP_SR} AS BIGINT) AS sample_rate,
+  CAST({_ASP_N} AS BIGINT) AS n_samples,
+  CAST({_ASP_BIN} AS BIGINT) AS dominant_bin,
+  CAST({_ASP_BIN} * {_ASP_SR} AS DOUBLE) / {_ASP_N} AS dominant_hz,
+  CAST({_ASP_N} AS BIGINT) * {_ASP_A} * {_ASP_A} AS energy
+FROM documents
+"""
+
+
+@register(
+    "q_multimodal_audio_spectrum",
+    oracle=_AUDIO_SPECTRUM_ORACLE,
+    python_stages="mapInPandas WAV build + decode + numpy rfft",
+)
+def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-DOMAIN audio analysis through the oracle gate (the
+    first FFT surface — prior audio queries are time-domain stats):
+    per-doc 16-bit PCM WAVs carrying a DC-free 50%-duty square wave
+    of period 8 << (doc_id % 4) samples and amplitude
+    1000 + (doc_id % 50)*100, decoded and run through one numpy rfft
+    per clip. The outputs are chosen to be EXACTLY replayable without
+    cross-engine libm risk: the dominant non-DC bin of a clean
+    periodic square wave is closed-form (N / period — harmonics fall
+    off as 1/k so the argmax is unique), the energy is the exact
+    integer sum of squares (N * A^2 — Parseval's time-domain side),
+    and dominant_hz is one IEEE division of exact ints shared by both
+    engines. Scale shape: per-clip local FFT (O(N log N), vectorized)
+    inside the standard Arrow stage; clip bytes never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        n = _ASP_N
+        ramp = np.arange(n)
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = 8 << (did % 4)
+                amp = 1000 + (did % 50) * 100
+                sr = [8000, 16000, 44100][did % 3]
+                wave = np.where(ramp % p < p // 2, amp, -amp).astype("<i2")
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio/wav",
+                        "payload": M.encode_wav_pcm(sr, wave, bits=16, nch=1),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.audio_spectrum(media)

@@ -1383,3 +1383,36 @@ def test_dhash_wide_envelope_warnings(spark):
     )
     with pytest.warns(RuntimeWarning, match="radii <= 14"):
         M.dhash_wide_near_pairs(df, max_dist=15)
+
+
+def test_audio_spectrum_square_wave_and_stereo(spark):
+    """audio_spectrum: dominant bin of a period-p square wave is N/p
+    (the FFT is load-bearing, not decorative), energy is the exact
+    integer sum of squares, and interleaved stereo mixes to mono by
+    exact channel sum before the FFT."""
+    import numpy as np
+
+    n, p, amp = 512, 16, 1200
+    ramp = np.arange(n)
+    wave = np.where(ramp % p < p // 2, amp, -amp).astype("<i2")
+    mono = M.encode_wav_pcm(8000, wave, bits=16, nch=1)
+    # stereo: identical wave in both channels -> mono sum doubles the
+    # amplitude (energy x4), same dominant bin
+    inter = np.empty(2 * n, dtype="<i2")
+    inter[0::2] = wave
+    inter[1::2] = wave
+    stereo = M.encode_wav_pcm(8000, inter, bits=16, nch=2)
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(mono)), (2, "audio/wav", bytearray(stereo)),
+         (3, "audio/wav", bytearray(b"RIFFgarbage"))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = {r.media_id: r for r in M.audio_spectrum(df).collect()}
+    assert set(rows) == {1, 2}  # poison skipped, not fatal
+    r1, r2 = rows[1], rows[2]
+    assert r1.dominant_bin == n // p
+    assert r1.n_samples == n
+    assert r1.energy == n * amp * amp
+    assert r1.dominant_hz == float((n // p) * 8000) / n
+    assert r2.dominant_bin == n // p
+    assert r2.energy == n * (2 * amp) ** 2

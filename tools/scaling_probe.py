@@ -166,6 +166,8 @@ FAMILIES = [
     # round-13: .warc.xz (stdlib-lzma stream walk) and VP8L decode
     ("warc_xz", "q_warc_xz"),
     ("webp_vp8l", "q_multimodal_webp"),
+    # round-14: per-clip FFT (audio spectral analysis)
+    ("audio_spectrum", "q_multimodal_audio_spectrum"),
 ]
 
 
