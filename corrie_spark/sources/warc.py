@@ -1391,6 +1391,24 @@ def _scan_range_members_xz(
             return
     n = len(data)
     mv = memoryview(data)
+    # a corrupt stream that is the FIRST owned candidate of a mid-file
+    # range has no validated anchor before it — without this, its span
+    # vanished silently (round-14 fix; the binaryFile path emitted the
+    # sentinel). An .xz candidate anchors the pending-loss span only
+    # when its 12-byte stream header self-validates (6-byte magic +
+    # flags + CRC32-of-flags): a false anchor inside the neighbour's
+    # straddling tail is ~2^-80, far below the documented 2^-32
+    # resync trade.
+    pending_abs: int | None = None
+
+    def _xz_header_ok(at: int) -> bool:
+        import zlib as _z
+
+        hdr = data[at : at + 12]
+        return len(hdr) == 12 and _z.crc32(hdr[6:8]) == int.from_bytes(
+            hdr[8:12], "little"
+        )
+
     while pos < n:
         dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
         fed: list[bytes] = []
@@ -1419,6 +1437,12 @@ def _scan_range_members_xz(
         except lzma.LZMAError:
             ok = False
         if not ok:
+            if (
+                expect_abs is None
+                and pending_abs is None
+                and _xz_header_ok(pos)
+            ):
+                pending_abs = start + pos
             nxt = data.find(XZ_MAGIC, pos + 1)
             if nxt < 0:
                 break
@@ -1427,17 +1451,20 @@ def _scan_range_members_xz(
         raw = b"".join(fed)
         comp_len = len(raw) - len(dec.unused_data)
         abs_off = start + pos
-        if expect_abs is not None and abs_off > expect_abs:
-            yield expect_abs, abs_off - expect_abs, b""
+        anchor = expect_abs if expect_abs is not None else pending_abs
+        if anchor is not None and abs_off > anchor:
+            yield anchor, abs_off - anchor, b""
+        pending_abs = None
         yield abs_off, comp_len, raw[:comp_len]
         expect_abs = abs_off + comp_len
         pos += comp_len
+    anchor = expect_abs if expect_abs is not None else pending_abs
     if (
-        expect_abs is not None
-        and expect_abs < end
-        and data[expect_abs - start :].strip(b"\x00")
+        anchor is not None
+        and anchor < end
+        and data[anchor - start :].strip(b"\x00")
     ):
-        yield expect_abs, end - expect_abs, b""
+        yield anchor, end - anchor, b""
 
 
 def _scan_range_frames_zst(
@@ -1494,6 +1521,14 @@ def _scan_range_frames_zst(
         chained = False
         if pos < 0:
             return
+    # pending-loss anchor for a corrupt frame that is the range's
+    # FIRST owned candidate (round-14 fix, the xz scanner's twin):
+    # anchored only on a DECODE failure of a frame whose magic + FHD
+    # reserved bit check out — NOT on the embedded-frame rejection
+    # (an embedded frame decodes fine and belongs to the neighbour's
+    # straddling outer frame; anchoring there would fabricate a
+    # sentinel over bytes the neighbour decoded).
+    pending_abs: int | None = None
     while pos < end - start:
         try:
             blob, fend = decode_frame(data, pos, dicts)
@@ -1505,6 +1540,15 @@ def _scan_range_frames_zst(
                 if grown is not None:
                     data = grown
                     continue  # frame straddles the buffered tail
+            if (
+                expect_abs is None
+                and pending_abs is None
+                and "embedded frame" not in str(e)
+                and data[pos : pos + 4] == ZSTD_FRAME_MAGIC
+                and len(data) > pos + 4
+                and not data[pos + 4] & 0x08
+            ):
+                pending_abs = start + pos
             nxt = data.find(ZSTD_FRAME_MAGIC, pos + 1, end - start)
             if nxt < 0:
                 break
@@ -1512,19 +1556,22 @@ def _scan_range_frames_zst(
             chained = False
             continue
         abs_off = start + pos
-        if expect_abs is not None and abs_off > expect_abs:
-            yield expect_abs, abs_off - expect_abs, b""
+        anchor = expect_abs if expect_abs is not None else pending_abs
+        if anchor is not None and abs_off > anchor:
+            yield anchor, abs_off - anchor, b""
+        pending_abs = None
         if blob:
             yield abs_off, fend - pos, blob
         expect_abs = abs_off + (fend - pos)
         pos = fend
         chained = True
+    anchor = expect_abs if expect_abs is not None else pending_abs
     if (
-        expect_abs is not None
-        and expect_abs < end
-        and data[expect_abs - start : end - start].strip(b"\x00")
+        anchor is not None
+        and anchor < end
+        and data[anchor - start : end - start].strip(b"\x00")
     ):
-        yield expect_abs, end - expect_abs, b""
+        yield anchor, end - anchor, b""
 
 
 def _scan_range_auto(

@@ -466,6 +466,25 @@ def test_sharded_xz_corrupt_stream_sentinel(spark, tmp_path):
     assert len(errs) >= 1
     assert errs[0].error_kind in ("bad-framing", "truncated")
     assert len(good) >= len(members) - 2
+    # the RANGE reader's sentinel reason names the xz container
+    # (round-13 advice: was mislabeled x-error/gzip-range)
+    W.register_warc_ranges(spark)
+    rrecs = W.warc_records(
+        spark.read.format("warc_ranges")
+        .option("path", p)
+        .option("rangeBytes", "400")
+        .load()
+    ).collect()
+    range_errs = [
+        r
+        for r in rrecs
+        if r.warc_type == W.ERROR_TYPE
+        and r.http_content_type.endswith("-range")
+    ]
+    assert range_errs
+    assert all(
+        r.http_content_type == "x-error/xz-range" for r in range_errs
+    )
 
 
 def test_cdx_offsets_xz_range_request_roundtrip(spark, tmp_path):
@@ -493,3 +512,56 @@ def test_cdx_offsets_xz_range_request_roundtrip(spark, tmp_path):
             .removeprefix("urn:uuid:")
         )
         assert rid == row.record_id
+
+
+def test_first_owned_corrupt_frame_gets_sentinel_zst(tmp_path):
+    """A corrupt frame that is the FIRST owned candidate of a
+    mid-file range must still produce a loss sentinel (round-14 fix:
+    without a validated anchor before it, the span vanished silently
+    while the binaryFile path reported it)."""
+    docs = [(i, f"first-cand {i} " * 4) for i in range(1, 9)]
+    blob = bytearray(W.build_warc_zst("f.warc.zst", docs))
+    offs = [blob.find(W.ZSTD_FRAME_MAGIC)]
+    while True:
+        nxt = blob.find(W.ZSTD_FRAME_MAGIC, offs[-1] + 4)
+        if nxt < 0:
+            break
+        offs.append(nxt)
+    k = len(offs) // 2
+    blob[offs[k] + 9] ^= 0xFF  # corrupt frame k's body
+    p = os.path.join(str(tmp_path), "f.warc.zst")
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    import io
+
+    with open(p, "rb") as f:
+        # range starts EXACTLY at the corrupt frame: no validated
+        # member can anchor the sentinel before it
+        spans = list(
+            W._scan_range_frames_zst(
+                f, offs[k], len(blob), len(blob),
+                dicts=W._collect_zst_dictionaries(bytes(blob[:offs[1]])),
+            )
+        )
+    sentinels = [(o, ln) for o, ln, b in spans if not b]
+    members = [(o, ln) for o, ln, b in spans if b]
+    assert members  # later frames in the range still extract
+    assert sentinels, "corrupt first-owned frame lost silently"
+    assert sentinels[0][0] == offs[k]
+
+
+def test_first_owned_corrupt_stream_gets_sentinel_xz(tmp_path):
+    docs = [(i, f"first-xz {i} " * 4) for i in range(1, 9)]
+    blob = bytearray(W.build_warc_xz("f.warc.xz", docs))
+    members = list(W.xz_members_at(bytes(blob)))
+    off, ln, _ = members[len(members) // 2]
+    blob[off + 20] ^= 0xFF
+    p = os.path.join(str(tmp_path), "f.warc.xz")
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    with open(p, "rb") as f:
+        spans = list(
+            W._scan_range_members_xz(f, off, len(blob), len(blob))
+        )
+    sentinels = [(o, l) for o, l, b in spans if not b]
+    assert sentinels and sentinels[0][0] == off
