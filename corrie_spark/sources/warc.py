@@ -1756,6 +1756,54 @@ def cdx_index(records: DataFrame) -> DataFrame:
     )
 
 
+def coverage_gaps(records: DataFrame) -> DataFrame:
+    """Exact cross-range loss reconciliation AS A QUERY: every record
+    and error row carries (warc_file, warc_offset, warc_rec_length),
+    so uncovered byte spans — bytes no record, sentinel, or error row
+    accounts for — fall out of one window over the offsets. This is
+    the audit that closes the sharding blind spot no scanner-local
+    rule can: a range scanner only knows its own range, but the UNION
+    of all ranges' rows sees the whole file (e.g. a corrupt gzip
+    member whose 3-byte magic is too weak for the scanners'
+    first-owned-candidate anchor).
+
+    Returns (warc_file, gap_start, gap_len) for every interior gap.
+    The file head before the first row is not reported (the
+    .warc.zst dictionary rides in leading skippable frames that are
+    consumed silently by design), nor is the tail (tail losses
+    already surface as *-tail sentinels from the scanners).
+    Overlap-safe: coverage is the running max of span ends, so
+    nested or duplicated spans never fabricate a gap.
+
+    Scale shape: one shuffle on warc_file over metadata-sized columns
+    (three longs per record) — at 100 TB this is a free-riding audit
+    on the ingest scan's output, not a second pass over crawl bytes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("warc_file")
+        .orderBy("warc_offset")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered_to = F.max(
+        F.col("warc_offset") + F.col("warc_rec_length")
+    ).over(w)
+    return (
+        records.select("warc_file", "warc_offset", "warc_rec_length")
+        .withColumn("_covered_to", covered_to)
+        .where(
+            F.col("_covered_to").isNotNull()
+            & (F.col("warc_offset") > F.col("_covered_to"))
+        )
+        .select(
+            "warc_file",
+            F.col("_covered_to").alias("gap_start"),
+            (F.col("warc_offset") - F.col("_covered_to")).alias("gap_len"),
+        )
+    )
+
+
 def resolve_revisits(
     records: DataFrame, reference: DataFrame | None = None
 ) -> DataFrame:

@@ -565,3 +565,30 @@ def test_first_owned_corrupt_stream_gets_sentinel_xz(tmp_path):
         )
     sentinels = [(o, l) for o, l, b in spans if not b]
     assert sentinels and sentinels[0][0] == off
+
+
+def test_coverage_gaps_audit(spark, tmp_path):
+    """coverage_gaps: zero interior gaps on a clean crawl AND on a
+    corrupt crawl whose loss is sentinel-accounted (records + error
+    rows tile); a fabricated hole (delete one row) surfaces as
+    exactly one gap with the right span."""
+    docs = [(i, f"coverage test {i} " * 6) for i in range(24)]
+    blob = W.build_warc_gz("cv.warc.gz", docs)
+    bad = bytearray(blob)
+    offs = [(o, l) for o, l, _ in W.gzip_members_at(blob)]
+    o4, l4 = offs[4]
+    bad[o4 + 8 : o4 + 14] = b"\x00" * 6
+    for name, payload in (("clean.warc.gz", blob), ("bad.warc.gz", bytes(bad))):
+        p = os.path.join(str(tmp_path), name)
+        with open(p, "wb") as f:
+            f.write(payload)
+        recs = W.read_warc_sharded(spark, p, range_bytes=2048)
+        assert W.coverage_gaps(recs).count() == 0, name
+    # fabricate a hole: drop one mid-file record row entirely
+    p = os.path.join(str(tmp_path), "clean.warc.gz")
+    recs = W.read_warc_sharded(spark, p, range_bytes=2048)
+    o6, l6 = offs[6]
+    holed = recs.where(F.col("warc_offset") != o6)
+    gaps = W.coverage_gaps(holed).collect()
+    assert len(gaps) == 1
+    assert gaps[0].gap_start == o6 and gaps[0].gap_len == l6
