@@ -582,7 +582,14 @@ def _find_vp8l(payload: bytes) -> bytes:
         if fourcc == b"VP8 ":
             raise WebpError("lossy VP8 not decoded natively (external seam)")
         if fourcc == b"ANIM" or fourcc == b"ANMF":
-            raise WebpError("animated WebP not decoded natively (external seam)")
+            # well-formed animations route through is_animated_webp ->
+            # decode_webp_animation before reaching here; landing here
+            # means the still-image entry was called directly or the
+            # container is malformed (e.g. ANMF without the VP8X flag)
+            raise WebpError(
+                "animated WebP chunk in still-image decode "
+                "(use decode_webp_animation)"
+            )
         pos += 8 + size + (size & 1)
     raise WebpError("no VP8L chunk")
 
