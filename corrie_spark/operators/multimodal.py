@@ -306,6 +306,7 @@ def encode_png(
     filters: list[int] | None = None,
     palette: bytes | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """REAL encoder: PNG (RFC 2083 / ISO 15948) with 8-bit greyscale
     (color_type 0), RGB (2), palette-indexed (3, `pixels` are indices
@@ -322,7 +323,11 @@ def encode_png(
     if color_type == 3:
         if palette is None or len(palette) % 3 or not 3 <= len(palette) <= 768:
             raise ValueError("palette PNG needs a PLTE body of RGB triples")
-    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    if depth not in (8, 16) or (depth == 16 and color_type == 3):
+        raise ValueError("depth must be 8, or 16 for non-palette types")
+    # 16-bit: `pixels` carries 2 bytes per sample, big-endian; the
+    # filters operate on bytes either way (PNG section 9.2)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type] * (depth // 8)
     stride = width * ch
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dims")
@@ -345,7 +350,8 @@ def encode_png(
             filters = [0] * height
         body = _png_filter_rows(px.reshape(height, stride), ch, filters)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
     idat = zlib.compress(body)
     plte = _png_chunk(b"PLTE", palette) if color_type == 3 else b""
@@ -383,10 +389,13 @@ def _decode_png_py(payload: bytes) -> dict:
     """REAL codec: PNG (RFC 2083 / ISO 15948) — implemented from the
     public spec with stdlib zlib + numpy only, closing half the
     compressed-media seam natively (round-7 verdict #1). Supported:
-    8-bit depth, greyscale (color type 0), truecolor RGB (2) and
-    palette-indexed (3, PLTE lookup to RGB triples), no interlace;
-    alpha / 16-bit / Adam7 raise ValueError (still the documented
-    PIL seam). Chunk CRCs are verified. The per-row unfilter
+    8- and 16-bit depth (16-bit samples keep the MSB after
+    unfiltering, the libpng strip_16 convention, so downstream stays
+    on the 8-bit contract), greyscale (color type 0), truecolor RGB
+    (2), palette-indexed (3, 8-bit, PLTE lookup to RGB triples),
+    grey+alpha (4) and RGBA (6) with alpha stripped, non-interlaced
+    or Adam7; bit depths below 8 raise ValueError (the documented
+    seam). Chunk CRCs are verified. The per-row unfilter
     (None/Sub/Up/Average/Paeth) is numpy per scanline: Sub is a
     per-channel cumulative sum, Up is one vector add, Average/Paeth
     walk pixels left-to-right with channel-vectorized arithmetic
@@ -424,41 +433,46 @@ def _decode_png_py(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (0, 2, 3, 4, 6) or comp != 0 or filt_m != 0 or interlace not in (0, 1):
+    ok_depth = depth == 8 or (depth == 16 and color in (0, 2, 4, 6))
+    if not ok_depth or color not in (0, 2, 3, 4, 6) or comp != 0 or filt_m != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace}); "
-            "only 8-bit grey/RGB/palette/alpha (non-interlaced or Adam7) decoded natively"
+            "only 8/16-bit grey/RGB/alpha + 8-bit palette "
+            "(non-interlaced or Adam7) decoded natively"
         )
     if color == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG missing/malformed PLTE chunk")
     if w < 1 or h < 1:
         raise ValueError("bad PNG dimensions")
-    # bytes per pixel in the filtered stream (alpha kept for filtering,
-    # stripped from the output so downstream stays gray/RGB-invariant)
+    # bytes per pixel in the filtered stream (alpha kept for
+    # filtering, stripped from the output so downstream stays
+    # gray/RGB-invariant; 16-bit samples are 2 bytes each and the
+    # filter bpp covers them — PNG §9.2 filters operate on BYTES)
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    stride = w * ch
+    sw = ch * (depth // 8)  # filter bpp in bytes
+    stride = w * sw
     raw = zlib.decompress(b"".join(idat))
     if interlace == 1:
         # Adam7 (§8.2): seven independently-filtered sub-images in
         # pass order, scattered back onto the (x0 + j*dx, y0 + i*dy)
         # grid — each pass unfilters with ITS OWN row recurrence
-        img = np.zeros((h, w, ch), dtype=np.uint8)
+        img = np.zeros((h, w, sw), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = (pw * ch + 1) * ph
+            need = (pw * sw + 1) * ph
             if pos + need > len(raw):
                 raise ValueError("PNG Adam7 pass data truncated")
             scan = (
                 np.frombuffer(raw[pos : pos + need], dtype=np.uint8)
-                .reshape(ph, pw * ch + 1)
+                .reshape(ph, pw * sw + 1)
                 .astype(np.int64)
             )
             pos += need
-            rec = _png_unfilter_rows(scan, pw, ch).reshape(ph, pw, ch)
+            rec = _png_unfilter_rows(scan, pw, sw).reshape(ph, pw, sw)
             img[y0::dy, x0::dx] = rec
         if pos != len(raw):
             raise ValueError("PNG Adam7 data does not match dims")
@@ -471,7 +485,12 @@ def _decode_png_py(payload: bytes) -> dict:
             .reshape(h, stride + 1)
             .astype(np.int64)
         )
-        out = _png_unfilter_rows(scan, w, ch)
+        out = _png_unfilter_rows(scan, w, sw)
+    if depth == 16:
+        # big-endian samples: keep the MSB (libpng png_set_strip_16
+        # convention — the native twin), so 16-bit crawl images flow
+        # through the same 8-bit downstream contract
+        out = out.reshape(-1, 2)[:, 0].copy()
     if color == 3:
         # palette lookup: indices -> RGB triples (one numpy gather)
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)

@@ -230,10 +230,16 @@ int corrie_png_decode(const uint8_t *buf, size_t len, uint8_t *out,
     png_set_crc_action(png, PNG_CRC_ERROR_QUIT, PNG_CRC_ERROR_QUIT);
     png_read_info(png, info);
     png_get_IHDR(png, info, &iw, &ih, &depth, &color, NULL, NULL, NULL);
-    if (depth != 8) { /* pure envelope: 8-bit only */
+    /* pure envelope: 8-bit, plus 16-bit non-palette (MSB kept —
+     * png_set_strip_16 chops the low byte, which is exactly the pure
+     * decoder's rule); sub-8-bit depths fall back */
+    if (depth != 8 &&
+        !(depth == 16 && color != PNG_COLOR_TYPE_PALETTE)) {
         png_destroy_read_struct(&png, &info, NULL);
         return 1;
     }
+    if (depth == 16)
+        png_set_strip_16(png);
     if (color == PNG_COLOR_TYPE_PALETTE)
         png_set_palette_to_rgb(png);
     /* the pure decoder ignores tRNS (no alpha synthesis) and strips

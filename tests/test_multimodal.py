@@ -529,7 +529,9 @@ def test_png_rejects_bad_payloads():
             ">I", zlib.crc32(t + d) & 0xFFFFFFFF
         )
 
-    for depth, color in ((16, 0), (8, 3), (8, 6)):
+    # sub-8-bit depths and 16-bit palette stay behind the seam
+    # (16-bit grey/RGB/alpha decode natively since round 14)
+    for depth, color in ((4, 0), (16, 3), (8, 3), (8, 6)):
         ihdr = S.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
         png = (
             b"\x89PNG\r\n\x1a\n"
@@ -539,6 +541,17 @@ def test_png_rejects_bad_payloads():
         )
         with pytest.raises(ValueError):
             M._decode_png(png)
+    # 16-bit grey now decodes: 2x2, rows are (filter0, 4 sample bytes)
+    body = zlib.compress(b"\x00" + b"\xab\xcd" * 2 + b"\x00" + b"\x12\x34" * 2)
+    ihdr16 = S.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+    d = M._decode_png(png16)
+    assert d["data"] == bytes([0xAB, 0xAB, 0x12, 0x12])  # MSBs kept
 
 
 def test_png_through_image_features_and_dhash(spark):

@@ -188,3 +188,54 @@ def test_shim_cached_on_disk():
     assert path is not None and os.path.exists(path)
     # sha-keyed name: editing the C source invalidates cleanly
     assert "corrie_native_image-" in os.path.basename(path)
+
+
+def test_png_16bit_bit_exact_and_msb_rule():
+    """16-bit PNGs (round-14 envelope widening): the pure decoder
+    keeps each big-endian sample's MSB after unfiltering — the libpng
+    strip_16 convention — so native == pure bit-exact, and the MSB
+    rule itself is pinned against hand-built samples."""
+    import numpy as np
+
+    rng = np.random.RandomState(12)
+    for ct, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for interlace in (False, True):
+            w, h = 9, 7
+            hi = rng.randint(0, 256, w * h * nch, dtype=np.uint8)
+            lo = rng.randint(0, 256, w * h * nch, dtype=np.uint8)
+            px = np.empty(2 * w * h * nch, dtype=np.uint8)
+            px[0::2] = hi  # big-endian: MSB first
+            px[1::2] = lo
+            filters = None if interlace else [i % 5 for i in range(h)]
+            p = M.encode_png(
+                w, h, px.tobytes(), color_type=ct, filters=filters,
+                interlace=interlace, depth=16,
+            )
+            pure = M._decode_png_py(p)
+            assert M._decode_png(p) == pure, (ct, interlace)
+            # MSB rule: the decoded bytes are exactly the high bytes
+            # (alpha channels stripped for ct 4/6)
+            want = hi.reshape(-1, nch)
+            if ct in (4, 6):
+                want = want[:, : nch - 1]
+            assert pure["data"] == want.ravel().tobytes(), (ct, interlace)
+
+
+def test_png_sub8bit_still_raises_both_paths():
+    import struct as _s
+    import zlib as _z
+
+    # hand-built 1-bit grayscale IHDR: both paths must reject it the
+    # same way (dispatcher falls back to pure's typed error)
+    ihdr = _s.pack(">IIBBBBB", 4, 1, 1, 0, 0, 0, 0)
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(
+            ">I", _z.crc32(t + d) & 0xFFFFFFFF
+        )
+    raw = _z.compress(b"\x00\xa0")
+    p = (M.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+         + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        M._decode_png(p)
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        M._decode_png_py(p)
