@@ -2281,3 +2281,88 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
     return M.audio_spectrum(media)
+
+
+# --- 16-bit PNG (MSB-keep) through the oracle gate -------------------------
+
+_P16W = "(5 + doc_id % 4)"
+_P16H = "(4 + doc_id % 3)"
+
+_PNG16_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  'image/png' AS media_type,
+  CAST({_P16W} AS BIGINT) AS width,
+  CAST({_P16H} AS BIGINT) AS height,
+  CAST({_P16W} * {_P16H} * 3 AS BIGINT) AS n_bytes,
+  CAST(list_sum(list_transform(range(0, {_P16W} * {_P16H} * 3),
+       k -> (doc_id * 7 + k * 13) % 256))
+       AS DOUBLE) / ({_P16W} * {_P16H} * 3) AS mean_pixel,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register(
+    "q_multimodal_png16",
+    oracle=_PNG16_ORACLE,
+    python_stages="mapInPandas 16-bit PNG build + decode",
+)
+def q_multimodal_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit PNG (round-14 envelope widening) through the oracle
+    gate: per-doc 16-bit RGB images whose sample MSBs are closed-form
+    (doc_id*7 + k*13) % 256 and whose LSBs are deliberately different
+    noise ((doc_id*3 + k*5) % 256) — the decoder's MSB-keep rule (the
+    libpng strip_16 convention, identical on the native and pure
+    paths) means the oracle sees ONLY the MSBs; a decoder that
+    averaged, scaled, or picked the wrong byte would mismatch on
+    every row. doc_id % 2 rotates non-interlaced (filter types
+    cycling per row) vs Adam7, both landing on the same pixels. Same
+    shuffle-free Arrow map shape as the sibling codec queries."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 4, 4 + did % 3
+                n = w * h * 3
+                k = np.arange(n, dtype=np.int64)
+                px = np.empty(2 * n, dtype=np.uint8)
+                px[0::2] = ((did * 7 + k * 13) % 256).astype(np.uint8)
+                px[1::2] = ((did * 3 + k * 5) % 256).astype(np.uint8)
+                interlace = did % 2 == 1
+                payload = M.encode_png(
+                    w, h, px.tobytes(), color_type=2,
+                    filters=None if interlace else [i % 5 for i in range(h)],
+                    interlace=interlace, depth=16,
+                )
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "image/png",
+                        "payload": payload,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    from pyspark.sql import functions as F
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.image_features(media).select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "mean_pixel",
+        "ok",
+    )

@@ -592,3 +592,40 @@ def q_warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resolved_charset").alias("charset"),
         "resolved_from",
     )
+
+
+# --- cross-range coverage audit through the oracle gate --------------------
+
+_COVERAGE_ORACLE = f"""
+SELECT CAST(COUNT(DISTINCT doc_id % {_N_FILES}) AS BIGINT) AS n_files,
+       CAST(0 AS BIGINT) AS n_gaps,
+       CAST(0 AS BIGINT) AS gap_bytes
+FROM documents
+"""
+
+
+@register(
+    "q_warc_coverage",
+    oracle=_COVERAGE_ORACLE,
+    python_stages="applyInPandas fixture build + mapInPandas gzip/WARC split (shared memo)",
+)
+def q_warc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-loss audit as a registered gate: coverage_gaps over
+    the ingested record frame must report ZERO uncovered interior
+    bytes across all fixture files — every byte of every file is
+    accounted for by a record or sentinel row (the cross-range
+    reconciliation that closes the sharding blind spot no
+    scanner-local rule can; see sources/warc.py coverage_gaps).
+    n_files pins that the audit actually saw the whole corpus, so an
+    accidentally-empty frame can't fake a clean audit. One window
+    over three long columns riding the shared ingest memo."""
+    recs = _shared_records(spark, sf_dir)
+    files = recs.agg(
+        F.countDistinct("warc_file").cast("long").alias("n_files")
+    )
+    gaps = W.coverage_gaps(recs).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.coalesce(F.sum("gap_len"), F.lit(0)).cast("long").alias("gap_bytes"),
+    )
+    # two single-row aggregates: the documented tiny-probe cross join
+    return files.crossJoin(gaps)

@@ -239,3 +239,12 @@ def test_png_sub8bit_still_raises_both_paths():
         M._decode_png(p)
     with pytest.raises(ValueError, match="unsupported PNG"):
         M._decode_png_py(p)
+
+
+def test_jpeg_restart_markers_dc_only_bit_exact():
+    """DRI/RSTn streams through the dispatcher: DC-only parity holds
+    with restart markers live (libjpeg resets DC predictors at RSTn
+    exactly like the from-spec decoder)."""
+    for q in (40, 85):
+        p = J.encode_jpeg_baseline(_dc_gray(q), quality=q, restart_interval=2)
+        assert J.decode_jpeg(p) == J.decode_jpeg_py(p), q
