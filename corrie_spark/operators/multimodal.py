@@ -323,32 +323,64 @@ def encode_png(
     if color_type == 3:
         if palette is None or len(palette) % 3 or not 3 <= len(palette) <= 768:
             raise ValueError("palette PNG needs a PLTE body of RGB triples")
-    if depth not in (8, 16) or (depth == 16 and color_type == 3):
-        raise ValueError("depth must be 8, or 16 for non-palette types")
-    # 16-bit: `pixels` carries 2 bytes per sample, big-endian; the
-    # filters operate on bytes either way (PNG section 9.2)
-    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type] * (depth // 8)
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or (depth == 16 and color_type == 3)
+        or (depth < 8 and color_type not in (0, 3))
+    ):
+        raise ValueError(
+            "depth must be 8; 16 for non-palette; 1/2/4 for grey/palette"
+        )
+    # 16-bit: `pixels` carries 2 bytes per sample, big-endian.
+    # Sub-8-bit: `pixels` carries ONE byte per sample (< 2^depth);
+    # rows pack MSB-first with byte padding here. The filters operate
+    # on bytes in every case (PNG section 9.2).
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type] * max(1, depth // 8)
     stride = width * ch
-    if len(pixels) != stride * height:
-        raise ValueError("pixel buffer does not match dims")
+    if depth < 8:
+        if len(pixels) != width * height:
+            raise ValueError("pixel buffer does not match dims")
+        if pixels and max(pixels) >= (1 << depth):
+            raise ValueError("sample out of range for depth")
+
+        def _pack(sub: "np.ndarray") -> "np.ndarray":
+            ph, pw = sub.shape
+            bits = (
+                (sub[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(ph, pw * depth).astype(np.uint8)
+            return np.packbits(bits, axis=1).astype(np.int64)
+
     px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
     if interlace:
-        px3 = px.reshape(height, width, ch)
+        px3 = px.reshape(height, width, 1 if depth < 8 else ch)
         parts = []
         for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
             sub = px3[y0::dy, x0::dx]
             ph, pw = sub.shape[0], sub.shape[1]
             if ph == 0 or pw == 0:
                 continue
-            flat = sub.reshape(ph, pw * ch)
-            parts.append(
-                _png_filter_rows(flat, ch, [(p + r) % 5 for r in range(ph)])
-            )
+            if depth < 8:
+                flat = _pack(sub[:, :, 0])
+                parts.append(
+                    _png_filter_rows(
+                        flat, 1, [(p + r) % 5 for r in range(ph)]
+                    )
+                )
+            else:
+                flat = sub.reshape(ph, pw * ch)
+                parts.append(
+                    _png_filter_rows(flat, ch, [(p + r) % 5 for r in range(ph)])
+                )
         body = b"".join(parts)
     else:
         if filters is None:
             filters = [0] * height
-        body = _png_filter_rows(px.reshape(height, stride), ch, filters)
+        if depth < 8:
+            body = _png_filter_rows(
+                _pack(px.reshape(height, width)), 1, filters
+            )
+        else:
+            body = _png_filter_rows(px.reshape(height, stride), ch, filters)
     ihdr = struct.pack(
         ">IIBBBBB", width, height, depth, color_type, 0, 0,
         1 if interlace else 0,
@@ -369,11 +401,12 @@ def _decode_png(payload: bytes) -> dict:
     through the compiled error-capturing shim (sources/
     native_image.py, policy env CORRIE_NATIVE_CODECS) when buildable.
     PNG is lossless, so native == pure BIT-EXACT across the whole
-    supported envelope (gray/RGB/palette/alpha-strip/Adam7 — pinned
-    by tests/test_native_image.py); the shim mirrors the pure
-    decoder's strictness (every chunk CRC fatal, 8-bit only). Any
-    native failure falls back to _decode_png_py for the house-typed
-    error."""
+    supported envelope (1/2/4/8/16-bit gray, 8/16-bit RGB/alpha,
+    1/2/4/8-bit palette, alpha-strip, Adam7 — pinned by
+    tests/test_native_image.py); the shim mirrors the pure decoder's
+    strictness (every chunk CRC fatal) and sample conventions
+    (strip_16 MSB-keep, expand_gray replication scaling). Any native
+    failure falls back to _decode_png_py for the house-typed error."""
     from corrie_spark.sources import native_image as NI
 
     if NI.image_shim_enabled():
@@ -392,10 +425,11 @@ def _decode_png_py(payload: bytes) -> dict:
     8- and 16-bit depth (16-bit samples keep the MSB after
     unfiltering, the libpng strip_16 convention, so downstream stays
     on the 8-bit contract), greyscale (color type 0), truecolor RGB
-    (2), palette-indexed (3, 8-bit, PLTE lookup to RGB triples),
-    grey+alpha (4) and RGBA (6) with alpha stripped, non-interlaced
-    or Adam7; bit depths below 8 raise ValueError (the documented
-    seam). Chunk CRCs are verified. The per-row unfilter
+    (2), palette-indexed (3, 1/2/4/8-bit indices, PLTE lookup to RGB
+    triples), grey+alpha (4) and RGBA (6) with alpha stripped,
+    sub-8-bit greyscale (1/2/4-bit, scaled to 8-bit by the standard
+    255/(2^d-1) replication — the libpng expand_gray convention),
+    non-interlaced or Adam7. Chunk CRCs are verified. The per-row unfilter
     (None/Sub/Up/Average/Paeth) is numpy per scanline: Sub is a
     per-channel cumulative sum, Up is one vector add, Average/Paeth
     walk pixels left-to-right with channel-vectorized arithmetic
@@ -433,7 +467,11 @@ def _decode_png_py(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
-    ok_depth = depth == 8 or (depth == 16 and color in (0, 2, 4, 6))
+    ok_depth = (
+        depth == 8
+        or (depth == 16 and color in (0, 2, 4, 6))
+        or (depth in (1, 2, 4) and color in (0, 3))
+    )
     if not ok_depth or color not in (0, 2, 3, 4, 6) or comp != 0 or filt_m != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace}); "
@@ -447,33 +485,55 @@ def _decode_png_py(payload: bytes) -> dict:
     # bytes per pixel in the filtered stream (alpha kept for
     # filtering, stripped from the output so downstream stays
     # gray/RGB-invariant; 16-bit samples are 2 bytes each and the
-    # filter bpp covers them — PNG §9.2 filters operate on BYTES)
+    # filter bpp covers them; sub-8-bit rows pack MSB-first with the
+    # filter bpp clamped to ONE byte — PNG §9.2 filters operate on
+    # BYTES in every case)
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    sw = ch * (depth // 8)  # filter bpp in bytes
-    stride = w * sw
+    sub_byte = depth < 8
+    sw = 1 if sub_byte else ch * (depth // 8)  # filter bpp in bytes
+
+    def _row_bytes(width: int) -> int:
+        return (width * depth + 7) // 8 if sub_byte else width * sw
+
+    def _unpack_rows(rec: "np.ndarray", rows: int, width: int) -> "np.ndarray":
+        """(rows * rowbytes,) packed bytes -> (rows, width) samples,
+        MSB-first within each byte, row padding dropped (§7.2)."""
+        rb = _row_bytes(width)
+        bits = np.unpackbits(rec.reshape(rows, rb), axis=1)
+        bits = bits[:, : width * depth].reshape(rows, width, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        return (bits * weights).sum(axis=2).astype(np.uint8)
+
+    stride = _row_bytes(w)
     raw = zlib.decompress(b"".join(idat))
     if interlace == 1:
         # Adam7 (§8.2): seven independently-filtered sub-images in
         # pass order, scattered back onto the (x0 + j*dx, y0 + i*dy)
         # grid — each pass unfilters with ITS OWN row recurrence
-        img = np.zeros((h, w, sw), dtype=np.uint8)
+        img = np.zeros((h, w, 1 if sub_byte else sw), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = (pw * sw + 1) * ph
+            prb = _row_bytes(pw)
+            need = (prb + 1) * ph
             if pos + need > len(raw):
                 raise ValueError("PNG Adam7 pass data truncated")
             scan = (
                 np.frombuffer(raw[pos : pos + need], dtype=np.uint8)
-                .reshape(ph, pw * sw + 1)
+                .reshape(ph, prb + 1)
                 .astype(np.int64)
             )
             pos += need
-            rec = _png_unfilter_rows(scan, pw, sw).reshape(ph, pw, sw)
-            img[y0::dy, x0::dx] = rec
+            rec = _png_unfilter_rows(scan, prb, 1) if sub_byte else (
+                _png_unfilter_rows(scan, pw, sw)
+            )
+            if sub_byte:
+                img[y0::dy, x0::dx, 0] = _unpack_rows(rec, ph, pw)
+            else:
+                img[y0::dy, x0::dx] = rec.reshape(ph, pw, sw)
         if pos != len(raw):
             raise ValueError("PNG Adam7 data does not match dims")
         out = img.ravel()
@@ -485,12 +545,24 @@ def _decode_png_py(payload: bytes) -> dict:
             .reshape(h, stride + 1)
             .astype(np.int64)
         )
-        out = _png_unfilter_rows(scan, w, sw)
+        if sub_byte:
+            out = _unpack_rows(
+                _png_unfilter_rows(scan, stride, 1), h, w
+            ).ravel()
+        else:
+            out = _png_unfilter_rows(scan, w, sw)
     if depth == 16:
         # big-endian samples: keep the MSB (libpng png_set_strip_16
         # convention — the native twin), so 16-bit crawl images flow
         # through the same 8-bit downstream contract
         out = out.reshape(-1, 2)[:, 0].copy()
+    elif sub_byte and color == 0:
+        # scale low-bit grey to 8-bit by the standard replication
+        # (255/(2^d-1) — the libpng expand_gray convention); palette
+        # indices pass through unscaled for the PLTE lookup below
+        out = (out.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     if color == 3:
         # palette lookup: indices -> RGB triples (one numpy gather)
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)

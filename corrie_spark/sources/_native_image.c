@@ -230,16 +230,22 @@ int corrie_png_decode(const uint8_t *buf, size_t len, uint8_t *out,
     png_set_crc_action(png, PNG_CRC_ERROR_QUIT, PNG_CRC_ERROR_QUIT);
     png_read_info(png, info);
     png_get_IHDR(png, info, &iw, &ih, &depth, &color, NULL, NULL, NULL);
-    /* pure envelope: 8-bit, plus 16-bit non-palette (MSB kept —
-     * png_set_strip_16 chops the low byte, which is exactly the pure
-     * decoder's rule); sub-8-bit depths fall back */
+    /* pure envelope: 8-bit; 16-bit non-palette (MSB kept —
+     * png_set_strip_16 chops the low byte, exactly the pure
+     * decoder's rule); 1/2/4-bit grey (expand_gray scales by the
+     * same 255/(2^d-1) replication) and palette (palette_to_rgb
+     * unpacks any index depth) */
     if (depth != 8 &&
-        !(depth == 16 && color != PNG_COLOR_TYPE_PALETTE)) {
+        !(depth == 16 && color != PNG_COLOR_TYPE_PALETTE) &&
+        !(depth < 8 && (color == PNG_COLOR_TYPE_GRAY ||
+                        color == PNG_COLOR_TYPE_PALETTE))) {
         png_destroy_read_struct(&png, &info, NULL);
         return 1;
     }
     if (depth == 16)
         png_set_strip_16(png);
+    if (depth < 8 && color == PNG_COLOR_TYPE_GRAY)
+        png_set_expand_gray_1_2_4_to_8(png);
     if (color == PNG_COLOR_TYPE_PALETTE)
         png_set_palette_to_rgb(png);
     /* the pure decoder ignores tRNS (no alpha synthesis) and strips

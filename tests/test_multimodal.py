@@ -529,9 +529,10 @@ def test_png_rejects_bad_payloads():
             ">I", zlib.crc32(t + d) & 0xFFFFFFFF
         )
 
-    # sub-8-bit depths and 16-bit palette stay behind the seam
-    # (16-bit grey/RGB/alpha decode natively since round 14)
-    for depth, color in ((4, 0), (16, 3), (8, 3), (8, 6)):
+    # spec-invalid depth/color combos and 16-bit palette stay behind
+    # the seam (16-bit grey/RGB/alpha and 1/2/4-bit grey/palette
+    # decode natively since round 14)
+    for depth, color in ((4, 2), (2, 6), (16, 3), (8, 3), (8, 6)):
         ihdr = S.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
         png = (
             b"\x89PNG\r\n\x1a\n"

@@ -221,13 +221,13 @@ def test_png_16bit_bit_exact_and_msb_rule():
             assert pure["data"] == want.ravel().tobytes(), (ct, interlace)
 
 
-def test_png_sub8bit_still_raises_both_paths():
+def test_png_invalid_depth_color_raises_both_paths():
     import struct as _s
     import zlib as _z
 
-    # hand-built 1-bit grayscale IHDR: both paths must reject it the
+    # spec-invalid 4-bit RGB IHDR: both paths must reject it the
     # same way (dispatcher falls back to pure's typed error)
-    ihdr = _s.pack(">IIBBBBB", 4, 1, 1, 0, 0, 0, 0)
+    ihdr = _s.pack(">IIBBBBB", 4, 1, 4, 2, 0, 0, 0)
     def chunk(t, d):
         return _s.pack(">I", len(d)) + t + d + _s.pack(
             ">I", _z.crc32(t + d) & 0xFFFFFFFF
@@ -248,3 +248,37 @@ def test_jpeg_restart_markers_dc_only_bit_exact():
     for q in (40, 85):
         p = J.encode_jpeg_baseline(_dc_gray(q), quality=q, restart_interval=2)
         assert J.decode_jpeg(p) == J.decode_jpeg_py(p), q
+
+
+def test_png_sub8bit_bit_exact_both_paths():
+    """1/2/4-bit grey + palette (round-14 widening): pure unpacks
+    MSB-first rows and scales grey by 255/(2^d-1) (the libpng
+    expand_gray convention) or passes palette indices to the PLTE
+    lookup; native (expand_gray_1_2_4_to_8 / palette_to_rgb) must be
+    bit-exact, across plain and Adam7 layouts."""
+    rng = np.random.RandomState(21)
+    for depth in (1, 2, 4):
+        for ct in (0, 3):
+            for interlace in (False, True):
+                w, h = 13, 9
+                px = rng.randint(0, 1 << depth, w * h, dtype=np.uint8)
+                kw = dict(color_type=ct, interlace=interlace, depth=depth)
+                if ct == 3:
+                    kw["palette"] = rng.randint(
+                        0, 256, 3 * (1 << depth), dtype=np.uint8
+                    ).tobytes()
+                if not interlace:
+                    kw["filters"] = [i % 5 for i in range(h)]
+                p = M.encode_png(w, h, px.tobytes(), **kw)
+                pure = M._decode_png_py(p)
+                assert M._decode_png(p) == pure, (depth, ct, interlace)
+                if ct == 0:
+                    want = (
+                        px.astype(int) * (255 // ((1 << depth) - 1))
+                    ).astype(np.uint8).tobytes()
+                else:
+                    pal = np.frombuffer(
+                        kw["palette"], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    want = pal[px].ravel().tobytes()
+                assert pure["data"] == want, (depth, ct, interlace)
