@@ -19,11 +19,14 @@ is part of the beyond-parity multimodal surface, same seam as
 BMP/PNG/PPM/WAV in operators/multimodal.py.
 
 Supported on decode: baseline + extended-sequential huffman DCT
-(SOF0/SOF1), 8-bit samples, 1- or 3-component scans, arbitrary
-integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
-markers (DRI/RSTn), 0xFF00 byte stuffing, 8- and 16-bit DQT tables,
-and PROGRESSIVE huffman DCT (SOF2, T.81 Annex G: spectral selection,
-successive approximation, EOB runs, interleaved DC scans,
+(SOF0/SOF1), 8-bit samples, 1-, 3- or 4-component scans (4-component
+= Adobe YCCK/CMYK print workflow: APP14 transform routing, the
+libjpeg stored-ink complement rule C = 255 - R', and the renderer
+rule floor(C*K/255 + 0.5) — all in exact doubles, oracle-replayable),
+arbitrary integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...),
+restart markers (DRI/RSTn), 0xFF00 byte stuffing, 8- and 16-bit DQT
+tables, and PROGRESSIVE huffman DCT (SOF2, T.81 Annex G: spectral
+selection, successive approximation, EOB runs, interleaved DC scans,
 non-interleaved component block grids, AC refinement). Arithmetic
 coding and 12-bit precision raise ValueError — they fall to the
 documented external-decoder seam.
@@ -318,6 +321,73 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
+def cmyk_planes_to_rgb(
+    p0: np.ndarray, p1: np.ndarray, p2: np.ndarray, p3: np.ndarray,
+    transform: int,
+) -> np.ndarray:
+    """Adobe 4-component output contract -> (h, w, 3) uint8 RGB.
+
+    Adobe JPEGs store INVERTED CMYK (255 = no ink). transform 2
+    (YCCK) carries the complement of the stored CMY through YCbCr, so
+    stored C = 255 - R' with R' from the exact JFIF conversion (the
+    libjpeg ycck->cmyk rule); transform 0 carries the stored planes
+    directly. The final step is the renderer convention for
+    Adobe-inverted data: channel = floor(C_stored * K_stored / 255
+    + 0.5) — integer-exact inputs, one shared IEEE double product per
+    sample, so the whole chain is oracle-replayable like the YCbCr
+    path."""
+    if transform == 2:
+        rgbp = ycbcr_to_rgb(p0, p1, p2).astype(np.float64)
+        c = 255.0 - rgbp[..., 0]
+        m = 255.0 - rgbp[..., 1]
+        y = 255.0 - rgbp[..., 2]
+    else:
+        c, m, y = p0, p1, p2
+    k = p3
+    out = np.stack(
+        [
+            np.floor(c * k / 255.0 + 0.5),
+            np.floor(m * k / 255.0 + 0.5),
+            np.floor(y * k / 255.0 + 0.5),
+        ],
+        axis=-1,
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _adobe_transform_from_app14(body: bytes) -> int | None:
+    """APP14 segment body -> Adobe color transform byte (0 = CMYK/
+    RGB, 1 = YCbCr, 2 = YCCK), None if not an Adobe marker."""
+    if len(body) >= 12 and body[:5] == b"Adobe":
+        return body[11]
+    return None
+
+
+def adobe_transform(payload: bytes) -> int | None:
+    """Cheap header-only APP14 scan (shared by the native dispatch,
+    which gets raw 4-component planes from libjpeg and needs the
+    transform to convert python-side)."""
+    if payload[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        m = payload[pos + 1]
+        if m == 0xD9 or m == 0xDA:
+            return None
+        if 0xD0 <= m <= 0xD7 or m == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if m == 0xEE:
+            return _adobe_transform_from_app14(
+                payload[pos + 4 : pos + 2 + seglen]
+            )
+        pos += 2 + seglen
+    return None
+
+
 def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     """JFIF forward transform, floor(x+0.5) rounding; (h, w, 3) uint8
     in, (h, w, 3) uint8 (Y, Cb, Cr) out."""
@@ -462,6 +532,7 @@ def _decode_progressive(payload: bytes) -> dict:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    adobe: int | None = None
     comps: list[dict] = []
     coefs: list[np.ndarray] = []
     w = h = hmax = vmax = mcux = mcuy = 0
@@ -512,6 +583,9 @@ def _decode_progressive(payload: bytes) -> dict:
             raise ValueError("mixed/unsupported frame markers in progressive stream")
         elif m == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xEE:  # APP14: Adobe color-transform flag
+            t = _adobe_transform_from_app14(body)
+            adobe = t if t is not None else adobe
         elif m == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF2")
@@ -626,6 +700,14 @@ def _decode_progressive(payload: bytes) -> dict:
             "kind": "image", "width": w, "height": h, "channels": 3,
             "data": rgb.tobytes(),
         }
+    if len(comps) == 4:
+        rgb = cmyk_planes_to_rgb(
+            *out_planes, transform=adobe if adobe is not None else 0
+        )
+        return {
+            "kind": "image", "width": w, "height": h, "channels": 3,
+            "data": rgb.tobytes(),
+        }
     raise ValueError(f"unsupported component count {len(comps)}")
 
 
@@ -659,6 +741,22 @@ def decode_jpeg(payload: bytes) -> dict:
                 "kind": "image", "width": w, "height": h,
                 "channels": 1, "data": raw,
             }
+        if ch == 4:
+            # raw Adobe planes (YCCK or stored CMYK — libjpeg null
+            # conversion); transform comes from our own APP14 scan
+            p = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 4)
+            t = adobe_transform(payload)
+            rgb = cmyk_planes_to_rgb(
+                p[..., 0].astype(np.float64),
+                p[..., 1].astype(np.float64),
+                p[..., 2].astype(np.float64),
+                p[..., 3].astype(np.float64),
+                transform=t if t is not None else 0,
+            )
+            return {
+                "kind": "image", "width": w, "height": h,
+                "channels": 3, "data": rgb.tobytes(),
+            }
         ycc = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
         rgb = ycbcr_to_rgb(
             ycc[..., 0].astype(np.float64),
@@ -683,6 +781,7 @@ def decode_jpeg_py(payload: bytes) -> dict:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    adobe: int | None = None
     scan = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -719,6 +818,9 @@ def decode_jpeg_py(payload: bytes) -> dict:
             )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xEE:  # APP14: Adobe color-transform flag
+            t = _adobe_transform_from_app14(body)
+            adobe = t if t is not None else adobe
         elif m == 0xDA:  # SOS
             ns = body[0]
             scomps = []
@@ -812,6 +914,14 @@ def decode_jpeg_py(payload: bytes) -> dict:
         return {"kind": "image", "width": w, "height": h, "channels": 1, "data": data}
     if len(comps) == 3:
         rgb = ycbcr_to_rgb(out_planes[0], out_planes[1], out_planes[2])
+        return {
+            "kind": "image", "width": w, "height": h, "channels": 3,
+            "data": rgb.tobytes(),
+        }
+    if len(comps) == 4:
+        rgb = cmyk_planes_to_rgb(
+            *out_planes, transform=adobe if adobe is not None else 0
+        )
         return {
             "kind": "image", "width": w, "height": h, "channels": 3,
             "data": rgb.tobytes(),
@@ -946,6 +1056,17 @@ def _prep_components(
             {"id": 3, "h": 1, "v": 1, "plane": cr, "qt": qc, "qid": 1,
              "dc": dcc, "ac": acc, "td": 1, "ta": 1},
         ]
+        if pixels.shape[2] == 4:
+            # Adobe 4-component layout: planes are raw (Y, Cb, Cr, K)
+            # for YCCK or stored-CMYK for transform 0 — conversion
+            # stays OUTSIDE the codec like the 3-comp YCbCr contract.
+            # K rides the luma tables at full (Y) sampling, the Adobe
+            # convention.
+            k = pixels[..., 3].astype(np.float64)
+            comps.append(
+                {"id": 4, "h": sh, "v": sv, "plane": k, "qt": qy,
+                 "qid": 0, "dc": dcy, "ac": acy, "td": 0, "ta": 0}
+            )
         hmax, vmax = sh, sv
 
     mcux = -(-w // (8 * hmax))
@@ -1004,7 +1125,14 @@ def encode_jpeg_baseline(
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _marker(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    if not gray and pixels.ndim == 3 and pixels.shape[2] == 4:
+        # Adobe marker instead of JFIF (the 4-component convention):
+        # version 100, flags 0, color transform 2 = YCCK
+        out += _marker(
+            0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2)
+        )
+    else:
+        out += _marker(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     zz_y = qy.ravel()[ZIGZAG].astype(np.uint8).tobytes()
     dqt = bytes([0x00]) + zz_y
     if not gray:

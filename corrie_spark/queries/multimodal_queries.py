@@ -2366,3 +2366,106 @@ def q_multimodal_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_pixel",
         "ok",
     )
+
+
+# --- Adobe 4-component (YCCK) JPEG through the oracle gate -----------------
+
+_JC_YD = _jdc("((doc_id * 13 + t * 29) % 256)", _JQ0L)
+_JC_CBD = _jdc("((doc_id * 17 + t * 41) % 256)", _JQ0C)
+_JC_CRD = _jdc("((doc_id * 19 + t * 53) % 256)", _JQ0C)
+_JC_KD = _jdc("((doc_id * 23 + t * 31) % 256)", _JQ0L)
+_JC_RP = f"least(greatest(floor({_JC_YD} + 1.402 * ({_JC_CRD} - 128) + 0.5), 0), 255)"
+_JC_GP = (
+    f"least(greatest(floor({_JC_YD} - 0.344136 * ({_JC_CBD} - 128)"
+    f" - 0.714136 * ({_JC_CRD} - 128) + 0.5), 0), 255)"
+)
+_JC_BP = f"least(greatest(floor({_JC_YD} + 1.772 * ({_JC_CBD} - 128) + 0.5), 0), 255)"
+
+
+def _jc_chan(p: str) -> str:
+    """Stored ink = 255 - complement-channel; renderer rule
+    floor(C_stored * K_stored / 255 + 0.5)."""
+    return (
+        f"least(greatest(floor((255 - {p}) * {_JC_KD} / 255 + 0.5), 0), 255)"
+    )
+
+
+_JPEG_CMYK_ORACLE = f"""
+SELECT
+  doc_id AS media_id,
+  'image/jpeg' AS media_type,
+  CAST(32 AS BIGINT) AS width,
+  CAST(16 AS BIGINT) AS height,
+  CAST(32 * 16 * 3 AS BIGINT) AS n_bytes,
+  CAST(list_sum(list_transform(range(0, 2), t ->
+       {_jc_chan(_JC_RP)} + {_jc_chan(_JC_GP)} + {_jc_chan(_JC_BP)}))
+       AS DOUBLE) / 6 AS mean_pixel,
+  TRUE AS ok
+FROM documents
+"""
+
+
+@register(
+    "q_multimodal_jpeg_cmyk",
+    oracle=_JPEG_CMYK_ORACLE,
+    python_stages="mapInPandas Adobe YCCK JPEG build + 4-component decode",
+)
+def q_multimodal_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adobe 4-COMPONENT JPEG (round-14 widening — print-workflow
+    images are a real crawl class) through the oracle gate: per-doc
+    YCCK baseline JPEGs (APP14 transform 2, K on the luma tables at
+    Y's sampling, 4:2:0 chroma) with constant 16x16 MCU tiles, so the
+    full chain — per-plane quantize/dequantize/IDCT, the exact double
+    JFIF YCbCr conversion, the libjpeg stored-ink complement rule
+    C = 255 - R', and the renderer rule floor(C*K/255 + 0.5) — is
+    replayed closed-form by the oracle. The native path (raw YCCK
+    planes via libjpeg null conversion + the same python doubles) is
+    bit-exact on this class (tests/test_native_image.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from corrie_spark.operators import jpeg as J
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                quality = 40 + (did % 5) * 15
+                img = np.zeros((16, 32, 4), dtype=np.uint8)
+                for t in range(2):
+                    img[:, t * 16 : (t + 1) * 16] = [
+                        (did * 13 + t * 29) % 256,
+                        (did * 17 + t * 41) % 256,
+                        (did * 19 + t * 53) % 256,
+                        (did * 23 + t * 31) % 256,
+                    ]
+                out.append(
+                    {
+                        "media_id": did,
+                        "media_type": "image/jpeg",
+                        "payload": J.encode_jpeg_baseline(
+                            img, quality=quality, subsampling=(2, 2)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "payload"])
+
+    from pyspark.sql import functions as F
+
+    media = docs.mapInPandas(build, M.MEDIA_SCHEMA_DDL)
+    return M.image_features(media).select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "mean_pixel",
+        "ok",
+    )

@@ -102,7 +102,8 @@ int corrie_jpeg_decode(const uint8_t *buf, size_t len, uint8_t *out,
      * else must take the pure path so the DLQ verdict is identical
      * in native-on and native-off environments */
     if (ci.data_precision != 8 ||
-        (ci.num_components != 1 && ci.num_components != 3) ||
+        (ci.num_components != 1 && ci.num_components != 3 &&
+         ci.num_components != 4) ||
         ci.arith_code) {
         jpeg_destroy_decompress(&ci);
         return 1;
@@ -123,11 +124,14 @@ int corrie_jpeg_decode(const uint8_t *buf, size_t len, uint8_t *out,
     }
 
     /* keep color conversion and upsampling rules on the Python side:
-     * gray stays gray; color comes out as replicated-upsampled
-     * interleaved YCbCr for the caller's exact double-precision
-     * JFIF conversion */
+     * gray stays gray; 3-comp color comes out as replicated-upsampled
+     * interleaved YCbCr; 4-comp Adobe comes out RAW (YCCK or CMYK as
+     * stored — out == jpeg colorspace is libjpeg's null conversion)
+     * for the caller's exact double-precision conversions */
     ci.out_color_space =
-        ci.num_components == 1 ? JCS_GRAYSCALE : JCS_YCbCr;
+        ci.num_components == 1 ? JCS_GRAYSCALE
+        : ci.num_components == 4 ? ci.jpeg_color_space
+                                 : JCS_YCbCr;
     ci.do_fancy_upsampling = FALSE;
     ci.dct_method = JDCT_ISLOW;
     jpeg_start_decompress(&ci);

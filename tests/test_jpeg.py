@@ -290,3 +290,31 @@ def test_progressive_via_decode_payload():
     img = np.full((10, 12), 77, dtype=np.uint8)
     d = decode_payload("image/jpeg", J.encode_jpeg_progressive(img, quality=80))
     assert d["kind"] == "image" and (d["width"], d["height"]) == (12, 10)
+
+
+def test_ycck_convention_pins():
+    """The Adobe 4-component convention chain, pinned on physical
+    anchors: white paper (stored CMY=255 -> complement 0 -> Y'=0,
+    K=255) decodes to RGB 255; full black ink (K=0) to RGB 0; pure
+    cyan ink to (0, 255, 255)."""
+    import numpy as np
+
+    def solid(y, cb, cr, k):
+        img = np.zeros((8, 8, 4), dtype=np.uint8)
+        img[:] = [y, cb, cr, k]
+        p = J.encode_jpeg_baseline(img, quality=100, subsampling=(1, 1))
+        return np.frombuffer(
+            J.decode_jpeg_py(p)["data"], dtype=np.uint8
+        ).reshape(8, 8, 3)
+
+    assert (solid(0, 128, 128, 255) == 255).all()  # white paper
+    assert (solid(0, 128, 128, 0) == 0).all()      # solid K ink
+    ycc = J.rgb_to_ycbcr(np.full((8, 8, 3), [255, 0, 0], dtype=np.uint8))
+    img = np.dstack([ycc, np.full((8, 8, 1), 255, dtype=np.uint8)])
+    p = J.encode_jpeg_baseline(
+        img.astype(np.uint8), quality=100, subsampling=(1, 1)
+    )
+    got = np.frombuffer(
+        J.decode_jpeg_py(p)["data"], dtype=np.uint8
+    ).reshape(8, 8, 3)[4, 4]
+    assert got[0] <= 2 and got[1] >= 253 and got[2] >= 253  # cyan

@@ -282,3 +282,44 @@ def test_png_sub8bit_bit_exact_both_paths():
                     ).reshape(-1, 3)
                     want = pal[px].ravel().tobytes()
                 assert pure["data"] == want, (depth, ct, interlace)
+
+
+def test_jpeg_ycck_cmyk_dc_only_bit_exact():
+    """Adobe 4-component JPEGs (round-14 widening): raw YCCK planes
+    from libjpeg (null conversion) + the shared python conversion
+    must equal the pure decoder bit-for-bit on the DC-only class, at
+    4:4:4 and 4:2:0, and the transform-0 (stored-CMYK) arm too."""
+    def dc4(seed):
+        img = np.zeros((16, 32, 4), dtype=np.uint8)
+        for t in range(2):
+            img[:, t * 16 : (t + 1) * 16] = [
+                (seed * 13 + t * 29) % 256, (seed * 17 + t * 41) % 256,
+                (seed * 19 + t * 53) % 256, (seed * 23 + t * 31) % 256,
+            ]
+        return img
+
+    for q in (40, 70, 100):
+        for sub in ((1, 1), (2, 2)):
+            p = J.encode_jpeg_baseline(dc4(q), quality=q, subsampling=sub)
+            assert J.adobe_transform(p) == 2
+            assert J.decode_jpeg(p) == J.decode_jpeg_py(p), (q, sub)
+    # transform 0: patch the APP14 transform byte — planes are then
+    # stored CMYK directly; both paths must agree on the change
+    p = J.encode_jpeg_baseline(dc4(7), quality=85, subsampling=(1, 1))
+    patched = bytearray(p)
+    at = patched.index(b"Adobe") + 11
+    patched[at] = 0
+    patched = bytes(patched)
+    assert J.adobe_transform(patched) == 0
+    d0, d2 = J.decode_jpeg_py(patched), J.decode_jpeg_py(p)
+    assert d0 != d2  # the transform byte is live
+    assert J.decode_jpeg(patched) == d0
+
+
+def test_jpeg_ycck_ac_parity_bounded():
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (24, 24, 4), dtype=np.uint8)
+    p = J.encode_jpeg_baseline(img, quality=80, subsampling=(1, 1))
+    a = np.frombuffer(J.decode_jpeg(p)["data"], dtype=np.uint8).astype(int)
+    b = np.frombuffer(J.decode_jpeg_py(p)["data"], dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 2
