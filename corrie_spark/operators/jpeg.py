@@ -1325,7 +1325,14 @@ def encode_jpeg_progressive(
             scans.append((bytes([1, c["id"], c["ta"], ss, se, 0x10]), bytes(bw.out)))
 
     out = bytearray(b"\xff\xd8")
-    out += _marker(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    if not gray and pixels.ndim == 3 and pixels.shape[2] == 4:
+        # Adobe marker instead of JFIF (4-component YCCK, like the
+        # baseline encoder)
+        out += _marker(
+            0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2)
+        )
+    else:
+        out += _marker(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     dqt = bytes([0x00]) + qy.ravel()[ZIGZAG].astype(np.uint8).tobytes()
     if not gray:
         dqt += bytes([0x01]) + qc.ravel()[ZIGZAG].astype(np.uint8).tobytes()

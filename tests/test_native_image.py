@@ -323,3 +323,16 @@ def test_jpeg_ycck_ac_parity_bounded():
     a = np.frombuffer(J.decode_jpeg(p)["data"], dtype=np.uint8).astype(int)
     b = np.frombuffer(J.decode_jpeg_py(p)["data"], dtype=np.uint8).astype(int)
     assert np.abs(a - b).max() <= 2
+
+
+def test_jpeg_ycck_progressive_bit_exact():
+    """Progressive 4-component: the SOF2 scan script over YCCK planes
+    decodes bit-identically to its baseline twin, and native == pure."""
+    img = np.zeros((16, 32, 4), dtype=np.uint8)
+    for t in range(2):
+        img[:, t * 16 : (t + 1) * 16] = [10 + t * 40, 100, 150, 200]
+    p = J.encode_jpeg_progressive(img, quality=70, subsampling=(2, 2))
+    b = J.encode_jpeg_baseline(img, quality=70, subsampling=(2, 2))
+    assert J.adobe_transform(p) == 2
+    assert J.decode_jpeg_py(p) == J.decode_jpeg_py(b)
+    assert J.decode_jpeg(p) == J.decode_jpeg_py(p)
