@@ -884,6 +884,22 @@ def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
 
 
 def _gif_lzw_decode(data: bytes, mcs: int) -> bytearray:
+    """Dispatching entry for the GIF LZW hot loop: the compiled
+    shim's from-spec C twin when buildable (sources/native_image.py
+    policy env; bit-exact by construction — same algorithm, pinned by
+    tests), the pure decoder below otherwise. Any native failure
+    falls back to pure for the house-typed error."""
+    from corrie_spark.sources import native_image as NI
+
+    if NI.image_shim_enabled():
+        try:
+            return bytearray(NI.gif_lzw_native(bytes(data), mcs))
+        except NI.NativeImageError:
+            pass
+    return _gif_lzw_decode_py(data, mcs)
+
+
+def _gif_lzw_decode_py(data: bytes, mcs: int) -> bytearray:
     """Variable-width LZW decompress (clear/end codes, dict growth
     with width bumps, the K=K-K special case, 4096-entry reset) —
     shared by the still decoder and the animation compositor."""

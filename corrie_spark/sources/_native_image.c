@@ -294,3 +294,164 @@ int corrie_png_decode(const uint8_t *buf, size_t len, uint8_t *out,
     png_destroy_read_struct(&png, &info, NULL);
     return 0;
 }
+
+/* ------------------------------------------------------------- gif lzw -- */
+/* From-spec GIF89a variable-width LZW decode (the pure decoder's
+ * exact semantics, including the one-early width bump, the K-K-K
+ * case, and the nominal table length that keeps counting past 4096
+ * even though 12-bit codes can never reference those slots). No
+ * giflib involvement: the container walk stays in Python; only the
+ * per-pixel hot loop moves to C, so there is no foreign-ABI risk in
+ * an environment that ships libgif.so without headers.
+ *
+ * Return codes: 0 ok (*out malloc'd, caller frees via
+ * corrie_buf_free); 1 unsupported (mcs outside 1..8 — the pure
+ * path's own byte-table limit); 2 corrupt stream.
+ */
+
+void corrie_buf_free(uint8_t *p) { free(p); }
+
+int corrie_gif_lzw(const uint8_t *data, size_t len, int32_t mcs,
+                   uint8_t **out, size_t *outlen, char *err,
+                   int32_t errcap) {
+    uint16_t prefix[4096];
+    uint8_t suffix[4096];
+    uint8_t firstb[4096];
+    uint8_t stack[4100];
+    int clear, end_code, width, prev, nominal;
+    uint32_t acc = 0;
+    int nacc = 0;
+    size_t di = 0, ocap = 1 << 16, olen = 0;
+    uint8_t *obuf;
+
+    *out = NULL;
+    *outlen = 0;
+    if (mcs < 1 || mcs > 8)
+        return 1;
+    clear = 1 << mcs;
+    end_code = clear + 1;
+    for (int i = 0; i < clear; i++) {
+        prefix[i] = 0xFFFF;
+        suffix[i] = (uint8_t)i;
+        firstb[i] = (uint8_t)i;
+    }
+    nominal = clear + 2;
+    width = mcs + 1;
+    prev = -1;
+    obuf = (uint8_t *)malloc(ocap);
+    if (!obuf) {
+        set_err(err, errcap, "lzw: out of memory");
+        return 2;
+    }
+    for (;;) {
+        int c;
+        while (nacc < width) {
+            if (di >= len)
+                goto done; /* python: next_code() -> None ends */
+            acc |= (uint32_t)data[di++] << nacc;
+            nacc += 8;
+        }
+        c = (int)(acc & ((1u << width) - 1));
+        acc >>= width;
+        nacc -= width;
+        if (c == end_code)
+            break;
+        if (c == clear) {
+            nominal = clear + 2;
+            width = mcs + 1;
+            prev = -1;
+            continue;
+        }
+        {
+            int sp = 0, walk, emit_code;
+            uint8_t kkk_first = 0;
+            int is_kkk = 0;
+            if (prev < 0) {
+                if (c >= nominal) {
+                    free(obuf);
+                    set_err(err, errcap, "bad first LZW code");
+                    return 2;
+                }
+                emit_code = c;
+            } else if (c < nominal) {
+                emit_code = c;
+            } else if (c == nominal) { /* K-K-K */
+                is_kkk = 1;
+                emit_code = prev;
+                kkk_first = firstb[prev];
+            } else {
+                free(obuf);
+                set_err(err, errcap, "LZW code out of range");
+                return 2;
+            }
+            if (emit_code >= 4096 || (c < nominal && c >= 4096)) {
+                /* codes past 4096 are unreachable at 12-bit width;
+                 * nominal > 4096 entries were never stored */
+                free(obuf);
+                set_err(err, errcap, "LZW code out of range");
+                return 2;
+            }
+            /* unwind the chain into the stack */
+            if (is_kkk)
+                stack[sp++] = kkk_first;
+            walk = emit_code;
+            while (walk >= 0 && sp < (int)sizeof(stack)) {
+                stack[sp++] = suffix[walk];
+                walk = (walk < clear || prefix[walk] == 0xFFFF)
+                           ? -1
+                           : (int)prefix[walk];
+            }
+            if (sp >= (int)sizeof(stack)) {
+                free(obuf);
+                set_err(err, errcap, "LZW chain overflow");
+                return 2;
+            }
+            if (olen + (size_t)sp > ocap) {
+                while (olen + (size_t)sp > ocap)
+                    ocap <<= 1;
+                uint8_t *nb = (uint8_t *)realloc(obuf, ocap);
+                if (!nb) {
+                    free(obuf);
+                    set_err(err, errcap, "lzw: out of memory");
+                    return 2;
+                }
+                obuf = nb;
+            }
+            for (int i = sp - 1; i >= 0; i--)
+                obuf[olen++] = stack[i];
+            /* table append (python appends for every non-first code;
+             * slots past 4095 are nominal-only) */
+            if (prev >= 0) {
+                if (nominal < 4096) {
+                    prefix[nominal] = (uint16_t)prev;
+                    suffix[nominal] =
+                        is_kkk ? firstb[prev] : firstb[c];
+                    firstb[nominal] = firstb[prev >= 0 ? prev : c];
+                    /* first byte of the NEW entry = first byte of
+                     * prev (the entry starts with prev's bytes) */
+                    firstb[nominal] = firstb[prev];
+                }
+                nominal++;
+            }
+            /* width bump one entry EARLY, python's exact rule */
+            if (nominal == (1 << width) - 1 && width < 12)
+                width++;
+            prev = is_kkk ? nominal - 1 : c;
+            if (is_kkk && nominal - 1 >= 4096) {
+                /* the K-K-K entry itself landed past the storable
+                 * range; it can never be referenced again at 12-bit
+                 * width, but prev must still behave like it — remap
+                 * prev to the chain we just emitted is impossible,
+                 * so fall back to an error (python would keep the
+                 * bytes; unreachable in valid streams) */
+                free(obuf);
+                set_err(err, errcap, "LZW table overflow");
+                return 2;
+            }
+        }
+    }
+done:
+    *out = obuf;
+    *outlen = olen;
+    return 0;
+}

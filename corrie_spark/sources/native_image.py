@@ -150,6 +150,18 @@ def _load():
         if path is not None:
             try:
                 lib = ctypes.CDLL(path)
+                lib.corrie_gif_lzw.argtypes = [
+                    ctypes.c_void_p,                    # data
+                    ctypes.c_size_t,                    # len
+                    ctypes.c_int32,                     # mcs
+                    ctypes.POINTER(ctypes.c_void_p),    # out
+                    ctypes.POINTER(ctypes.c_size_t),    # outlen
+                    ctypes.c_char_p,                    # err
+                    ctypes.c_int32,                     # errcap
+                ]
+                lib.corrie_gif_lzw.restype = ctypes.c_int
+                lib.corrie_buf_free.argtypes = [ctypes.c_void_p]
+                lib.corrie_buf_free.restype = None
                 for fn in ("corrie_jpeg_decode", "corrie_png_decode"):
                     f = getattr(lib, fn)
                     f.argtypes = [
@@ -260,3 +272,32 @@ def png_decode_native(payload: bytes) -> tuple[int, int, int, bytes]:
     """(w, h, channels, pixels): gray bytes or RGB triples, palette
     expanded and alpha stripped — bit-exact vs the pure decoder."""
     return _call("corrie_png_decode", payload)
+
+
+def gif_lzw_native(data: bytes, mcs: int) -> bytes:
+    """From-spec C twin of the GIF variable-width LZW decoder (no
+    giflib — only the per-pixel hot loop moves to C, so there is no
+    foreign-ABI risk in an environment shipping libgif.so without
+    headers). Bit-exact vs multimodal._gif_lzw_decode_py."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native image shim not loaded")
+    if not isinstance(data, bytes):
+        data = bytes(data)
+    outp = ctypes.c_void_p(None)
+    outlen = ctypes.c_size_t(0)
+    err = ctypes.create_string_buffer(128)
+    rc = lib.corrie_gif_lzw(
+        _addr(data), len(data), mcs,
+        ctypes.byref(outp), ctypes.byref(outlen), err, len(err),
+    )
+    if rc == 1:
+        raise NativeImageUnsupported("corrie_gif_lzw")
+    if rc != 0:
+        raise NativeImageError(
+            err.value.decode("utf-8", "replace") or f"gif_lzw rc={rc}"
+        )
+    try:
+        return ctypes.string_at(outp, outlen.value)
+    finally:
+        lib.corrie_buf_free(outp)

@@ -336,3 +336,48 @@ def test_jpeg_ycck_progressive_bit_exact():
     assert J.adobe_transform(p) == 2
     assert J.decode_jpeg_py(p) == J.decode_jpeg_py(b)
     assert J.decode_jpeg(p) == J.decode_jpeg_py(p)
+
+
+def test_gif_lzw_c_twin_bit_exact_fuzz():
+    """The shim's from-spec C LZW core (no giflib — zero foreign-ABI
+    risk) must equal the pure decoder bit-for-bit: structured repeats
+    (dict growth + the K-K-K case), random indices across palette
+    sizes, truncation cuts, and the same typed error on garbage."""
+    rng = np.random.RandomState(5)
+    for trial in range(60):
+        n = rng.randint(1, 400)
+        ncol = int(rng.choice([2, 4, 16, 256]))
+        mcs = max(2, (ncol - 1).bit_length())
+        idx = rng.randint(0, ncol, n).astype(np.uint8)
+        if trial % 3 == 0:
+            idx = np.tile(idx[: max(1, n // 4)], 4)[:n]
+        blocks = M._gif_lzw_encode(idx.tobytes(), mcs)
+        raw = bytearray()
+        p = 0
+        while p < len(blocks) and blocks[p] != 0:
+            ln = blocks[p]
+            raw += blocks[p + 1 : p + 1 + ln]
+            p += 1 + ln
+        pure = bytes(M._gif_lzw_decode_py(bytes(raw), mcs))
+        disp = bytes(M._gif_lzw_decode(bytes(raw), mcs))
+        assert pure == disp == idx.tobytes(), (trial, mcs, n)
+        for cut in (1, 7, len(raw) // 2):
+            assert bytes(M._gif_lzw_decode_py(bytes(raw[:cut]), mcs)) == bytes(
+                M._gif_lzw_decode(bytes(raw[:cut]), mcs)
+            )
+    g = bytes(rng.randint(0, 256, 100, dtype=np.uint8))
+    with pytest.raises(ValueError) as e1:
+        M._gif_lzw_decode_py(g, 4)
+    with pytest.raises(ValueError) as e2:
+        M._gif_lzw_decode(g, 4)
+    assert str(e1.value) == str(e2.value)
+
+
+def test_gif_still_and_animation_through_dispatch():
+    rng = np.random.RandomState(9)
+    idx = rng.randint(0, 8, 9 * 6).astype(np.uint8)
+    pal = bytes(rng.randint(0, 256, 8 * 3, dtype=np.uint8))
+    gif = M.encode_gif(9, 6, idx.tobytes(), pal)
+    d = M._decode_gif(gif)
+    palv = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    assert d["data"] == palv[idx].ravel().tobytes()
