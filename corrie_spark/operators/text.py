@@ -212,3 +212,106 @@ def scrub_pii(text: Column | str) -> Column:
     return F.regexp_replace(
         F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
     )
+
+
+# --- DSIR-style hashed importance reweighting -------------------------------
+
+DSIR_BUCKETS = 2048
+DSIR_SCALE = 1 << 20
+
+
+def dsir_scores(
+    docs,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+):
+    """Hashed n-gram importance scores toward a TARGET distribution —
+    the data-selection shape of Xie et al. 2023 ("Data Selection for
+    Language Models via Importance Resampling", public paper):
+    featurize every document as hashed unigram+bigram counts, fit
+    bucket frequencies over the target subset vs the whole corpus,
+    and score each document by how target-like its grams are. Rows:
+    (id, is_target, n_grams, score).
+
+    Determinism contract (the repo-wide rule: never sum doubles
+    across rows): the paper's per-bucket log(p/q) weight is replaced
+    by the integer-rational weight
+
+        w_b = (scale * (t_b + 1)) div (r_b + 1)
+
+    (add-one smoothing; t_b = target count, r_b = corpus count), and
+    a document's score is the EXACT integer sum of its grams' weights
+    — monotone in the same target/corpus ratio the paper ranks by,
+    replayable closed-form by the SQL oracle, and stable under any
+    row order. Hashing is the cross-engine md5 family (hash60 mod
+    n_buckets, salt 'dsir').
+
+    100 TB shape: two passes over the corpus, the standard fit/apply
+    split — pass 1 aggregates (bucket, counts) with map-side combine
+    to an n_buckets-row table; pass 2 re-joins that BROADCAST table
+    to the exploded grams and reduces per-document with exact-int
+    partial sums. Gram strings never shuffle (the bucket is computed
+    before the exchange); no driver-side loops."""
+    from corrie_spark.functions import bind
+    from corrie_spark.operators.dedup import hash60
+
+    toks_raw = F.split(F.trim(F.col(text_col)), "\\s+")
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(toks_raw)
+
+    def grams_of(t: Column) -> Column:
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at(t, i.cast("int")),
+                    F.try_element_at(t, (i + 1).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(t, bigrams)
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        target.alias("is_target"),
+        bind(toks, grams_of).alias("_grams"),
+    )
+    ex = base.select(
+        "_id",
+        "is_target",
+        F.explode("_grams").alias("_g"),
+    ).withColumn("bucket", hash60(F.col("_g"), "dsir") % n_buckets)
+
+    weights = ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_r"),
+        F.sum(F.col("is_target").cast("long")).alias("_t"),
+    ).select(
+        "bucket",
+        F.expr(f"({scale} * (_t + 1)) div (_r + 1)").alias("_w"),
+    )
+
+    per_doc = (
+        ex.join(F.broadcast(weights), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_w").alias("score"),
+        )
+    )
+    return (
+        base.select("_id", "is_target")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "is_target",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
+    )

@@ -2931,3 +2931,57 @@ def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sent).cast("long").alias("n_sentences"),
         F.md5(F.array_join(sent, "|")).alias("sent_md5"),
     )
+
+
+# --- DSIR importance reweighting through the oracle gate --------------------
+
+_DSIR_B = T.DSIR_BUCKETS
+_DSIR_S = T.DSIR_SCALE
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_target,
+    unnest(list_concat(t, {_BIGRAMS})) AS g
+  FROM toks
+),
+bk AS MATERIALIZED (
+  SELECT doc_id, is_target,
+    ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT % {_DSIR_B} AS b
+  FROM grams
+),
+wt AS (
+  SELECT b,
+    ({_DSIR_S} * (SUM(CASE WHEN is_target THEN 1 ELSE 0 END) + 1))
+      // (COUNT(*) + 1) AS w
+  FROM bk GROUP BY b
+),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(w) AS BIGINT) AS score
+  FROM bk JOIN wt USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, d.is_target,
+  COALESCE(sc.n_grams, 0) AS n_grams,
+  COALESCE(sc.score, 0) AS score
+FROM (SELECT DISTINCT doc_id, is_target FROM toks) d
+LEFT JOIN sc USING (doc_id)
+"""
+
+
+@register("q_text_dsir_scores", oracle=_DSIR_ORACLE)
+def q_text_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023) through the oracle
+    gate: hashed unigram+bigram bucket frequencies fit over the
+    lang='en' target subset vs the whole corpus, every document
+    scored by the exact integer sum of its grams' integer-rational
+    weights (scale*(t+1) div (r+1) — the determinism-contract stand-in
+    for the paper's log-ratio; see operators/text.py dsir_scores).
+    Two corpus passes (fit then apply), broadcast weight table, gram
+    strings never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return T.dsir_scores(docs, target=F.col("lang") == "en")
