@@ -168,6 +168,8 @@ FAMILIES = [
     ("webp_vp8l", "q_multimodal_webp"),
     # round-14: per-clip FFT (audio spectral analysis)
     ("audio_spectrum", "q_multimodal_audio_spectrum"),
+    ("jpeg_cmyk", "q_multimodal_jpeg_cmyk"),
+    ("dsir_scores", "q_text_dsir_scores"),
 ]
 
 
