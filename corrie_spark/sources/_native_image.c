@@ -424,11 +424,10 @@ int corrie_gif_lzw(const uint8_t *data, size_t len, int32_t mcs,
             if (prev >= 0) {
                 if (nominal < 4096) {
                     prefix[nominal] = (uint16_t)prev;
+                    /* new entry = prev + first byte of (entry c |
+                     * prev for K-K-K); it starts with prev's bytes */
                     suffix[nominal] =
                         is_kkk ? firstb[prev] : firstb[c];
-                    firstb[nominal] = firstb[prev >= 0 ? prev : c];
-                    /* first byte of the NEW entry = first byte of
-                     * prev (the entry starts with prev's bytes) */
                     firstb[nominal] = firstb[prev];
                 }
                 nominal++;
