@@ -42,7 +42,9 @@ __all__ = [
     "decode_webp_animation",
     "encode_webp_lossless",
     "encode_webp_animation",
+    "encode_webp_with_exif",
     "is_animated_webp",
+    "webp_metadata",
     "WebpError",
 ]
 
@@ -994,3 +996,80 @@ def encode_webp_native(width: int, height: int, rgb: bytes) -> bytes | None:
         return ctypes.string_at(out, n)
     finally:
         lib.WebPFree(out)
+
+
+# --------------------------------------------------------------------------
+# container metadata (header-only scan; EXIF rides the extended
+# container as its own chunk — the JPEG APP1 machinery parses it)
+# --------------------------------------------------------------------------
+
+
+def encode_webp_with_exif(
+    width: int, height: int, rgb: bytes, exif_tiff: bytes
+) -> bytes:
+    """Writer twin: extended-container still (VP8X with the EXIF
+    flag) carrying a VP8L image plus an EXIF chunk. `exif_tiff` is
+    the APP1-style body (with or without the 'Exif\\x00\\x00'
+    prefix — stored as given, the convention writers vary on)."""
+    vp8x = bytes([0x08]) + b"\x00\x00\x00" + _u24(width - 1) + _u24(height - 1)
+    payload = (
+        b"WEBP"
+        + _riff_chunk(b"VP8X", vp8x)
+        + _vp8l_chunk(width, height, rgb)
+        + _riff_chunk(b"EXIF", exif_tiff)
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def webp_metadata(payload: bytes) -> dict:
+    """Header-only WebP container scan (never decodes pixels — the
+    parse_jpeg_metadata twin): canvas dims, lossy/lossless kind,
+    animation flag + frame count + total duration, EXIF orientation/
+    datetime (chunk body through the shared TIFF-IFD parser,
+    'Exif\\x00\\x00' prefix tolerated), XMP/ICC presence."""
+    from corrie_spark.operators.jpeg import _parse_exif_tiff
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise WebpError("not a WebP file")
+    out: dict = {
+        "kind": None,
+        "width": None,
+        "height": None,
+        "animated": False,
+        "n_frames": 0,
+        "total_duration_ms": 0,
+        "has_exif": False,
+        "has_xmp": False,
+        "has_icc": False,
+    }
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X" and size >= 10:
+            flags = body[0]
+            out["animated"] = bool(flags & 0x02)
+            out["has_icc"] = bool(flags & 0x20)
+            out["has_xmp"] = bool(flags & 0x04)
+            out["width"] = _r24(body, 4) + 1
+            out["height"] = _r24(body, 7) + 1
+        elif fourcc == b"VP8L" and size >= 5 and body[0] == 0x2F:
+            out["kind"] = "lossless"
+            if out["width"] is None:
+                v = int.from_bytes(body[1:5], "little")
+                out["width"] = (v & 0x3FFF) + 1
+                out["height"] = ((v >> 14) & 0x3FFF) + 1
+        elif fourcc == b"VP8 ":
+            out["kind"] = out["kind"] or "lossy"
+        elif fourcc == b"ANMF" and size >= 16:
+            out["n_frames"] += 1
+            out["total_duration_ms"] += _r24(body, 12)
+            if out["kind"] is None and b"VP8L" in body[16:24]:
+                out["kind"] = "lossless"
+        elif fourcc == b"EXIF":
+            out["has_exif"] = True
+            tiff = body[6:] if body[:6] == b"Exif\x00\x00" else body
+            out.update(_parse_exif_tiff(tiff))
+        pos += 8 + size + (size & 1)
+    return out

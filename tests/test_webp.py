@@ -332,3 +332,40 @@ def test_animation_routes_as_video_via_decode_payload():
     assert d["kind"] == "video" and d["n_frames"] == 2
     still = WP.encode_webp_lossless(4, 4, bytes(48))
     assert decode_payload("image/webp", still)["kind"] == "image"
+
+
+def test_webp_metadata_scan():
+    """Header-only container scan (the parse_jpeg_metadata twin):
+    dims, kind, EXIF orientation/datetime through the shared TIFF-IFD
+    parser (Exif prefix tolerated both ways), animation frame count
+    and summed durations — no pixel decode."""
+    from corrie_spark.operators.jpeg import build_exif_app1
+
+    exif = build_exif_app1(
+        orientation=6, datetime_str="2026:01:02 03:04:05", byte_order="MM"
+    )[6:]
+    p = WP.encode_webp_with_exif(5, 4, bytes(60), exif)
+    m = WP.webp_metadata(p)
+    assert (m["width"], m["height"], m["kind"]) == (5, 4, "lossless")
+    assert m["has_exif"] and m["orientation"] == 6
+    assert m["datetime"] == "2026:01:02 03:04:05"
+    # with the Exif\0\0 prefix stored verbatim (writer convention B)
+    p2 = WP.encode_webp_with_exif(5, 4, bytes(60), b"Exif\x00\x00" + exif)
+    assert WP.webp_metadata(p2)["orientation"] == 6
+    # the EXIF chunk never disturbs pixel decode
+    assert WP.decode_webp(p)["width"] == 5
+    # plain still: dims from the VP8L header, no metadata flags
+    still = WP.encode_webp_lossless(7, 3, bytes(63))
+    ms = WP.webp_metadata(still)
+    assert (ms["width"], ms["height"]) == (7, 3)
+    assert not ms["has_exif"] and not ms["animated"]
+    # animation: frame count + total duration, no decode
+    frames = [
+        (0, 0, 4, 4, bytes([1] * 48), 30, 0),
+        (4, 0, 4, 4, bytes([2] * 48), 45, 0),
+    ]
+    ma = WP.webp_metadata(WP.encode_webp_animation(8, 4, frames))
+    assert ma["animated"] and ma["n_frames"] == 2
+    assert ma["total_duration_ms"] == 75
+    with pytest.raises(WP.WebpError):
+        WP.webp_metadata(b"RIFFxxxxNOPE")
