@@ -3687,3 +3687,100 @@ def jpeg_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, JPEG_META_DDL)
+
+
+def png_metadata(payload: bytes) -> dict:
+    """Header-only PNG scan (the parse_jpeg_metadata twin — no
+    inflate, no unfilter): dims/depth/color/interlace from IHDR, DPI
+    from pHYs (meters -> inches), and tEXt key/value pairs (latin-1
+    per spec). Chunk CRCs are NOT verified here — a metadata sweep
+    over a crawl should report what headers claim; the pixel decoder
+    stays strict."""
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG file")
+    out: dict = {"texts": {}}
+    pos = len(PNG_SIG)
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            break
+        if ctype == b"IHDR" and ln >= 13:
+            (
+                out["width"], out["height"], out["depth"], out["color_type"],
+                _, _, interlace,
+            ) = struct.unpack(">IIBBBBB", data[:13])
+            out["interlaced"] = interlace == 1
+        elif ctype == b"pHYs" and ln >= 9:
+            px, py, unit = struct.unpack(">IIB", data[:9])
+            if unit == 1:  # pixels per metre -> dpi
+                out["dpi_x"] = round(px * 0.0254)
+                out["dpi_y"] = round(py * 0.0254)
+        elif ctype == b"tEXt":
+            k, _, v = data.partition(b"\x00")
+            out["texts"][k.decode("latin-1", "replace")] = v.decode(
+                "latin-1", "replace"
+            )
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if "width" not in out:
+        raise ValueError("PNG missing IHDR chunk")
+    return out
+
+
+def gif_metadata(payload: bytes) -> dict:
+    """Header-only GIF scan: logical-screen dims, global-palette
+    size, frame count, per-frame GCE delays summed to a total
+    duration (centiseconds -> ms), and the NETSCAPE2.0 loop count
+    when present. Walks block framing only — LZW data is skipped
+    sub-block by sub-block, never decoded."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    out: dict = {
+        "width": sw,
+        "height": sh,
+        "version": payload[3:6].decode("ascii"),
+        "n_palette": (2 << (packed & 7)) if packed & 0x80 else 0,
+        "n_frames": 0,
+        "total_duration_ms": 0,
+        "loop_count": None,
+    }
+    pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            pos += 2
+            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                (d,) = struct.unpack_from("<H", payload, pos + 2)
+                out["total_duration_ms"] += d * 10
+            if (
+                label == 0xFF
+                and pos < len(payload)
+                and payload[pos] == 11
+                and payload[pos + 1 : pos + 12] == b"NETSCAPE2.0"
+            ):
+                sub = pos + 12
+                if sub + 3 < len(payload) and payload[sub] >= 3:
+                    (out["loop_count"],) = struct.unpack_from(
+                        "<H", payload, sub + 2
+                    )
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            out["n_frames"] += 1
+            ipacked = payload[pos + 9]
+            pos += 10 + (3 * (2 << (ipacked & 7)) if ipacked & 0x80 else 0)
+            pos += 1  # min code size
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    return out

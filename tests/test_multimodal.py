@@ -1430,3 +1430,47 @@ def test_audio_spectrum_square_wave_and_stereo(spark):
     assert r1.dominant_hz == float((n // p) * 8000) / n
     assert r2.dominant_bin == n // p
     assert r2.energy == n * (2 * amp) ** 2
+
+
+def test_png_gif_metadata_scans():
+    """Header-only metadata twins of parse_jpeg_metadata: PNG IHDR/
+    pHYs/tEXt without inflating a byte; GIF logical screen, frame
+    count, summed GCE delays, NETSCAPE loop count without touching
+    LZW data."""
+    import struct as S
+    import zlib
+
+    png = M.encode_png(9, 6, bytes(54))
+    # splice in pHYs (300 dpi) and a tEXt chunk before IEND
+    def chunk(t, d):
+        return S.pack(">I", len(d)) + t + d + S.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+    phys = chunk(b"pHYs", S.pack(">IIB", 11811, 11811, 1))
+    text = chunk(b"tEXt", b"Software\x00corrie")
+    iend_at = png.rindex(b"IEND") - 4
+    png2 = png[:iend_at] + phys + text + png[iend_at:]
+    m = M.png_metadata(png2)
+    assert (m["width"], m["height"], m["depth"]) == (9, 6, 8)
+    assert m["dpi_x"] == m["dpi_y"] == 300
+    assert m["texts"]["Software"] == "corrie"
+    m16 = M.png_metadata(M.encode_png(3, 2, bytes(12), depth=16, interlace=True))
+    assert m16["depth"] == 16 and m16["interlaced"]
+    with pytest.raises(ValueError):
+        M.png_metadata(b"GIF89a")
+
+    pal = bytes(range(48))
+    g = M.encode_gif(8, 6, bytes(range(8)) * 6, pal[:24])
+    mg = M.gif_metadata(g)
+    assert (mg["width"], mg["height"], mg["n_frames"]) == (8, 6, 1)
+    frames = [(0, 0, 3, 3, bytes([1] * 9), 1, None) for _ in range(3)]
+    ga = M.encode_gif_animation(9, 6, frames, pal, delay_cs=7)
+    mga = M.gif_metadata(ga)
+    assert mga["n_frames"] == 3 and mga["total_duration_ms"] == 210
+    # NETSCAPE loop extension spliced after the screen descriptor
+    ns = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x05\x00\x00"
+    at = 13 + 3 * mga["n_palette"]
+    ga2 = ga[:at] + ns + ga[at:]
+    assert M.gif_metadata(ga2)["loop_count"] == 5
+    with pytest.raises(ValueError):
+        M.gif_metadata(b"\x89PNG")
