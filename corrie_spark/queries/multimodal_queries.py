@@ -2469,3 +2469,138 @@ def q_multimodal_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_pixel",
         "ok",
     )
+
+
+# --- cross-format container-metadata sweep through the oracle gate ---------
+
+_MDW = "(5 + doc_id % 4)"
+_MDH = "(4 + doc_id % 3)"
+
+_MEDIA_META_ORACLE = f"""
+SELECT doc_id AS media_id, 'png' AS fmt,
+  CAST({_MDW} AS BIGINT) AS width, CAST({_MDH} AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS BIGINT) AS depth,
+  CAST(0 AS BIGINT) AS n_frames,
+  CAST(0 AS BIGINT) AS duration_ms,
+  CAST(NULL AS BIGINT) AS loop_count,
+  CAST(NULL AS BIGINT) AS orientation
+FROM documents
+UNION ALL
+SELECT doc_id, 'gif',
+  CAST(9 AS BIGINT), CAST(6 AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(3 AS BIGINT),
+  CAST(3 * (2 + doc_id % 5) * 10 AS BIGINT),
+  CAST(doc_id % 4 AS BIGINT),
+  CAST(NULL AS BIGINT)
+FROM documents
+UNION ALL
+SELECT doc_id, 'webp',
+  CAST({_MDW} AS BIGINT), CAST({_MDH} AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(1 + doc_id % 8 AS BIGINT)
+FROM documents
+"""
+
+
+@register(
+    "q_multimodal_media_metadata",
+    oracle=_MEDIA_META_ORACLE,
+    python_stages="mapInPandas fixture build + header-only metadata scans",
+)
+def q_multimodal_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The header-only metadata sweep a crawl runs BEFORE deciding
+    what to decode: per-doc PNG (8/16-bit rotating, Adam7 on
+    doc_id%3==0), animated GIF with a spliced NETSCAPE2.0 loop
+    extension, and a WebP still carrying an EXIF chunk — scanned by
+    png_metadata / gif_metadata / webp_metadata (no pixel decode
+    anywhere: no inflate, no LZW, no VP8L). The oracle replays dims,
+    depth, frame counts, summed GCE durations, loop counts, and the
+    EXIF orientation closed-form. One Arrow stage, three scans per
+    doc, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+    import struct as S
+
+    from corrie_spark.operators import jpeg as J
+    from corrie_spark.operators import webp as WP
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches):
+        pal = bytes(range(48))
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 4, 4 + did % 3
+                depth = 8 if did % 2 == 0 else 16
+                px = bytes(w * h * (depth // 8))
+                png = M.encode_png(
+                    w, h, px, depth=depth, interlace=did % 3 == 0
+                )
+                frames = [
+                    (0, 0, 3, 3, bytes([1] * 9), 1, None) for _ in range(3)
+                ]
+                gif = M.encode_gif_animation(
+                    9, 6, frames, pal, delay_cs=2 + did % 5
+                )
+                ns = (
+                    b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+                    + S.pack("<H", did % 4)
+                    + b"\x00"
+                )
+                at = 13 + 3 * 16  # after screen descriptor + 16-color GCT
+                gif = gif[:at] + ns + gif[at:]
+                exif = J.build_exif_app1(orientation=1 + did % 8)[6:]
+                webp = WP.encode_webp_with_exif(w, h, bytes(w * h * 3), exif)
+                for fmt, payload in (("png", png), ("gif", gif), ("webp", webp)):
+                    if fmt == "png":
+                        m = M.png_metadata(payload)
+                        row = (m["width"], m["height"], m["depth"], 0, 0,
+                               None, None)
+                    elif fmt == "gif":
+                        m = M.gif_metadata(payload)
+                        row = (m["width"], m["height"], None, m["n_frames"],
+                               m["total_duration_ms"], m["loop_count"], None)
+                    else:
+                        m = WP.webp_metadata(payload)
+                        row = (m["width"], m["height"], None, m["n_frames"],
+                               m["total_duration_ms"], None,
+                               m.get("orientation"))
+                    out.append(
+                        {
+                            "media_id": did,
+                            "fmt": fmt,
+                            "width": row[0],
+                            "height": row[1],
+                            "depth": row[2],
+                            "n_frames": row[3],
+                            "duration_ms": row[4],
+                            "loop_count": row[5],
+                            "orientation": row[6],
+                        }
+                    )
+            # build nullable-int columns from the python values
+            # DIRECTLY (the round-6 lesson: the DataFrame constructor
+            # coerces None-bearing int columns to float64 first)
+            cols = ["media_id", "fmt", "width", "height", "depth",
+                    "n_frames", "duration_ms", "loop_count", "orientation"]
+            data = {
+                c: (
+                    [r[c] for r in out]
+                    if c == "fmt"
+                    else pd.array([r[c] for r in out], dtype="Int64")
+                )
+                for c in cols
+            }
+            yield pd.DataFrame(data, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, fmt string, width long, height long, depth long, "
+        "n_frames long, duration_ms long, loop_count long, orientation long",
+    )
