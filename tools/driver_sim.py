@@ -161,8 +161,23 @@ def main() -> int:
         print(f"{tag} {name}" + (f" {rec.get('type_flags')}" if rec.get("type_flags") else ""), flush=True)
 
     out = os.path.join(REPO, "CORRECTNESS_local.json")
+    if only:
+        # a filtered run must not clobber the full-registry record —
+        # merge the re-checked entries into the existing file
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+        merged.update(results)
+        if len(merged) > len(results):
+            results_to_write = merged
+        else:
+            results_to_write = results
+    else:
+        results_to_write = results
     with open(out, "w") as f:
-        json.dump(results, f, indent=1, default=str)
+        json.dump(results_to_write, f, indent=1, default=str)
     bad = {
         k: v
         for k, v in results.items()
