@@ -1442,14 +1442,10 @@ def encode_tiff(
     return bytes(out)
 
 
-def _decode_tiff(payload: bytes) -> dict:
-    """REAL codec: baseline TIFF 6.0 from the public spec — II/MM
-    byte order, IFD walk, strip assembly (RowsPerStrip), compression
-    1 (none), 5 (LZW — the SAME MSB-first EarlyChange convention the
-    PDF filter implements; reused from sources/pdf.py) and 32773
-    (PackBits), horizontal-differencing predictor (317=2), 8-bit
-    grayscale (photometric 0/1) and RGB (photometric 2). Returns the
-    top-down pixel bytes like the other image codecs."""
+def _tiff_ifd_tags(payload: bytes) -> tuple[str, dict[int, list[int]]]:
+    """Shared TIFF 6.0 IFD walk -> (struct endianness, {tag: values})
+    — the decoder and the header-only metadata scan both ride it.
+    RATIONAL values keep (numerator, denominator) interleaved."""
     if payload[:4] == b"II*\x00":
         e = "<"
     elif payload[:4] == b"MM\x00*":
@@ -1484,6 +1480,45 @@ def _decode_tiff(payload: bytes) -> dict:
             else:  # RATIONAL: keep numerator (resolutions, unused)
                 vals.append(struct.unpack_from(e + "I", payload, vat + 8 * k)[0])
         tags[tag] = vals
+    return e, tags
+
+
+def tiff_metadata(payload: bytes) -> dict:
+    """Header-only TIFF scan (the parse_jpeg_metadata twin): dims,
+    compression name, photometric, bits per sample, strip count, and
+    DPI from XResolution/YResolution numerators when ResolutionUnit
+    is inches — no strip is ever decompressed."""
+    _, tags = _tiff_ifd_tags(payload)
+    comp_names = {1: "none", 5: "lzw", 32773: "packbits"}
+    out: dict = {
+        "width": tags.get(256, [None])[0],
+        "height": tags.get(257, [None])[0],
+        "compression": comp_names.get(
+            tags.get(259, [1])[0], str(tags.get(259, [1])[0])
+        ),
+        "photometric": tags.get(262, [None])[0],
+        "bits_per_sample": tags.get(258, [8])[0],
+        "n_strips": len(tags.get(273, [])),
+    }
+    if tags.get(296, [2])[0] == 2:  # inches
+        if 282 in tags:
+            out["dpi_x"] = tags[282][0]
+        if 283 in tags:
+            out["dpi_y"] = tags[283][0]
+    if out["width"] is None or out["height"] is None:
+        raise ValueError("missing required TIFF dimension tags")
+    return out
+
+
+def _decode_tiff(payload: bytes) -> dict:
+    """REAL codec: baseline TIFF 6.0 from the public spec — II/MM
+    byte order, IFD walk, strip assembly (RowsPerStrip), compression
+    1 (none), 5 (LZW — the SAME MSB-first EarlyChange convention the
+    PDF filter implements; reused from sources/pdf.py) and 32773
+    (PackBits), horizontal-differencing predictor (317=2), 8-bit
+    grayscale (photometric 0/1) and RGB (photometric 2). Returns the
+    top-down pixel bytes like the other image codecs."""
+    e, tags = _tiff_ifd_tags(payload)
     try:
         width = tags[256][0]
         height = tags[257][0]

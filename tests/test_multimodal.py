@@ -1474,3 +1474,19 @@ def test_png_gif_metadata_scans():
     assert M.gif_metadata(ga2)["loop_count"] == 5
     with pytest.raises(ValueError):
         M.gif_metadata(b"\x89PNG")
+
+
+def test_tiff_metadata_scan():
+    """Header-only TIFF scan over the shared IFD walk: dims,
+    compression name, photometric, strip count — no strip ever
+    decompressed; the decoder keeps working over the same walk."""
+    t = M.encode_tiff(7, 5, bytes(35), compression=5)
+    m = M.tiff_metadata(t)
+    assert (m["width"], m["height"], m["compression"]) == (7, 5, "lzw")
+    assert m["n_strips"] == 3 and m["bits_per_sample"] == 8
+    t2 = M.encode_tiff(4, 4, bytes(48), samples=3, compression=32773,
+                       big_endian=True)
+    m2 = M.tiff_metadata(t2)
+    assert m2["compression"] == "packbits" and m2["photometric"] == 2
+    with pytest.raises(ValueError):
+        M.tiff_metadata(b"not a tiff")
