@@ -3140,7 +3140,18 @@ def dhash_near_pairs(
             )
     # even split: band b covers [bounds[b], bounds[b+1]) of the 64 bits
     bounds = [b * DHASH_BITS // n_bands for b in range(n_bands + 1)]
-    h = hashes.filter(F.col("dhash").isNotNull()).select("media_id", "dhash")
+    # materialize the 16-byte (id, hash) frame ONCE per call
+    # (localCheckpoint, guide-standard plan truncation): this frame is
+    # referenced by BOTH band-join sides, both member fan-out sides
+    # and the within-hash self-join — unmaterialized, Catalyst re-runs
+    # the upstream hash/decode Arrow stage once per reference (7
+    # executions measured on q_multimodal_dhash_pairs). Recomputed
+    # fresh on every call — no caching across invocations.
+    h = (
+        hashes.filter(F.col("dhash").isNotNull())
+        .select("media_id", "dhash")
+        .localCheckpoint()
+    )
     # exact-collapse-first: one representative per distinct hash
     reps = h.groupBy("dhash").agg(F.min("media_id").alias("media_id"))
     bands = reps.select(
@@ -3344,9 +3355,16 @@ def dhash_wide_near_pairs(
             stacklevel=2,
         )
     bounds = [b * DHASH_WIDE_BITS // n_bands for b in range(n_bands + 1)]
-    h = hashes.filter(
-        F.col("dhash_lo").isNotNull() & F.col("dhash_hi").isNotNull()
-    ).select("media_id", "dhash_lo", "dhash_hi")
+    # materialize once per call (see dhash_near_pairs: the frame feeds
+    # both band-join sides + member fan-out; unmaterialized, the
+    # 124-bit hash Arrow stage re-runs per reference)
+    h = (
+        hashes.filter(
+            F.col("dhash_lo").isNotNull() & F.col("dhash_hi").isNotNull()
+        )
+        .select("media_id", "dhash_lo", "dhash_hi")
+        .localCheckpoint()
+    )
     reps = h.groupBy("dhash_lo", "dhash_hi").agg(
         F.min("media_id").alias("media_id")
     )

@@ -11,7 +11,7 @@ Determinism contract: each operator has an exact ANSI-SQL equivalent
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # shared with the oracle SQL — keep both lists in sync
@@ -249,12 +249,14 @@ def dsir_scores(
     row order. Hashing is the cross-engine md5 family (hash60 mod
     n_buckets, salt 'dsir').
 
-    100 TB shape: two passes over the corpus, the standard fit/apply
-    split — pass 1 aggregates (bucket, counts) with map-side combine
-    to an n_buckets-row table; pass 2 re-joins that BROADCAST table
-    to the exploded grams and reduces per-document with exact-int
-    partial sums. Gram strings never shuffle (the bucket is computed
-    before the exchange); no driver-side loops."""
+    100 TB shape: ONE pass over the corpus (round-14; previously the
+    fit/apply split re-ran the md5 gram hash once per side): gram
+    occurrences partial-aggregate map-side to (_id, is_target, bucket,
+    count) rows — longs, never gram strings — the per-bucket fit
+    totals are window sums over the bucket partition, and documents
+    reduce with exact-int count-weighted sums. Shuffles carry counted
+    longs; the heavy hash subtree runs exactly once; no driver-side
+    loops."""
     from corrie_spark.functions import bind
     from corrie_spark.operators.dedup import hash60
 
@@ -283,26 +285,43 @@ def dsir_scores(
         target.alias("is_target"),
         bind(toks, grams_of).alias("_grams"),
     )
-    ex = base.select(
-        "_id",
-        "is_target",
-        F.explode("_grams").alias("_g"),
-    ).withColumn("bucket", hash60(F.col("_g"), "dsir") % n_buckets)
-
-    weights = ex.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("_r"),
-        F.sum(F.col("is_target").cast("long")).alias("_t"),
-    ).select(
-        "bucket",
-        F.expr(f"({scale} * (_t + 1)) div (_r + 1)").alias("_w"),
+    # One pass over the md5-hashed gram stream (round-14): the fit and
+    # the apply previously each re-ran the explode+hash subtree
+    # (Catalyst does not share it across the weights agg and the join),
+    # doubling the dominant md5 cost. Instead: partial-aggregate gram
+    # occurrences to (_id, is_target, bucket, _c) — map-side combine
+    # shuffles counts, not gram rows — then state each bucket's global
+    # (_r, _t) with window sums over the bucket partition (exactly the
+    # fit totals: _r = sum of _c, _t = sum of target _c), and reduce
+    # per document with _c-weighted sums. Bit-identical to the
+    # fit/apply split; the gram hash is computed ONCE.
+    exb = (
+        base.select(
+            "_id",
+            "is_target",
+            F.explode("_grams").alias("_g"),
+        )
+        .withColumn("bucket", hash60(F.col("_g"), "dsir") % n_buckets)
+        .groupBy("_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-
+    wb = Window.partitionBy("bucket")
+    weighted = exb.withColumn("_r", F.sum("_c").over(wb)).withColumn(
+        "_t",
+        F.sum(F.when(F.col("is_target"), F.col("_c")).otherwise(F.lit(0))).over(
+            wb
+        ),
+    )
     per_doc = (
-        ex.join(F.broadcast(weights), "bucket")
+        weighted.select(
+            "_id",
+            "_c",
+            F.expr(f"({scale} * (_t + 1)) div (_r + 1)").alias("_w"),
+        )
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("_w").alias("score"),
+            F.sum("_c").alias("n_grams"),
+            F.sum(F.col("_c") * F.col("_w")).alias("score"),
         )
     )
     return (

@@ -349,20 +349,20 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     value). The pre-ingest data-quality report a pipeline runs before
     trusting a new snapshot.
 
-    100 TB shape (round-7 verdict #3): null count + min/max for ALL
-    columns fold into ONE base scan — a single agg of 3C+1 partial-
-    aggregated expressions whose result is one metadata row (collected
-    driver-side and folded back as literals; a sanctioned
-    metadata-sized collect). Per-column jobs remain ONLY for the two
-    stats that genuinely need a value-keyed shuffle each (exact
-    distinct count + mode over the distinct-value table), each scan
-    column-pruned to its single column at the parquet reader. Scans:
-    1 + C (was 2C); shuffles: C value-keyed groupBys + C single-row
-    reductions (was ~3C plus C scalar BNL joins). The C distinct jobs
-    stay embarrassingly parallel across a scheduler at scale; an
-    approximate profile at 100 TB swaps the exact groupBy for
-    HLL registers (q_sketch_hll_* show the shape) with no other
-    change."""
+    100 TB shape (round-7 verdict #3, tightened round-14): null count
+    + min/max for ALL columns fold into ONE base scan — a single agg
+    of 3C+1 partial-aggregated expressions whose result is one
+    metadata row (collected driver-side and folded back as literals; a
+    sanctioned metadata-sized collect). The per-column distinct+mode
+    branches (C scans, 2C shuffles, a C-way union of independent
+    subplans) are now ONE melted pass: stack() pivots each row into C
+    (col, v) pairs inside the scan stage — no extra pass over storage,
+    C× the rows but 1/C the width — then a single (col, v) groupBy
+    states every column's distinct-value table at once and a C-row
+    reduce extracts count + mode. Scans: 2 (was 1 + C); shuffles: 2
+    (was 2C); one plan instead of a C-way union. An approximate
+    profile at 100 TB swaps the exact groupBy for HLL registers
+    (q_sketch_hll_* show the shape) with no other change."""
     orders = load(spark, sf_dir, "orders")
     strs = orders.select(
         *[F.col(c).cast("string").alias(c) for c in _PROFILE_COLS]
@@ -376,33 +376,37 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     base = strs.agg(*base_aggs).collect()[0]
 
-    outs = []
-    for c in _PROFILE_COLS:
-        grp = (
-            strs.select(F.col(c).alias("v"))
-            .filter(F.col("v").isNotNull())
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        )
-        outs.append(
-            grp.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-                # mode with ties to the SMALLEST value: min over (-cnt, v)
-                F.min(
-                    F.struct((-F.col("cnt")).alias("neg"), F.col("v").alias("v"))
-                ).alias("m"),
-            ).select(
-                F.lit(c).alias("col"),
-                F.lit(base["n_rows"]).cast("bigint").alias("n_rows"),
-                F.lit(base[f"{c}__nulls"]).cast("bigint").alias("n_nulls"),
-                "n_distinct",
-                F.lit(base[f"{c}__min"]).cast("string").alias("min_v"),
-                F.lit(base[f"{c}__max"]).cast("string").alias("max_v"),
-                F.col("m.v").alias("mode_v"),
-                (-F.col("m.neg")).cast("bigint").alias("mode_n"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("col")
+    stack_args = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
+    melted = strs.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, v)")
+    ).filter(F.col("v").isNotNull())
+    grp = melted.groupBy("col", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    per_col = grp.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        # mode with ties to the SMALLEST value: min over (-cnt, v)
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("v").alias("v"))
+        ).alias("m"),
+    )
+    # fold the base-scan literals back per column (metadata-sized maps)
+    nulls_m = F.create_map(
+        *[x for c in _PROFILE_COLS for x in (F.lit(c), F.lit(base[f"{c}__nulls"]))]
+    )
+    min_m = F.create_map(
+        *[x for c in _PROFILE_COLS for x in (F.lit(c), F.lit(base[f"{c}__min"]))]
+    )
+    max_m = F.create_map(
+        *[x for c in _PROFILE_COLS for x in (F.lit(c), F.lit(base[f"{c}__max"]))]
+    )
+    return per_col.select(
+        "col",
+        F.lit(base["n_rows"]).cast("bigint").alias("n_rows"),
+        nulls_m[F.col("col")].cast("bigint").alias("n_nulls"),
+        "n_distinct",
+        min_m[F.col("col")].cast("string").alias("min_v"),
+        max_m[F.col("col")].cast("string").alias("max_v"),
+        F.col("m.v").alias("mode_v"),
+        (-F.col("m.neg")).cast("bigint").alias("mode_n"),
+    ).orderBy("col")

@@ -362,8 +362,10 @@ def q_multimodal_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the image cluster map is the session memo (8-byte
     hashes, pixels never shuffle); joins are id-/hash-keyed long-only
-    shuffles; text-copy counts are one fp-keyed groupBy re-joined by
-    id; every reported mean is a double ratio of exact int64 sums."""
+    shuffles; cluster sizes and text-copy counts are COUNT(*) OVER
+    window sums on the already-partitioned key (one pass — a groupBy
+    re-join here re-executes the Arrow/md5 subtree a second time);
+    every reported mean is a double ratio of exact int64 sums."""
     from corrie_spark.operators import dedup as D
     from corrie_spark.operators import multimodal as M
     from corrie_spark.operators import text as T
@@ -379,25 +381,37 @@ def q_multimodal_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(labels, "dhash")
         .select("doc_id", "cluster_id")
     )
-    csize = img.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # round-14: cluster sizes and text-copy counts are COUNT(*) OVER
+    # window sums instead of groupBy+self-join — the self-joins made
+    # Catalyst re-execute the dhash Arrow stage (csize side) and the
+    # md5 fingerprint scan (copies side) a second time each; the
+    # window states the identical count with the subtree run ONCE
+    # (the oracle's copies CTE is already written as COUNT(*) OVER).
+    from pyspark.sql import Window
+
+    img_n = img.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint")
     )
     feat = docs.select(
         "doc_id",
         T.token_count("text").cast("bigint").alias("n_tokens"),
         T.stopword_count("text").cast("bigint").alias("n_stop"),
     )
-    fps = docs.select("doc_id", D.fingerprint("text").alias("fp"))
-    fpn = fps.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"))
-    copies = fps.join(fpn, "fp").select("doc_id", "n_copies")
+    copies = (
+        docs.select("doc_id", D.fingerprint("text").alias("fp"))
+        .withColumn(
+            "n_copies",
+            F.count(F.lit(1)).over(Window.partitionBy("fp")).cast("bigint"),
+        )
+        .select("doc_id", "n_copies")
+    )
     bucket = (
         F.when(F.col("n") == 1, "unique")
         .when(F.col("n") <= 3, "small_2_3")
         .otherwise("large_4_plus")
     )
     bucketed = (
-        img.join(csize, "cluster_id")
-        .join(feat, "doc_id")
+        img_n.join(feat, "doc_id")
         .join(copies, "doc_id")
         .select(bucket.alias("size_bucket"), "cluster_id", "n_tokens", "n_stop", "n_copies")
     )

@@ -491,14 +491,24 @@ def test_lm_score_broadcasts_vocab_size(spark):
     assert has_broadcast_join(df)
 
 
-def test_profile_scans_are_single_column(spark):
-    """Column profile: every orders scan must be pruned to exactly the
-    one profiled column — a profile that re-reads the full row width
-    per column is wrong at scale."""
+def test_profile_distinct_stats_are_one_melted_scan(spark):
+    """Column profile (round-14): the distinct+mode stats for ALL C
+    columns come from ONE stack()-melted scan pruned to exactly the
+    profiled columns — not a scan (and two shuffles) per column. One
+    pass over storage replaces C; a plan that re-grows per-column
+    scans is the regression this pins against."""
+    from corrie_spark.queries.analytics_ext import _PROFILE_COLS
+
     df = all_queries()["q_profile_orders"](spark, SF_CORRECT)
-    for schema in read_schemas(df):
-        cols = [c for c in schema.strip("struct<>").split(",") if c.strip()]
-        assert len(cols) == 1, schema
+    schemas = read_schemas(df)
+    assert len(schemas) == 1, schemas
+    cols = sorted(
+        c.split(":")[0]
+        for c in schemas[0].strip("struct<>").split(",")
+        if c.strip()
+    )
+    assert cols == sorted(_PROFILE_COLS), schemas[0]
+    assert count_shuffles(df) <= 3  # (col,v) groupBy + col reduce + sort
 
 
 def test_ols_single_pruned_scan_no_shuffle_before_agg(spark):
