@@ -469,30 +469,32 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene check run before a data mix ships (5-grams: chance
     collisions vanish, genuine shared passages remain).
 
-    Plan shape: the split is the deterministic md5 bucket (pure
-    projection), grams explode map-side, and the contamination test
-    is a LEFT-SEMI join of test-side (doc, gram) pairs against
-    distinct train grams — co-partitioned shuffle on gram, no
-    all-pairs doc comparison, output bounded by |test docs|. At
-    100 TB the train-gram side stays a distinct-gram table (partial
-    agg before the exchange) and hot boilerplate grams are exactly
-    the AQE skew-join case."""
+    Plan shape (round-14: split filters pushed BELOW the explode —
+    the split is a pure doc_id projection, so each side explodes only
+    its own split's documents instead of joining (doc, gram) pairs of
+    the WHOLE corpus against the assignment twice; 2 full shingle
+    passes + 2 doc-keyed joins became 0.9 + 0.05 of one pass): grams
+    explode map-side post-filter, and the contamination test is a
+    LEFT-SEMI join of test-side (doc, gram) pairs against distinct
+    train grams — co-partitioned shuffle on gram, no all-pairs doc
+    comparison, output bounded by |test docs|. At 100 TB the
+    train-gram side stays a distinct-gram table (partial agg before
+    the exchange) and hot boilerplate grams are exactly the AQE
+    skew-join case."""
     from corrie_spark.operators.dedup import hash60, shingles
 
     docs = load(spark, sf_dir, "documents")
     bucket = hash60(F.col("doc_id").cast("string"), salt="split") % 1000
-    split = F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
-    assigned = docs.select("doc_id", "source", split.alias("split"))
-    grams = docs.select("doc_id", F.explode(shingles("text", _CONTAM_K)).alias("gram"))
 
     train_grams = (
-        grams.join(assigned.filter(F.col("split") == "train"), "doc_id")
-        .select("gram")
+        docs.filter(bucket < 900)
+        .select(F.explode(shingles("text", _CONTAM_K)).alias("gram"))
         .distinct()
     )
-    test_docs = assigned.filter(F.col("split") == "test").select("doc_id", "source")
+    test_docs = docs.filter(bucket >= 950).select("doc_id", "source")
     contaminated = (
-        grams.join(test_docs.select("doc_id"), "doc_id")
+        docs.filter(bucket >= 950)
+        .select("doc_id", F.explode(shingles("text", _CONTAM_K)).alias("gram"))
         .join(train_grams, "gram", "left_semi")
         .select("doc_id")
         .distinct()
