@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from corrie_spark.functions.core import bind
 from corrie_spark.operators import dedup as D
 from corrie_spark.operators import passages as P
 from corrie_spark.operators import text as T
@@ -99,14 +100,17 @@ def corpus_stages(
         "doc_id",
     )
 
-    # 3. quality gates (one projection, all rules in one pass)
-    f = T.quality_features("text")
-    gated = survivors.withColumn("_f", f).filter(
-        F.col("_f.n_tokens").between(NTOK_MIN, NTOK_MAX)
-        & F.col("_f.mean_token_len").between(MTL_MIN, MTL_MAX)
-        & (F.col("_f.stopword_ratio") >= STOP_MIN)
-        & (F.col("_f.punct_ratio") <= PUNCT_MAX)
-    ).drop("_f").persist(StorageLevel.MEMORY_AND_DISK)
+    # 3. quality gates (one bound features struct, all rules combined
+    # inside the lambda so the pipeline evaluates once per row — four
+    # separate field references each re-ran it before)
+    keep = bind(
+        T.quality_features("text"),
+        lambda s: s["n_tokens"].between(NTOK_MIN, NTOK_MAX)
+        & s["mean_token_len"].between(MTL_MIN, MTL_MAX)
+        & (s["stopword_ratio"] >= STOP_MIN)
+        & (s["punct_ratio"] <= PUNCT_MAX),
+    )
+    gated = survivors.filter(keep).persist(StorageLevel.MEMORY_AND_DISK)
 
     # 4. strip duplicated passages (computed over the SURVIVOR corpus:
     # boilerplate shared only by dropped near-dups is already gone)

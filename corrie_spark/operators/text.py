@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from corrie_spark.functions.core import bind
+
 # shared with the oracle SQL — keep both lists in sync
 STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
 
@@ -63,30 +65,46 @@ def quality_features(text: Column | str) -> Column:
     mean_token_len, stopword_ratio, punct_ratio, alpha_ratio.
     Ratios are double divisions of exact ints -> deterministic."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c)
-    n_chars = F.length(c)
-    n_tokens = F.size(toks)
-    n_token_chars = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
-    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
-    safe_tokens = F.greatest(n_tokens, F.lit(1))
-    safe_chars = F.greatest(n_chars, F.lit(1))
-    return F.struct(
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        (n_token_chars.cast("double") / safe_tokens).alias("mean_token_len"),
-        (stopword_count(c).cast("double") / safe_tokens).alias("stopword_ratio"),
-        (punct_count(c).cast("double") / safe_chars).alias("punct_ratio"),
-        (n_alpha.cast("double") / safe_chars).alias("alpha_ratio"),
-    )
+
+    # tokenization is bound to a lambda variable so it is evaluated
+    # once per row however many fields reference it (Catalyst inlines
+    # sub-expressions per reference otherwise)
+    def build(toks: Column) -> Column:
+        lit_stop = F.array(*[F.lit(w) for w in STOPWORDS])
+        n_chars = F.length(c)
+        n_tokens = F.size(toks)
+        n_token_chars = F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        )
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(lit_stop, F.lower(t))))
+        n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+        safe_tokens = F.greatest(n_tokens, F.lit(1))
+        safe_chars = F.greatest(n_chars, F.lit(1))
+        return F.struct(
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            (n_token_chars.cast("double") / safe_tokens).alias("mean_token_len"),
+            (n_stop.cast("double") / safe_tokens).alias("stopword_ratio"),
+            (punct_count(c).cast("double") / safe_chars).alias("punct_ratio"),
+            (n_alpha.cast("double") / safe_chars).alias("alpha_ratio"),
+        )
+
+    return bind(tokens(c), build)
 
 
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1]-ish quality score: rewards stopword presence and
     sane token lengths, penalizes punctuation soup. Weights are fixed
     constants shared with the oracle."""
-    f = quality_features(text)
+    # the features struct is itself bound: the five field references
+    # would otherwise each re-evaluate the full feature pipeline
+    return bind(quality_features(text), quality_score_from)
+
+
+def quality_score_from(f: Column) -> Column:
+    """quality_score over an already-evaluated features struct (use
+    when the caller binds quality_features once and derives several
+    outputs from the same struct)."""
     length_ok = F.when(
         (f["n_tokens"] >= 5) & (f["mean_token_len"] >= 2) & (f["mean_token_len"] <= 12),
         F.lit(1.0),
@@ -98,31 +116,56 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def token_stop_counts(text: Column | str) -> Column:
+    """(n_tokens, n_stop) as one struct from a single tokenization —
+    the fused form of token_count + stopword_count for callers that
+    need both (each alone re-splits the text)."""
+
+    def build(toks: Column) -> Column:
+        lit_stop = F.array(*[F.lit(w) for w in STOPWORDS])
+        return F.struct(
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter(toks, lambda t: F.array_contains(lit_stop, F.lower(t)))
+            ).cast("bigint").alias("n_stop"),
+        )
+
+    return bind(tokens(text), build)
+
+
 def lang_scores(text: Column | str) -> Column:
     """Per-language marker-hit counts as a struct of ints."""
-    toks = tokens(text)
-    fields = []
-    for lang, markers in LANG_MARKERS.items():
-        lit_ws = F.array(*[F.lit(w) for w in markers])
-        fields.append(
-            F.size(F.filter(toks, lambda t: F.array_contains(lit_ws, F.lower(t)))).alias(lang)
-        )
-    return F.struct(*fields)
+    def build(toks: Column) -> Column:
+        fields = []
+        for lang, markers in LANG_MARKERS.items():
+            lit_ws = F.array(*[F.lit(w) for w in markers])
+            fields.append(
+                F.size(F.filter(toks, lambda t: F.array_contains(lit_ws, F.lower(t)))).alias(lang)
+            )
+        return F.struct(*fields)
+
+    # one tokenization for all five language counters (bound lambda
+    # variable; Catalyst would otherwise re-split per language)
+    return bind(tokens(text), build)
 
 
 def detect_lang(text: Column | str, min_hits: int = 1) -> Column:
     """argmax over lang_scores with deterministic tie-break (first in
     LANG_MARKERS order); below min_hits -> 'und'."""
-    s = lang_scores(text)
-    best = F.lit("und")
-    best_score = F.lit(min_hits - 1)
-    # forward fold with strict '>' -> first language in LANG_MARKERS
-    # order wins ties (matches the oracle's CASE chain)
-    for lang in LANG_MARKERS:
-        score = s[lang]
-        best = F.when(score > best_score, F.lit(lang)).otherwise(best)
-        best_score = F.greatest(score, best_score)
-    return best
+    def fold(s: Column) -> Column:
+        best = F.lit("und")
+        best_score = F.lit(min_hits - 1)
+        # forward fold with strict '>' -> first language in LANG_MARKERS
+        # order wins ties (matches the oracle's CASE chain)
+        for lang in LANG_MARKERS:
+            score = s[lang]
+            best = F.when(score > best_score, F.lit(lang)).otherwise(best)
+            best_score = F.greatest(score, best_score)
+        return best
+
+    # the scores struct is bound so the argmax fold's ~2 references per
+    # language read one materialized struct instead of re-counting
+    return bind(lang_scores(text), fold)
 
 
 def normalize_text(text: Column | str) -> Column:

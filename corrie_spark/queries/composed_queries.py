@@ -172,11 +172,11 @@ def q_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     csize = clus.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # round-14: one tokenization for both counts (token_stop_counts
+    # binds the token array; the two operators each re-split before)
     feat = docs.select(
-        "doc_id",
-        T.token_count("text").cast("bigint").alias("n_tokens"),
-        T.stopword_count("text").cast("bigint").alias("n_stop"),
-    )
+        "doc_id", T.token_stop_counts("text").alias("_c")
+    ).select("doc_id", "_c.*")
     bucket = (
         F.when(F.col("n") == 1, "unique")
         .when(F.col("n") <= 3, "small_2_3")
@@ -392,11 +392,11 @@ def q_multimodal_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     img_n = img.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint")
     )
+    # round-14: one tokenization for both counts (token_stop_counts
+    # binds the token array; the two operators each re-split before)
     feat = docs.select(
-        "doc_id",
-        T.token_count("text").cast("bigint").alias("n_tokens"),
-        T.stopword_count("text").cast("bigint").alias("n_stop"),
-    )
+        "doc_id", T.token_stop_counts("text").alias("_c")
+    ).select("doc_id", "_c.*")
     copies = (
         docs.select("doc_id", D.fingerprint("text").alias("fp"))
         .withColumn(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from corrie_spark.functions.core import bind
 from corrie_spark.operators import text as T
 from corrie_spark.queries.registry import register
 from corrie_spark.tables import load
@@ -97,15 +98,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring for corpus filtering (length/stopword/punct
     heuristics — the usual pre-training data quality gate)."""
     docs = load(spark, sf_dir, "documents")
-    f = T.quality_features("text")
-    return docs.select(
-        "doc_id",
-        f["n_tokens"].alias("n_tokens"),
-        f["mean_token_len"].alias("mean_token_len"),
-        f["stopword_ratio"].alias("stopword_ratio"),
-        f["punct_ratio"].alias("punct_ratio"),
-        T.quality_score("text").alias("quality_score"),
+    # round-14: one bound features struct projected through a select
+    # boundary — the per-column field references each re-evaluated the
+    # whole feature pipeline (tokenize + fold + regex) before
+    row = bind(
+        T.quality_features("text"),
+        lambda s: F.struct(
+            s["n_tokens"].alias("n_tokens"),
+            s["mean_token_len"].alias("mean_token_len"),
+            s["stopword_ratio"].alias("stopword_ratio"),
+            s["punct_ratio"].alias("punct_ratio"),
+            T.quality_score_from(s).alias("quality_score"),
+        ),
     )
+    return docs.select("doc_id", row.alias("_r")).select("doc_id", "_r.*")
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -563,14 +569,18 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the go/no-go dashboard for a training-data mix. One projection +
     one aggregation; zero extra scans however many rules compose."""
     docs = load(spark, sf_dir, "documents")
-    f = T.quality_features("text")
-    feat = docs.select(
-        "source",
-        f["n_tokens"].between(_F_NTOK_MIN, _F_NTOK_MAX).alias("ok_tokens"),
-        f["mean_token_len"].between(_F_MTL_MIN, _F_MTL_MAX).alias("ok_token_len"),
-        (f["stopword_ratio"] >= _F_STOP_MIN).alias("ok_stopwords"),
-        (f["punct_ratio"] <= _F_PUNCT_MAX).alias("ok_punct"),
+    # round-14: the four rule flags come from ONE bound features struct
+    # (each field reference re-evaluated the full pipeline before)
+    flags = bind(
+        T.quality_features("text"),
+        lambda s: F.struct(
+            s["n_tokens"].between(_F_NTOK_MIN, _F_NTOK_MAX).alias("ok_tokens"),
+            s["mean_token_len"].between(_F_MTL_MIN, _F_MTL_MAX).alias("ok_token_len"),
+            (s["stopword_ratio"] >= _F_STOP_MIN).alias("ok_stopwords"),
+            (s["punct_ratio"] <= _F_PUNCT_MAX).alias("ok_punct"),
+        ),
     )
+    feat = docs.select("source", flags.alias("_ok")).select("source", "_ok.*")
     retained = (
         F.col("ok_tokens") & F.col("ok_token_len") & F.col("ok_stopwords") & F.col("ok_punct")
     )
