@@ -1171,6 +1171,11 @@ def zst_fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
     return (
         docs_df.select("doc_id", "text")
         .withColumn("_grp", F.col("doc_id") % n_files)
+        # explicit repartition: the tiny fixture shuffle otherwise
+        # AQE-coalesces to ONE partition and the build + every
+        # downstream Python stage run single-core (cost here is
+        # per-row python work, not bytes)
+        .repartition(docs_df.sparkSession.sparkContext.defaultParallelism, "_grp")
         .groupBy("_grp")
         .applyInPandas(build, "path string, content binary")
     )
@@ -1213,6 +1218,11 @@ def xz_fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
     return (
         docs_df.select("doc_id", "text")
         .withColumn("_grp", F.col("doc_id") % n_files)
+        # explicit repartition: the tiny fixture shuffle otherwise
+        # AQE-coalesces to ONE partition and the build + every
+        # downstream Python stage run single-core (cost here is
+        # per-row python work, not bytes)
+        .repartition(docs_df.sparkSession.sparkContext.defaultParallelism, "_grp")
         .groupBy("_grp")
         .applyInPandas(build, "path string, content binary")
     )
@@ -1257,6 +1267,8 @@ def fixture_files(
     return (
         docs_df.select(*cols)
         .withColumn("_grp", F.col("doc_id") % n_files)
+        # see xz_fixture_files: keep the build parallel under AQE
+        .repartition(docs_df.sparkSession.sparkContext.defaultParallelism, "_grp")
         .groupBy("_grp")
         .applyInPandas(build, "path string, content binary")
     )
@@ -2099,6 +2111,11 @@ def wet_fixture_files(docs_df: DataFrame, n_files: int = 8) -> DataFrame:
     return (
         docs_df.select("doc_id", "text")
         .withColumn("_grp", F.col("doc_id") % n_files)
+        # explicit repartition: the tiny fixture shuffle otherwise
+        # AQE-coalesces to ONE partition and the build + every
+        # downstream Python stage run single-core (cost here is
+        # per-row python work, not bytes)
+        .repartition(docs_df.sparkSession.sparkContext.defaultParallelism, "_grp")
         .groupBy("_grp")
         .applyInPandas(build, "path string, content binary")
     )
