@@ -251,6 +251,8 @@ def _shared_avro_corpus_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = (
         orders.withColumn("_grp", F.col("o_orderkey") % _AVRO_GRP_MOD)
+        # keep the tiny fixture shuffle parallel under AQE
+        .repartition(orders.sparkSession.sparkContext.defaultParallelism, "_grp")
         .groupBy("_grp")
         .applyInPandas(mk, "path string, content binary")
     )

@@ -519,6 +519,8 @@ def _shared_mixed_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         files = (
             docs.withColumn("_grp", F.col("doc_id") % 8)
+            # keep the tiny fixture shuffle parallel under AQE
+            .repartition(docs.sparkSession.sparkContext.defaultParallelism, "_grp")
             .groupBy("_grp")
             .applyInPandas(mk, "path string, content binary")
         )

@@ -54,6 +54,8 @@ def _shared_wds_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         files = (
             docs.withColumn("_grp", F.col("doc_id") % _N_SHARDS)
+            # keep the tiny fixture shuffle parallel under AQE
+            .repartition(docs.sparkSession.sparkContext.defaultParallelism, "_grp")
             .groupBy("_grp")
             .applyInPandas(mk, "path string, content binary")
         )
@@ -142,6 +144,8 @@ def q_wds_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = (
         docs.withColumn("_grp", F.col("doc_id") % _N_SHARDS)
+        # keep the tiny fixture shuffle parallel under AQE
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "_grp")
         .groupBy("_grp")
         .applyInPandas(mk, "path string, content binary")
     )

@@ -452,8 +452,13 @@ def q_web_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             [{"host": host, "url": u, "content": b} for u, b in rows]
         )
 
-    files = hosts.groupBy("host").applyInPandas(
-        mk, "host string, url string, content binary"
+    files = (
+        # keep the tiny per-host fixture shuffle parallel under AQE
+        hosts.repartition(
+            spark.sparkContext.defaultParallelism, "host"
+        )
+        .groupBy("host")
+        .applyInPandas(mk, "host string, url string, content binary")
     )
     # the decoded sitemap table is per-host metadata (<=5 small rows a
     # host) consumed by every unrolled resolver level — checkpoint it
@@ -560,6 +565,8 @@ def _shared_robots_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         files = (
             docs.withColumn("_grp", F.col("doc_id") % 8)
+            # keep the tiny fixture shuffle parallel under AQE
+            .repartition(docs.sparkSession.sparkContext.defaultParallelism, "_grp")
             .groupBy("_grp")
             .applyInPandas(mk, "path string, content binary")
         )
@@ -920,8 +927,13 @@ def q_web_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             [{"host": host, "url": u, "content": b} for u, b in rows]
         )
 
-    files = hosts.groupBy("host").applyInPandas(
-        mk, "host string, url string, content binary"
+    files = (
+        # keep the tiny per-host fixture shuffle parallel under AQE
+        hosts.repartition(
+            spark.sparkContext.defaultParallelism, "host"
+        )
+        .groupBy("host")
+        .applyInPandas(mk, "host string, url string, content binary")
     )
     sitemaps = W.sitemap_decode(files).localCheckpoint(eager=True)
 

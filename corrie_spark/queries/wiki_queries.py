@@ -87,6 +87,8 @@ def q_wiki_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = (
         docs.withColumn("_grp", F.col("doc_id") % 32)
+        # keep the tiny fixture shuffle parallel under AQE
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "_grp")
         .groupBy("_grp")
         .applyInPandas(mk, "path string, content binary")
     )
@@ -196,6 +198,8 @@ def _shared_wiki_corpus_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = (
         docs.withColumn("_grp", F.col("doc_id") % _WIKI_GRP_MOD)
+        # keep the tiny fixture shuffle parallel under AQE
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "_grp")
         .groupBy("_grp")
         .applyInPandas(mk, "path string, content binary")
     )

@@ -362,6 +362,8 @@ def write_wds(
         .withColumn(
             "_shard", F.pmod(F.crc32(F.col(key_col).cast("string")), n_shards)
         )
+        # keep the tiny shard shuffle parallel under AQE
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "_shard")
         .groupBy("_shard")
         .applyInPandas(build, WDS_MANIFEST_DDL)
         .persist()
