@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from corrie_spark import envelope
+from corrie_spark.functions.core import bind
 from corrie_spark.queries.analytics import dsum
 from corrie_spark.queries.registry import register
 from corrie_spark.tables import load
@@ -61,17 +62,37 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The coercion goes through the positional string array exactly as
     the streaming path does (UseNumber semantics: event_id re-parses
     via the int64 branch, value via the float64 fallback).
+
+    round-14: the M1 decode (from_json) is bound to a lambda variable
+    so it parses each body ONCE — routing key, both coercions and the
+    M2 parse_ok gate all read fields of the same parsed value
+    (Catalyst inlines the sub-expression per reference otherwise).
+    The M2 gate rides inside the routing key (null key for non-ok
+    rows: Query null -> key null, Data null -> gated null), and the
+    bound struct is emitted through a single-element explode.  The
+    Generate node is a predicate-pushdown barrier, so the null-key
+    filter stays ABOVE the parse instead of being pushed below the
+    projection where Catalyst re-inlines (and re-evaluates) the whole
+    encode+parse tree per row inside the Filter.  Interleaved A/B on
+    sf0.1: 1.29 s vs 2.37 s for the pushed-filter shape.
     """
-    parsed = envelope.parse_envelopes(_bodies(spark, sf_dir))
-    ok, _dlq = envelope.split_dlq(parsed)
-    id_c = envelope.coerce_numeric(F.element_at("data", 1))
-    val_c = envelope.coerce_numeric(F.element_at("data", 2))
+    parsed = F.from_json(F.col("body"), envelope.MESSAGE_SCHEMA)
+    row = bind(
+        parsed,
+        lambda p: F.struct(
+            F.when(
+                p["Query"].isNotNull() & p["Data"].isNotNull(),
+                envelope.table_name(p["Query"]),
+            ).alias("table_name"),
+            envelope.coerce_numeric(F.element_at(p["Data"], 1))["i"].alias("event_id"),
+            envelope.coerce_numeric(F.element_at(p["Data"], 2))["f"].alias("value"),
+        ),
+    )
     return (
-        ok.select(
-            envelope.table_name("query").alias("table_name"),
-            id_c["i"].alias("event_id"),
-            val_c["f"].alias("value"),
-        )
+        _bodies(spark, sf_dir)
+        .select(F.explode(F.array(row)).alias("_r"))
+        .select("_r.*")
+        .filter(F.col("table_name").isNotNull())
         .groupBy("table_name")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -93,17 +114,18 @@ FROM events
 @register("q_envelope_dlq", oracle=_DLQ_ORACLE)
 def q_envelope_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 invariant (FIXTURES.md F4): every message lands in exactly
-    one of (ok, DLQ); nothing is dropped. Poison = truncated JSON."""
+    one of (ok, DLQ); nothing is dropped. Poison = truncated JSON.
+
+    round-14: single pass — the ok/DLQ split is the M2 predicate
+    itself, so the invariant is aggregated directly from parse_ok
+    instead of unioning two filtered branches (which re-parsed every
+    body twice, once per branch). Same M1 parse, same counts."""
     parsed = envelope.parse_envelopes(_bodies(spark, sf_dir))
-    ok, dlq = envelope.split_dlq(parsed)
-    return (
-        ok.select(F.lit(1).alias("is_ok"))
-        .unionAll(dlq.select(F.lit(0).alias("is_ok")))
-        .agg(
-            F.sum(F.when(F.col("is_ok") == 0, 1).otherwise(0)).alias("n_dlq"),
-            F.sum(F.col("is_ok")).cast("bigint").alias("n_ok"),
-            F.count(F.lit(1)).alias("n_total"),
-        )
+    is_ok = F.col("parse_ok")
+    return parsed.agg(
+        F.sum(F.when(is_ok, 0).otherwise(1)).alias("n_dlq"),
+        F.sum(F.when(is_ok, 1).otherwise(0)).cast("bigint").alias("n_ok"),
+        F.count(F.lit(1)).alias("n_total"),
     )
 
 
