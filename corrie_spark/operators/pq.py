@@ -102,22 +102,26 @@ def _books_literal(books: list[list[tuple[int, list[int]]]]) -> Column:
     first version) made a ~130x wider Catalyst tree whose analysis +
     codegen time dominated small-corpus runs; a single literal plus
     lambda iteration keeps the plan O(1) expressions regardless of
-    codebook size, with identical semantics."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(sum(x * x for x in v)).cast("bigint").alias("cnorm"),
-                        F.lit(int(j)).cast("int").alias("code"),
-                        F.lit([int(x) for x in v]).cast("array<bigint>").alias("centroid"),
-                    )
-                    for j, v in book
-                ]
+    codebook size, with identical semantics.
+
+    Built as ONE server-parsed expr string (the kmeans_assign
+    discipline): the per-entry Column-API form issued ~n_sub x
+    n_codes x 3 py4j round trips PER QUERY BUILD, which dominated the
+    serving path's per-run cost (plans are rebuilt every run; guide
+    §7.3 — plan construction is driver-side, single-threaded work)."""
+    parts = []
+    for book in books:
+        entries = []
+        for j, v in book:
+            cnorm = sum(int(x) * int(x) for x in v)
+            arr = ",".join(str(int(x)) for x in v)
+            entries.append(
+                f"named_struct('cnorm',CAST({cnorm} AS BIGINT),"
+                f"'code',{int(j)},"
+                f"'centroid',CAST(array({arr}) AS ARRAY<BIGINT>))"
             )
-            for book in books
-        ]
-    )
+        parts.append("array(" + ",".join(entries) + ")")
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def pq_encode(
@@ -179,19 +183,19 @@ def _lut(
     for book in books:
         by_code = dict(book)
         dense.append([by_code.get(j) for j in range(n_codes)])
-    dl = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit([0] * sub_dim if v is None else [int(x) for x in v]).cast(
-                        "array<bigint>"
-                    )
-                    for v in table
-                ]
+    # one server-parsed expr string, not n_sub x n_codes F.lit calls:
+    # the literal table is rebuilt on every query run, and the
+    # Column-API form spent seconds per build in py4j round trips
+    tables = []
+    for table in dense:
+        arrs = []
+        for v in table:
+            vals = [0] * sub_dim if v is None else [int(x) for x in v]
+            arrs.append(
+                "CAST(array(" + ",".join(str(x) for x in vals) + ") AS ARRAY<BIGINT>)"
             )
-            for table in dense
-        ]
-    )
+        tables.append("array(" + ",".join(arrs) + ")")
+    dl = F.expr("array(" + ",".join(tables) + ")")
     return F.transform(
         F.sequence(F.lit(0), F.lit(len(books) - 1)),
         lambda m: bind(
@@ -269,6 +273,7 @@ def ivfpq_topk(
     dim: int = 64,
     books: list[list[tuple[int, list[int]]]] | None = None,
     codes: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ (the FAISS-style inverted-file layout): rank coarse
     cells by dot(query, cell centroid), then ADC-score ONLY the PQ
@@ -298,7 +303,8 @@ def ivfpq_topk(
         codes = pq_encode(
             corpus, books, sub_dim, id_col, vec_col, carry_cols=(cell_col,)
         )
-    cents = ivf_centroids(corpus, cell_col, vec_col, dim)
+    if cents is None:
+        cents = ivf_centroids(corpus, cell_col, vec_col, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
     )
@@ -375,6 +381,7 @@ def ivfpq_residual_topk(
     dim: int = 64,
     books: list[list[tuple[int, list[int]]]] | None = None,
     codes: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + RESIDUAL PQ — the faithful FAISS IVFPQ layout: codebooks
     are trained on (vector - cell centroid) residuals, and the ADC
@@ -394,7 +401,8 @@ def ivfpq_residual_topk(
 
     from corrie_spark.operators.similarity import grouped_topk, ivf_centroids
 
-    cents = ivf_centroids(corpus, cell_col, vec_col, dim)
+    if cents is None:
+        cents = ivf_centroids(corpus, cell_col, vec_col, dim)
     if books is None or codes is None:
         res = residual_frame(corpus, cents, id_col, vec_col, cell_col)
         books = pq_codebooks(res, n_sub, n_codes, sub_dim, "vid", "rv", quantized=True)
@@ -458,6 +466,7 @@ def ivfpq_refined_topk(
     dim: int = 64,
     books: list[list[tuple[int, list[int]]]] | None = None,
     codes: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ + REFINE — the standard FAISS `RefineFlat` layer this
     index family was missing: take the top `k * refine_factor` ADC
@@ -489,6 +498,7 @@ def ivfpq_refined_topk(
         dim=dim,
         books=books,
         codes=codes,
+        cents=cents,
     ).select("query_id", "neighbor_id")
     raw = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("n_vec")

@@ -709,6 +709,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     dim: int = 64,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: rank cells by dot(query, centroid), search only
     the top-`nprobe` cells exactly, partial top-k re-rank.
@@ -721,7 +722,8 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    cents = ivf_centroids(corpus, cell_col, vec_col, dim)
+    if cents is None:
+        cents = ivf_centroids(corpus, cell_col, vec_col, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
     )

@@ -51,7 +51,10 @@ def word_tokens(text: Column | str) -> Column:
 
 def stopword_count(text: Column | str, words: list[str] | None = None) -> Column:
     ws = words or STOPWORDS
-    lit_ws = F.array(*[F.lit(w) for w in ws])
+    # one array literal in one py4j call (lit accepts lists), not one
+    # round trip per word — plans are rebuilt per run, so literal
+    # construction is on the serving path
+    lit_ws = F.lit(list(ws))
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(lit_ws, F.lower(t))))
 
 
@@ -70,7 +73,7 @@ def quality_features(text: Column | str) -> Column:
     # once per row however many fields reference it (Catalyst inlines
     # sub-expressions per reference otherwise)
     def build(toks: Column) -> Column:
-        lit_stop = F.array(*[F.lit(w) for w in STOPWORDS])
+        lit_stop = F.lit(list(STOPWORDS))
         n_chars = F.length(c)
         n_tokens = F.size(toks)
         n_token_chars = F.aggregate(
@@ -122,7 +125,7 @@ def token_stop_counts(text: Column | str) -> Column:
     need both (each alone re-splits the text)."""
 
     def build(toks: Column) -> Column:
-        lit_stop = F.array(*[F.lit(w) for w in STOPWORDS])
+        lit_stop = F.lit(list(STOPWORDS))
         return F.struct(
             F.size(toks).cast("bigint").alias("n_tokens"),
             F.size(
@@ -138,7 +141,7 @@ def lang_scores(text: Column | str) -> Column:
     def build(toks: Column) -> Column:
         fields = []
         for lang, markers in LANG_MARKERS.items():
-            lit_ws = F.array(*[F.lit(w) for w in markers])
+            lit_ws = F.lit(list(markers))
             fields.append(
                 F.size(F.filter(toks, lambda t: F.array_contains(lit_ws, F.lower(t)))).alias(lang)
             )

@@ -225,6 +225,24 @@ SELECT query_id, neighbor_id, rnk, dot FROM r WHERE rnk <= 10
 """
 
 
+def _ivf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the IVF coarse quantizer (cell -> centroid, a
+    #cells x dim integer table). The centroid table is the other half
+    of the IVF index next to the memoized codes frames — at scale it
+    is trained once and persisted with the index, so the serving-path
+    queries should probe it, not re-derive it from a full corpus scan
+    (posexplode + two exchanges) on every run. Exact integers, so the
+    memoized frame is bit-identical to the inline recompute."""
+    from corrie_spark.operators.similarity import ivf_centroids
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        return ivf_centroids(emb, "label", "embedding", _DIM).persist()
+
+    return _memo(spark, sf_dir, "ivf_cents", build)
+
+
 @register("q_sim_ivf", oracle=_IVF_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: per-cell integer centroids (floor-mean), probe
@@ -233,7 +251,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     #cells of the corpus scored per query, centroids broadcast."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(q, emb, k=10, nprobe=_NPROBE)
+    return S.ivf_topk(q, emb, k=10, nprobe=_NPROBE, cents=_ivf_cents(spark, sf_dir))
 
 
 _BUCKET_STATS_ORACLE = f"""
@@ -323,9 +341,9 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     truth = _bf_truth(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = S.ivf_topk(q, emb, k=10, nprobe=_NPROBE).select(
-        "query_id", F.col("neighbor_id").alias("hit_id")
-    )
+    approx = S.ivf_topk(
+        q, emb, k=10, nprobe=_NPROBE, cents=_ivf_cents(spark, sf_dir)
+    ).select("query_id", F.col("neighbor_id").alias("hit_id"))
     hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
     return (
         truth.join(
@@ -722,7 +740,10 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     books, codes = _pq_index(spark, sf_dir)
-    return pq.ivfpq_topk(q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes)
+    return pq.ivfpq_topk(
+        q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes,
+        cents=_ivf_cents(spark, sf_dir),
+    )
 
 
 # --- SemDeDup (Abbas et al. 2023): kmeans cells + within-cell cosine ------
@@ -1065,12 +1086,11 @@ def _res_pq_index(spark: SparkSession, sf_dir: str):
     — the residual trainer runs once per (session, sf), same
     discipline as _pq_index."""
     from corrie_spark.operators import pq
-    from corrie_spark.operators.similarity import ivf_centroids
     from corrie_spark.queries.dedup_queries import _memo
 
     def build():
         emb = load(spark, sf_dir, "embeddings")
-        cents = ivf_centroids(emb, "label", "embedding", _DIM)
+        cents = _ivf_cents(spark, sf_dir)
         res = pq.residual_frame(emb, cents)
         books = pq.pq_codebooks(res, id_col="vid", vec_col="rv", quantized=True)
         codes = pq.pq_encode(
@@ -1097,7 +1117,8 @@ def q_sim_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _bf_truth(spark, sf_dir).select("query_id", "neighbor_id")
     books, codes = _res_pq_index(spark, sf_dir)
     approx = pq.ivfpq_residual_topk(
-        q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes
+        q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes,
+        cents=_ivf_cents(spark, sf_dir),
     ).select("query_id", F.col("neighbor_id").alias("hit_id"))
     hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
     return (
@@ -1177,7 +1198,8 @@ def q_sim_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5)
     books, codes = _res_pq_index(spark, sf_dir)
     return pq.ivfpq_residual_topk(
-        q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes
+        q, emb, k=10, nprobe=_NPROBE, books=books, codes=codes,
+        cents=_ivf_cents(spark, sf_dir),
     ).select("query_id", "neighbor_id", "rnk", "approx_dot")
 
 
@@ -1232,6 +1254,7 @@ def q_sim_ivfpq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_NPROBE,
         books=books,
         codes=codes,
+        cents=_ivf_cents(spark, sf_dir),
     ).select("query_id", F.col("neighbor_id").alias("hit_id"))
     hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
     return (
@@ -1659,6 +1682,12 @@ def warm_ann_indexes(spark: SparkSession, sf_dir: str, root: str | None = None) 
         seeds = S.kcenter_seeds(load(spark, sf_dir, "embeddings"), k=_KC_K)
         IS.save_seeds(spark, kc_path, seeds)
         _memo(spark, sf_dir, "kcenter_cells", assign_from(lambda: seeds))
+
+    # IVF coarse-quantizer centroids: the metadata half of the IVF/
+    # IVF-PQ index (#cells x dim longs) — built once with the index so
+    # the serving queries probe it instead of re-deriving it from a
+    # full corpus scan per run
+    _ivf_cents(spark, sf_dir).count()
     return root
 
 
