@@ -109,7 +109,7 @@ def main() -> None:
         )
         from corrie_spark.queries.multimodal_queries import _dhash_cluster_labels
         from corrie_spark.queries.passage_queries import _shared_hits
-        from corrie_spark.queries.text_queries import _lm_per_doc
+        from corrie_spark.queries.text_queries import _lm_per_doc, _rendered_chat
 
         _dhash_cluster_labels(spark, sf_dir)
         _shared_hits(spark, sf_dir).count()
@@ -120,6 +120,7 @@ def main() -> None:
         _kcenter_cells(spark, sf_dir).count()
         _upsert_cells(spark, sf_dir)
         _lm_per_doc(spark, sf_dir).count()
+        _rendered_chat(spark, sf_dir)  # checkpointed eagerly in build
         from corrie_spark.queries.warc_queries import _shared_records
 
         _shared_records(spark, sf_dir)  # fixture crawl build + ingest

@@ -75,27 +75,53 @@ def distributed_cumsum(
     value_col: str,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
+    key_bound: int | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of `value_col` in `order_col` order,
     without a single-partition global window.
 
-    Phase 1: range-partition on order_col (so partition p holds a
-    contiguous key range and partitions are mutually ordered), local
-    running sum via a window PARTITIONED by the physical partition id.
-    Phase 2: per-partition totals (#partitions rows) come to the
-    driver, their exclusive prefix is broadcast back as a join on the
-    partition id. Result: cumsum BEFORE each row — every stage
-    parallel, driver traffic O(#partitions).
+    Phase 1: split the key axis into mutually ordered buckets, local
+    running sum via a window PARTITIONED by the bucket id. Phase 2:
+    per-bucket totals (#buckets rows) come to the driver, their
+    exclusive prefix is broadcast back as a join on the bucket id.
+    Result: cumsum BEFORE each row — every stage parallel, driver
+    traffic O(#buckets).
+
+    Bucketing: when `key_bound` is given, order_col is a NUMERIC key
+    uniform on [0, key_bound) (the hash60 callers) and the bucket id
+    is computed arithmetically — floor(key / width). When it is not,
+    the general path range-partitions on order_col (a sampling pass
+    over the input) and uses the physical partition id. The computed
+    form removes the sampling job AND one exchange (the window's
+    partitionBy cannot see that range partitioning already grouped
+    the rows by pid, so it re-shuffles hash(_pid) on top of the range
+    exchange); bucket boundaries differ between the two forms but the
+    cumsum is a pure function of (key order, values) — identical
+    output either way, whatever the bucketing.
 
     order_col must be globally unique (it is a hash in every caller
     here); ties would make "before" ambiguous.
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    if key_bound is not None:
+        # 8x more buckets than target partitions so the hash exchange
+        # spreads them evenly (guide §2.5: too few distinct synthetic
+        # keys leaves partitions holding 2 buckets and others none);
+        # totals stay metadata-sized (#buckets rows to the driver)
+        n_buckets = parts * 8
+        width = max(1, (int(key_bound) + n_buckets - 1) // n_buckets)
+        ranged = df.withColumn(
+            "_pid",
+            F.least(
+                F.floor(F.col(order_col) / F.lit(width)), F.lit(n_buckets - 1)
+            ).cast("int"),
+        )
+    else:
+        ranged = (
+            df.repartitionByRange(parts, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .withColumn("_pid", F.spark_partition_id())
+        )
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
@@ -144,7 +170,9 @@ def pack_shards(
     from corrie_spark.operators.dedup import hash60
 
     keyed = df.withColumn("_h", hash60(F.col(id_col).cast("string"), salt=salt))
-    summed = distributed_cumsum(keyed, "_h", tokens_col, out_col="_before")
+    summed = distributed_cumsum(
+        keyed, "_h", tokens_col, out_col="_before", key_bound=1 << 60
+    )
     return summed.withColumn(
         "shard", F.floor(F.col("_before") / F.lit(budget)).cast("long")
     ).drop("_before", "_h")
@@ -168,7 +196,9 @@ def pack_with_offsets(
     from corrie_spark.operators.dedup import hash60
 
     keyed = df.withColumn("_h", hash60(F.col(id_col).cast("string"), salt=salt))
-    summed = distributed_cumsum(keyed, "_h", size_col, out_col="_before")
+    summed = distributed_cumsum(
+        keyed, "_h", size_col, out_col="_before", key_bound=1 << 60
+    )
     sharded = summed.withColumn(
         "shard", F.floor(F.col("_before") / F.lit(budget)).cast("long")
     )

@@ -2590,6 +2590,81 @@ FROM parts
 """
 
 
+def _rendered_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the rendered-conversation frame
+    (doc_id, _s, _spans, n_chars) — the chat_fold aggregate (a wide
+    interpreted HOF fold) feeds BOTH q_chat_render and q_chat_pack,
+    so it renders once per session (the `_shared_sigs` discipline)
+    and both serving paths probe the checkpointed frame. The fold is
+    deterministic row-local arithmetic: memoized == inline
+    bit-identically, and both consumers' oracles restate the rendered
+    string closed-form either way."""
+    from corrie_spark.functions.core import bind
+    from corrie_spark.operators import chat as C
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        toks_e = F.filter(F.split("text", " "), lambda t: t != "")
+
+        def with_lines(toks):
+            n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+            return F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * 8 + 1, 8), " "
+                ),
+            )
+
+        def build_messages(ls):
+            n = (F.col("doc_id") % 3 + 1).cast("int")
+
+            def li(i):
+                return F.element_at(
+                    ls, (i % F.size(ls) + 1).cast("int")
+                )
+
+            rounds = F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.array(
+                        F.struct(
+                            F.lit("user").alias("role"),
+                            li(i).alias("content"),
+                        ),
+                        F.struct(
+                            F.lit("assistant").alias("role"),
+                            F.concat(F.lit("Echo: "), li(i)).alias("content"),
+                        ),
+                    ),
+                )
+            )
+            return F.concat(
+                F.array(
+                    F.struct(
+                        F.lit("system").alias("role"),
+                        F.lit(_CHAT_SYS).alias("content"),
+                    )
+                ),
+                rounds,
+            )
+
+        msgs = bind(bind(toks_e, with_lines), build_messages)
+        fold = bind(msgs, C.chat_fold)
+        return (
+            docs.where(F.size(toks_e) > 0)
+            .select(
+                "doc_id",
+                fold["s"].alias("_s"),
+                fold["spans"].alias("_spans"),
+            )
+            .withColumn("n_chars", F.length("_s").cast("long"))
+            .localCheckpoint(eager=True)
+        )
+
+    return _memo(spark, sf_dir, "rendered_chat", build)
+
+
 @register("q_chat_render", oracle=_CHAT_ORACLE)
 def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instruction-data prep end-to-end: per document a deterministic
@@ -2600,69 +2675,18 @@ def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle restates the rendered string and every span boundary
     closed-form by prefix-length arithmetic, so template layout, span
     starts/ends and turn cycling are all value-gated. Scale: pure
-    Column expressions, row-local, a free rider on the corpus scan."""
-    from corrie_spark.functions.core import bind
+    Column expressions, row-local, a free rider on the corpus scan;
+    the rendered frame itself rides the session memo shared with
+    q_chat_pack."""
     from corrie_spark.operators import chat as C
 
-    docs = load(spark, sf_dir, "documents")
-    toks_e = F.filter(F.split("text", " "), lambda t: t != "")
-
-    def with_lines(toks):
-        n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
-        return F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * 8 + 1, 8), " "
-            ),
-        )
-
-    def build_messages(ls):
-        n = (F.col("doc_id") % 3 + 1).cast("int")
-
-        def li(i):
-            return F.element_at(
-                ls, (i % F.size(ls) + 1).cast("int")
-            )
-
-        rounds = F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda i: F.array(
-                    F.struct(
-                        F.lit("user").alias("role"),
-                        li(i).alias("content"),
-                    ),
-                    F.struct(
-                        F.lit("assistant").alias("role"),
-                        F.concat(F.lit("Echo: "), li(i)).alias("content"),
-                    ),
-                ),
-            )
-        )
-        return F.concat(
-            F.array(
-                F.struct(
-                    F.lit("system").alias("role"),
-                    F.lit(_CHAT_SYS).alias("content"),
-                )
-            ),
-            rounds,
-        )
-
-    msgs = bind(bind(toks_e, with_lines), build_messages)
-    fold = bind(msgs, C.chat_fold)
-    return (
-        docs.where(F.size(toks_e) > 0)
-        .select("doc_id", fold.alias("_f"))
-        .select(
-            "doc_id",
-            ((F.col("doc_id") % 3) + 1).cast("long").alias("n_turns"),
-            F.md5(F.col("_f")["s"]).alias("render_md5"),
-            F.length(F.col("_f")["s"]).cast("long").alias("n_chars"),
-            F.md5(
-                C.spans_fingerprint(F.col("_f")["spans"])
-            ).alias("spans_md5"),
-        )
+    rendered = _rendered_chat(spark, sf_dir)
+    return rendered.select(
+        "doc_id",
+        ((F.col("doc_id") % 3) + 1).cast("long").alias("n_turns"),
+        F.md5(F.col("_s")).alias("render_md5"),
+        F.col("n_chars"),
+        F.md5(C.spans_fingerprint(F.col("_spans"))).alias("spans_md5"),
     )
 
 
@@ -2778,65 +2802,13 @@ def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-shard offsets AND the re-based span starts closed-form —
     the full chain a packed-SFT data loader depends on. Scale: the
     prefix sum is the distributed one (never a single-partition
-    window); the min-offset window rides the shard exchange."""
-    from corrie_spark.functions.core import bind
-    from corrie_spark.operators import chat as C
+    window); the min-offset window rides the shard exchange. The
+    rendered (doc_id, _s, _spans, n_chars) frame rides the session
+    memo shared with q_chat_render (checkpointed, so the cumsum's two
+    consumers probe it instead of re-running the fold lineage)."""
     from corrie_spark.operators.packing import pack_with_offsets
 
-    docs = load(spark, sf_dir, "documents")
-    toks_e = F.filter(F.split("text", " "), lambda t: t != "")
-
-    def with_lines(toks):
-        n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
-        return F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
-        )
-
-    def build_messages(ls):
-        n = (F.col("doc_id") % 3 + 1).cast("int")
-
-        def li(i):
-            return F.element_at(ls, (i % F.size(ls) + 1).cast("int"))
-
-        rounds = F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda i: F.array(
-                    F.struct(
-                        F.lit("user").alias("role"), li(i).alias("content")
-                    ),
-                    F.struct(
-                        F.lit("assistant").alias("role"),
-                        F.concat(F.lit("Echo: "), li(i)).alias("content"),
-                    ),
-                ),
-            )
-        )
-        return F.concat(
-            F.array(
-                F.struct(
-                    F.lit("system").alias("role"),
-                    F.lit(_CHAT_SYS).alias("content"),
-                )
-            ),
-            rounds,
-        )
-
-    fold = bind(bind(bind(toks_e, with_lines), build_messages), C.chat_fold)
-    # localCheckpoint: the cumsum's two consumers (offsets aggregation
-    # + the main pass) would otherwise re-run the whole fold lineage,
-    # and CollapseProject re-inlines the fold per column reference
-    rendered = (
-        docs.where(F.size(toks_e) > 0)
-        .select(
-            "doc_id",
-            fold["s"].alias("_s"),
-            fold["spans"].alias("_spans"),
-        )
-        .withColumn("n_chars", F.length("_s").cast("long"))
-        .localCheckpoint(eager=True)
-    )
+    rendered = _rendered_chat(spark, sf_dir)
     packed = pack_with_offsets(
         rendered, "doc_id", "n_chars", budget=_CHATPACK_BUDGET,
         salt="chatpack",

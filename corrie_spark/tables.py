@@ -64,9 +64,38 @@ def dataset_fingerprint(sf_dir: str, *names: str) -> str:
     return h.hexdigest()[:12]
 
 
+# Per-session memo of loaded relations. Every `spark.read.parquet`
+# call re-resolves the data source, re-lists the files and re-reads
+# the parquet footer for schema inference — 200-600 ms of driver-side
+# work per call measured on local[32], repeated on EVERY query build
+# because queries re-call load() on each run (the serving path).  The
+# testdata tables are static for the life of a session (the same
+# assumption every `_memo` index/fixture cache already makes;
+# `dataset_fingerprint` guards the on-disk caches), so the resolved
+# DataFrame — an immutable logical plan, NOT cached row data — is
+# reusable across queries exactly like a catalog table's cached
+# relation.  Keyed weakly on the session so stopped sessions drop
+# their plans.
+from weakref import WeakKeyDictionary
+
+_RELATION_MEMO: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    per_session = _RELATION_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        df = _load_uncached(spark, sf_dir, name)
+        per_session[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has shipped with several physical types for `ts`
         # across testdata generations: TIMESTAMP(NANOS) (which the Spark
