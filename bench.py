@@ -121,6 +121,14 @@ def main() -> None:
         _upsert_cells(spark, sf_dir)
         _lm_per_doc(spark, sf_dir).count()
         _rendered_chat(spark, sf_dir)  # checkpointed eagerly in build
+        from corrie_spark.queries.text_queries import _lsc_fit
+
+        _lsc_fit(spark, sf_dir)  # OLS trainer collect runs in build
+        from corrie_spark.queries.multimodal_queries import _xc_hashes
+        from corrie_spark.queries.web_queries import _shared_sitemap_tree
+
+        _xc_hashes(spark, sf_dir)  # AVI/MP4 twin fixture + fingerprint
+        _shared_sitemap_tree(spark, sf_dir)  # per-host sitemap tree fixture
         from corrie_spark.queries.warc_queries import _shared_records
 
         _shared_records(spark, sf_dir)  # fixture crawl build + ingest

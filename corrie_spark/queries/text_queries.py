@@ -2420,7 +2420,17 @@ def _lsc_fit(spark: SparkSession, sf_dir: str):
     (y, x1, x2) feature frame and the exact-OLS fit (integer power
     sums -> big-int Cramer solve -> IEEE doubles). Serves
     q_text_ls_classifier (accuracy dashboard) and
-    q_text_quality_report (per-class P/R/F1)."""
+    q_text_quality_report (per-class P/R/F1). Session-memoized (the
+    _pq_index discipline): the training aggregate+collect ran on
+    EVERY call from both consumers before; the fit is deterministic
+    exact-integer arithmetic, so memoized betas == retrained betas
+    bit-identically."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    return _memo(spark, sf_dir, "lsc_fit", lambda: _lsc_fit_build(spark, sf_dir))
+
+
+def _lsc_fit_build(spark: SparkSession, sf_dir: str):
     from corrie_spark.functions import bind
 
     docs = load(spark, sf_dir, "documents")

@@ -420,6 +420,53 @@ def _build_sitemap_tree(host: str, ids: list[int]) -> list[tuple[str, bytes]]:
     return rows
 
 
+def _shared_sitemap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the decoded per-host sitemap-tree table
+    (host, url, sitemap_xml) — the fixture build (applyInPandas tree
+    writer + gz decode) feeds BOTH q_web_sitemap_index and
+    q_web_sitemap_discovery, so it runs once per session and both
+    resolvers probe the checkpointed frame (the _shared_records
+    fixture discipline; per-host metadata, <=5 small rows a host).
+    Deterministic fixture, memoized == inline bit-identically."""
+    import pandas as pd
+
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        url = F.expr(_URL_TMPL.format(S="STRING"))
+        # single-file scan = one partition; spread it before the regex
+        # projection + fixture build (the verify-skill repartition lesson)
+        hosts = (
+            docs.select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", W.url_host(url).alias("host"))
+        )
+
+        def mk(key, pdf):
+            host = str(key[0])
+            rows = _build_sitemap_tree(host, [int(i) for i in pdf["doc_id"]])
+            return pd.DataFrame(
+                [{"host": host, "url": u, "content": b} for u, b in rows]
+            )
+
+        files = (
+            # keep the tiny per-host fixture shuffle parallel under AQE
+            hosts.repartition(
+                spark.sparkContext.defaultParallelism, "host"
+            )
+            .groupBy("host")
+            .applyInPandas(mk, "host string, url string, content binary")
+        )
+        # the decoded sitemap table is consumed by every unrolled
+        # resolver level — checkpoint it so the fixture-build lineage
+        # runs once, not once per level (the AQE-reuse-doesn't-fire-
+        # across-pruned-consumers lesson)
+        return W.sitemap_decode(files).localCheckpoint(eager=True)
+
+    return _memo(spark, sf_dir, "sitemap_tree", build)
+
+
 @register("q_web_sitemap_index", oracle=_SITEMAP_TREE_ORACLE, python_stages="host-sized tree fixture build + gz decode Arrow stages")
 def q_web_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap TREE resolution — the wild-form sitemap stack the flat
@@ -433,38 +480,7 @@ def q_web_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-double-count closed-form. Scale: sitemap tables are per-host
     metadata — each level is a broadcast-able (host,url) join + a
     row-local explode; page bytes never appear."""
-    import pandas as pd
-
-    docs = load(spark, sf_dir, "documents")
-    url = F.expr(_URL_TMPL.format(S="STRING"))
-    # single-file scan = one partition; spread it before the regex
-    # projection + fixture build (the verify-skill repartition lesson)
-    hosts = (
-        docs.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", W.url_host(url).alias("host"))
-    )
-
-    def mk(key, pdf):
-        host = str(key[0])
-        rows = _build_sitemap_tree(host, [int(i) for i in pdf["doc_id"]])
-        return pd.DataFrame(
-            [{"host": host, "url": u, "content": b} for u, b in rows]
-        )
-
-    files = (
-        # keep the tiny per-host fixture shuffle parallel under AQE
-        hosts.repartition(
-            spark.sparkContext.defaultParallelism, "host"
-        )
-        .groupBy("host")
-        .applyInPandas(mk, "host string, url string, content binary")
-    )
-    # the decoded sitemap table is per-host metadata (<=5 small rows a
-    # host) consumed by every unrolled resolver level — checkpoint it
-    # so the fixture-build lineage runs once, not once per level (the
-    # AQE-reuse-doesn't-fire-across-pruned-consumers lesson)
-    sitemaps = W.sitemap_decode(files).localCheckpoint(eager=True)
+    sitemaps = _shared_sitemap_tree(spark, sf_dir)
     roots = (
         sitemaps.select("host").distinct().withColumn(
             "url", F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml"))
@@ -910,32 +926,7 @@ def q_web_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture) — the oracle states exactly the even-host page
     sets. Scale: robots and sitemap tables are per-host metadata;
     every stage is broadcast-join + row-local parse."""
-    import pandas as pd
-
-    docs = load(spark, sf_dir, "documents")
-    url = F.expr(_URL_TMPL.format(S="STRING"))
-    hosts = (
-        docs.select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", W.url_host(url).alias("host"))
-    )
-
-    def mk(key, pdf):
-        host = str(key[0])
-        rows = _build_sitemap_tree(host, [int(i) for i in pdf["doc_id"]])
-        return pd.DataFrame(
-            [{"host": host, "url": u, "content": b} for u, b in rows]
-        )
-
-    files = (
-        # keep the tiny per-host fixture shuffle parallel under AQE
-        hosts.repartition(
-            spark.sparkContext.defaultParallelism, "host"
-        )
-        .groupBy("host")
-        .applyInPandas(mk, "host string, url string, content binary")
-    )
-    sitemaps = W.sitemap_decode(files).localCheckpoint(eager=True)
+    sitemaps = _shared_sitemap_tree(spark, sf_dir)
 
     k = F.regexp_extract("host", r"site([0-9]+)\.", 1).cast("long")
     robots = sitemaps.select("host").distinct().withColumn(
