@@ -374,7 +374,11 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
         ]
-    base = strs.agg(*base_aggs).collect()[0]
+    # ONE metadata row; broadcast-cross-joined below instead of
+    # collect()+re-fold-as-literals, so the whole profile is a single
+    # action (the collect forced an extra eager base-scan job on every
+    # run and put a driver round trip on the serving path)
+    base = strs.agg(*base_aggs)
 
     stack_args = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
     melted = strs.select(
@@ -390,19 +394,21 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct((-F.col("cnt")).alias("neg"), F.col("v").alias("v"))
         ).alias("m"),
     )
-    # fold the base-scan literals back per column (metadata-sized maps)
+    # per-column lookups over the broadcast 1-row base agg
+    # (metadata-sized maps, same values the collect+literal fold
+    # produced)
     nulls_m = F.create_map(
-        *[x for c in _PROFILE_COLS for x in (F.lit(c), F.lit(base[f"{c}__nulls"]))]
+        *[x for c in _PROFILE_COLS for x in (F.lit(c), F.col(f"{c}__nulls"))]
     )
     min_m = F.create_map(
-        *[x for c in _PROFILE_COLS for x in (F.lit(c), F.lit(base[f"{c}__min"]))]
+        *[x for c in _PROFILE_COLS for x in (F.lit(c), F.col(f"{c}__min"))]
     )
     max_m = F.create_map(
-        *[x for c in _PROFILE_COLS for x in (F.lit(c), F.lit(base[f"{c}__max"]))]
+        *[x for c in _PROFILE_COLS for x in (F.lit(c), F.col(f"{c}__max"))]
     )
-    return per_col.select(
+    return per_col.crossJoin(F.broadcast(base)).select(
         "col",
-        F.lit(base["n_rows"]).cast("bigint").alias("n_rows"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
         nulls_m[F.col("col")].cast("bigint").alias("n_nulls"),
         "n_distinct",
         min_m[F.col("col")].cast("string").alias("min_v"),

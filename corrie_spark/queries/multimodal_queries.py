@@ -1170,6 +1170,34 @@ GROUP BY 1 ORDER BY dist
 """
 
 
+def _image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the decoded 62-bit dHash frame
+    (media_id, dhash, n_pixels, ok) — the synth-media build + Arrow
+    decode + bit pack feeds q_multimodal_dhash_pairs AND the cluster
+    labels memo; one checkpointed materialization serves them all
+    (the _shared_sigs discipline — deterministic decode, memoized ==
+    inline bit-identically)."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("doc_id")
+        return M.image_dhash(M.synth_media(docs)).localCheckpoint(eager=True)
+
+    return _memo(spark, sf_dir, "image_hashes", build)
+
+
+def _image_hashes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """124-bit twin of _image_hashes (lo/hi word schema) for the
+    wide-radius pair family."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("doc_id")
+        return M.image_dhash_wide(M.synth_media(docs)).localCheckpoint(eager=True)
+
+    return _memo(spark, sf_dir, "image_hashes_wide", build)
+
+
 @register("q_multimodal_dhash_pairs", oracle=_DHASH_PAIRS_ORACLE, python_stages="same Arrow stage feeds the band join")
 def q_multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE census by perceptual-hash hamming distance:
@@ -1179,11 +1207,11 @@ def q_multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify at dist <= 2, then a distance histogram (the synthetic
     corpus repeats pixel phases, so raw pairs are census-sized —
     the report is what an operator dashboards). Candidate joins
-    carry (id, hash) longs only; pixels never shuffle."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    carry (id, hash) longs only; pixels never shuffle; the decoded
+    hash frame rides the _image_hashes session memo."""
     from pyspark.sql import functions as F
 
-    hashes = M.image_dhash(M.synth_media(docs))
+    hashes = _image_hashes(spark, sf_dir)
     return (
         M.dhash_near_pairs(hashes, max_dist=2)
         .groupBy("dist")
@@ -1236,11 +1264,11 @@ def q_multimodal_dhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     popcount filter), so the gate proves the banded join's pigeonhole
     completeness on real data: banded == exhaustive at this radius.
     bucket_cap=None here because this is the pair-LIST contract;
-    cluster consumers cap (see dhash_wide_near_pairs docstring)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    cluster consumers cap (see dhash_wide_near_pairs docstring).
+    The decoded wide-hash frame rides the _image_hashes_wide memo."""
     from pyspark.sql import functions as F
 
-    hashes = M.image_dhash_wide(M.synth_media(docs))
+    hashes = _image_hashes_wide(spark, sf_dir)
     return (
         M.dhash_wide_near_pairs(hashes, max_dist=12, bucket_cap=None)
         .groupBy("dist")
@@ -1514,8 +1542,7 @@ def _dhash_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from corrie_spark.operators.dedup import connected_components
 
     def build() -> DataFrame:
-        docs = load(spark, sf_dir, "documents").select("doc_id")
-        hashes = M.image_dhash(M.synth_media(docs))
+        hashes = _image_hashes(spark, sf_dir)
         grp = (
             hashes.filter(F.col("dhash").isNotNull())
             .groupBy("dhash")

@@ -274,7 +274,9 @@ def q_sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     sigs = emb.select(
         "vec_id", S.quantize(F.col("embedding")).alias("q")
-    ).withColumn("bucket", S.hyperplane_signature(F.col("q")))
+    # pass the column NAME: the string form takes the one-expr-string
+    # fast path (1 py4j call) instead of ~10 round trips per plane
+    ).withColumn("bucket", S.hyperplane_signature("q"))
     return sigs.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )

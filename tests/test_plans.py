@@ -501,14 +501,18 @@ def test_profile_distinct_stats_are_one_melted_scan(spark):
 
     df = all_queries()["q_profile_orders"](spark, SF_CORRECT)
     schemas = read_schemas(df)
-    assert len(schemas) == 1, schemas
-    cols = sorted(
-        c.split(":")[0]
-        for c in schemas[0].strip("struct<>").split(",")
-        if c.strip()
-    )
-    assert cols == sorted(_PROFILE_COLS), schemas[0]
-    assert count_shuffles(df) <= 3  # (col,v) groupBy + col reduce + sort
+    # round-14 single-action shape: the base null/min/max agg joined
+    # back broadcast instead of collect()+literal-fold, so its scan
+    # now shows in the SAME plan — exactly TWO scans total (base +
+    # melted), never 1 + C per-column scans
+    assert len(schemas) == 2, schemas
+    for s in schemas:
+        cols = sorted(
+            c.split(":")[0] for c in s.strip("struct<>").split(",") if c.strip()
+        )
+        assert cols == sorted(_PROFILE_COLS), s
+    # (col,v) groupBy + col reduce + sort + the 1-row base agg exchange
+    assert count_shuffles(df) <= 4
 
 
 def test_ols_single_pruned_scan_no_shuffle_before_agg(spark):
