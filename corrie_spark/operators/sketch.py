@@ -138,6 +138,7 @@ def cms_counters(
     item_col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (row, cell, cnt) counter table.
 
@@ -146,7 +147,13 @@ def cms_counters(
     depth x width groups (1024 longs by default) regardless of input
     size. Counters are sums, so sketches merge across partitions,
     days, or corpora by adding cell-wise — the pre-aggregation
-    pattern that replaces a full groupBy(item) at 100 TB."""
+    pattern that replaces a full groupBy(item) at 100 TB.
+
+    `weight_col`: count each input row as that many occurrences —
+    cell(t) = sum of weights of items hashing there, identical to
+    feeding the un-aggregated stream (counters are sums), so a caller
+    that already holds (item, count) feeds the sketch WITHOUT
+    re-exploding per occurrence."""
     item = F.col(item_col)
     cells = F.array(
         *[
@@ -157,10 +164,14 @@ def cms_counters(
             for r in range(depth)
         ]
     )
+    extra = [F.col(weight_col).alias("_w")] if weight_col else []
+    agg = (
+        F.sum("_w").cast("long") if weight_col else F.count(F.lit(1))
+    )
     return (
-        df.select(F.explode(cells).alias("rc"))
+        df.select(F.explode(cells).alias("rc"), *extra)
         .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(agg.alias("cnt"))
     )
 
 

@@ -276,10 +276,19 @@ def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(T.tokens("text")).alias("t"))
-    counters = SK.cms_counters(tok, "t")
+    # tokenize ONCE: the counter build and the exact top-20 both
+    # consumed `tok` before (two full tokenize+explode scans); the
+    # (token, count) aggregate — vocabulary-sized, checkpointed —
+    # now feeds both, with the sketch taking the counts as weights
+    # (cell sums identical to the per-occurrence stream)
+    tokc = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    counters = SK.cms_counters(tokc, "t", weight_col="cnt")
     exact = (
-        tok.groupBy(F.col("t").alias("token"))
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+        tokc.select(F.col("t").alias("token"), F.col("cnt").alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), F.col("token"))
         .limit(20)
     )

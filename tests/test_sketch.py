@@ -94,3 +94,25 @@ def test_cms_nondefault_geometry_roundtrips(spark):
     true = {r.t: r.cnt for r in df.groupBy("t").agg(F.count("*").alias("cnt")).collect()}
     for k, n in true.items():
         assert est[k] >= n
+
+
+def test_cms_weighted_counters_equal_per_occurrence(spark):
+    """cms_counters(weight_col=...) over an aggregated (item, count)
+    frame must produce the EXACT counter table of the un-aggregated
+    per-occurrence stream — the identity the round-14 single-tokenize
+    rewrite of q_sketch_cms_heavy_hitters rides."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators.sketch import cms_counters
+
+    rows = [(f"k{i % 7}",) for i in range(153)]
+    df = spark.createDataFrame(rows, "t string")
+    per_occ = {
+        (r.row, r.cell): r.cnt for r in cms_counters(df, "t").collect()
+    }
+    aggd = df.groupBy("t").agg(F.count("*").alias("cnt"))
+    weighted = {
+        (r.row, r.cell): r.cnt
+        for r in cms_counters(aggd, "t", weight_col="cnt").collect()
+    }
+    assert per_occ == weighted
