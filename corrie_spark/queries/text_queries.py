@@ -284,6 +284,25 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+def _langid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the (lang_labeled, lang_detected) pair frame —
+    the detect_lang argmax over the corpus feeds BOTH evaluation
+    queries (confusion matrix + classification report); one
+    checkpointed materialization serves both (q_text_langid itself
+    stays un-memoized: it IS the detector gate). Deterministic
+    row-local argmax, memoized == inline bit-identically."""
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        return docs.select(
+            F.col("lang").alias("lang_labeled"),
+            T.detect_lang("text").alias("lang_detected"),
+        ).localCheckpoint(eager=True)
+
+    return _memo(spark, sf_dir, "langid_pairs", build)
+
+
 @register("q_text_langid_confusion", oracle=_LANGID_CONFUSION_ORACLE)
 def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix (labeled lang x detected lang) —
@@ -292,12 +311,8 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the matrix is #langs^2-bounded however large the corpus."""
     from corrie_spark.operators import evaluation as EV
 
-    docs = load(spark, sf_dir, "documents")
     return EV.confusion_matrix(
-        docs.select(
-            F.col("lang").alias("lang_labeled"),
-            T.detect_lang("text").alias("lang_detected"),
-        ),
+        _langid_pairs(spark, sf_dir),
         "lang_labeled",
         "lang_detected",
     )
@@ -319,12 +334,8 @@ def q_text_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector never predicts get NULL precision, not a fake zero."""
     from corrie_spark.operators import evaluation as EV
 
-    docs = load(spark, sf_dir, "documents")
     return EV.classification_report(
-        docs.select(
-            F.col("lang").alias("lang_labeled"),
-            T.detect_lang("text").alias("lang_detected"),
-        ),
+        _langid_pairs(spark, sf_dir),
         "lang_labeled",
         "lang_detected",
     )
