@@ -237,8 +237,15 @@ def _ivf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from corrie_spark.queries.dedup_queries import _memo
 
     def build() -> DataFrame:
+        # localCheckpoint (not lazy persist): the table is metadata-sized
+        # (#cells x dim longs), and truncating the build lineage keeps the
+        # serving-path plans free of the trainer's posexplode exchanges
+        # (same rule as every other _memo frame; plan pins count only
+        # serving shuffles).
         emb = load(spark, sf_dir, "embeddings")
-        return ivf_centroids(emb, "label", "embedding", _DIM).persist()
+        return ivf_centroids(emb, "label", "embedding", _DIM).localCheckpoint(
+            eager=True
+        )
 
     return _memo(spark, sf_dir, "ivf_cents", build)
 
