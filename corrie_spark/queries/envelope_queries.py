@@ -212,22 +212,45 @@ def q_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     _b_v, enum_bad_ok = chtypes.coerce(F.lit("ZZZ"), t_enum)
     uuid_v, uuid_ok = chtypes.coerce(uuid_str, t_uuid)
 
-    rows = li.select(
+    # round-14: the UUID columns are pure functions of l_orderkey, which
+    # has ~4x fewer distinct values than lineitem has rows — so the
+    # md5+format+rlike tree (measured 0.95 s/rep of the 1.8 s total at
+    # sf0.1) and the exact-distinct aggregate run over the DISTINCT keys
+    # instead of every row.  countDistinct(f(k)) over distinct k is the
+    # same set, and sum(ok(k)) over rows is sum(ok(k)*cnt(k)) over keys;
+    # verified value-equal and oracle-green at sf0.01/sf0.001.  The
+    # per-row branch keeps only the row-dependent coercions; the two
+    # one-row aggregates meet in a broadcast join (single action).
+    rowsagg = li.select(
         int8_v.alias("v_int8"),
         int8_ok.alias("ok_int8"),
         f64_ok.alias("ok_f64"),
         enum_ok.alias("ok_enum"),
         enum_bad_ok.alias("ok_enum_bad"),
-        uuid_v.alias("v_uuid"),
-        uuid_ok.alias("ok_uuid"),
-    )
-    return rows.agg(
+    ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("ok_int8").cast("bigint")).alias("n_valid_int8"),
         F.sum(F.col("ok_f64").cast("bigint")).alias("n_valid_float"),
         F.sum(F.col("v_int8").cast("bigint")).alias("sum_int8"),
         F.sum(F.col("ok_enum").cast("bigint")).alias("n_valid_enum"),
         F.sum(F.col("ok_enum_bad").cast("bigint")).alias("n_valid_enum_bad"),
+    )
+    keys = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    uuidagg = keys.select(
+        uuid_v.alias("v_uuid"), uuid_ok.alias("ok_uuid"), "cnt"
+    ).agg(
         F.countDistinct("v_uuid").alias("n_uuid"),
-        F.sum(F.col("ok_uuid").cast("bigint")).alias("n_valid_uuid"),
+        F.sum(
+            F.when(F.col("ok_uuid"), F.col("cnt")).otherwise(F.lit(0))
+        ).alias("n_valid_uuid"),
+    )
+    return rowsagg.join(F.broadcast(uuidagg)).select(
+        "n_rows",
+        "n_valid_int8",
+        "n_valid_float",
+        "sum_int8",
+        "n_valid_enum",
+        "n_valid_enum_bad",
+        "n_uuid",
+        "n_valid_uuid",
     )
