@@ -36,6 +36,16 @@ def engine_confs(cpus: int | None = None) -> dict[str, str]:
     cpus = cpus or default_parallelism()
     return {
         "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+        # Spark 4's DataFrame debugging decorates EVERY Column/DataFrame
+        # API call with a call-site capture that costs a Python stack
+        # walk plus 2 py4j round trips (conf.get + PySparkCurrentOrigin
+        # .set) — measured ~40% of total query-BUILD time on the
+        # Column-heavy ANN builders (q_sim_ivfpq_refined_recall build:
+        # 2.7k py4j commands, ~1.0 s). Serving paths rebuild plans per
+        # request, so this is hot-path work, not startup; the feature
+        # only enriches error messages with user line numbers. Off in
+        # production, exactly like assertions.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
