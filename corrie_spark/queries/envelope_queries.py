@@ -18,7 +18,7 @@ from corrie_spark import envelope
 from corrie_spark.functions.core import bind
 from corrie_spark.queries.analytics import dsum
 from corrie_spark.queries.registry import register
-from corrie_spark.tables import load
+from corrie_spark.tables import load, spread
 
 # every 97th event becomes a poison message (truncated JSON)
 _POISON_MOD = 97
@@ -26,8 +26,12 @@ _POISON_MOD = 97
 
 def _bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize an envelope stream from `events`: one INSERT per row,
-    routed per event_type, with a deterministic poison subset."""
-    ev = load(spark, sf_dir, "events")
+    routed per event_type, with a deterministic poison subset.
+
+    round-14 (guide §2.5): the JSON encode+parse downstream dominates
+    and runs before any exchange; `spread` keeps it core-parallel when
+    the events scan is one parquet split (no-op at real scale)."""
+    ev = spread(load(spark, sf_dir, "events"))
     query = F.concat(
         F.lit("INSERT INTO db.events_"),
         F.col("event_type"),

@@ -122,6 +122,19 @@ def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count IFF the
+    frame is narrower (guide §2.5 input skew: a tiny corpus reads as
+    one parquet split, so everything upstream of the first exchange —
+    signature hashing, decodes, renders, band explodes — would run on
+    one core). A no-op whenever the input is already at least
+    core-parallel, i.e. on any real-scale table, so nothing heavy is
+    ever re-shuffled at 100 TB. Row content unchanged (round-robin is
+    deterministic under Spark's sort-before-repartition)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
