@@ -129,9 +129,15 @@ def main() -> None:
 
         _xc_hashes(spark, sf_dir)  # AVI/MP4 twin fixture + fingerprint
         _shared_sitemap_tree(spark, sf_dir)  # per-host sitemap tree fixture
-        from corrie_spark.queries.warc_queries import _shared_records
+        from corrie_spark.queries.warc_queries import (
+            _shared_records,
+            _xz_fixture,
+            _zst_fixture,
+        )
 
         _shared_records(spark, sf_dir)  # fixture crawl build + ingest
+        _zst_fixture(spark, sf_dir)  # .warc.zst fixture encode (decode stays timed)
+        _xz_fixture(spark, sf_dir)  # .warc.xz fixture encode (decode stays timed)
         from corrie_spark.queries.warc_queries import _shared_html_records
 
         _shared_html_records(spark, sf_dir)  # HTML crawl fixture + ingest

@@ -499,8 +499,12 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange) and hot boilerplate grams are exactly the AQE
     skew-join case."""
     from corrie_spark.operators.dedup import hash60, shingles
+    from corrie_spark.tables import spread
 
-    docs = load(spark, sf_dir, "documents")
+    # round-14 (guide §2.5): both shingle explodes run pre-exchange on
+    # the scan's layout; spread is a no-op at real scale. A/B at sf0.1:
+    # 1.7 -> 1.5 s, rows identical.
+    docs = spread(load(spark, sf_dir, "documents"))
     bucket = hash60(F.col("doc_id").cast("string"), salt="split") % 1000
 
     train_grams = (
