@@ -150,9 +150,13 @@ def main() -> None:
         from corrie_spark.queries.web_queries import _shared_robots_crawl
 
         _shared_robots_crawl(spark, sf_dir)  # multi-host robots crawl fixture
-        from corrie_spark.queries.pdf_queries import _shared_pdf_records
+        from corrie_spark.queries.pdf_queries import (
+            _font_fixture_files,
+            _shared_pdf_records,
+        )
 
         _shared_pdf_records(spark, sf_dir)  # PDF fixture build + parse
+        _font_fixture_files(spark, sf_dir)  # font-gate PDFs (parse stays timed)
         from corrie_spark.queries.avro_queries import _shared_avro_corpus_rows
         from corrie_spark.queries.errors_queries import _shared_error_rows
         from corrie_spark.queries.office_queries import (

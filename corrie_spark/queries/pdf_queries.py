@@ -86,12 +86,49 @@ def _shared_pdf_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     not once per consumer)."""
 
     def build() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
+        # spread (guide §2.5): the fixture build AND the consumers'
+        # per-rep record scans run on this frame's layout; a one-split
+        # documents scan left the persisted frame one-partition
+        from corrie_spark.tables import spread
+
+        docs = spread(load(spark, sf_dir, "documents"))
         recs = P.pdf_records(P.pdf_fixture_files(docs)).persist()
         recs.count()
         return recs
 
     return _memo(spark, sf_dir, "pdf_records", build)
+
+
+def _font_fixture_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the font-gate fixture PDFs (path, content) —
+    q_pdf_fonts and q_pdf_links ride the SAME per-doc Type0+CMap/
+    Differences/WinAnsi fixture (two link annotations each), so the
+    python build_pdf_fonts pass runs once per session (judge ask #4);
+    each query's timed path measures what its oracle gates: the
+    font-aware text extraction / the annotation-graph walk."""
+    import pandas as pd
+
+    def mk(batches):
+        for pdf in batches:
+            out = [
+                {
+                    "path": f"fontdoc-{int(i):08d}.pdf",
+                    "content": P.build_pdf_fonts(int(i), str(t)),
+                }
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(mk, "path string, content binary")
+            .localCheckpoint(eager=True)
+        )
+
+    return _memo(spark, sf_dir, "pdf_font_files", build)
 
 
 @register("q_pdf_ingest", oracle=_PDF_INGEST_ORACLE, python_stages="mapInPandas fixture build + from-spec PDF parse")
@@ -209,27 +246,7 @@ def q_pdf_fonts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so CMap parsing, glyph-name resolution, base-table decode and the
     Tf font-state tracking are all value-gated. Scale: same shape as
     q_pdf_ingest — one Arrow map stage, bytes never shuffle."""
-    docs = load(spark, sf_dir, "documents")
-
-    import pandas as pd
-
-    def build(batches):
-        for pdf in batches:
-            out = [
-                {
-                    "path": f"fontdoc-{int(i):08d}.pdf",
-                    "content": P.build_pdf_fonts(int(i), str(t)),
-                }
-                for i, t in zip(pdf["doc_id"], pdf["text"])
-            ]
-            yield pd.DataFrame(out, columns=["path", "content"])
-
-    files = (
-        docs.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(build, "path string, content binary")
-    )
-    recs = P.pdf_records(files)
+    recs = P.pdf_records(_font_fixture_files(spark, sf_dir))
     return recs.where(
         F.col("error").isNull() & (F.col("n_chars") > 0)
     ).select(
@@ -264,27 +281,9 @@ def q_pdf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     URIs), per page in annotation order. Rides the SAME fixture the
     font gate uses (two deterministic links per document), so one
     build feeds both. Oracle states every URI closed-form."""
-    docs = load(spark, sf_dir, "documents")
-
-    import pandas as pd
-
-    def build(batches):
-        for pdf in batches:
-            out = [
-                {
-                    "path": f"fontdoc-{int(i):08d}.pdf",
-                    "content": P.build_pdf_fonts(int(i), str(t)),
-                }
-                for i, t in zip(pdf["doc_id"], pdf["text"])
-            ]
-            yield pd.DataFrame(out, columns=["path", "content"])
-
-    files = (
-        docs.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(build, "path string, content binary")
+    links = P.pdf_link_records(_font_fixture_files(spark, sf_dir)).where(
+        F.col("error").isNull()
     )
-    links = P.pdf_link_records(files).where(F.col("error").isNull())
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "uri"))),
         lambda s: s["uri"],
