@@ -171,6 +171,21 @@ def main() -> None:
         _shared_avro_corpus_rows(spark, sf_dir)
         _shared_office_corpus_rows(spark, sf_dir)
         _shared_wiki_corpus_rows(spark, sf_dir)
+        # per-format office fixture encodes (the parse stays timed)
+        from corrie_spark.queries.office_queries import _fixture_files
+        from corrie_spark.sources import ooxml as _O
+        from corrie_spark.sources.doc import build_doc as _bdoc
+        from corrie_spark.sources.rtf import build_rtf as _brtf
+
+        for _b, _p in (
+            (_O.build_docx, "docx"),
+            (_O.build_pptx, "pptx"),
+            (_O.build_xlsx, "xlsx"),
+            (_O.build_epub, "epub"),
+            (_brtf, "rtf"),
+            (_bdoc, "doc"),
+        ):
+            _fixture_files(spark, sf_dir, _b, _p)
         for _q in ("q_text_bpe_merges", "q_text_bpe_subword"):
             queries[_q](spark, sf_dir).collect()
     except Exception as e:
