@@ -188,6 +188,20 @@ def main() -> None:
             _fixture_files(spark, sf_dir, _b, _p)
         for _q in ("q_text_bpe_merges", "q_text_bpe_subword"):
             queries[_q](spark, sf_dir).collect()
+        # media fixture memos build eagerly (localCheckpoint) at query
+        # BUILD time — constructing the frame is enough to warm them
+        for _q in (
+            "q_multimodal_real_codecs", "q_multimodal_jpeg_features",
+            "q_multimodal_palette_codecs", "q_multimodal_adpcm_features",
+            "q_multimodal_g711_features", "q_multimodal_audio_fingerprint",
+            "q_multimodal_mjpeg_frames", "q_multimodal_mp4_frames",
+            "q_multimodal_gif_frames", "q_multimodal_video_fingerprint",
+            "q_multimodal_exif", "q_multimodal_tiff", "q_multimodal_mp3_scan",
+            "q_multimodal_ogg_scan", "q_multimodal_webp",
+            "q_multimodal_audio_spectrum", "q_multimodal_png16",
+            "q_multimodal_jpeg_cmyk",
+        ):
+            queries[_q](spark, sf_dir)
     except Exception as e:
         print(f"bench: warmup failed (cold paths will run): {e}", file=sys.stderr)
     warmup_s = round(time.perf_counter() - t_w, 3)
