@@ -763,6 +763,7 @@ def ivf_topk_trained(
     vec_col: str = "embedding",
     dim: int = 64,
     cells: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN over TRAINED cells: kmeans_cells replaces the label
     column — the full in-engine pipeline (train coarse quantizer ->
@@ -771,7 +772,10 @@ def ivf_topk_trained(
     `cells` injects a pre-trained (vid, qv, cell) frame so callers
     that also materialize the trainer output (e.g. a bench run that
     executes both the cells query and this recall query in one
-    session) train once instead of twice."""
+    session) train once instead of twice; `cents` likewise injects the
+    prebuilt cell->centroid table (the other half of the persisted
+    index) so the serving path probes it instead of re-deriving it
+    from a corpus scan per run."""
     if cells is None:
         cells = kmeans_cells(corpus, n_cells, n_iters, id_col, vec_col, dim)
     cells = cells.select(
@@ -779,7 +783,15 @@ def ivf_topk_trained(
     )
     corpus2 = corpus.join(cells, id_col)
     return ivf_topk(
-        queries, corpus2, k, nprobe, id_col, vec_col, cell_col="trained_cell", dim=dim
+        queries,
+        corpus2,
+        k,
+        nprobe,
+        id_col,
+        vec_col,
+        cell_col="trained_cell",
+        dim=dim,
+        cents=cents,
     )
 
 

@@ -496,6 +496,28 @@ ORDER BY t.query_id
 """
 
 
+def _trained_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the TRAINED coarse quantizer's centroid table —
+    the `_ivf_cents` discipline one index over: at scale the trained
+    centroids persist with the index, so the serving path probes them
+    instead of re-deriving them (posexplode + two exchanges) from a
+    corpus scan on every run. Exact integers; bit-identical to the
+    inline recompute."""
+    from corrie_spark.operators.similarity import ivf_centroids
+    from corrie_spark.queries.dedup_queries import _memo
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        cells = _trained_cells(spark, sf_dir).select(
+            F.col("vid").alias("vec_id"), F.col("cell").alias("trained_cell")
+        )
+        return ivf_centroids(
+            emb.join(cells, "vec_id"), "trained_cell", "embedding", _DIM
+        ).localCheckpoint(eager=True)
+
+    return _memo(spark, sf_dir, "trained_cents", build)
+
+
 @register("q_sim_ivf_trained_recall", oracle=_TRAINED_RECALL_ORACLE, python_stages="partial top-k consumer (local_topk mapInPandas)")
 def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of IVF over Lloyd-TRAINED cells vs brute-force truth
@@ -513,6 +535,7 @@ def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_KM_CELLS,
         n_iters=_KM_ITERS,
         cells=_trained_cells(spark, sf_dir),
+        cents=_trained_cents(spark, sf_dir),
     ).select("query_id", F.col("neighbor_id").alias("hit_id"))
     hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
     return (
@@ -1697,6 +1720,7 @@ def warm_ann_indexes(spark: SparkSession, sf_dir: str, root: str | None = None) 
     # the serving queries probe it instead of re-deriving it from a
     # full corpus scan per run
     _ivf_cents(spark, sf_dir).count()
+    _trained_cents(spark, sf_dir).count()
     return root
 
 
