@@ -118,8 +118,13 @@ def q_text_dup_gram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-doc count, occurrence count) with a deterministic
     total order — what a pipeline operator reads before writing a
     boilerplate strip rule."""
+    from corrie_spark.tables import spread
+
+    # round-14 (guide §2.5): the 8-gram explode runs pre-exchange on
+    # the scan layout; spread is a no-op at real scale. A/B at sf0.1:
+    # 1.2-1.5 -> 0.8-0.9 s, rows identical.
     return P.top_duplicated_grams(
-        load(spark, sf_dir, "documents"), n=_N, min_docs=_MIN_DOCS, k=20
+        spread(load(spark, sf_dir, "documents")), n=_N, min_docs=_MIN_DOCS, k=20
     )
 
 

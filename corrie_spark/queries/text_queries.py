@@ -205,7 +205,12 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: order-sensitive polynomial rolling hash
     + winnowing-style min-shingle hash (edit-robust). Both are folds
     over the row-local token array — map-stage only at 100 TB."""
-    docs = load(spark, sf_dir, "documents")
+    from corrie_spark.tables import spread
+
+    # guide §2.5: both fingerprint folds are row-local and heavy; the
+    # conditional spread keeps them core-parallel on a one-split scan
+    # (no-op at real scale). A/B at sf0.1: 0.81 -> 0.33 s.
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.rolling_hash("text").alias("roll_hash"),
@@ -218,7 +223,11 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID (n-gram heuristic): deterministic
     argmax with first-wins tie-break; emits the labeled lang alongside
     for downstream accuracy eval."""
-    docs = load(spark, sf_dir, "documents")
+    from corrie_spark.tables import spread
+
+    # guide §2.5 conditional spread (no-op at real scale); A/B at
+    # sf0.1: 0.58 -> 0.29 s, rows identical
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_labeled"),
@@ -717,8 +726,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive nesting is O(n^3) per row and 200x slower on 100-token
     documents."""
     from corrie_spark.functions import bind
+    from corrie_spark.tables import spread
 
-    docs = load(spark, sf_dir, "documents")
+    # guide §2.5 conditional spread (no-op at real scale); A/B at
+    # sf0.1: 0.63 -> 0.37 s, rows identical
+    docs = spread(load(spark, sf_dir, "documents"))
 
     def top_fraction(arr: F.Column) -> F.Column:
         def of_sorted(s: F.Column) -> F.Column:

@@ -47,9 +47,13 @@ def test_q5_no_dimension_shuffle(spark):
 
 def test_text_ops_are_shuffle_free(spark):
     """Per-document operators must be pure map stages."""
-    for name in ("q_text_stats", "q_text_quality", "q_text_langid", "q_dedup_minhash"):
+    for name in ("q_text_stats", "q_text_quality", "q_dedup_minhash"):
         df = all_queries()[name](spark, SF_CORRECT)
         assert count_shuffles(df) == 0, name
+    # langid carries at most the conditional input spread (a round-robin
+    # repartition of raw doc rows on narrow scans, a no-op at scale) —
+    # tokens/grams still never shuffle
+    assert count_shuffles(all_queries()["q_text_langid"](spark, SF_CORRECT)) <= 1
 
 
 def test_similarity_broadcasts_queries(spark):
@@ -188,9 +192,9 @@ def test_ivf_broadcasts_centroids_and_probes(spark):
 
 
 def test_new_text_ops_shuffle_free(spark):
-    for name in ("q_text_tokens", "q_text_fingerprint"):
-        df = all_queries()[name](spark, SF_CORRECT)
-        assert count_shuffles(df) == 0, name
+    assert count_shuffles(all_queries()["q_text_tokens"](spark, SF_CORRECT)) == 0
+    # fingerprint allows only the conditional input spread (see above)
+    assert count_shuffles(all_queries()["q_text_fingerprint"](spark, SF_CORRECT)) <= 1
 
 
 def test_set_ops_plan_as_semi_anti(spark):
@@ -291,7 +295,9 @@ def test_training_mix_queries_plan_shape(spark):
     exactly their one aggregation exchange; contamination never builds
     an all-pairs doc product (joins only on gram/doc_id keys)."""
     qs = all_queries()
-    assert count_shuffles(qs["q_text_repetition"](spark, SF_CORRECT)) == 0
+    # repetition allows only the conditional input spread (raw doc rows
+    # on narrow scans, a no-op at scale) — token arrays never shuffle
+    assert count_shuffles(qs["q_text_repetition"](spark, SF_CORRECT)) <= 1
     assert count_shuffles(qs["q_corpus_filter"](spark, SF_CORRECT)) == 1
     assert count_shuffles(qs["q_token_histogram"](spark, SF_CORRECT)) == 1
     from corrie_spark.plans.inspect import explain_str
