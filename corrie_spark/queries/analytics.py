@@ -205,9 +205,22 @@ def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     TOTALS block as an extra result set): Spark-native rollup produces
     the same subtotal/grand-total rows inline."""
     li = load(spark, sf_dir, "lineitem")
+    # round-14 (guide §2.3 — aggregate before you expand): rollup's
+    # Expand tripled every fact row BEFORE the partial aggregate; the
+    # base groupBy collapses 600k rows to the 6 (flag, status) groups
+    # first and the rollup re-aggregates those (sums are associative —
+    # decimal accumulate stays exact, values identical; A/B at sf0.1:
+    # 1.0-1.35 -> 0.54-0.71 s).
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        pre.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_s").cast("double").alias("sum_qty"),
+            F.sum("_n").alias("n_rows"),
+        )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -471,11 +484,18 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates. Grouping-set expansion happens before the exchange,
     so it's still a single shuffle."""
     orders = load(spark, sf_dir, "orders")
+    # round-14 (guide §2.3): pre-aggregate to the 15 (status, priority)
+    # groups before the cube so Expand quadruples 15 rows, not 150k
+    # (sums associative, values identical — the q_rollup_totals trick).
+    pre = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_s"),
+    )
     return (
-        orders.cube("o_orderstatus", "o_orderpriority")
+        pre.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice", "total_price"),
+            F.sum("_n").alias("n_orders"),
+            F.sum("_s").cast("double").alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -630,16 +650,23 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     gid = (F.grouping("o_orderstatus") * 2 + F.grouping("c_mktsegment")).cast("long")
+    # round-14 (guide §2.3): pre-aggregate to the (status, segment)
+    # groups before the grouping-set Expand (sums associative, values
+    # identical; GROUPING() still disambiguates on the outer level).
+    pre = joined.groupBy("o_orderstatus", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_s"),
+    )
     return (
-        joined.groupingSets(
+        pre.groupingSets(
             [["o_orderstatus", "c_mktsegment"], ["o_orderstatus"], ["c_mktsegment"]],
             "o_orderstatus",
             "c_mktsegment",
         )
         .agg(
             gid.alias("gid"),
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice", "total_price"),
+            F.sum("_n").alias("n_orders"),
+            F.sum("_s").cast("double").alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("-")).alias("status"),

@@ -207,10 +207,13 @@ def test_set_ops_plan_as_semi_anti(spark):
 
 
 def test_cube_single_shuffle(spark):
-    """CUBE expands grouping sets before the exchange: one shuffle for
-    all four groupings."""
+    """CUBE over the PRE-AGGREGATED (status, priority) groups: the base
+    groupBy pays one map-combined exchange (15 rows on the wire), the
+    cube's Expand then quadruples 15 rows instead of 150k fact rows,
+    and its exchange is equally tiny — two metadata-sized shuffles
+    replace one full-fact-table Expand+shuffle (guide §2.3)."""
     df = all_queries()["q_cube_status_priority"](spark, SF_CORRECT)
-    assert count_shuffles(df) == 1
+    assert count_shuffles(df) == 2
 
 
 def test_shingle_census_partial_agg(spark):
