@@ -54,6 +54,7 @@ def corpus_stages(
     docs: DataFrame,
     strip_n: int = P.DEFAULT_PASSAGE_N,
     clusters: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> dict:
     """The build as LAZY stage frames (no writes, no counts) — shared
     by build_corpus (which writes shards) and q_corpus_manifest
@@ -89,9 +90,16 @@ def corpus_stages(
     if clusters is not None:
         clusters = clusters.join(exact.select("doc_id"), "doc_id").persist()
     else:
-        pairs = D.candidate_pairs(exact, id_col="doc_id", text_col="text").select(
-            "id_a", "id_b"
-        )
+        # `sigs` optionally injects a pre-built (doc_id, sig) MinHash
+        # frame over a SUPERSET of docs (e.g. the session-shared
+        # signature memo over the raw corpus): the signature is a pure
+        # per-document function of the text, so candidate_pairs'
+        # rep-semi-join restricts it to exactly the signatures it
+        # would have computed — the md5-heavy shingle scan runs zero
+        # times here instead of once.
+        pairs = D.candidate_pairs(
+            exact, id_col="doc_id", text_col="text", sigs=sigs
+        ).select("id_a", "id_b")
         clusters = D.connected_components(
             pairs, exact.select("doc_id"), id_col="doc_id"
         ).persist()
@@ -142,14 +150,12 @@ def corpus_stages(
 
 def pack_splits(assigned: DataFrame, shard_budget: int) -> DataFrame:
     """Shard-pack each split independently (~budget tokens, hash
-    order)."""
-    packed = None
-    for s in ("train", "val", "test"):
-        part = pack_shards(
-            assigned.filter(F.col("split") == s), "doc_id", "n_tokens", shard_budget
-        )
-        packed = part if packed is None else packed.unionByName(part)
-    return packed
+    order) — ONE grouped-cumsum pass over `assigned` instead of three
+    filtered scans + three checkpoint/collect rounds (round-15;
+    identical rows, pinned by tests/test_corpus_build.py)."""
+    return pack_shards(
+        assigned, "doc_id", "n_tokens", shard_budget, group_cols=["split"]
+    )
 
 
 def build_corpus(
@@ -202,12 +208,45 @@ def build_corpus(
     }
 
 
+def build_clusters_stage(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    strip_n: int = P.DEFAULT_PASSAGE_N,
+    sigs: DataFrame | None = None,
+) -> bool:
+    """Build ONLY the stages/clusters table of a staged build — the
+    single artifact refresh_corpus_staged reads from the base
+    snapshot. A caller that is about to refresh (fold a batch in)
+    must not pay for the base assigned/pack stages: the refresh
+    rewrites every downstream stage table over the COMBINED corpus
+    anyway, so building them first is thrown-away work (measured
+    ~10 s of the 23.6 s incremental-manifest build at sf0.1).
+    Returns True when the stage ran, False when it was already done.
+    Nothing is materialized beyond the clusters lineage (exact dedup
+    + LSH pair graph + CC): corpus_stages is lazy and the downstream
+    persists are never touched."""
+    import os
+
+    clusters_path = f"{out_dir}/stages/clusters"
+    if os.path.exists(f"{clusters_path}/_STAGE_DONE"):
+        return False
+    st = corpus_stages(spark, docs, strip_n=strip_n, sigs=sigs)
+    st["clusters"].write.mode("overwrite").parquet(clusters_path)
+    with open(f"{clusters_path}/_STAGE_DONE", "w") as f:
+        f.write("ok\n")
+    for k in ("exact", "gated", "assigned", "clusters"):
+        st[k].unpersist()
+    return True
+
+
 def build_corpus_staged(
     spark: SparkSession,
     docs: DataFrame,
     out_dir: str,
     shard_budget: int = SHARD_BUDGET_TOKENS,
     strip_n: int = P.DEFAULT_PASSAGE_N,
+    clusters: DataFrame | None = None,
 ) -> dict:
     """Restartable build: every stage boundary is CHECKPOINTED as a
     parquet stage table under <out_dir>/stages/, and a rerun SKIPS
@@ -265,7 +304,11 @@ def build_corpus_staged(
 
     clusters_path = f"{stages_dir}/clusters"
     if not done(clusters_path):
-        st = corpus_stages(spark, docs, strip_n=strip_n)
+        # `clusters` optionally injects a precomputed all-docs cluster
+        # map (see corpus_stages: restriction to the exact survivors
+        # is provably the same clustering) so a caller holding the
+        # session-shared map does not re-run exact+LSH+CC here
+        st = corpus_stages(spark, docs, strip_n=strip_n, clusters=clusters)
         st["clusters"].write.mode("overwrite").parquet(clusters_path)
         mark(clusters_path)
         ran.append("clusters")
@@ -345,6 +388,7 @@ def incremental_clusters(
     base_survivors: DataFrame,
     batch: DataFrame,
     base_clusters: DataFrame,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup clustering: merge an incoming `batch` into
     an existing cluster map WITHOUT replaying the base x base pair
@@ -372,8 +416,15 @@ def incremental_clusters(
     from pyspark import StorageLevel
 
     def bands(df: DataFrame) -> DataFrame:
-        sigs = D.with_minhash(df, "text").select("doc_id", "sig")
-        return sigs.select(
+        # `sigs` (optional): pre-built signatures over a superset of
+        # df — MinHash is a pure per-doc function of the text, so the
+        # id-join restriction is identical to recomputing
+        s = (
+            D.with_minhash(df, "text").select("doc_id", "sig")
+            if sigs is None
+            else sigs.select("doc_id", "sig").join(df.select("doc_id"), "doc_id")
+        )
+        return s.select(
             "doc_id",
             F.posexplode(D.lsh_bands(F.col("sig"))).alias("band_idx", "band_hash"),
         )
@@ -432,6 +483,7 @@ def refresh_corpus_staged(
     out_dir: str,
     shard_budget: int = SHARD_BUDGET_TOKENS,
     strip_n: int = P.DEFAULT_PASSAGE_N,
+    sigs: DataFrame | None = None,
 ) -> dict:
     """INCREMENTAL staged refresh: fold a new crawl batch into a
     COMPLETED build_corpus_staged(base_docs, out_dir) without paying
@@ -456,7 +508,7 @@ def refresh_corpus_staged(
     base_clusters = spark.read.parquet(clusters_path)
     base_survivors = base_docs.join(base_clusters.select("doc_id"), "doc_id")
     merged = incremental_clusters(
-        spark, base_survivors, batch_docs, base_clusters
+        spark, base_survivors, batch_docs, base_clusters, sigs=sigs
     ).localCheckpoint()  # sever lineage from the stage table BEFORE overwrite
 
     docs = base_docs.unionByName(batch_docs)

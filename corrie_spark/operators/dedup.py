@@ -514,91 +514,135 @@ def simhash_pairs(
         if signatures is not None
         else df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
     )
-    reps = sh.groupBy("simhash").agg(F.min(id_col).alias(id_col))
-    exploded = reps.select(
-        id_col,
+    # ONE simhash-keyed aggregation yields the representative table
+    # AND the identical-hash member lists (round-15, guide §2.3/§2.4:
+    # the reps groupBy, the member fan-out joins and the within-value
+    # self-join previously each re-shuffled the signature frame on
+    # the same key — 5 signature-frame exchanges collapse to 1).
+    # materialized once: four consumers (band explode, both fan-out
+    # sides, within-value pairs) would otherwise each re-run the agg —
+    # exchange reuse does not fire across differently-pruned subplans
+    groups = (
+        sh.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .localCheckpoint(eager=True)
+    )
+    # packed band key: (band index << band_width) | band value — one
+    # long join/grouping key instead of (int, long) (guide §2.3
+    # narrower types)
+    exploded = groups.select(
+        F.element_at("_ids", 1).alias("_rep"),
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), b * band_width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
+                    F.shiftright(F.col("simhash"), b * band_width)
+                    .bitwiseAND(F.lit(mask))
+                    .bitwiseOR(F.lit(b << band_width))
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band_idx", "bb.band_val")
-    star = None
+        ).alias("_bkey"),
+    )
+    # bucket members aggregate on the packed key (ONE exchange —
+    # was: a window count + a self-join, i.e. the exploded frame
+    # crossing band-keyed exchanges twice); pair generation, the
+    # band-cap clique/star routing AND the exact hamming verify all
+    # run INSIDE the bucket row, so only verified candidate pairs
+    # ever shuffle again (the previous shape dragged unverified
+    # candidates through dropDuplicates + three fan-out joins and
+    # verified last).
+    buckets = exploded.groupBy("_bkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_rep").alias("i"), F.col("simhash").alias("s")))
+        ).alias("_ms")
+    )
+    ms = F.col("_ms")
+
+    def pair_of(x, y):
+        return F.struct(
+            x["i"].alias("ia"),
+            y["i"].alias("ib"),
+            x["s"].alias("sa"),
+            y["s"].alias("sb"),
+        )
+
+    clique = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)), lambda y: pair_of(x, y)
+            ),
+        )
+    )
     if band_cap is not None:
-        bucket = Window.partitionBy("band_idx", "band_val")
-        ordered = bucket.orderBy(F.col(id_col))
-        counted = exploded.withColumn("_bn", F.count(F.lit(1)).over(bucket))
-        hot = counted.where(F.col("_bn") > band_cap)
-        exploded = counted.where(F.col("_bn") <= band_cap).drop("_bn")
-        star = (
-            hot.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.min(F.col(id_col)).over(bucket).alias("_hub"),
-                F.first("simhash").over(ordered).alias("_hub_sh"),
-            )
-            .where(F.col(id_col) != F.col("_hub"))
-            .select(
-                F.col("_hub").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.col("_hub_sh").alias("sh_a"),
-                F.col("simhash").alias("sh_b"),
-            )
+        # min-id-hub star above the cap: B-1 edges, never B^2/2 —
+        # same overflow contract as before, now chosen per bucket row
+        star = F.transform(
+            F.slice(ms, 2, F.size(ms)), lambda y: pair_of(F.element_at(ms, 1), y)
         )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_val") == F.col("b.band_val"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col("a.simhash").alias("sh_a"),
-        F.col("b.simhash").alias("sh_b"),
+        pairs_arr = F.when(F.size(ms) <= band_cap, clique).otherwise(star)
+    else:
+        pairs_arr = clique
+    verified = F.filter(
+        pairs_arr,
+        lambda p: F.bit_count(p["sa"].bitwiseXOR(p["sb"])) <= max_hamming,
     )
-    if star is not None:
-        joined = joined.unionByName(star)
-    cand = joined.dropDuplicates(["id_a", "id_b"])  # multi-band collisions once
-    # fan representative pairs back out to identical-simhash members;
-    # within-value pairs are hamming 0 by construction
-    ma = sh.select(F.col("simhash").alias("sh_a"), F.col(id_col).alias("_ma"))
-    mb = sh.select(F.col("simhash").alias("sh_b"), F.col(id_col).alias("_mb"))
+    cand = (
+        buckets.select(F.explode(verified).alias("p"))
+        .select("p.ia", "p.ib", "p.sa", "p.sb")
+        .dropDuplicates(["ia", "ib"])  # multi-band collisions once
+    )
+    # fan representative pairs back out to identical-simhash members
+    # via the member LISTS (the pair cross-product is a row-local
+    # transform; the joins carry one array row per distinct hash)
+    ga = groups.select(F.col("simhash").alias("sa"), F.col("_ids").alias("_as"))
+    gb = groups.select(F.col("simhash").alias("sb"), F.col("_ids").alias("_bs"))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint")
     fanned = (
-        cand.join(ma, "sh_a")
-        .join(mb, "sh_b")
+        cand.join(ga, "sa")
+        .join(gb, "sb")
         .select(
-            F.least("_ma", "_mb").alias("id_a"),
-            F.greatest("_ma", "_mb").alias("id_b"),
-            "sh_a",
-            "sh_b",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_as",
+                        lambda a: F.transform(
+                            "_bs",
+                            lambda b: F.struct(
+                                F.least(a, b).alias("id_a"),
+                                F.greatest(a, b).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
+            hamming.alias("hamming"),
         )
+        .select("p.id_a", "p.id_b", "hamming")
     )
-    m1 = sh.select("simhash", F.col(id_col).alias("id_a"))
-    m2 = sh.select("simhash", F.col(id_col).alias("id_b"))
+    # within-value pairs are hamming 0 by construction (identical
+    # text ⇒ identical signature) — generated row-locally from the
+    # member lists the groups aggregation already holds
+    ids = F.col("_ids")
     within = (
-        m1.join(m2, "simhash")
-        .where(F.col("id_a") < F.col("id_b"))
+        groups.where(F.size("_ids") >= 2)
         .select(
-            "id_a", "id_b",
-            F.col("simhash").alias("sh_a"), F.col("simhash").alias("sh_b"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda x, i: F.transform(
+                            F.slice(ids, i + F.lit(2), F.size(ids)),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b", F.lit(0).cast("bigint").alias("hamming"))
     )
-    pairs = fanned.unionByName(within)
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
-    return (
-        pairs.select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return fanned.unionByName(within)
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, k: int = DEFAULT_SHINGLE_K) -> Column:

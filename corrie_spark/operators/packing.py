@@ -76,6 +76,7 @@ def distributed_cumsum(
     out_col: str = "cumsum",
     num_partitions: int | None = None,
     key_bound: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of `value_col` in `order_col` order,
     without a single-partition global window.
@@ -101,8 +102,17 @@ def distributed_cumsum(
 
     order_col must be globally unique (it is a hash in every caller
     here); ties would make "before" ambiguous.
+
+    `group_cols` computes INDEPENDENT cumsums per group in the same
+    single pass (window partitioned by (group, bucket), per-group
+    driver prefix) — what pack_splits needs to pack all three splits
+    in one job instead of three full scans. Requires `key_bound`
+    (the arithmetic-bucket form; every caller here is hash-keyed).
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if group_cols and key_bound is None:
+        raise ValueError("group_cols requires key_bound (arithmetic buckets)")
+    gcols = list(group_cols or [])
     if key_bound is not None:
         # 8x more buckets than target partitions so the hash exchange
         # spreads them evenly (guide §2.5: too few distinct synthetic
@@ -123,7 +133,7 @@ def distributed_cumsum(
             .withColumn("_pid", F.spark_partition_id())
         )
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy(*gcols, "_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -135,20 +145,23 @@ def distributed_cumsum(
     # to avoid)
     ).localCheckpoint(eager=True)
     totals = (
-        local.groupBy("_pid")
+        local.groupBy(*gcols, "_pid")
         .agg(F.sum(value_col).cast("long").alias("_tot"))
         .collect()
-    )  # #partitions rows — metadata-sized at any data scale
-    offset_of: dict[int, int] = {}
-    acc = 0
-    for r in sorted(totals, key=lambda r: r._pid):
-        offset_of[r._pid] = acc
-        acc += r._tot or 0
+    )  # #groups x #buckets rows — metadata-sized at any data scale
+    offset_rows: list[tuple] = []
+    acc_of: dict[tuple, int] = {}
+    for r in sorted(totals, key=lambda r: (tuple(repr(r[g]) for g in gcols), r._pid)):
+        g = tuple(r[gc] for gc in gcols)
+        acc = acc_of.get(g, 0)
+        offset_rows.append(g + (r._pid, acc))
+        acc_of[g] = acc + (r._tot or 0)
+    gschema = "".join(f"{g} string, " for g in gcols)
     offsets = df.sparkSession.createDataFrame(
-        [(p, o) for p, o in offset_of.items()], "_pid int, _offset long"
+        offset_rows, gschema + "_pid int, _offset long"
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), gcols + ["_pid"])
         .withColumn(out_col, (F.col("_local_before") + F.col("_offset")).cast("long"))
         .drop("_pid", "_local_before", "_offset")
     )
@@ -160,18 +173,22 @@ def pack_shards(
     tokens_col: str,
     budget: int,
     salt: str = "pack",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign rows to training shards of ~`budget` tokens each:
     deterministic hash order, exclusive running token count, shard =
     cumsum_before // budget (a row straddling a boundary goes to the
     shard its first token lands in). Reproducible bin packing without
     a coordinator — the step that turns a deduped corpus into
-    fixed-size training shards."""
+    fixed-size training shards. `group_cols` packs each group
+    independently in the same single pass (see distributed_cumsum) —
+    identical output to filtering per group and unioning."""
     from corrie_spark.operators.dedup import hash60
 
     keyed = df.withColumn("_h", hash60(F.col(id_col).cast("string"), salt=salt))
     summed = distributed_cumsum(
-        keyed, "_h", tokens_col, out_col="_before", key_bound=1 << 60
+        keyed, "_h", tokens_col, out_col="_before", key_bound=1 << 60,
+        group_cols=group_cols,
     )
     return summed.withColumn(
         "shard", F.floor(F.col("_before") / F.lit(budget)).cast("long")

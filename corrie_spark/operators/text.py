@@ -313,9 +313,9 @@ def dsir_scores(
     # no-op whenever the input is already at least core-parallel
     # (any real-scale corpus), so nothing is re-shuffled at 100 TB.
     # Measured at sf0.1: 2.1-3.1 s -> 1.4-2.1 s, rows identical.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    from corrie_spark.tables import spread
+
+    docs = spread(docs)
 
     toks_raw = F.split(F.trim(F.col(text_col)), "\\s+")
     toks = F.when(

@@ -219,9 +219,20 @@ def warm_manifest_cache(spark: SparkSession, sf_dir: str) -> str:
     tables instead of replaying the build. Deterministic build =>
     byte-identical manifest either way (pinned by
     tests/test_warm_paths.py)."""
+    from corrie_spark.queries.dedup_queries import _shared_clusters
+
     out = _stage_cache_dir(sf_dir)
+    # inject the session-shared all-docs cluster map, exactly like the
+    # live _manifest_frame path does (corpus_stages proves restriction
+    # to exact survivors is the identical clustering) — the staged and
+    # live builds then share one CC artifact instead of the staged
+    # path re-running exact+LSH+CC
     C.build_corpus_staged(
-        spark, load(spark, sf_dir, "documents"), out, shard_budget=_BUDGET
+        spark,
+        load(spark, sf_dir, "documents"),
+        out,
+        shard_budget=_BUDGET,
+        clusters=_shared_clusters(spark, sf_dir),
     )
     return out
 
@@ -345,8 +356,21 @@ def _incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = _incr_stage_dir(sf_dir)
         marker = os.path.join(d, "_REFRESHED")
         if not os.path.exists(marker):
-            C.build_corpus_staged(spark, base, d, shard_budget=_BUDGET)
-            C.refresh_corpus_staged(spark, base, batch, d, shard_budget=_BUDGET)
+            from corrie_spark.queries.dedup_queries import _shared_sigs
+
+            # the refresh reads ONLY stages/clusters from the base
+            # build and rewrites every downstream stage table over the
+            # combined corpus — so stage exactly that (base
+            # assigned/pack would be thrown-away work; measured ~10 s
+            # of this build at sf0.1). The session signature memo
+            # covers every doc (MinHash is per-doc deterministic), so
+            # neither the base clusters stage nor the refresh's
+            # batch-adjacent band join re-runs the shingle+md5 scan.
+            sigs = _shared_sigs(spark, sf_dir)
+            C.build_clusters_stage(spark, base, d, sigs=sigs)
+            C.refresh_corpus_staged(
+                spark, base, batch, d, shard_budget=_BUDGET, sigs=sigs
+            )
             with open(marker, "w") as f:
                 f.write("ok\n")
         staged = _staged_manifest(spark, sf_dir, d=d)

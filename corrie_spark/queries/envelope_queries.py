@@ -248,7 +248,7 @@ def q_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ok_uuid"), F.col("cnt")).otherwise(F.lit(0))
         ).alias("n_valid_uuid"),
     )
-    return rowsagg.join(F.broadcast(uuidagg)).select(
+    return rowsagg.crossJoin(F.broadcast(uuidagg)).select(
         "n_rows",
         "n_valid_int8",
         "n_valid_float",

@@ -1453,6 +1453,33 @@ FROM r WHERE rnk <= 5
 """
 
 
+def _sem_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode + grid-embed + norm embedding frame feeding
+    q_multimodal_semantic_topk. Norms are per-VECTOR, not per-pair:
+    computed once in the checkpointed frame so the pair stage pays
+    exactly one 64-dim dot per candidate (the HOF aggregate runs
+    interpreted — per-pair norm recomputation tripled the stage cost,
+    measured). Session memo (the _image_hashes discipline),
+    module-level so bench.py can TIME the build and report it
+    (round-14 verdict ask #1)."""
+    from pyspark.sql import functions as F
+
+    from corrie_spark.operators import similarity as S
+    from corrie_spark.queries.dedup_queries import _memo
+
+    return _memo(
+        spark,
+        sf_dir,
+        "semantic_emb",
+        lambda: (
+            M.image_embedding(_rs_media(spark, sf_dir))
+            .filter("ok")
+            .select("media_id", "emb", S.int_norm_sq(F.col("emb")).alias("nsq"))
+            .localCheckpoint(eager=True)
+        ),
+    )
+
+
 @register("q_multimodal_semantic_topk", oracle=_SEM_ORACLE, python_stages="mapInPandas codec build + embedding extract")
 def q_multimodal_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image SEMANTIC similarity end to end: the real container codecs
@@ -1471,26 +1498,7 @@ def q_multimodal_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from corrie_spark.operators import similarity as S
 
-    # norms are per-VECTOR, not per-pair: compute them once in the
-    # checkpointed embedding frame so the pair stage pays exactly one
-    # 64-dim dot per candidate (the HOF aggregate runs interpreted —
-    # per-pair norm recomputation tripled the stage cost, measured)
-    # session memo (the _image_hashes discipline): the decode + grid
-    # embed + norm stage materializes once per session; the timed path
-    # measures the broadcast top-k search over the embedding frame.
-    from corrie_spark.queries.dedup_queries import _memo
-
-    emb = _memo(
-        spark,
-        sf_dir,
-        "semantic_emb",
-        lambda: (
-            M.image_embedding(_rs_media(spark, sf_dir))
-            .filter("ok")
-            .select("media_id", "emb", S.int_norm_sq(F.col("emb")).alias("nsq"))
-            .localCheckpoint(eager=True)
-        ),
-    )
+    emb = _sem_emb(spark, sf_dir)
     q = emb.filter(F.col("media_id") % 397 == 0).select(
         F.col("media_id").alias("query_id"),
         F.col("emb").alias("qv"),
@@ -2697,33 +2705,32 @@ def q_multimodal_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["doc_id"], pdf["fmt"], pdf["payload"]
             ):
                 did, fmt, payload = int(did), str(fmt), bytes(payload)
-                if True:
-                    if fmt == "png":
-                        m = M.png_metadata(payload)
-                        row = (m["width"], m["height"], m["depth"], 0, 0,
-                               None, None)
-                    elif fmt == "gif":
-                        m = M.gif_metadata(payload)
-                        row = (m["width"], m["height"], None, m["n_frames"],
-                               m["total_duration_ms"], m["loop_count"], None)
-                    else:
-                        m = WP.webp_metadata(payload)
-                        row = (m["width"], m["height"], None, m["n_frames"],
-                               m["total_duration_ms"], None,
-                               m.get("orientation"))
-                    out.append(
-                        {
-                            "media_id": did,
-                            "fmt": fmt,
-                            "width": row[0],
-                            "height": row[1],
-                            "depth": row[2],
-                            "n_frames": row[3],
-                            "duration_ms": row[4],
-                            "loop_count": row[5],
-                            "orientation": row[6],
-                        }
-                    )
+                if fmt == "png":
+                    m = M.png_metadata(payload)
+                    row = (m["width"], m["height"], m["depth"], 0, 0,
+                           None, None)
+                elif fmt == "gif":
+                    m = M.gif_metadata(payload)
+                    row = (m["width"], m["height"], None, m["n_frames"],
+                           m["total_duration_ms"], m["loop_count"], None)
+                else:
+                    m = WP.webp_metadata(payload)
+                    row = (m["width"], m["height"], None, m["n_frames"],
+                           m["total_duration_ms"], None,
+                           m.get("orientation"))
+                out.append(
+                    {
+                        "media_id": did,
+                        "fmt": fmt,
+                        "width": row[0],
+                        "height": row[1],
+                        "depth": row[2],
+                        "n_frames": row[3],
+                        "duration_ms": row[4],
+                        "loop_count": row[5],
+                        "orientation": row[6],
+                    }
+                )
             # build nullable-int columns from the python values
             # DIRECTLY (the round-6 lesson: the DataFrame constructor
             # coerces None-bearing int columns to float64 first)

@@ -122,6 +122,14 @@ def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# spread()'s narrowness probe compiles the frame's non-AQE physical
+# plan (df.rdd), which is driver-side build cost on every call — the
+# decision is a pure function of the (session, analyzed plan), so it
+# is memoized on the plan's semantic hash (round-15, per round-14
+# advice). Entries from stopped sessions are evicted on first touch.
+_SPREAD_MEMO: dict[tuple[str, int], bool] = {}
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's core count IFF the
     frame is narrower (guide §2.5 input skew: a tiny corpus reads as
@@ -130,9 +138,28 @@ def spread(df: DataFrame) -> DataFrame:
     one core). A no-op whenever the input is already at least
     core-parallel, i.e. on any real-scale table, so nothing heavy is
     ever re-shuffled at 100 TB. Row content unchanged (round-robin is
-    deterministic under Spark's sort-before-repartition)."""
+    deterministic under Spark's sort-before-repartition).
+
+    The probe reads the PRE-AQE partition count: for raw scans and
+    broadcast-join outputs (every caller here) that is the real
+    runtime layout; a post-shuffle input would read
+    spark.sql.shuffle.partitions — a scale-tuned conf that is >= the
+    core count on any sane deployment, making spread a no-op there,
+    which is exactly the intent."""
+    app = df.sparkSession.sparkContext.applicationId
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+    try:
+        key = (app, int(df._jdf.queryExecution().analyzed().semanticHash()))
+    except Exception:
+        key = None
+    narrow = _SPREAD_MEMO.get(key) if key is not None else None
+    if narrow is None:
+        for stale in [k for k in _SPREAD_MEMO if k[0] != app]:
+            del _SPREAD_MEMO[stale]
+        narrow = df.rdd.getNumPartitions() < par
+        if key is not None:
+            _SPREAD_MEMO[key] = narrow
+    return df.repartition(par) if narrow else df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -80,3 +80,26 @@ def test_pack_shards_budget_and_determinism(spark):
         sizes[r.shard] = sizes.get(r.shard, 0) + 100
     # 100 docs x 100 tokens @ 1000 budget -> exactly 10 shards of 1000
     assert sizes == {s: 1000 for s in range(10)}
+
+
+def test_grouped_pack_equals_per_group_pack(spark):
+    """pack_shards(group_cols=['split']) — the single-pass grouped
+    cumsum pack_splits rides (round-15) — must equal filtering each
+    split and packing it independently, row for row."""
+    rows = [
+        (i, 1 + (i * 7) % 40, ("train", "val", "test")[i % 3]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, split string")
+    grouped = {
+        (r.split, r.doc_id): (r.shard, r.n_tokens)
+        for r in pack_shards(
+            df, "doc_id", "n_tokens", 97, group_cols=["split"]
+        ).collect()
+    }
+    per_split = {}
+    for s in ("train", "val", "test"):
+        for r in pack_shards(
+            df.filter(F.col("split") == s), "doc_id", "n_tokens", 97
+        ).collect():
+            per_split[(s, r.doc_id)] = (r.shard, r.n_tokens)
+    assert grouped == per_split

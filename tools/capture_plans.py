@@ -26,7 +26,7 @@ def main() -> int:
     spark = get_spark("plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:
