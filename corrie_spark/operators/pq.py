@@ -506,14 +506,16 @@ def ivfpq_refined_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q_vec")
     )
-    scored = (
-        raw.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            int_dot(F.col("q_vec"), F.col("n_vec")).alias("dot"),
-        )
+    # attach the query vectors to the candidate list BEFORE the
+    # broadcast (tiny x tiny join): the corpus-side fetch then builds
+    # ONE broadcast relation instead of two (round-15; each broadcast
+    # build is its own job, and the corpus stage probes one hash
+    # relation instead of two)
+    cand_q = cand.join(q, "query_id")
+    scored = raw.join(F.broadcast(cand_q), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        int_dot(F.col("q_vec"), F.col("n_vec")).alias("dot"),
     )
     from corrie_spark.operators.similarity import grouped_topk
 

@@ -352,42 +352,60 @@ def dsir_scores(
     # fit totals: _r = sum of _c, _t = sum of target _c), and reduce
     # per document with _c-weighted sums. Bit-identical to the
     # fit/apply split; the gram hash is computed ONCE.
+    # explode_outer keeps zero-gram docs as one (_g = NULL, _c = 0)
+    # row routed to the sentinel bucket -1, so per-doc aggregation
+    # covers EVERY document and the old left-join back to a second
+    # docs scan disappears (guide §2.4: one scan, one exchange fewer)
+    occ = base.select("_id", "is_target", F.explode_outer("_grams").alias("_g"))
     exb = (
-        base.select(
-            "_id",
-            "is_target",
-            F.explode("_grams").alias("_g"),
+        occ.withColumn(
+            "bucket",
+            F.when(
+                F.col("_g").isNotNull(), hash60(F.col("_g"), "dsir") % n_buckets
+            ).otherwise(F.lit(-1)),
         )
-        .withColumn("bucket", hash60(F.col("_g"), "dsir") % n_buckets)
         .groupBy("_id", "is_target", "bucket")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.sum(F.when(F.col("_g").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("_c")
+        )
+        # materialized once: the bucket-weight fit and the per-doc
+        # reduce both read this counted stream; without the checkpoint
+        # the weight aggregate's lineage would re-run the gram hash
+        # (round-14 measured the fit/apply recompute at ~2x)
+        .localCheckpoint(eager=True)
     )
-    wb = Window.partitionBy("bucket")
-    weighted = exb.withColumn("_r", F.sum("_c").over(wb)).withColumn(
-        "_t",
-        F.sum(F.when(F.col("is_target"), F.col("_c")).otherwise(F.lit(0))).over(
-            wb
+    # broadcast-weights formulation (round-15; the round-14 window
+    # form pushed the FULL counted stream through a bucket-keyed
+    # exchange just to state #buckets totals): the fit is a
+    # #buckets-sized aggregate over the checkpoint — its exchange
+    # carries <= n_buckets rows per map partition — broadcast-joined
+    # back, so the counted stream crosses exactly ONE full exchange
+    # (the groupBy above) instead of two.
+    weights = exb.groupBy("bucket").agg(
+        F.sum("_c").alias("_r"),
+        F.sum(F.when(F.col("is_target"), F.col("_c")).otherwise(F.lit(0))).alias(
+            "_t"
         ),
     )
-    per_doc = (
-        weighted.select(
+    return (
+        exb.join(F.broadcast(weights), "bucket")
+        .select(
             "_id",
+            "is_target",
             "_c",
             F.expr(f"({scale} * (_t + 1)) div (_r + 1)").alias("_w"),
         )
-        .groupBy("_id")
+        .groupBy("_id", "is_target")
         .agg(
             F.sum("_c").alias("n_grams"),
             F.sum(F.col("_c") * F.col("_w")).alias("score"),
         )
-    )
-    return (
-        base.select("_id", "is_target")
-        .join(per_doc, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             "is_target",
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("score").cast("long").alias("score"),
         )
     )

@@ -804,6 +804,20 @@ def resolve_sitemap_tree(
     frontier (per-host metadata) against the sitemap table keyed by
     (host, url) plus a row-local explode; page bytes are never
     touched. Returns (host, loc, depth) — one row per page URL."""
+    # Parse every fetched sitemap ONCE into a (host, url, kind, loc)
+    # table and materialize it (round-15): the unrolled level plans
+    # below reference their parents' lineage, so without the barrier
+    # each level re-evaluates the XML kind/locs extraction of every
+    # level above it (level count squared parses) and every broadcast
+    # build drags the whole parse tree along. The parsed table is
+    # per-host URL METADATA (no page bytes, no sitemap XML), the same
+    # scale class as the frontier this operator already broadcasts.
+    parsed = sitemaps.select(
+        "host",
+        "url",
+        sitemap_kind(F.col(xml_col)).alias("kind"),
+        F.explode(sitemap_locs(F.col(xml_col))).alias("loc"),
+    ).localCheckpoint(eager=True)
     frontier = roots.select("host", "url")
     visited = frontier
     page_parts: list[DataFrame] = []
@@ -811,11 +825,8 @@ def resolve_sitemap_tree(
         # the frontier (and the visited set it accumulates into) is
         # per-host URL metadata — broadcast it so each level is a
         # map-side probe of the sitemap table, no shuffle per level
-        fetched = sitemaps.join(F.broadcast(frontier), ["host", "url"])
-        ex = fetched.select(
-            "host",
-            sitemap_kind(F.col(xml_col)).alias("kind"),
-            F.explode(sitemap_locs(F.col(xml_col))).alias("loc"),
+        ex = parsed.join(F.broadcast(frontier), ["host", "url"]).select(
+            "host", "kind", "loc"
         )
         page_parts.append(
             ex.where(F.col("kind") == "urlset").select(

@@ -66,11 +66,25 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     [~6 groups] -> final agg. Survives 100x scale: shuffle volume is
     O(partitions x groups), independent of row count.
     """
+    from corrie_spark.tables import spread
+
+    # Guide §2.5 (input skew — one small unsplittable parquet file):
+    # the seven exact-decimal partial aggregates are the dominant cost
+    # and run BEFORE the group exchange, i.e. on the scan's partition
+    # count — a single split at bench scale. Conditional spread; no-op
+    # at any real scale (the fact table arrives in thousands of
+    # splits). Interleaved A/B at sf0.1: 1.14 -> 0.71 s, rows EQUAL.
+    # The spread sits ABOVE the filter so the shipdate predicate still
+    # pushes down to the parquet scan.
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        spread(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),

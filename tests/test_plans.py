@@ -25,8 +25,13 @@ def test_q1_pushdown_pruning_single_shuffle(spark):
     [schema] = read_schemas(df)
     assert "l_orderkey" not in schema and "l_partkey" not in schema
     assert "l_quantity" in schema
-    # one shuffle: the final 6-group aggregation
-    assert count_shuffles(df) == 1
+    # two shuffles AT TEST SCALE: the conditional round-robin input
+    # spread (the scan is one split here — a no-op on any real-scale
+    # table) plus the final 6-group aggregation; the spread must be
+    # the round-robin kind and must sit ABOVE the pushed filter
+    assert count_shuffles(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_q3_broadcasts_customer(spark):
@@ -50,10 +55,20 @@ def test_text_ops_are_shuffle_free(spark):
     for name in ("q_text_stats", "q_text_quality", "q_dedup_minhash"):
         df = all_queries()[name](spark, SF_CORRECT)
         assert count_shuffles(df) == 0, name
-    # langid carries at most the conditional input spread (a round-robin
-    # repartition of raw doc rows on narrow scans, a no-op at scale) —
-    # tokens/grams still never shuffle
-    assert count_shuffles(all_queries()["q_text_langid"](spark, SF_CORRECT)) <= 1
+    # langid/fingerprint/repetition carry at most the conditional input
+    # spread — and the allowed exchange must BE the round-robin spread
+    # of raw doc rows (round-14 advice: a '<= 1' pin alone would let a
+    # genuine token/gram shuffle regress in unnoticed); tokens/grams
+    # still never shuffle
+    for name in ("q_text_langid", "q_text_fingerprint", "q_text_repetition"):
+        df = all_queries()[name](spark, SF_CORRECT)
+        n = count_shuffles(df)
+        assert n <= 1, name
+        if n == 1:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "RoundRobinPartitioning" in plan, name
+            # hashpartitioning would mean a keyed token/gram shuffle
+            assert "hashpartitioning" not in plan.lower(), name
 
 
 def test_similarity_broadcasts_queries(spark):
