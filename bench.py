@@ -10,16 +10,27 @@ parse window, which is exactly how BENCH_r02/r03 ended up
 
   stdout line 1..n-1: one full-detail JSON line (all per-query
       times) — may exceed the parse window; informational.
-  stdout LAST line: compact summary JSON <= ~300 chars:
-      {"metric": "total_query_wall_seconds", "value": <sum of
-       per-query times>, "unit": "sec", "sf": ..., "n_queries": N,
-       "n_failed": F, "reps": R, "queries_file": "BENCH_FULL.json"}
+  stdout LAST line: compact summary JSON <= ~2000 chars:
+      {"metric": "total_query_wall_seconds", "value": ...,
+       "unit": "sec", "sf": ..., "n_queries": N, "n_failed": F,
+       "reps": R, "queries": {name: sec, ...} for as many of the
+       MOST EXPENSIVE queries as fit a 1600-byte budget (the full
+       240-entry map is ~7 KB and cannot fit the parse window),
+       "queries_file": "BENCH_FULL.json" for the rest}
 
-Full per-query detail (best + min/max spread over
-$SPARK_GRAFT_BENCH_REPS reps, default 2; a query's rep loop stops
-early once it has spent >8s AND completed two reps, so heavy
-queries don't triple the suite) is also written to BENCH_FULL.json
-next to this file.
+Round-15 honest-timing contract: the cross-run on-disk caches are
+wiped at startup, every computation-memo build is TIMED during
+warmup and attributed to its primary consumer query (reported
+per-query number = serve_min + build_s; `value` therefore pays each
+build exactly once per run), and `value_serve_only` keeps the
+old-methodology serve-only total for round-over-round comparability.
+See the phase comments in main().
+
+Full per-query detail (serve minima, attributed builds, EVERY rep's
+wall time over $SPARK_GRAFT_BENCH_REPS reps, default 2; a query's
+rep loop stops early once it has spent >8s AND completed two reps,
+so heavy queries don't triple the suite) is also written to
+BENCH_FULL.json next to this file.
 
 Per-query estimate = MIN over reps (the `timeit` discipline: the
 minimum is the query's intrinsic cost; anything above it measures
